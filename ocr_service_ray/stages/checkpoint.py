@@ -1,0 +1,156 @@
+"""Checkpointed, resumable partitioned output (north_rule requirement).
+
+The reference has NO resume story — a crashed corpus run restarts from
+zero (SURVEY.md §4.1). Here the input is split into deterministic
+shards (unit = input files, or row ranges of one in-memory table);
+each shard streams through the pipeline independently and commits
+atomically:
+
+    out_dir/
+      part=00000/            # parquet files for shard 0
+        _manifest.json       # lineage + metrics, written LAST
+      part=00001/
+        ...
+
+A shard directory is written to ``<part>.tmp`` and renamed into place
+only after its ``_manifest.json`` is staged — the rename is the commit
+point, so a killed run leaves either a complete shard or an ignorable
+``.tmp``. Resume = skip shards whose manifest exists and parses.
+
+The manifest carries per-partition lineage + throughput (north_rule
+"per-partition lineage + metrics emitted"): input description, row
+count, byte size, wall time, docs/sec, and optionally a content hash
+of the (doc_id, span-sequence) pairs for byte-stability checks.
+
+Scale note: shards execute sequentially on the driver, but each shard
+is itself a fully streaming, cluster-wide Dataset job — shard count
+should be small (tens), sized so one shard ≈ minutes of cluster work;
+checkpoint granularity trades against scheduling overhead.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+
+
+def _shard_id(i: int) -> str:
+    return f"part={i:05d}"
+
+
+def manifest_path(out_dir: str, i: int) -> str:
+    return os.path.join(out_dir, _shard_id(i), "_manifest.json")
+
+
+def completed_shards(out_dir: str) -> set[int]:
+    done = set()
+    if not os.path.isdir(out_dir):
+        return done
+    for name in os.listdir(out_dir):
+        if name.startswith("part=") and not name.endswith(".tmp"):
+            mf = os.path.join(out_dir, name, "_manifest.json")
+            try:
+                with open(mf, encoding="utf-8") as f:
+                    json.load(f)
+                done.add(int(name.split("=")[1]))
+            except (OSError, ValueError):
+                continue
+    return done
+
+
+def span_content_hash(part_dir: str) -> str:
+    """Order-insensitive content hash over (doc_id, span sequence) of a
+    written partition — the resume test's byte-stability check."""
+    import pyarrow.dataset as pads
+
+    tbl = pads.dataset(part_dir, format="parquet").to_table(columns=["doc_id", "spans"])
+    digests = []
+    for row in tbl.to_pylist():
+        h = hashlib.sha256()
+        h.update(row["doc_id"].encode())
+        for s in row["spans"]:
+            h.update(
+                f"{s['kind']}\x00{s['text']}\x00{s['media_ref']}\x00{s['offset']}\x1e".encode()
+            )
+        digests.append(h.hexdigest())
+    outer = hashlib.sha256()
+    for d in sorted(digests):
+        outer.update(d.encode())
+    return outer.hexdigest()
+
+
+def run_checkpointed(
+    shards: list,
+    build_pipeline,
+    out_dir: str,
+    *,
+    resume: bool = True,
+    hash_content: bool = False,
+) -> dict:
+    """Run ``build_pipeline(shard) -> Dataset`` per shard with atomic
+    per-partition commit; skip already-complete shards when resuming.
+
+    Returns a run summary {partitions, skipped, rows, seconds}.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    done = completed_shards(out_dir) if resume else set()
+    total_rows = 0
+    t_run = time.perf_counter()
+    executed = []
+    for i, shard in enumerate(shards):
+        if i in done:
+            continue
+        part = os.path.join(out_dir, _shard_id(i))
+        tmp = part + ".tmp"
+        if os.path.isdir(tmp):
+            import shutil
+
+            shutil.rmtree(tmp)
+        if os.path.isdir(part):
+            import shutil
+
+            shutil.rmtree(part)
+        t0 = time.perf_counter()
+        ds = build_pipeline(shard)
+        ds.write_parquet(tmp)
+        # Row/byte counts from parquet footers only — no data re-read.
+        import pyarrow.parquet as pq
+
+        rows = 0
+        nbytes = 0
+        for name in os.listdir(tmp):
+            if name.endswith(".parquet"):
+                fp = os.path.join(tmp, name)
+                rows += pq.read_metadata(fp).num_rows
+                nbytes += os.path.getsize(fp)
+        wall = time.perf_counter() - t0
+        manifest = {
+            "partition": i,
+            "input": repr(shard)[:500],
+            "rows": rows,
+            "bytes": nbytes,
+            "t_wall_sec": round(wall, 4),
+            "docs_per_sec": round(rows / wall, 3) if wall > 0 else None,
+        }
+        if hash_content:
+            manifest["span_hash"] = span_content_hash(tmp)
+        with open(os.path.join(tmp, "_manifest.json"), "w", encoding="utf-8") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(tmp, part)  # commit point
+        total_rows += rows
+        executed.append(i)
+    return {
+        "partitions": len(shards),
+        "executed": executed,
+        "skipped": sorted(done),
+        "rows": total_rows,
+        "seconds": round(time.perf_counter() - t_run, 4),
+    }
+
+
+def table_shards(table, n_shards: int) -> list:
+    """Deterministic row-range shards of one Arrow table."""
+    step = -(-table.num_rows // n_shards)
+    return [table.slice(i * step, step) for i in range(n_shards)]
