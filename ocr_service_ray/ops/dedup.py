@@ -1,0 +1,286 @@
+"""Deduplication operators — exact and near-duplicate, at shuffle scale.
+
+The reference has no dedup (results lists are Python appends, SURVEY.md
+§2.7 D5 notes it as required at scale); these are the standard corpus-
+dedup family expressed Ray-Data-first:
+
+- exact: content-hash → groupby(hash) → keep min doc_id. One shuffle
+  keyed on the md5, pre-hashed vectorized in map_batches.
+- MinHash-LSH: per-doc signature (numpy, vectorized over shingles) →
+  explode to (band, band_hash) rows → groupby band buckets →
+  candidate pairs verified by signature-estimated Jaccard inside the
+  group. Signatures travel WITH the band rows, so verification needs
+  no second lookup/join.
+- SimHash: 64-bit fingerprint, banded into 16-bit keys → groupby →
+  pairs within Hamming distance k verified in-group.
+- n-gram Jaccard: exact pairwise verification inside a blocking key
+  (for candidate sets that are provably small).
+- embedding near-dup: label-blocked blockwise cosine (see
+  similarity.py for the ANN machinery).
+
+Partitioning assumptions are the groupby keys: md5 for exact, (band,
+band_hash) for LSH — both uniform by construction (cryptographic /
+near-uniform hashes), so no salting is needed; a pathological
+single-value key (e.g. empty documents) is the one skew case, noted
+per function.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from ocr_service_ray.ops.text import content_hash
+
+_MERSENNE31 = np.uint64((1 << 31) - 1)
+
+
+def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Group by md5(text); keep the smallest id per group, count dups.
+    Returns {text_hash, keep_id, dups}. Skew note: a hot hash value can
+    only come from a hot identical text (e.g. ""), which is exactly
+    the group we must collapse — per-group work is O(1) because the
+    aggregate is Min/Count, not a row materialization."""
+    from ray.data.aggregate import Count, Min
+
+    hashed = ds.map_batches(
+        lambda b: content_hash(b, text_col).select(["text_hash", id_col]),
+        batch_format="pyarrow",
+    )
+    out = hashed.groupby("text_hash").aggregate(
+        Min(id_col, alias_name="keep_id"),
+        Count(alias_name="dups"),
+    )
+    return out
+
+
+def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
+    """Word n-gram shingles → stable 32-bit hashes (blake2b-derived;
+    PYTHONHASHSEED-independent)."""
+    words = text.split()
+    if len(words) < n:
+        grams = [" ".join(words)] if words else [""]
+    else:
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "little")
+            for g in set(grams)
+        ),
+        dtype=np.uint64,
+        count=len(set(grams)),
+    )
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, int(_MERSENNE31), size=num_perm).astype(np.uint64)
+    b = rng.randint(0, int(_MERSENNE31), size=num_perm).astype(np.uint64)
+    return a, b
+
+
+def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, n: int = 3) -> np.ndarray:
+    """MinHash signature: min over shingles of (a·x + b) mod 2^31-1.
+    a, x < 2^31 so a*x + b < 2^63 — exact in uint64."""
+    x = _shingle_hashes(text, n)
+    if len(x) == 0:
+        return np.zeros(len(a), dtype=np.uint64)
+    # (num_perm, n_shingles) — vectorized outer product
+    hx = (a[:, None] * x[None, :] + b[:, None]) % _MERSENNE31
+    return hx.min(axis=1)
+
+
+def minhash_lsh_candidates(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.5,
+    shingle: int = 3,
+):
+    """Near-duplicate pairs via MinHash + LSH banding.
+
+    Stage 1 (map): signature per doc, exploded into one row per band
+    with the band's hash key AND the full signature (so stage 2 needs
+    no lookup). Stage 2 (shuffle): groupby (band, band_hash); within
+    each bucket, estimate Jaccard as mean(sig_a == sig_b) for the
+    bucket's pairs and keep pairs ≥ threshold. Pairs found in several
+    bands are deduped by a final groupby.
+
+    Returns {id_a, id_b, est_jaccard} with id_a < id_b.
+    """
+    a, b = _perm_params(num_perm)
+    rows_per_band = num_perm // bands
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        band_ids, band_hashes, ids, sigs = [], [], [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            sig = minhash_signature(text, a, b, shingle)
+            for band in range(bands):
+                chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
+                band_ids.append(band)
+                band_hashes.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+                ids.append(doc_id)
+                sigs.append(sig.tolist())
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_hash": pa.array(band_hashes, pa.string()),
+                "id": pa.array(ids),
+                "sig": pa.array(sigs, pa.list_(pa.uint64())),
+            }
+        )
+
+    band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+        g = group.sort_values("id").reset_index(drop=True)
+        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
+        out_a, out_b, est = [], [], []
+        for i in range(len(g)):
+            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
+            for j_off, e in enumerate(eq):
+                if e >= threshold:
+                    out_a.append(g["id"].iloc[i])
+                    out_b.append(g["id"].iloc[i + 1 + j_off])
+                    est.append(float(e))
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
+
+    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
+        bucket_pairs, batch_format="pandas"
+    )
+    # Same pair can surface from several bands → collapse.
+    from ray.data.aggregate import Max
+
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+
+
+def simhash64(text: str) -> int:
+    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
+    acc = np.zeros(64, dtype=np.int64)
+    for tok in text.split():
+        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
+        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
+        acc += np.where(bits.astype(bool), 1, -1)
+    fp = 0
+    for i in range(64):
+        if acc[i] > 0:
+            fp |= 1 << i
+    return fp
+
+
+def simhash_candidates(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+):
+    """Near-dup pairs within Hamming distance ≤ max_hamming, via 4×16-bit
+    band blocking (any pair within distance 3 shares at least one exact
+    16-bit band — pigeonhole over 4 bands)."""
+
+    def to_band_rows(batch: pa.Table) -> pa.Table:
+        band_ids, band_vals, ids, fps = [], [], [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            fp = simhash64(text)
+            for band in range(4):
+                band_ids.append(band)
+                band_vals.append((fp >> (band * 16)) & 0xFFFF)
+                ids.append(doc_id)
+                fps.append(fp)
+        return pa.table(
+            {
+                "band": pa.array(band_ids, pa.int32()),
+                "band_val": pa.array(band_vals, pa.int64()),
+                "id": pa.array(ids),
+                "fp": pa.array(fps, pa.uint64()),
+            }
+        )
+
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        if len(group) < 2:
+            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
+        g = group.sort_values("id").reset_index(drop=True)
+        out_a, out_b, ham = [], [], []
+        fps = [int(f) for f in g["fp"]]
+        for i in range(len(g)):
+            for j in range(i + 1, len(g)):
+                d = (fps[i] ^ fps[j]).bit_count()
+                if d <= max_hamming and g["id"].iloc[i] != g["id"].iloc[j]:
+                    out_a.append(g["id"].iloc[i])
+                    out_b.append(g["id"].iloc[j])
+                    ham.append(d)
+        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": ham})
+
+    from ray.data.aggregate import Min
+
+    pairs = (
+        ds.map_batches(to_band_rows, batch_format="pyarrow")
+        .groupby(["band", "band_val"])
+        .map_groups(bucket_pairs, batch_format="pandas")
+    )
+    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+
+
+def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
+    """Exact word-n-gram Jaccard — the verification kernel behind the
+    LSH estimates."""
+    def grams(t):
+        w = t.split()
+        if len(w) < n:
+            return {" ".join(w)} if w else set()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    ga, gb = grams(text_a), grams(text_b)
+    if not ga and not gb:
+        return 1.0
+    inter = len(ga & gb)
+    return inter / (len(ga) + len(gb) - inter)
+
+
+def embedding_near_dup(
+    ds,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str = "label",
+    threshold: float = 0.95,
+):
+    """Embedding-cosine near-dup pairs, blocked by ``block_col``:
+    groupby(block) → blockwise normalized matmul inside the group.
+    The blocking key is the partitioning assumption — at corpus scale
+    use coarse cluster ids from an IVF pass (similarity.py) as the
+    block. Returns {id_a, id_b, cos_sim} with id_a < id_b, rounded 6dp."""
+
+    def block_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=group[id_col].dtype),
+                "id_b": pd.Series(dtype=group[id_col].dtype),
+                "cos_sim": pd.Series(dtype="float64"),
+            }
+        )
+        if len(group) < 2:
+            return empty
+        g = group.sort_values(id_col).reset_index(drop=True)
+        mat = np.stack([np.asarray(v, dtype=np.float64) for v in g[vec_col]])
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        mat = mat / norms[:, None]
+        sims = mat @ mat.T
+        ia, ib = np.triu_indices(len(g), k=1)
+        mask = sims[ia, ib] >= threshold
+        return pd.DataFrame(
+            {
+                "id_a": g[id_col].to_numpy()[ia[mask]],
+                "id_b": g[id_col].to_numpy()[ib[mask]],
+                "cos_sim": np.round(sims[ia, ib][mask], 6),
+            }
+        )
+
+    return ds.groupby(block_col).map_groups(block_pairs, batch_format="pandas")

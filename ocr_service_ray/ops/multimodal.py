@@ -1,0 +1,148 @@
+"""Multimodal binary-column plumbing.
+
+Image/audio/video payloads are opaque ``binary`` columns with typed
+metadata; decode / feature-extract / resize / frame-sample run as
+actor-pool ``map_batches`` stages with SMALL batch sizes (wide rows).
+The actual codec libraries (PIL/cv2/ffmpeg) are not in this sandbox —
+per the build contract the decode step is STUBBED behind an
+import-try with a clearly-marked deterministic fake, while the
+Ray-side plumbing (schema, batch size, actor signature, output
+layout) is real and tested.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+MEDIA_META = pa.schema(
+    [
+        ("item_id", pa.string()),
+        ("payload", pa.binary()),
+        ("media_type", pa.string()),  # image | audio | video
+        ("width", pa.int32()),
+        ("height", pa.int32()),
+    ]
+)
+
+
+class DecodeImageStage:
+    """Actor stage: binary payload → per-image features.
+
+    Real path (PIL present): decode → (width, height, channel means).
+    Sandbox path: DETERMINISTIC FAKE decode — features derived from
+    the payload bytes (byte histogram stats + blake2b digest), which
+    keeps the stage's schema, batching and determinism contract
+    testable without codecs. The fake is clearly marked; swap
+    ``self._decode`` on a real cluster.
+    """
+
+    def __init__(self, fake_ok: bool = True):
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._decode = self._decode_real
+        except ImportError:
+            if not fake_ok:
+                raise NotImplementedError(
+                    "image decode requires PIL; pass fake_ok=True for the "
+                    "deterministic stub"
+                )
+            self._decode = self._decode_fake
+
+    @staticmethod
+    def _decode_real(payload: bytes) -> tuple[int, int, float]:  # pragma: no cover
+        import io
+
+        from PIL import Image
+
+        img = Image.open(io.BytesIO(payload))
+        arr = np.asarray(img, dtype=np.float64)
+        return img.width, img.height, float(arr.mean())
+
+    @staticmethod
+    def _decode_fake(payload: bytes) -> tuple[int, int, float]:
+        # DETERMINISTIC FAKE: stands in for pixel decode in this sandbox.
+        buf = np.frombuffer(payload, dtype=np.uint8)
+        w = int(buf[:4].sum()) + 1 if len(buf) >= 4 else 1
+        h = max(1, len(buf) // max(w, 1))
+        return w, h, float(buf.mean()) if len(buf) else 0.0
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        widths, heights, means, digests = [], [], [], []
+        for payload in batch["payload"].to_pylist():
+            w, h, mean = self._decode(payload)
+            widths.append(w)
+            heights.append(h)
+            means.append(round(mean, 6))
+            digests.append(hashlib.blake2b(payload, digest_size=8).hexdigest())
+        return (
+            batch.drop_columns(["payload"])  # decoded payloads don't cross blocks
+            .append_column("dec_width", pa.array(widths, pa.int32()))
+            .append_column("dec_height", pa.array(heights, pa.int32()))
+            .append_column("pixel_mean", pa.array(means, pa.float64()))
+            .append_column("content_digest", pa.array(digests, pa.string()))
+        )
+
+
+class FrameSampleStage:
+    """Actor stage: video payload → every-nth-"frame" sample refs.
+
+    Sandbox stub: frames are fixed-size byte windows of the payload
+    (deterministic); real adapter would use ffmpeg/cv2. Emits one row
+    per sampled frame (flat_map-shaped explode done batch-wise)."""
+
+    def __init__(self, every_n: int = 10, frame_bytes: int = 256):
+        self.every_n = every_n
+        self.frame_bytes = frame_bytes
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, frame_idx, digests = [], [], []
+        for item_id, payload in zip(batch["item_id"].to_pylist(), batch["payload"].to_pylist()):
+            n_frames = max(1, len(payload) // self.frame_bytes)
+            for f in range(0, n_frames, self.every_n):
+                chunk = payload[f * self.frame_bytes : (f + 1) * self.frame_bytes]
+                ids.append(item_id)
+                frame_idx.append(f)
+                digests.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.string()),
+                "frame_idx": pa.array(frame_idx, pa.int32()),
+                "frame_digest": pa.array(digests, pa.string()),
+            }
+        )
+
+
+def synthesize_media_items(n: int, seed: int = 42) -> pa.Table:
+    """Deterministic binary-column fixture (no external data)."""
+    import random
+
+    rows = []
+    for i in range(n):
+        rng = random.Random(f"{seed}:mm:{i}")
+        payload = bytes(rng.randrange(256) for _ in range(rng.randint(64, 4096)))
+        rows.append(
+            {
+                "item_id": f"item-{i:06d}",
+                "payload": payload,
+                "media_type": rng.choice(["image", "audio", "video"]),
+                "width": rng.randint(16, 1024),
+                "height": rng.randint(16, 1024),
+            }
+        )
+    return pa.Table.from_pylist(rows, schema=MEDIA_META)
+
+
+def decode_pipeline(ds, batch_size: int = 16, concurrency=(1, 4)):
+    """The canonical multimodal stage wiring: small batches (wide
+    binary rows), actor pool, decoded payload never crosses blocks."""
+    return ds.map_batches(
+        DecodeImageStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
+    )

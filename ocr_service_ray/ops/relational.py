@@ -1,0 +1,93 @@
+"""Relational building blocks, Ray-Data-first.
+
+Join strategy (SURVEY.md §2.4): broadcast when one side is a
+dimension table (ship once via ray.put, pandas merge per batch — no
+shuffle); hash-partitioned ``Dataset.join`` when both sides are
+large. Window/session operators follow the streaming-shaped pattern:
+partition by key, order by ts INSIDE the group (the stated ordering
+assumption), never globally.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+
+def broadcast_join(large_ds, small_df: pd.DataFrame, on: str, how: str = "inner"):
+    """Broadcast hash join: the small side is put in the object store
+    ONCE; every task reads the same copy (per-node, zero-copy via
+    plasma) instead of re-shipping per batch."""
+    import ray
+
+    ref = ray.put(small_df)
+
+    class JoinBatch:
+        def __init__(self):
+            self.small = ray.get(ref)
+
+        def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(self.small, on=on, how=how)
+
+    return large_ds.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 8))
+
+
+def hash_join(left_ds, right_ds, on: str, num_partitions: int = 16, join_type: str = "inner"):
+    """Large-large equi-join: Ray Data's hash-partitioned join (both
+    sides shuffled on the key). Salt hot keys upstream if one key value
+    dominates — the join partitions by hash(key) only."""
+    return left_ds.join(
+        right_ds, join_type=join_type, num_partitions=num_partitions, on=(on,)
+    )
+
+
+def topk(ds, by: list[str], k: int, descending: list[bool]):
+    """Canonical top-k: distributed sort + limit (O5/O6). Callers must
+    include a unique tiebreak column for deterministic results."""
+    return ds.sort(by, descending=descending).limit(k)
+
+
+def windowed_agg(events_ds, ts_col: str = "ts", key_col: str = "event_type", freq: str = "h"):
+    """Tumbling-window aggregate: floor the timestamp to the window in
+    a stateless vectorized pass, then ONE grouped aggregate on
+    (window, key) — the partial aggregation inside map_batches comes
+    free with Ray Data's partial+final aggregate implementation."""
+    from ray.data.aggregate import Count, Mean, Sum
+
+    def add_window(batch: pd.DataFrame) -> pd.DataFrame:
+        batch = batch.copy()
+        batch["window"] = batch[ts_col].dt.floor(freq)
+        return batch
+
+    return (
+        events_ds.map_batches(add_window, batch_format="pandas")
+        .groupby(["window", key_col])
+        .aggregate(
+            Count(alias_name="n_events"),
+            Sum("value", alias_name="sum_value"),
+            Mean("value", alias_name="avg_value"),
+        )
+    )
+
+
+def sessionize(events_ds, gap_minutes: float = 30.0, user_col: str = "user_id", ts_col: str = "ts"):
+    """Session windows: partition by user (shuffle), sort by ts WITHIN
+    the group, split on gaps > ``gap_minutes``. Emits one row per user
+    with session count + max session length. Ordering assumption: only
+    within-user order matters; late events simply land in their user's
+    group (next run)."""
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(ts_col)
+        gaps = g[ts_col].diff().dt.total_seconds().fillna(0.0)
+        new_session = (gaps > gap_minutes * 60).cumsum()
+        sizes = new_session.value_counts()
+        return pd.DataFrame(
+            {
+                "user_id": [g[user_col].iloc[0]],
+                "n_sessions": [int(new_session.nunique())],
+                "max_session_events": [int(sizes.max())],
+                "n_events": [len(g)],
+            }
+        )
+
+    return events_ds.groupby(user_col).map_groups(sessions, batch_format="pandas")

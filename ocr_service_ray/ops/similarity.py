@@ -1,0 +1,114 @@
+"""Similarity search over an embedding column (list<float>).
+
+- :func:`knn_brute` — the exact baseline: per-batch numpy matmul of
+  the block against a broadcast query matrix (the query is shipped
+  once via closure capture of a small ndarray — ray.put semantics for
+  a value this small), then a distributed sort + limit. Scales as one
+  full scan; this is the correctness reference.
+- :func:`IvfIndex` — the scale path: coarse k-means centroids trained
+  once on a driver-side sample, assignments added as a column in one
+  map_batches pass; a query probes only the ``nprobe`` nearest
+  centroid partitions (pushed-down filter on the assignment column),
+  turning a full scan into a ~nprobe/nlist fraction scan. Recall is
+  measured against :func:`knn_brute` in the tests.
+
+All cosine math is float64 regardless of storage dtype, rounded to
+6dp at the edge so results hash identically to the DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _as_matrix(col) -> np.ndarray:
+    """list<float> column → (n, d) float64 matrix without per-row Python.
+
+    Uses the flattened Arrow buffer — zero-copy when the layout is
+    contiguous and fixed-width per row.
+    """
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    n = len(arr)
+    return flat.reshape(n, -1) if n else flat.reshape(0, 0)
+
+
+def cosine_to_query(batch: pa.Table, query: np.ndarray, vec_col: str = "embedding") -> pa.Table:
+    mat = _as_matrix(batch[vec_col])
+    q = query.astype(np.float64)
+    qn = np.linalg.norm(q) or 1.0
+    norms = np.linalg.norm(mat, axis=1)
+    norms[norms == 0] = 1.0
+    sims = np.round((mat @ q) / (norms * qn), 6)
+    return batch.append_column("cos_sim", pa.array(sims, pa.float64()))
+
+
+def knn_brute(ds, query: np.ndarray, k: int = 5, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Exact top-k by cosine: scan → scalar column → distributed sort
+    desc (tiebreak id asc) → limit. Returns {id_col, cos_sim}."""
+    scored = ds.map_batches(
+        lambda b: cosine_to_query(b, query, vec_col).select([id_col, "cos_sim"]),
+        batch_format="pyarrow",
+    )
+    return scored.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+
+
+def _kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 13) -> np.ndarray:
+    """Small deterministic k-means (numpy only) for IVF coarse quantizer."""
+    rng = np.random.RandomState(seed)
+    idx = rng.choice(len(sample), size=min(nlist, len(sample)), replace=False)
+    centroids = sample[idx].copy()
+    for _ in range(iters):
+        d = ((sample[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(centroids)):
+            pts = sample[assign == c]
+            if len(pts):
+                centroids[c] = pts.mean(axis=0)
+    return centroids
+
+
+class IvfIndex:
+    """IVF-flat index over a Dataset: train coarse centroids on a
+    sample, persist assignments as a column, probe a subset at query
+    time. The assignment column is the partitioning key a production
+    layout would cluster files by (so a probe prunes at the read)."""
+
+    def __init__(self, nlist: int = 16, nprobe: int = 4, vec_col: str = "embedding", id_col: str = "vec_id"):
+        self.nlist = nlist
+        self.nprobe = nprobe
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.centroids: np.ndarray | None = None
+        self.assigned = None
+
+    def build(self, ds, sample_size: int = 2048, seed: int = 13):
+        sample_rows = ds.limit(sample_size).take_all()  # small, driver-side by design
+        sample = np.stack([np.asarray(r[self.vec_col], dtype=np.float64) for r in sample_rows])
+        self.centroids = _kmeans(sample, self.nlist, seed=seed)
+        cents = self.centroids
+
+        def assign(batch: pa.Table) -> pa.Table:
+            mat = _as_matrix(batch[self.vec_col])
+            d = ((mat[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+            return batch.append_column("ivf_cell", pa.array(d.argmin(axis=1), pa.int32()))
+
+        self.assigned = ds.map_batches(assign, batch_format="pyarrow")
+        # The assignment pass runs once; materializing pins the indexed
+        # dataset for repeated queries (an index is a reused intermediate).
+        self.assigned = self.assigned.materialize()
+        return self
+
+    def search(self, query: np.ndarray, k: int = 5):
+        assert self.centroids is not None, "call build() first"
+        d = ((self.centroids - query.astype(np.float64)[None, :]) ** 2).sum(axis=1)
+        probe_cells = set(int(c) for c in d.argsort()[: self.nprobe])
+
+        import pyarrow.compute as pc
+
+        filtered = self.assigned.map_batches(
+            lambda b: b.filter(pc.is_in(b["ivf_cell"], pa.array(sorted(probe_cells), pa.int32()))),
+            batch_format="pyarrow",
+        )
+        return knn_brute(filtered, query, k, self.vec_col, self.id_col)

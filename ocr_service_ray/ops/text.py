@@ -1,0 +1,126 @@
+"""Text-analysis operators over a (doc_id, text, ...) table.
+
+All hot-path kernels are vectorized pyarrow.compute / numpy — no
+Python loop over rows except the C-speed hashlib calls. Regex
+semantics are RE2 on both sides (pyarrow and DuckDB), so the oracle
+SQL in ``__ray_entry__.py`` can reuse the exact same patterns.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Tokenization used by both the Ray kernel and the DuckDB oracle:
+# single-space split (n_tokens) and non-whitespace runs (n_words).
+WS_TOKEN_RE = r"\S+"
+# BPE-ish pretokenizer: letter runs, digit runs, or a single
+# non-space symbol (GPT-2-style coarse approximation).
+BPE_TOKEN_RE = r"[A-Za-zА-Яа-яЁё]+|[0-9]+|[^A-Za-zА-Яа-яЁё0-9\s]"
+PUNCT_RE = r"[.,;:!?]"
+STOPWORDS = ("the", "a", "to", "of", "and", "in", "is")
+STOPWORD_RE = r"\b(" + "|".join(STOPWORDS) + r")\b"
+
+# Tiny per-language stopword profiles for the heuristic language ID
+# (n-gram/stopword heuristic; deterministic, not a trained model).
+LANG_PROFILES = {
+    "en": r"\b(the|and|of|to|in|is|that|for)\b",
+    "es": r"\b(el|la|de|que|y|en|los|se)\b",
+    "de": r"\b(der|die|und|das|ist|nicht|ein|zu)\b",
+    "fr": r"\b(le|la|et|les|des|est|une|dans)\b",
+    "ru": r"\b(и|в|не|на|что|с|по|как)\b",
+}
+
+
+def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Add n_tokens / n_words / n_chars_utf / punct_ratio / stop_ratio.
+
+    ``n_tokens`` uses single-space-split semantics (``count(' ')+1``)
+    to match DuckDB ``length(string_split(text, ' '))`` exactly;
+    ``n_words`` counts ``\\S+`` runs. Ratios are rounded to 6 dp in
+    BOTH engines so float hashing is stable.
+    """
+    text = batch[text_col]
+    n_tokens = pc.add(pc.count_substring(text, " "), 1)
+    n_words = pc.count_substring_regex(text, WS_TOKEN_RE)
+    n_chars = pc.utf8_length(text)
+    n_punct = pc.count_substring_regex(text, PUNCT_RE)
+    n_stop = pc.count_substring_regex(text, STOPWORD_RE)
+    denom = pc.max_element_wise(n_chars, 1)
+    punct_ratio = pc.round(pc.divide(pc.cast(n_punct, pa.float64()), pc.cast(denom, pa.float64())), ndigits=6)
+    tok_denom = pc.max_element_wise(n_words, 1)
+    stop_ratio = pc.round(pc.divide(pc.cast(n_stop, pa.float64()), pc.cast(tok_denom, pa.float64())), ndigits=6)
+    return (
+        batch.append_column("n_tokens", pc.cast(n_tokens, pa.int64()))
+        .append_column("n_words", pc.cast(n_words, pa.int64()))
+        .append_column("n_chars_utf", pc.cast(n_chars, pa.int64()))
+        .append_column("punct_ratio", punct_ratio)
+        .append_column("stop_ratio", stop_ratio)
+    )
+
+
+def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Approximate BPE token count via the shared RE2 pretokenizer."""
+    n = pc.count_substring_regex(batch[text_col], BPE_TOKEN_RE)
+    return batch.append_column("n_bpe_tokens", pc.cast(n, pa.int64()))
+
+
+def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Composite document-quality heuristic (length / punctuation /
+    stopword signals — the boilerplate-vs-prose shape of a
+    trafilatura-style node score, applied per document). Components
+    are emitted too so the oracle can check them independently."""
+    t = token_stats(batch, text_col)
+    n_words = t["n_words"].to_numpy(zero_copy_only=False).astype(np.float64)
+    punct = t["punct_ratio"].to_numpy(zero_copy_only=False)
+    stop = t["stop_ratio"].to_numpy(zero_copy_only=False)
+    length_score = np.minimum(n_words / 100.0, 1.0)
+    score = np.round(0.5 * length_score + 0.25 * (1.0 - np.minimum(punct * 10, 1.0)) + 0.25 * stop, 6)
+    return t.append_column("quality_score", pa.array(score, pa.float64()))
+
+
+def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Heuristic language ID: argmax of per-language stopword hits
+    (ties → first profile in LANG_PROFILES order, 'und' if no hits)."""
+    text = batch[text_col]
+    langs = list(LANG_PROFILES)
+    counts = np.stack(
+        [
+            pc.count_substring_regex(pc.utf8_lower(text), rx).to_numpy(zero_copy_only=False)
+            for rx in LANG_PROFILES.values()
+        ]
+    )
+    best = counts.argmax(axis=0)
+    hit = counts.max(axis=0) > 0
+    pred = np.where(hit, np.array(langs)[best], "und")
+    return batch.append_column("pred_lang", pa.array(pred.tolist(), pa.string()))
+
+
+def content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "text_hash") -> pa.Table:
+    """md5 hex of the text — matches DuckDB ``md5(text)`` bit-for-bit.
+    hashlib releases the GIL and runs at C speed; this is the dedup key."""
+    hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].to_pylist()]
+    return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+
+_FP_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)  # arithmetic mod 2^64 via uint64 wraparound
+_FP_BASE = np.uint64(1000003)
+
+
+def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.Table:
+    """Winnowing-style document fingerprint: minimum rolling hash over
+    char ``window``-grams (polynomial hash mod 2^64), vectorized with a
+    strided window view. Deterministic across runs and processes."""
+    weights = _FP_BASE ** np.arange(window, dtype=np.uint64)
+    out = []
+    for t in batch[text_col].to_pylist():
+        codes = np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32).astype(np.uint64)
+        if len(codes) < window:
+            codes = np.pad(codes, (0, window - len(codes)), constant_values=1)
+        win = np.lib.stride_tricks.sliding_window_view(codes, window)
+        hashes = (win * weights).sum(axis=1, dtype=np.uint64)
+        out.append(int(hashes.min()))
+    return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
