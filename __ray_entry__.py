@@ -1,16 +1,19 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+``entry()`` runs the flagship interleaved-document extraction pipeline
+on sf0.001; ``queries()`` exposes one callable per implemented
+operator/pipeline (SURVEY.md §2 + the training-data scale ops);
+``oracle_sql()`` gives the DuckDB-equivalent SQL for every
+SQL-expressible query. Ray is initialised by the DRIVER — nothing
+here calls ray.init/ray.shutdown.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+Exact-match discipline for float-valued oracles: any derived float is
+emitted as ``CAST(floor(x * 1000000.0 + 0.5) AS BIGINT)`` (micro
+units) computed from the SAME double expression on both sides — floor
+of an identical IEEE-754 expression is bit-deterministic, unlike
+round() whose half-way rule differs between numpy (half-even) and
+DuckDB (half-away). Raw storage floats (no arithmetic) pass through
+untouched.
 """
 
 from __future__ import annotations
@@ -18,27 +21,554 @@ from __future__ import annotations
 from collections.abc import Callable
 from typing import Any
 
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+
+def _micro(x: np.ndarray) -> np.ndarray:
+    return np.floor(x * 1000000.0 + 0.5).astype(np.int64)
+
+
+def _read(sf_dir: str, name: str, columns=None):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+
+
+# ---------------------------------------------------------------- flagship
+
+
+def _flagship(sf_dir: str):
+    from ocr_service_ray.pipelines.derive import derived_corpus
+    from ocr_service_ray.pipelines.flagship import run_extraction
+    from ocr_service_ray.stages.ocr import GENERATE_MEDIA
+
+    out = run_extraction(derived_corpus(sf_dir), GENERATE_MEDIA)
+
+    def project(batch: pa.Table) -> pa.Table:
+        n_spans = pc.list_value_length(batch["spans"])
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "n_spans": pc.cast(n_spans, pa.int64()),
+                "total_pages": pc.cast(batch["total_pages"], pa.int64()),
+                "n_corrections": pc.cast(batch["n_corrections"], pa.int64()),
+                "ocr_conf_micro": pa.array(
+                    _micro(batch["ocr_confidence"].to_numpy(zero_copy_only=False))
+                ),
+                "quality_micro": pa.array(
+                    _micro(batch["overall_quality"].to_numpy(zero_copy_only=False))
+                ),
+                "needs_review": batch["needs_review"],
+            }
+        )
+
+    return out.map_batches(project, batch_format="pyarrow")
+
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on sf0.001 (driver smoke check)."""
+    return _flagship(SF_DEFAULT)
+
+
+# ---------------------------------------------------------------- queries
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from ocr_service_ray.kernels.correct import CorrectionsDB, correct_text
+    from ocr_service_ray.ops import dedup, relational, similarity, text as text_ops
+    from ocr_service_ray.sources.synth import corrections_entries
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    # -- extraction-engine operators over the documents table --------
+
+    def q_correct_text_guards(sf_dir):
+        """M4-M6 correction kernel; Latin/digit guards mean identity on
+        this corpus — the oracle asserts the guards hold corpus-wide."""
+        entries = corrections_entries()
+
+        class Correct:
+            def __init__(self):
+                self.db = CorrectionsDB(entries)
+
+            def __call__(self, batch: pa.Table) -> pa.Table:
+                corrected, n = [], []
+                for t in batch["text"].to_pylist():
+                    c, corr = correct_text(t, self.db)
+                    corrected.append(c)
+                    n.append(len(corr))
+                return pa.table(
+                    {
+                        "doc_id": batch["doc_id"],
+                        "corrected_text": pa.array(corrected, pa.string()),
+                        "n_corrections": pa.array(n, pa.int64()),
+                    }
+                )
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            Correct, batch_format="pyarrow", concurrency=(1, 8)
+        )
+
+    def q_token_counts(sf_dir):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: text_ops.token_counts(b).drop_columns(["text"]),
+            batch_format="pyarrow",
+        )
+
+    def q_bpe_token_count(sf_dir):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: text_ops.bpe_token_count(b).drop_columns(["text"]),
+            batch_format="pyarrow",
+        )
+
+    def q_lang_distribution(sf_dir):
+        from ray.data.aggregate import Count, Sum
+
+        return (
+            _read(sf_dir, "documents", ["lang", "n_chars"])
+            .groupby("lang")
+            .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        )
+
+    def q_top_sources(sf_dir):
+        from ray.data.aggregate import Count
+
+        return relational.topk(
+            _read(sf_dir, "documents", ["source"]).groupby("source").aggregate(
+                Count(alias_name="n_docs")
+            ),
+            by=["n_docs", "source"],
+            k=10,
+            descending=[True, False],
+        )
+
+    def q_exact_dedup(sf_dir):
+        return dedup.exact_dedup(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    # -- events: windows / A3-shaped promotion / A4 top-k / sessions --
+
+    def q_windowed_events(sf_dir):
+        import pandas as pd
+
+        def add_window(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["window"] = b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+            return b[["window", "event_type", "value"]]
+
+        from ray.data.aggregate import Count, Sum
+
+        agg = (
+            _read(sf_dir, "events", ["ts", "event_type", "value"])
+            .map_batches(add_window, batch_format="pandas")
+            .groupby(["window", "event_type"])
+            .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="_sv"))
+        )
+
+        def finish(b: pa.Table) -> pa.Table:
+            cents = np.floor(b["_sv"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
+            return b.drop_columns(["_sv"]).append_column("sum_value_cents", pa.array(cents))
+
+        return agg.map_batches(finish, batch_format="pyarrow")
+
+    def q_promote_shape_events(sf_dir):
+        """A3 promotion shape (groupby → count/mean gates) applied to
+        the events table: pairs with ≥3 occurrences and mean value ≥ 100."""
+        from ray.data.aggregate import Count, Mean
+
+        agg = (
+            _read(sf_dir, "events", ["user_id", "event_type", "value"])
+            .groupby(["user_id", "event_type"])
+            .aggregate(Count(alias_name="occurrences"), Mean("value", alias_name="_avg"))
+        )
+
+        def gate(b: pa.Table) -> pa.Table:
+            occ = b["occurrences"].to_numpy(zero_copy_only=False)
+            avg = b["_avg"].to_numpy(zero_copy_only=False)
+            keep = (occ >= 3) & (avg >= 100.0)
+            t = b.filter(pa.array(keep))
+            micro = _micro(t["_avg"].to_numpy(zero_copy_only=False))
+            return t.drop_columns(["_avg"]).append_column("avg_value_micro", pa.array(micro))
+
+        return agg.map_batches(gate, batch_format="pyarrow")
+
+    def q_top_error_users(sf_dir):
+        from ray.data.aggregate import Count
+
+        errors = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
+            lambda b: b.filter(pc.equal(b["event_type"], "error")).select(["user_id"]),
+            batch_format="pyarrow",
+        )
+        return relational.topk(
+            errors.groupby("user_id").aggregate(Count(alias_name="n_errors")),
+            by=["n_errors", "user_id"],
+            k=10,
+            descending=[True, False],
+        )
+
+    def q_sessionize_users(sf_dir):
+        return relational.sessionize(
+            _read(sf_dir, "events", ["user_id", "ts"]), gap_minutes=30
+        )
+
+    # -- joins ---------------------------------------------------------
+
+    def q_join_orders_customers(sf_dir):
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        cust = (
+            pq.read_table(
+                f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+            )
+            .to_pandas()
+            .rename(columns={"c_custkey": "o_custkey"})
+        )
+        joined = relational.broadcast_join(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]), cust, on="o_custkey"
+        )
+
+        def to_cents(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            b["cents"] = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+            return b[["c_mktsegment", "cents"]]
+
+        from ray.data.aggregate import Count, Sum
+
+        return (
+            joined.map_batches(to_cents, batch_format="pandas")
+            .groupby("c_mktsegment")
+            .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+        )
+
+    def q_hash_join_orders_lineitem(sf_dir):
+        """Large-large hash-partitioned join (Dataset.join)."""
+        from ray.data.aggregate import Count
+
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+        li = _read(sf_dir, "lineitem", ["l_orderkey"])
+        joined = relational.hash_join(
+            orders, li, on="o_orderkey", num_partitions=8, join_type="inner"
+        ) if False else orders.join(
+            li, join_type="inner", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+        )
+        return joined.groupby("o_orderstatus").aggregate(Count(alias_name="n_lineitems"))
+
+    def q_lineitem_pricing(sf_dir):
+        """TPC-H-Q1-shaped global aggregate (A7): exact int accumulation
+        via per-term floor-cents."""
+        from ray.data.aggregate import Count, Sum
+
+        def prep(b: pa.Table) -> pa.Table:
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False)
+            ext = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = b["l_discount"].to_numpy(zero_copy_only=False)
+            rev_cents = np.floor(ext * (1.0 - disc) * 100.0 + 0.5).astype(np.int64)
+            disc_micro = np.floor(disc * 1000000.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "l_linestatus": b["l_linestatus"],
+                    "qty": pa.array(qty.astype(np.int64)),
+                    "rev_cents": pa.array(rev_cents),
+                    "disc_micro": pa.array(disc_micro),
+                }
+            )
+
+        return (
+            _read(
+                sf_dir,
+                "lineitem",
+                ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
+            )
+            .map_batches(prep, batch_format="pyarrow")
+            .groupby(["l_returnflag", "l_linestatus"])
+            .aggregate(
+                Sum("qty", alias_name="sum_qty"),
+                Sum("rev_cents", alias_name="revenue_cents"),
+                Sum("disc_micro", alias_name="sum_disc_micro"),
+                Count(alias_name="n_rows"),
+            )
+        )
+
+    def q_sort_topk_orders(sf_dir):
+        return relational.topk(
+            _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
+            by=["o_totalprice", "o_orderkey"],
+            k=20,
+            descending=[True, False],
+        )
+
+    # -- embeddings: similarity search + near-dup ----------------------
+
+    def _query_vec(sf_dir) -> np.ndarray:
+        import pyarrow.parquet as pq
+
+        t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+        idx = t["vec_id"].to_pylist().index(0)
+        return np.asarray(t["embedding"].to_pylist()[idx], dtype=np.float64)
+
+    def q_knn_brute(sf_dir):
+        q = _query_vec(sf_dir)
+        top = similarity.knn_brute(_read(sf_dir, "embeddings"), q, k=5)
+
+        def micro(b: pa.Table) -> pa.Table:
+            m = _micro(b["cos_sim"].to_numpy(zero_copy_only=False))
+            return pa.table({"vec_id": b["vec_id"], "cos_sim_micro": pa.array(m)})
+
+        return top.map_batches(micro, batch_format="pyarrow")
+
+    def q_embedding_norms(sf_dir):
+        def norms(b: pa.Table) -> pa.Table:
+            mat = similarity._as_matrix(b["embedding"])
+            n = _micro(np.sqrt((mat * mat).sum(axis=1)))
+            return pa.table({"vec_id": b["vec_id"], "l2_norm_micro": pa.array(n)})
+
+        return _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+            norms, batch_format="pyarrow"
+        )
+
+    def q_near_dup_sample(sf_dir):
+        sampled = _read(sf_dir, "embeddings").map_batches(
+            lambda b: b.filter(
+                pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 10 == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = dedup.embedding_near_dup(sampled, threshold=0.3)
+
+        def micro(b: pa.Table) -> pa.Table:
+            m = _micro(b["cos_sim"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"id_a": b["id_a"], "id_b": b["id_b"], "cos_sim_micro": pa.array(m)}
+            )
+
+        return pairs.map_batches(micro, batch_format="pyarrow")
+
+    # -- rows-only (non-SQL-expressible) --------------------------------
+
+    def q_flagship_extraction(sf_dir):
+        return _flagship(sf_dir)
+
+    def q_lang_id(sf_dir):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: text_ops.lang_id(b).drop_columns(["text"]), batch_format="pyarrow"
+        )
+
+    def q_quality_scores(sf_dir):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: text_ops.quality_score(b).select(["doc_id", "quality_score"]),
+            batch_format="pyarrow",
+        )
+
+    def q_fingerprint(sf_dir):
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            lambda b: text_ops.fingerprint(b).select(["doc_id", "fingerprint"]),
+            batch_format="pyarrow",
+        )
+
+    def q_minhash_dedup(sf_dir):
+        return dedup.minhash_lsh_candidates(
+            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
+        )
+
+    def q_simhash_dedup(sf_dir):
+        return dedup.simhash_candidates(
+            _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8
+        )
+
+    def q_ivf_knn(sf_dir):
+        q = _query_vec(sf_dir)
+        idx = similarity.IvfIndex(nlist=8, nprobe=4).build(
+            _read(sf_dir, "embeddings"), sample_size=512
+        )
+        found = idx.search(q, k=5)
+
+        def micro(b: pa.Table) -> pa.Table:
+            m = _micro(b["cos_sim"].to_numpy(zero_copy_only=False))
+            return pa.table({"vec_id": b["vec_id"], "cos_sim_micro": pa.array(m)})
+
+        return found.map_batches(micro, batch_format="pyarrow")
+
+    def q_multimodal_decode(sf_dir):
+        import ray.data as rd
+
+        from ocr_service_ray.ops.multimodal import decode_pipeline, synthesize_media_items
+
+        return decode_pipeline(rd.from_arrow(synthesize_media_items(200)))
+
+    def q_feedback_promote(sf_dir):
+        import ray.data as rd
+
+        from ocr_service_ray.pipelines.feedback import promote_corrections
+        from ocr_service_ray.sources.synth import generate_feedback
+
+        return promote_corrections(rd.from_arrow(generate_feedback()))
+
+    return {
+        "correct_text_guards": q_correct_text_guards,
+        "token_counts": q_token_counts,
+        "bpe_token_count": q_bpe_token_count,
+        "lang_distribution": q_lang_distribution,
+        "top_sources": q_top_sources,
+        "exact_dedup": q_exact_dedup,
+        "windowed_events": q_windowed_events,
+        "promote_shape_events": q_promote_shape_events,
+        "top_error_users": q_top_error_users,
+        "sessionize_users": q_sessionize_users,
+        "join_orders_customers": q_join_orders_customers,
+        "hash_join_orders_lineitem": q_hash_join_orders_lineitem,
+        "lineitem_pricing": q_lineitem_pricing,
+        "sort_topk_orders": q_sort_topk_orders,
+        "knn_brute": q_knn_brute,
+        "embedding_norms": q_embedding_norms,
+        "near_dup_sample": q_near_dup_sample,
+        "flagship_extraction": q_flagship_extraction,
+        "lang_id": q_lang_id,
+        "quality_scores": q_quality_scores,
+        "fingerprint": q_fingerprint,
+        "minhash_dedup": q_minhash_dedup,
+        "simhash_dedup": q_simhash_dedup,
+        "ivf_knn": q_ivf_knn,
+        "multimodal_decode": q_multimodal_decode,
+        "feedback_promote": q_feedback_promote,
+    }
+
+
+# ---------------------------------------------------------------- oracles
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from ocr_service_ray.ops.text import BPE_TOKEN_RE, PUNCT_RE, STOPWORD_RE, WS_TOKEN_RE
+
+    return {
+        "correct_text_guards": """
+            SELECT doc_id, text AS corrected_text, CAST(0 AS BIGINT) AS n_corrections
+            FROM documents
+        """,
+        "token_counts": f"""
+            SELECT doc_id,
+              CAST(length(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              CAST(length(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS BIGINT) AS n_words,
+              CAST(length(text) AS BIGINT) AS n_chars_utf,
+              CAST(length(regexp_extract_all(text, '{PUNCT_RE}')) AS BIGINT) AS n_punct,
+              CAST(length(regexp_extract_all(text, '{STOPWORD_RE}')) AS BIGINT) AS n_stop
+            FROM documents
+        """,
+        "bpe_token_count": f"""
+            SELECT doc_id,
+              CAST(length(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS BIGINT) AS n_bpe_tokens
+            FROM documents
+        """,
+        "lang_distribution": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents GROUP BY lang
+        """,
+        "top_sources": """
+            SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source
+            ORDER BY n_docs DESC, source ASC LIMIT 10
+        """,
+        "exact_dedup": """
+            SELECT md5(text) AS text_hash,
+                   CAST(min(doc_id) AS BIGINT) AS keep_id,
+                   CAST(count(*) AS BIGINT) AS dups
+            FROM documents GROUP BY md5(text)
+        """,
+        "windowed_events": """
+            SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "promote_shape_events": """
+            SELECT user_id, event_type,
+                   CAST(count(*) AS BIGINT) AS occurrences,
+                   CAST(floor(avg(value) * 1000000.0 + 0.5) AS BIGINT) AS avg_value_micro
+            FROM events
+            GROUP BY user_id, event_type
+            HAVING count(*) >= 3 AND avg(value) >= 100.0
+        """,
+        "top_error_users": """
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_errors
+            FROM events WHERE event_type = 'error'
+            GROUP BY user_id ORDER BY n_errors DESC, user_id ASC LIMIT 10
+        """,
+        "sessionize_users": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+              FROM events),
+            sess AS (
+              SELECT user_id,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged),
+            per_sess AS (
+              SELECT user_id, session_id, count(*) AS n
+              FROM sess GROUP BY user_id, session_id)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(max(n) AS BIGINT) AS max_session_events,
+                   CAST(sum(n) AS BIGINT) AS n_events
+            FROM per_sess GROUP BY user_id
+        """,
+        "join_orders_customers": """
+            SELECT c.c_mktsegment,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "hash_join_orders_lineitem": """
+            SELECT o.o_orderstatus, CAST(count(*) AS BIGINT) AS n_lineitems
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+            GROUP BY o.o_orderstatus
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 100.0 + 0.5)
+                                 AS BIGINT)) AS BIGINT) AS revenue_cents,
+                   CAST(sum(CAST(floor(l_discount * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_disc_micro,
+                   CAST(count(*) AS BIGINT) AS n_rows
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "sort_topk_orders": """
+            SELECT o_orderkey, o_totalprice FROM orders
+            ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 20
+        """,
+        "knn_brute": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                              * 1000000.0 + 0.5) AS BIGINT) AS cos_sim_micro
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                     e.vec_id ASC
+            LIMIT 5
+        """,
+        "embedding_norms": """
+            SELECT vec_id,
+                   CAST(floor(sqrt(list_aggregate(
+                         list_transform(CAST(embedding AS DOUBLE[]), x -> x * x), 'sum'))
+                       * 1000000.0 + 0.5) AS BIGINT) AS l2_norm_micro
+            FROM embeddings
+        """,
+        "near_dup_sample": """
+            WITH s AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id % 10 = 0)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+                        AS BIGINT) AS cos_sim_micro
+            FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        """,
+    }

@@ -62,6 +62,23 @@ def token_stats(batch: pa.Table, text_col: str = "text") -> pa.Table:
     )
 
 
+def token_counts(batch: pa.Table, text_col: str = "text") -> pa.Table:
+    """Integer token statistics only (exact-match friendly: no float
+    division anywhere) — n_tokens / n_words / n_chars_utf / n_punct /
+    n_stop, all int64."""
+    text = batch[text_col]
+    cols = {
+        "n_tokens": pc.add(pc.count_substring(text, " "), 1),
+        "n_words": pc.count_substring_regex(text, WS_TOKEN_RE),
+        "n_chars_utf": pc.utf8_length(text),
+        "n_punct": pc.count_substring_regex(text, PUNCT_RE),
+        "n_stop": pc.count_substring_regex(text, STOPWORD_RE),
+    }
+    for name, arr in cols.items():
+        batch = batch.append_column(name, pc.cast(arr, pa.int64()))
+    return batch
+
+
 def bpe_token_count(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Approximate BPE token count via the shared RE2 pretokenizer."""
     n = pc.count_substring_regex(batch[text_col], BPE_TOKEN_RE)

@@ -147,6 +147,20 @@ def _media_lines(rng: random.Random) -> list[list]:
     return lines
 
 
+def generate_media_row(media_ref: str) -> dict:
+    """One media-registry row as a pure function of its ref (used by
+    the generative resolver — no media table needed)."""
+    rng = random.Random(f"gen:{media_ref}")
+    payload = json.dumps({"lines": _media_lines(rng)}, ensure_ascii=False).encode()
+    return {
+        "media_ref": media_ref,
+        "payload": payload,
+        "sharpness_var": round(rng.uniform(10.0, 300.0), 3),
+        "contrast_std": round(rng.uniform(5.0, 80.0), 3),
+        "brightness_mean": round(rng.uniform(50.0, 210.0), 3),
+    }
+
+
 def generate_corpus(
     n_docs: int,
     seed: int = 42,

@@ -98,12 +98,29 @@ class ScanMediaResolver:
         return media_table_to_registry(tbl)
 
 
+class GenerativeMediaResolver:
+    """Media rows derived deterministically from the media_ref itself
+    (zero IO) — used when the corpus's media is synthetic by
+    construction, e.g. the interleaved corpus derived from the plain
+    testdata documents table."""
+
+    def resolve(self, refs: set[str]) -> dict[str, dict]:
+        from ocr_service_ray.sources.synth import generate_media_row
+
+        return {r: generate_media_row(r) for r in refs}
+
+
+GENERATE_MEDIA = "__generate__"
+
+
 class OcrStage:
     """``map_batches`` actor: pyarrow batch of documents in, EXT_SCHEMA
     batch out. Engine + resolver constructed once per actor."""
 
     def __init__(self, media_source, engine: str = "synthetic"):
-        if isinstance(media_source, str):
+        if media_source == GENERATE_MEDIA:
+            self.resolver = GenerativeMediaResolver()
+        elif isinstance(media_source, str):
             self.resolver = ScanMediaResolver(media_source)
         else:
             self.resolver = BroadcastMediaResolver(media_source)
