@@ -96,17 +96,24 @@ class CorrectionsDB:
     dict iteration order does in the reference.
     """
 
-    __slots__ = ("entries", "exact", "threshold", "_lowered")
+    __slots__ = ("entries", "exact", "threshold", "_lowered", "_cache", "_cache_cap")
 
     def __init__(
         self,
         entries: list[tuple[str, str]] | None = None,
         threshold: float = SIMILARITY_THRESHOLD,
+        cache_cap: int = 500_000,
     ):
         self.entries = list(entries if entries is not None else DEFAULT_CORRECTIONS)
         self.exact = dict(self.entries)
         self.threshold = threshold
         self._lowered = [(o.lower(), o, c) for o, c in self.entries]
+        # Cross-document memo: suggest() is a pure function of the
+        # token and this frozen DB, so caching per DB instance (= per
+        # actor lifetime) is semantics-preserving. Capped so unbounded
+        # real-corpus vocabularies can't exhaust a worker's heap.
+        self._cache: dict[str, dict | None] = {}
+        self._cache_cap = cache_cap
 
     def calculate_similarity(self, str1: str, str2: str) -> float:
         """``correctors.py:79-90``."""
@@ -157,6 +164,17 @@ class CorrectionsDB:
             }
         return None
 
+    def suggest_cached(self, text: str):
+        try:
+            return self._cache[text]
+        except KeyError:
+            pass
+        result = self.suggest(text)
+        if len(self._cache) >= self._cache_cap:
+            self._cache.clear()
+        self._cache[text] = result
+        return result
+
 
 def contextual_correct(text: str) -> tuple[str, list[dict]]:
     """Pass 1 — ``correctors.py:214-267``, semantics verbatim."""
@@ -197,15 +215,10 @@ def dictionary_correct(text: str, db: CorrectionsDB) -> tuple[str, list[dict]]:
     input text; replacements mutate the running text sequentially."""
     corrections_applied: list[dict] = []
     corrected_text = text
-    cache: dict[str, dict | None] = {}
     for word in _TOKEN_PATTERN.findall(text):
         if not word.strip() or not word.isalnum():
             continue
-        if word in cache:
-            suggestion = cache[word]
-        else:
-            suggestion = db.suggest(word)
-            cache[word] = suggestion
+        suggestion = db.suggest_cached(word)
         if suggestion:
             original = suggestion["original"]
             corrected = suggestion["corrected"]

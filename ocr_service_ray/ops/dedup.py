@@ -136,6 +136,7 @@ def minhash_lsh_candidates(
         )
 
     band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
+    band_rows = _keep_hot_buckets(band_rows, ["band", "band_hash"])
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         if len(group) < 2:
@@ -161,18 +162,63 @@ def minhash_lsh_candidates(
     return pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
 
 
+def _keep_hot_buckets(rows_ds, key_cols: list[str]):
+    """Semi-join broadcast: keep only rows whose bucket has >1 member.
+
+    The >1-member key set is proportional to the number of DUPLICATE
+    documents (tiny relative to the corpus), so it is collected once
+    and broadcast; every map task filters against the same object-store
+    copy. If a corpus ever had a hot-key set too big to broadcast, the
+    fallback is a hash-partitioned ``Dataset.join`` on the keys —
+    same semantics, one more shuffle.
+    """
+    import ray
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count
+
+    counts = (
+        rows_ds.select_columns(key_cols)  # project before the counting shuffle
+        .groupby(key_cols)
+        .aggregate(Count(alias_name="n"))
+    )
+    hot_df = counts.map_batches(
+        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+    ).to_pandas()
+    hot = set(zip(*(hot_df[c] for c in key_cols))) if len(hot_df) else set()
+    hot_ref = ray.put(hot)
+
+    class HotFilter:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            cols = [batch[c].to_pylist() for c in key_cols]
+            mask = [k in self.hot for k in zip(*cols)] if cols and cols[0] else []
+            return batch.filter(pa.array(mask, pa.bool_())) if mask else batch.slice(0, 0)
+
+    return rows_ds.map_batches(HotFilter, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes)."""
-    acc = np.zeros(64, dtype=np.int64)
-    for tok in text.split():
-        h = int.from_bytes(hashlib.blake2b(tok.encode(), digest_size=8).digest(), "little")
-        bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
-        acc += np.where(bits.astype(bool), 1, -1)
-    fp = 0
-    for i in range(64):
-        if acc[i] > 0:
-            fp |= 1 << i
-    return fp
+    """64-bit SimHash over whitespace tokens (blake2b token hashes),
+    vectorized: one (n_tokens, 64) bit matrix reduction per document."""
+    toks = text.split()
+    if not toks:
+        return 0
+    hs = np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+            for t in toks
+        ),
+        dtype=np.uint64,
+        count=len(toks),
+    )
+    bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
+        np.int64
+    )
+    acc = (2 * bits - 1).sum(axis=0)
+    fp_bits = (acc > 0).astype(np.uint64)
+    return int((fp_bits << np.arange(64, dtype=np.uint64)).sum(dtype=np.uint64))
 
 
 def simhash_candidates(
@@ -220,10 +266,11 @@ def simhash_candidates(
 
     from ray.data.aggregate import Min
 
-    pairs = (
-        ds.map_batches(to_band_rows, batch_format="pyarrow")
-        .groupby(["band", "band_val"])
-        .map_groups(bucket_pairs, batch_format="pandas")
+    band_rows = _keep_hot_buckets(
+        ds.map_batches(to_band_rows, batch_format="pyarrow"), ["band", "band_val"]
+    )
+    pairs = band_rows.groupby(["band", "band_val"]).map_groups(
+        bucket_pairs, batch_format="pandas"
     )
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 

@@ -61,6 +61,7 @@ def run_extraction(
     kernel_batch_size: int = 128,
     ocr_concurrency=(2, 8),
     kernel_concurrency=(2, 8),
+    fused: bool = False,
 ):
     """Build the lazy extraction plan.
 
@@ -94,6 +95,23 @@ def run_extraction(
         media_source = media  # path → ScanMediaResolver inside the actor
 
     corrections = corrections if corrections is not None else corrections_entries()
+
+    if fused:
+        from ocr_service_ray.stages.extract import FusedExtractStage
+
+        return ds.map_batches(
+            FusedExtractStage,
+            batch_format="pyarrow",
+            batch_size=kernel_batch_size,
+            concurrency=kernel_concurrency,
+            num_cpus=1,
+            fn_constructor_kwargs={
+                "media_source": media_source,
+                "corrections": corrections,
+                "engine": engine,
+                "required_fields": required_fields,
+            },
+        )
 
     ds = ds.map_batches(
         OcrStage,

@@ -88,3 +88,22 @@ class KernelStage:
             for name in schema.OUT_SCHEMA.names:
                 out[name].append(rec[name])
         return pa.Table.from_pydict(out, schema=schema.OUT_SCHEMA)
+
+
+class FusedExtractStage:
+    """OCR + kernels in ONE actor (``__call__`` chains the two stages'
+    batch functions). Used when the OCR engine is CPU-bound: a single
+    pool sized to the node is balanced by construction — no
+    inter-pool handoff, half the actor spawns, and the same CPU
+    fraction at every cluster size (which is what makes N→4N scaling
+    flat). Keep the two-pool layout (``fused=False``) when the engine
+    needs its own resource shape (GPUs, bigger heaps)."""
+
+    def __init__(self, media_source, corrections, engine: str = "synthetic", required_fields=None):
+        from ocr_service_ray.stages.ocr import OcrStage
+
+        self.ocr = OcrStage(media_source, engine)
+        self.kernel = KernelStage(corrections, required_fields)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        return self.kernel(self.ocr(batch))
