@@ -129,8 +129,18 @@ def find_field(field_name: str, text: str) -> list[tuple[str, float]]:
     return results
 
 
-def validate_field(field_name: str, value: str, text: str = "") -> ValidationResult:
-    """``validators.py:119-166``."""
+def validate_field(
+    field_name: str,
+    value: str,
+    text: str = "",
+    _found: list[tuple[str, float]] | None = None,
+) -> ValidationResult:
+    """``validators.py:119-166``.
+
+    ``_found`` is an optional precomputed ``find_field(field_name,
+    text)`` result — ``find_field`` is a pure function of its
+    arguments, so passing the caller's already-computed scan is
+    semantics-identical and saves a full-text regex pass."""
     if field_name not in FIELD_PATTERNS:
         return ValidationResult(
             field_name=field_name,
@@ -144,7 +154,7 @@ def validate_field(field_name: str, value: str, text: str = "") -> ValidationRes
     valid = is_valid and matches_pattern
     suggested = None
     if not valid and text:
-        alternatives = find_field(field_name, text)
+        alternatives = _found if _found is not None else find_field(field_name, text)
         if alternatives:
             suggested = max(alternatives, key=lambda x: x[1])[0]
     return ValidationResult(
@@ -161,17 +171,27 @@ def validate_field(field_name: str, value: str, text: str = "") -> ValidationRes
 
 
 def validate_critical_fields(
-    text: str, required_fields: list[str] | None = None
+    text: str,
+    required_fields: list[str] | None = None,
+    _scan: dict[str, list[tuple[str, float]]] | None = None,
 ) -> dict[str, ValidationResult]:
     """``validators.py:168-201`` — note the found confidence OVERRIDES
-    the validate_field confidence (``:190``)."""
+    the validate_field confidence (``:190``).
+
+    ``_scan`` optionally memoizes ``find_field`` results per field for
+    this ``text`` (shared with ``extract_important_data`` by the
+    kernel stage); scans are pure, so reuse is semantics-identical —
+    including the reference's suggestion re-scan inside
+    ``validate_field``, which uses the same (field, text) arguments."""
     results: dict[str, ValidationResult] = {}
     fields_to_check = required_fields if required_fields else list(FIELD_PATTERNS.keys())
     for field_name in fields_to_check:
         found_values = find_field(field_name, text)
+        if _scan is not None:
+            _scan[field_name] = found_values
         if found_values:
             best_value, best_confidence = max(found_values, key=lambda x: x[1])
-            result = validate_field(field_name, best_value, text)
+            result = validate_field(field_name, best_value, text, _found=found_values)
             result.confidence = best_confidence
             results[field_name] = result
         else:
@@ -185,13 +205,24 @@ def validate_critical_fields(
     return results
 
 
-def extract_important_data(text: str) -> dict[str, list[str]]:
+def extract_important_data(
+    text: str, _scan: dict[str, list[tuple[str, float]]] | None = None
+) -> dict[str, list[str]]:
     """``validators.py:203-251``; surnames sorted before the cap-10
-    (determinism fix, documented divergence)."""
+    (determinism fix, documented divergence).
+
+    ``_scan``: optional precomputed ``find_field`` results for this
+    ``text`` (see ``validate_critical_fields``) — pure-scan reuse."""
+
+    def scan(field: str) -> list[tuple[str, float]]:
+        if _scan is not None and field in _scan:
+            return _scan[field]
+        return find_field(field, text)
+
     important_data = {
-        "inn": [v for v, _ in find_field("inn", text)],
-        "snils": [v for v, _ in find_field("snils", text)],
-        "numbers": [v for v, _ in find_field("number", text)],
+        "inn": [v for v, _ in scan("inn")],
+        "snils": [v for v, _ in scan("snils")],
+        "numbers": [v for v, _ in scan("number")],
         "surnames": [],
     }
     found_surnames = set()

@@ -25,12 +25,31 @@ from ocr_service_ray.kernels.validate import (
 from ocr_service_ray.oracle import critical_fields_json, error_row
 
 
+def _tune_worker_gc() -> None:
+    """Per-actor GC tuning (idempotent). The string kernels allocate
+    millions of short-lived dicts/strings per batch, none cyclic —
+    refcounting frees them. The default gen0 threshold (700) makes the
+    cyclic collector walk the heap constantly, which is pure overhead
+    here and extra cross-core memory traffic at high worker counts.
+    Long-lived state (regexes, the corrections DB) is frozen out of
+    collection entirely."""
+    import gc
+
+    if getattr(_tune_worker_gc, "_done", False):
+        return
+    _tune_worker_gc._done = True
+    gc.collect()
+    gc.freeze()
+    gc.set_threshold(50_000, 25, 25)
+
+
 class KernelStage:
     """EXT_SCHEMA batch in → OUT_SCHEMA batch out."""
 
     def __init__(self, corrections: list[tuple[str, str]], required_fields=None):
         self.db = CorrectionsDB([tuple(p) for p in corrections])
         self.required_fields = required_fields
+        _tune_worker_gc()
 
     def process_row(self, row: dict) -> dict:
         if row["error"]:
@@ -40,8 +59,12 @@ class KernelStage:
         assembled = assemble_document(row["ext_spans"])
         raw_text = assembled["raw_text"]
         full_text, corrections = correct_text(raw_text, self.db)
-        validation = validate_critical_fields(full_text, self.required_fields)
-        important = extract_important_data(full_text)
+        # One shared field-scan per document: find_field is pure, so
+        # validation and important-data extraction reuse the same
+        # full-text regex passes (16 → 10 scans per doc).
+        scan: dict = {}
+        validation = validate_critical_fields(full_text, self.required_fields, _scan=scan)
+        important = extract_important_data(full_text, _scan=scan)
         image_quality = (
             check_image_quality(
                 row["sharpness_var"], row["contrast_std"], row["brightness_mean"]
