@@ -116,16 +116,23 @@ def minhash_lsh_candidates(
     a, b = _perm_params(num_perm)
     rows_per_band = num_perm // bands
 
+    def to_sig_rows(batch: pa.Table) -> pa.Table:
+        ids, sigs = [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            ids.append(doc_id)
+            sigs.append(minhash_signature(text, a, b, shingle).tolist())
+        return pa.table({"id": pa.array(ids), "sig": pa.array(sigs, pa.list_(pa.uint64()))})
+
     def to_band_rows(batch: pa.Table) -> pa.Table:
         band_ids, band_hashes, ids, sigs = [], [], [], []
-        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            sig = minhash_signature(text, a, b, shingle)
+        for doc_id, sig_list in zip(batch["id"].to_pylist(), batch["sig"].to_pylist()):
+            sig = np.asarray(sig_list, dtype=np.uint64)
             for band in range(bands):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 band_ids.append(band)
                 band_hashes.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
                 ids.append(doc_id)
-                sigs.append(sig.tolist())
+                sigs.append(sig_list)
         return pa.table(
             {
                 "band": pa.array(band_ids, pa.int32()),
@@ -135,7 +142,20 @@ def minhash_lsh_candidates(
             }
         )
 
-    band_rows = ds.map_batches(to_band_rows, batch_format="pyarrow")
+    # Phase 1 — ONE pass over the corpus computes signatures; the text
+    # column never travels further. Materialized because two downstream
+    # consumers (the hot-bucket count and the pair pass) would each
+    # re-read and re-shingle the whole corpus otherwise — measured 2×
+    # the total runtime. Signatures are num_perm × 8 bytes per doc; at
+    # 10^12-doc scale this intermediate goes to a parquet/Lance
+    # signature table (write_parquet + read back) instead of the object
+    # store — same dataflow, spill-to-disk storage.
+    sig_rows = ds.map_batches(to_sig_rows, batch_format="pyarrow").materialize()
+
+    # Phase 2 — band explosion is a cheap map over the signature table
+    # (no text); it runs once inside the count and once inside the
+    # pair pass, both reading the materialized signatures.
+    band_rows = sig_rows.map_batches(to_band_rows, batch_format="pyarrow")
     band_rows = _keep_hot_buckets(band_rows, ["band", "band_hash"])
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
@@ -231,10 +251,16 @@ def simhash_candidates(
     band blocking (any pair within distance 3 shares at least one exact
     16-bit band — pigeonhole over 4 bands)."""
 
+    def to_fp_rows(batch: pa.Table) -> pa.Table:
+        ids, fps = [], []
+        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            ids.append(doc_id)
+            fps.append(simhash64(text))
+        return pa.table({"id": pa.array(ids), "fp": pa.array(fps, pa.uint64())})
+
     def to_band_rows(batch: pa.Table) -> pa.Table:
         band_ids, band_vals, ids, fps = [], [], [], []
-        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            fp = simhash64(text)
+        for doc_id, fp in zip(batch["id"].to_pylist(), batch["fp"].to_pylist()):
             for band in range(4):
                 band_ids.append(band)
                 band_vals.append((fp >> (band * 16)) & 0xFFFF)
@@ -249,29 +275,55 @@ def simhash_candidates(
             }
         )
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    # Pair generation is grouped by BAND ONLY (4 groups): Ray's
+    # map_groups pays ~1ms of block-slice + UDF dispatch per group, so
+    # grouping by (band, band_val) — thousands of near-singleton
+    # buckets — dominated the whole query (measured 16s of a 18s run).
+    # Within a band the per-bucket pairing is one vectorized pandas
+    # self-merge on band_val + a byte-table popcount over fp XORs.
+    _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+
+    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=group["id"].dtype),
+                "id_b": pd.Series(dtype=group["id"].dtype),
+                "hamming": pd.Series(dtype="int64"),
+            }
+        )
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "hamming": []})
-        g = group.sort_values("id").reset_index(drop=True)
-        out_a, out_b, ham = [], [], []
-        fps = [int(f) for f in g["fp"]]
-        for i in range(len(g)):
-            for j in range(i + 1, len(g)):
-                d = (fps[i] ^ fps[j]).bit_count()
-                if d <= max_hamming and g["id"].iloc[i] != g["id"].iloc[j]:
-                    out_a.append(g["id"].iloc[i])
-                    out_b.append(g["id"].iloc[j])
-                    ham.append(d)
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "hamming": ham})
+            return empty
+        g = group[["band_val", "id", "fp"]]
+        m = g.merge(g, on="band_val", suffixes=("_a", "_b"))
+        m = m[m["id_a"] < m["id_b"]]
+        if not len(m):
+            return empty
+        xor = m["fp_a"].to_numpy(dtype=np.uint64) ^ m["fp_b"].to_numpy(dtype=np.uint64)
+        ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame(
+            {
+                "id_a": m["id_a"].to_numpy()[keep],
+                "id_b": m["id_b"].to_numpy()[keep],
+                "hamming": ham[keep],
+            }
+        )
 
     from ray.data.aggregate import Min
 
+    # One corpus pass → 8-byte fingerprint per doc, materialized (see
+    # minhash_lsh_candidates phase-1 note; fingerprints are trivially
+    # small at any scale). Band explosion + count + filter all read the
+    # fingerprint table, never the text again.
+    fp_rows = ds.map_batches(to_fp_rows, batch_format="pyarrow").materialize()
     band_rows = _keep_hot_buckets(
-        ds.map_batches(to_band_rows, batch_format="pyarrow"), ["band", "band_val"]
+        fp_rows.map_batches(to_band_rows, batch_format="pyarrow"), ["band", "band_val"]
     )
-    pairs = band_rows.groupby(["band", "band_val"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    # Skew note: a degenerate bucket of D identical fingerprints (e.g.
+    # empty documents) self-merges to D² candidate rows — run
+    # exact_dedup first on real corpora so identical texts never reach
+    # the near-dup pass.
+    pairs = band_rows.groupby("band").map_groups(band_pairs, batch_format="pandas")
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
