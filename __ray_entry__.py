@@ -346,10 +346,152 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pairs.map_batches(micro, batch_format="pyarrow")
 
+    # -- set ops / split / anti-join / optional-ML stages ---------------
+
+    def q_unique_langs(sf_dir):
+        """D3 distinct vocabulary via Dataset.unique."""
+        langs = relational.distinct_values(_read(sf_dir, "documents", ["lang"]), "lang")
+        return pa.table({"lang": pa.array(langs, pa.string())})
+
+    def q_train_val_split(sf_dir):
+        """O8 positional 80/20 split (sorted on doc_id first — O1)."""
+        train, val = relational.train_val_split(
+            _read(sf_dir, "documents", ["doc_id"]), 0.8, sort_col="doc_id"
+        )
+        return pa.table(
+            {
+                "split": pa.array(["train", "val"], pa.string()),
+                "n_rows": pa.array([train.count(), val.count()], pa.int64()),
+            }
+        )
+
+    def q_anti_join_orders(sf_dir):
+        """D4 broadcast anti-join: orders whose customer is NOT in the
+        BUILDING segment, aggregated by status."""
+        import pyarrow.parquet as pq
+        from ray.data.aggregate import Count, Sum
+
+        cust = pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        building = cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))[
+            "c_custkey"
+        ].to_pylist()
+        kept = relational.broadcast_anti_join(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderstatus", "o_totalprice"]),
+            building,
+            on="o_custkey",
+        )
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"o_orderstatus": b["o_orderstatus"], "cents": pa.array(c)}
+            )
+
+        return (
+            kept.map_batches(cents, batch_format="pyarrow")
+            .groupby("o_orderstatus")
+            .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+        )
+
+    def q_spell_guard(sf_dir):
+        """T2 spell-corrector actor stage; sandbox backend is the
+        identity fake, so output text equals input — which is exactly
+        what the oracle asserts corpus-wide."""
+        from ocr_service_ray.stages.ml import SpellCorrectorStage
+
+        return (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(
+                SpellCorrectorStage, batch_format="pyarrow", concurrency=(1, 4)
+            )
+            .map_batches(
+                lambda b: b.select(["doc_id", "ml_corrected_text", "corrector_backend"]),
+                batch_format="pyarrow",
+            )
+        )
+
+    def q_ml_quality_combined(sf_dir):
+        """T4 combined-quality actor stage over SQL-derivable inputs
+        (precomputed-score path): ml = (doc_id*2654435761 % 1000003)
+        / 1000003, ocr = 0.5 + (doc_id*7919 % 500)/1000, hw = doc_id%5
+        — integer arithmetic is exact on both sides, so the verbatim
+        combined-score + divergence-fallback formula is bit-checkable."""
+        from ocr_service_ray.stages.ml import MLQualityStage
+
+        def derive_inputs(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ml = (ids * 2654435761 % 1000003) / 1000003.0
+            ocr = 0.5 + (ids * 7919 % 500) / 1000.0
+            hw = ids % 5
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "ml_input": pa.array(ml),
+                    "ocr_confidence": pa.array(ocr),
+                    "n_handwritten": pa.array(hw),
+                }
+            )
+
+        staged = (
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(derive_inputs, batch_format="pyarrow")
+            .map_batches(
+                MLQualityStage,
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+                fn_constructor_kwargs={"score_col": "ml_input"},
+            )
+        )
+
+        def micro(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "combined_micro": pa.array(
+                        _micro(b["ml_combined_quality"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+        return staged.map_batches(micro, batch_format="pyarrow")
+
     # -- rows-only (non-SQL-expressible) --------------------------------
 
     def q_flagship_extraction(sf_dir):
         return _flagship(sf_dir)
+
+    def q_classify_docs(sf_dir):
+        """T3 classifier actor stage (hash-fake backend) with the
+        reference's conditional-application branch."""
+        from ocr_service_ray.stages.ml import DocumentClassifierStage
+
+        return (
+            _read(sf_dir, "documents", ["doc_id"])
+            .map_batches(
+                DocumentClassifierStage,
+                batch_format="pyarrow",
+                concurrency=(1, 4),
+            )
+            .map_batches(
+                lambda b: b.select(["doc_id", "document_type"]),
+                batch_format="pyarrow",
+            )
+        )
+
+    def q_render_json(sf_dir):
+        """S9 format_output (JSON rendering) over the flagship output."""
+        from ocr_service_ray.pipelines.derive import derived_corpus
+        from ocr_service_ray.pipelines.flagship import run_extraction
+        from ocr_service_ray.stages.ocr import GENERATE_MEDIA
+        from ocr_service_ray.stages.render import render_output
+
+        return render_output(
+            run_extraction(derived_corpus(sf_dir), GENERATE_MEDIA), fmt="json"
+        )
 
     def q_lang_id(sf_dir):
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -424,7 +566,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": q_knn_brute,
         "embedding_norms": q_embedding_norms,
         "near_dup_sample": q_near_dup_sample,
+        "unique_langs": q_unique_langs,
+        "train_val_split": q_train_val_split,
+        "anti_join_orders": q_anti_join_orders,
+        "spell_guard": q_spell_guard,
+        "ml_quality_combined": q_ml_quality_combined,
         "flagship_extraction": q_flagship_extraction,
+        "classify_docs": q_classify_docs,
+        "render_json": q_render_json,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "fingerprint": q_fingerprint,
@@ -570,5 +719,49 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cos_sim_micro
             FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        """,
+        "unique_langs": """
+            SELECT DISTINCT lang FROM documents
+        """,
+        "train_val_split": """
+            WITH n AS (SELECT count(*) AS c FROM documents)
+            SELECT 'train' AS split, CAST(floor(c * 0.8) AS BIGINT) AS n_rows FROM n
+            UNION ALL
+            SELECT 'val' AS split, CAST(c - floor(c * 0.8) AS BIGINT) AS n_rows FROM n
+        """,
+        "anti_join_orders": """
+            SELECT o_orderstatus,
+                   CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM orders
+            WHERE o_custkey NOT IN
+                  (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+            GROUP BY o_orderstatus
+        """,
+        "spell_guard": """
+            SELECT doc_id, text AS ml_corrected_text,
+                   'fake-identity' AS corrector_backend
+            FROM documents
+        """,
+        "ml_quality_combined": """
+            WITH inputs AS (
+              SELECT doc_id,
+                     (doc_id * 2654435761 % 1000003) / 1000003.0 AS ml,
+                     0.5 + (doc_id * 7919 % 500) / 1000.0 AS ocr,
+                     CAST(doc_id % 5 AS DOUBLE) AS hw
+              FROM documents),
+            combined AS (
+              SELECT doc_id,
+                CASE WHEN abs(ml - ocr) > 0.3
+                     THEN 0.8 * ocr + 0.2 * ml
+                     ELSE 0.2 * ml + 0.6 * ocr
+                          + 0.2 * greatest(0.0, least(1.0, 1.0 - 0.05 * hw))
+                END AS raw
+              FROM inputs)
+            SELECT doc_id,
+                   CAST(floor(greatest(0.0, least(1.0, raw)) * 1000000.0 + 0.5)
+                        AS BIGINT) AS combined_micro
+            FROM combined
         """,
     }

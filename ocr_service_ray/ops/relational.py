@@ -40,6 +40,50 @@ def hash_join(left_ds, right_ds, on: str, num_partitions: int = 16, join_type: s
     )
 
 
+def distinct_values(ds, col: str) -> list:
+    """D3 — class-vocabulary style distinct
+    (``scripts/train_classifier.py:126`` ``sorted(set(...))``):
+    ``Dataset.unique`` (distributed dedup shuffle), sorted on the
+    driver — the result is a vocabulary, small by contract."""
+    return sorted(ds.unique(col))
+
+
+def train_val_split(ds, train_fraction: float = 0.8, sort_col: str | None = None):
+    """O8 — the reference's positional, unshuffled 80/20 split
+    (``scripts/train_classifier.py:134-136``) via
+    ``Dataset.split_proportionately``. Positional order in a
+    distributed Dataset is block order, so pass ``sort_col`` to pin a
+    deterministic order first (the reference's input is a sorted file
+    list — O1)."""
+    if sort_col is not None:
+        ds = ds.sort(sort_col)
+    train, val = ds.split_proportionately([train_fraction])
+    return train, val
+
+
+def broadcast_anti_join(ds, keys, on: str):
+    """D4 — skip-existing semantics
+    (``services/active_learning.py:110``): drop rows whose ``on``
+    value is in ``keys``. The key set is broadcast once via
+    ``ray.put`` (dimension-sized by contract); each task filters
+    against the same object-store copy. For a large right side, use
+    ``hash_join`` with ``join_type="left_anti"`` instead."""
+    import pyarrow as pa
+    import ray
+
+    ref = ray.put(frozenset(keys))
+
+    class AntiFilter:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            mask = [v not in self.keys for v in batch[on].to_pylist()]
+            return batch.filter(pa.array(mask, pa.bool_()))
+
+    return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 8))
+
+
 def topk(ds, by: list[str], k: int, descending: list[bool]):
     """Canonical top-k: distributed sort + limit (O5/O6). Callers must
     include a unique tiebreak column for deterministic results."""

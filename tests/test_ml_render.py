@@ -1,0 +1,208 @@
+"""Optional-ML actor stages (T2/T3/T4), rendering/sinks (S7/S9), and
+relational extras (O8 split, D3 unique, D4 anti-join)."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{SF}/documents.parquet")
+
+
+# ---------------------------------------------------------------- T2-T4
+
+
+def test_spell_stage_identity_guards(docs_ds):
+    from ocr_service_ray.stages.ml import SpellCorrectorStage
+
+    out = docs_ds.map_batches(
+        SpellCorrectorStage, batch_format="pyarrow", concurrency=2
+    ).to_pandas()
+    # sandbox backend is the identity fake — guards must pass text through
+    assert (out["ml_corrected_text"] == out["text"]).all()
+    assert (out["corrector_backend"] == "fake-identity").all()
+
+
+def test_spell_guards_reject_bad_output():
+    from ocr_service_ray.stages.ml import SpellCorrectorStage
+
+    stage = SpellCorrectorStage()
+    # too short / too long → untouched without invoking the model
+    assert stage._correct_one("ab") == "ab"
+    long = "x" * 600
+    assert stage._correct_one(long) == long
+    # model output with <extra_id or bad length is rejected
+    stage._infer = lambda t: "<extra_id_0> junk"
+    stage._model = object()
+    assert stage._correct_one("hello world") == "hello world"
+    stage._infer = lambda t: "x"  # < 0.5× input length
+    assert stage._correct_one("hello world") == "hello world"
+    stage._infer = lambda t: t.upper()  # acceptable length → adopted
+    assert stage._correct_one("hello world") == "HELLO WORLD"
+
+
+def test_classifier_conditional_application(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.stages.ml import DocumentClassifierStage
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b", "c", "d"],
+            "template": ["invoice", None, "", None],
+        }
+    )
+    out = (
+        rd.from_arrow(tbl)
+        .map_batches(DocumentClassifierStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    # template wins when present
+    assert out.loc["a", "document_type"] == "invoice"
+    assert out.loc["a", "type_confidence"] == 1.0
+    # no template → prediction adopted only above the 0.7 threshold
+    for k in ("b", "c", "d"):
+        conf = out.loc[k, "type_confidence"]
+        dt = out.loc[k, "document_type"]
+        if conf > 0.7:
+            assert dt in DocumentClassifierStage().class_names
+        else:
+            assert dt == ""
+
+
+def test_ml_combined_quality_formula():
+    from ocr_service_ray.stages.ml import ml_combined_quality
+
+    ml = np.array([0.9, 0.1, 0.5])
+    ocr = np.array([0.8, 0.9, 0.5])
+    hw = np.array([0.0, 0.0, 30.0])
+    got = ml_combined_quality(ml, ocr, hw)
+    # normal path: 0.2*ml + 0.6*ocr + 0.2*1
+    assert got[0] == pytest.approx(0.2 * 0.9 + 0.6 * 0.8 + 0.2)
+    # divergence |0.1-0.9| > 0.3 → 0.8*ocr + 0.2*ml
+    assert got[1] == pytest.approx(0.8 * 0.9 + 0.2 * 0.1)
+    # handwritten term clamps at 0 (1 - 0.05*30 < 0)
+    assert got[2] == pytest.approx(0.2 * 0.5 + 0.6 * 0.5 + 0.0)
+
+
+def test_with_ml_stages_appends_all(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.stages.ml import with_ml_stages
+
+    tbl = pa.table(
+        {
+            "doc_id": ["a", "b"],
+            "text": ["hello world", "привет мир"],
+            "ocr_confidence": [0.9, 0.4],
+            "n_handwritten": [0, 2],
+        }
+    )
+    out = with_ml_stages(
+        rd.from_arrow(tbl), spell=True, classify=True, ml_quality=True, concurrency=1
+    ).to_pandas()
+    for col in (
+        "ml_corrected_text",
+        "document_type",
+        "type_confidence",
+        "ml_score",
+        "ml_combined_quality",
+    ):
+        assert col in out.columns
+    assert ((out["ml_combined_quality"] >= 0) & (out["ml_combined_quality"] <= 1)).all()
+
+
+# ---------------------------------------------------------------- S7/S9
+
+
+@pytest.fixture(scope="module")
+def extracted(ray_session, tmp_path_factory):
+    from ocr_service_ray.pipelines.flagship import run_extraction
+    from ocr_service_ray.sources.synth import corrections_entries, generate_corpus
+
+    docs, media = generate_corpus(40, seed=3)
+    return run_extraction(docs, media, corrections_entries()).materialize()
+
+
+def test_render_json_round_trips(extracted):
+    from ocr_service_ray.stages.render import render_output
+
+    rows = render_output(extracted, fmt="json").take_all()
+    assert len(rows) == 40
+    for row in rows[:5]:
+        payload = json.loads(row["rendered"])
+        assert payload["doc_id"] == row["doc_id"]
+        assert "full_text" in payload and "critical_fields" in payload
+
+
+def test_render_text_layout(extracted):
+    from ocr_service_ray.stages.render import render_output
+
+    row = render_output(extracted, fmt="text").take(1)[0]
+    assert row["rendered"].startswith(f"=== Документ: {row['doc_id']} ===")
+
+
+def test_write_rendered_sink(extracted, tmp_path):
+    import pyarrow.parquet as pq
+
+    from ocr_service_ray.stages.render import write_rendered
+
+    out = tmp_path / "rendered"
+    write_rendered(extracted, str(out), fmt="text")
+    got = pq.read_table(str(out))
+    assert got.num_rows == 40
+    assert set(got.column_names) == {"doc_id", "rendered"}
+
+
+def test_summary_json(extracted, tmp_path):
+    from ocr_service_ray.stages.render import summary_json
+
+    path = tmp_path / "summary.json"
+    text = summary_json(extracted, str(path))
+    payload = json.loads(text)
+    assert payload["documents"] == 40
+    assert 0 <= payload["mean_quality"] <= 1
+    assert json.loads(path.read_text()) == payload
+
+
+# ------------------------------------------------------- O8 / D3 / D4
+
+
+def test_distinct_values(docs_ds):
+    import pyarrow.parquet as pq
+
+    from ocr_service_ray.ops.relational import distinct_values
+
+    got = distinct_values(docs_ds, "lang")
+    want = sorted(set(pq.read_table(f"{SF}/documents.parquet")["lang"].to_pylist()))
+    assert got == want
+
+
+def test_train_val_split_positional(docs_ds):
+    from ocr_service_ray.ops.relational import train_val_split
+
+    train, val = train_val_split(docs_ds, 0.8, sort_col="doc_id")
+    n = docs_ds.count()
+    assert train.count() == int(n * 0.8)
+    assert val.count() == n - int(n * 0.8)
+    # positional: max train doc_id < min val doc_id
+    assert max(train.unique("doc_id")) < min(val.unique("doc_id"))
+
+
+def test_broadcast_anti_join(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import broadcast_anti_join
+
+    ds = rd.from_arrow(pa.table({"k": [1, 2, 3, 4, 5], "v": list("abcde")}))
+    out = broadcast_anti_join(ds, {2, 4}, on="k").to_pandas()
+    assert sorted(out["k"]) == [1, 3, 5]
