@@ -397,6 +397,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
         )
 
+    def q_ngram_jaccard(sf_dir):
+        """Exact word-3-gram Jaccard over consecutive-id doc pairs —
+        the verification kernel of the dedup family, co-located by one
+        pair-key groupby."""
+        pairs = dedup.ngram_jaccard_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]), pair_key=lambda i: i // 2
+        )
+
+        def micro(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "id_a": pc.cast(b["id_a"], pa.int64()),
+                    "id_b": pc.cast(b["id_b"], pa.int64()),
+                    "jaccard_micro": pa.array(
+                        _micro(b["jaccard"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+        return pairs.map_batches(micro, batch_format="pyarrow")
+
     def q_spell_guard(sf_dir):
         """T2 spell-corrector actor stage; sandbox backend is the
         identity fake, so output text equals input — which is exactly
@@ -540,6 +561,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return decode_pipeline(rd.from_arrow(synthesize_media_items(200)))
 
+    def q_multimodal_routed(sf_dir):
+        """Type-routed multimodal plan: resize→decode / audio features /
+        frame samples, unioned."""
+        import ray.data as rd
+
+        from ocr_service_ray.ops.multimodal import media_pipeline, synthesize_media_items
+
+        return media_pipeline(rd.from_arrow(synthesize_media_items(200)))
+
     def q_feedback_promote(sf_dir):
         import ray.data as rd
 
@@ -566,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": q_knn_brute,
         "embedding_norms": q_embedding_norms,
         "near_dup_sample": q_near_dup_sample,
+        "ngram_jaccard": q_ngram_jaccard,
         "unique_langs": q_unique_langs,
         "train_val_split": q_train_val_split,
         "anti_join_orders": q_anti_join_orders,
@@ -581,6 +612,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "multimodal_decode": q_multimodal_decode,
+        "multimodal_routed": q_multimodal_routed,
         "feedback_promote": q_feedback_promote,
     }
 
@@ -719,6 +751,26 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cos_sim_micro
             FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        """,
+        "ngram_jaccard": """
+            WITH g AS (
+              SELECT doc_id, doc_id // 2 AS pair_id,
+                     list_distinct(list_transform(
+                       generate_series(1, length(string_split(text, ' ')) - 2),
+                       i -> string_split(text, ' ')[i] || ' ' ||
+                            string_split(text, ' ')[i + 1] || ' ' ||
+                            string_split(text, ' ')[i + 2])) AS grams
+              FROM documents),
+            pairs AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                     length(list_intersect(a.grams, b.grams)) AS inter,
+                     length(a.grams) AS la, length(b.grams) AS lb
+              FROM g a JOIN g b
+                ON a.pair_id = b.pair_id AND a.doc_id < b.doc_id)
+            SELECT id_a, id_b,
+                   CAST(floor(inter / (la + lb - inter) * 1000000.0 + 0.5)
+                        AS BIGINT) AS jaccard_micro
+            FROM pairs
         """,
         "unique_langs": """
             SELECT DISTINCT lang FROM documents

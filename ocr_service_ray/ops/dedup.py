@@ -327,6 +327,42 @@ def simhash_candidates(
     return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
 
 
+def ngram_jaccard_pairs(ds, pair_key, text_col: str = "text", id_col: str = "doc_id", n: int = 3):
+    """Exact n-gram Jaccard over a candidate pairing: rows sharing the
+    same ``pair_key(id)`` value are co-located by ONE groupby shuffle
+    and verified in-group with the exact kernel. This is the
+    verification tail of an LSH pass — the pairing function stands in
+    for the candidate-bucket key, so the shuffle moves only candidate
+    rows, never the full corpus. Returns {id_a, id_b, jaccard} for
+    groups of exactly 2."""
+
+    def add_key(batch: pa.Table) -> pa.Table:
+        keys = [pair_key(i) for i in batch[id_col].to_pylist()]
+        return batch.append_column("pair_id", pa.array(keys, pa.int64()))
+
+    def verify(group: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=group[id_col].dtype),
+                "id_b": pd.Series(dtype=group[id_col].dtype),
+                "jaccard": pd.Series(dtype="float64"),
+            }
+        )
+        if len(group) != 2:
+            return empty
+        g = group.sort_values(id_col).reset_index(drop=True)
+        jac = ngram_jaccard(g[text_col].iloc[0], g[text_col].iloc[1], n)
+        return pd.DataFrame(
+            {"id_a": [g[id_col].iloc[0]], "id_b": [g[id_col].iloc[1]], "jaccard": [jac]}
+        )
+
+    return (
+        ds.map_batches(add_key, batch_format="pyarrow")
+        .groupby("pair_id")
+        .map_groups(verify, batch_format="pandas")
+    )
+
+
 def ngram_jaccard(text_a: str, text_b: str, n: int = 3) -> float:
     """Exact word-n-gram Jaccard — the verification kernel behind the
     LSH estimates."""

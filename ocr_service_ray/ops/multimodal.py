@@ -116,6 +116,90 @@ class FrameSampleStage:
         )
 
 
+class ResizeImageStage:
+    """Actor stage: aspect-preserving resize metadata + payload
+    transform. Sandbox stub: the OUTPUT payload is a deterministic
+    byte-subsample of the input (real adapter: PIL ``Image.resize`` +
+    re-encode); target-dimension arithmetic (the reference's min-side
+    ≥1500 upscale rule inverted to a max-side cap) is real and
+    identical on both paths — that is what downstream stages size
+    batches by."""
+
+    def __init__(self, max_side: int = 512):
+        self.max_side = max_side
+        try:
+            from PIL import Image  # noqa: F401
+
+            self._backend = "pil"  # pragma: no cover
+        except ImportError:
+            self._backend = "fake-subsample"
+
+    def _target_dims(self, w: int, h: int) -> tuple[int, int]:
+        side = max(w, h)
+        if side <= self.max_side:
+            return w, h
+        scale = self.max_side / side
+        return max(1, int(w * scale)), max(1, int(h * scale))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        new_w, new_h, payloads = [], [], []
+        for w, h, payload in zip(
+            batch["width"].to_pylist(),
+            batch["height"].to_pylist(),
+            batch["payload"].to_pylist(),
+        ):
+            tw, th = self._target_dims(w, h)
+            new_w.append(tw)
+            new_h.append(th)
+            if (tw, th) == (w, h):
+                payloads.append(payload)
+            else:
+                # FAKE resize: keep every k-th byte (deterministic)
+                k = max(1, (w * h) // max(1, tw * th))
+                payloads.append(payload[::k])
+        return (
+            batch.drop_columns(["payload", "width", "height"])
+            .append_column("width", pa.array(new_w, pa.int32()))
+            .append_column("height", pa.array(new_h, pa.int32()))
+            .append_column("payload", pa.array(payloads, pa.binary()))
+        )
+
+
+class AudioFeatureStage:
+    """Actor stage: audio payload → windowed features (RMS +
+    zero-crossing rate per window). Sandbox stub interprets the payload
+    bytes as int8 samples (real adapter: soundfile/librosa decode);
+    the windowing, vectorized numpy feature math and one-row-per-window
+    explode are real."""
+
+    def __init__(self, window: int = 1024):
+        self.window = window
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids, win_idx, rms, zcr = [], [], [], []
+        for item_id, payload in zip(
+            batch["item_id"].to_pylist(), batch["payload"].to_pylist()
+        ):
+            samples = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+            n_win = max(1, len(samples) // self.window)
+            for w in range(n_win):
+                chunk = samples[w * self.window : (w + 1) * self.window]
+                if not len(chunk):
+                    chunk = np.zeros(1)
+                ids.append(item_id)
+                win_idx.append(w)
+                rms.append(float(np.sqrt((chunk**2).mean())))
+                zcr.append(float((np.diff(np.signbit(chunk)) != 0).mean()) if len(chunk) > 1 else 0.0)
+        return pa.table(
+            {
+                "item_id": pa.array(ids, pa.string()),
+                "window_idx": pa.array(win_idx, pa.int32()),
+                "rms": pa.array(rms, pa.float64()),
+                "zero_crossing_rate": pa.array(zcr, pa.float64()),
+            }
+        )
+
+
 def synthesize_media_items(n: int, seed: int = 42) -> pa.Table:
     """Deterministic binary-column fixture (no external data)."""
     import random
@@ -146,3 +230,54 @@ def decode_pipeline(ds, batch_size: int = 16, concurrency=(1, 4)):
         concurrency=concurrency,
         num_cpus=1,
     )
+
+
+def media_pipeline(ds, batch_size: int = 16, concurrency=(1, 4)):
+    """Type-routed multimodal plan: images → resize → decode features,
+    audio → windowed features, video → frame samples. One pass
+    partitions by ``media_type`` with three filtered sub-plans (cheap
+    predicate pushdown on a small column) that run CONCURRENTLY under
+    the streaming executor; union of per-type feature tables."""
+    kwargs = dict(
+        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency, num_cpus=1
+    )
+    import pyarrow.compute as pc
+
+    def only(kind):
+        return ds.map_batches(
+            lambda b, k=kind: b.filter(pc.equal(b["media_type"], k)),
+            batch_format="pyarrow",
+        )
+
+    images = (
+        only("image")
+        .map_batches(ResizeImageStage, **kwargs)
+        .map_batches(DecodeImageStage, **kwargs)
+        .map_batches(
+            lambda b: b.select(["item_id"]).append_column(
+                "feature", pa.array(["image"] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    audio = (
+        only("audio")
+        .map_batches(AudioFeatureStage, **kwargs)
+        .map_batches(
+            lambda b: b.select(["item_id"]).append_column(
+                "feature", pa.array(["audio"] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    video = (
+        only("video")
+        .map_batches(FrameSampleStage, **kwargs)
+        .map_batches(
+            lambda b: b.select(["item_id"]).append_column(
+                "feature", pa.array(["video"] * b.num_rows, pa.string())
+            ),
+            batch_format="pyarrow",
+        )
+    )
+    return images.union(audio).union(video)

@@ -206,3 +206,68 @@ def test_broadcast_anti_join(ray_session):
     ds = rd.from_arrow(pa.table({"k": [1, 2, 3, 4, 5], "v": list("abcde")}))
     out = broadcast_anti_join(ds, {2, 4}, on="k").to_pandas()
     assert sorted(out["k"]) == [1, 3, 5]
+
+
+# ------------------------------------------------- multimodal / jaccard
+
+
+def test_resize_stage_dims(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.multimodal import ResizeImageStage, synthesize_media_items
+
+    out = (
+        rd.from_arrow(synthesize_media_items(40))
+        .map_batches(ResizeImageStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert (out[["width", "height"]].max(axis=1) <= 512).all()
+    assert (out[["width", "height"]].min(axis=1) >= 1).all()
+
+
+def test_audio_feature_stage_windows(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.multimodal import AudioFeatureStage, synthesize_media_items
+
+    items = synthesize_media_items(20)
+    out = (
+        rd.from_arrow(items)
+        .map_batches(AudioFeatureStage, batch_format="pyarrow", concurrency=1)
+        .to_pandas()
+    )
+    assert (out["rms"] >= 0).all()
+    assert out["zero_crossing_rate"].between(0, 1).all()
+    # one row per 1024-byte window, at least one per item
+    assert set(out["item_id"]) == set(items["item_id"].to_pylist())
+
+
+def test_media_pipeline_routes_all_types(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.multimodal import media_pipeline, synthesize_media_items
+
+    items = synthesize_media_items(60)
+    out = media_pipeline(rd.from_arrow(items)).to_pandas()
+    assert set(out["feature"]) == {"image", "audio", "video"}
+    # every item surfaces in exactly its type's feature table
+    got_ids = set(out["item_id"])
+    assert got_ids == set(items["item_id"].to_pylist())
+
+
+def test_ngram_jaccard_pairs_matches_kernel(docs_ds):
+    import pyarrow.parquet as pq
+
+    from ocr_service_ray.ops.dedup import ngram_jaccard, ngram_jaccard_pairs
+
+    out = (
+        ngram_jaccard_pairs(docs_ds, pair_key=lambda i: i // 2)
+        .to_pandas()
+        .set_index("id_a")
+    )
+    raw = pq.read_table(f"{SF}/documents.parquet", columns=["doc_id", "text"]).to_pandas()
+    texts = dict(zip(raw["doc_id"], raw["text"]))
+    assert len(out) == len(raw) // 2
+    for id_a in list(out.index)[:20]:
+        want = ngram_jaccard(texts[id_a], texts[id_a + 1])
+        assert out.loc[id_a, "jaccard"] == pytest.approx(want)
