@@ -397,6 +397,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
         )
 
+    def q_salted_event_totals(sf_dir):
+        """Hot-key-safe two-phase salted aggregation (ops/skew.py):
+        result exactly equals the direct GROUP BY."""
+        from ocr_service_ray.ops.skew import salted_aggregate
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"event_type": b["event_type"], "cents": pa.array(c)})
+
+        return salted_aggregate(
+            _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+                cents, batch_format="pyarrow"
+            ),
+            "event_type",
+            num_salts=8,
+            count_alias="n_events",
+            sum_col="cents",
+            sum_alias="total_cents",
+        )
+
     def q_ngram_jaccard(sf_dir):
         """Exact word-3-gram Jaccard over consecutive-id doc pairs —
         the verification kernel of the dedup family, co-located by one
@@ -596,6 +618,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute": q_knn_brute,
         "embedding_norms": q_embedding_norms,
         "near_dup_sample": q_near_dup_sample,
+        "salted_event_totals": q_salted_event_totals,
         "ngram_jaccard": q_ngram_jaccard,
         "unique_langs": q_unique_langs,
         "train_val_split": q_train_val_split,
@@ -751,6 +774,13 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cos_sim_micro
             FROM s a JOIN s b ON a.label = b.label AND a.vec_id < b.vec_id
             WHERE list_cosine_similarity(a.v, b.v) >= 0.3
+        """,
+        "salted_event_totals": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM events GROUP BY event_type
         """,
         "ngram_jaccard": """
             WITH g AS (

@@ -1,0 +1,86 @@
+"""Skew-handling ops: salted two-phase aggregation, media-cost
+estimation, cost-balanced sharding."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_salted_aggregate_equals_direct(ray_session):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Sum
+
+    from ocr_service_ray.ops.skew import salted_aggregate
+
+    events = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "value"])
+    # exactness: sum over int cents to avoid float reassociation
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(
+            np.int64
+        )
+        return pa.table({"event_type": b["event_type"], "cents": pa.array(c)})
+
+    prepared = events.map_batches(cents, batch_format="pyarrow")
+    got = (
+        salted_aggregate(
+            prepared, "event_type", num_salts=8, sum_col="cents", sum_alias="total"
+        )
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    want = (
+        prepared.groupby("event_type")
+        .aggregate(Count(alias_name="n"), Sum("cents", alias_name="total"))
+        .to_pandas()
+        .sort_values("event_type")
+        .reset_index(drop=True)
+    )
+    assert got[["event_type", "n", "total"]].equals(want[["event_type", "n", "total"]])
+
+
+def test_media_cost_column(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.skew import DEFAULT_KIND_WEIGHTS, media_cost_column
+    from ocr_service_ray.sources.synth import generate_corpus
+
+    docs, _ = generate_corpus(60, seed=11)
+    out = media_cost_column(rd.from_arrow(docs)).to_pandas()
+    raw = docs.to_pylist()
+    for row, want_row in zip(out.itertuples(), raw):
+        want = sum(DEFAULT_KIND_WEIGHTS.get(s["kind"], 0.0) for s in want_row["spans"])
+        assert row.media_cost == pytest.approx(want)
+
+
+def test_cost_balanced_shard_spreads_heavy(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.skew import cost_balanced_shard
+
+    # one batch: 90 light docs + 10 heavy docs
+    n = 100
+    tbl = pa.table(
+        {
+            "doc_id": [f"d{i:04d}" for i in range(n)],
+            "media_cost": [100.0 if i < 10 else 1.0 for i in range(n)],
+        }
+    )
+    out = (
+        cost_balanced_shard(rd.from_arrow(tbl), num_shards=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out["shard"].between(0, 4).all()
+    heavy_shards = out.iloc[:10]["shard"].value_counts()
+    # 10 heavy docs round-robined over 5 shards → exactly 2 each
+    assert (heavy_shards == 2).all()
+    # determinism: same input → same assignment
+    out2 = (
+        cost_balanced_shard(rd.from_arrow(tbl), num_shards=5)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out["shard"].equals(out2["shard"])
