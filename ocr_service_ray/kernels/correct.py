@@ -40,6 +40,10 @@ from difflib import SequenceMatcher
 _WORD_PATTERN = re.compile(r"\b[А-Яа-яЁё0-9]+\b")
 # correctors.py:270
 _TOKEN_PATTERN = re.compile(r"\b\w+\b|\W+")
+# The \W+ alternates of _TOKEN_PATTERN never survive the loop's
+# isalnum() filter, so the hot path enumerates only word tokens — the
+# SURVIVING token sequence (and thus replacement order) is identical.
+_WORD_TOKEN = re.compile(r"\b\w+\b")
 
 SIMILARITY_THRESHOLD = 0.8  # config/settings.py:30
 MAX_CORRECTION_DISTANCE = 2  # config/settings.py:31 — defined, never used in hot path
@@ -207,6 +211,10 @@ def contextual_correct(text: str) -> tuple[str, list[dict]]:
                 return new_word
         return word
 
+    # Fast guard: without a '0' or '8' anywhere, no word can change —
+    # skip the regex pass + 37k Python callbacks entirely.
+    if "0" not in text and "8" not in text:
+        return text, corrections_applied
     return _WORD_PATTERN.sub(replace_digits, text), corrections_applied
 
 
@@ -215,8 +223,8 @@ def dictionary_correct(text: str, db: CorrectionsDB) -> tuple[str, list[dict]]:
     input text; replacements mutate the running text sequentially."""
     corrections_applied: list[dict] = []
     corrected_text = text
-    for word in _TOKEN_PATTERN.findall(text):
-        if not word.strip() or not word.isalnum():
+    for word in _WORD_TOKEN.findall(text):
+        if not word.isalnum():  # \w includes '_' — same filter as the reference loop
             continue
         suggestion = db.suggest_cached(word)
         if suggestion:

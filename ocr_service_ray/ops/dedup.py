@@ -38,6 +38,41 @@ from ocr_service_ray.ops.text import content_hash
 _MERSENNE31 = np.uint64((1 << 31) - 1)
 
 
+def dedupe_pairs(pairs_ds, value_col: str, agg: str = "min", num_buckets: int = 64):
+    """Collapse duplicate (id_a, id_b) pair rows keeping the min/max of
+    ``value_col`` — the cross-band dedup tail of every LSH pass.
+
+    NOT ``groupby([id_a, id_b]).aggregate(...)``: Ray's grouped
+    aggregate pays ~1ms of per-group dispatch, and pair keys are
+    near-unique (measured 30s+ for 44k pairs). Instead the pairs are
+    hashed into ``num_buckets`` coarse groups (one small shuffle) and
+    deduped INSIDE each group with one vectorized pandas
+    sort+drop_duplicates — identical result, per-group cost amortized
+    over thousands of pairs. The bucket hash MUST be element-pure
+    (ops/hashing.py) — ``pd.util.hash_array`` is not, and silently
+    split copies of the same pair across buckets."""
+    from ocr_service_ray.ops.hashing import hash_pair_columns
+
+    def add_bucket(batch: pa.Table) -> pa.Table:
+        h = hash_pair_columns(batch["id_a"], batch["id_b"])
+        return batch.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    ascending = agg == "min"
+
+    def dedup_group(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(value_col, ascending=ascending, kind="stable")
+        g = g.drop_duplicates(subset=["id_a", "id_b"], keep="first")
+        return g.drop(columns=["_bucket"])
+
+    return (
+        pairs_ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(dedup_group, batch_format="pandas")
+    )
+
+
 def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     """Group by md5(text); keep the smallest id per group, count dups.
     Returns {text_hash, keep_id, dups}. Skew note: a hot hash value can
@@ -176,10 +211,8 @@ def minhash_lsh_candidates(
     pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
         bucket_pairs, batch_format="pandas"
     )
-    # Same pair can surface from several bands → collapse.
-    from ray.data.aggregate import Max
-
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Max("est_jaccard", alias_name="est_jaccard"))
+    # Same pair can surface from several bands → collapse (vectorized).
+    return dedupe_pairs(pairs, "est_jaccard", agg="max")
 
 
 def _keep_hot_buckets(rows_ds, key_cols: list[str]):
@@ -309,8 +342,6 @@ def simhash_candidates(
             }
         )
 
-    from ray.data.aggregate import Min
-
     # One corpus pass → 8-byte fingerprint per doc, materialized (see
     # minhash_lsh_candidates phase-1 note; fingerprints are trivially
     # small at any scale). Band explosion + count + filter all read the
@@ -324,7 +355,7 @@ def simhash_candidates(
     # exact_dedup first on real corpora so identical texts never reach
     # the near-dup pass.
     pairs = band_rows.groupby("band").map_groups(band_pairs, batch_format="pandas")
-    return pairs.groupby(["id_a", "id_b"]).aggregate(Min("hamming", alias_name="hamming"))
+    return dedupe_pairs(pairs, "hamming", agg="min")
 
 
 def ngram_jaccard_pairs(ds, pair_key, text_col: str = "text", id_col: str = "doc_id", n: int = 3):

@@ -1,0 +1,56 @@
+"""Element-pure stable hashing for shuffle keys.
+
+``pandas.util.hash_array`` is NOT element-pure: the hash of an element
+can depend on the other elements in the array (observed: the same
+string hashing to different values in different batches — which
+silently broke a hash-bucketed dedup by sending copies of the same
+pair to different buckets). Shuffle keys need a hash that is a pure
+function of the element value, identical in every process and batch.
+
+- integers: vectorized splitmix64 finalizer (numpy, exact uint64).
+- strings/other: per-element blake2b (Python loop, ~1 µs/row — these
+  hashes run over candidate/pair tables, not the corpus hot path).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def _splitmix64(x: np.ndarray) -> np.ndarray:
+    x = x.astype(np.uint64, copy=True)
+    with np.errstate(over="ignore"):
+        x += np.uint64(0x9E3779B97F4A7C15)
+        x = (x ^ (x >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+        x = (x ^ (x >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+        x = x ^ (x >> np.uint64(31))
+    return x
+
+
+def hash_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable uint64 hash per element — pure function of the value."""
+    if pa.types.is_integer(arr.type):
+        return _splitmix64(
+            pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+        )
+    vals = pc.cast(arr, pa.string()).to_pylist()
+    return np.fromiter(
+        (
+            int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "little")
+            for v in vals
+        ),
+        dtype=np.uint64,
+        count=len(vals),
+    )
+
+
+def hash_pair_columns(a: pa.ChunkedArray | pa.Array, b: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    """Stable uint64 hash of an (a, b) key pair (order-sensitive)."""
+    with np.errstate(over="ignore"):
+        return _splitmix64(
+            hash_column(a) * np.uint64(0x100000001B3) ^ hash_column(b)
+        )

@@ -37,13 +37,11 @@ DEFAULT_KIND_WEIGHTS = {"text": 1.0, "area": 4.0, "image": 8.0, "pdf_page": 10.0
 
 
 def _hash64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Stable per-row 64-bit hash of a string/int column —
-    ``pandas.util.hash_array`` (vectorized C siphash, fixed key,
-    PYTHONHASHSEED-independent)."""
-    import pandas as pd
+    """Stable per-row 64-bit hash — element-pure (ops/hashing.py;
+    ``pd.util.hash_array`` is not and must not be used for keys)."""
+    from ocr_service_ray.ops.hashing import hash_column
 
-    s = pc.cast(arr, pa.string()).to_pandas().to_numpy(dtype=object)
-    return pd.util.hash_array(s)
+    return hash_column(arr)
 
 
 def salted_aggregate(

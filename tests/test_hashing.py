@@ -1,0 +1,65 @@
+"""Element-pure hashing + pair-dedup regression tests.
+
+Regression context: pd.util.hash_array turned out not to be a pure
+function of the element (same string → different hash depending on
+the rest of the array), which silently broke hash-bucketed pair dedup
+by scattering copies of one pair across buckets."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+
+def test_hash_column_element_pure_strings():
+    from ocr_service_ray.ops.hashing import hash_column
+
+    a = pa.array(["4\x003185", "x", "y"])
+    b = pa.array(["zzz", "4\x003185"])
+    h_a = hash_column(a)
+    h_b = hash_column(b)
+    assert h_a[0] == h_b[1]  # same value, different array context
+
+
+def test_hash_column_element_pure_ints():
+    from ocr_service_ray.ops.hashing import hash_column
+
+    a = pa.chunked_array([pa.array([7, 8], pa.int64()), pa.array([9], pa.int64())])
+    b = pa.array([9, 7], pa.int32())
+    h_a = hash_column(a)
+    h_b = hash_column(b)
+    assert h_a[0] == h_b[1] and h_a[2] == h_b[0]
+    assert len(set(h_a.tolist())) == 3  # scrambled, not identity
+
+
+def test_hash_pair_order_sensitive():
+    from ocr_service_ray.ops.hashing import hash_pair_columns
+
+    a = pa.array([1, 2]); b = pa.array([2, 1])
+    h = hash_pair_columns(a, b)
+    assert h[0] != h[1]
+
+
+def test_dedupe_pairs_exact(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.dedup import dedupe_pairs
+
+    rng = np.random.RandomState(0)
+    base = pd.DataFrame(
+        {
+            "id_a": rng.randint(0, 5000, 44000),
+            "id_b": rng.randint(0, 5000, 44000),
+            "hamming": rng.randint(0, 9, 44000),
+        }
+    ).drop_duplicates(["id_a", "id_b"])
+    dups = base.sample(4000, random_state=1).copy()
+    dups["hamming"] += 1
+    pairs = pd.concat([base, dups]).reset_index(drop=True)
+    ds = rd.from_pandas([pairs.iloc[i::50].copy() for i in range(50)])
+    out = dedupe_pairs(ds, "hamming", agg="min").to_pandas()
+    assert len(out) == len(base)
+    assert out.duplicated(["id_a", "id_b"]).sum() == 0
+    # min kept: the 4000 duplicated pairs must carry the ORIGINAL hamming
+    merged = out.merge(base, on=["id_a", "id_b"], suffixes=("", "_want"))
+    assert (merged["hamming"] == merged["hamming_want"]).all()
