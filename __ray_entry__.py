@@ -133,11 +133,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_top_sources(sf_dir):
-        from ray.data.aggregate import Count
+        from ocr_service_ray.ops.agg import grouped_agg
 
         return relational.topk(
-            _read(sf_dir, "documents", ["source"]).groupby("source").aggregate(
-                Count(alias_name="n_docs")
+            grouped_agg(
+                _read(sf_dir, "documents", ["source"]),
+                ["source"],
+                {"n_docs": (None, "count")},
             ),
             by=["n_docs", "source"],
             k=10,
@@ -152,25 +154,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_windowed_events(sf_dir):
         import pandas as pd
 
+        from ocr_service_ray.ops.agg import grouped_agg
+
         def add_window(b: pd.DataFrame) -> pd.DataFrame:
             b = b.copy()
             b["window"] = b["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
-            return b[["window", "event_type", "value"]]
+            # per-row floor-cents BEFORE the sum: integer accumulation is
+            # order-independent, so the distributed sum is bit-exact
+            b["cents"] = np.floor(b["value"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+            return b[["window", "event_type", "cents"]]
 
-        from ray.data.aggregate import Count, Sum
-
-        agg = (
-            _read(sf_dir, "events", ["ts", "event_type", "value"])
-            .map_batches(add_window, batch_format="pandas")
-            .groupby(["window", "event_type"])
-            .aggregate(Count(alias_name="n_events"), Sum("value", alias_name="_sv"))
+        return grouped_agg(
+            _read(sf_dir, "events", ["ts", "event_type", "value"]).map_batches(
+                add_window, batch_format="pandas"
+            ),
+            ["window", "event_type"],
+            {"n_events": ("cents", "count"), "sum_value_cents": ("cents", "sum")},
         )
-
-        def finish(b: pa.Table) -> pa.Table:
-            cents = np.floor(b["_sv"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(np.int64)
-            return b.drop_columns(["_sv"]).append_column("sum_value_cents", pa.array(cents))
-
-        return agg.map_batches(finish, batch_format="pyarrow")
 
     def q_promote_shape_events(sf_dir):
         """A3 promotion shape (groupby → count/mean gates) applied to
@@ -194,14 +194,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         return agg.map_batches(gate, batch_format="pyarrow")
 
     def q_top_error_users(sf_dir):
-        from ray.data.aggregate import Count
+        from ocr_service_ray.ops.agg import grouped_agg
 
         errors = _read(sf_dir, "events", ["user_id", "event_type"]).map_batches(
             lambda b: b.filter(pc.equal(b["event_type"], "error")).select(["user_id"]),
             batch_format="pyarrow",
         )
         return relational.topk(
-            errors.groupby("user_id").aggregate(Count(alias_name="n_errors")),
+            grouped_agg(errors, ["user_id"], {"n_errors": (None, "count")}),
             by=["n_errors", "user_id"],
             k=10,
             descending=[True, False],
@@ -685,7 +685,8 @@ def oracle_sql() -> dict[str, str]:
             SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window,
                    event_type,
                    CAST(count(*) AS BIGINT) AS n_events,
-                   CAST(floor(sum(value) * 100.0 + 0.5) AS BIGINT) AS sum_value_cents
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
             FROM events GROUP BY 1, 2
         """,
         "promote_shape_events": """

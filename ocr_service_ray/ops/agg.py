@@ -1,0 +1,116 @@
+"""Vectorized grouped aggregation — map-side combiner + coarse-bucket
+final merge.
+
+``Dataset.groupby(keys).aggregate(...)`` pays ~1 ms of per-group
+dispatch in its sort-based reduce; with thousands of groups that
+dominates the query (measured 3.4s for a 3.6k-group count/sum over
+100k rows, vs 1.6s with this operator; pair-dedup showed 34s → 6s).
+
+This operator is the textbook shuffle-minimizing shape:
+
+1. **partial** (map_batches): one vectorized pandas groupby per block
+   collapses the block to ≤ |groups| partial rows — the combiner; the
+   shuffle then moves partials, not rows.
+2. **bucket** (map_batches): element-pure hash (ops/hashing.py) of the
+   group key into ``num_buckets`` coarse buckets.
+3. **final** (groupby(bucket).map_groups): ONE vectorized pandas
+   groupby-agg per bucket — per-group cost amortized over thousands of
+   groups in the bucket.
+
+Exactness: count/min/max are exact; sum is exact for ints (use
+floor-cents / micro-int columns for money — the repo-wide oracle
+discipline); mean is derived as sum/count at the end.
+
+Supported aggs: "count", "sum", "min", "max", "mean".
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+_PARTIAL = {
+    "count": "size",
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+}
+_MERGE = {
+    "count": "sum",
+    "sum": "sum",
+    "min": "min",
+    "max": "max",
+}
+
+
+def grouped_agg(
+    ds,
+    keys: list[str],
+    specs: dict[str, tuple[str | None, str]],
+    num_buckets: int = 32,
+):
+    """Grouped aggregation with vectorized partial+final phases.
+
+    ``specs``: {out_col: (in_col, agg)} — in_col is None for "count".
+    Result schema: keys + out_cols (same values as
+    ``groupby(keys).aggregate(...)``, row order unspecified).
+    """
+    from ocr_service_ray.ops.hashing import hash_column
+
+    # mean = sum/count derived at the end
+    phys: dict[str, tuple[str | None, str]] = {}
+    derived_means: dict[str, tuple[str, str]] = {}
+    for out, (col, agg) in specs.items():
+        if agg == "mean":
+            if col is None:
+                raise ValueError("mean needs a column")
+            phys[f"_{out}_sum"] = (col, "sum")
+            phys[f"_{out}_cnt"] = (col, "count")
+            derived_means[out] = (f"_{out}_sum", f"_{out}_cnt")
+        elif agg in _PARTIAL:
+            phys[out] = (col, agg)
+        else:
+            raise ValueError(f"unsupported agg: {agg}")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        data_cols = [c for c, _ in phys.values() if c is not None and c not in keys]
+        if not data_cols:
+            # count-only over the key columns: size() (agg() can't
+            # reference a grouping column)
+            out = b.groupby(keys, as_index=False).size()
+            (count_out,) = phys.keys()
+            return out.rename(columns={"size": count_out})
+        named = {}
+        for out, (col, agg) in phys.items():
+            if agg == "count":
+                named[out] = (col or data_cols[0], "size")
+            else:
+                named[out] = (col, _PARTIAL[agg])
+        return b.groupby(keys, as_index=False).agg(**named)
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        # combined element-pure hash over ALL key columns — balanced
+        # buckets whatever the per-column cardinalities
+        h = hash_column(b[keys[0]])
+        for k in keys[1:]:
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x100000001B3) ^ hash_column(b[k])
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        named = {out: (out, _MERGE[agg]) for out, (_, agg) in phys.items()}
+        out = g.groupby(keys, as_index=False).agg(**named)
+        for mean_col, (s, c) in derived_means.items():
+            out[mean_col] = out[s] / out[c]
+            out = out.drop(columns=[s, c])
+        return out
+
+    return (
+        ds.map_batches(partial, batch_format="pandas")
+        .map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(final, batch_format="pandas")
+    )

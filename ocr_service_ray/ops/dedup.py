@@ -79,17 +79,19 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     only come from a hot identical text (e.g. ""), which is exactly
     the group we must collapse — per-group work is O(1) because the
     aggregate is Min/Count, not a row materialization."""
-    from ray.data.aggregate import Count, Min
+    from ocr_service_ray.ops.agg import grouped_agg
 
     hashed = ds.map_batches(
         lambda b: content_hash(b, text_col).select(["text_hash", id_col]),
         batch_format="pyarrow",
     )
-    out = hashed.groupby("text_hash").aggregate(
-        Min(id_col, alias_name="keep_id"),
-        Count(alias_name="dups"),
+    # vectorized partial+final aggregate: group count ≈ distinct texts
+    # (near one per doc), where the native per-group reduce dominates
+    return grouped_agg(
+        hashed,
+        ["text_hash"],
+        {"keep_id": (id_col, "min"), "dups": (id_col, "count")},
     )
-    return out
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
@@ -227,12 +229,13 @@ def _keep_hot_buckets(rows_ds, key_cols: list[str]):
     """
     import ray
     import pyarrow.compute as pc
-    from ray.data.aggregate import Count
 
-    counts = (
-        rows_ds.select_columns(key_cols)  # project before the counting shuffle
-        .groupby(key_cols)
-        .aggregate(Count(alias_name="n"))
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    counts = grouped_agg(
+        rows_ds.select_columns(key_cols),  # project before the counting shuffle
+        key_cols,
+        {"n": (None, "count")},
     )
     hot_df = counts.map_batches(
         lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"

@@ -63,3 +63,52 @@ def test_dedupe_pairs_exact(ray_session):
     # min kept: the 4000 duplicated pairs must carry the ORIGINAL hamming
     merged = out.merge(base, on=["id_a", "id_b"], suffixes=("", "_want"))
     assert (merged["hamming"] == merged["hamming_want"]).all()
+
+
+def test_grouped_agg_matches_native(ray_session):
+    import ray.data as rd
+    from ray.data.aggregate import Count, Max, Mean, Min, Sum
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    rng = np.random.RandomState(3)
+    df = pd.DataFrame(
+        {
+            "k1": rng.randint(0, 400, 20000).astype(str),
+            "k2": rng.choice(["a", "b", "c"], 20000),
+            "v": rng.randint(-1000, 1000, 20000),
+        }
+    )
+    ds = rd.from_pandas([df.iloc[i::10].copy() for i in range(10)])
+    got = (
+        grouped_agg(
+            ds,
+            ["k1", "k2"],
+            {
+                "n": (None, "count"),
+                "s": ("v", "sum"),
+                "lo": ("v", "min"),
+                "hi": ("v", "max"),
+                "avg": ("v", "mean"),
+            },
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    want = (
+        ds.groupby(["k1", "k2"])
+        .aggregate(
+            Count(alias_name="n"),
+            Sum("v", alias_name="s"),
+            Min("v", alias_name="lo"),
+            Max("v", alias_name="hi"),
+            Mean("v", alias_name="avg"),
+        )
+        .to_pandas()
+        .sort_values(["k1", "k2"])
+        .reset_index(drop=True)
+    )
+    for col in ("n", "s", "lo", "hi"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all()
+    assert np.allclose(got["avg"], want["avg"])
