@@ -44,6 +44,42 @@ _MERGE = {
 }
 
 
+def bucketed_map_groups(ds, keys: list[str], fn, num_buckets: int = 32):
+    """``groupby(keys).map_groups(fn)`` with the per-group dispatch cost
+    amortized: rows are shuffled ONCE on a coarse element-pure hash
+    bucket of the key (all rows of a key land in one bucket), and
+    inside each bucket a pandas ``groupby(keys, sort=...).apply``-style
+    loop calls ``fn`` per true group at ~50 µs/group instead of Ray's
+    ~1 ms/group. Semantics identical to map_groups for a pure ``fn``:
+    each call sees ALL rows of exactly one key.
+
+    Use when group count is large (users, buckets, pairs); plain
+    map_groups is fine for few groups."""
+    from ocr_service_ray.ops.hashing import hash_column
+
+    def add_bucket(b: pa.Table) -> pa.Table:
+        h = hash_column(b[keys[0]])
+        for k in keys[1:]:
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x100000001B3) ^ hash_column(b[k])
+        return b.append_column(
+            "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
+        )
+
+    def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_bucket"])
+        # every non-empty bucket has ≥1 group; empty outputs still carry
+        # fn's output schema through the concat
+        outs = [fn(grp) for _, grp in g.groupby(keys, sort=False)]
+        return pd.concat([o for o in outs if o is not None], ignore_index=True)
+
+    return (
+        ds.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("_bucket")
+        .map_groups(per_bucket, batch_format="pandas")
+    )
+
+
 def grouped_agg(
     ds,
     keys: list[str],

@@ -210,9 +210,11 @@ def minhash_lsh_candidates(
                     est.append(float(e))
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
 
-    pairs = band_rows.groupby(["band", "band_hash"]).map_groups(
-        bucket_pairs, batch_format="pandas"
-    )
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    # bucketed: LSH bucket count grows with the corpus (per-group
+    # dispatch trap — see ops/agg.py)
+    pairs = bucketed_map_groups(band_rows, ["band", "band_hash"], bucket_pairs)
     # Same pair can surface from several bands → collapse (vectorized).
     return dedupe_pairs(pairs, "est_jaccard", agg="max")
 
@@ -390,10 +392,12 @@ def ngram_jaccard_pairs(ds, pair_key, text_col: str = "text", id_col: str = "doc
             {"id_a": [g[id_col].iloc[0]], "id_b": [g[id_col].iloc[1]], "jaccard": [jac]}
         )
 
-    return (
-        ds.map_batches(add_key, batch_format="pyarrow")
-        .groupby("pair_id")
-        .map_groups(verify, batch_format="pandas")
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    # bucketed: one group per candidate pair — plain map_groups would
+    # pay ~1 ms dispatch per pair
+    return bucketed_map_groups(
+        ds.map_batches(add_key, batch_format="pyarrow"), ["pair_id"], verify
     )
 
 
@@ -452,4 +456,8 @@ def embedding_near_dup(
             }
         )
 
-    return ds.groupby(block_col).map_groups(block_pairs, batch_format="pandas")
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    # bucketed: at corpus scale the block key is an IVF cluster id with
+    # thousands of distinct values
+    return bucketed_map_groups(ds, [block_col], block_pairs)
