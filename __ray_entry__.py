@@ -172,6 +172,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n_events": ("cents", "count"), "sum_value_cents": ("cents", "sum")},
         )
 
+    def q_sliding_window_events(sf_dir):
+        """Hopping-window aggregate (size 2h, hop 1h): each event lands
+        in 2 windows; explode + one combined grouped aggregate."""
+        return relational.sliding_window_agg(
+            _read(sf_dir, "events", ["ts", "event_type", "value"]),
+            size_hours=2,
+            hop_hours=1,
+        )
+
     def q_promote_shape_events(sf_dir):
         """A3 promotion shape (groupby → count/mean gates) applied to
         the events table: pairs with ≥3 occurrences and mean value ≥ 100."""
@@ -608,6 +617,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_sources": q_top_sources,
         "exact_dedup": q_exact_dedup,
         "windowed_events": q_windowed_events,
+        "sliding_window_events": q_sliding_window_events,
         "promote_shape_events": q_promote_shape_events,
         "top_error_users": q_top_error_users,
         "sessionize_users": q_sessionize_users,
@@ -688,6 +698,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
                      AS sum_value_cents
             FROM events GROUP BY 1, 2
+        """,
+        "sliding_window_events": """
+            WITH exploded AS (
+              SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S')
+                       AS window_start,
+                     event_type,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events
+              UNION ALL
+              SELECT strftime(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+                              '%Y-%m-%d %H:%M:%S') AS window_start,
+                     event_type,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events)
+            SELECT window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(cents) AS BIGINT) AS sum_value_cents
+            FROM exploded GROUP BY window_start, event_type
         """,
         "promote_shape_events": """
             SELECT user_id, event_type,

@@ -113,6 +113,53 @@ def windowed_agg(events_ds, ts_col: str = "ts", key_col: str = "event_type", fre
     )
 
 
+def sliding_window_agg(
+    events_ds,
+    size_hours: int = 2,
+    hop_hours: int = 1,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+):
+    """Sliding (hopping) window aggregate: each event is exploded to
+    the ``size/hop`` windows covering it (stateless vectorized map — no
+    per-event state, no ordering assumption), then ONE combined
+    grouped aggregate on (window_start, key). Money in floor-cents so
+    the distributed sum is bit-exact. window_start is the window's
+    inclusive lower bound; windows align to the epoch hop grid."""
+    if size_hours % hop_hours:
+        raise ValueError("size_hours must be a multiple of hop_hours")
+    k = size_hours // hop_hours
+
+    def explode(b: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        base = b[ts_col].dt.floor(f"{hop_hours}h")
+        frames = []
+        for i in range(k):
+            f = pd.DataFrame(
+                {
+                    "window_start": (
+                        base - pd.Timedelta(hours=i * hop_hours)
+                    ).dt.strftime("%Y-%m-%d %H:%M:%S"),
+                    key_col: b[key_col].to_numpy(),
+                    "cents": np.floor(b[value_col].to_numpy() * 100.0 + 0.5).astype(
+                        "int64"
+                    ),
+                }
+            )
+            frames.append(f)
+        return pd.concat(frames, ignore_index=True)
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    return grouped_agg(
+        events_ds.map_batches(explode, batch_format="pandas"),
+        ["window_start", key_col],
+        {"n_events": ("cents", "count"), "sum_value_cents": ("cents", "sum")},
+    )
+
+
 def sessionize(events_ds, gap_minutes: float = 30.0, user_col: str = "user_id", ts_col: str = "ts"):
     """Session windows: partition by user (shuffle), sort by ts WITHIN
     the group, split on gaps > ``gap_minutes``. Emits one row per user
