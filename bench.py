@@ -44,7 +44,9 @@ BENCH_QUERIES = [
     "minhash_dedup",
     "simhash_dedup",
     "windowed_events",
+    "sliding_window_events",
     "sessionize_users",
+    "ngram_jaccard",
     "lineitem_pricing",
     "hash_join_orders_lineitem",
     "knn_brute",
