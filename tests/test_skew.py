@@ -84,3 +84,46 @@ def test_cost_balanced_shard_spreads_heavy(ray_session):
         .set_index("doc_id")
     )
     assert out["shard"].equals(out2["shard"])
+
+
+def test_sliding_window_k1_equals_tumbling(ray_session):
+    """size == hop → sliding degenerates to the tumbling window."""
+    import numpy as np
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import sliding_window_agg
+
+    def events():
+        return rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+
+    slid = (
+        sliding_window_agg(events(), size_hours=1, hop_hours=1)
+        .to_pandas()
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    # direct tumbling computation
+    df = events().to_pandas()
+    df["window_start"] = df["ts"].dt.floor("h").dt.strftime("%Y-%m-%d %H:%M:%S")
+    df["cents"] = np.floor(df["value"].to_numpy() * 100.0 + 0.5).astype("int64")
+    want = (
+        df.groupby(["window_start", "event_type"], as_index=False)
+        .agg(n_events=("cents", "size"), sum_value_cents=("cents", "sum"))
+        .sort_values(["window_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert slid[["window_start", "event_type"]].equals(want[["window_start", "event_type"]])
+    assert (slid["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (slid["sum_value_cents"].to_numpy() == want["sum_value_cents"].to_numpy()).all()
+
+
+def test_sliding_window_each_event_in_k_windows(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import sliding_window_agg
+
+    events = rd.read_parquet(f"{SF}/events.parquet", columns=["ts", "event_type", "value"])
+    n = events.count()
+    out = sliding_window_agg(events, size_hours=2, hop_hours=1).to_pandas()
+    assert out["n_events"].sum() == 2 * n  # every event counted in exactly 2 windows
