@@ -124,12 +124,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_lang_distribution(sf_dir):
-        from ray.data.aggregate import Count, Sum
+        from ocr_service_ray.ops.agg import grouped_agg
 
-        return (
-            _read(sf_dir, "documents", ["lang", "n_chars"])
-            .groupby("lang")
-            .aggregate(Count(alias_name="n_docs"), Sum("n_chars", alias_name="sum_chars"))
+        return grouped_agg(
+            _read(sf_dir, "documents", ["lang", "n_chars"]),
+            ["lang"],
+            {"n_docs": ("n_chars", "count"), "sum_chars": ("n_chars", "sum")},
         )
 
     def q_top_sources(sf_dir):
@@ -184,12 +184,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_promote_shape_events(sf_dir):
         """A3 promotion shape (groupby → count/mean gates) applied to
         the events table: pairs with ≥3 occurrences and mean value ≥ 100."""
-        from ray.data.aggregate import Count, Mean
+        from ocr_service_ray.ops.agg import grouped_agg
 
-        agg = (
-            _read(sf_dir, "events", ["user_id", "event_type", "value"])
-            .groupby(["user_id", "event_type"])
-            .aggregate(Count(alias_name="occurrences"), Mean("value", alias_name="_avg"))
+        agg = grouped_agg(
+            _read(sf_dir, "events", ["user_id", "event_type", "value"]),
+            ["user_id", "event_type"],
+            {"occurrences": ("value", "count"), "_avg": ("value", "mean")},
         )
 
         def gate(b: pa.Table) -> pa.Table:
@@ -243,31 +243,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             b["cents"] = np.floor(b["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
             return b[["c_mktsegment", "cents"]]
 
-        from ray.data.aggregate import Count, Sum
+        from ocr_service_ray.ops.agg import grouped_agg
 
-        return (
-            joined.map_batches(to_cents, batch_format="pandas")
-            .groupby("c_mktsegment")
-            .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+        return grouped_agg(
+            joined.map_batches(to_cents, batch_format="pandas"),
+            ["c_mktsegment"],
+            {"n_orders": ("cents", "count"), "total_cents": ("cents", "sum")},
         )
 
     def q_hash_join_orders_lineitem(sf_dir):
         """Large-large hash-partitioned join (Dataset.join)."""
-        from ray.data.aggregate import Count
+        from ocr_service_ray.ops.agg import grouped_agg
 
         orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
         li = _read(sf_dir, "lineitem", ["l_orderkey"])
-        joined = relational.hash_join(
-            orders, li, on="o_orderkey", num_partitions=8, join_type="inner"
-        ) if False else orders.join(
+        joined = orders.join(
             li, join_type="inner", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
         )
-        return joined.groupby("o_orderstatus").aggregate(Count(alias_name="n_lineitems"))
+        return grouped_agg(
+            joined.select_columns(["o_orderstatus"]),
+            ["o_orderstatus"],
+            {"n_lineitems": (None, "count")},
+        )
 
     def q_lineitem_pricing(sf_dir):
         """TPC-H-Q1-shaped global aggregate (A7): exact int accumulation
         via per-term floor-cents."""
-        from ray.data.aggregate import Count, Sum
 
         def prep(b: pa.Table) -> pa.Table:
             qty = b["l_quantity"].to_numpy(zero_copy_only=False)
@@ -285,20 +286,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        return (
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        return grouped_agg(
             _read(
                 sf_dir,
                 "lineitem",
                 ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice", "l_discount"],
-            )
-            .map_batches(prep, batch_format="pyarrow")
-            .groupby(["l_returnflag", "l_linestatus"])
-            .aggregate(
-                Sum("qty", alias_name="sum_qty"),
-                Sum("rev_cents", alias_name="revenue_cents"),
-                Sum("disc_micro", alias_name="sum_disc_micro"),
-                Count(alias_name="n_rows"),
-            )
+            ).map_batches(prep, batch_format="pyarrow"),
+            ["l_returnflag", "l_linestatus"],
+            {
+                "sum_qty": ("qty", "sum"),
+                "revenue_cents": ("rev_cents", "sum"),
+                "sum_disc_micro": ("disc_micro", "sum"),
+                "n_rows": ("qty", "count"),
+            },
         )
 
     def q_sort_topk_orders(sf_dir):
@@ -378,7 +380,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """D4 broadcast anti-join: orders whose customer is NOT in the
         BUILDING segment, aggregated by status."""
         import pyarrow.parquet as pq
-        from ray.data.aggregate import Count, Sum
+
+        from ocr_service_ray.ops.agg import grouped_agg
 
         cust = pq.read_table(
             f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
@@ -400,10 +403,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 {"o_orderstatus": b["o_orderstatus"], "cents": pa.array(c)}
             )
 
-        return (
-            kept.map_batches(cents, batch_format="pyarrow")
-            .groupby("o_orderstatus")
-            .aggregate(Count(alias_name="n_orders"), Sum("cents", alias_name="total_cents"))
+        return grouped_agg(
+            kept.map_batches(cents, batch_format="pyarrow"),
+            ["o_orderstatus"],
+            {"n_orders": ("cents", "count"), "total_cents": ("cents", "sum")},
         )
 
     def q_salted_event_totals(sf_dir):

@@ -44,6 +44,54 @@ _MERGE = {
 }
 
 
+def global_agg(ds, specs: dict[str, tuple[str | None, str]]) -> dict:
+    """Global (no-key) aggregate as map-side partials + a driver-side
+    merge of the tiny partial table. ``Dataset.aggregate`` pays the
+    same ~0.5 ms/ROW Python loop as the grouped native path (measured
+    76s of remote time for one 150k-row aggregate); here each block
+    collapses to ONE partial row vectorized, and only |blocks| rows
+    reach the driver. Supported: count/sum/min/max/mean (mean derived
+    as sum/count). Returns a plain dict."""
+    phys: dict[str, tuple[str | None, str]] = {}
+    derived_means: dict[str, tuple[str, str]] = {}
+    for out, (col, agg) in specs.items():
+        if agg == "mean":
+            phys[f"_{out}_sum"] = (col, "sum")
+            phys[f"_{out}_cnt"] = (col, "count")
+            derived_means[out] = (f"_{out}_sum", f"_{out}_cnt")
+        elif agg in _PARTIAL:
+            phys[out] = (col, agg)
+        else:
+            raise ValueError(f"unsupported agg: {agg}")
+
+    def partial(b: pd.DataFrame) -> pd.DataFrame:
+        row = {}
+        for out, (col, agg) in phys.items():
+            if agg == "count":
+                row[out] = [len(b)]
+            elif agg == "sum":
+                row[out] = [b[col].sum()]
+            elif agg == "min":
+                row[out] = [b[col].min()] if len(b) else [None]
+            elif agg == "max":
+                row[out] = [b[col].max()] if len(b) else [None]
+        return pd.DataFrame(row)
+
+    partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
+    result: dict = {}
+    for out, (_, agg) in phys.items():
+        if agg in ("count", "sum"):
+            result[out] = partials[out].sum()
+        elif agg == "min":
+            result[out] = partials[out].min()
+        elif agg == "max":
+            result[out] = partials[out].max()
+    for mean_col, (s, c) in derived_means.items():
+        result[mean_col] = result[s] / result[c] if result[c] else None
+        del result[s], result[c]
+    return result
+
+
 def bucketed_map_groups(ds, keys: list[str], fn, num_buckets: int = 32):
     """``groupby(keys).map_groups(fn)`` with the per-group dispatch cost
     amortized: rows are shuffled ONCE on a coarse element-pure hash

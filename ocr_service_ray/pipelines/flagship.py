@@ -138,16 +138,18 @@ def run_extraction(
 def corpus_summary(out_ds) -> dict:
     """Corpus statistics (aggregation A7 — the reference's
     ``summary.json``, ``scripts/process_dataset_phase1.py:238-269``):
-    one global partial+final aggregate, no driver-side row loop."""
-    from ray.data.aggregate import Count, Mean, Sum
+    vectorized map-side partials + driver merge of |blocks| rows
+    (ops/agg.global_agg — the native global aggregate pays a per-row
+    Python loop)."""
+    from ocr_service_ray.ops.agg import global_agg
 
-    row = (
-        out_ds.aggregate(
-            Count(alias_name="documents"),
-            Mean("overall_quality", alias_name="mean_quality"),
-            Mean("ocr_confidence", alias_name="mean_ocr_confidence"),
-            Sum("n_corrections", alias_name="total_corrections"),
-            Sum("total_pages", alias_name="total_pages"),
-        )
+    return global_agg(
+        out_ds,
+        {
+            "documents": (None, "count"),
+            "mean_quality": ("overall_quality", "mean"),
+            "mean_ocr_confidence": ("ocr_confidence", "mean"),
+            "total_corrections": ("n_corrections", "sum"),
+            "total_pages": ("total_pages", "sum"),
+        },
     )
-    return dict(row)
