@@ -43,9 +43,19 @@ def hash_join(left_ds, right_ds, on: str, num_partitions: int = 16, join_type: s
 def distinct_values(ds, col: str) -> list:
     """D3 — class-vocabulary style distinct
     (``scripts/train_classifier.py:126`` ``sorted(set(...))``):
-    ``Dataset.unique`` (distributed dedup shuffle), sorted on the
-    driver — the result is a vocabulary, small by contract."""
-    return sorted(ds.unique(col))
+    per-block vectorized dedup (the combiner — at most |vocab| rows
+    leave each block), then a driver-side set union. The result is a
+    vocabulary, small by contract; ``Dataset.unique`` would pay the
+    native aggregate's per-row Python loop."""
+    import pyarrow as pa
+
+    partial = ds.map_batches(
+        lambda b: pa.table({col: b[col].unique()}), batch_format="pyarrow"
+    )
+    values: set = set()
+    for batch in partial.iter_batches(batch_format="pyarrow"):
+        values.update(batch[col].to_pylist())
+    return sorted(values)
 
 
 def train_val_split(ds, train_fraction: float = 0.8, sort_col: str | None = None):

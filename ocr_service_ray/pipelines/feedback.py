@@ -96,7 +96,7 @@ def promote_corrections(feedback_ds, min_occurrences: int = 2, min_confidence: f
     """A3: the one true grouped aggregate of the system. Returns a
     Dataset of {original, corrected, occurrences, avg_confidence}
     sorted by (occurrences, avg_confidence) desc."""
-    from ray.data.aggregate import Count, Mean
+    from ocr_service_ray.ops.agg import grouped_agg
 
     unapplied = feedback_ds.map_batches(
         lambda t: t.filter(
@@ -107,9 +107,15 @@ def promote_corrections(feedback_ds, min_occurrences: int = 2, min_confidence: f
         ),
         batch_format="pyarrow",
     )
-    agg = unapplied.groupby(["original", "corrected"]).aggregate(
-        Count(alias_name="occurrences"),
-        Mean("confidence", alias_name="avg_confidence"),
+    # combiner-style aggregate (ops/agg.py): feedback tables grow with
+    # usage — the shuffle moves per-block partials, not events
+    agg = grouped_agg(
+        unapplied.select_columns(["original", "corrected", "confidence"]),
+        ["original", "corrected"],
+        {
+            "occurrences": ("confidence", "count"),
+            "avg_confidence": ("confidence", "mean"),
+        },
     )
     agg = agg.map_batches(
         lambda t: t.filter(
@@ -131,15 +137,18 @@ def top_error_patterns(feedback_ds, k: int = 10):
     """A4: most_common(k) over unapplied (original, corrected) pairs
     (``services/active_learning.py:154``). Deterministic tie-break on
     the pair itself."""
-    from ray.data.aggregate import Count
+    from ocr_service_ray.ops.agg import grouped_agg
 
     unapplied = feedback_ds.map_batches(
         lambda t: t.filter(pa.compute.invert(t["applied"].combine_chunks())),
         batch_format="pyarrow",
     )
     return (
-        unapplied.groupby(["original", "corrected"])
-        .aggregate(Count(alias_name="occurrences"))
+        grouped_agg(
+            unapplied.select_columns(["original", "corrected"]),
+            ["original", "corrected"],
+            {"occurrences": (None, "count")},
+        )
         .sort(
             ["occurrences", "original", "corrected"],
             descending=[True, False, False],
