@@ -102,24 +102,24 @@ def topk(ds, by: list[str], k: int, descending: list[bool]):
 
 def windowed_agg(events_ds, ts_col: str = "ts", key_col: str = "event_type", freq: str = "h"):
     """Tumbling-window aggregate: floor the timestamp to the window in
-    a stateless vectorized pass, then ONE grouped aggregate on
-    (window, key) — the partial aggregation inside map_batches comes
-    free with Ray Data's partial+final aggregate implementation."""
-    from ray.data.aggregate import Count, Mean, Sum
+    a stateless vectorized pass, then ONE combiner-style grouped
+    aggregate on (window, key) — ops/agg.grouped_agg collapses each
+    block to partials before the shuffle."""
+    from ocr_service_ray.ops.agg import grouped_agg
 
     def add_window(batch: pd.DataFrame) -> pd.DataFrame:
         batch = batch.copy()
         batch["window"] = batch[ts_col].dt.floor(freq)
-        return batch
+        return batch[["window", key_col, "value"]]
 
-    return (
-        events_ds.map_batches(add_window, batch_format="pandas")
-        .groupby(["window", key_col])
-        .aggregate(
-            Count(alias_name="n_events"),
-            Sum("value", alias_name="sum_value"),
-            Mean("value", alias_name="avg_value"),
-        )
+    return grouped_agg(
+        events_ds.map_batches(add_window, batch_format="pandas"),
+        ["window", key_col],
+        {
+            "n_events": ("value", "count"),
+            "sum_value": ("value", "sum"),
+            "avg_value": ("value", "mean"),
+        },
     )
 
 

@@ -62,25 +62,25 @@ def salted_aggregate(
     row's position within its batch), NOT random — reruns are
     deterministic.
     """
-    from ray.data.aggregate import Count, Sum
+    from ocr_service_ray.ops.agg import grouped_agg
 
     def add_salt(batch: pa.Table) -> pa.Table:
         # Deterministic row salt: position within the block mod salts.
         salt = (np.arange(batch.num_rows) % num_salts).astype(np.int32)
         return batch.append_column("_salt", pa.array(salt))
 
-    aggs = [Count(alias_name="_pn")]
+    specs = {"_pn": (sum_col, "count") if sum_col is not None else (None, "count")}
     if sum_col is not None:
-        aggs.append(Sum(sum_col, alias_name="_ps"))
-    partial = (
-        ds.map_batches(add_salt, batch_format="pyarrow")
-        .groupby([key_col, "_salt"])
-        .aggregate(*aggs)
+        specs["_ps"] = (sum_col, "sum")
+    partial = grouped_agg(
+        ds.map_batches(add_salt, batch_format="pyarrow"),
+        [key_col, "_salt"],
+        specs,
     )
-    final_aggs = [Sum("_pn", alias_name=count_alias)]
+    final_specs = {count_alias: ("_pn", "sum")}
     if sum_col is not None:
-        final_aggs.append(Sum("_ps", alias_name=sum_alias))
-    return partial.groupby(key_col).aggregate(*final_aggs)
+        final_specs[sum_alias] = ("_ps", "sum")
+    return grouped_agg(partial, [key_col], final_specs)
 
 
 def media_cost_column(
