@@ -69,3 +69,51 @@ def test_consensus_suggestions(ray_session, small_corpus):
     assert (got["occurrences"] >= 1).all()
     # Consensus rule: a from-token maps to exactly one suggested fix.
     assert got["from_"].is_unique
+
+
+def test_phase3_full_loop(ray_session):
+    """The reference's phase-3 flow (scripts/test_phase3.py:26-179):
+    process → collect feedback → promote → next corrections epoch →
+    REPROCESS with the new DB and observe the behavioral change. The
+    rebuild's epoch semantics make the loop explicit: the DB is frozen
+    within a run; promotion produces the next epoch's artifact."""
+    import pyarrow as pa
+
+    from ocr_service_ray import schema
+    from ocr_service_ray.pipelines.feedback import next_epoch, promote_corrections
+    from ocr_service_ray.pipelines.flagship import run_extraction
+    from ocr_service_ray.sources.synth import corrections_entries
+
+    import ray.data as rd
+
+    docs = pa.Table.from_pydict(
+        {
+            "doc_id": ["loop-0"],
+            "spans": [[{"kind": "text", "text": "Привет Масква 123", "media_ref": "", "offset": 0}]],
+        },
+        schema=schema.DOC_SCHEMA,
+    )
+
+    epoch1 = corrections_entries()
+    out1 = run_extraction(docs, {}, epoch1).take_all()[0]
+    assert "Масква" in out1["full_text"]  # epoch 1: token not corrected
+
+    # users file feedback: same fix observed twice, high confidence
+    feedback = pa.table(
+        {
+            "original": ["Масква", "Масква"],
+            "corrected": ["Москва", "Москва"],
+            "confidence": [0.9, 0.85],
+            "applied": [False, False],
+            "type": ["correction", "correction"],
+        }
+    )
+    promoted = promote_corrections(rd.from_arrow(feedback))
+    epoch2 = next_epoch(epoch1, promoted)
+    assert ("Масква", "Москва") in epoch2
+    assert len(epoch2) == len(epoch1) + 1
+
+    out2 = run_extraction(docs, {}, epoch2).take_all()[0]
+    assert "Москва" in out2["full_text"] and "Масква" not in out2["full_text"]
+    applied = {(c["from_"], c["to"]) for c in out2["corrections_applied"]}
+    assert ("Масква", "Москва") in applied
