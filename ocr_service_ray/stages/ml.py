@@ -51,7 +51,8 @@ class SpellCorrectorStage:
     MIN_LEN = 3
     MAX_LEN = 512
 
-    def __init__(self, model_path: str | None = None):
+    def __init__(self, model_path: str | None = None, text_col: str = "text"):
+        self.text_col = text_col
         self.backend = "fake-identity"
         self._model = None
         try:  # pragma: no cover - torch absent in sandbox
@@ -78,7 +79,7 @@ class SpellCorrectorStage:
         raise NotImplementedError("rut5 inference requires the model weights")
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        corrected = [self._correct_one(t) for t in batch["text"].to_pylist()]
+        corrected = [self._correct_one(t) for t in batch[self.text_col].to_pylist()]
         return batch.append_column(
             "ml_corrected_text", pa.array(corrected, pa.string())
         ).append_column(
@@ -210,6 +211,7 @@ def with_ml_stages(
     spell: bool = False,
     classify: bool = False,
     ml_quality: bool = False,
+    text_col: str = "text",
     batch_size: int = 64,
     concurrency=(1, 8),
     num_gpus: float = 0,
@@ -228,7 +230,11 @@ def with_ml_stages(
     if num_gpus:
         kwargs["num_gpus"] = num_gpus
     if spell:
-        ds = ds.map_batches(SpellCorrectorStage, **kwargs)
+        ds = ds.map_batches(
+            SpellCorrectorStage,
+            fn_constructor_kwargs={"text_col": text_col},
+            **kwargs,
+        )
     if classify:
         ds = ds.map_batches(DocumentClassifierStage, **kwargs)
     if ml_quality:

@@ -282,3 +282,46 @@ def test_real_engine_adapters_fail_fast():
     for name in ("tesseract", "onnx"):
         with _pytest.raises(NotImplementedError):
             make_engine(name)
+
+
+def test_phase1_vs_phase2_diff(ray_session):
+    """The reference's test_phase2 flow: run the base pipeline (phase
+    1), then the same pipeline with the optional ML stages appended
+    (phase 2), and diff — base columns identical, ML columns added."""
+    from ocr_service_ray.pipelines.flagship import run_extraction
+    from ocr_service_ray.sources.synth import corrections_entries, generate_corpus
+    from ocr_service_ray.stages.ml import with_ml_stages
+
+    docs, media = generate_corpus(30, seed=5)
+    base = run_extraction(docs, media, corrections_entries())
+    phase1 = base.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    base2 = run_extraction(docs, media, corrections_entries())
+    # ml_quality needs n_handwritten; derive from regions like check_quality
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    def add_hw(b: pa.Table) -> pa.Table:
+        return b.append_column(
+            "n_handwritten", pa.array([0] * b.num_rows, pa.int64())
+        )
+
+    phase2 = (
+        with_ml_stages(
+            base2.map_batches(add_hw, batch_format="pyarrow"),
+            spell=True,
+            classify=True,
+            ml_quality=True,
+            text_col="full_text",
+            concurrency=1,
+        )
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # base columns unchanged by the optional stages
+    for col in ("doc_id", "full_text", "ocr_confidence", "n_corrections"):
+        assert (phase1[col] == phase2[col]).all()
+    # phase 2 adds the ML columns
+    for col in ("ml_corrected_text", "document_type", "ml_combined_quality"):
+        assert col in phase2.columns and col not in phase1.columns
