@@ -604,6 +604,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return media_pipeline(rd.from_arrow(synthesize_media_items(200)))
 
+    def q_sessionize_streaming(sf_dir):
+        """Incremental actor-state sessionization over the ts-ordered
+        stream (raw-actor last-resort tier; ops/streaming.py). Emits
+        one row per SESSION."""
+        from ocr_service_ray.ops.streaming import sessionize_streaming
+
+        out = sessionize_streaming(
+            _read(sf_dir, "events", ["user_id", "ts"]), gap_minutes=30
+        )
+        out = out.rename(
+            columns={"session_start": "start_us", "session_end": "end_us"}
+        )
+        out["n_events"] = out["n_events"].astype("int64")
+        return out[["user_id", "start_us", "end_us", "n_events"]]
+
     def q_feedback_promote(sf_dir):
         import ray.data as rd
 
@@ -649,6 +664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ivf_knn": q_ivf_knn,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_routed": q_multimodal_routed,
+        "sessionize_streaming": q_sessionize_streaming,
         "feedback_promote": q_feedback_promote,
     }
 
@@ -833,6 +849,23 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(inter / (la + lb - inter) * 1000000.0 + 0.5)
                         AS BIGINT) AS jaccard_micro
             FROM pairs
+        """,
+        "sessionize_streaming": """
+            WITH flagged AS (
+              SELECT user_id, ts,
+                CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                          > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+              FROM events),
+            sess AS (
+              SELECT user_id, ts,
+                sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM flagged)
+            SELECT user_id,
+                   CAST(epoch_us(min(ts)) AS BIGINT) AS start_us,
+                   CAST(epoch_us(max(ts)) AS BIGINT) AS end_us,
+                   CAST(count(*) AS BIGINT) AS n_events
+            FROM sess GROUP BY user_id, session_id
         """,
         "unique_langs": """
             SELECT DISTINCT lang FROM documents

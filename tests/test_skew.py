@@ -127,3 +127,40 @@ def test_sliding_window_each_event_in_k_windows(ray_session):
     n = events.count()
     out = sliding_window_agg(events, size_hours=2, hop_hours=1).to_pandas()
     assert out["n_events"].sum() == 2 * n  # every event counted in exactly 2 windows
+
+
+def test_streaming_sessionize_matches_batch(ray_session):
+    """The incremental actor-state sessionizer must produce exactly the
+    batch groupby implementation's sessions."""
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import sessionize
+    from ocr_service_ray.ops.streaming import sessionize_streaming
+
+    def events():
+        return rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
+
+    stream = sessionize_streaming(events(), gap_minutes=30, num_buckets=4)
+    # aggregate per-session rows to the batch op's per-user summary
+    got = (
+        stream.groupby("user_id")
+        .agg(
+            n_sessions=("session_start", "size"),
+            max_session_events=("n_events", "max"),
+            n_events=("n_events", "sum"),
+        )
+        .reset_index()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    want = (
+        sessionize(events(), gap_minutes=30)
+        .to_pandas()
+        .sort_values("user_id")
+        .reset_index(drop=True)
+    )
+    assert (got["user_id"] == want["user_id"]).all()
+    for col in ("n_sessions", "max_session_events", "n_events"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
+    # per-session rows carry valid bounds
+    assert (stream["session_end"] >= stream["session_start"]).all()
