@@ -95,9 +95,21 @@ def broadcast_anti_join(ds, keys, on: str):
 
 
 def topk(ds, by: list[str], k: int, descending: list[bool]):
-    """Canonical top-k: distributed sort + limit (O5/O6). Callers must
+    """Canonical top-k (O5/O6), combiner-style: each block keeps its
+    local top-k (no row outside a block-local top-k can be in the
+    global one), then ONE final pass over the ≤ |blocks|·k candidate
+    rows — no all-to-all sort of the full dataset. Callers must
     include a unique tiebreak column for deterministic results."""
-    return ds.sort(by, descending=descending).limit(k)
+    ascending = [not d for d in descending]
+
+    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
+        return b.sort_values(by, ascending=ascending, kind="stable").head(k)
+
+    return (
+        ds.map_batches(local_topk, batch_format="pandas")
+        .repartition(1)
+        .map_batches(local_topk, batch_format="pandas")
+    )
 
 
 def windowed_agg(events_ds, ts_col: str = "ts", key_col: str = "event_type", freq: str = "h"):

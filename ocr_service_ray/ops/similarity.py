@@ -45,13 +45,16 @@ def cosine_to_query(batch: pa.Table, query: np.ndarray, vec_col: str = "embeddin
 
 
 def knn_brute(ds, query: np.ndarray, k: int = 5, vec_col: str = "embedding", id_col: str = "vec_id"):
-    """Exact top-k by cosine: scan → scalar column → distributed sort
-    desc (tiebreak id asc) → limit. Returns {id_col, cos_sim}."""
+    """Exact top-k by cosine: scan → scalar column → combiner-style
+    top-k (per-block local top-k, then one pass over the candidates —
+    ops/relational.topk; tiebreak id asc). Returns {id_col, cos_sim}."""
+    from ocr_service_ray.ops.relational import topk
+
     scored = ds.map_batches(
         lambda b: cosine_to_query(b, query, vec_col).select([id_col, "cos_sim"]),
         batch_format="pyarrow",
     )
-    return scored.sort(["cos_sim", id_col], descending=[True, False]).limit(k)
+    return topk(scored, ["cos_sim", id_col], k, descending=[True, False])
 
 
 def _kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 13) -> np.ndarray:
