@@ -255,10 +255,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         """Large-large hash-partitioned join (Dataset.join)."""
         from ocr_service_ray.ops.agg import grouped_agg
 
+        from ocr_service_ray.ops.relational import join_partitions_for
+
         orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
         li = _read(sf_dir, "lineitem", ["l_orderkey"])
         joined = orders.join(
-            li, join_type="inner", num_partitions=8, on=("o_orderkey",), right_on=("l_orderkey",)
+            li,
+            join_type="inner",
+            # size-derived, not a literal: partition count must track
+            # data volume (~128 MB of join input per partition)
+            num_partitions=join_partitions_for(orders, li),
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
         )
         return grouped_agg(
             joined.select_columns(["o_orderstatus"]),
@@ -607,17 +615,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
     def q_sessionize_streaming(sf_dir):
         """Incremental actor-state sessionization over the ts-ordered
         stream (raw-actor last-resort tier; ops/streaming.py). Emits
-        one row per SESSION."""
+        one row per SESSION, streamed out of the bucket actors as a
+        Dataset (the driver never holds the session rows)."""
         from ocr_service_ray.ops.streaming import sessionize_streaming
 
         out = sessionize_streaming(
             _read(sf_dir, "events", ["user_id", "ts"]), gap_minutes=30
         )
-        out = out.rename(
-            columns={"session_start": "start_us", "session_end": "end_us"}
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "start_us": b["session_start"],
+                    "end_us": b["session_end"],
+                    "n_events": b["n_events"],
+                }
+            ),
+            batch_format="pyarrow",
         )
-        out["n_events"] = out["n_events"].astype("int64")
-        return out[["user_id", "start_us", "end_us", "n_events"]]
 
     def q_feedback_promote(sf_dir):
         import ray.data as rd

@@ -21,6 +21,13 @@ Exactness: count/min/max are exact; sum is exact for ints (use
 floor-cents / micro-int columns for money — the repo-wide oracle
 discipline); mean is derived as sum/count at the end.
 
+Null semantics (SQL-matching): rows with a NULL group key form their
+own group (pandas ``dropna=False`` in every partial/final groupby;
+the bucket hash maps nulls to a fixed sentinel — ops/hashing.py).
+``count`` with a column counts NON-NULL values of it (SQL
+``COUNT(col)``); ``count`` with ``None`` counts rows (``COUNT(*)``);
+``mean`` divides the NaN-skipping sum by the non-null count.
+
 Supported aggs: "count", "sum", "min", "max", "mean".
 """
 
@@ -68,7 +75,8 @@ def global_agg(ds, specs: dict[str, tuple[str | None, str]]) -> dict:
         row = {}
         for out, (col, agg) in phys.items():
             if agg == "count":
-                row[out] = [len(b)]
+                # COUNT(*) for col=None, COUNT(col) (non-null) otherwise
+                row[out] = [len(b) if col is None else int(b[col].count())]
             elif agg == "sum":
                 row[out] = [b[col].sum()]
             elif agg == "min":
@@ -110,15 +118,18 @@ def bucketed_map_groups(ds, keys: list[str], fn, num_buckets: int = 32):
         for k in keys[1:]:
             with np.errstate(over="ignore"):
                 h = h * np.uint64(0x100000001B3) ^ hash_column(b[k])
-        return b.append_column(
+        # strip pandas schema metadata (a dict) — Ray's shuffle reduce
+        # hashes schemas for dedup and warns on unhashable metadata
+        return b.replace_schema_metadata(None).append_column(
             "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_bucket"])
         # every non-empty bucket has ≥1 group; empty outputs still carry
-        # fn's output schema through the concat
-        outs = [fn(grp) for _, grp in g.groupby(keys, sort=False)]
+        # fn's output schema through the concat. dropna=False: a null
+        # key is a real group (its rows all hash to the null sentinel).
+        outs = [fn(grp) for _, grp in g.groupby(keys, sort=False, dropna=False)]
         return pd.concat([o for o in outs if o is not None], ignore_index=True)
 
     return (
@@ -162,16 +173,20 @@ def grouped_agg(
         if not data_cols:
             # count-only over the key columns: size() (agg() can't
             # reference a grouping column)
-            out = b.groupby(keys, as_index=False).size()
+            out = b.groupby(keys, as_index=False, dropna=False).size()
             (count_out,) = phys.keys()
             return out.rename(columns={"size": count_out})
         named = {}
         for out, (col, agg) in phys.items():
             if agg == "count":
-                named[out] = (col or data_cols[0], "size")
+                # COUNT(*) when col is None ("size"), COUNT(col)
+                # (non-null, pandas "count") otherwise — SQL semantics
+                named[out] = (
+                    (data_cols[0], "size") if col is None else (col, "count")
+                )
             else:
                 named[out] = (col, _PARTIAL[agg])
-        return b.groupby(keys, as_index=False).agg(**named)
+        return b.groupby(keys, as_index=False, dropna=False).agg(**named)
 
     def add_bucket(b: pa.Table) -> pa.Table:
         # combined element-pure hash over ALL key columns — balanced
@@ -180,13 +195,14 @@ def grouped_agg(
         for k in keys[1:]:
             with np.errstate(over="ignore"):
                 h = h * np.uint64(0x100000001B3) ^ hash_column(b[k])
-        return b.append_column(
+        # metadata stripped: see bucketed_map_groups.add_bucket
+        return b.replace_schema_metadata(None).append_column(
             "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )
 
     def final(g: pd.DataFrame) -> pd.DataFrame:
         named = {out: (out, _MERGE[agg]) for out, (_, agg) in phys.items()}
-        out = g.groupby(keys, as_index=False).agg(**named)
+        out = g.groupby(keys, as_index=False, dropna=False).agg(**named)
         for mean_col, (s, c) in derived_means.items():
             out[mean_col] = out[s] / out[c]
             out = out.drop(columns=[s, c])

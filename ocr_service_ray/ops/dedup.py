@@ -55,7 +55,8 @@ def dedupe_pairs(pairs_ds, value_col: str, agg: str = "min", num_buckets: int = 
 
     def add_bucket(batch: pa.Table) -> pa.Table:
         h = hash_pair_columns(batch["id_a"], batch["id_b"])
-        return batch.append_column(
+        # metadata stripped: see ops/agg.bucketed_map_groups.add_bucket
+        return batch.replace_schema_metadata(None).append_column(
             "_bucket", pa.array((h % np.uint64(num_buckets)).astype(np.int32))
         )
 
@@ -196,8 +197,17 @@ def minhash_lsh_candidates(
     band_rows = _keep_hot_buckets(band_rows, ["band", "band_hash"])
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
+        # typed empty frame: an untyped one defaults to float64 and
+        # breaks downstream schema stability (RefBundle schema churn)
+        empty = pd.DataFrame(
+            {
+                "id_a": pd.Series(dtype=group["id"].dtype),
+                "id_b": pd.Series(dtype=group["id"].dtype),
+                "est_jaccard": pd.Series(dtype="float64"),
+            }
+        )
         if len(group) < 2:
-            return pd.DataFrame({"id_a": [], "id_b": [], "est_jaccard": []})
+            return empty
         g = group.sort_values("id").reset_index(drop=True)
         sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
         out_a, out_b, est = [], [], []
@@ -208,6 +218,8 @@ def minhash_lsh_candidates(
                     out_a.append(g["id"].iloc[i])
                     out_b.append(g["id"].iloc[i + 1 + j_off])
                     est.append(float(e))
+        if not out_a:
+            return empty
         return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
 
     from ocr_service_ray.ops.agg import bucketed_map_groups
@@ -239,20 +251,39 @@ def _keep_hot_buckets(rows_ds, key_cols: list[str]):
         key_cols,
         {"n": (None, "count")},
     )
-    hot_df = counts.map_batches(
-        lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
-    ).to_pandas()
-    hot = set(zip(*(hot_df[c] for c in key_cols))) if len(hot_df) else set()
-    hot_ref = ray.put(hot)
+    from ocr_service_ray.ops.hashing import hash_column
+
+    def _combined_hash(t: pa.Table) -> np.ndarray:
+        h = hash_column(t[key_cols[0]])
+        for c in key_cols[1:]:
+            with np.errstate(over="ignore"):
+                h = h * np.uint64(0x100000001B3) ^ hash_column(t[c])
+        return h
+
+    hot_tbl = pa.Table.from_pandas(
+        counts.map_batches(
+            lambda t: t.filter(pc.greater(t["n"], 1)), batch_format="pyarrow"
+        ).to_pandas(),
+        preserve_index=False,
+    )
+    # broadcast the hot keys as ONE sorted uint64 hash array — the
+    # per-batch filter is then a vectorized np.isin, no per-row Python.
+    # A 64-bit hash collision only lets a singleton row THROUGH the
+    # prefilter (downstream still groups by the true key, so a
+    # false-positive row just lands in a 1-member group → no pair);
+    # it can never drop a hot row.
+    hot_hashes = np.sort(_combined_hash(hot_tbl)) if hot_tbl.num_rows else np.array([], np.uint64)
+    hot_ref = ray.put(hot_hashes)
 
     class HotFilter:
         def __init__(self):
             self.hot = ray.get(hot_ref)
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            cols = [batch[c].to_pylist() for c in key_cols]
-            mask = [k in self.hot for k in zip(*cols)] if cols and cols[0] else []
-            return batch.filter(pa.array(mask, pa.bool_())) if mask else batch.slice(0, 0)
+            if not batch.num_rows:
+                return batch
+            mask = np.isin(_combined_hash(batch), self.hot, assume_unique=False)
+            return batch.filter(pa.array(mask))
 
     return rows_ds.map_batches(HotFilter, batch_format="pyarrow", concurrency=(1, 8))
 
@@ -313,15 +344,21 @@ def simhash_candidates(
             }
         )
 
-    # Pair generation is grouped by BAND ONLY (4 groups): Ray's
-    # map_groups pays ~1ms of block-slice + UDF dispatch per group, so
-    # grouping by (band, band_val) — thousands of near-singleton
-    # buckets — dominated the whole query (measured 16s of a 18s run).
-    # Within a band the per-bucket pairing is one vectorized pandas
-    # self-merge on band_val + a byte-table popcount over fp XORs.
+    # Pair generation is bucketed by the TRUE blocking key
+    # (band, band_val) via bucketed_map_groups — the hot-bucket
+    # prefilter leaves only multi-member buckets, and the coarse-hash
+    # bucketing amortizes Ray's ~1 ms per-group dispatch exactly like
+    # the minhash path (grouping by band alone materialized an entire
+    # band — 1/4 of the candidate table — in ONE task: a memory /
+    # straggler hazard at corpus scale). Within a bucket every row
+    # shares band_val, so pairing is upper-triangle index generation +
+    # a byte-table popcount over fp XORs, emitted in bounded slices so
+    # a degenerate bucket of D identical fingerprints streams its D²/2
+    # candidate rows instead of materializing them at once.
     _POP8 = np.array([bin(i).count("1") for i in range(256)], dtype=np.uint8)
+    _PAIR_SLICE = 1 << 20  # max candidate pairs materialized per slice
 
-    def band_pairs(group: pd.DataFrame) -> pd.DataFrame:
+    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
         empty = pd.DataFrame(
             {
                 "id_a": pd.Series(dtype=group["id"].dtype),
@@ -329,23 +366,28 @@ def simhash_candidates(
                 "hamming": pd.Series(dtype="int64"),
             }
         )
-        if len(group) < 2:
+        n = len(group)
+        if n < 2:
             return empty
-        g = group[["band_val", "id", "fp"]]
-        m = g.merge(g, on="band_val", suffixes=("_a", "_b"))
-        m = m[m["id_a"] < m["id_b"]]
-        if not len(m):
-            return empty
-        xor = m["fp_a"].to_numpy(dtype=np.uint64) ^ m["fp_b"].to_numpy(dtype=np.uint64)
-        ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
-        keep = ham <= max_hamming
-        return pd.DataFrame(
-            {
-                "id_a": m["id_a"].to_numpy()[keep],
-                "id_b": m["id_b"].to_numpy()[keep],
-                "hamming": ham[keep],
-            }
-        )
+        g = group.sort_values("id").reset_index(drop=True)
+        ids = g["id"].to_numpy()
+        fps = g["fp"].to_numpy(dtype=np.uint64)
+        ia, ib = np.triu_indices(n, k=1)
+        outs = [empty]
+        for s in range(0, len(ia), _PAIR_SLICE):
+            sa, sb = ia[s : s + _PAIR_SLICE], ib[s : s + _PAIR_SLICE]
+            xor = fps[sa] ^ fps[sb]
+            ham = _POP8[xor.view(np.uint8).reshape(-1, 8)].sum(axis=1).astype(np.int64)
+            keep = ham <= max_hamming
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {"id_a": ids[sa[keep]], "id_b": ids[sb[keep]], "hamming": ham[keep]}
+                    )
+                )
+        return pd.concat(outs, ignore_index=True) if len(outs) > 1 else empty
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups
 
     # One corpus pass → 8-byte fingerprint per doc, materialized (see
     # minhash_lsh_candidates phase-1 note; fingerprints are trivially
@@ -356,10 +398,10 @@ def simhash_candidates(
         fp_rows.map_batches(to_band_rows, batch_format="pyarrow"), ["band", "band_val"]
     )
     # Skew note: a degenerate bucket of D identical fingerprints (e.g.
-    # empty documents) self-merges to D² candidate rows — run
+    # empty documents) still yields D²/2 candidate pairs — run
     # exact_dedup first on real corpora so identical texts never reach
     # the near-dup pass.
-    pairs = band_rows.groupby("band").map_groups(band_pairs, batch_format="pandas")
+    pairs = bucketed_map_groups(band_rows, ["band", "band_val"], bucket_pairs)
     return dedupe_pairs(pairs, "hamming", agg="min")
 
 

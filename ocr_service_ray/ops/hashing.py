@@ -31,16 +31,31 @@ def _splitmix64(x: np.ndarray) -> np.ndarray:
     return x
 
 
+# Nulls hash to a fixed reserved value so a null shuffle key buckets
+# deterministically instead of crashing mid-shuffle (None has no
+# .encode; float-NaN view is dtype-unstable). Any constant works —
+# a collision with a real key only co-buckets them, never merges them.
+_NULL_SENTINEL_INT = np.int64(-0x6A09E667F3BCC909)  # reserved, hashed like any value
+_NULL_HASH = np.uint64(
+    int.from_bytes(hashlib.blake2b(b"\x00__null__", digest_size=8).digest(), "little")
+)
+
+
 def hash_column(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
-    """Stable uint64 hash per element — pure function of the value."""
+    """Stable uint64 hash per element — pure function of the value.
+    Null elements hash to a fixed sentinel (element-purity includes
+    nulls: same bucket in every batch/process)."""
     if pa.types.is_integer(arr.type):
+        filled = pc.fill_null(pc.cast(arr, pa.int64()), _NULL_SENTINEL_INT)
         return _splitmix64(
-            pc.cast(arr, pa.int64()).to_numpy(zero_copy_only=False).view(np.uint64)
+            filled.to_numpy(zero_copy_only=False).astype(np.int64).view(np.uint64)
         )
     vals = pc.cast(arr, pa.string()).to_pylist()
     return np.fromiter(
         (
             int.from_bytes(hashlib.blake2b(v.encode(), digest_size=8).digest(), "little")
+            if v is not None
+            else _NULL_HASH
             for v in vals
         ),
         dtype=np.uint64,

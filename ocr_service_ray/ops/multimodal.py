@@ -232,52 +232,57 @@ def decode_pipeline(ds, batch_size: int = 16, concurrency=(1, 4)):
     )
 
 
+class RouteMediaStage:
+    """Single-pass type router: ONE actor holds all per-type
+    sub-stages and splits each batch by ``media_type`` internally —
+    images → resize → decode features, audio → windowed features,
+    video → frame samples. The alternative (three filtered sub-plans
+    over the same source) reads the source THREE times on a real
+    ``read_parquet`` input, because a ``map_batches`` filter does not
+    push down — at 100 TB that is 3× the scan bytes."""
+
+    def __init__(self):
+        self.resize = ResizeImageStage()
+        self.decode = DecodeImageStage()
+        self.audio = AudioFeatureStage()
+        self.frames = FrameSampleStage()
+
+    @staticmethod
+    def _tag(t: pa.Table, kind: str) -> pa.Table:
+        return t.select(["item_id"]).append_column(
+            "feature", pa.array([kind] * t.num_rows, pa.string())
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        outs = [
+            pa.table(
+                {"item_id": pa.array([], pa.string()), "feature": pa.array([], pa.string())}
+            )
+        ]
+        img = batch.filter(pc.equal(batch["media_type"], "image"))
+        if img.num_rows:
+            outs.append(self._tag(self.decode(self.resize(img)), "image"))
+        aud = batch.filter(pc.equal(batch["media_type"], "audio"))
+        if aud.num_rows:
+            outs.append(self._tag(self.audio(aud), "audio"))
+        vid = batch.filter(pc.equal(batch["media_type"], "video"))
+        if vid.num_rows:
+            outs.append(self._tag(self.frames(vid), "video"))
+        return pa.concat_tables(outs)
+
+
 def media_pipeline(ds, batch_size: int = 16, concurrency=(1, 4)):
-    """Type-routed multimodal plan: images → resize → decode features,
-    audio → windowed features, video → frame samples. One pass
-    partitions by ``media_type`` with three filtered sub-plans (cheap
-    predicate pushdown on a small column) that run CONCURRENTLY under
-    the streaming executor; union of per-type feature tables."""
-    kwargs = dict(
-        batch_format="pyarrow", batch_size=batch_size, concurrency=concurrency, num_cpus=1
+    """Type-routed multimodal plan: ONE scan of the source, routed by
+    ``media_type`` inside a single actor-pool stage (RouteMediaStage).
+    Output schema: {item_id, feature} — the union of the per-type
+    feature tags (per-type detail columns live in the dedicated
+    single-type pipelines)."""
+    return ds.map_batches(
+        RouteMediaStage,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_cpus=1,
     )
-    import pyarrow.compute as pc
-
-    def only(kind):
-        return ds.map_batches(
-            lambda b, k=kind: b.filter(pc.equal(b["media_type"], k)),
-            batch_format="pyarrow",
-        )
-
-    images = (
-        only("image")
-        .map_batches(ResizeImageStage, **kwargs)
-        .map_batches(DecodeImageStage, **kwargs)
-        .map_batches(
-            lambda b: b.select(["item_id"]).append_column(
-                "feature", pa.array(["image"] * b.num_rows, pa.string())
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    audio = (
-        only("audio")
-        .map_batches(AudioFeatureStage, **kwargs)
-        .map_batches(
-            lambda b: b.select(["item_id"]).append_column(
-                "feature", pa.array(["audio"] * b.num_rows, pa.string())
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    video = (
-        only("video")
-        .map_batches(FrameSampleStage, **kwargs)
-        .map_batches(
-            lambda b: b.select(["item_id"]).append_column(
-                "feature", pa.array(["video"] * b.num_rows, pa.string())
-            ),
-            batch_format="pyarrow",
-        )
-    )
-    return images.union(audio).union(video)

@@ -31,10 +31,33 @@ def broadcast_join(large_ds, small_df: pd.DataFrame, on: str, how: str = "inner"
     return large_ds.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 8))
 
 
-def hash_join(left_ds, right_ds, on: str, num_partitions: int = 16, join_type: str = "inner"):
+def join_partitions_for(*datasets, target_bytes: int = 128 << 20, lo: int = 2, hi: int = 512) -> int:
+    """Partition count for a hash join, derived from the inputs' size
+    (~``target_bytes`` of build+probe data per partition) instead of a
+    literal — a fixed count either under-parallelizes at scale or
+    over-partitions tiny inputs. Falls back to 16 when Ray can't
+    estimate (no metadata yet)."""
+    total = 0
+    for ds in datasets:
+        try:
+            sz = ds.size_bytes()
+        except Exception:
+            sz = None
+        if sz:
+            total += sz
+    if not total:
+        return 16
+    return max(lo, min(hi, -(-total // target_bytes)))
+
+
+def hash_join(left_ds, right_ds, on: str, num_partitions: int | None = None, join_type: str = "inner"):
     """Large-large equi-join: Ray Data's hash-partitioned join (both
-    sides shuffled on the key). Salt hot keys upstream if one key value
-    dominates — the join partitions by hash(key) only."""
+    sides shuffled on the key). ``num_partitions`` defaults to a
+    size-derived count (join_partitions_for). Salt hot keys upstream
+    if one key value dominates — the join partitions by hash(key)
+    only."""
+    if num_partitions is None:
+        num_partitions = join_partitions_for(left_ds, right_ds)
     return left_ds.join(
         right_ds, join_type=join_type, num_partitions=num_partitions, on=(on,)
     )
@@ -81,15 +104,24 @@ def broadcast_anti_join(ds, keys, on: str):
     import pyarrow as pa
     import ray
 
-    ref = ray.put(frozenset(keys))
+    import pyarrow.compute as pc
+
+    ref = ray.put(list(keys))
 
     class AntiFilter:
         def __init__(self):
-            self.keys = ray.get(ref)
+            # key list → Arrow array once per actor; the per-batch
+            # filter is then one vectorized hash-isin kernel (no
+            # per-row Python membership loop)
+            self.key_arr = pa.array(ray.get(ref))
 
         def __call__(self, batch: pa.Table) -> pa.Table:
-            mask = [v not in self.keys for v in batch[on].to_pylist()]
-            return batch.filter(pa.array(mask, pa.bool_()))
+            col = batch[on]
+            if len(self.key_arr) and not col.type.equals(self.key_arr.type):
+                col = pc.cast(col, self.key_arr.type)
+            mask = pc.invert(pc.is_in(col, value_set=self.key_arr))
+            # null keys are never "in" the broadcast set → keep them
+            return batch.filter(pc.fill_null(mask, True))
 
     return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 8))
 
@@ -105,10 +137,14 @@ def topk(ds, by: list[str], k: int, descending: list[bool]):
     def local_topk(b: pd.DataFrame) -> pd.DataFrame:
         return b.sort_values(by, ascending=ascending, kind="stable").head(k)
 
+    # batch_size=None pinned explicitly: the contract REQUIRES
+    # whole-block batches (a sliced final pass would emit top-k per
+    # slice); .limit(k) is the safety net if that ever degrades.
     return (
-        ds.map_batches(local_topk, batch_format="pandas")
+        ds.map_batches(local_topk, batch_format="pandas", batch_size=None)
         .repartition(1)
-        .map_batches(local_topk, batch_format="pandas")
+        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+        .limit(k)
     )
 
 

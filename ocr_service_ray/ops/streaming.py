@@ -10,18 +10,36 @@ sessions close as soon as their gap expires, not at end-of-log.
 Ray Data's Dataset API cannot express this — an actor-pool
 ``map_batches`` gives no key→actor affinity, so cross-batch per-user
 state would scatter. This is the documented last-resort tier (raw
-``@ray.remote`` actors): one ``SessionBucketActor`` per user-hash
-bucket holds the open sessions of exactly its users; the driver
-streams ts-ordered batches, splits each batch by bucket (vectorized),
-and dispatches the pieces ASYNCHRONOUSLY to the owning actors — the
-driver loop handles batch refs, never rows.
+``@ray.remote`` actors), and the DRIVER IS NOT THE DATA PLANE:
+
+- the ts-ordered log's blocks are dispatched by REMOTE tasks (one per
+  time partition) that split their block by user-hash bucket and push
+  the slices straight to the owning ``SessionBucketActor`` — the
+  driver holds block refs and task handles only, never rows;
+- partition order is enforced by SEQUENCE NUMBERS: every dispatch
+  carries its partition index and each actor reorders out-of-order
+  arrivals in a bounded buffer, so correctness does not depend on
+  Ray's (undocumented) cross-task delivery order or on
+  ``execution_options.preserve_order``;
+- each actor asserts ts-monotonicity across the partitions it
+  processes and fails fast on violation (the load-bearing ordering
+  assumption made checkable);
+- closed sessions stream OUT as per-actor Arrow tables returned by
+  reference; the result is ``ray.data.from_arrow_refs`` — a Dataset,
+  no driver-side DataFrame of all sessions.
 
 Partitioning/ordering assumptions (load-bearing, per the build
-contract): (1) a user's events are delivered in ts order — satisfied
-here by one global ``ds.sort(ts_col)``, or at scale by reading a
-time-partitioned log in order; (2) a user maps to exactly one bucket
-(element-pure hash — ops/hashing.py). Late events would need a
+contract): (1) partitions are disjoint, ascending time ranges and
+rows within a partition are ts-ordered — satisfied here by one
+distributed ``ds.sort(ts_col)`` (at scale: read a time-partitioned
+log partition-by-partition, no sort); (2) a user maps to exactly one
+bucket (element-pure hash — ops/hashing.py). Late events would need a
 watermark + next-epoch handling, as §2.9's epoch note prescribes.
+
+Scale note: an actor holds O(open users in bucket) state plus its
+closed-session buffer; at corpus scale ``drain`` is called per epoch
+(or the actor spills closed sessions to parquet) so the buffer is
+bounded by a window, not the log.
 """
 
 from __future__ import annotations
@@ -30,47 +48,134 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
+_remote_cache: dict = {}
+
 
 def _session_actor_cls():
     import ray
+
+    if "actor" in _remote_cache:
+        return _remote_cache["actor"]
 
     @ray.remote
     class SessionBucketActor:
         """Holds open sessions for the users of ONE hash bucket.
 
         State per user: (session_start, last_ts, n_events). ``ingest``
-        consumes a ts-ordered batch of this bucket's events and
-        returns the sessions CLOSED by it; ``flush`` closes the rest.
-        Memory is O(active users in bucket), not O(events).
+        consumes one partition's slice of this bucket's events —
+        partitions may arrive out of order and are reordered by
+        ``seq`` before processing; ``drain`` closes the rest and
+        returns all closed sessions as an Arrow table.
+        Memory is O(active users in bucket) + O(closed sessions since
+        last drain), never O(events).
         """
 
-        def __init__(self, gap_us: int):
+        def __init__(self, gap_us: int, user_type: pa.DataType):
             self.gap = gap_us
+            self.user_type = user_type
             self.open: dict = {}
+            self.closed: list[tuple] = []
+            self.buffer: dict = {}
+            self.next_seq = 0
+            self.last_ts: int | None = None
 
-        def ingest(self, users: list, ts_us: list) -> list[tuple]:
+        def ingest(self, seq: int, users: list, ts_us: list) -> int:
+            self.buffer[seq] = (users, ts_us)
+            while self.next_seq in self.buffer:
+                u, t = self.buffer.pop(self.next_seq)
+                self._process(u, t)
+                self.next_seq += 1
+            return len(self.buffer)  # backpressure signal: reorder depth
+
+        def _process(self, users: list, ts_us: list) -> None:
             # timestamps are integer MICROSECONDS end-to-end: float
             # seconds at 2026 epoch magnitudes have >0.1 µs ulp and
             # would drift session bounds off the exact-match oracle
-            closed = []
+            if ts_us:
+                if self.last_ts is not None and ts_us[0] < self.last_ts:
+                    raise RuntimeError(
+                        "sessionize_streaming: partition order violated "
+                        f"({ts_us[0]} < {self.last_ts}) — the time-partitioned "
+                        "input is not ascending"
+                    )
+                self.last_ts = ts_us[-1]
             for u, t in zip(users, ts_us):
                 st = self.open.get(u)
                 if st is None:
                     self.open[u] = [t, t, 1]
                 elif t - st[1] > self.gap:
-                    closed.append((u, st[0], st[1], st[2]))
+                    self.closed.append((u, st[0], st[1], st[2]))
                     self.open[u] = [t, t, 1]
                 else:
                     st[1] = t
                     st[2] += 1
-            return closed
 
-        def flush(self) -> list[tuple]:
-            out = [(u, st[0], st[1], st[2]) for u, st in self.open.items()]
+        def drain(self) -> pa.Table:
+            if self.buffer:
+                raise RuntimeError(
+                    f"sessionize_streaming: {len(self.buffer)} partitions "
+                    "never became processable (missing sequence numbers)"
+                )
+            rows = self.closed + [
+                (u, st[0], st[1], st[2]) for u, st in self.open.items()
+            ]
+            self.closed = []
             self.open.clear()
-            return out
+            cols = list(zip(*rows)) if rows else [[], [], [], []]
+            # user_id explicitly typed: an empty bucket's pa.array([])
+            # would otherwise infer null type and break the cross-ref
+            # schema union
+            return pa.table(
+                {
+                    "user_id": pa.array(cols[0], self.user_type),
+                    "session_start": pa.array(cols[1], pa.int64()),
+                    "session_end": pa.array(cols[2], pa.int64()),
+                    "n_events": pa.array(cols[3], pa.int64()),
+                }
+            )
 
+    _remote_cache["actor"] = SessionBucketActor
     return SessionBucketActor
+
+
+def _dispatch_task():
+    import ray
+
+    if "dispatch" in _remote_cache:
+        return _remote_cache["dispatch"]
+
+    @ray.remote
+    def dispatch(block: pa.Table, seq: int, actors: list, user_col: str, ts_col: str) -> int:
+        """Split ONE time partition by user-hash bucket and push every
+        slice to its owning actor (runs on a worker — the data plane
+        never touches the driver). Sends to ALL buckets, empty or not,
+        so each actor's sequence counter always advances."""
+        from ocr_service_ray.ops.hashing import hash_column
+
+        num_buckets = len(actors)
+        users = block[user_col]
+        buckets = (hash_column(users) % np.uint64(num_buckets)).astype(np.int64)
+        ts = (
+            pa.compute.cast(block[ts_col], pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ulist = users.to_pylist()
+        refs = []
+        for b in range(num_buckets):
+            mask = buckets == b
+            refs.append(
+                actors[b].ingest.remote(
+                    seq,
+                    [u for u, m in zip(ulist, mask) if m],
+                    ts[mask].tolist(),
+                )
+            )
+        ray.get(refs)  # completion ⇒ every bucket accepted this partition
+        return block.num_rows
+
+    _remote_cache["dispatch"] = dispatch
+    return dispatch
 
 
 def sessionize_streaming(
@@ -79,48 +184,43 @@ def sessionize_streaming(
     user_col: str = "user_id",
     ts_col: str = "ts",
     num_buckets: int = 8,
-) -> pd.DataFrame:
+):
     """Incremental sessionization over the ts-ordered event stream.
 
-    Returns one row per SESSION: {user_id, session_start, session_end,
-    n_events} with the bounds as integer epoch MICROSECONDS (richer
-    than the batch op's per-user summary — closed sessions stream out
-    while the log is still being read).
+    Returns a Dataset with one row per SESSION: {user_id,
+    session_start, session_end, n_events}, bounds as integer epoch
+    MICROSECONDS (richer than the batch op's per-user summary —
+    closed sessions stream out while the log is still being read).
     """
     import ray
-
-    from ocr_service_ray.ops.hashing import hash_column
+    import ray.data as rd
 
     actor_cls = _session_actor_cls()
-    actors = [actor_cls.remote(int(gap_minutes * 60_000_000)) for _ in range(num_buckets)]
-    pending = []
+    dispatch = _dispatch_task()
+    user_type = events_ds.schema().base_schema.field(user_col).type
+    actors = [
+        actor_cls.remote(int(gap_minutes * 60_000_000), user_type)
+        for _ in range(num_buckets)
+    ]
 
-    ordered = events_ds.sort(ts_col)
-    for batch in ordered.iter_batches(batch_format="pyarrow", batch_size=4096):
-        users = batch[user_col]
-        buckets = (hash_column(users) % np.uint64(num_buckets)).astype(np.int64)
-        ts = (
-            pa.compute.cast(batch[ts_col], pa.timestamp("us"))
-            .cast(pa.int64())
-            .to_numpy(zero_copy_only=False)
-        )
-        ulist = users.to_pylist()
-        for b in np.unique(buckets):
-            mask = buckets == b
-            pending.append(
-                actors[int(b)].ingest.remote(
-                    [u for u, m in zip(ulist, mask) if m], ts[mask].tolist()
-                )
-            )
-        # backpressure: don't let dispatched-batch refs grow unboundedly
-        if len(pending) > 4 * num_buckets:
-            done, pending_rest = ray.wait(pending, num_returns=len(pending) // 2)
-            pending = list(pending_rest) + done  # keep refs; results gathered below
+    # Sandbox stand-in for a time-partitioned log: one distributed
+    # sort; the sorted Dataset's blocks ARE the ascending partitions.
+    # At scale, skip the sort and read the log's partitions in order.
+    block_refs = events_ds.sort(ts_col).to_arrow_refs()
 
-    results = ray.get(pending)
-    results.extend(ray.get([a.flush.remote() for a in actors]))
-    rows = [r for chunk in results for r in chunk]
-    out = pd.DataFrame(rows, columns=["user_id", "session_start", "session_end", "n_events"])
+    inflight: list = []
+    done: list = []
+    window = 4 * num_buckets  # bounded dispatch window (backpressure)
+    for seq, ref in enumerate(block_refs):
+        inflight.append(dispatch.remote(ref, seq, actors, user_col, ts_col))
+        if len(inflight) >= window:
+            d, inflight = ray.wait(inflight, num_returns=len(inflight) - window + 1)
+            done.extend(d)
+    ray.get(inflight + done)  # all partitions delivered; surfaces task errors
+
+    out = rd.from_arrow_refs([a.drain.remote() for a in actors])
+    # out holds object-store refs; the actors can go away now.
+    out = out.materialize()
     for a in actors:
         ray.kill(a)
-    return out.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    return out

@@ -112,3 +112,50 @@ def test_grouped_agg_matches_native(ray_session):
     for col in ("n", "s", "lo", "hi"):
         assert (got[col].to_numpy() == want[col].to_numpy()).all()
     assert np.allclose(got["avg"], want["avg"])
+
+def test_hash_column_null_sentinel():
+    """Null keys hash to a fixed sentinel — never crash, same bucket
+    everywhere (ADVICE r1: a single null user_id/doc_id crashed the
+    whole shuffle)."""
+    from ocr_service_ray.ops.hashing import hash_column
+
+    s = pa.array(["a", None, "b"])
+    h1 = hash_column(s)
+    h2 = hash_column(pa.array([None, "zzz"]))
+    assert h1[1] == h2[0]  # element-pure including nulls
+    assert h1[1] != h1[0] and h1[1] != h1[2]
+
+    i = pa.array([1, None, 3], pa.int64())
+    hi1 = hash_column(i)
+    hi2 = hash_column(pa.array([None], pa.int32()))
+    assert hi1[1] == hi2[0]
+
+
+def test_grouped_agg_null_keys_and_values(ray_session):
+    """SQL null semantics (ADVICE r1): a null group key is a real
+    group; COUNT(col) skips nulls; mean = NaN-skipping sum / non-null
+    count."""
+    import ray.data as rd
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    df = pd.DataFrame(
+        {
+            "k": ["x", "x", None, None, "y"],
+            "v": [1.0, None, 2.0, 4.0, None],
+        }
+    )
+    ds = rd.from_pandas([df.iloc[:3].copy(), df.iloc[3:].copy()])
+    got = grouped_agg(
+        ds,
+        ["k"],
+        {"n": (None, "count"), "nv": ("v", "count"), "s": ("v", "sum"), "m": ("v", "mean")},
+    ).to_pandas()
+    got = got.sort_values("k", na_position="last").reset_index(drop=True)
+    assert len(got) == 3  # x, y, NULL — null-key group kept
+    row_null = got[got["k"].isna()].iloc[0]
+    assert row_null["n"] == 2 and row_null["nv"] == 2 and row_null["s"] == 6.0
+    assert row_null["m"] == 3.0
+    row_x = got[got["k"] == "x"].iloc[0]
+    assert row_x["n"] == 2 and row_x["nv"] == 1 and row_x["s"] == 1.0
+    assert row_x["m"] == 1.0  # NaN-skipping sum / NON-NULL count, not /2

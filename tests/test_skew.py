@@ -140,7 +140,8 @@ def test_streaming_sessionize_matches_batch(ray_session):
     def events():
         return rd.read_parquet(f"{SF}/events.parquet", columns=["user_id", "ts"])
 
-    stream = sessionize_streaming(events(), gap_minutes=30, num_buckets=4)
+    # returns a Dataset (de-drivered data plane); collect at test scale
+    stream = sessionize_streaming(events(), gap_minutes=30, num_buckets=4).to_pandas()
     # aggregate per-session rows to the batch op's per-user summary
     got = (
         stream.groupby("user_id")
