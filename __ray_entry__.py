@@ -562,15 +562,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_quality_scores(sf_dir):
+        """Composite quality heuristic; quality_micro carries the
+        raw-ratio composite under the micro-int oracle discipline."""
         return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-            lambda b: text_ops.quality_score(b).select(["doc_id", "quality_score"]),
+            lambda b: text_ops.quality_score(b).select(["doc_id", "quality_micro"]),
             batch_format="pyarrow",
         )
 
     def q_fingerprint(sf_dir):
-        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
-            lambda b: text_ops.fingerprint(b).select(["doc_id", "fingerprint"]),
-            batch_format="pyarrow",
+        """Winnowing fingerprint, projected as (hi32, lo32) int64
+        halves — DuckDB reproduces the mod-2^64 rolling hash in
+        HUGEINT and splits identically."""
+
+        def split(b: pa.Table) -> pa.Table:
+            fp = b["fingerprint"].to_numpy(zero_copy_only=False).astype(np.uint64)
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "fp_hi": pa.array((fp >> np.uint64(32)).astype(np.int64)),
+                    "fp_lo": pa.array((fp & np.uint64(0xFFFFFFFF)).astype(np.int64)),
+                }
+            )
+
+        return (
+            _read(sf_dir, "documents", ["doc_id", "text"])
+            .map_batches(
+                lambda b: text_ops.fingerprint(b).select(["doc_id", "fingerprint"]),
+                batch_format="pyarrow",
+            )
+            .map_batches(split, batch_format="pyarrow")
         )
 
     def q_minhash_dedup(sf_dir):
@@ -635,12 +655,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_feedback_promote(sf_dir):
+        """A3 promotion over the deterministic feedback fixture; the
+        oracle re-derives the same fixture as a VALUES CTE and applies
+        the promotion GROUP BY/HAVING in SQL."""
         import ray.data as rd
 
         from ocr_service_ray.pipelines.feedback import promote_corrections
         from ocr_service_ray.sources.synth import generate_feedback
 
-        return promote_corrections(rd.from_arrow(generate_feedback()))
+        out = promote_corrections(rd.from_arrow(generate_feedback()))
+
+        def micro(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "original": b["original"],
+                    "corrected": b["corrected"],
+                    "occurrences": pc.cast(b["occurrences"], pa.int64()),
+                    "avg_confidence_micro": pa.array(
+                        _micro(b["avg_confidence"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+        return out.map_batches(micro, batch_format="pyarrow")
 
     return {
         "correct_text_guards": q_correct_text_guards,
@@ -687,10 +724,229 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------- oracles
 
 
+def _flagship_oracle_sql() -> str:
+    """DuckDB mirror of the generative flagship derivation.
+
+    The interleaved corpus (pipelines/derive.py) and the generative
+    media rule (sources/synth.py generate_media_row) are pure modular
+    integer arithmetic of doc_id — this SQL reproduces every
+    expression VERBATIM (same constants, same left-associated float
+    folds), so the driver independently re-derives span counts,
+    planted-correction counts, OCR confidence and the quality formula
+    per document. ``needs_review`` is constant TRUE by construction:
+    required_fields=None validates all 10 patterns and no generative
+    document carries all 10.
+    """
+
+    def hj(j: int) -> str:
+        return f"((h0 + {(j + 1) * 69427}) % 2147483647)"
+
+    def conf(j: int) -> str:
+        h = hj(j)
+        return (
+            f"(CAST((CASE WHEN {h} % 7 = 0 THEN 50 ELSE 550 END) + {h} % 400 "
+            f"AS DOUBLE) / 1000.0)"
+        )
+
+    def planted(j: int) -> str:
+        return f"(CASE WHEN n_lines > {j} AND {hj(j)} % 5 = 0 THEN 1 ELSE 0 END)"
+
+    def lowconf(j: int) -> str:
+        return f"(CASE WHEN n_lines > {j} AND {hj(j)} % 7 = 0 THEN 1 ELSE 0 END)"
+
+    # left-assoc fold of the ordered line confidences: sum()/len in
+    # Python is c0, (c0+c1), ((c0+c1)+c2) — mirrored exactly
+    conf_mean = (
+        f"(CASE n_lines WHEN 1 THEN {conf(0)} "
+        f"WHEN 2 THEN {conf(0)} + {conf(1)} "
+        f"ELSE {conf(0)} + {conf(1)} + {conf(2)} END / n_lines)"
+    )
+    planted_sum = " + ".join(planted(j) for j in range(3))
+    lowconf_sum = " + ".join(lowconf(j) for j in range(3))
+
+    imgq = (
+        "(least(CAST(first_h0 % 2500 AS DOUBLE) / 10.0 / 100.0, 1.0) "
+        "+ least(CAST(first_h0 % 700 AS DOUBLE) / 10.0 / 50.0, 1.0) "
+        "+ (1.0 - abs((40.0 + CAST(first_h0 % 1600 AS DOUBLE) / 10.0) - 127.5) / 127.5)"
+        ") / 3.0"
+    )
+
+    return f"""
+        WITH d AS (SELECT doc_id AS n FROM documents),
+        media AS (
+          SELECT n, k, (n * 2654435761 + k * 40503) % 2147483647 AS h0
+          FROM d, (VALUES (0), (1), (2)) ks(k)
+          WHERE (k = 0 AND n % 3 = 0)
+             OR (k = 1 AND n % 7 = 0)
+             OR (k = 2 AND n % 11 = 0)
+        ),
+        mlines AS (
+          SELECT n, k, h0, 1 + h0 % 3 AS n_lines FROM media
+        ),
+        mfeat AS (
+          SELECT n, k, h0,
+                 {conf_mean} AS conf_mean,
+                 {planted_sum} AS planted,
+                 {lowconf_sum} AS lowconf
+          FROM mlines
+        ),
+        per_doc AS (
+          SELECT d.n,
+                 CAST(d.n % 3 = 0 AS INT) AS has_pdf,
+                 CAST(d.n % 7 = 0 AS INT) AS has_img,
+                 CAST(d.n % 11 = 0 AS INT) AS has_area,
+                 p.conf_mean AS pdf_conf,
+                 i.conf_mean AS img_conf,
+                 COALESCE(p.planted, 0) + COALESCE(i.planted, 0)
+                   + COALESCE(a.planted, 0) AS n_corr,
+                 COALESCE(i.lowconf, 0) AS n_hw,
+                 COALESCE(p.h0, i.h0) AS first_h0
+          FROM d
+          LEFT JOIN mfeat p ON p.n = d.n AND p.k = 0
+          LEFT JOIN mfeat i ON i.n = d.n AND i.k = 1
+          LEFT JOIN mfeat a ON a.n = d.n AND a.k = 2
+        ),
+        scored AS (
+          SELECT n,
+                 1 + has_pdf + has_img AS total_pages,
+                 1 + has_pdf + has_img + has_area AS n_spans,
+                 n_corr,
+                 ((1.0 + COALESCE(pdf_conf, 0.0)) + COALESCE(img_conf, 0.0))
+                   / (1 + has_pdf + has_img) AS ocr_conf,
+                 CASE WHEN first_h0 IS NULL THEN 1.0 ELSE {imgq} END AS imgq,
+                 n_hw
+          FROM per_doc
+        )
+        SELECT 'tdoc-' || lpad(CAST(n AS VARCHAR), 8, '0') AS doc_id,
+               CAST(n_spans AS BIGINT) AS n_spans,
+               CAST(total_pages AS BIGINT) AS total_pages,
+               CAST(n_corr AS BIGINT) AS n_corrections,
+               CAST(floor(ocr_conf * 1000000.0 + 0.5) AS BIGINT) AS ocr_conf_micro,
+               CAST(floor(greatest(0.0, least(1.0,
+                    imgq * 0.3 + ocr_conf * 0.5 + (1.0 - n_hw * 0.1) * 0.2
+                    )) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro,
+               TRUE AS needs_review
+        FROM scored
+    """
+
+
+def _lang_id_oracle_sql() -> str:
+    """Argmax of per-language stopword-profile hits, ties resolved in
+    profile order (numpy argmax keeps the FIRST max — mirrored by the
+    ordered CASE chain)."""
+    from ocr_service_ray.ops.text import LANG_PROFILES
+
+    langs = list(LANG_PROFILES)
+    counts = ",\n".join(
+        f"                 length(regexp_extract_all(lower(text), '{rx}')) AS c_{lang}"
+        for lang, rx in LANG_PROFILES.items()
+    )
+    greatest_all = ", ".join(f"c_{lang}" for lang in langs)
+    chain = []
+    for i, lang in enumerate(langs[:-1]):
+        conds = " AND ".join(f"c_{lang} >= c_{other}" for other in langs[i + 1 :])
+        chain.append(f"WHEN {conds} THEN '{lang}'")
+    chain.append(f"ELSE '{langs[-1]}'")
+    case_body = "\n                     ".join(chain)
+    return f"""
+            WITH c AS (
+              SELECT doc_id,
+{counts}
+              FROM documents)
+            SELECT doc_id,
+                   CASE WHEN greatest({greatest_all}) = 0 THEN 'und'
+                     {case_body}
+                   END AS pred_lang
+            FROM c
+        """
+
+
+def _fingerprint_oracle_sql() -> str:
+    """Winnowing fingerprint in SQL: code points via unicode(), the
+    8-gram polynomial rolling hash mod 2^64 in HUGEINT (per-window
+    weights precomputed mod 2^64 — numpy's uint64 wraparound gives the
+    same residues), min over windows, split into (hi32, lo32)."""
+    w = [pow(1000003, j, 2**64) for j in range(8)]
+    terms = " + ".join(f"CAST(cs[i + {j}] AS HUGEINT) * {w[j]}" for j in range(8))
+    return f"""
+            WITH codes AS (
+              SELECT doc_id,
+                     list_transform(regexp_extract_all(text, '(?s).'),
+                                    c -> unicode(c)) AS raw_cs
+              FROM documents),
+            padded AS (
+              SELECT doc_id,
+                     list_resize(raw_cs, greatest(length(raw_cs), 8), 1) AS cs
+              FROM codes),
+            fps AS (
+              SELECT doc_id,
+                     list_aggregate(
+                       list_transform(generate_series(1, length(cs) - 7),
+                         i -> ({terms}) % 18446744073709551616),
+                       'min') AS fp
+              FROM padded)
+            SELECT doc_id,
+                   CAST(fp // 4294967296 AS BIGINT) AS fp_hi,
+                   CAST(fp % 4294967296 AS BIGINT) AS fp_lo
+            FROM fps
+        """
+
+
+def _feedback_promote_oracle_sql() -> str:
+    """A3 promotion logic over the deterministic feedback fixture,
+    inlined as a VALUES CTE (the fixture is not a registered view;
+    both sides share sources/synth.generate_feedback)."""
+    from ocr_service_ray.sources.synth import generate_feedback
+
+    fb = generate_feedback().to_pylist()
+    rows = ",\n              ".join(
+        f"('{r['type']}', '{r['original']}', '{r['corrected']}', "
+        f"{r['confidence']!r}, {'TRUE' if r['applied'] else 'FALSE'})"
+        for r in fb
+    )
+    return f"""
+            WITH fb(type, original, corrected, confidence, applied) AS (VALUES
+              {rows}),
+            unapplied AS (
+              SELECT * FROM fb WHERE NOT applied AND type = 'correction'),
+            agg AS (
+              SELECT original, corrected,
+                     count(confidence) AS occurrences,
+                     sum(confidence) / count(confidence) AS avg_confidence
+              FROM unapplied GROUP BY original, corrected)
+            SELECT original, corrected,
+                   CAST(occurrences AS BIGINT) AS occurrences,
+                   CAST(floor(avg_confidence * 1000000.0 + 0.5) AS BIGINT)
+                     AS avg_confidence_micro
+            FROM agg
+            WHERE occurrences >= 2 AND avg_confidence >= 0.7
+        """
+
+
+def _md5_unit_sql(hex_col: str) -> str:
+    """SQL: first 16 hex chars of an md5 column → uniform double in
+    [0,1) — the exact mirror of ``stages/ml._stable_unit`` (parse hex
+    big-endian as uint64, divide by 2^64; HUGEINT keeps the parse
+    exact, and /2^64 is an exponent shift so rounding commutes)."""
+
+    def half(start: int) -> str:
+        terms = " + ".join(
+            f"(strpos('0123456789abcdef', substring({hex_col}, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        return f"({terms})"
+
+    return (
+        f"(CAST(CAST({half(1)} AS HUGEINT) * 4294967296 + {half(9)} AS DOUBLE)"
+        " / 18446744073709551616.0)"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
     from ocr_service_ray.ops.text import BPE_TOKEN_RE, PUNCT_RE, STOPWORD_RE, WS_TOKEN_RE
 
     return {
+        "flagship_extraction": _flagship_oracle_sql(),
         "correct_text_guards": """
             SELECT doc_id, text AS corrected_text, CAST(0 AS BIGINT) AS n_corrections
             FROM documents
@@ -926,4 +1182,45 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS combined_micro
             FROM combined
         """,
+        "lang_id": _lang_id_oracle_sql(),
+        "quality_scores": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     length(regexp_extract_all(text, '{WS_TOKEN_RE}')) AS n_words,
+                     length(text) AS n_chars,
+                     length(regexp_extract_all(text, '{PUNCT_RE}')) AS n_punct,
+                     length(regexp_extract_all(text, '{STOPWORD_RE}')) AS n_stop
+              FROM documents)
+            SELECT doc_id,
+                   CAST(floor((
+                     0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                     + 0.25 * (1.0 - least(
+                         CAST(n_punct AS DOUBLE) / greatest(n_chars, 1) * 10.0, 1.0))
+                     + 0.25 * (CAST(n_stop AS DOUBLE) / greatest(n_words, 1))
+                   ) * 1000000.0 + 0.5) AS BIGINT) AS quality_micro
+            FROM t
+        """,
+        "fingerprint": _fingerprint_oracle_sql(),
+        "classify_docs": f"""
+            WITH h AS (
+              SELECT doc_id,
+                     md5('classifier:' || CAST(doc_id AS VARCHAR)) AS hx1,
+                     md5('classifier-conf:' || CAST(doc_id AS VARCHAR)) AS hx2
+              FROM documents),
+            u AS (
+              SELECT doc_id,
+                     {_md5_unit_sql('hx1')} AS u1,
+                     {_md5_unit_sql('hx2')} AS u2
+              FROM h)
+            SELECT doc_id,
+                   CASE WHEN 0.5 + u2 / 2.0 > 0.7 THEN
+                     CASE CAST(floor(u1 * 4.0) AS INT) % 4
+                       WHEN 0 THEN 'certificate'
+                       WHEN 1 THEN 'invoice'
+                       WHEN 2 THEN 'letter'
+                       ELSE 'form' END
+                   ELSE '' END AS document_type
+            FROM u
+        """,
+        "feedback_promote": _feedback_promote_oracle_sql(),
     }

@@ -89,14 +89,37 @@ def quality_score(batch: pa.Table, text_col: str = "text") -> pa.Table:
     """Composite document-quality heuristic (length / punctuation /
     stopword signals — the boilerplate-vs-prose shape of a
     trafilatura-style node score, applied per document). Components
-    are emitted too so the oracle can check them independently."""
+    are emitted too so the oracle can check them independently.
+
+    ``quality_micro`` is the oracle-discipline column: the same
+    composite computed from the RAW (unrounded) ratios with the exact
+    double expression mirrored in SQL, floored to micro units —
+    bit-checkable against DuckDB. ``quality_score`` stays the 6 dp
+    human-facing value."""
     t = token_stats(batch, text_col)
-    n_words = t["n_words"].to_numpy(zero_copy_only=False).astype(np.float64)
+    n_words_i = t["n_words"].to_numpy(zero_copy_only=False)
+    n_chars_i = t["n_chars_utf"].to_numpy(zero_copy_only=False)
+    n_words = n_words_i.astype(np.float64)
     punct = t["punct_ratio"].to_numpy(zero_copy_only=False)
     stop = t["stop_ratio"].to_numpy(zero_copy_only=False)
     length_score = np.minimum(n_words / 100.0, 1.0)
     score = np.round(0.5 * length_score + 0.25 * (1.0 - np.minimum(punct * 10, 1.0)) + 0.25 * stop, 6)
-    return t.append_column("quality_score", pa.array(score, pa.float64()))
+    # raw-ratio variant, micro-floored (no intermediate rounding):
+    # identical IEEE expression on both engines
+    text = batch[text_col]
+    n_punct_raw = pc.count_substring_regex(text, PUNCT_RE).to_numpy(zero_copy_only=False)
+    n_stop_raw = pc.count_substring_regex(text, STOPWORD_RE).to_numpy(zero_copy_only=False)
+    punct_raw = n_punct_raw / np.maximum(n_chars_i, 1)
+    stop_raw = n_stop_raw / np.maximum(n_words_i, 1)
+    raw = (
+        0.5 * length_score
+        + 0.25 * (1.0 - np.minimum(punct_raw * 10.0, 1.0))
+        + 0.25 * stop_raw
+    )
+    micro = np.floor(raw * 1000000.0 + 0.5).astype(np.int64)
+    return t.append_column("quality_score", pa.array(score, pa.float64())).append_column(
+        "quality_micro", pa.array(micro, pa.int64())
+    )
 
 
 def lang_id(batch: pa.Table, text_col: str = "text") -> pa.Table:

@@ -147,17 +147,77 @@ def _media_lines(rng: random.Random) -> list[list]:
     return lines
 
 
+# Oracle-disciplined generative vocabulary: every word is verified
+# correction-NEUTRAL against the corrections DB (no exact key, no
+# fuzzy hit ≥ 0.8 — tests/test_properties.py pins this), so the ONLY
+# corrections a generative document yields are the planted
+# ``пр0верка`` tokens — one contextual correction per occurrence.
+_GEN_VOCAB = [
+    "протокол", "документ", "справка", "реквизиты",
+    "печать", "подпись", "договор", "банк",
+]
+_GEN_PLANT = "пр0верка"  # contextual 0→о fix; exactly 1 correction/occurrence
+_GEN_MOD = 2147483647
+
+
+def parse_generative_ref(media_ref: str) -> tuple[int, int, int]:
+    """``m-tdoc-{n:08d}[-r{r:03d}]-{k}`` → (doc number, media index,
+    replicate). The derivation rule of ``pipelines/derive.py``."""
+    parts = media_ref.split("-")
+    n = int(parts[2])
+    k = int(parts[-1])
+    r = int(parts[3][1:]) if len(parts) == 5 else 0
+    return n, k, r
+
+
 def generate_media_row(media_ref: str) -> dict:
     """One media-registry row as a pure function of its ref (used by
-    the generative resolver — no media table needed)."""
-    rng = random.Random(f"gen:{media_ref}")
-    payload = json.dumps({"lines": _media_lines(rng)}, ensure_ascii=False).encode()
+    the generative resolver — no media table needed).
+
+    ORACLE DISCIPLINE: every quantity is plain modular integer
+    arithmetic of (doc number, media index, replicate) — the exact
+    same expressions are reproduced in DuckDB SQL by
+    ``__ray_entry__.oracle_sql()['flagship_extraction']``, which makes
+    the full flagship projection (span counts, corrections,
+    confidence, quality) independently checkable end to end. Change
+    any constant here and the oracle changes with it.
+
+    Content rules (h0, hj are the per-media / per-line hashes below):
+    - 1 + h0%3 lines; line j has 2 + hj%3 vocabulary words;
+    - a line plants the correctable token iff hj%5 == 0;
+    - line confidence is (550 + hj%400)/1000, or the low-confidence
+      (50 + hj%400)/1000 iff hj%7 == 0 (image lines below 0.5 feed
+      handwritten detection — quality_check.py:93-138);
+    - image metrics are decimal-tenth values of h0 residues.
+    """
+    n, k, r = parse_generative_ref(media_ref)
+    h0 = (n * 2654435761 + k * 40503 + r * 104729) % _GEN_MOD
+    lines = []
+    for j in range(1 + h0 % 3):
+        hj = (h0 + (j + 1) * 69427) % _GEN_MOD
+        words = [_GEN_VOCAB[(hj + m * 12289) % 8] for m in range(2 + hj % 3)]
+        if hj % 5 == 0:
+            words.append(_GEN_PLANT)
+        conf_milli = (50 if hj % 7 == 0 else 550) + hj % 400
+        x1 = float(hj % 500)
+        y1 = 40.0 * j
+        lines.append(
+            [
+                " ".join(words),
+                conf_milli / 1000.0,
+                x1,
+                y1,
+                x1 + 100.0 + hj % 300,
+                y1 + 30.0,
+            ]
+        )
+    payload = json.dumps({"lines": lines}, ensure_ascii=False).encode()
     return {
         "media_ref": media_ref,
         "payload": payload,
-        "sharpness_var": round(rng.uniform(10.0, 300.0), 3),
-        "contrast_std": round(rng.uniform(5.0, 80.0), 3),
-        "brightness_mean": round(rng.uniform(50.0, 210.0), 3),
+        "sharpness_var": (h0 % 2500) / 10.0,
+        "contrast_std": (h0 % 700) / 10.0,
+        "brightness_mean": 40.0 + (h0 % 1600) / 10.0,
     }
 
 

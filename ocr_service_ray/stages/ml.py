@@ -30,9 +30,11 @@ import pyarrow as pa
 
 def _stable_unit(key: str, salt: str) -> float:
     """Deterministic pseudo-score in [0, 1) from a string key —
-    the stand-in for a model forward pass."""
-    h = hashlib.blake2b(f"{salt}:{key}".encode(), digest_size=8).digest()
-    return int.from_bytes(h, "little") / 2**64
+    the stand-in for a model forward pass. md5-based (first 16 hex
+    chars, big-endian) so DuckDB's ``md5()`` reproduces it exactly:
+    the fake model is part of the oracle-checkable surface."""
+    h = hashlib.md5(f"{salt}:{key}".encode()).hexdigest()[:16]
+    return int(h, 16) / 2**64
 
 
 class SpellCorrectorStage:
