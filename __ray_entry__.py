@@ -546,7 +546,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_render_json(sf_dir):
-        """S9 format_output (JSON rendering) over the flagship output."""
+        """S9 format_output (JSON rendering) over the flagship output.
+        Rows-only by necessity: the JSON embeds shortest-round-trip
+        float reprs (json.dumps) that SQL cannot reproduce byte-exactly
+        — the text renderer (q_render_text) is the oracled variant."""
         from ocr_service_ray.pipelines.derive import derived_corpus
         from ocr_service_ray.pipelines.flagship import run_extraction
         from ocr_service_ray.stages.ocr import GENERATE_MEDIA
@@ -554,6 +557,20 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return render_output(
             run_extraction(derived_corpus(sf_dir), GENERATE_MEDIA), fmt="json"
+        )
+
+    def q_render_text(sf_dir):
+        """S9 format_output text rendering over the flagship output —
+        header, %.3f quality line, corrected full text, corrections
+        appendix. Byte-exact against the SQL oracle (the generative
+        full text and every float format are reconstructible)."""
+        from ocr_service_ray.pipelines.derive import derived_corpus
+        from ocr_service_ray.pipelines.flagship import run_extraction
+        from ocr_service_ray.stages.ocr import GENERATE_MEDIA
+        from ocr_service_ray.stages.render import render_output
+
+        return render_output(
+            run_extraction(derived_corpus(sf_dir), GENERATE_MEDIA), fmt="text"
         )
 
     def q_lang_id(sf_dir):
@@ -604,8 +621,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_ivf_knn(sf_dir):
+        """IVF-partitioned ANN: probe reads only nprobe/nlist cell
+        directories. nprobe=6/8 verified to reach recall 1 on this
+        corpus family, which is what lets the brute-force SQL oracle
+        check the result exactly."""
         q = _query_vec(sf_dir)
-        idx = similarity.IvfIndex(nlist=8, nprobe=4).build(
+        idx = similarity.IvfIndex(nlist=8, nprobe=6).build(
             _read(sf_dir, "embeddings"), sample_size=512
         )
         found = idx.search(q, k=5)
@@ -616,21 +637,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return found.map_batches(micro, batch_format="pyarrow")
 
+    def q_lsh_knn(sf_dir):
+        """Hyperplane-LSH bucketed ANN (radius-1 multi-probe over 16
+        sign-bit cells): assignment, probe set and rerank are pure
+        arithmetic, so the oracle reproduces the exact same restricted
+        search in SQL — green independent of recall."""
+        q = _query_vec(sf_dir)
+        idx = similarity.LshIndex(nbits=4, radius=1).build(
+            _read(sf_dir, "embeddings"), dim=len(q)
+        )
+        found = idx.search(q, k=5)
+
+        def micro(b: pa.Table) -> pa.Table:
+            m = _micro(b["cos_sim"].to_numpy(zero_copy_only=False))
+            return pa.table({"vec_id": b["vec_id"], "cos_sim_micro": pa.array(m)})
+
+        return found.map_batches(micro, batch_format="pyarrow")
+
     def q_multimodal_decode(sf_dir):
-        import ray.data as rd
+        """Decode actor stage over the documents-derived media table;
+        byte-stat features + md5 digest are re-derived in SQL."""
+        from ocr_service_ray.ops.multimodal import decode_pipeline, derive_media_items
 
-        from ocr_service_ray.ops.multimodal import decode_pipeline, synthesize_media_items
-
-        return decode_pipeline(rd.from_arrow(synthesize_media_items(200)))
+        return decode_pipeline(
+            derive_media_items(_read(sf_dir, "documents", ["doc_id", "text"]))
+        )
 
     def q_multimodal_routed(sf_dir):
-        """Type-routed multimodal plan: resize→decode / audio features /
-        frame samples, unioned."""
-        import ray.data as rd
+        """Single-pass type-routed multimodal plan (one scan; resize →
+        decode / audio windows / frame samples). The oracle re-derives
+        the per-type output cardinalities from the payload-length
+        formulas."""
+        from ocr_service_ray.ops.multimodal import derive_media_items, media_pipeline
 
-        from ocr_service_ray.ops.multimodal import media_pipeline, synthesize_media_items
-
-        return media_pipeline(rd.from_arrow(synthesize_media_items(200)))
+        return media_pipeline(
+            derive_media_items(_read(sf_dir, "documents", ["doc_id", "text"]))
+        )
 
     def q_sessionize_streaming(sf_dir):
         """Incremental actor-state sessionization over the ts-ordered
@@ -708,12 +750,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "flagship_extraction": q_flagship_extraction,
         "classify_docs": q_classify_docs,
         "render_json": q_render_json,
+        "render_text": q_render_text,
         "lang_id": q_lang_id,
         "quality_scores": q_quality_scores,
         "fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
+        "lsh_knn": q_lsh_knn,
         "multimodal_decode": q_multimodal_decode,
         "multimodal_routed": q_multimodal_routed,
         "sessionize_streaming": q_sessionize_streaming,
@@ -923,23 +967,294 @@ def _feedback_promote_oracle_sql() -> str:
         """
 
 
+def _render_text_oracle_sql() -> str:
+    """DuckDB mirror of the flagship TEXT renderer: reconstructs the
+    generative media line texts word by word (list-literal indexing on
+    the same modular indices), assembles raw_text with the exact
+    separators of kernels/assemble.py, applies the planted-token
+    correction as a global replace, and renders the header/quality
+    lines with printf('%.3f') — C's correctly-rounded decimal
+    conversion, identical to Python's format(). Shares the quality /
+    confidence arithmetic with the flagship oracle."""
+    voc = "['протокол', 'документ', 'справка', 'реквизиты', 'печать', 'подпись', 'договор', 'банк']"
+
+    def hj(j: int) -> str:
+        return f"((h0 + {(j + 1) * 69427}) % 2147483647)"
+
+    def conf(j: int) -> str:
+        h = hj(j)
+        return (
+            f"(CAST((CASE WHEN {h} % 7 = 0 THEN 50 ELSE 550 END) + {h} % 400 "
+            f"AS DOUBLE) / 1000.0)"
+        )
+
+    def planted(j: int) -> str:
+        return f"(CASE WHEN n_lines > {j} AND {hj(j)} % 5 = 0 THEN 1 ELSE 0 END)"
+
+    def line(j: int) -> str:
+        h = hj(j)
+        parts = [f"{voc}[1 + ({h} + {m * 12289}) % 8]" for m in range(4)]
+        return (
+            f"({parts[0]} || ' ' || {parts[1]}"
+            f" || CASE WHEN {h} % 3 >= 1 THEN ' ' || {parts[2]} ELSE '' END"
+            f" || CASE WHEN {h} % 3 >= 2 THEN ' ' || {parts[3]} ELSE '' END"
+            f" || CASE WHEN {h} % 5 = 0 THEN ' пр0верка' ELSE '' END)"
+        )
+
+    media_text = (
+        f"({line(0)}"
+        f" || CASE WHEN n_lines >= 2 THEN chr(10) || {line(1)} ELSE '' END"
+        f" || CASE WHEN n_lines >= 3 THEN chr(10) || {line(2)} ELSE '' END)"
+    )
+    conf_mean = (
+        f"(CASE n_lines WHEN 1 THEN {conf(0)} "
+        f"WHEN 2 THEN {conf(0)} + {conf(1)} "
+        f"ELSE {conf(0)} + {conf(1)} + {conf(2)} END / n_lines)"
+    )
+    planted_sum = " + ".join(planted(j) for j in range(3))
+    lowconf_sum = " + ".join(
+        f"(CASE WHEN n_lines > {j} AND {hj(j)} % 7 = 0 THEN 1 ELSE 0 END)"
+        for j in range(3)
+    )
+    imgq = (
+        "(least(CAST(first_h0 % 2500 AS DOUBLE) / 10.0 / 100.0, 1.0) "
+        "+ least(CAST(first_h0 % 700 AS DOUBLE) / 10.0 / 50.0, 1.0) "
+        "+ (1.0 - abs((40.0 + CAST(first_h0 % 1600 AS DOUBLE) / 10.0) - 127.5) / 127.5)"
+        ") / 3.0"
+    )
+    page_sep = "chr(10) || chr(10) || '--- Страница ---' || chr(10) || chr(10)"
+    areas_hdr = "chr(10) || chr(10) || '--- ВЫДЕЛЕННЫЕ ОБЛАСТИ (DPI 900) ---' || chr(10) || chr(10)"
+    main_hdr = "chr(10) || chr(10) || '--- ОСНОВНОЙ ТЕКСТ ---' || chr(10) || chr(10)"
+    corr_line = "'пр0верка -> проверка (contextual_russian_word, 0.95)'"
+
+    return f"""
+        WITH d AS (SELECT doc_id AS n, text AS dtext FROM documents),
+        media AS (
+          SELECT n, k, (n * 2654435761 + k * 40503) % 2147483647 AS h0
+          FROM d, (VALUES (0), (1), (2)) ks(k)
+          WHERE (k = 0 AND n % 3 = 0)
+             OR (k = 1 AND n % 7 = 0)
+             OR (k = 2 AND n % 11 = 0)
+        ),
+        mlines AS (
+          SELECT n, k, h0, 1 + h0 % 3 AS n_lines FROM media
+        ),
+        mfeat AS (
+          SELECT n, k, h0,
+                 {conf_mean} AS conf_mean,
+                 {planted_sum} AS planted,
+                 {lowconf_sum} AS lowconf,
+                 {media_text} AS mtext
+          FROM mlines
+        ),
+        per_doc AS (
+          SELECT d.n, d.dtext,
+                 CAST(d.n % 3 = 0 AS INT) AS has_pdf,
+                 CAST(d.n % 7 = 0 AS INT) AS has_img,
+                 CAST(d.n % 11 = 0 AS INT) AS has_area,
+                 p.conf_mean AS pdf_conf, i.conf_mean AS img_conf,
+                 p.mtext AS pdf_text, i.mtext AS img_text, a.mtext AS area_text,
+                 COALESCE(p.planted, 0) + COALESCE(i.planted, 0)
+                   + COALESCE(a.planted, 0) AS n_corr,
+                 COALESCE(i.lowconf, 0) AS n_hw,
+                 COALESCE(p.h0, i.h0) AS first_h0
+          FROM d
+          LEFT JOIN mfeat p ON p.n = d.n AND p.k = 0
+          LEFT JOIN mfeat i ON i.n = d.n AND i.k = 1
+          LEFT JOIN mfeat a ON a.n = d.n AND a.k = 2
+        ),
+        assembled AS (
+          SELECT n, n_corr,
+                 1 + has_pdf + has_img AS total_pages,
+                 ((1.0 + COALESCE(pdf_conf, 0.0)) + COALESCE(img_conf, 0.0))
+                   / (1 + has_pdf + has_img) AS ocr_conf,
+                 CASE WHEN first_h0 IS NULL THEN 1.0 ELSE {imgq} END AS imgq,
+                 n_hw,
+                 dtext
+                   || CASE WHEN has_pdf = 1 THEN {page_sep} || pdf_text ELSE '' END
+                   || CASE WHEN has_img = 1 THEN {page_sep} || img_text ELSE '' END
+                   AS main_text,
+                 has_area, area_text
+          FROM per_doc
+        ),
+        rendered AS (
+          SELECT n, n_corr, total_pages, ocr_conf,
+                 greatest(0.0, least(1.0,
+                   imgq * 0.3 + ocr_conf * 0.5 + (1.0 - n_hw * 0.1) * 0.2)) AS quality,
+                 replace(
+                   CASE WHEN has_area = 1
+                        THEN {areas_hdr} || '[Область 1]: ' || area_text
+                             || {main_hdr} || main_text
+                        ELSE main_text END,
+                   'пр0верка', 'проверка') AS full_text
+          FROM assembled
+        )
+        SELECT 'tdoc-' || lpad(CAST(n AS VARCHAR), 8, '0') AS doc_id,
+               '=== Документ: tdoc-' || lpad(CAST(n AS VARCHAR), 8, '0') || ' ==='
+               || chr(10) || 'Качество: ' || printf('%.3f', quality)
+               || '  OCR: ' || printf('%.3f', ocr_conf)
+               || '  Страниц: ' || CAST(total_pages AS VARCHAR)
+               || chr(10) || chr(10) || full_text
+               || CASE WHEN n_corr > 0
+                       THEN chr(10) || chr(10) || '--- Исправления ---'
+                            || repeat(chr(10) || {corr_line}, n_corr)
+                       ELSE '' END
+               AS rendered
+        FROM rendered
+    """
+
+
+def _lsh_knn_oracle_sql(nbits: int = 4, radius: int = 1, seed: int = 13, dim: int = 64, k: int = 5) -> str:
+    """Exact SQL mirror of the LshIndex search: the same seeded
+    hyperplanes inlined as double literals, sign-bit cell assignment
+    via list_dot_product, the radius-``radius`` Hamming probe set, and
+    the cosine rerank limited to probed cells. The restriction itself
+    is reproduced, so this oracle is exact whatever the recall."""
+    planes = np.random.RandomState(seed).standard_normal((nbits, dim))
+    cell_terms = " + ".join(
+        "(CASE WHEN list_dot_product(v, ["
+        + ", ".join(repr(float(x)) for x in planes[i])
+        + f"]) > 0.0 THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+    return f"""
+            WITH e AS (
+              SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            cells AS (
+              SELECT vec_id, v, {cell_terms} AS cell FROM e),
+            q AS (SELECT v AS qv, cell AS qcell FROM cells WHERE vec_id = 0)
+            SELECT c.vec_id,
+                   CAST(floor(list_cosine_similarity(c.v, q.qv) * 1000000.0 + 0.5)
+                        AS BIGINT) AS cos_sim_micro
+            FROM cells c, q
+            WHERE bit_count(xor(c.cell, q.qcell)) <= {radius}
+            ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id ASC
+            LIMIT {k}
+        """
+
+
+def _hex_bigint_sql(hex_expr: str, start: int, n: int) -> str:
+    """SQL parsing ``n`` hex chars of ``hex_expr`` (1-based ``start``)
+    big-endian into a BIGINT (n ≤ 15)."""
+    terms = " + ".join(
+        f"(strpos('0123456789abcdef', substring({hex_expr}, {start + i}, 1)) - 1) * {16 ** (n - 1 - i)}"
+        for i in range(n)
+    )
+    return f"({terms})"
+
+
+def _md5_u64_sql(hex_expr: str) -> str:
+    """SQL: first 16 hex chars of an md5 hex string → its uint64 value
+    as HUGEINT (exact)."""
+    hi = _hex_bigint_sql(hex_expr, 1, 8)
+    lo = _hex_bigint_sql(hex_expr, 9, 8)
+    return f"(CAST({hi} AS HUGEINT) * 4294967296 + {lo})"
+
+
 def _md5_unit_sql(hex_col: str) -> str:
     """SQL: first 16 hex chars of an md5 column → uniform double in
     [0,1) — the exact mirror of ``stages/ml._stable_unit`` (parse hex
     big-endian as uint64, divide by 2^64; HUGEINT keeps the parse
     exact, and /2^64 is an exponent shift so rounding commutes)."""
+    return f"(CAST({_md5_u64_sql(hex_col)} AS DOUBLE) / 18446744073709551616.0)"
 
-    def half(start: int) -> str:
-        terms = " + ".join(
-            f"(strpos('0123456789abcdef', substring({hex_col}, {start + i}, 1)) - 1) * {16 ** (7 - i)}"
-            for i in range(8)
-        )
-        return f"({terms})"
 
-    return (
-        f"(CAST(CAST({half(1)} AS HUGEINT) * 4294967296 + {half(9)} AS DOUBLE)"
-        " / 18446744073709551616.0)"
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    """SimHash from scratch in SQL: md5-derived 64-bit token hashes,
+    per-bit majority vote (integer compare 2·ones > n — exact), the
+    4×16-bit pigeonhole banding, pairwise XOR popcount via
+    ``bit_count``. Mirrors ops/dedup.simhash64 + simhash_candidates
+    bit-for-bit (fingerprints compared as reinterpreted int64)."""
+    sums = ",\n                 ".join(
+        f"sum(CAST((h // {2**j}) % 2 AS BIGINT)) AS s{j}" for j in range(64)
     )
+    fp_terms = " + ".join(
+        f"(CASE WHEN 2 * s{j} > n THEN CAST({2**j} AS HUGEINT) ELSE CAST(0 AS HUGEINT) END)"
+        for j in range(64)
+    )
+    return f"""
+            WITH toks AS (
+              SELECT doc_id, unnest(regexp_extract_all(text, '\\S+')) AS tok
+              FROM documents),
+            th AS (
+              SELECT doc_id, {_md5_u64_sql("md5(tok)")} AS h FROM toks),
+            agg AS (
+              SELECT doc_id, count(*) AS n,
+                 {sums}
+              FROM th GROUP BY doc_id),
+            fps AS (
+              SELECT d.doc_id,
+                     COALESCE(({fp_terms}), CAST(0 AS HUGEINT)) AS ufp
+              FROM documents d LEFT JOIN agg USING (doc_id)),
+            sfp AS (
+              SELECT doc_id,
+                     CAST(CASE WHEN ufp >= 9223372036854775808
+                               THEN ufp - 18446744073709551616
+                               ELSE ufp END AS BIGINT) AS fp
+              FROM fps),
+            bands AS (
+              SELECT doc_id, fp, b, (fp >> (b * 16)) & 65535 AS bv
+              FROM sfp, (VALUES (0), (1), (2), (3)) bands(b)),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+                     a.fp AS fa, c.fp AS fc
+              FROM bands a
+              JOIN bands c ON a.b = c.b AND a.bv = c.bv AND a.doc_id < c.doc_id)
+            SELECT id_a, id_b,
+                   CAST(bit_count(xor(fa, fc)) AS BIGINT) AS hamming
+            FROM cand WHERE bit_count(xor(fa, fc)) <= {max_hamming}
+        """
+
+
+def _minhash_oracle_sql(threshold: float = 0.4) -> str:
+    """MinHash-LSH from scratch in SQL: distinct word-3-gram shingles,
+    md5-derived 32-bit shingle hashes, the 64 inlined (a, b) permanent
+    parameters of ops/dedup._perm_params, per-perm min over shingles,
+    16×4 banding via ordered string_agg keys, bucket self-join for
+    candidates, est-Jaccard = equal-position fraction (eq/64 — an
+    exact power-of-two division on both engines)."""
+    from ocr_service_ray.ops.dedup import _perm_params
+
+    a, b = _perm_params(64)
+    perm_rows = ", ".join(
+        f"({p}, {int(a[p])}, {int(b[p])})" for p in range(64)
+    )
+    return f"""
+            WITH w AS (
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+            g AS (
+              SELECT doc_id,
+                CASE WHEN length(ws) < 3 THEN [array_to_string(ws, ' ')]
+                     ELSE list_distinct(list_transform(
+                            generate_series(1, length(ws) - 2),
+                            i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                END AS grams
+              FROM w),
+            gr AS (SELECT doc_id, unnest(grams) AS gram FROM g),
+            gh AS (SELECT doc_id, {_hex_bigint_sql("md5(gram)", 1, 8)} AS x FROM gr),
+            perms(p, a, b) AS (VALUES {perm_rows}),
+            sigs AS (
+              SELECT doc_id, p, min((a * x + b) % 2147483647) AS sig
+              FROM gh, perms GROUP BY doc_id, p),
+            bandkeys AS (
+              SELECT doc_id, p // 4 AS band,
+                     string_agg(CAST(sig AS VARCHAR), '|' ORDER BY p) AS band_key
+              FROM sigs GROUP BY doc_id, p // 4),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b
+              FROM bandkeys a
+              JOIN bandkeys c ON c.band = a.band AND c.band_key = a.band_key
+                             AND a.doc_id < c.doc_id),
+            est AS (
+              SELECT cand.id_a, cand.id_b,
+                     sum(CASE WHEN sa.sig = sb.sig THEN 1 ELSE 0 END) AS eq
+              FROM cand
+              JOIN sigs sa ON sa.doc_id = cand.id_a
+              JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.p = sa.p
+              GROUP BY cand.id_a, cand.id_b)
+            SELECT id_a, id_b, CAST(eq AS DOUBLE) / 64.0 AS est_jaccard
+            FROM est WHERE CAST(eq AS DOUBLE) / 64.0 >= {threshold}
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1223,4 +1538,61 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "feedback_promote": _feedback_promote_oracle_sql(),
+        "minhash_dedup": _minhash_oracle_sql(threshold=0.4),
+        "simhash_dedup": _simhash_oracle_sql(max_hamming=8),
+        "lsh_knn": _lsh_knn_oracle_sql(nbits=4, radius=1, seed=13, dim=64, k=5),
+        "render_text": _render_text_oracle_sql(),
+        "multimodal_decode": """
+            WITH base AS (
+              SELECT doc_id, repeat(text, 8) AS p FROM documents),
+            feats AS (
+              SELECT doc_id, p, length(p) AS n,
+                     unicode(substring(p, 1, 1)) + unicode(substring(p, 2, 1))
+                       + unicode(substring(p, 3, 1)) + unicode(substring(p, 4, 1))
+                       + 1 AS w,
+                     list_aggregate(list_transform(
+                       regexp_extract_all(p, '(?s).'), c -> unicode(c)), 'sum') AS total
+              FROM base)
+            SELECT 'item-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS item_id,
+                   CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                        ELSE 'video' END AS media_type,
+                   CAST(16 + doc_id % 1009 AS INT) AS width,
+                   CAST(16 + doc_id % 997 AS INT) AS height,
+                   CAST(w AS INT) AS dec_width,
+                   CAST(greatest(n // greatest(w, 1), 1) AS INT) AS dec_height,
+                   CAST(floor(CAST(total AS DOUBLE) / n * 1000000.0 + 0.5) AS BIGINT)
+                     AS pixel_mean_micro,
+                   md5(p) AS content_digest
+            FROM feats
+        """,
+        "multimodal_routed": """
+            WITH base AS (
+              SELECT doc_id, length(text) * 8 AS n FROM documents),
+            counts AS (
+              SELECT doc_id,
+                     CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                          ELSE 'video' END AS feature,
+                     CASE doc_id % 3
+                       WHEN 0 THEN 1
+                       WHEN 1 THEN greatest(n // 1024, 1)
+                       ELSE (greatest(n // 256, 1) + 9) // 10 END AS n_rows
+              FROM base)
+            SELECT 'item-' || lpad(CAST(doc_id AS VARCHAR), 8, '0') AS item_id,
+                   feature
+            FROM (SELECT doc_id, feature, unnest(generate_series(1, n_rows))
+                  FROM counts)
+        """,
+        # ivf_knn: nprobe=6/8 reaches recall 1 on this corpus family,
+        # so the restricted search equals the global brute top-k.
+        "ivf_knn": """
+            WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv
+                       FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv)
+                              * 1000000.0 + 0.5) AS BIGINT) AS cos_sim_micro
+            FROM embeddings e, q
+            ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
+                     e.vec_id ASC
+            LIMIT 5
+        """,
     }

@@ -62,6 +62,32 @@ class SyntheticOCR:
             "word_count": len([w for w in text.split() if w.strip()]),
         }
 
+    def recognize_area(self, payload: bytes, area: dict) -> dict:
+        """Area OCR (M3/M17): the analogue of the reference's
+        ``extract_text_by_area(high_dpi_image, scaled_area)``
+        (``core/processor.py:168-171``) — recognition restricted to
+        the lines whose bbox intersects the (already hi-DPI-scaled)
+        area rect. Callers scale the rect first with
+        ``kernels/geometry.scale_area_for_media``."""
+        full = self.recognize(payload)
+        x1, y1 = area.get("x1", 0), area.get("y1", 0)
+        x2, y2 = area.get("x2", 0), area.get("y2", 0)
+        regions = [
+            r
+            for r in full["regions"]
+            if r["x1"] < x2 and r["x2"] > x1 and r["y1"] < y2 and r["y2"] > y1
+        ]
+        text = "\n".join(r["text"] for r in regions)
+        confidence = (
+            sum(r["confidence"] for r in regions) / len(regions) if regions else 0.0
+        )
+        return {
+            "text": text,
+            "confidence": confidence,
+            "regions": regions,
+            "word_count": len([w for w in text.split() if w.strip()]),
+        }
+
 
 class TesseractOCR:
     """Adapter for a real Tesseract engine (reference ``Dockerfile:4-7``).

@@ -96,20 +96,21 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
 
 
 def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingles → stable 32-bit hashes (blake2b-derived;
-    PYTHONHASHSEED-independent)."""
+    """Word n-gram shingles → stable 32-bit hashes.
+
+    md5-derived (first 8 hex chars, big-endian) — PYTHONHASHSEED-
+    independent AND reproducible in DuckDB (``md5()`` + hex parse), so
+    the LSH oracle can recompute signatures from scratch."""
     words = text.split()
     if len(words) < n:
         grams = [" ".join(words)] if words else [""]
     else:
         grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+    distinct = set(grams)
     return np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(g.encode(), digest_size=4).digest(), "little")
-            for g in set(grams)
-        ),
+        (int(hashlib.md5(g.encode()).hexdigest()[:8], 16) for g in distinct),
         dtype=np.uint64,
-        count=len(set(grams)),
+        count=len(distinct),
     )
 
 
@@ -168,7 +169,10 @@ def minhash_lsh_candidates(
             for band in range(bands):
                 chunk = sig[band * rows_per_band : (band + 1) * rows_per_band]
                 band_ids.append(band)
-                band_hashes.append(hashlib.blake2b(chunk.tobytes(), digest_size=8).hexdigest())
+                # bucket key = joined chunk values: any injective
+                # encoding works, and this one is reproducible in SQL
+                # (string_agg ORDER BY perm index)
+                band_hashes.append("|".join(str(int(v)) for v in chunk))
                 ids.append(doc_id)
                 sigs.append(sig_list)
         return pa.table(
@@ -289,16 +293,15 @@ def _keep_hot_buckets(rows_ds, key_cols: list[str]):
 
 
 def simhash64(text: str) -> int:
-    """64-bit SimHash over whitespace tokens (blake2b token hashes),
-    vectorized: one (n_tokens, 64) bit matrix reduction per document."""
+    """64-bit SimHash over whitespace tokens, vectorized: one
+    (n_tokens, 64) bit matrix reduction per document. Token hash is
+    md5-derived (first 16 hex chars, big-endian) so DuckDB's ``md5()``
+    reproduces the fingerprint bit-for-bit in the oracle."""
     toks = text.split()
     if not toks:
         return 0
     hs = np.fromiter(
-        (
-            int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
-            for t in toks
-        ),
+        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks),
         dtype=np.uint64,
         count=len(toks),
     )

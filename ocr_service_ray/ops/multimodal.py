@@ -64,25 +64,30 @@ class DecodeImageStage:
 
     @staticmethod
     def _decode_fake(payload: bytes) -> tuple[int, int, float]:
-        # DETERMINISTIC FAKE: stands in for pixel decode in this sandbox.
+        # DETERMINISTIC FAKE: stands in for pixel decode in this
+        # sandbox. Oracle discipline: integer byte stats + one double
+        # division — the exact expressions DuckDB reproduces from a
+        # text-derived payload (see __ray_entry__ multimodal oracles).
         buf = np.frombuffer(payload, dtype=np.uint8)
         w = int(buf[:4].sum()) + 1 if len(buf) >= 4 else 1
         h = max(1, len(buf) // max(w, 1))
-        return w, h, float(buf.mean()) if len(buf) else 0.0
+        mean = int(buf.sum()) / len(buf) if len(buf) else 0.0
+        return w, h, mean
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        widths, heights, means, digests = [], [], [], []
+        widths, heights, micros, digests = [], [], [], []
         for payload in batch["payload"].to_pylist():
             w, h, mean = self._decode(payload)
             widths.append(w)
             heights.append(h)
-            means.append(round(mean, 6))
-            digests.append(hashlib.blake2b(payload, digest_size=8).hexdigest())
+            micros.append(int(np.floor(mean * 1000000.0 + 0.5)))
+            # md5 so DuckDB's md5() reproduces the digest
+            digests.append(hashlib.md5(payload).hexdigest())
         return (
             batch.drop_columns(["payload"])  # decoded payloads don't cross blocks
             .append_column("dec_width", pa.array(widths, pa.int32()))
             .append_column("dec_height", pa.array(heights, pa.int32()))
-            .append_column("pixel_mean", pa.array(means, pa.float64()))
+            .append_column("pixel_mean_micro", pa.array(micros, pa.int64()))
             .append_column("content_digest", pa.array(digests, pa.string()))
         )
 
@@ -106,7 +111,8 @@ class FrameSampleStage:
                 chunk = payload[f * self.frame_bytes : (f + 1) * self.frame_bytes]
                 ids.append(item_id)
                 frame_idx.append(f)
-                digests.append(hashlib.blake2b(chunk, digest_size=8).hexdigest())
+                # md5[:16] so DuckDB reproduces the frame digest
+                digests.append(hashlib.md5(chunk).hexdigest()[:16])
         return pa.table(
             {
                 "item_id": pa.array(ids, pa.string()),
@@ -166,36 +172,40 @@ class ResizeImageStage:
 
 
 class AudioFeatureStage:
-    """Actor stage: audio payload → windowed features (RMS +
-    zero-crossing rate per window). Sandbox stub interprets the payload
-    bytes as int8 samples (real adapter: soundfile/librosa decode);
-    the windowing, vectorized numpy feature math and one-row-per-window
-    explode are real."""
+    """Actor stage: audio payload → windowed features (RMS + peak per
+    window). Sandbox stub interprets the payload bytes as int8 samples
+    (real adapter: soundfile/librosa decode); the windowing, vectorized
+    numpy feature math and one-row-per-window explode are real.
+
+    Oracle discipline: the squared-sample sum is an exact integer (all
+    intermediates < 2^53, so any float summation order is exact), then
+    one double division + sqrt — the identical SQL expression."""
 
     def __init__(self, window: int = 1024):
         self.window = window
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        ids, win_idx, rms, zcr = [], [], [], []
+        ids, win_idx, rms_micro, peak = [], [], [], []
         for item_id, payload in zip(
             batch["item_id"].to_pylist(), batch["payload"].to_pylist()
         ):
-            samples = np.frombuffer(payload, dtype=np.int8).astype(np.float64)
+            samples = np.frombuffer(payload, dtype=np.int8).astype(np.int64)
             n_win = max(1, len(samples) // self.window)
             for w in range(n_win):
                 chunk = samples[w * self.window : (w + 1) * self.window]
                 if not len(chunk):
-                    chunk = np.zeros(1)
+                    chunk = np.zeros(1, dtype=np.int64)
                 ids.append(item_id)
                 win_idx.append(w)
-                rms.append(float(np.sqrt((chunk**2).mean())))
-                zcr.append(float((np.diff(np.signbit(chunk)) != 0).mean()) if len(chunk) > 1 else 0.0)
+                rms = np.sqrt(int((chunk * chunk).sum()) / len(chunk))
+                rms_micro.append(int(np.floor(rms * 1000000.0 + 0.5)))
+                peak.append(int(chunk.max()))
         return pa.table(
             {
                 "item_id": pa.array(ids, pa.string()),
                 "window_idx": pa.array(win_idx, pa.int32()),
-                "rms": pa.array(rms, pa.float64()),
-                "zero_crossing_rate": pa.array(zcr, pa.float64()),
+                "rms_micro": pa.array(rms_micro, pa.int64()),
+                "peak": pa.array(peak, pa.int64()),
             }
         )
 
@@ -218,6 +228,31 @@ def synthesize_media_items(n: int, seed: int = 42) -> pa.Table:
             }
         )
     return pa.Table.from_pylist(rows, schema=MEDIA_META)
+
+
+def derive_media_items(docs_ds, repeat: int = 8):
+    """Deterministic media-item table derived from the ``documents``
+    table (doc_id, text): payload = utf-8 bytes of the text repeated
+    ``repeat``× (ASCII corpus → SQL char ops ARE byte ops), media_type
+    round-robins by doc_id. Makes every multimodal stage output
+    re-derivable by the DuckDB oracle from the same registered view —
+    no side-channel fixture."""
+
+    def to_items(b: pa.Table) -> pa.Table:
+        ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        texts = b["text"].to_pylist()
+        kinds = ["image", "audio", "video"]
+        return pa.table(
+            {
+                "item_id": pa.array([f"item-{i:08d}" for i in ids], pa.string()),
+                "payload": pa.array([(t * repeat).encode() for t in texts], pa.binary()),
+                "media_type": pa.array([kinds[i % 3] for i in ids], pa.string()),
+                "width": pa.array((16 + ids % 1009).astype(np.int32)),
+                "height": pa.array((16 + ids % 997).astype(np.int32)),
+            }
+        )
+
+    return docs_ds.map_batches(to_items, batch_format="pyarrow")
 
 
 def decode_pipeline(ds, batch_size: int = 16, concurrency=(1, 4)):

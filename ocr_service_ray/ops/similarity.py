@@ -136,3 +136,83 @@ class IvfIndex:
         ]
         probed = rd.read_parquet(files, columns=[self.id_col, self.vec_col])
         return knn_brute(probed, query, k, self.vec_col, self.id_col)
+
+
+class LshIndex:
+    """Hyperplane-LSH partitioned ANN — the LSH-bucketed scale path.
+
+    ``nbits`` fixed random hyperplanes (seeded, inlined as plain
+    constants) give each vector a sign-bit cell id; vectors are
+    persisted as cell-partitioned parquet exactly like :class:`IvfIndex`
+    and a query reads only the cells within Hamming distance
+    ``radius`` of its own cell (multi-probe LSH: 1 + nbits cells of
+    2^nbits at radius 1 — a ~(1+nbits)/2^nbits fraction scan).
+
+    Unlike k-means centroids, the quantizer here is pure arithmetic of
+    the vector — the WHOLE search (assignment, probe set, rerank) is
+    reproducible in SQL, so the driver's DuckDB oracle can check the
+    ANN result exactly without requiring recall-1 against brute force.
+    """
+
+    def __init__(
+        self,
+        nbits: int = 4,
+        radius: int = 1,
+        vec_col: str = "embedding",
+        id_col: str = "vec_id",
+        seed: int = 13,
+    ):
+        self.nbits = nbits
+        self.radius = radius
+        self.vec_col = vec_col
+        self.id_col = id_col
+        self.seed = seed
+        self.planes: np.ndarray | None = None
+        self.index_path: str | None = None
+
+    def _cells(self, mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ self.planes.T) > 0.0
+        return (bits.astype(np.int64) << np.arange(self.nbits, dtype=np.int64)).sum(axis=1)
+
+    def build(self, ds, dim: int, index_path: str | None = None):
+        import tempfile
+
+        rng = np.random.RandomState(self.seed)
+        self.planes = rng.standard_normal((self.nbits, dim))
+
+        def assign(batch: pa.Table) -> pa.Table:
+            mat = _as_matrix(batch[self.vec_col])
+            return batch.append_column(
+                "lsh_cell", pa.array(self._cells(mat), pa.int32())
+            )
+
+        self.index_path = index_path or tempfile.mkdtemp(prefix="lsh_index_")
+        ds.map_batches(assign, batch_format="pyarrow").write_parquet(
+            self.index_path, partition_cols=["lsh_cell"]
+        )
+        return self
+
+    def probe_cells(self, query: np.ndarray) -> list[int]:
+        assert self.planes is not None, "call build() first"
+        qcell = int(self._cells(query.astype(np.float64)[None, :])[0])
+        return sorted(
+            c
+            for c in range(1 << self.nbits)
+            if bin(c ^ qcell).count("1") <= self.radius
+        )
+
+    def search(self, query: np.ndarray, k: int = 5):
+        import glob
+        import os
+
+        import ray.data as rd
+
+        paths = [f"{self.index_path}/lsh_cell={c}" for c in self.probe_cells(query)]
+        files = [
+            f
+            for p in paths
+            if os.path.isdir(p)
+            for f in sorted(glob.glob(f"{p}/*.parquet"))
+        ]
+        probed = rd.read_parquet(files, columns=[self.id_col, self.vec_col])
+        return knn_brute(probed, query, k, self.vec_col, self.id_col)

@@ -57,7 +57,16 @@ def extract_spans(doc: dict, media: dict[str, dict], engine=None) -> tuple[list[
         if kind not in MEDIA_KINDS:
             raise KeyError(f"unknown span kind: {kind!r}")
         m = media[span["media_ref"]]
-        ocr = engine.recognize(m["payload"])
+        rect = m.get("area_rect")
+        if kind == "area" and rect is not None and hasattr(engine, "recognize_area"):
+            # M17: area rects arrive in DPI-300 space — scale by the
+            # actual-size ratio (fallback 3.0) before the hi-DPI crop
+            # (core/processor.py:131-167), then OCR only that area.
+            from ocr_service_ray.kernels.geometry import scale_area_for_media
+
+            ocr = engine.recognize_area(m["payload"], scale_area_for_media(rect, m))
+        else:
+            ocr = engine.recognize(m["payload"])
         extracted.append(
             {
                 "kind": kind,

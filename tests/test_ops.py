@@ -91,7 +91,10 @@ def test_simhash_candidates(ray_session):
     from ocr_service_ray.ops.dedup import simhash_candidates
 
     base = "alpha beta gamma delta epsilon zeta eta theta " * 8
-    near = base.replace("zeta", "zetaa", 1)
+    # "tok63" pins fingerprint hamming 2 to base (≤3 — INSIDE the
+    # 4×16-bit pigeonhole banding guarantee; beyond 3 a shared band is
+    # not guaranteed and recall is probabilistic by design)
+    near = base.replace("zeta", "tok63", 1)
     far = "unrelated words entirely here nothing shared at all " * 8
     df = pd.DataFrame({"doc_id": ["x", "y", "z"], "text": [base, near, far]})
     pairs = simhash_candidates(rd.from_pandas(df), max_hamming=6).to_pandas()

@@ -1,0 +1,143 @@
+"""Parity kernels added in round 2: M17 bbox scaling, T7 area
+detection, S5 golden readers, area-OCR integration."""
+
+import json
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+
+def test_area_scale_ratios_actual_and_fallback():
+    """M17 — core/processor.py:139-146: actual-size ratio per axis,
+    3.0 fallback on zero normal dims."""
+    from ocr_service_ray.kernels.geometry import area_scale_ratios, scale_area
+
+    sx, sy = area_scale_ratios(800, 600, 2400, 1800)
+    assert (sx, sy) == (3.0, 3.0)
+    sx, sy = area_scale_ratios(850, 600, 2400, 1803)
+    assert sx == 2400 / 850 and sy == 1803 / 600
+    assert area_scale_ratios(0, 0, 2400, 1800) == (3.0, 3.0)
+
+    # int() truncation exactly as processor.py:152-163
+    scaled = scale_area({"x1": 10, "y1": 20, "x2": 101, "y2": 333}, 2400 / 850, 3.0)
+    assert scaled == {
+        "x1": int(10 * 2400 / 850),
+        "y1": 60,
+        "x2": int(101 * 2400 / 850),
+        "y2": 999,
+    }
+    # missing keys default to 0 (reference .get(..., 0))
+    assert scale_area({}, 3.0, 3.0) == {"x1": 0, "y1": 0, "x2": 0, "y2": 0}
+
+
+def test_area_detector_boxes_and_fallback():
+    """T7 — area_detector.py:36-84: Otsu + contour boxes with the
+    w>50/h>50 filter; empty → full_document."""
+    from ocr_service_ray.kernels.area_detect import AreaDetector
+
+    img = np.zeros((300, 400), dtype=np.uint8)
+    img[20:100, 30:180] = 220       # 150x80 block → kept
+    img[150:260, 200:320] = 200     # 120x110 block → kept
+    img[10:15, 350:360] = 255       # tiny blob → filtered (w,h <= 50)
+    areas = AreaDetector().detect_areas(img)
+    assert {a["type"] for a in areas} == {"text_block"}
+    assert len(areas) == 2
+    boxes = sorted((a["x1"], a["y1"], a["x2"], a["y2"]) for a in areas)
+    assert boxes == [(30, 20, 180, 100), (200, 150, 320, 260)]
+
+    blank = np.zeros((120, 90), dtype=np.uint8)
+    fallback = AreaDetector().detect_areas(blank)
+    assert fallback == [{"x1": 0, "y1": 0, "x2": 90, "y2": 120, "type": "full_document"}]
+
+
+def test_otsu_threshold_bimodal():
+    from ocr_service_ray.kernels.area_detect import otsu_threshold
+
+    gray = np.concatenate(
+        [np.full(500, 30, dtype=np.uint8), np.full(500, 200, dtype=np.uint8)]
+    ).reshape(20, 50)
+    t = otsu_threshold(gray)
+    assert 30 <= t < 200  # separates the two modes
+
+
+def test_golden_readers(tmp_path):
+    """S5 — dataset_loader.py:95-152: .txt read, name normalization,
+    unreadable formats → "" with the reference's warning semantics."""
+    from ocr_service_ray.sources.golden import (
+        load_golden_table,
+        load_reference_text,
+        normalize_golden_name,
+    )
+
+    assert normalize_golden_name("1 АОСР") == "АОСР"
+    assert normalize_golden_name("АОСР копия") == "АОСР копия"
+
+    (tmp_path / "1 акт.txt").write_text("Текст акта", encoding="utf-8")
+    (tmp_path / "2 форма.docx").write_bytes(b"not really docx")
+    (tmp_path / "протокол.xlsx").write_bytes(b"not really xlsx")
+    (tmp_path / "ignored.png").write_bytes(b"")
+
+    assert load_reference_text(str(tmp_path / "1 акт.txt")) == "Текст акта"
+    with pytest.warns(UserWarning):
+        assert load_reference_text(str(tmp_path / "2 форма.docx")) == ""
+
+    with pytest.warns(UserWarning):
+        t = load_golden_table(str(tmp_path))
+    rows = {r["name"]: r["golden_text"] for r in t.to_pylist()}
+    assert rows == {"акт": "Текст акта", "форма": "", "протокол": ""}
+
+
+def test_area_ocr_scaled_rect():
+    """M3+M17 integration: an area span with a DPI-300 rect OCRs only
+    the lines inside the hi-DPI-scaled rect."""
+    from ocr_service_ray.engines import SyntheticOCR
+    from ocr_service_ray.oracle import extract_spans
+
+    lines = [
+        ["внутри области", 0.9, 100.0, 100.0, 400.0, 130.0],
+        ["вне области", 0.8, 2000.0, 2000.0, 2300.0, 2030.0],
+    ]
+    media = {
+        "m-a-0": {
+            "media_ref": "m-a-0",
+            "payload": json.dumps({"lines": lines}, ensure_ascii=False).encode(),
+            "sharpness_var": 100.0,
+            "contrast_std": 50.0,
+            "brightness_mean": 127.5,
+            # DPI-300 frame is 500x500, hi-DPI is 1500x1500 → scale 3.0
+            "normal_width": 500,
+            "normal_height": 500,
+            "high_width": 1500,
+            "high_height": 1500,
+            # rect in DPI-300 space: (20,20)-(160,60) → scaled (60,60)-(480,180)
+            "area_rect": {"x1": 20, "y1": 20, "x2": 160, "y2": 60},
+        }
+    }
+    doc = {
+        "doc_id": "a",
+        "spans": [{"kind": "area", "text": "", "media_ref": "m-a-0", "offset": 0}],
+    }
+    extracted, _, _ = extract_spans(doc, media, SyntheticOCR())
+    assert extracted[0]["text"] == "внутри области"
+    assert extracted[0]["confidence"] == 0.9
+
+
+def test_preprocess_upscale_dims():
+    """M1 — ocr_engine.py:67-73 min-side-1500 rule, verbatim."""
+    from ocr_service_ray.kernels.preprocess import preprocess_image, upscale_dims
+
+    # both sides small → scale by the larger deficit
+    w, h, s = upscale_dims(800, 600)
+    assert s == max(1500 / 600, 1500 / 800) == 2.5
+    assert (w, h) == (int(800 * 2.5), int(600 * 2.5)) == (2000, 1500)
+    # one side large enough, the other not → still upscales
+    w, h, s = upscale_dims(3000, 1000)
+    assert s == 1.5 and (w, h) == (4500, 1500)
+    # both ≥ 1500 → untouched
+    assert upscale_dims(1500, 1600) == (1500, 1600, 1.0)
+
+    img = np.random.RandomState(0).randint(0, 255, (600, 800, 3), dtype=np.uint8)
+    out = preprocess_image(img)
+    assert out.shape == (1500, 2000)  # (h, w) of the reference target
+    assert out.dtype == np.uint8
