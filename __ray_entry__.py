@@ -311,6 +311,71 @@ def queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def q_asof_purchase_click(sf_dir):
+        """As-of join: each purchase matched to the user's latest
+        click at-or-before the purchase time (DuckDB ASOF LEFT JOIN
+        is the oracle). One shuffle on user_id; vectorized
+        merge_asof per key group."""
+        import pandas as pd
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+        def only(kind, cols):
+            return ev.map_batches(
+                lambda b, k=kind, c=cols: b.filter(pc.equal(b["event_type"], k)).select(c),
+                batch_format="pyarrow",
+            )
+
+        purchases = only("purchase", ["event_id", "user_id", "ts"])
+        clicks = only("click", ["user_id", "ts"]).map_batches(
+            lambda b: b.append_column(
+                "click_us",
+                pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
+            ),
+            batch_format="pyarrow",
+        )
+        joined = relational.asof_join(purchases, clicks, on="ts", by="user_id")
+
+        def project(b: pd.DataFrame) -> pd.DataFrame:
+            # inner semantics for the oracle row (nullable ints don't
+            # survive the driver's canonicalization) — the op itself
+            # is left-join and pytest covers the no-match case
+            b = b[b["click_us"].notna()]
+            return pd.DataFrame(
+                {
+                    "event_id": b["event_id"].astype("int64"),
+                    "user_id": b["user_id"].astype("int64"),
+                    "purchase_us": b["ts"].astype("datetime64[us]").astype("int64"),
+                    "click_us": b["click_us"].astype("int64"),
+                }
+            )
+
+        return joined.map_batches(project, batch_format="pandas")
+
+    def q_range_join_values(sf_dir):
+        """Broadcast range join (value → bucket via searchsorted) +
+        grouped totals; oracle is a DuckDB inequality join."""
+        ranges = [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 100.0), ("whale", 100.0, 1e12)]
+        tagged = relational.broadcast_range_join(
+            _read(sf_dir, "events", ["event_type", "value"]), ranges, "value"
+        )
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"bucket": b["bucket"], "event_type": b["event_type"], "cents": pa.array(c)}
+            )
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        return grouped_agg(
+            tagged.map_batches(cents, batch_format="pyarrow"),
+            ["bucket", "event_type"],
+            {"n_events": ("cents", "count"), "total_cents": ("cents", "sum")},
+        )
+
     def q_sort_topk_orders(sf_dir):
         return relational.topk(
             _read(sf_dir, "orders", ["o_orderkey", "o_totalprice"]),
@@ -356,6 +421,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pyarrow",
         )
         pairs = dedup.embedding_near_dup(sampled, threshold=0.3)
+
+        def micro(b: pa.Table) -> pa.Table:
+            m = _micro(b["cos_sim"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {"id_a": b["id_a"], "id_b": b["id_b"], "cos_sim_micro": pa.array(m)}
+            )
+
+        return pairs.map_batches(micro, batch_format="pyarrow")
+
+    def q_near_dup_lsh_blocked(sf_dir):
+        """Embedding near-dup with the CORPUS-SCALE blocking key: the
+        hyperplane-LSH cell (not the label column) — the block
+        assignment is pure arithmetic, so the oracle reproduces the
+        same blocked pairing in SQL. Pairs across different cells are
+        (by design) not compared — exactly what the oracle mirrors."""
+        planes = np.random.RandomState(13).standard_normal((4, 64))
+
+        def assign(b: pa.Table) -> pa.Table:
+            mat = similarity._as_matrix(b["embedding"])
+            bits = (mat @ planes.T) > 0.0
+            cell = (bits.astype(np.int64) << np.arange(4, dtype=np.int64)).sum(axis=1)
+            return b.append_column("lsh_cell", pa.array(cell, pa.int32()))
+
+        sampled = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+            lambda b: b.filter(
+                pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 5 == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = dedup.embedding_near_dup(
+            sampled.map_batches(assign, batch_format="pyarrow"),
+            block_col="lsh_cell",
+            threshold=0.2,
+        )
 
         def micro(b: pa.Table) -> pa.Table:
             m = _micro(b["cos_sim"].to_numpy(zero_copy_only=False))
@@ -737,9 +836,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hash_join_orders_lineitem": q_hash_join_orders_lineitem,
         "lineitem_pricing": q_lineitem_pricing,
         "sort_topk_orders": q_sort_topk_orders,
+        "asof_purchase_click": q_asof_purchase_click,
+        "range_join_values": q_range_join_values,
         "knn_brute": q_knn_brute,
         "embedding_norms": q_embedding_norms,
         "near_dup_sample": q_near_dup_sample,
+        "near_dup_lsh_blocked": q_near_dup_lsh_blocked,
         "salted_event_totals": q_salted_event_totals,
         "ngram_jaccard": q_ngram_jaccard,
         "unique_langs": q_unique_langs,
@@ -768,6 +870,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
 # ---------------------------------------------------------------- oracles
 
 
+# Shared SQL fragments for the generative-media mirror (constants
+# imported from sources/synth.py so the Python rule and the SQL oracle
+# cannot drift).
+
+
+def _gen_hj_sql(j: int) -> str:
+    return f"((h0 + {(j + 1) * 69427}) % 2147483647)"
+
+
+def _gen_conf_sql(j: int) -> str:
+    h = _gen_hj_sql(j)
+    return (
+        f"(CAST((CASE WHEN {h} % 7 = 0 THEN 50 ELSE 550 END) + {h} % 400 "
+        f"AS DOUBLE) / 1000.0)"
+    )
+
+
+def _gen_conf_mean_sql(max_lines: int) -> str:
+    """Left-assoc fold of the ordered line confidences: sum()/len in
+    Python is c0, (c0+c1), ((c0+c1)+c2), ... — mirrored exactly."""
+    whens = " ".join(
+        f"WHEN {n} THEN " + " + ".join(_gen_conf_sql(j) for j in range(n))
+        for n in range(1, max_lines)
+    )
+    last = " + ".join(_gen_conf_sql(j) for j in range(max_lines))
+    return f"(CASE n_lines {whens} ELSE {last} END / n_lines)"
+
+
+def _gen_flag_sql(j: int, mod: int) -> str:
+    return f"(CASE WHEN n_lines > {j} AND {_gen_hj_sql(j)} % {mod} = 0 THEN 1 ELSE 0 END)"
+
+
 def _flagship_oracle_sql() -> str:
     """DuckDB mirror of the generative flagship derivation.
 
@@ -781,32 +915,11 @@ def _flagship_oracle_sql() -> str:
     required_fields=None validates all 10 patterns and no generative
     document carries all 10.
     """
+    from ocr_service_ray.sources.synth import GEN_LINES_MOD
 
-    def hj(j: int) -> str:
-        return f"((h0 + {(j + 1) * 69427}) % 2147483647)"
-
-    def conf(j: int) -> str:
-        h = hj(j)
-        return (
-            f"(CAST((CASE WHEN {h} % 7 = 0 THEN 50 ELSE 550 END) + {h} % 400 "
-            f"AS DOUBLE) / 1000.0)"
-        )
-
-    def planted(j: int) -> str:
-        return f"(CASE WHEN n_lines > {j} AND {hj(j)} % 5 = 0 THEN 1 ELSE 0 END)"
-
-    def lowconf(j: int) -> str:
-        return f"(CASE WHEN n_lines > {j} AND {hj(j)} % 7 = 0 THEN 1 ELSE 0 END)"
-
-    # left-assoc fold of the ordered line confidences: sum()/len in
-    # Python is c0, (c0+c1), ((c0+c1)+c2) — mirrored exactly
-    conf_mean = (
-        f"(CASE n_lines WHEN 1 THEN {conf(0)} "
-        f"WHEN 2 THEN {conf(0)} + {conf(1)} "
-        f"ELSE {conf(0)} + {conf(1)} + {conf(2)} END / n_lines)"
-    )
-    planted_sum = " + ".join(planted(j) for j in range(3))
-    lowconf_sum = " + ".join(lowconf(j) for j in range(3))
+    conf_mean = _gen_conf_mean_sql(GEN_LINES_MOD)
+    planted_sum = " + ".join(_gen_flag_sql(j, 5) for j in range(GEN_LINES_MOD))
+    lowconf_sum = " + ".join(_gen_flag_sql(j, 7) for j in range(GEN_LINES_MOD))
 
     imgq = (
         "(least(CAST(first_h0 % 2500 AS DOUBLE) / 10.0 / 100.0, 1.0) "
@@ -825,7 +938,7 @@ def _flagship_oracle_sql() -> str:
              OR (k = 2 AND n % 11 = 0)
         ),
         mlines AS (
-          SELECT n, k, h0, 1 + h0 % 3 AS n_lines FROM media
+          SELECT n, k, h0, 1 + h0 % {GEN_LINES_MOD} AS n_lines FROM media
         ),
         mfeat AS (
           SELECT n, k, h0,
@@ -976,46 +1089,43 @@ def _render_text_oracle_sql() -> str:
     lines with printf('%.3f') — C's correctly-rounded decimal
     conversion, identical to Python's format(). Shares the quality /
     confidence arithmetic with the flagship oracle."""
-    voc = "['протокол', 'документ', 'справка', 'реквизиты', 'печать', 'подпись', 'договор', 'банк']"
+    from ocr_service_ray.sources.synth import (
+        GEN_LINES_MOD,
+        GEN_WORDS_BASE,
+        GEN_WORDS_MOD,
+        _GEN_VOCAB,
+    )
 
-    def hj(j: int) -> str:
-        return f"((h0 + {(j + 1) * 69427}) % 2147483647)"
-
-    def conf(j: int) -> str:
-        h = hj(j)
-        return (
-            f"(CAST((CASE WHEN {h} % 7 = 0 THEN 50 ELSE 550 END) + {h} % 400 "
-            f"AS DOUBLE) / 1000.0)"
-        )
-
-    def planted(j: int) -> str:
-        return f"(CASE WHEN n_lines > {j} AND {hj(j)} % 5 = 0 THEN 1 ELSE 0 END)"
+    voc = "[" + ", ".join(f"'{w}'" for w in _GEN_VOCAB) + "]"
+    max_words = GEN_WORDS_BASE + GEN_WORDS_MOD - 1
 
     def line(j: int) -> str:
-        h = hj(j)
-        parts = [f"{voc}[1 + ({h} + {m * 12289}) % 8]" for m in range(4)]
+        h = _gen_hj_sql(j)
+        parts = [f"{voc}[1 + ({h} + {m * 12289}) % 8]" for m in range(max_words)]
+        # first GEN_WORDS_BASE words unconditional; word m (m ≥ base)
+        # present iff hj % GEN_WORDS_MOD > m - base
+        expr = " || ' ' || ".join(parts[:GEN_WORDS_BASE])
+        conds = "".join(
+            f" || CASE WHEN {h} % {GEN_WORDS_MOD} > {m - GEN_WORDS_BASE} "
+            f"THEN ' ' || {parts[m]} ELSE '' END"
+            for m in range(GEN_WORDS_BASE, max_words)
+        )
         return (
-            f"({parts[0]} || ' ' || {parts[1]}"
-            f" || CASE WHEN {h} % 3 >= 1 THEN ' ' || {parts[2]} ELSE '' END"
-            f" || CASE WHEN {h} % 3 >= 2 THEN ' ' || {parts[3]} ELSE '' END"
+            f"({expr}{conds}"
             f" || CASE WHEN {h} % 5 = 0 THEN ' пр0верка' ELSE '' END)"
         )
 
     media_text = (
         f"({line(0)}"
-        f" || CASE WHEN n_lines >= 2 THEN chr(10) || {line(1)} ELSE '' END"
-        f" || CASE WHEN n_lines >= 3 THEN chr(10) || {line(2)} ELSE '' END)"
+        + "".join(
+            f" || CASE WHEN n_lines >= {j + 1} THEN chr(10) || {line(j)} ELSE '' END"
+            for j in range(1, GEN_LINES_MOD)
+        )
+        + ")"
     )
-    conf_mean = (
-        f"(CASE n_lines WHEN 1 THEN {conf(0)} "
-        f"WHEN 2 THEN {conf(0)} + {conf(1)} "
-        f"ELSE {conf(0)} + {conf(1)} + {conf(2)} END / n_lines)"
-    )
-    planted_sum = " + ".join(planted(j) for j in range(3))
-    lowconf_sum = " + ".join(
-        f"(CASE WHEN n_lines > {j} AND {hj(j)} % 7 = 0 THEN 1 ELSE 0 END)"
-        for j in range(3)
-    )
+    conf_mean = _gen_conf_mean_sql(GEN_LINES_MOD)
+    planted_sum = " + ".join(_gen_flag_sql(j, 5) for j in range(GEN_LINES_MOD))
+    lowconf_sum = " + ".join(_gen_flag_sql(j, 7) for j in range(GEN_LINES_MOD))
     imgq = (
         "(least(CAST(first_h0 % 2500 AS DOUBLE) / 10.0 / 100.0, 1.0) "
         "+ least(CAST(first_h0 % 700 AS DOUBLE) / 10.0 / 50.0, 1.0) "
@@ -1037,7 +1147,7 @@ def _render_text_oracle_sql() -> str:
              OR (k = 2 AND n % 11 = 0)
         ),
         mlines AS (
-          SELECT n, k, h0, 1 + h0 % 3 AS n_lines FROM media
+          SELECT n, k, h0, 1 + h0 % {GEN_LINES_MOD} AS n_lines FROM media
         ),
         mfeat AS (
           SELECT n, k, h0,
@@ -1104,19 +1214,26 @@ def _render_text_oracle_sql() -> str:
     """
 
 
+def _lsh_cell_terms_sql(vec_var: str, nbits: int = 4, seed: int = 13, dim: int = 64) -> str:
+    """SQL expression for the hyperplane-LSH sign-bit cell id of a
+    DOUBLE[] column ``vec_var`` — the same seeded planes as
+    ops/similarity.LshIndex, inlined as double literals."""
+    planes = np.random.RandomState(seed).standard_normal((nbits, dim))
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({vec_var}, ["
+        + ", ".join(repr(float(x)) for x in planes[i])
+        + f"]) > 0.0 THEN {1 << i} ELSE 0 END)"
+        for i in range(nbits)
+    )
+
+
 def _lsh_knn_oracle_sql(nbits: int = 4, radius: int = 1, seed: int = 13, dim: int = 64, k: int = 5) -> str:
     """Exact SQL mirror of the LshIndex search: the same seeded
     hyperplanes inlined as double literals, sign-bit cell assignment
     via list_dot_product, the radius-``radius`` Hamming probe set, and
     the cosine rerank limited to probed cells. The restriction itself
     is reproduced, so this oracle is exact whatever the recall."""
-    planes = np.random.RandomState(seed).standard_normal((nbits, dim))
-    cell_terms = " + ".join(
-        "(CASE WHEN list_dot_product(v, ["
-        + ", ".join(repr(float(x)) for x in planes[i])
-        + f"]) > 0.0 THEN {1 << i} ELSE 0 END)"
-        for i in range(nbits)
-    )
+    cell_terms = _lsh_cell_terms_sql("v", nbits, seed, dim)
     return f"""
             WITH e AS (
               SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
@@ -1541,6 +1658,38 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle_sql(threshold=0.4),
         "simhash_dedup": _simhash_oracle_sql(max_hamming=8),
         "lsh_knn": _lsh_knn_oracle_sql(nbits=4, radius=1, seed=13, dim=64, k=5),
+        "asof_purchase_click": """
+            WITH p AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'purchase'),
+            c AS (SELECT user_id, ts, CAST(epoch_us(ts) AS BIGINT) AS click_us
+                  FROM events WHERE event_type = 'click')
+            SELECT p.event_id, p.user_id,
+                   CAST(epoch_us(p.ts) AS BIGINT) AS purchase_us,
+                   c.click_us
+            FROM p ASOF JOIN c
+              ON p.user_id = c.user_id AND p.ts >= c.ts
+        """,
+        "range_join_values": """
+            WITH r(bucket, lo, hi) AS (VALUES
+              ('low', 0.0, 5.0), ('mid', 5.0, 20.0),
+              ('high', 20.0, 100.0), ('whale', 100.0, 1e12))
+            SELECT r.bucket, e.event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS total_cents
+            FROM events e JOIN r ON e.value >= r.lo AND e.value < r.hi
+            GROUP BY r.bucket, e.event_type
+        """,
+        "near_dup_lsh_blocked": f"""
+            WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                       FROM embeddings WHERE vec_id % 5 = 0),
+            cells AS (SELECT vec_id, v, {_lsh_cell_terms_sql("v")} AS cell FROM s)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   CAST(floor(list_cosine_similarity(a.v, b.v) * 1000000.0 + 0.5)
+                        AS BIGINT) AS cos_sim_micro
+            FROM cells a JOIN cells b ON a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.v, b.v) >= 0.2
+        """,
         "render_text": _render_text_oracle_sql(),
         "multimodal_decode": """
             WITH base AS (

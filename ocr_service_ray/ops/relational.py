@@ -126,6 +126,109 @@ def broadcast_anti_join(ds, keys, on: str):
     return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def asof_join(left_ds, right_ds, on: str, by: str, direction: str = "backward"):
+    """As-of join — for each left row, the latest right row with
+    ``right[on] <= left[on]`` within the same ``by`` key (DuckDB
+    ``ASOF LEFT JOIN`` semantics). Ray Data has no as-of join; the
+    Ray-Data-first composition is: tag each side, harmonize schemas,
+    UNION (one plan), ONE shuffle on the ``by`` key via
+    bucketed_map_groups, and a vectorized ``pandas.merge_asof`` inside
+    each key group (rows of one key are co-located by construction —
+    the stated partitioning assumption). Left columns keep their
+    names; right columns not shared with the left are appended.
+
+    Scale shape: the shuffle moves each row once; per-group work is
+    O(n log n) sort + linear merge. Skewed keys are bounded by the
+    per-key group size — salt upstream if one key dominates.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    def _arrow_schema(ds) -> pa.Schema:
+        s = ds.schema()
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            return base
+        # PandasBlockSchema (datasets built from pandas blocks)
+        empty = pd.DataFrame(
+            {n: pd.Series(dtype=t) for n, t in zip(base.names, base.types)}
+        )
+        return pa.Schema.from_pandas(empty, preserve_index=False)
+
+    l_schema = _arrow_schema(left_ds)
+    r_schema = _arrow_schema(right_ds)
+    l_cols = list(l_schema.names)
+    r_cols = list(r_schema.names)
+    r_extra = [c for c in r_cols if c not in l_cols]
+    all_cols = l_cols + r_extra
+
+    def harmonize(side: int, schema: pa.Schema, cols: list[str]):
+        def f(b: pa.Table) -> pa.Table:
+            arrays, fields = [], []
+            for c in all_cols:
+                if c in cols:
+                    arrays.append(b[c])
+                    fields.append(pa.field(c, b.schema.field(c).type))
+                else:
+                    src = l_schema if c in l_cols else r_schema
+                    arrays.append(pa.nulls(b.num_rows, src.field(c).type))
+                    fields.append(pa.field(c, src.field(c).type))
+            arrays.append(pa.array(np.full(b.num_rows, side, np.int8)))
+            fields.append(pa.field("_side", pa.int8()))
+            return pa.Table.from_arrays(arrays, schema=pa.schema(fields))
+
+        return f
+
+    unioned = left_ds.map_batches(
+        harmonize(0, l_schema, l_cols), batch_format="pyarrow"
+    ).union(
+        right_ds.map_batches(harmonize(1, r_schema, r_cols), batch_format="pyarrow")
+    )
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        left = g[g["_side"] == 0][l_cols].sort_values(on, kind="stable")
+        right = g[g["_side"] == 1][[on] + r_extra].sort_values(on, kind="stable")
+        if not len(left):
+            # typed empty — schema stability across groups
+            return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in all_cols})
+        out = pd.merge_asof(left, right, on=on, direction=direction)
+        return out[all_cols]
+
+    return bucketed_map_groups(unioned, [by], per_key)
+
+
+def broadcast_range_join(ds, ranges: list[tuple[str, float, float]], value_col: str):
+    """Range join against a SMALL ranges table: each row is matched to
+    the bucket with ``lo <= value < hi``. The ranges (sorted,
+    non-overlapping — asserted) are broadcast in the task closure and
+    the per-batch lookup is ONE vectorized ``np.searchsorted`` — no
+    shuffle, no per-row Python, exactly the broadcast-small-side rule
+    for joins whose predicate is a range instead of equality. Rows
+    outside every range are dropped (inner-join semantics)."""
+    import numpy as np
+    import pyarrow as pa
+
+    names = [r[0] for r in ranges]
+    los = np.array([r[1] for r in ranges], dtype=np.float64)
+    his = np.array([r[2] for r in ranges], dtype=np.float64)
+    assert (los[1:] >= his[:-1]).all(), "ranges must be sorted and non-overlapping"
+    name_arr = np.array(names, dtype=object)
+
+    def tag(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        idx = np.searchsorted(los, v, side="right") - 1
+        cidx = np.clip(idx, 0, len(ranges) - 1)
+        valid = (idx >= 0) & (v < his[cidx])
+        kept = b.filter(pa.array(valid))
+        return kept.append_column(
+            "bucket", pa.array(name_arr[cidx[valid]].tolist(), pa.string())
+        )
+
+    return ds.map_batches(tag, batch_format="pyarrow")
+
+
 def topk(ds, by: list[str], k: int, descending: list[bool]):
     """Canonical top-k (O5/O6), combiner-style: each block keeps its
     local top-k (no row outside a block-local top-k can be in the

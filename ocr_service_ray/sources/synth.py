@@ -158,6 +158,13 @@ _GEN_VOCAB = [
 ]
 _GEN_PLANT = "пр0верка"  # contextual 0→о fix; exactly 1 correction/occurrence
 _GEN_MOD = 2147483647
+# Workload shape — shared with the SQL oracles in __ray_entry__.py
+# (imported there so the two sides cannot drift): 1..4 lines per
+# media, 5..10 words per line — sized to the reference's typical OCR
+# page density so per-document compute is realistic.
+GEN_LINES_MOD = 4
+GEN_WORDS_BASE = 5
+GEN_WORDS_MOD = 6
 
 
 def parse_generative_ref(media_ref: str) -> tuple[int, int, int]:
@@ -183,7 +190,8 @@ def generate_media_row(media_ref: str) -> dict:
     any constant here and the oracle changes with it.
 
     Content rules (h0, hj are the per-media / per-line hashes below):
-    - 1 + h0%3 lines; line j has 2 + hj%3 vocabulary words;
+    - 1 + h0%GEN_LINES_MOD lines; line j has
+      GEN_WORDS_BASE + hj%GEN_WORDS_MOD vocabulary words;
     - a line plants the correctable token iff hj%5 == 0;
     - line confidence is (550 + hj%400)/1000, or the low-confidence
       (50 + hj%400)/1000 iff hj%7 == 0 (image lines below 0.5 feed
@@ -193,9 +201,12 @@ def generate_media_row(media_ref: str) -> dict:
     n, k, r = parse_generative_ref(media_ref)
     h0 = (n * 2654435761 + k * 40503 + r * 104729) % _GEN_MOD
     lines = []
-    for j in range(1 + h0 % 3):
+    for j in range(1 + h0 % GEN_LINES_MOD):
         hj = (h0 + (j + 1) * 69427) % _GEN_MOD
-        words = [_GEN_VOCAB[(hj + m * 12289) % 8] for m in range(2 + hj % 3)]
+        words = [
+            _GEN_VOCAB[(hj + m * 12289) % 8]
+            for m in range(GEN_WORDS_BASE + hj % GEN_WORDS_MOD)
+        ]
         if hj % 5 == 0:
             words.append(_GEN_PLANT)
         conf_milli = (50 if hj % 7 == 0 else 550) + hj % 400

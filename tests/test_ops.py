@@ -222,3 +222,97 @@ def test_ivf_probe_prunes_read(emb_ds):
     assert len(probed) <= 3 < len(all_cells)  # strictly prunes the read
     got = idx.search(q, k=5).to_pandas()
     assert len(got) == 5
+
+
+def test_asof_join_matches_merge_asof(ray_session):
+    """As-of join (one shuffle + in-group merge_asof) vs a driver-side
+    pandas merge_asof oracle, including left rows with no match."""
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import asof_join
+
+    rng = np.random.RandomState(5)
+    left = pd.DataFrame(
+        {
+            "lid": np.arange(300),
+            "k": rng.randint(0, 20, 300),
+            "t": rng.randint(0, 10_000, 300).astype("int64"),
+        }
+    )
+    right = pd.DataFrame(
+        {
+            "k": rng.randint(0, 22, 400),  # some keys only on one side
+            "t": rng.randint(0, 10_000, 400).astype("int64"),
+            "rv": np.arange(400).astype("int64"),
+        }
+    )
+    got = (
+        asof_join(
+            rd.from_pandas([left.iloc[i::4].copy() for i in range(4)]),
+            rd.from_pandas([right.iloc[i::3].copy() for i in range(3)]),
+            on="t",
+            by="k",
+        )
+        .to_pandas()
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    want = (
+        pd.merge_asof(
+            left.sort_values("t", kind="stable"),
+            right.sort_values("t", kind="stable"),
+            on="t",
+            by="k",
+        )
+        .sort_values("lid")
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(left)
+    assert (got["lid"].to_numpy() == want["lid"].to_numpy()).all()
+    gv, wv = got["rv"].to_numpy(float), want["rv"].to_numpy(float)
+    assert ((gv == wv) | (np.isnan(gv) & np.isnan(wv))).all()
+    assert np.isnan(wv).any()  # the no-match case is actually exercised
+
+
+def test_broadcast_range_join(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import broadcast_range_join
+
+    df = pd.DataFrame({"v": [0.0, 4.99, 5.0, 19.9, 20.0, 99.9, 100.0, -1.0, 1e13]})
+    ranges = [("low", 0.0, 5.0), ("mid", 5.0, 20.0), ("high", 20.0, 100.0), ("whale", 100.0, 1e12)]
+    out = broadcast_range_join(rd.from_pandas(df), ranges, "v").to_pandas()
+    got = dict(zip(out["v"], out["bucket"]))
+    assert got == {
+        0.0: "low", 4.99: "low", 5.0: "mid", 19.9: "mid",
+        20.0: "high", 99.9: "high", 100.0: "whale",
+    }  # -1.0 (below all) and 1e13 (above all) dropped
+
+
+def test_lsh_index_prunes_and_matches_restricted_brute(emb_ds):
+    """LshIndex: probe reads < 100% of cell partitions and the result
+    equals brute-force top-k RESTRICTED to the probed cells (the exact
+    contract its SQL oracle checks)."""
+    import glob
+    import os
+
+    import ray.data as rd
+
+    from ocr_service_ray.ops.similarity import LshIndex, knn_brute
+
+    raw = pq.read_table(f"{SF}/embeddings.parquet").to_pandas()
+    q = np.asarray(raw.iloc[0]["embedding"], dtype=np.float64)
+    idx = LshIndex(nbits=4, radius=1).build(emb_ds, dim=len(q))
+    cells = idx.probe_cells(q)
+    assert len(cells) == 5  # 1 + nbits of 16
+    all_cells = glob.glob(f"{idx.index_path}/lsh_cell=*")
+    assert len(all_cells) > len(cells)  # probe strictly prunes
+    got = idx.search(q, k=5).to_pandas()
+    # restricted brute oracle: same cells, full scan inside them
+    files = [
+        f
+        for c in cells
+        for f in sorted(glob.glob(f"{idx.index_path}/lsh_cell={c}/*.parquet"))
+    ]
+    want = knn_brute(rd.read_parquet(files), q, k=5).to_pandas()
+    assert list(got["vec_id"]) == list(want["vec_id"])
