@@ -320,21 +320,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
 
-        def only(kind, cols):
-            return ev.map_batches(
-                lambda b, k=kind, c=cols: b.filter(pc.equal(b["event_type"], k)).select(c),
-                batch_format="pyarrow",
+        # SELF as-of: ONE scan tags both sides (purchase → left row,
+        # click → right row) — two filtered sub-plans would scan the
+        # events source twice.
+        def tag_sides(b: pa.Table) -> pa.Table:
+            keep = b.filter(
+                pc.is_in(
+                    b["event_type"], value_set=pa.array(["purchase", "click"])
+                )
+            )
+            is_click = pc.equal(keep["event_type"], "click")
+            us = pc.cast(pc.cast(keep["ts"], pa.timestamp("us")), pa.int64())
+            return pa.table(
+                {
+                    "event_id": pc.if_else(
+                        is_click, pa.nulls(keep.num_rows, pa.int64()), keep["event_id"]
+                    ),
+                    "user_id": keep["user_id"],
+                    "ts": keep["ts"],
+                    "click_us": pc.if_else(is_click, us, pa.nulls(keep.num_rows, pa.int64())),
+                    "_side": pc.cast(is_click, pa.int8()),
+                }
             )
 
-        purchases = only("purchase", ["event_id", "user_id", "ts"])
-        clicks = only("click", ["user_id", "ts"]).map_batches(
-            lambda b: b.append_column(
-                "click_us",
-                pc.cast(pc.cast(b["ts"], pa.timestamp("us")), pa.int64()),
-            ),
-            batch_format="pyarrow",
+        joined = relational.asof_join_tagged(
+            ev.map_batches(tag_sides, batch_format="pyarrow"),
+            on="ts",
+            by="user_id",
+            left_cols=["event_id", "user_id", "ts"],
+            right_extra=["click_us"],
         )
-        joined = relational.asof_join(purchases, clicks, on="ts", by="user_id")
 
         def project(b: pd.DataFrame) -> pd.DataFrame:
             # inner semantics for the oracle row (nullable ints don't

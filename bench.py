@@ -51,6 +51,9 @@ BENCH_QUERIES = [
     "hash_join_orders_lineitem",
     "knn_brute",
     "near_dup_sample",
+    "asof_purchase_click",
+    "lsh_knn",
+    "multimodal_routed",
 ]
 
 
@@ -108,12 +111,12 @@ def run_bench(flagship_only: bool = False) -> dict:
     from ocr_service_ray.stages.ocr import GENERATE_MEDIA
 
     ctx.execution_options.preserve_order = False
-    # Wide-ish rows + a CPU-bound per-doc kernel: 512 KiB blocks keep
+    # Wide-ish rows + a CPU-bound per-doc kernel: sub-MiB blocks keep
     # actor-pool task granularity fine (block size, not batch_size, is
     # the scheduling unit) without flooding the driver with block
-    # metadata. Measured sweep at 32 CPUs: 256K/1M/4M → 18.5k/17.8k/
-    # 15.8k docs/s; 512K → 23-28k.
-    ctx.target_max_block_size = 512 * 1024
+    # metadata. Measured sweep at 32 CPUs (round-1 workload):
+    # 256K/1M/4M → 18.5k/17.8k/15.8k docs/s; 512K → 23-28k.
+    ctx.target_max_block_size = int(os.environ.get("BENCH_BLOCK_KB", "512")) * 1024
     # Each extraction task yields ~6 output blocks (rows grow ~10× in
     # size through extraction). The default 2-block streaming-generator
     # buffer makes tasks STALL mid-run waiting for the driver to drain

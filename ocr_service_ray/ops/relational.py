@@ -186,17 +186,38 @@ def asof_join(left_ds, right_ds, on: str, by: str, direction: str = "backward"):
     ).union(
         right_ds.map_batches(harmonize(1, r_schema, r_cols), batch_format="pyarrow")
     )
+    return asof_join_tagged(unioned, on, by, l_cols, r_extra, direction)
+
+
+def asof_join_tagged(
+    unioned_ds,
+    on: str,
+    by: str,
+    left_cols: list[str],
+    right_extra: list[str],
+    direction: str = "backward",
+):
+    """The merge half of :func:`asof_join`, for callers that build the
+    side-tagged union themselves — a SELF as-of join (both sides from
+    one table) tags rows in ONE scan of the source instead of two
+    filtered sub-plans (a map_batches filter does not push down; two
+    sub-plans = two full scans at 100 TB). The input needs columns
+    ``left_cols + right_extra + ['_side']`` with ``_side`` 0 = left
+    row, 1 = right row."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    all_cols = left_cols + right_extra
 
     def per_key(g: pd.DataFrame) -> pd.DataFrame:
-        left = g[g["_side"] == 0][l_cols].sort_values(on, kind="stable")
-        right = g[g["_side"] == 1][[on] + r_extra].sort_values(on, kind="stable")
+        left = g[g["_side"] == 0][left_cols].sort_values(on, kind="stable")
+        right = g[g["_side"] == 1][[on] + right_extra].sort_values(on, kind="stable")
         if not len(left):
             # typed empty — schema stability across groups
             return pd.DataFrame({c: pd.Series(dtype=g[c].dtype) for c in all_cols})
         out = pd.merge_asof(left, right, on=on, direction=direction)
         return out[all_cols]
 
-    return bucketed_map_groups(unioned, [by], per_key)
+    return bucketed_map_groups(unioned_ds, [by], per_key)
 
 
 def broadcast_range_join(ds, ranges: list[tuple[str, float, float]], value_col: str):
