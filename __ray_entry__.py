@@ -636,6 +636,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return staged.map_batches(micro, batch_format="pyarrow")
 
+    def q_consensus_suggestions(sf_dir):
+        """A2 consensus over the flagship corpus's applied corrections
+        (cutoff 1.0 so the reference's vacuous <0.8 filter is actually
+        exercised): every planted correction agrees on one fix, so the
+        consensus table is one row whose occurrence count the oracle
+        re-derives from the generative rule."""
+        from ocr_service_ray.pipelines.derive import derived_corpus
+        from ocr_service_ray.pipelines.feedback import consensus_suggestions
+        from ocr_service_ray.pipelines.flagship import run_extraction
+        from ocr_service_ray.stages.ocr import GENERATE_MEDIA
+
+        out = consensus_suggestions(
+            run_extraction(derived_corpus(sf_dir), GENERATE_MEDIA), max_confidence=1.0
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "from_": b["from_"],
+                    "to": b["to"],
+                    "confidence": pc.cast(b["confidence"], pa.float64()),
+                    "occurrences": pc.cast(b["occurrences"], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q_corpus_summary(sf_dir):
+        """A7/S8 corpus statistics (the summary.json aggregate) —
+        integer fields only, so the distributed partial+merge is
+        bit-exact against the SQL re-derivation. The float means stay
+        in the API (pytest-verified) but off the hash row."""
+        from ocr_service_ray.pipelines.derive import derived_corpus
+        from ocr_service_ray.pipelines.flagship import corpus_summary, run_extraction
+        from ocr_service_ray.stages.ocr import GENERATE_MEDIA
+
+        s = corpus_summary(run_extraction(derived_corpus(sf_dir), GENERATE_MEDIA))
+        return pa.table(
+            {
+                "documents": pa.array([int(s["documents"])], pa.int64()),
+                "total_corrections": pa.array([int(s["total_corrections"])], pa.int64()),
+                "total_pages": pa.array([int(s["total_pages"])], pa.int64()),
+            }
+        )
+
     # -- rows-only (non-SQL-expressible) --------------------------------
 
     def q_flagship_extraction(sf_dir):
@@ -879,6 +923,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_routed": q_multimodal_routed,
         "sessionize_streaming": q_sessionize_streaming,
         "feedback_promote": q_feedback_promote,
+        "consensus_suggestions": q_consensus_suggestions,
+        "corpus_summary": q_corpus_summary,
     }
 
 
@@ -915,6 +961,23 @@ def _gen_conf_mean_sql(max_lines: int) -> str:
 
 def _gen_flag_sql(j: int, mod: int) -> str:
     return f"(CASE WHEN n_lines > {j} AND {_gen_hj_sql(j)} % {mod} = 0 THEN 1 ELSE 0 END)"
+
+
+def _gen_planted_total_sql() -> str:
+    """CTE-free total of planted corrections across the generative
+    corpus (shared by the consensus and corpus-summary oracles)."""
+    from ocr_service_ray.sources.synth import GEN_LINES_MOD
+
+    planted_sum = " + ".join(_gen_flag_sql(j, 5) for j in range(GEN_LINES_MOD))
+    return f"""(
+        SELECT COALESCE(SUM({planted_sum}), 0) FROM (
+          SELECT h0, 1 + h0 % {GEN_LINES_MOD} AS n_lines FROM (
+            SELECT (n * 2654435761 + k * 40503) % 2147483647 AS h0
+            FROM (SELECT doc_id AS n FROM documents) d,
+                 (VALUES (0), (1), (2)) ks(k)
+            WHERE (k = 0 AND n % 3 = 0)
+               OR (k = 1 AND n % 7 = 0)
+               OR (k = 2 AND n % 11 = 0))))"""
 
 
 def _flagship_oracle_sql() -> str:
@@ -1670,6 +1733,19 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "feedback_promote": _feedback_promote_oracle_sql(),
+        "consensus_suggestions": f"""
+            SELECT 'пр0верка' AS from_, 'проверка' AS "to",
+                   0.7 AS confidence,
+                   CAST({_gen_planted_total_sql()} AS BIGINT) AS occurrences
+        """,
+        "corpus_summary": f"""
+            SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS documents,
+                   CAST({_gen_planted_total_sql()} AS BIGINT) AS total_corrections,
+                   CAST((SELECT count(*)
+                           + sum(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END)
+                           + sum(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END)
+                         FROM documents) AS BIGINT) AS total_pages
+        """,
         "minhash_dedup": _minhash_oracle_sql(threshold=0.4),
         "simhash_dedup": _simhash_oracle_sql(max_hamming=8),
         "lsh_knn": _lsh_knn_oracle_sql(nbits=4, radius=1, seed=13, dim=64, k=5),
