@@ -90,6 +90,29 @@ _COMPILED = {
     for name, spec in FIELD_PATTERNS.items()
 }
 
+# Semantics-neutral fast-reject guards: each entry is a NECESSARY
+# condition of its field pattern (a match of the pattern implies a
+# match of the guard), so skipping findall when the guard misses can
+# never change the result — it only skips scans that would return [].
+# Implications: ogrn/inn/kpp/snils/date/phone all require a digit;
+# email requires '@'; certificate_number/number start with [№N]
+# (IGNORECASE adds 'n'); surname requires a Cyrillic letter.
+# Measured: 10 findall scans/doc → ~2 on digit-free prose (38% of the
+# fused stage was validation).
+_DIGIT = re.compile(r"\d")
+_PRECONDITION = {
+    "ogrn": _DIGIT,
+    "inn": _DIGIT,
+    "kpp": _DIGIT,
+    "date": _DIGIT,
+    "snils": _DIGIT,
+    "phone": _DIGIT,
+    "email": re.compile(r"@"),
+    "certificate_number": re.compile(r"[№Nn]"),
+    "number": re.compile(r"[№Nn]"),
+    "surname": re.compile(r"[А-Яа-яЁё]"),
+}
+
 _WS = re.compile(r"\s+")
 
 # validators.py:234-238
@@ -120,6 +143,9 @@ def find_field(field_name: str, text: str) -> list[tuple[str, float]]:
     pattern = _COMPILED.get(field_name)
     if pattern is None:
         return []
+    guard = _PRECONDITION.get(field_name)
+    if guard is not None and guard.search(text) is None:
+        return []  # pattern provably cannot match (see _PRECONDITION)
     results = []
     validator = FIELD_PATTERNS[field_name]["validation"]
     for match in pattern.findall(text):
@@ -226,7 +252,12 @@ def extract_important_data(
         "surnames": [],
     }
     found_surnames = set()
-    for pattern in _SURNAME_PATTERNS:
+    # same necessary-condition guard as the 'surname' field: all three
+    # patterns require a Cyrillic letter
+    surname_patterns = (
+        _SURNAME_PATTERNS if _PRECONDITION["surname"].search(text) else ()
+    )
+    for pattern in surname_patterns:
         for match in pattern.findall(text):
             if len(match) >= 3 and match[0].isupper():
                 if match.lower() not in _SURNAME_STOPWORDS:

@@ -89,21 +89,44 @@ def extract_spans(doc: dict, media: dict[str, dict], engine=None) -> tuple[list[
     return extracted, text_regions, first_metrics
 
 
+# Per-field fragment cache for the dominant "field not found" case:
+# that ValidationResult is a constant per field, so its serialized
+# fragment is too. Fragments are produced BY json.dumps itself (outer
+# braces stripped) and reassembled in sorted-field order — the output
+# bytes are identical to one whole-dict dumps with sort_keys=True.
+_FRAG_CACHE: dict[tuple, str] = {}
+
+
+def _field_fragment(field: str, r) -> str:
+    key = (field, r.value, r.confidence, r.valid, r.message, r.suggested_correction)
+    frag = _FRAG_CACHE.get(key)
+    if frag is None:
+        frag = json.dumps(
+            {
+                field: {
+                    "value": r.value,
+                    "confidence": r.confidence,
+                    "valid": r.valid,
+                    "message": r.message,
+                    "suggested_correction": r.suggested_correction,
+                }
+            },
+            ensure_ascii=False,
+            sort_keys=True,
+            separators=(",", ":"),
+        )[1:-1]
+        if len(_FRAG_CACHE) < 100_000:
+            _FRAG_CACHE[key] = frag
+    return frag
+
+
 def critical_fields_json(results: dict) -> str:
     """Deterministic JSON rendering of the critical-fields map
     (``core/processor.py:355-364``); sorted keys, ensure_ascii=False
     like the reference's JSON outputs (``core/processor.py:521``)."""
-    payload = {
-        field: {
-            "value": r.value,
-            "confidence": r.confidence,
-            "valid": r.valid,
-            "message": r.message,
-            "suggested_correction": r.suggested_correction,
-        }
-        for field, r in results.items()
-    }
-    return json.dumps(payload, ensure_ascii=False, sort_keys=True, separators=(",", ":"))
+    return "{" + ",".join(
+        _field_fragment(field, results[field]) for field in sorted(results)
+    ) + "}"
 
 
 def process_document(
