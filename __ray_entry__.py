@@ -636,6 +636,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return staged.map_batches(micro, batch_format="pyarrow")
 
+    def q_windowed_streaming(sf_dir):
+        """Streaming tumbling-window aggregate with watermark-closed
+        windows (raw-actor tier, ops/streaming.py); after the full
+        drain it equals the batch hourly aggregate, which the SQL
+        window oracle asserts exactly."""
+        from ocr_service_ray.ops.streaming import windowed_agg_streaming
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"event_type": b["event_type"], "ts": b["ts"], "cents": pa.array(c)}
+            )
+
+        out = windowed_agg_streaming(
+            _read(sf_dir, "events", ["event_type", "ts", "value"]).map_batches(
+                cents, batch_format="pyarrow"
+            ),
+            window_minutes=60,
+            value_col="cents",
+        )
+        return out.map_batches(
+            lambda b: pa.table(
+                {
+                    "window_us": b["window_us"],
+                    "event_type": b["key"],
+                    "n_events": b["n_events"],
+                    "sum_value_cents": b["sum_value"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+
+    def q_json_props_stats(sf_dir):
+        """M18-shaped JSON payload parsing: vectorized RE2 extraction
+        of the integer 'k' field from the events props JSON, then a
+        combined grouped aggregate (DuckDB json_extract oracle)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        parsed = _read(sf_dir, "events", ["event_type", "props"]).map_batches(
+            lambda b: text_ops.extract_json_int(b, "props", "k").drop_columns(["props"]),
+            batch_format="pyarrow",
+        )
+        return grouped_agg(
+            parsed,
+            ["event_type"],
+            {"n_with_k": ("k", "count"), "sum_k": ("k", "sum")},
+        )
+
     def q_consensus_suggestions(sf_dir):
         """A2 consensus over the flagship corpus's applied corrections
         (cutoff 1.0 so the reference's vacuous <0.8 filter is actually
@@ -923,6 +973,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_routed": q_multimodal_routed,
         "sessionize_streaming": q_sessionize_streaming,
         "feedback_promote": q_feedback_promote,
+        "json_props_stats": q_json_props_stats,
+        "windowed_streaming": q_windowed_streaming,
         "consensus_suggestions": q_consensus_suggestions,
         "corpus_summary": q_corpus_summary,
     }
@@ -1733,6 +1785,22 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "feedback_promote": _feedback_promote_oracle_sql(),
+        "windowed_streaming": """
+            SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_us,
+                   event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                     AS sum_value_cents
+            FROM events GROUP BY 1, 2
+        """,
+        "json_props_stats": """
+            SELECT event_type,
+                   CAST(count(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                     AS n_with_k,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT)
+                     AS sum_k
+            FROM events GROUP BY event_type
+        """,
         "consensus_suggestions": f"""
             SELECT 'пр0верка' AS from_, 'проверка' AS "to",
                    0.7 AS confidence,

@@ -178,6 +178,185 @@ def _dispatch_task():
     return dispatch
 
 
+def _window_actor_cls():
+    import ray
+
+    if "wactor" in _remote_cache:
+        return _remote_cache["wactor"]
+
+    @ray.remote
+    class WindowBucketActor:
+        """Tumbling-window partial aggregates for the keys of ONE hash
+        bucket, with WATERMARK-based window closing: once the bucket's
+        watermark (max seen ts − allowed lateness) passes a window's
+        end, that window is final — its aggregate moves to the closed
+        buffer and its state is freed. Memory is O(open windows ×
+        keys in bucket), never O(events). Partitions reorder by
+        ``seq`` exactly like the session actor."""
+
+        def __init__(self, window_us: int, lateness_us: int, key_type: pa.DataType):
+            self.window = window_us
+            self.lateness = lateness_us
+            self.key_type = key_type
+            self.open: dict = {}
+            self.closed: list[tuple] = []
+            self.buffer: dict = {}
+            self.next_seq = 0
+            self.last_ts: int | None = None
+
+        def ingest(self, seq: int, keys: list, ts_us: list, values: list) -> int:
+            self.buffer[seq] = (keys, ts_us, values)
+            while self.next_seq in self.buffer:
+                k, t, v = self.buffer.pop(self.next_seq)
+                self._process(k, t, v)
+                self.next_seq += 1
+            return len(self.open)
+
+        def _process(self, keys: list, ts_us: list, values: list) -> None:
+            if ts_us:
+                if self.last_ts is not None and ts_us[0] < self.last_ts:
+                    raise RuntimeError(
+                        "windowed_agg_streaming: partition order violated "
+                        f"({ts_us[0]} < {self.last_ts})"
+                    )
+                self.last_ts = ts_us[-1]
+            win = self.window
+            for k, t, v in zip(keys, ts_us, values):
+                w = t - t % win
+                st = self.open.get((w, k))
+                if st is None:
+                    self.open[(w, k)] = [1, v]
+                else:
+                    st[0] += 1
+                    st[1] += v
+            # advance the watermark; windows entirely behind it are
+            # final (per-bucket ts monotonicity makes this safe: no
+            # future event can land before last_ts − lateness)
+            if self.last_ts is not None:
+                wm = self.last_ts - self.lateness
+                done = [wk for wk in self.open if wk[0] + win <= wm]
+                for wk in done:
+                    n, s = self.open.pop(wk)
+                    self.closed.append((wk[0], wk[1], n, s))
+
+        def drain(self) -> pa.Table:
+            if self.buffer:
+                raise RuntimeError(
+                    f"windowed_agg_streaming: {len(self.buffer)} partitions "
+                    "never became processable"
+                )
+            rows = self.closed + [
+                (w, k, st[0], st[1]) for (w, k), st in self.open.items()
+            ]
+            self.closed = []
+            self.open.clear()
+            cols = list(zip(*rows)) if rows else [[], [], [], []]
+            return pa.table(
+                {
+                    "window_us": pa.array(cols[0], pa.int64()),
+                    "key": pa.array(cols[1], self.key_type),
+                    "n_events": pa.array(cols[2], pa.int64()),
+                    "sum_value": pa.array(cols[3], pa.int64()),
+                }
+            )
+
+    _remote_cache["wactor"] = WindowBucketActor
+    return WindowBucketActor
+
+
+def _window_dispatch_task():
+    import ray
+
+    if "wdispatch" in _remote_cache:
+        return _remote_cache["wdispatch"]
+
+    @ray.remote
+    def dispatch(
+        block: pa.Table, seq: int, actors: list, key_col: str, ts_col: str, value_col: str
+    ) -> int:
+        from ocr_service_ray.ops.hashing import hash_column
+
+        num_buckets = len(actors)
+        keys = block[key_col]
+        buckets = (hash_column(keys) % np.uint64(num_buckets)).astype(np.int64)
+        ts = (
+            pa.compute.cast(block[ts_col], pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        vals = block[value_col].to_numpy(zero_copy_only=False)
+        klist = keys.to_pylist()
+        refs = []
+        for b in range(num_buckets):
+            mask = buckets == b
+            refs.append(
+                actors[b].ingest.remote(
+                    seq,
+                    [k for k, m in zip(klist, mask) if m],
+                    ts[mask].tolist(),
+                    vals[mask].tolist(),
+                )
+            )
+        ray.get(refs)
+        return block.num_rows
+
+    _remote_cache["wdispatch"] = dispatch
+    return dispatch
+
+
+def windowed_agg_streaming(
+    events_ds,
+    window_minutes: float = 60.0,
+    allowed_lateness_minutes: float = 0.0,
+    key_col: str = "event_type",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    num_buckets: int = 8,
+):
+    """Streaming tumbling-window aggregate with watermark closing —
+    the incremental complement of ``relational.windowed_agg``. Window
+    aggregates close (and free their state) as the per-bucket
+    watermark passes them instead of at end-of-log; after a full
+    drain the result equals the batch aggregate exactly, which is
+    what the SQL oracle asserts. ``value_col`` must be integral
+    (floor-cents upstream) so distributed sums are order-independent.
+
+    Returns a Dataset {window_us, key, n_events, sum_value} built
+    from actor-produced Arrow refs — like sessionize_streaming, the
+    driver never handles row data.
+    """
+    import ray
+    import ray.data as rd
+
+    actor_cls = _window_actor_cls()
+    dispatch = _window_dispatch_task()
+    key_type = events_ds.schema().base_schema.field(key_col).type
+    actors = [
+        actor_cls.remote(
+            int(window_minutes * 60_000_000),
+            int(allowed_lateness_minutes * 60_000_000),
+            key_type,
+        )
+        for _ in range(num_buckets)
+    ]
+
+    block_refs = events_ds.sort(ts_col).to_arrow_refs()
+    inflight: list = []
+    done: list = []
+    window = 4 * num_buckets
+    for seq, ref in enumerate(block_refs):
+        inflight.append(dispatch.remote(ref, seq, actors, key_col, ts_col, value_col))
+        if len(inflight) >= window:
+            d, inflight = ray.wait(inflight, num_returns=len(inflight) - window + 1)
+            done.extend(d)
+    ray.get(inflight + done)
+
+    out = rd.from_arrow_refs([a.drain.remote() for a in actors]).materialize()
+    for a in actors:
+        ray.kill(a)
+    return out
+
+
 def sessionize_streaming(
     events_ds,
     gap_minutes: float = 30.0,

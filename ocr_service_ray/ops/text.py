@@ -9,6 +9,7 @@ SQL in ``__ray_entry__.py`` can reuse the exact same patterns.
 from __future__ import annotations
 
 import hashlib
+import re
 
 import numpy as np
 import pyarrow as pa
@@ -144,6 +145,22 @@ def content_hash(batch: pa.Table, text_col: str = "text", out_col: str = "text_h
     hashlib releases the GIL and runs at C speed; this is the dedup key."""
     hashes = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in batch[text_col].to_pylist()]
     return batch.append_column(out_col, pa.array(hashes, pa.string()))
+
+
+def extract_json_int(
+    batch: pa.Table, col: str, key: str, out_col: str | None = None
+) -> pa.Table:
+    """Vectorized integer-field extraction from a JSON-string column
+    (the M18 request-payload parsing shape, Ray-Data-first: one RE2
+    kernel over the batch, no per-row json.loads). Matches
+    ``"key": <digits>`` — the canonical json.dumps int rendering that
+    DuckDB's ``json_extract`` agrees with on flat objects. Missing
+    key → null."""
+    out_col = out_col or key
+    pat = rf'"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)'  # extract_regex needs named groups
+    ext = pc.extract_regex(batch[col], pattern=pat)
+    vals = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+    return batch.append_column(out_col, vals)
 
 
 _FP_MOD = np.uint64(0xFFFFFFFFFFFFFFFF)  # arithmetic mod 2^64 via uint64 wraparound

@@ -316,3 +316,13 @@ def test_lsh_index_prunes_and_matches_restricted_brute(emb_ds):
     ]
     want = knn_brute(rd.read_parquet(files), q, k=5).to_pandas()
     assert list(got["vec_id"]) == list(want["vec_id"])
+
+
+def test_extract_json_int(ray_session):
+    import pyarrow as pa
+
+    from ocr_service_ray.ops.text import extract_json_int
+
+    t = pa.table({"props": ['{"k": 69}', '{"x": 1}', None, '{"k": -3, "j": 4}']})
+    out = extract_json_int(t, "props", "k")
+    assert out["k"].to_pylist() == [69, None, None, -3]

@@ -165,3 +165,66 @@ def test_streaming_sessionize_matches_batch(ray_session):
         assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
     # per-session rows carry valid bounds
     assert (stream["session_end"] >= stream["session_start"]).all()
+
+
+def test_windowed_streaming_matches_batch_and_closes_early(ray_session):
+    """The watermark sessioned windows must (a) equal the batch hourly
+    aggregate after drain and (b) actually CLOSE windows before
+    end-of-log (state freed incrementally)."""
+    import ray
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.streaming import windowed_agg_streaming
+
+    def cents(b: pa.Table) -> pa.Table:
+        c = np.floor(b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5).astype(
+            "int64"
+        )
+        return pa.table({"event_type": b["event_type"], "ts": b["ts"], "cents": pa.array(c)})
+
+    ev = rd.read_parquet(f"{SF}/events.parquet", columns=["event_type", "ts", "value"])
+    got = (
+        windowed_agg_streaming(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            window_minutes=60,
+            value_col="cents",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["window_us", "key"])
+        .reset_index(drop=True)
+    )
+    import duckdb
+
+    want = (
+        duckdb.sql(
+            f"""SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_us,
+                    event_type AS key,
+                    CAST(count(*) AS BIGINT) AS n_events,
+                    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS sum_value
+             FROM read_parquet('{SF}/events.parquet') GROUP BY 1, 2
+             ORDER BY window_us, key"""
+        )
+        .df()
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for c in ("window_us", "key", "n_events", "sum_value"):
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+
+    # watermark closes windows incrementally: open-window count
+    # returned by the last ingest is far below the total window count
+    from ocr_service_ray.ops.streaming import _window_actor_cls
+
+    actor = _window_actor_cls().remote(3_600_000_000, 0, pa.string())
+    base = 1_700_000_000_000_000
+    # two partitions: hours 0-1 then hour 5 — ingesting the second
+    # must close the first two windows
+    ray.get(actor.ingest.remote(0, ["a", "a"], [base, base + 3_600_000_000], [1, 2]))
+    open_after = ray.get(actor.ingest.remote(1, ["a"], [base + 5 * 3_600_000_000], [3]))
+    assert open_after == 1  # hours 0 and 1 closed by the watermark
+    tbl = ray.get(actor.drain.remote())
+    assert tbl.num_rows == 3
+    ray.kill(actor)
