@@ -498,6 +498,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_hash_sample_docs(sf_dir):
+        """Deterministic 20% hash-sample of the documents table — the
+        scale-safe sampling op (no random_shuffle, no RNG state); the
+        oracle reproduces the md5-uniform threshold exactly."""
+        return relational.hash_sample(
+            _read(sf_dir, "documents", ["doc_id", "n_chars"]), "doc_id", 0.2
+        )
+
+    def q_stratified_split_counts(sf_dir):
+        """Deterministic per-row split assignment, aggregated per
+        (lang, split) — layout-independent train/val (every doc_id
+        keeps its split on any cluster/partitioning)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        assigned = relational.stratified_split(
+            _read(sf_dir, "documents", ["doc_id", "lang"]), "doc_id", 0.8
+        )
+        return grouped_agg(
+            assigned.select_columns(["lang", "split"]),
+            ["lang", "split"],
+            {"n_docs": (None, "count")},
+        )
+
     def q_anti_join_orders(sf_dir):
         """D4 broadcast anti-join: orders whose customer is NOT in the
         BUILDING segment, aggregated by status."""
@@ -955,6 +978,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "unique_langs": q_unique_langs,
         "train_val_split": q_train_val_split,
+        "hash_sample_docs": q_hash_sample_docs,
+        "stratified_split_counts": q_stratified_split_counts,
         "anti_join_orders": q_anti_join_orders,
         "spell_guard": q_spell_guard,
         "ml_quality_combined": q_ml_quality_combined,
@@ -1785,6 +1810,25 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "feedback_promote": _feedback_promote_oracle_sql(),
+        "hash_sample_docs": f"""
+            WITH h AS (
+              SELECT doc_id, n_chars,
+                     md5('sample:' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents)
+            SELECT doc_id, n_chars FROM h
+            WHERE {_md5_unit_sql('hx')} < 0.2
+        """,
+        "stratified_split_counts": f"""
+            WITH h AS (
+              SELECT doc_id, lang,
+                     md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
+              FROM documents)
+            SELECT lang,
+                   CASE WHEN {_md5_unit_sql('hx')} < 0.8 THEN 'train' ELSE 'val' END
+                     AS split,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM h GROUP BY 1, 2
+        """,
         "windowed_streaming": """
             SELECT CAST(epoch_us(date_trunc('hour', ts)) AS BIGINT) AS window_us,
                    event_type,

@@ -81,6 +81,62 @@ def distinct_values(ds, col: str) -> list:
     return sorted(values)
 
 
+def hash_sample(ds, key_col: str, fraction: float, salt: str = "sample"):
+    """Deterministic p-sample: keep a row iff the md5-derived uniform
+    of its key is < ``fraction``. Scale-safe sampling — no
+    ``random_shuffle`` (an all-to-all), no RNG state; the SAME rows
+    are kept on every run/cluster/partitioning, the sample composes
+    with resume, and DuckDB reproduces it exactly (md5 hex parse).
+    Keys should be unique (doc ids) for an unbiased rate."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def keep(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        mask = np.fromiter(
+            (
+                int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:16], 16) / 2**64
+                < fraction
+                for k in keys
+            ),
+            dtype=bool,
+            count=len(keys),
+        )
+        return b.filter(pa.array(mask))
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def stratified_split(ds, key_col: str, train_fraction: float = 0.8, salt: str = "split"):
+    """Deterministic per-row train/val assignment via the same
+    md5-uniform — stratification-free of partition layout: every key
+    lands in the same split regardless of block order or cluster
+    size (the property a positional split lacks). Adds a ``split``
+    column ('train'/'val')."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def assign(b: pa.Table) -> pa.Table:
+        keys = b[key_col].to_pylist()
+        mask = np.fromiter(
+            (
+                int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:16], 16) / 2**64
+                < train_fraction
+                for k in keys
+            ),
+            dtype=bool,
+            count=len(keys),
+        )
+        split = np.where(mask, "train", "val")
+        return b.append_column("split", pa.array(split.tolist(), pa.string()))
+
+    return ds.map_batches(assign, batch_format="pyarrow")
+
+
 def train_val_split(ds, train_fraction: float = 0.8, sort_col: str | None = None):
     """O8 — the reference's positional, unshuffled 80/20 split
     (``scripts/train_classifier.py:134-136``) via

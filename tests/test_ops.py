@@ -326,3 +326,26 @@ def test_extract_json_int(ray_session):
     t = pa.table({"props": ['{"k": 69}', '{"x": 1}', None, '{"k": -3, "j": 4}']})
     out = extract_json_int(t, "props", "k")
     assert out["k"].to_pylist() == [69, None, None, -3]
+
+
+def test_hash_sample_and_stratified_split(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import hash_sample, stratified_split
+
+    df = pd.DataFrame({"doc_id": np.arange(5000)})
+    ds = rd.from_pandas([df.iloc[i::5].copy() for i in range(5)])
+    kept = hash_sample(ds, "doc_id", 0.2).to_pandas()
+    assert 0.15 < len(kept) / 5000 < 0.25  # rate near p
+    # determinism + layout independence: different block layout, same rows
+    ds2 = rd.from_pandas([df.iloc[i::3].copy() for i in range(3)])
+    kept2 = hash_sample(ds2, "doc_id", 0.2).to_pandas()
+    assert set(kept["doc_id"]) == set(kept2["doc_id"])
+
+    split = stratified_split(ds, "doc_id", 0.8).to_pandas()
+    assert set(split["split"]) == {"train", "val"}
+    frac = (split["split"] == "train").mean()
+    assert 0.75 < frac < 0.85
+    split2 = stratified_split(ds2, "doc_id", 0.8).to_pandas()
+    m = split.merge(split2, on="doc_id", suffixes=("_a", "_b"))
+    assert (m["split_a"] == m["split_b"]).all()
