@@ -498,6 +498,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_simple_spell(sf_dir):
+        """M16 rule-based spell corrector (digit-confusion fix inside
+        number-like tokens). Over the ASCII corpus Python's unicode
+        \\b and RE2's ASCII \\b agree, so the oracle re-runs the token
+        split + translate in SQL. (Cyrillic behavior is pinned by the
+        kernel conformance tests.)"""
+        from ocr_service_ray.kernels.spell import simple_spell_correct
+
+        def correct(b: pa.Table) -> pa.Table:
+            # ASCII confusable prefix planted on BOTH sides so the
+            # replacement path is actually exercised corpus-wide (the
+            # raw corpus has no number-like tokens)
+            out = [
+                simple_spell_correct("SG1 l0G " + t) for t in b["text"].to_pylist()
+            ]
+            return pa.table({"doc_id": b["doc_id"], "spelled": pa.array(out, pa.string())})
+
+        return _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+            correct, batch_format="pyarrow"
+        )
+
     def q_hash_sample_docs(sf_dir):
         """Deterministic 20% hash-sample of the documents table — the
         scale-safe sampling op (no random_shuffle, no RNG state); the
@@ -978,6 +999,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "unique_langs": q_unique_langs,
         "train_val_split": q_train_val_split,
+        "simple_spell": q_simple_spell,
         "hash_sample_docs": q_hash_sample_docs,
         "stratified_split_counts": q_stratified_split_counts,
         "anti_join_orders": q_anti_join_orders,
@@ -1810,6 +1832,22 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "feedback_promote": _feedback_promote_oracle_sql(),
+        "simple_spell": """
+            WITH t AS (
+              SELECT doc_id, text,
+                regexp_split_to_array('SG1 l0G ' || text,
+                                      '\\b[ОIЗБВSGl0-9]+\\b') AS parts,
+                regexp_extract_all('SG1 l0G ' || text,
+                                   '\\b[ОIЗБВSGl0-9]+\\b') AS toks
+              FROM documents)
+            SELECT doc_id,
+              array_to_string(
+                list_transform(generate_series(1, length(parts)),
+                  i -> parts[i] || coalesce(
+                         translate(toks[i], 'ОIЗБВSGl', '01368561'), '')),
+                '') AS spelled
+            FROM t
+        """,
         "hash_sample_docs": f"""
             WITH h AS (
               SELECT doc_id, n_chars,
