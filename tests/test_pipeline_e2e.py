@@ -113,3 +113,38 @@ def test_corpus_summary(pipeline_and_oracle, ray_session, small_corpus):
     assert summary["documents"] == 200
     assert 0.0 <= summary["mean_quality"] <= 1.0
     assert summary["total_corrections"] > 100
+
+
+def test_scan_media_resolver_matches_broadcast(ray_session, small_corpus, tmp_path):
+    """The scale-path media resolution (per-batch pushed-down isin
+    reads of a media parquet dataset — stages/ocr.py ScanMediaResolver)
+    must produce exactly the broadcast resolver's output."""
+    import pyarrow.parquet as pq
+
+    docs, media = small_corpus
+    media_path = str(tmp_path / "media")
+    import os
+
+    os.makedirs(media_path, exist_ok=True)
+    # written sorted by media_ref — the clustering assumption the
+    # filtered read relies on (stages/ocr.py docstring)
+    pq.write_table(
+        media.sort_by("media_ref"), f"{media_path}/media.parquet", row_group_size=256
+    )
+
+    want = (
+        run_extraction(docs, media, corrections_entries())
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    got = (
+        run_extraction(docs, media_path, corrections_entries())
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert (got["doc_id"] == want["doc_id"]).all()
+    for col in ("full_text", "critical_fields", "n_corrections", "total_pages",
+                "ocr_confidence", "overall_quality", "error"):
+        assert (got[col].to_numpy() == want[col].to_numpy()).all(), col
