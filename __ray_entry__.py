@@ -498,6 +498,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_html_main_content(sf_dir):
+        """HTML boilerplate strip via text-density DOM scoring
+        (ops/html.py — the north star's Readability/trafilatura-style
+        node heuristic): documents are wrapped in a deterministic
+        boilerplate template (nav / ads / related links / footer) and
+        the extractor must recover EXACTLY the article text — the
+        oracle is the identity on documents.text."""
+        from ocr_service_ray.ops.html import strip_boilerplate, synthesize_pages
+
+        return strip_boilerplate(
+            synthesize_pages(_read(sf_dir, "documents", ["doc_id", "text"]))
+        )
+
     def q_simple_spell(sf_dir):
         """M16 rule-based spell corrector (digit-confusion fix inside
         number-like tokens). Over the ASCII corpus Python's unicode
@@ -999,6 +1012,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "unique_langs": q_unique_langs,
         "train_val_split": q_train_val_split,
+        "html_main_content": q_html_main_content,
         "simple_spell": q_simple_spell,
         "hash_sample_docs": q_hash_sample_docs,
         "stratified_split_counts": q_stratified_split_counts,
@@ -1832,6 +1846,9 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "feedback_promote": _feedback_promote_oracle_sql(),
+        "html_main_content": """
+            SELECT doc_id, text AS main_text FROM documents
+        """,
         "simple_spell": """
             WITH t AS (
               SELECT doc_id, text,

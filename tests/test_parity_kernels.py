@@ -141,3 +141,36 @@ def test_preprocess_upscale_dims():
     out = preprocess_image(img)
     assert out.shape == (1500, 2000)  # (h, w) of the reference target
     assert out.dtype == np.uint8
+
+
+def test_html_boilerplate_strip():
+    """North-star DOM heuristic: block-level text-density scoring must
+    drop nav/ads/related/footer/script and keep multi-paragraph prose
+    (inline links below the density threshold included)."""
+    from ocr_service_ray.ops.html import extract_main_content, synthesize_page
+
+    art = "plenty of genuine article prose to keep the block above threshold"
+    page = synthesize_page(42, art)
+    assert extract_main_content(page) == art
+
+    messy = (
+        "<html><body>"
+        "<nav><a href=/>Home</a> <a href=/n>News</a> <a href=/m>More</a></nav>"
+        "<div><h1>A headline long enough to count as content here</h1>"
+        "<p>First paragraph of the article with plenty of prose inside.</p>"
+        "<p>Second paragraph, long enough, with an inline "
+        "<a href=/r>reference link</a> that must not disqualify it.</p></div>"
+        "<aside><ul><li><a href=/1>Related story with long anchor text</a></li>"
+        "<li><a href=/2>Another related story with long anchor</a></li></ul></aside>"
+        "<script>var x = 'never appears in the output at all';</script>"
+        "<footer><a href=/about>About us</a> © 2026</footer></body></html>"
+    )
+    out = extract_main_content(messy)
+    assert "never appears" not in out and "Related story" not in out
+    assert "Home" not in out and "About us" not in out
+    assert "First paragraph" in out and "Second paragraph" in out
+    assert "headline long enough" in out
+    # link-density boundary: a long link-only block is dropped even
+    # though it passes the length gate
+    linky = "<div><a href=x>" + "all of this text is one giant link " * 3 + "</a></div>"
+    assert extract_main_content(linky) == ""
