@@ -153,3 +153,70 @@ def test_hash_column_purity_random_ints(vals):
     h1 = hash_column(pa.array(vals, pa.int64()))
     h2 = hash_column(pa.array(list(reversed(vals)), pa.int64()))
     assert (h1 == h2[::-1]).all()
+
+
+@SETTINGS
+@given(
+    st.dictionaries(
+        st.text(alphabet="abcdefgk_", min_size=1, max_size=6),
+        st.integers(min_value=-10**12, max_value=10**12),
+        max_size=5,
+    )
+)
+def test_extract_json_int_matches_json_loads(d):
+    import json
+
+    import pyarrow as pa
+
+    from ocr_service_ray.ops.text import extract_json_int
+
+    s = json.dumps(d)
+    out = extract_json_int(pa.table({"props": [s]}), "props", "k")
+    want = d.get("k")
+    assert out["k"].to_pylist() == [want]
+
+
+@SETTINGS
+@given(st.integers(min_value=0, max_value=2**64 - 1), st.data())
+def test_simhash_banding_pigeonhole(fp, data):
+    """Any fingerprint within Hamming distance ≤ 3 of fp shares at
+    least one exact 16-bit band with it (the recall guarantee the
+    simhash candidate generator rests on)."""
+    flips = data.draw(st.lists(st.integers(min_value=0, max_value=63), max_size=3))
+    other = fp
+    for b in set(flips):
+        other ^= 1 << b
+    bands_a = [(fp >> (16 * b)) & 0xFFFF for b in range(4)]
+    bands_b = [(other >> (16 * b)) & 0xFFFF for b in range(4)]
+    assert any(a == c for a, c in zip(bands_a, bands_b))
+
+
+@SETTINGS
+@given(
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=0, max_value=4000),
+    st.integers(min_value=0, max_value=4000),
+)
+def test_area_scale_reference_arithmetic(nw, nh, hw, hh):
+    """M17 property: ratio matches the reference expression including
+    the 3.0 zero-dim fallback; scaled coords always int-truncate."""
+    from ocr_service_ray.kernels.geometry import area_scale_ratios, scale_area
+
+    sx, sy = area_scale_ratios(nw, nh, hw, hh)
+    assert sx == (hw / nw if nw > 0 else 3.0)
+    assert sy == (hh / nh if nh > 0 else 3.0)
+    area = {"x1": 3, "y1": 5, "x2": 7, "y2": 11}
+    scaled = scale_area(area, sx, sy)
+    assert scaled["x1"] == int(3 * sx) and scaled["y2"] == int(11 * sy)
+
+
+@SETTINGS
+@given(st.text(alphabet="abcdef <>/=\"'&;ghij\n", max_size=300))
+def test_html_extractor_never_crashes_and_is_text_only(s):
+    """Robustness: arbitrary tag soup must never raise, and the output
+    never contains markup characters."""
+    from ocr_service_ray.ops.html import extract_main_content
+
+    out = extract_main_content("<div>" + s + "</div>")
+    assert "<" not in out
