@@ -174,3 +174,35 @@ def test_html_boilerplate_strip():
     # though it passes the length gate
     linky = "<div><a href=x>" + "all of this text is one giant link " * 3 + "</a></div>"
     assert extract_main_content(linky) == ""
+
+
+def test_layout_reading_order_two_columns():
+    """Layout parse: a two-column page must read left column fully,
+    then right column — not raw top-to-bottom interleaving."""
+    from ocr_service_ray.kernels.layout import (
+        detect_columns,
+        order_regions,
+        reading_order_text,
+    )
+
+    def box(text, x1, y1, w=180.0, h=20.0):
+        return {"text": text, "x1": x1, "y1": y1, "x2": x1 + w, "y2": y1 + h}
+
+    # interleaved input order (as an OCR engine might emit by y)
+    regions = [
+        box("L1", 50, 10), box("R1", 400, 12),
+        box("L2", 52, 40), box("R2", 402, 44),
+        box("L3", 51, 70), box("R3", 401, 75),
+    ]
+    cols = detect_columns(regions)
+    assert cols == [0, 1, 0, 1, 0, 1]
+    assert reading_order_text(regions) == "L1\nL2\nL3\nR1\nR2\nR3"
+
+    # single column: y-order with x tiebreak
+    single = [box("b", 10, 50), box("a", 10, 10), box("a2", 300, 10, w=50)]
+    assert [r["text"] for r in order_regions(single, column_gap=500)] == ["a", "a2", "b"]
+
+    # deterministic on exact ties (input index tiebreak)
+    ties = [box("t1", 10, 10), box("t2", 10, 10)]
+    assert [r["text"] for r in order_regions(ties)] == ["t1", "t2"]
+    assert order_regions([]) == [] and detect_columns([]) == []
