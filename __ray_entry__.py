@@ -498,6 +498,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_next_epoch(sf_dir):
+        """§2.9 epoch semantics end-to-end: promote the feedback
+        fixture, anti-join against the current DB's keys, append in
+        promotion order. Run against the reference DEFAULT_CORRECTIONS
+        (which lacks the promoted key) so BOTH behaviors — keep-order
+        and append — are exercised; the oracle re-derives the whole
+        next epoch in SQL."""
+        import ray.data as rd
+
+        from ocr_service_ray.kernels.correct import DEFAULT_CORRECTIONS
+        from ocr_service_ray.pipelines.feedback import next_epoch, promote_corrections
+        from ocr_service_ray.sources.synth import generate_feedback
+
+        promoted = promote_corrections(rd.from_arrow(generate_feedback()))
+        entries = next_epoch(list(DEFAULT_CORRECTIONS), promoted)
+        return pa.table(
+            {
+                "ord": pa.array(range(len(entries)), pa.int64()),
+                "from_": pa.array([e[0] for e in entries], pa.string()),
+                "to": pa.array([e[1] for e in entries], pa.string()),
+            }
+        )
+
     def q_html_main_content(sf_dir):
         """HTML boilerplate strip via text-density DOM scoring
         (ops/html.py — the north star's Readability/trafilatura-style
@@ -1012,6 +1035,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard": q_ngram_jaccard,
         "unique_langs": q_unique_langs,
         "train_val_split": q_train_val_split,
+        "next_epoch": q_next_epoch,
         "html_main_content": q_html_main_content,
         "simple_spell": q_simple_spell,
         "hash_sample_docs": q_hash_sample_docs,
@@ -1237,6 +1261,48 @@ def _fingerprint_oracle_sql() -> str:
                    CAST(fp // 4294967296 AS BIGINT) AS fp_hi,
                    CAST(fp % 4294967296 AS BIGINT) AS fp_lo
             FROM fps
+        """
+
+
+def _next_epoch_oracle_sql() -> str:
+    """§2.9: the promoted pair (from the feedback-fixture CTE)
+    anti-joined against the inlined current DB keys and appended in
+    promotion sort order — the whole next epoch re-derived in SQL."""
+    from ocr_service_ray.kernels.correct import DEFAULT_CORRECTIONS
+    from ocr_service_ray.sources.synth import generate_feedback
+
+    fb = generate_feedback().to_pylist()
+    fb_rows = ",\n              ".join(
+        f"('{r['type']}', '{r['original']}', '{r['corrected']}', "
+        f"{r['confidence']!r}, {'TRUE' if r['applied'] else 'FALSE'})"
+        for r in fb
+    )
+    cur_rows = ", ".join(
+        f"({i}, '{k}', '{v}')" for i, (k, v) in enumerate(DEFAULT_CORRECTIONS)
+    )
+    return f"""
+            WITH fb(type, original, corrected, confidence, applied) AS (VALUES
+              {fb_rows}),
+            unapplied AS (
+              SELECT * FROM fb WHERE NOT applied AND type = 'correction'),
+            promoted AS (
+              SELECT original, corrected,
+                     count(confidence) AS occ,
+                     sum(confidence) / count(confidence) AS avg_conf
+              FROM unapplied GROUP BY original, corrected
+              HAVING count(confidence) >= 2
+                 AND sum(confidence) / count(confidence) >= 0.7),
+            cur(ord, from_, to_) AS (VALUES {cur_rows}),
+            new AS (
+              SELECT original, corrected,
+                     row_number() OVER (ORDER BY occ DESC, avg_conf DESC) AS rn
+              FROM promoted
+              WHERE original NOT IN (SELECT from_ FROM cur))
+            SELECT CAST(ord AS BIGINT) AS ord, from_, to_ AS "to" FROM cur
+            UNION ALL
+            SELECT CAST((SELECT count(*) FROM cur) + rn - 1 AS BIGINT),
+                   original, corrected
+            FROM new
         """
 
 
@@ -1846,6 +1912,7 @@ def oracle_sql() -> dict[str, str]:
             FROM u
         """,
         "feedback_promote": _feedback_promote_oracle_sql(),
+        "next_epoch": _next_epoch_oracle_sql(),
         "html_main_content": """
             SELECT doc_id, text AS main_text FROM documents
         """,

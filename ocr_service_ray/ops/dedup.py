@@ -140,6 +140,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     threshold: float = 0.5,
     shingle: int = 3,
+    signature_path: str | None = None,
 ):
     """Near-duplicate pairs via MinHash + LSH banding.
 
@@ -185,14 +186,23 @@ def minhash_lsh_candidates(
         )
 
     # Phase 1 — ONE pass over the corpus computes signatures; the text
-    # column never travels further. Materialized because two downstream
+    # column never travels further. Pinned because two downstream
     # consumers (the hot-bucket count and the pair pass) would each
     # re-read and re-shingle the whole corpus otherwise — measured 2×
-    # the total runtime. Signatures are num_perm × 8 bytes per doc; at
-    # 10^12-doc scale this intermediate goes to a parquet/Lance
-    # signature table (write_parquet + read back) instead of the object
-    # store — same dataflow, spill-to-disk storage.
-    sig_rows = ds.map_batches(to_sig_rows, batch_format="pyarrow").materialize()
+    # the total runtime. Signatures are num_perm × 8 bytes per doc:
+    # the object store holds them at bench scale (materialize), and
+    # ``signature_path`` is the 10^12-doc tier — the same intermediate
+    # written as a parquet signature table and read back, so the
+    # pinned copy lives in storage instead of cluster memory (and a
+    # re-run can reuse it).
+    sig_plan = ds.map_batches(to_sig_rows, batch_format="pyarrow")
+    if signature_path is not None:
+        import ray.data as rd
+
+        sig_plan.write_parquet(signature_path)
+        sig_rows = rd.read_parquet(signature_path)
+    else:
+        sig_rows = sig_plan.materialize()
 
     # Phase 2 — band explosion is a cheap map over the signature table
     # (no text); it runs once inside the count and once inside the
@@ -318,6 +328,7 @@ def simhash_candidates(
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
+    signature_path: str | None = None,
 ):
     """Near-dup pairs within Hamming distance ≤ max_hamming, via 4×16-bit
     band blocking (any pair within distance 3 shares at least one exact
@@ -392,11 +403,18 @@ def simhash_candidates(
 
     from ocr_service_ray.ops.agg import bucketed_map_groups
 
-    # One corpus pass → 8-byte fingerprint per doc, materialized (see
-    # minhash_lsh_candidates phase-1 note; fingerprints are trivially
-    # small at any scale). Band explosion + count + filter all read the
-    # fingerprint table, never the text again.
-    fp_rows = ds.map_batches(to_fp_rows, batch_format="pyarrow").materialize()
+    # One corpus pass → 8-byte fingerprint per doc, pinned (see
+    # minhash_lsh_candidates phase-1 note; ``signature_path`` is the
+    # parquet-table tier for corpus scale). Band explosion + count +
+    # filter all read the fingerprint table, never the text again.
+    fp_plan = ds.map_batches(to_fp_rows, batch_format="pyarrow")
+    if signature_path is not None:
+        import ray.data as rd
+
+        fp_plan.write_parquet(signature_path)
+        fp_rows = rd.read_parquet(signature_path)
+    else:
+        fp_rows = fp_plan.materialize()
     band_rows = _keep_hot_buckets(
         fp_rows.map_batches(to_band_rows, batch_format="pyarrow"), ["band", "band_val"]
     )

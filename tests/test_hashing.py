@@ -159,3 +159,29 @@ def test_grouped_agg_null_keys_and_values(ray_session):
     row_x = got[got["k"] == "x"].iloc[0]
     assert row_x["n"] == 2 and row_x["nv"] == 1 and row_x["s"] == 1.0
     assert row_x["m"] == 1.0  # NaN-skipping sum / NON-NULL count, not /2
+
+
+def test_lsh_signature_parquet_tier(ray_session, tmp_path):
+    """signature_path writes the signature/fingerprint table to
+    parquet and the pair results are identical to the in-memory tier."""
+    import ray.data as rd
+
+    from ocr_service_ray.ops.dedup import minhash_lsh_candidates, simhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    df = pd.DataFrame({"doc_id": [1, 2, 3], "text": [base, near, "unrelated words " * 10]})
+
+    def pairs(fn, **kw):
+        out = fn(rd.from_pandas(df), **kw).to_pandas()
+        return sorted(zip(out["id_a"], out["id_b"]))
+
+    assert pairs(minhash_lsh_candidates, threshold=0.5) == pairs(
+        minhash_lsh_candidates, threshold=0.5, signature_path=str(tmp_path / "mh")
+    )
+    assert pairs(simhash_candidates, max_hamming=20) == pairs(
+        simhash_candidates, max_hamming=20, signature_path=str(tmp_path / "sh")
+    )
+    import os
+
+    assert os.path.isdir(tmp_path / "mh") and os.path.isdir(tmp_path / "sh")
