@@ -128,11 +128,14 @@ def run_bench(flagship_only: bool = False) -> dict:
     ctx.max_tasks_in_flight_per_actor = 8
 
     # One FUSED extraction pool (OCR engine is CPU-bound here) sized at
-    # 3/4 of the CPUs at EVERY cluster size — the same fraction at N
+    # 15/16 of the CPUs at EVERY cluster size — the same fraction at N
     # and 4N is what makes the scaling comparison apples-to-apples.
-    # Never size a pool to ALL CPUs: the read/derive tasks need slots
-    # too (a pool reserving every CPU deadlocks the pipeline).
-    pool = max(2, NUM_CPUS * 3 // 4)
+    # Round-2 sweep at 32 CPUs: 24/26/28/30 actors → 27.3/24.8/27.5/
+    # 31.8k docs/s e2e (derive is light, so the pool can take most of
+    # the node); at 8 CPUs 6→7 actors was +12%. Never size a pool to
+    # ALL CPUs: the read/derive tasks need slots too (a pool reserving
+    # every CPU deadlocks the pipeline).
+    pool = max(2, NUM_CPUS * 15 // 16)
 
     def build():
         return run_extraction(

@@ -41,6 +41,13 @@ def main() -> None:
     ap.add_argument("--resume", action=argparse.BooleanOptionalAction, default=True)
     ap.add_argument("--hash-content", action="store_true")
     ap.add_argument("--cost-balance", action="store_true")
+    ap.add_argument(
+        "--fused",
+        action="store_true",
+        help="one fused extraction pool sized to 15/16 of cluster CPUs "
+        "(the bench-tuned steady-state configuration); default keeps the "
+        "autoscaling two-stage pools",
+    )
     args = ap.parse_args()
 
     import ray
@@ -101,9 +108,18 @@ def main() -> None:
         shards = shard_dirs
         media = os.path.join(args.input, "media")
 
+    extract_kwargs: dict = {}
+    if args.fused:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+        extract_kwargs = dict(
+            fused=True,
+            kernel_concurrency=max(2, ncpu * 15 // 16),
+            kernel_batch_size=128,
+        )
+
     summary = run_checkpointed(
         shards,
-        lambda s: run_extraction(s, media, engine=args.engine),
+        lambda s: run_extraction(s, media, engine=args.engine, **extract_kwargs),
         args.output,
         resume=args.resume,
         hash_content=args.hash_content,
