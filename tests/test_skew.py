@@ -228,3 +228,43 @@ def test_windowed_streaming_matches_batch_and_closes_early(ray_session):
     tbl = ray.get(actor.drain.remote())
     assert tbl.num_rows == 3
     ray.kill(actor)
+
+
+def test_session_actor_reorders_and_fails_fast(ray_session):
+    """Out-of-order partitions must be buffered and applied in seq
+    order; a genuinely non-monotonic stream must raise (fail-fast on
+    the load-bearing ordering assumption)."""
+    import pytest
+    import ray
+    import pyarrow as pa
+
+    from ocr_service_ray.ops.streaming import _session_actor_cls
+
+    cls = _session_actor_cls()
+    gap_us = 60_000_000  # 1 min
+    base = 1_700_000_000_000_000
+
+    # partitions delivered 1, 0 — must reorder before processing
+    a = cls.remote(gap_us, pa.string())
+    depth = ray.get(a.ingest.remote(1, ["u"], [base + 10_000_000_000]))
+    assert depth == 1  # seq 1 buffered, seq 0 missing
+    ray.get(a.ingest.remote(0, ["u"], [base]))
+    t = ray.get(a.drain.remote())
+    # gap >> 1min → two sessions, in the CORRECT (seq) order
+    assert t.num_rows == 2
+    assert t["session_start"].to_pylist() == [base, base + 10_000_000_000]
+    ray.kill(a)
+
+    # non-monotonic partitions (seq order but time going backwards)
+    b = cls.remote(gap_us, pa.string())
+    ray.get(b.ingest.remote(0, ["u"], [base + 10_000_000_000]))
+    with pytest.raises(ray.exceptions.RayTaskError):
+        ray.get(b.ingest.remote(1, ["u"], [base]))
+    ray.kill(b)
+
+    # drain with a missing sequence number must refuse
+    c = cls.remote(gap_us, pa.string())
+    ray.get(c.ingest.remote(1, ["u"], [base]))
+    with pytest.raises(ray.exceptions.RayTaskError):
+        ray.get(c.drain.remote())
+    ray.kill(c)
