@@ -59,11 +59,19 @@ def run_extraction(
     required_fields: list[str] | None = None,
     ocr_batch_size: int = 32,
     kernel_batch_size: int = 128,
-    ocr_concurrency=(2, 8),
-    kernel_concurrency=(2, 8),
+    ocr_concurrency=(1, 8),
+    kernel_concurrency=(1, 8),
     fused: bool = False,
 ):
     """Build the lazy extraction plan.
+
+    Pool minimums are 1 (not 2): each pool's minimum actors are
+    reserved UP FRONT by the streaming executor, so with two chained
+    pools the combined minimum must stay below the smallest session's
+    CPU count or upstream task operators (read_parquet, derive) are
+    starved of CPUs and the plan stalls — observed as a deadlock at
+    ``num_cpus=4`` with (2,8)+(2,8). The autoscaler still grows each
+    pool to 8 when CPUs are free.
 
     ``docs``: a Dataset, a path, or an Arrow table.
     ``media``: an Arrow media table / registry dict (→ broadcast) or a

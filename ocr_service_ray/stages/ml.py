@@ -28,6 +28,31 @@ import numpy as np
 import pyarrow as pa
 
 
+def resolve_latest_model(
+    model_dir,
+    pattern: str = "best_model_epoch_*.pth",
+    explicit: str | None = None,
+):
+    """O7 — latest-model-by-mtime resolution
+    (``/root/reference/core/processor.py:476-485``): glob the
+    checkpoint pattern under ``model_dir`` and pick the max-mtime
+    match; ``None`` when nothing matches (the reference then skips
+    loading the classifier). ``explicit`` short-circuits the scan —
+    the rebuild's preferred mode, because "newest file wins" is not
+    reproducible across a cluster whose nodes sync artifacts at
+    different times; pass an explicit version in any multi-node job
+    and let mtime resolution remain the single-node convenience it is
+    in the reference."""
+    from pathlib import Path
+
+    if explicit is not None:
+        return Path(explicit)
+    files = list(Path(model_dir).glob(pattern))
+    if not files:
+        return None
+    return max(files, key=lambda p: p.stat().st_mtime)
+
+
 def _stable_unit(key: str, salt: str) -> float:
     """Deterministic pseudo-score in [0, 1) from a string key —
     the stand-in for a model forward pass. md5-based (first 16 hex

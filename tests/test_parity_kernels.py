@@ -206,3 +206,26 @@ def test_layout_reading_order_two_columns():
     ties = [box("t1", 10, 10), box("t2", 10, 10)]
     assert [r["text"] for r in order_regions(ties)] == ["t1", "t2"]
     assert order_regions([]) == [] and detect_columns([]) == []
+
+
+def test_resolve_latest_model_mtime(tmp_path):
+    """O7 — latest-by-mtime checkpoint resolution
+    (ref core/processor.py:476-485): newest glob match wins, empty
+    glob -> None, explicit version short-circuits the scan."""
+    import os
+
+    from ocr_service_ray.stages.ml import resolve_latest_model
+
+    assert resolve_latest_model(tmp_path) is None
+
+    old = tmp_path / "best_model_epoch_3.pth"
+    new = tmp_path / "best_model_epoch_1.pth"  # epoch number is NOT the key
+    other = tmp_path / "final_model.pth"
+    for p in (old, new, other):
+        p.write_bytes(b"x")
+    os.utime(old, (1_000_000, 1_000_000))
+    os.utime(new, (2_000_000, 2_000_000))
+    os.utime(other, (3_000_000, 3_000_000))  # newest overall but wrong pattern
+
+    assert resolve_latest_model(tmp_path) == new
+    assert resolve_latest_model(tmp_path, explicit=str(old)).name == old.name
