@@ -654,6 +654,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return pairs.map_batches(micro, batch_format="pyarrow")
 
+    def q_dup_ngram_stats(sf_dir):
+        """Duplicate n-gram span detection (substring-level corpus
+        dedup, ops/ngrams.py): per-doc occurrences + token coverage of
+        word-5-grams appearing in >= 2 distinct documents. Runs the
+        SHUFFLE strategy (gram-keyed hash join + per-doc fold) — the
+        100 TB path; tests assert broadcast == shuffle."""
+        from ocr_service_ray.ops.ngrams import duplicate_ngram_stats
+
+        return duplicate_ngram_stats(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            n=5,
+            min_df=2,
+            strategy="shuffle",
+        )
+
     def q_spell_guard(sf_dir):
         """T2 spell-corrector actor stage; sandbox backend is the
         identity fake, so output text equals input — which is exactly
@@ -1033,6 +1048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "near_dup_lsh_blocked": q_near_dup_lsh_blocked,
         "salted_event_totals": q_salted_event_totals,
         "ngram_jaccard": q_ngram_jaccard,
+        "dup_ngram_stats": q_dup_ngram_stats,
         "unique_langs": q_unique_langs,
         "train_val_split": q_train_val_split,
         "next_epoch": q_next_epoch,
@@ -1809,6 +1825,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(floor(inter / (la + lb - inter) * 1000000.0 + 0.5)
                         AS BIGINT) AS jaccard_micro
             FROM pairs
+        """,
+        "dup_ngram_stats": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     length(string_split(text, ' ')) AS nt
+              FROM documents),
+            pos AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(length(ws) - 4, 0))) AS s
+              FROM w),
+            grams AS (
+              SELECT doc_id, s,
+                     md5(array_to_string(list_slice(ws, s, s + 4), ' ')) AS gh
+              FROM pos),
+            u AS (SELECT DISTINCT gh, doc_id FROM grams),
+            hot AS (SELECT gh FROM u GROUP BY gh HAVING COUNT(*) >= 2),
+            hg AS (SELECT doc_id, s FROM grams WHERE gh IN (SELECT gh FROM hot)),
+            occ AS (SELECT doc_id, COUNT(*) AS hot_gram_occurrences
+                    FROM hg GROUP BY doc_id),
+            cov AS (SELECT doc_id, COUNT(DISTINCT t) AS dup_token_count
+                    FROM (SELECT doc_id, unnest(generate_series(s, s + 4)) AS t
+                          FROM hg)
+                    GROUP BY doc_id)
+            SELECT w.doc_id, CAST(w.nt AS BIGINT) AS n_tokens,
+                   CAST(COALESCE(occ.hot_gram_occurrences, 0) AS BIGINT)
+                     AS hot_gram_occurrences,
+                   CAST(COALESCE(cov.dup_token_count, 0) AS BIGINT)
+                     AS dup_token_count
+            FROM w LEFT JOIN occ USING (doc_id) LEFT JOIN cov USING (doc_id)
         """,
         "sessionize_streaming": """
             WITH flagged AS (

@@ -1,0 +1,259 @@
+"""Duplicate n-gram span detection — substring-level corpus dedup.
+
+Document-level dedup (``ops/dedup.py``) removes whole near-identical
+documents; this operator finds REPEATED SPANS — token n-grams that
+occur in ``min_df``-or-more distinct documents (boilerplate headers,
+licence blocks, navigation chrome) — and measures / strips them per
+document. The standard shape in large-scale training-data pipelines
+(the exact-substring step of corpus curation), built Ray-Data-first:
+
+pass 1  docs → per-doc UNIQUE gram hashes (dedup inside the batch —
+        the combiner: at most |distinct grams in block| rows leave)
+        → ``grouped_agg`` count = document frequency
+        → hot grams (``df >= min_df``)
+pass 2  docs scanned once more; per document, the positions of hot
+        grams are unioned into covered-token spans.
+
+Two strategies for shipping the hot-gram set back to pass 2:
+
+- ``strategy="broadcast"``: the hot set goes to the object store ONCE
+  (``ray.put``), pass 2 is embarrassingly parallel — NO shuffle
+  anywhere. Right whenever the hot-gram set fits in a worker's heap
+  (it is bounded by the *duplicated* vocabulary, not the corpus).
+- ``strategy="shuffle"``: the hot grams stay a Dataset; the
+  positional gram table ``(gram_hash, doc_id, start)`` is
+  hash-joined to it (one shuffle keyed by gram hash — moves candidate
+  gram rows only, never document text), per-doc coverage is folded in
+  a single ``bucketed_map_groups`` keyed by doc_id, and the result is
+  left-joined back to the (doc_id, n_tokens) spine. The 100 TB path
+  when the hot-gram table itself is too large to broadcast.
+
+Both strategies return identical values (asserted in
+``tests/test_ngrams.py``); the DuckDB oracle in ``__ray_entry__.py``
+(``dup_ngram_stats``) recomputes the whole thing in SQL.
+
+Tokenization is single-space split — the repo-wide convention shared
+with ``ops/text.py::token_counts`` and DuckDB
+``string_split(text, ' ')``; gram hash is ``md5`` of the
+space-joined gram so the oracle reproduces it bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _doc_grams(text: str, n: int) -> list[str]:
+    """All n-gram hashes of a document, in positional order (1-based
+    start = index in this list + 1). Empty when the doc has < n
+    tokens. md5 hex to match DuckDB ``md5(...)``."""
+    toks = text.split(" ")
+    if len(toks) < n:
+        return []
+    return [
+        hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()
+        for i in range(len(toks) - n + 1)
+    ]
+
+
+def gram_df(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+    """Pass 1: Dataset of ``(gram_hash, df)`` — document frequency of
+    every n-gram. Per-doc grams are deduplicated INSIDE the batch
+    before the shuffle (the combiner), so the exchange moves at most
+    one row per (doc, distinct gram)."""
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    def explode_unique(batch: pa.Table) -> pa.Table:
+        out: list[str] = []
+        for t in batch[text_col].to_pylist():
+            out.extend(set(_doc_grams(t, n)))
+        return pa.table({"gram_hash": pa.array(out, pa.string())})
+
+    pairs = ds.map_batches(explode_unique, batch_format="pyarrow")
+    return grouped_agg(pairs, ["gram_hash"], {"df": (None, "count")})
+
+
+def hot_grams(ds, n: int = 3, min_df: int = 2, text_col: str = "text",
+              id_col: str = "doc_id"):
+    """Grams appearing in >= ``min_df`` distinct documents."""
+    import pyarrow.compute as pc
+
+    return gram_df(ds, n, text_col, id_col).map_batches(
+        lambda b: b.filter(pc.greater_equal(b["df"], min_df)),
+        batch_format="pyarrow",
+    )
+
+
+def _coverage(starts: np.ndarray, n: int, n_tokens: int) -> int:
+    """Tokens covered by the union of [s, s+n-1] intervals (1-based
+    starts) — diff-array + cumsum, O(n_tokens), no per-interval loop."""
+    if len(starts) == 0:
+        return 0
+    diff = np.zeros(n_tokens + 1, dtype=np.int32)
+    np.add.at(diff, starts - 1, 1)
+    np.add.at(diff, np.minimum(starts - 1 + n, n_tokens), -1)
+    return int((np.cumsum(diff[:n_tokens]) > 0).sum())
+
+
+def duplicate_ngram_stats(
+    ds,
+    n: int = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "broadcast",
+):
+    """Per-document duplicated-span statistics:
+
+    ``n_tokens``              single-space token count
+    ``hot_gram_occurrences``  occurrences (incl. within-doc repeats)
+                              of grams with corpus df >= min_df
+    ``dup_token_count``       tokens covered by >= 1 hot gram
+                              (interval union)
+
+    Every document appears in the output (zeros when clean).
+    """
+    if strategy == "broadcast":
+        return _stats_broadcast(ds, n, min_df, text_col, id_col)
+    if strategy == "shuffle":
+        return _stats_shuffle(ds, n, min_df, text_col, id_col)
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def _stats_broadcast(ds, n, min_df, text_col, id_col):
+    import ray
+
+    # Hot set size is bounded by the duplicated vocabulary — driver
+    # materialization is intentional here; use strategy="shuffle" when
+    # it no longer fits (boilerplate-saturated corpora).
+    hot = hot_grams(ds, n, min_df, text_col, id_col).to_pandas()
+    hot_ref = ray.put(frozenset(hot["gram_hash"]))
+
+    class MarkSpans:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, ntok, occ, cov = [], [], [], []
+            for key, t in zip(
+                batch[id_col].to_pylist(), batch[text_col].to_pylist()
+            ):
+                grams = _doc_grams(t, n)
+                starts = np.array(
+                    [i + 1 for i, g in enumerate(grams) if g in self.hot],
+                    dtype=np.int64,
+                )
+                nt = t.count(" ") + 1
+                ids.append(key)
+                ntok.append(nt)
+                occ.append(len(starts))
+                cov.append(_coverage(starts, n, nt))
+            return pa.table(
+                {
+                    id_col: pa.array(ids, batch[id_col].type),
+                    "n_tokens": pa.array(ntok, pa.int64()),
+                    "hot_gram_occurrences": pa.array(occ, pa.int64()),
+                    "dup_token_count": pa.array(cov, pa.int64()),
+                }
+            )
+
+    return ds.map_batches(MarkSpans, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _stats_shuffle(ds, n, min_df, text_col, id_col):
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+    from ocr_service_ray.ops.relational import hash_join
+
+    hot = hot_grams(ds, n, min_df, text_col, id_col)
+
+    def explode_pos(batch: pa.Table) -> pa.Table:
+        ids, starts, grams = [], [], []
+        for key, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for i, g in enumerate(_doc_grams(t, n)):
+                ids.append(key)
+                starts.append(i + 1)
+                grams.append(g)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "s": pa.array(starts, pa.int64()),
+                "gram_hash": pa.array(grams, pa.string()),
+            }
+        )
+
+    gram_pos = ds.map_batches(explode_pos, batch_format="pyarrow")
+    # one shuffle keyed by gram hash; moves (id, pos, hash) rows only
+    hits = hash_join(gram_pos, hot, on="gram_hash")
+
+    def per_doc(g: pd.DataFrame) -> pd.DataFrame:
+        starts = g["s"].to_numpy(dtype=np.int64)
+        # n_tokens recovered downstream from the spine; coverage only
+        # needs an upper bound here
+        bound = int(starts.max()) + n - 1
+        return pd.DataFrame(
+            {
+                id_col: [g[id_col].iloc[0]],
+                "hot_gram_occurrences": [len(starts)],
+                "dup_token_count": [_coverage(starts, n, bound)],
+            }
+        )
+
+    folded = bucketed_map_groups(hits, [id_col], per_doc)
+
+    def spine(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        nt = pc.add(pc.count_substring(batch[text_col], " "), 1)
+        return pa.table(
+            {id_col: batch[id_col], "n_tokens": pc.cast(nt, pa.int64())}
+        )
+
+    base = ds.map_batches(spine, batch_format="pyarrow")
+    joined = hash_join(base, folded, on=id_col, join_type="left_outer")
+
+    def fill(b: pd.DataFrame) -> pd.DataFrame:
+        for c in ("hot_gram_occurrences", "dup_token_count"):
+            b[c] = b[c].fillna(0).astype("int64")
+        return b
+
+    return joined.map_batches(fill, batch_format="pandas")
+
+
+def strip_duplicate_spans(
+    ds,
+    n: int = 3,
+    min_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "clean_text",
+):
+    """Pass-2 variant that REMOVES covered tokens: the per-document
+    text with every token that lies inside a hot n-gram dropped
+    (single-space rejoin). Broadcast strategy only — stripping needs
+    the text and the hot set in the same task."""
+    import ray
+
+    hot = hot_grams(ds, n, min_df, text_col, id_col).to_pandas()
+    hot_ref = ray.put(frozenset(hot["gram_hash"]))
+
+    class Strip:
+        def __init__(self):
+            self.hot = ray.get(hot_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = []
+            for t in batch[text_col].to_pylist():
+                toks = t.split(" ")
+                grams = _doc_grams(t, n)
+                keep = np.ones(len(toks), dtype=bool)
+                for i, g in enumerate(grams):
+                    if g in self.hot:
+                        keep[i : i + n] = False
+                out.append(" ".join(tok for tok, k in zip(toks, keep) if k))
+            return batch.append_column(out_col, pa.array(out, pa.string()))
+
+    return ds.map_batches(Strip, batch_format="pyarrow", concurrency=(1, 8))

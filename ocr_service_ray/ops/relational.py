@@ -58,6 +58,16 @@ def hash_join(left_ds, right_ds, on: str, num_partitions: int | None = None, joi
     only."""
     if num_partitions is None:
         num_partitions = join_partitions_for(left_ds, right_ds)
+
+    def _strip_meta(b):
+        # pandas-originated blocks carry a schema-metadata dict; the
+        # hash-shuffle aggregator hashes schemas for dedup and logs
+        # "Failed to hash the schemas: unhashable type: 'dict'" per
+        # aggregator otherwise
+        return b.replace_schema_metadata(None)
+
+    left_ds = left_ds.map_batches(_strip_meta, batch_format="pyarrow")
+    right_ds = right_ds.map_batches(_strip_meta, batch_format="pyarrow")
     return left_ds.join(
         right_ds, join_type=join_type, num_partitions=num_partitions, on=(on,)
     )
