@@ -33,9 +33,9 @@ def _micro(x: np.ndarray) -> np.ndarray:
 
 
 def _read(sf_dir: str, name: str, columns=None):
-    import ray.data as rd
+    from ocr_service_ray.sources.readers import read_parquet_clean
 
-    return rd.read_parquet(f"{sf_dir}/{name}.parquet", columns=columns)
+    return read_parquet_clean(f"{sf_dir}/{name}.parquet", columns=columns)
 
 
 # ---------------------------------------------------------------- flagship

@@ -197,10 +197,10 @@ def minhash_lsh_candidates(
     # re-run can reuse it).
     sig_plan = ds.map_batches(to_sig_rows, batch_format="pyarrow")
     if signature_path is not None:
-        import ray.data as rd
+        from ocr_service_ray.sources.readers import read_parquet_clean
 
         sig_plan.write_parquet(signature_path)
-        sig_rows = rd.read_parquet(signature_path)
+        sig_rows = read_parquet_clean(signature_path)
     else:
         sig_rows = sig_plan.materialize()
 
@@ -409,10 +409,10 @@ def simhash_candidates(
     # filter all read the fingerprint table, never the text again.
     fp_plan = ds.map_batches(to_fp_rows, batch_format="pyarrow")
     if signature_path is not None:
-        import ray.data as rd
+        from ocr_service_ray.sources.readers import read_parquet_clean
 
         fp_plan.write_parquet(signature_path)
-        fp_rows = rd.read_parquet(signature_path)
+        fp_rows = read_parquet_clean(signature_path)
     else:
         fp_rows = fp_plan.materialize()
     band_rows = _keep_hot_buckets(

@@ -221,7 +221,7 @@ def asof_join(left_ds, right_ds, on: str, by: str, direction: str = "backward"):
         empty = pd.DataFrame(
             {n: pd.Series(dtype=t) for n, t in zip(base.names, base.types)}
         )
-        return pa.Schema.from_pandas(empty, preserve_index=False)
+        return pa.Schema.from_pandas(empty, preserve_index=False).remove_metadata()
 
     l_schema = _arrow_schema(left_ds)
     r_schema = _arrow_schema(right_ds)
@@ -322,18 +322,22 @@ def topk(ds, by: list[str], k: int, descending: list[bool]):
     global one), then ONE final pass over the ≤ |blocks|·k candidate
     rows — no all-to-all sort of the full dataset. Callers must
     include a unique tiebreak column for deterministic results."""
-    ascending = [not d for d in descending]
+    order = [
+        (c, "descending" if d else "ascending") for c, d in zip(by, descending)
+    ]
 
-    def local_topk(b: pd.DataFrame) -> pd.DataFrame:
-        return b.sort_values(by, ascending=ascending, kind="stable").head(k)
+    def local_topk(b: pa.Table) -> pa.Table:
+        # metadata stripped: pandas-originated blocks carry a schema
+        # metadata dict Ray can't hash when unifying schemas
+        return b.replace_schema_metadata(None).sort_by(order).slice(0, k)
 
     # batch_size=None pinned explicitly: the contract REQUIRES
     # whole-block batches (a sliced final pass would emit top-k per
     # slice); .limit(k) is the safety net if that ever degrades.
     return (
-        ds.map_batches(local_topk, batch_format="pandas", batch_size=None)
+        ds.map_batches(local_topk, batch_format="pyarrow", batch_size=None)
         .repartition(1)
-        .map_batches(local_topk, batch_format="pandas", batch_size=None)
+        .map_batches(local_topk, batch_format="pyarrow", batch_size=None)
         .limit(k)
     )
 

@@ -123,8 +123,6 @@ class IvfIndex:
     def search(self, query: np.ndarray, k: int = 5):
         import glob
 
-        import ray.data as rd
-
         # Read ONLY the probed cell partitions (hive layout written by
         # build); a cell directory may be absent if no vector landed in
         # that cell. File list passed explicitly — a mixed dir list
@@ -134,7 +132,9 @@ class IvfIndex:
             for p in self.probe_paths(query)
             for f in sorted(glob.glob(f"{p}/*.parquet"))
         ]
-        probed = rd.read_parquet(files, columns=[self.id_col, self.vec_col])
+        from ocr_service_ray.sources.readers import read_parquet_clean
+
+        probed = read_parquet_clean(files, columns=[self.id_col, self.vec_col])
         return knn_brute(probed, query, k, self.vec_col, self.id_col)
 
 
@@ -205,8 +205,6 @@ class LshIndex:
         import glob
         import os
 
-        import ray.data as rd
-
         paths = [f"{self.index_path}/lsh_cell={c}" for c in self.probe_cells(query)]
         files = [
             f
@@ -214,5 +212,7 @@ class LshIndex:
             if os.path.isdir(p)
             for f in sorted(glob.glob(f"{p}/*.parquet"))
         ]
-        probed = rd.read_parquet(files, columns=[self.id_col, self.vec_col])
+        from ocr_service_ray.sources.readers import read_parquet_clean
+
+        probed = read_parquet_clean(files, columns=[self.id_col, self.vec_col])
         return knn_brute(probed, query, k, self.vec_col, self.id_col)

@@ -68,7 +68,7 @@ def derived_corpus(sf_dir: str, replicate: int = 1, num_blocks: int = 64):
     derivation itself parallelizes — one read task would otherwise
     serialize the whole corpus through one Python loop (Amdahl's
     bottleneck observed at 32 CPUs)."""
-    import ray.data as rd
+    from ocr_service_ray.sources.readers import read_parquet_clean
 
     # num_cpus=0.5 deliberately differs from the downstream stages'
     # num_cpus=1: Ray Data only fuses operators with identical resource
@@ -76,7 +76,7 @@ def derived_corpus(sf_dir: str, replicate: int = 1, num_blocks: int = 64):
     # would make the SOURCE block the unit of scheduling (observed: 64
     # coarse tasks starving a 24-actor pool). Derivation is light, so
     # half a CPU is also simply honest.
-    return rd.read_parquet(
+    return read_parquet_clean(
         f"{sf_dir}/documents.parquet",
         columns=["doc_id", "text"],
         override_num_blocks=num_blocks,

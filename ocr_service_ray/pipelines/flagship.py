@@ -39,15 +39,16 @@ def read_documents(path: str, columns: list[str] | None = None):
     """Read the document table. Lance when the package is present
     (``ray.data.read_lance``); parquet is the sandbox fallback —
     identical Arrow schema either way. Columns are pruned at the read."""
-    import ray.data as rd
-
     cols = columns or ["doc_id", "spans"]
     try:
         import lance  # noqa: F401
+        import ray.data as rd
 
         return rd.read_lance(path, columns=cols)
     except ImportError:
-        return rd.read_parquet(path, columns=cols)
+        from ocr_service_ray.sources.readers import read_parquet_clean
+
+        return read_parquet_clean(path, columns=cols)
 
 
 def run_extraction(
