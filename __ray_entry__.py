@@ -918,6 +918,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_dedup_clusters(sf_dir):
+        """Connected components over the verified minhash near-dup
+        pair set (ops/graph.py): cluster_id = min doc_id of each
+        component — the pairs→clusters→canonical-survivor step of
+        corpus dedup. The oracle recomputes the labels with a
+        recursive CTE over the same from-scratch SQL pair set."""
+        from ocr_service_ray.ops.graph import connected_components
+
+        pairs = dedup.minhash_lsh_candidates(
+            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
+        )
+        comps = connected_components(pairs)
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": pc.cast(b["node"], pa.int64()),
+                    "cluster_id": pc.cast(b["cluster_id"], pa.int64()),
+                }
+            )
+
+        return comps.map_batches(rename, batch_format="pyarrow")
+
     def q_simhash_dedup(sf_dir):
         return dedup.simhash_candidates(
             _read(sf_dir, "documents", ["doc_id", "text"]), max_hamming=8
@@ -1067,6 +1090,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": q_quality_scores,
         "fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -1596,21 +1620,21 @@ def _simhash_oracle_sql(max_hamming: int = 8) -> str:
         """
 
 
-def _minhash_oracle_sql(threshold: float = 0.4) -> str:
-    """MinHash-LSH from scratch in SQL: distinct word-3-gram shingles,
+def _minhash_cte_sql() -> str:
+    """MinHash-LSH from scratch in SQL, as a CTE chain ending in
+    ``est (id_a, id_b, eq)``: distinct word-3-gram shingles,
     md5-derived 32-bit shingle hashes, the 64 inlined (a, b) permanent
     parameters of ops/dedup._perm_params, per-perm min over shingles,
     16×4 banding via ordered string_agg keys, bucket self-join for
-    candidates, est-Jaccard = equal-position fraction (eq/64 — an
-    exact power-of-two division on both engines)."""
+    candidates, eq = equal-position signature count. Shared by the
+    ``minhash_dedup`` and ``dedup_clusters`` oracles."""
     from ocr_service_ray.ops.dedup import _perm_params
 
     a, b = _perm_params(64)
     perm_rows = ", ".join(
         f"({p}, {int(a[p])}, {int(b[p])})" for p in range(64)
     )
-    return f"""
-            WITH w AS (
+    return f"""w AS (
               SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
             g AS (
               SELECT doc_id,
@@ -1641,9 +1665,40 @@ def _minhash_oracle_sql(threshold: float = 0.4) -> str:
               FROM cand
               JOIN sigs sa ON sa.doc_id = cand.id_a
               JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.p = sa.p
-              GROUP BY cand.id_a, cand.id_b)
+              GROUP BY cand.id_a, cand.id_b)"""
+
+
+def _minhash_oracle_sql(threshold: float = 0.4) -> str:
+    """est-Jaccard = eq/64 — an exact power-of-two division on both
+    engines."""
+    return f"""
+            WITH {_minhash_cte_sql()}
             SELECT id_a, id_b, CAST(eq AS DOUBLE) / 64.0 AS est_jaccard
             FROM est WHERE CAST(eq AS DOUBLE) / 64.0 >= {threshold}
+        """
+
+
+def _dedup_clusters_oracle_sql(threshold: float = 0.4) -> str:
+    """Connected components of the minhash pair graph via a recursive
+    CTE: reach(u, lbl) = every component member's label candidates;
+    MIN per node = min doc_id of the component — exactly
+    ops/graph.connected_components's fixpoint."""
+    return f"""
+            WITH RECURSIVE {_minhash_cte_sql()},
+            p AS (
+              SELECT id_a, id_b FROM est
+              WHERE CAST(eq AS DOUBLE) / 64.0 >= {threshold}),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION
+              SELECT id_b, id_a FROM p),
+            reach(u, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v
+            )
+            SELECT u AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+            FROM reach GROUP BY u
         """
 
 
@@ -2026,6 +2081,7 @@ def oracle_sql() -> dict[str, str]:
                          FROM documents) AS BIGINT) AS total_pages
         """,
         "minhash_dedup": _minhash_oracle_sql(threshold=0.4),
+        "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "simhash_dedup": _simhash_oracle_sql(max_hamming=8),
         "lsh_knn": _lsh_knn_oracle_sql(nbits=4, radius=1, seed=13, dim=64, k=5),
         "asof_purchase_click": """

@@ -1,0 +1,189 @@
+"""Connected components over a near-duplicate pair graph — the
+clustering step that turns pairwise dedup candidates into "keep one
+canonical document per duplicate cluster".
+
+``ops/dedup.py`` produces verified PAIRS (minhash/simhash/embedding);
+dropping one side of every pair over-deletes when duplicates chain
+(a~b, b~c: dropping b's partner in both pairs can delete two of the
+three). The standard corpus-curation step is: connected components of
+the pair graph → keep the minimum id of each component. This module
+computes exact component labels with iterative min-label propagation,
+expressed entirely as Dataset ops:
+
+    round:  labels(v) ← min(labels(v), min over neighbors u labels(u))
+            == one hash join (edge endpoint → label) + one combiner
+            grouped-agg min; repeat until the label table stops
+            changing (labels are monotone non-increasing, so an
+            unchanged (node, label) digest IS the fixpoint).
+
+Scale shape (100 TB corpus): every round touches only the PAIR GRAPH
+— |nodes| is bounded by documents that have at least one near-dup,
+|edges| by the verified-pair count; the corpus itself is never read.
+The label table is materialized once per round (it is the loop-carried
+state; re-executing its lineage each round would recompute the
+upstream LSH). Rounds = component diameter; near-dup components are
+clique-ish (duplicates of one source document), so 2-4 rounds in
+practice — ``max_iters`` guards pathological chains, and a
+hash-to-min variant (label the neighborhood's min at every member,
+halving diameter per round) is the documented escalation if a corpus
+ever has deep chains.
+
+The DuckDB oracle (``dedup_clusters`` in ``__ray_entry__.py``)
+recomputes the same labels with a recursive CTE over the same SQL
+pair set, so the whole pairs→clusters path is driver-verified.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def _project(ds, mapping: dict[str, str]):
+    """Rename/project columns in one vectorized pass."""
+
+    def f(b: pa.Table) -> pa.Table:
+        return pa.table({out: b[src] for out, src in mapping.items()})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _digest(labels_ds) -> tuple[int, int]:
+    """Order-independent digest of the (node, cluster_id) table:
+    wrapping uint64 sum of element-pure pair hashes + row count.
+    Labels only ever decrease, so digest equality ⟺ fixpoint (up to a
+    2^-64 collision)."""
+    from ocr_service_ray.ops.hashing import hash_pair_columns
+
+    def h(b: pa.Table) -> pa.Table:
+        hp = hash_pair_columns(b["node"], b["cluster_id"])
+        return pa.table(
+            {
+                "h": pa.array([int(hp.sum(dtype=np.uint64))], pa.uint64()),
+                "n": pa.array([len(b)], pa.int64()),
+            }
+        )
+
+    t = labels_ds.map_batches(h, batch_format="pyarrow").to_pandas()
+    if len(t) == 0:  # zero-block input: no partial rows at all
+        return (0, 0)
+    return (
+        int(t["h"].to_numpy(dtype=np.uint64).sum(dtype=np.uint64)),
+        int(t["n"].sum()),
+    )
+
+
+def connected_components(
+    pairs_ds,
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+    max_iters: int = 25,
+):
+    """Exact component labels for the undirected pair graph.
+
+    Returns a Dataset ``(node, cluster_id)`` — one row per node that
+    appears in any pair; ``cluster_id`` is the minimum node id of its
+    component (ids must be totally ordered: ints or strings).
+    """
+    from ocr_service_ray.ops.agg import grouped_agg
+    from ocr_service_ray.ops.relational import hash_join
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        fwd = pa.table({"node": b[src_col], "nbr": b[dst_col]})
+        rev = pa.table({"node": b[dst_col], "nbr": b[src_col]})
+        return pa.concat_tables([fwd, rev]).combine_chunks()
+
+    # Materialized once: the edge list is re-joined every round, and
+    # leaving it lazy would re-run the upstream pair derivation (LSH,
+    # verification) per round.
+    edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    def with_self(b: pa.Table) -> pa.Table:
+        self_rows = pa.table({"node": b["node"], "nbr": b["node"]})
+        return pa.concat_tables([b, self_rows]).combine_chunks()
+
+    labels = grouped_agg(
+        edges.map_batches(with_self, batch_format="pyarrow"),
+        ["node"],
+        {"cluster_id": ("nbr", "min")},
+    ).materialize()
+    prev = _digest(labels)
+    if prev[1] == 0:
+        # empty pair set: a typed empty table (grouped_agg over zero
+        # blocks yields a schemaless Dataset)
+        import ray.data as rd
+
+        s = pairs_ds.schema()
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            id_type = base.field(src_col).type
+        else:  # PandasBlockSchema
+            id_type = pa.from_numpy_dtype(
+                dict(zip(base.names, base.types))[src_col]
+            )
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], id_type),
+                    "cluster_id": pa.array([], id_type),
+                }
+            )
+        )
+
+    for _ in range(max_iters):
+        # neighbor labels: one shuffle join keyed by the edge endpoint
+        msgs = _project(
+            hash_join(
+                edges,
+                _project(labels, {"nbr": "node", "lbl": "cluster_id"}),
+                on="nbr",
+            ),
+            {"node": "node", "lbl": "lbl"},
+        )
+        own = _project(labels, {"node": "node", "lbl": "cluster_id"})
+        labels = grouped_agg(
+            msgs.union(own), ["node"], {"cluster_id": ("lbl", "min")}
+        ).materialize()
+        cur = _digest(labels)
+        if cur == prev:
+            return labels
+        prev = cur
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iters} rounds — "
+        "component diameter exceeds the near-dup clique assumption; "
+        "use a hash-to-min variant for deep-chain graphs"
+    )
+
+
+def keep_canonical(
+    ds,
+    pairs_ds,
+    id_col: str = "doc_id",
+    src_col: str = "id_a",
+    dst_col: str = "id_b",
+):
+    """Corpus with near-duplicate clusters collapsed to one document:
+    drops every doc whose component label is not its own id (the
+    canonical survivor is the minimum id). The drop set is broadcast
+    (``ray.put`` once, ``pc.is_in`` per batch) — its size is bounded
+    by the number of DUPLICATES, never the corpus."""
+    import pyarrow.compute as pc
+    import ray
+
+    comps = connected_components(pairs_ds, src_col, dst_col).to_pandas()
+    if comps.empty:  # Ray's to_pandas drops columns on zero-row datasets
+        return ds
+    drop_ids = comps.loc[comps["node"] != comps["cluster_id"], "node"]
+    drop_ref = ray.put(pa.array(drop_ids.to_numpy()))
+
+    class DropFilter:
+        def __init__(self):
+            self.drop = ray.get(drop_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if len(self.drop) == 0:
+                return b
+            keep = pc.invert(pc.is_in(b[id_col], value_set=self.drop))
+            return b.filter(keep)
+
+    return ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=(1, 8))

@@ -1,0 +1,127 @@
+"""Connected components / canonical-keep (ops/graph.py): exact labels
+vs a union-find oracle, multi-round convergence on chains, empty and
+string-id edges, canonical survivor filtering."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_service_ray.ops.graph import connected_components, keep_canonical
+
+
+def _uf_oracle(pairs):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # min id per component
+    return {x: find(x) for x in list(parent)}
+
+
+def _run(pairs):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "id_a": pa.array([p[0] for p in pairs]),
+            "id_b": pa.array([p[1] for p in pairs]),
+        }
+    )
+    ds = connected_components(rd.from_arrow(t))
+    assert ds.schema().names == ["node", "cluster_id"]
+    out = ds.to_pandas()
+    if out.empty:  # Ray's to_pandas drops columns on zero-row datasets
+        return {}
+    return dict(zip(out["node"], out["cluster_id"]))
+
+
+def test_matches_union_find(ray_session):
+    # two cliques, one chain, one isolated pair
+    pairs = [
+        (1, 2), (2, 3), (1, 3),          # clique {1,2,3}
+        (10, 11), (11, 12), (12, 13),    # chain 10-11-12-13
+        (20, 21),                        # pair
+        (5, 3),                          # attaches 5 to the clique
+    ]
+    assert _run(pairs) == _uf_oracle(pairs)
+
+
+def test_deep_chain_needs_multiple_rounds(ray_session):
+    # a 12-node path: min label must propagate the full diameter
+    pairs = [(i + 1, i) for i in range(11)]
+    got = _run(pairs)
+    assert set(got.values()) == {0}
+    assert len(got) == 12
+
+
+def test_string_ids(ray_session):
+    got = _run([("b", "a"), ("b", "c"), ("x", "y")])
+    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+
+
+def test_empty_pairs(ray_session):
+    assert _run([]) == {}
+
+
+def test_random_graph_matches_oracle(ray_session):
+    rng = np.random.default_rng(7)
+    pairs = [tuple(map(int, rng.integers(0, 60, 2))) for _ in range(80)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _run(pairs) == _uf_oracle(pairs)
+
+
+def test_keep_canonical(ray_session):
+    import ray.data as rd
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(8), pa.int64()),
+            "text": pa.array([f"t{i}" for i in range(8)]),
+        }
+    )
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2, 5], pa.int64()),
+            "id_b": pa.array([2, 3, 6], pa.int64()),
+        }
+    )
+    kept = (
+        keep_canonical(rd.from_arrow(docs), rd.from_arrow(pairs))
+        .to_pandas()["doc_id"]
+        .tolist()
+    )
+    # cluster {1,2,3} keeps 1; {5,6} keeps 5; untouched docs survive
+    assert sorted(kept) == [0, 1, 4, 5, 7]
+
+
+def test_keep_canonical_no_pairs(ray_session):
+    import ray.data as rd
+
+    docs = pa.table({"doc_id": pa.array(range(4), pa.int64())})
+    empty = pa.table(
+        {"id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}
+    )
+    kept = keep_canonical(rd.from_arrow(docs), rd.from_arrow(empty)).to_pandas()
+    assert sorted(kept["doc_id"].tolist()) == [0, 1, 2, 3]
+
+
+def test_nonconvergence_guard(ray_session):
+    import ray.data as rd
+
+    pairs = pa.table(
+        {
+            "id_a": pa.array([1, 2], pa.int64()),
+            "id_b": pa.array([2, 3], pa.int64()),
+        }
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(rd.from_arrow(pairs), max_iters=0)

@@ -23,6 +23,7 @@ SUBSET = [
     "consensus_suggestions",
     "corpus_summary",
     "minhash_dedup",
+    "dedup_clusters",
     "dup_ngram_stats",
     "simhash_dedup",
     "lsh_knn",
