@@ -918,6 +918,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_hll_users(sf_dir):
+        """HyperLogLog register table (p=10) for distinct event users
+        (ops/sketch.py) — combiner-merged byte registers; the md5-based
+        hash makes every register value SQL-reproducible, so the whole
+        sketch state (not just the estimate) is oracle-checked."""
+        from ocr_service_ray.ops.sketch import hll_registers
+
+        return hll_registers(_read(sf_dir, "events", ["user_id"]), "user_id", p=10)
+
     def q_dedup_clusters(sf_dir):
         """Connected components over the verified minhash near-dup
         pair set (ops/graph.py): cluster_id = min doc_id of each
@@ -1091,6 +1100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint": q_fingerprint,
         "minhash_dedup": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
+        "hll_users": q_hll_users,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2082,6 +2092,20 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup": _minhash_oracle_sql(threshold=0.4),
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
+        # HLL p=10: 32-bit md5-prefix hash, bucket = top 10 bits,
+        # rho = 22-bit remainder leading zeros + 1 = 23 - bit_length
+        # (length(bin(w)) — exact integer math, mirrors np.frexp)
+        "hll_users": f"""
+            WITH h AS (
+              SELECT {_hex_bigint_sql("md5(CAST(user_id AS VARCHAR))", 1, 8)} AS x
+              FROM events WHERE user_id IS NOT NULL),
+            b AS (SELECT x // 4194304 AS bucket, x % 4194304 AS w FROM h)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(MAX(CASE WHEN w = 0 THEN 23
+                                 ELSE 23 - length(bin(w)) END) AS BIGINT)
+                     AS max_rho
+            FROM b GROUP BY bucket
+        """,
         "simhash_dedup": _simhash_oracle_sql(max_hamming=8),
         "lsh_knn": _lsh_knn_oracle_sql(nbits=4, radius=1, seed=13, dim=64, k=5),
         "asof_purchase_click": """

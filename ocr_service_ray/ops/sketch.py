@@ -1,0 +1,109 @@
+"""HyperLogLog approximate distinct count — combiner-shaped, with an
+exactly SQL-reproducible register table.
+
+``Dataset.unique`` / exact COUNT DISTINCT moves every distinct value
+through a shuffle; at 100 TB a distinct-URL / distinct-user count
+wants the classical sketch instead: 2^p byte registers whose merge is
+an elementwise max — the perfect combiner. Each block collapses to
+≤ 2^p (bucket, rho) rows, one tiny ``grouped_agg`` max merges them,
+and the estimate is arithmetic over the ≤ 2^p-row register table.
+Flajolet et al., "HyperLogLog: the analysis of a near-optimal
+cardinality estimation algorithm" (AofA 2007).
+
+Determinism/oracle contract: the value hash is the first 8 hex chars
+of ``md5(CAST(value AS VARCHAR))`` — a 32-bit integer DuckDB derives
+bit-for-bit (the repo-wide md5 discipline); bucket = top ``p`` bits,
+rho = leading-zero count of the remaining ``32-p`` bits + 1, computed
+with exact integer bit-length (``np.frexp`` exponent here,
+``length(bin(w))`` in SQL — no float log anywhere). The register
+table, not just the estimate, hash-matches the oracle. A production
+deployment at 10^12 rows would swap md5 for a cheaper 64-bit hash
+(ops/hashing.py) and keep the identical shape; md5 is the
+oracle-parity choice.
+
+Null semantics: nulls are skipped (SQL COUNT(DISTINCT col)).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def _hash32(values) -> np.ndarray:
+    """First 8 hex chars of md5(str(value)) as uint32 — mirrors DuckDB
+    ``md5(CAST(col AS VARCHAR))`` exactly (ints and strings cast the
+    same way)."""
+    return np.fromiter(
+        (
+            int(hashlib.md5(str(v).encode("utf-8")).hexdigest()[:8], 16)
+            for v in values
+            if v is not None
+        ),
+        dtype=np.uint32,
+    )
+
+
+def _bit_length(w: np.ndarray) -> np.ndarray:
+    """Exact integer bit length, vectorized: frexp's exponent of the
+    float64 representation (exact for w < 2^53). bit_length(0) = 0."""
+    return np.frexp(w.astype(np.float64))[1].astype(np.int64)
+
+
+def hll_registers(ds, col: str, p: int = 10):
+    """Dataset of ``(bucket, max_rho)`` — the merged HLL register
+    table, at most 2^p rows (absent buckets mean register 0)."""
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    rem = 32 - p
+    mask = (1 << rem) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        h = _hash32(b[col].to_pylist())
+        if len(h) == 0:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        bucket = (h >> np.uint32(rem)).astype(np.int64)
+        w = (h & np.uint32(mask)).astype(np.uint32)
+        rho = np.where(w == 0, rem + 1, rem + 1 - _bit_length(w)).astype(np.int64)
+        # block-local register max — the combiner: ≤ 2^p rows leave
+        regs = np.zeros(1 << p, dtype=np.int64)
+        np.maximum.at(regs, bucket, rho)
+        nz = np.nonzero(regs)[0]
+        return pa.table(
+            {
+                "bucket": pa.array(nz, pa.int64()),
+                "rho": pa.array(regs[nz], pa.int64()),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(partials, ["bucket"], {"max_rho": ("rho", "max")})
+
+
+def hll_estimate(registers: pd.DataFrame, p: int = 10) -> float:
+    """Cardinality estimate from a merged register table (the standard
+    HLL formula with the small-range linear-counting correction;
+    registers are ≤ 2^p rows, pure driver arithmetic)."""
+    m = 1 << p
+    regs = np.zeros(m, dtype=np.int64)
+    if len(registers):
+        regs[registers["bucket"].to_numpy()] = registers["max_rho"].to_numpy()
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    raw = alpha * m * m / np.sum(np.power(2.0, -regs.astype(np.float64)))
+    zeros = int((regs == 0).sum())
+    if raw <= 2.5 * m and zeros > 0:
+        return m * float(np.log(m / zeros))
+    return float(raw)
+
+
+def approx_distinct(ds, col: str, p: int = 10) -> float:
+    """One-call approximate COUNT(DISTINCT col)."""
+    return hll_estimate(hll_registers(ds, col, p).to_pandas(), p)

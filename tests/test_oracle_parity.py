@@ -25,6 +25,7 @@ SUBSET = [
     "minhash_dedup",
     "dedup_clusters",
     "dup_ngram_stats",
+    "hll_users",
     "simhash_dedup",
     "lsh_knn",
     "classify_docs",

@@ -1,0 +1,92 @@
+"""HyperLogLog (ops/sketch.py): register arithmetic vs a pure-Python
+reference, estimate accuracy vs exact distinct, null skipping, merge
+associativity across block layouts."""
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from ocr_service_ray.ops.sketch import (
+    _bit_length,
+    approx_distinct,
+    hll_estimate,
+    hll_registers,
+)
+
+
+def _ref_registers(values, p):
+    rem, mask = 32 - p, (1 << (32 - p)) - 1
+    regs = {}
+    for v in values:
+        if v is None:
+            continue
+        h = int(hashlib.md5(str(v).encode()).hexdigest()[:8], 16)
+        b, w = h >> rem, h & mask
+        rho = rem + 1 if w == 0 else rem + 1 - w.bit_length()
+        regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def test_bit_length_exact():
+    w = np.array([0, 1, 2, 3, 4, 255, 256, (1 << 22) - 1, 1 << 21], dtype=np.uint32)
+    assert _bit_length(w).tolist() == [int(x).bit_length() for x in w]
+
+
+@pytest.mark.parametrize("p", [6, 10])
+def test_registers_match_reference(ray_session, p):
+    import ray.data as rd
+
+    vals = [f"v{i}" for i in range(500)] + [None, None] + [f"v{i}" for i in range(50)]
+    t = pa.table({"x": pa.array(vals, pa.string())})
+    got = hll_registers(rd.from_arrow(t), "x", p).to_pandas()
+    assert dict(zip(got["bucket"], got["max_rho"])) == _ref_registers(vals, p)
+
+
+def test_registers_block_layout_invariant(ray_session):
+    # the merge is max — register table must not depend on block split
+    import ray.data as rd
+
+    vals = [f"doc-{i}" for i in range(300)]
+    t = pa.table({"x": pa.array(vals)})
+    one = hll_registers(rd.from_arrow(t), "x", 8).to_pandas()
+    many = hll_registers(
+        rd.from_arrow(t).repartition(13), "x", 8
+    ).to_pandas()
+    a = dict(zip(one["bucket"], one["max_rho"]))
+    b = dict(zip(many["bucket"], many["max_rho"]))
+    assert a == b
+
+
+def test_estimate_accuracy(ray_session):
+    import ray.data as rd
+
+    n = 20_000
+    t = pa.table({"x": pa.array([f"item-{i % n}" for i in range(2 * n)])})
+    est = approx_distinct(rd.from_arrow(t).repartition(8), "x", p=11)
+    # HLL stderr ~1.04/sqrt(2^11) ≈ 2.3%; allow 4 sigma
+    assert abs(est - n) / n < 0.10
+
+
+def test_int_column_matches_varchar_cast(ray_session):
+    # int hashing must mirror CAST(col AS VARCHAR): str(int)
+    import ray.data as rd
+
+    vals = list(range(1000))
+    t = pa.table({"x": pa.array(vals, pa.int64())})
+    got = hll_registers(rd.from_arrow(t), "x", 9).to_pandas()
+    assert dict(zip(got["bucket"], got["max_rho"])) == _ref_registers(vals, 9)
+
+
+def test_small_range_correction():
+    # with few distincts the linear-counting branch must engage and be
+    # close to exact
+    regs = _ref_registers([f"k{i}" for i in range(30)], 10)
+    import pandas as pd
+
+    df = pd.DataFrame(
+        {"bucket": list(regs), "max_rho": [regs[b] for b in regs]}
+    )
+    est = hll_estimate(df, 10)
+    assert abs(est - 30) < 4
