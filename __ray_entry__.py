@@ -918,6 +918,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_tfidf_topk(sf_dir):
+        """Top-3 characteristic terms per document by tf·idf
+        (ops/ranking.py) — df via combiner aggregate, idf broadcast,
+        rank in-kernel on a second scan. idf is the rational BM25 odds
+        ratio (no log), so every float is IEEE-exact on both engines
+        and the micro-int score hash-matches."""
+        from ocr_service_ray.ops.ranking import tfidf_topk_terms
+
+        out = tfidf_topk_terms(
+            _read(sf_dir, "documents", ["doc_id", "text"]), k=3
+        )
+
+        def micro(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "term": b["term"],
+                    "tf": b["tf"],
+                    "score_micro": pa.array(
+                        _micro(b["score"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+        return out.map_batches(micro, batch_format="pyarrow")
+
+    def q_bm25_docs(sf_dir):
+        """BM25 top-10 documents for a 3-term query (ops/ranking.py):
+        one text scan → int (dl, tf) table, global stats, scored
+        combiner top-k. Left-assoc term fold + rational idf keep the
+        floats bit-identical to the SQL oracle."""
+        from ocr_service_ray.ops.ranking import bm25_search
+
+        out = bm25_search(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            ["join", "hash", "vector"],
+            k=10,
+        )
+
+        def micro(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "score_micro": pa.array(
+                        _micro(b["score"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+        return out.map_batches(micro, batch_format="pyarrow")
+
     def q_hll_users(sf_dir):
         """HyperLogLog register table (p=10) for distinct event users
         (ops/sketch.py) — combiner-merged byte registers; the md5-based
@@ -1101,6 +1152,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup": q_minhash_dedup,
         "dedup_clusters": q_dedup_clusters,
         "hll_users": q_hll_users,
+        "tfidf_topk": q_tfidf_topk,
+        "bm25_docs": q_bm25_docs,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -1688,6 +1741,79 @@ def _minhash_oracle_sql(threshold: float = 0.4) -> str:
         """
 
 
+def _bm25_oracle_sql(terms: list[str], k: int = 10) -> str:
+    """BM25 mirrored operation-for-operation (ops/ranking.bm25_search):
+    rational idf (no log), left-assoc term fold in ``terms`` order,
+    every +,×,÷ parenthesized exactly as numpy evaluates it — IEEE
+    ops are bit-identical across engines, so score_micro hash-matches."""
+    tf_defs = ",\n                ".join(
+        f"len(list_filter(ws, x -> x = '{t}')) AS tf{j}"
+        for j, t in enumerate(terms)
+    )
+    df_defs = ", ".join(
+        f"SUM(CASE WHEN tf{j} > 0 THEN 1 ELSE 0 END) AS df{j}"
+        for j in range(len(terms))
+    )
+    norm = "(1.2 * ((1.0 - 0.75) + 0.75 * (CAST(dl AS DOUBLE) / avgdl)))"
+    contribs = " + ".join(
+        f"(((CAST(n AS DOUBLE) - df{j} + 0.5) / (df{j} + 0.5))"
+        f" * (CAST(tf{j} AS DOUBLE) * (1.2 + 1.0))"
+        f" / (CAST(tf{j} AS DOUBLE) + {norm}))"
+        for j in range(len(terms))
+    )
+    return f"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws,
+                     length(string_split(text, ' ')) AS dl
+              FROM documents),
+            tf AS (
+              SELECT doc_id, dl,
+                {tf_defs}
+              FROM w),
+            st AS (
+              SELECT COUNT(*) AS n,
+                     CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                     {df_defs}
+              FROM tf),
+            sc AS (
+              SELECT t.doc_id, {contribs} AS score
+              FROM tf t, st)
+            SELECT doc_id,
+                   CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)
+                     AS score_micro
+            FROM sc ORDER BY score DESC, doc_id LIMIT {k}
+        """
+
+
+def _tfidf_oracle_sql(k: int = 3) -> str:
+    """tf·idf top-k terms per doc, rational idf, tie → term ASC."""
+    return f"""
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            tok AS (SELECT doc_id, unnest(ws) AS term FROM w),
+            cnt AS (
+              SELECT doc_id, term, COUNT(*) AS tf
+              FROM tok GROUP BY doc_id, term),
+            dfx AS (
+              SELECT term, COUNT(DISTINCT doc_id) AS df
+              FROM tok GROUP BY term),
+            nn AS (SELECT COUNT(*) AS n FROM documents),
+            scored AS (
+              SELECT c.doc_id, c.term, c.tf,
+                     CAST(c.tf AS DOUBLE)
+                       * ((CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) AS score
+              FROM cnt c JOIN dfx d ON d.term = c.term, nn),
+            ranked AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rn
+              FROM scored)
+            SELECT doc_id, term, CAST(tf AS BIGINT) AS tf,
+                   CAST(floor(score * 1000000.0 + 0.5) AS BIGINT)
+                     AS score_micro
+            FROM ranked WHERE rn <= {k}
+        """
+
+
 def _dedup_clusters_oracle_sql(threshold: float = 0.4) -> str:
     """Connected components of the minhash pair graph via a recursive
     CTE: reach(u, lbl) = every component member's label candidates;
@@ -2092,6 +2218,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "minhash_dedup": _minhash_oracle_sql(threshold=0.4),
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
+        "tfidf_topk": _tfidf_oracle_sql(k=3),
+        "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
         # HLL p=10: 32-bit md5-prefix hash, bucket = top 10 bits,
         # rho = 22-bit remainder leading zeros + 1 = 23 - bit_length
         # (length(bin(w)) — exact integer math, mirrors np.frexp)

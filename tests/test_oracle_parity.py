@@ -26,6 +26,7 @@ SUBSET = [
     "dedup_clusters",
     "dup_ngram_stats",
     "hll_users",
+    "bm25_docs",
     "simhash_dedup",
     "lsh_knn",
     "classify_docs",
