@@ -918,6 +918,27 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_decontam_pairs(sf_dir):
+        """Train/eval decontamination (ops/decontam.py): eval =
+        doc_id % 20 == 0 benchmark slice; 8-gram overlap pairs via the
+        SHUFFLE strategy (gram-keyed hash join — the giant-eval path;
+        tests assert broadcast == shuffle). Oracle rebuilds the split
+        and the distinct-gram join in SQL."""
+        from ocr_service_ray.ops.decontam import contamination_pairs
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def is_eval(b: pa.Table, want: bool) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 20 == 0) if want else (ids % 20 != 0)
+            return b.filter(pa.array(m))
+
+        train = docs.map_batches(
+            lambda b: is_eval(b, False), batch_format="pyarrow"
+        )
+        ev = docs.map_batches(lambda b: is_eval(b, True), batch_format="pyarrow")
+        return contamination_pairs(train, ev, n=8, strategy="shuffle")
+
     def q_tfidf_topk(sf_dir):
         """Top-3 characteristic terms per document by tf·idf
         (ops/ranking.py) — df via combiner aggregate, idf broadcast,
@@ -1154,6 +1175,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users": q_hll_users,
         "tfidf_topk": q_tfidf_topk,
         "bm25_docs": q_bm25_docs,
+        "decontam_pairs": q_decontam_pairs,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2220,6 +2242,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "decontam_pairs": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pos AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(length(ws) - 7, 0))) AS s
+              FROM w),
+            g AS (
+              SELECT DISTINCT doc_id,
+                     md5(array_to_string(list_slice(ws, s, s + 7), ' ')) AS gh
+              FROM pos),
+            tr AS (SELECT doc_id, gh FROM g WHERE doc_id % 20 <> 0),
+            ev AS (SELECT doc_id, gh FROM g WHERE doc_id % 20 = 0)
+            SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+                   CAST(COUNT(*) AS BIGINT) AS shared_grams
+            FROM tr JOIN ev USING (gh)
+            GROUP BY tr.doc_id, ev.doc_id
+        """,
         # HLL p=10: 32-bit md5-prefix hash, bucket = top 10 bits,
         # rho = 22-bit remainder leading zeros + 1 = 23 - bit_length
         # (length(bin(w)) — exact integer math, mirrors np.frexp)

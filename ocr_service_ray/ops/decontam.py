@@ -1,0 +1,156 @@
+"""Train/eval decontamination — cross-corpus n-gram overlap.
+
+The benchmark-leakage check every training-data pipeline runs before
+a model sees the corpus: find TRAIN documents that share a token
+n-gram with any EVAL/benchmark document (the GPT-3/Dolma-style n-gram
+decontamination rule), report the overlapping (train, eval) pairs
+with their shared-gram counts, and optionally drop the train side.
+
+Shapes (100 TB train, thousands-of-docs eval — the real asymmetry):
+
+- ``strategy="broadcast"`` (default): the EVAL gram set is tiny by
+  construction (benchmarks are small); it goes to the object store
+  once and the train corpus is scanned exactly once with an
+  in-kernel membership probe — NO shuffle anywhere. This is the
+  production path.
+- ``strategy="shuffle"``: both sides become per-doc-distinct
+  ``(id, gram_hash)`` tables and meet in ONE hash join keyed by the
+  gram hash (moves gram rows, never text), followed by a combiner
+  pair-count. For the hypothetical eval set too large to broadcast.
+
+Both return identical values (asserted in tests); gram hashing and
+tokenization follow ``ops/ngrams.py`` (single-space split, md5 of the
+space-joined gram) so the DuckDB oracle rebuilds the whole check in
+SQL.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow as pa
+
+from ocr_service_ray.ops.ngrams import _doc_grams
+
+
+def _unique_gram_rows(ds, n: int, text_col: str, id_col: str, out_id: str):
+    """Per-doc-distinct (out_id, gram_hash) rows — the combiner that
+    keeps the join/broadcast input at one row per (doc, gram)."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        ids, grams = [], []
+        for key, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for g in set(_doc_grams(t, n)):
+                ids.append(key)
+                grams.append(g)
+        return pa.table(
+            {
+                out_id: pa.array(ids, batch[id_col].type),
+                "gram_hash": pa.array(grams, pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def contamination_pairs(
+    train_ds,
+    eval_ds,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    strategy: str = "broadcast",
+):
+    """Dataset ``(train_id, eval_id, shared_grams)`` — one row per
+    contaminated pair; ``shared_grams`` counts DISTINCT shared
+    n-grams."""
+    if strategy == "broadcast":
+        return _pairs_broadcast(train_ds, eval_ds, n, text_col, id_col)
+    if strategy == "shuffle":
+        return _pairs_shuffle(train_ds, eval_ds, n, text_col, id_col)
+    raise ValueError(f"unknown strategy: {strategy}")
+
+
+def _pairs_broadcast(train_ds, eval_ds, n, text_col, id_col):
+    import ray
+
+    # eval grams → {gram: [eval ids]} — bounded by the benchmark set
+    ev = _unique_gram_rows(eval_ds, n, text_col, id_col, "eval_id").to_pandas()
+    gram_to_evals: dict[str, list] = {}
+    if not ev.empty:  # Ray's to_pandas drops columns on zero-row datasets
+        for g, e in zip(ev["gram_hash"], ev["eval_id"]):
+            gram_to_evals.setdefault(g, []).append(e)
+    ev_ref = ray.put(gram_to_evals)
+
+    class Probe:
+        def __init__(self):
+            self.evals = ray.get(ev_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            t_ids, e_ids, counts = [], [], []
+            for key, t in zip(
+                batch[id_col].to_pylist(), batch[text_col].to_pylist()
+            ):
+                hits: Counter = Counter()
+                for g in set(_doc_grams(t, n)):
+                    for e in self.evals.get(g, ()):
+                        hits[e] += 1
+                for e, c in hits.items():
+                    t_ids.append(key)
+                    e_ids.append(e)
+                    counts.append(c)
+            return pa.table(
+                {
+                    "train_id": pa.array(t_ids, batch[id_col].type),
+                    "eval_id": pa.array(e_ids, batch[id_col].type),
+                    "shared_grams": pa.array(counts, pa.int64()),
+                }
+            )
+
+    return train_ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def _pairs_shuffle(train_ds, eval_ds, n, text_col, id_col):
+    from ocr_service_ray.ops.agg import grouped_agg
+    from ocr_service_ray.ops.relational import hash_join
+
+    tr = _unique_gram_rows(train_ds, n, text_col, id_col, "train_id")
+    ev = _unique_gram_rows(eval_ds, n, text_col, id_col, "eval_id")
+    hits = hash_join(tr, ev, on="gram_hash")
+    return grouped_agg(
+        hits, ["train_id", "eval_id"], {"shared_grams": (None, "count")}
+    )
+
+
+def decontaminate(
+    train_ds,
+    eval_ds,
+    n: int = 8,
+    min_shared: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Train corpus minus contaminated documents (any train doc
+    sharing ≥ ``min_shared`` distinct n-grams with ANY eval doc).
+    Drop set is broadcast — bounded by contaminated docs."""
+    import pyarrow.compute as pc
+    import ray
+
+    pairs = contamination_pairs(
+        train_ds, eval_ds, n, text_col, id_col, strategy="broadcast"
+    ).to_pandas()
+    if pairs.empty:
+        return train_ds
+    bad = pairs.loc[pairs["shared_grams"] >= min_shared, "train_id"].unique()
+    bad_ref = ray.put(pa.array(bad))
+
+    class DropContaminated:
+        def __init__(self):
+            self.bad = ray.get(bad_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            return b.filter(pc.invert(pc.is_in(b[id_col], value_set=self.bad)))
+
+    return train_ds.map_batches(
+        DropContaminated, batch_format="pyarrow", concurrency=(1, 8)
+    )

@@ -27,6 +27,7 @@ SUBSET = [
     "dup_ngram_stats",
     "hll_users",
     "bm25_docs",
+    "decontam_pairs",
     "simhash_dedup",
     "lsh_knn",
     "classify_docs",
