@@ -918,6 +918,75 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_grouped_topk_events(sf_dir):
+        """Top-3 events per event_type by value (ops/relational.py
+        grouped_topk): block-local per-group top-k combiner + one
+        coarse-bucket shuffle — the windowed ROW_NUMBER()<=k shape
+        without a global sort."""
+        from ocr_service_ray.ops.relational import grouped_topk
+
+        out = grouped_topk(
+            _read(sf_dir, "events", ["event_type", "event_id", "value"]),
+            ["event_type"],
+            ["value", "event_id"],
+            3,
+            [True, False],
+        )
+
+        def micro(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "event_id": b["event_id"],
+                    "value_micro": pa.array(
+                        _micro(b["value"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+        return out.map_batches(micro, batch_format="pyarrow")
+
+    def q_running_user_value(sf_dir):
+        """Per-user running total (ops/relational.py cumulative_by_key)
+        of event value in CENTS ordered by (ts, event_id) — integer
+        summation so the running total is association-order-free and
+        matches SQL's window SUM exactly."""
+        from ocr_service_ray.ops.relational import cumulative_by_key
+
+        ds = _read(sf_dir, "events", ["user_id", "event_id", "ts", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "event_id": b["event_id"],
+                    "ts": b["ts"],
+                    "cents": pa.array(cents),
+                }
+            )
+
+        folded = cumulative_by_key(
+            ds.map_batches(to_cents, batch_format="pyarrow"),
+            "user_id",
+            ["ts", "event_id"],
+            "cents",
+            out_col="running_cents",
+        )
+
+        def project(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "event_id": b["event_id"],
+                    "running_cents": pc.cast(b["running_cents"], pa.int64()),
+                }
+            )
+
+        return folded.map_batches(project, batch_format="pyarrow")
+
     def q_decontam_pairs(sf_dir):
         """Train/eval decontamination (ops/decontam.py): eval =
         doc_id % 20 == 0 benchmark slice; 8-gram overlap pairs via the
@@ -1176,6 +1245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tfidf_topk": q_tfidf_topk,
         "bm25_docs": q_bm25_docs,
         "decontam_pairs": q_decontam_pairs,
+        "grouped_topk_events": q_grouped_topk_events,
+        "running_user_value": q_running_user_value,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2242,6 +2313,28 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "grouped_topk_events": """
+            WITH r AS (
+              SELECT event_type, event_id, value,
+                     ROW_NUMBER() OVER (
+                       PARTITION BY event_type
+                       ORDER BY value DESC, event_id) AS rn
+              FROM events)
+            SELECT event_type, event_id,
+                   CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS value_micro
+            FROM r WHERE rn <= 3
+        """,
+        "running_user_value": """
+            WITH c AS (
+              SELECT user_id, event_id, ts,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events)
+            SELECT user_id, event_id,
+                   CAST(SUM(cents) OVER (
+                     PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
+            FROM c
+        """,
         "decontam_pairs": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -438,3 +438,64 @@ def sessionize(events_ds, gap_minutes: float = 30.0, user_col: str = "user_id", 
     # bucketed: user count grows with the corpus, and per-group dispatch
     # would dominate (~1 ms/user in plain map_groups)
     return bucketed_map_groups(events_ds, [user_col], sessions)
+
+
+def grouped_topk(
+    ds,
+    group_keys: list[str],
+    by: list[str],
+    k: int,
+    descending: list[bool],
+):
+    """Top-``k`` rows PER GROUP (the windowed ``ROW_NUMBER() <= k``
+    shape), combiner-style: each block keeps its per-group local
+    top-k — no row outside a block-local per-group top-k can reach
+    the global per-group top-k — so the one shuffle moves at most
+    |blocks| × |groups-in-block| × k candidate rows, never the
+    corpus. The final per-group pass runs through
+    ``ops/agg.bucketed_map_groups`` (one coarse-bucket shuffle,
+    vectorized per-group finish). Callers must include a unique
+    tiebreak column in ``by`` for deterministic output."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    ascending = [not d for d in descending]
+
+    def local(b: pd.DataFrame) -> pd.DataFrame:
+        return (
+            b.sort_values(by, ascending=ascending, kind="stable")
+            .groupby(group_keys, sort=False, dropna=False)
+            .head(k)
+        )
+
+    def final(g: pd.DataFrame) -> pd.DataFrame:
+        return g.sort_values(by, ascending=ascending, kind="stable").head(k)
+
+    candidates = ds.map_batches(local, batch_format="pandas", batch_size=None)
+    return bucketed_map_groups(candidates, group_keys, final)
+
+
+def cumulative_by_key(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    out_col: str = "running_total",
+):
+    """Per-key running total ordered by ``order_cols`` (the
+    ``SUM(v) OVER (PARTITION BY key ORDER BY ...)`` shape): one
+    coarse-bucket shuffle co-locates each key, then a vectorized
+    in-group sort + cumsum. Rows of one key must fit a task — the
+    same per-key-boundedness assumption as ``sessionize``; salt the
+    key upstream if one key dominates.
+
+    Sum the value as INTEGERS (cents/micro) for cross-engine
+    exactness — float running totals are association-order-dependent
+    and DuckDB's window aggregation does not promise left-assoc."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        g[out_col] = g[value_col].cumsum()
+        return g
+
+    return bucketed_map_groups(ds, [key_col], fold)

@@ -28,6 +28,8 @@ SUBSET = [
     "hll_users",
     "bm25_docs",
     "decontam_pairs",
+    "grouped_topk_events",
+    "running_user_value",
     "simhash_dedup",
     "lsh_knn",
     "classify_docs",
