@@ -918,6 +918,38 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_event_value_quantiles(sf_dir):
+        """Exact per-group discrete quantiles (ops/sketch.py
+        grouped_quantiles) of event value in cents: (group, value)
+        count combiner → per-group fold over value-count rows — raw
+        rows never shuffle. Rank arithmetic mirrors DuckDB
+        quantile_disc."""
+        from ocr_service_ray.ops.sketch import grouped_quantiles
+
+        ds = _read(sf_dir, "events", ["event_type", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"event_type": b["event_type"], "cents": pa.array(cents)}
+            )
+
+        out = grouped_quantiles(
+            ds.map_batches(to_cents, batch_format="pyarrow"),
+            ["event_type"],
+            "cents",
+            [0.5, 0.9, 0.99],
+        )
+
+        def project(b: pd.DataFrame) -> pd.DataFrame:
+            b["q_pct"] = b["q_pct"].astype("int64")
+            b["value"] = b["value"].astype("int64")
+            return b
+
+        return out.map_batches(project, batch_format="pandas")
+
     def q_grouped_topk_events(sf_dir):
         """Top-3 events per event_type by value (ops/relational.py
         grouped_topk): block-local per-group top-k combiner + one
@@ -1247,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_pairs": q_decontam_pairs,
         "grouped_topk_events": q_grouped_topk_events,
         "running_user_value": q_running_user_value,
+        "event_value_quantiles": q_event_value_quantiles,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2313,6 +2346,23 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "event_value_quantiles": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events)
+            SELECT event_type, CAST(50 AS BIGINT) AS q_pct,
+                   CAST(quantile_disc(cents, 0.5) AS BIGINT) AS value
+            FROM c GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(90 AS BIGINT),
+                   CAST(quantile_disc(cents, 0.9) AS BIGINT)
+            FROM c GROUP BY event_type
+            UNION ALL
+            SELECT event_type, CAST(99 AS BIGINT),
+                   CAST(quantile_disc(cents, 0.99) AS BIGINT)
+            FROM c GROUP BY event_type
+        """,
         "grouped_topk_events": """
             WITH r AS (
               SELECT event_type, event_id, value,

@@ -54,6 +54,14 @@ BENCH_QUERIES = [
     "asof_purchase_click",
     "lsh_knn",
     "multimodal_routed",
+    # round-2 additions: substring-level dedup, pair-graph clustering,
+    # retrieval, sketches, per-key windows
+    "dup_ngram_stats",
+    "dedup_clusters",
+    "bm25_docs",
+    "tfidf_topk",
+    "hll_users",
+    "running_user_value",
 ]
 
 

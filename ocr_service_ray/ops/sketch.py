@@ -107,3 +107,70 @@ def hll_estimate(registers: pd.DataFrame, p: int = 10) -> float:
 def approx_distinct(ds, col: str, p: int = 10) -> float:
     """One-call approximate COUNT(DISTINCT col)."""
     return hll_estimate(hll_registers(ds, col, p).to_pandas(), p)
+
+
+def _disc_rank(q: float, n: int) -> int:
+    """DuckDB ``quantile_disc`` index (0-based): max(ceil(q*n)-1, 0)
+    — verified empirically against DuckDB 1.x on edge quantiles."""
+    import math
+
+    return max(math.ceil(q * n) - 1, 0)
+
+
+def value_counts_quantiles(ds, col: str, qs: list[float]) -> "pd.DataFrame":
+    """EXACT discrete quantiles of a bounded-cardinality column via
+    the value-counts combiner: one ``grouped_agg`` count per distinct
+    value (the shuffle moves ≤ |distinct| rows per block), a
+    driver-side sort+cumsum over the ≤ |distinct| value-count rows,
+    and DuckDB ``quantile_disc`` rank arithmetic. The 100 TB
+    assumption is |distinct(col)| ≪ corpus (discrete codes, prices in
+    cents, lengths) — for genuinely continuous columns use a
+    histogram sketch and accept approximation.
+
+    Returns a DataFrame ``(q_pct, value)``; ``q_pct`` = int(q*100)."""
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    vc = (
+        grouped_agg(ds, [col], {"cnt": (None, "count")})
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    cum = vc["cnt"].cumsum().to_numpy()
+    n = int(cum[-1]) if len(cum) else 0
+    rows = []
+    for q in qs:
+        r = _disc_rank(q, n)
+        idx = int(np.searchsorted(cum, r + 1, side="left"))
+        rows.append((int(round(q * 100)), vc[col].iloc[idx]))
+    return pd.DataFrame(rows, columns=["q_pct", "value"])
+
+
+def grouped_quantiles(ds, group_keys: list[str], col: str, qs: list[float]):
+    """EXACT per-group discrete quantiles, fully combiner-shaped: a
+    (group, value)-count ``grouped_agg`` collapses each block before
+    the shuffle, then one coarse-bucket pass folds each group's
+    ≤ |distinct values| count rows into its quantile rows — raw rows
+    never shuffle. Output: group_keys + (q_pct, value) rows."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+    vc = grouped_agg(ds, group_keys + [col], {"cnt": (None, "count")})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col)
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        out = {k: [] for k in group_keys}
+        pcts, vals = [], []
+        for q in qs:
+            r = _disc_rank(q, n)
+            idx = int(np.searchsorted(cum, r + 1, side="left"))
+            for k in group_keys:
+                out[k].append(g[k].iloc[0])
+            pcts.append(int(round(q * 100)))
+            vals.append(g[col].iloc[idx])
+        out["q_pct"] = pcts
+        out["value"] = vals
+        return pd.DataFrame(out)
+
+    return bucketed_map_groups(vc, group_keys, fold)

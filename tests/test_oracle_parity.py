@@ -29,6 +29,7 @@ SUBSET = [
     "bm25_docs",
     "decontam_pairs",
     "grouped_topk_events",
+    "event_value_quantiles",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",

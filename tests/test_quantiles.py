@@ -1,0 +1,61 @@
+"""Exact discrete quantiles (ops/sketch.py): rank arithmetic vs
+DuckDB quantile_disc on randomized inputs, global and per-group
+operators across block layouts."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_service_ray.ops.sketch import (
+    _disc_rank,
+    grouped_quantiles,
+    value_counts_quantiles,
+)
+
+QS = [0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+@pytest.mark.parametrize("seed", [1, 2, 3])
+def test_rank_matches_duckdb(seed):
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 40, rng.integers(5, 200)).astype(np.int64)
+    df = pd.DataFrame({"x": vals})
+    for q in QS + [0.0, 1.0]:
+        want = duckdb.sql(
+            f"SELECT quantile_disc(x, {q}) FROM df"
+        ).fetchone()[0]
+        got = np.sort(vals)[_disc_rank(q, len(vals))]
+        assert got == want, (q, len(vals))
+
+
+def test_value_counts_quantiles(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(5)
+    vals = rng.integers(0, 30, 1000).astype(np.int64)
+    t = pa.table({"x": pa.array(vals)})
+    out = value_counts_quantiles(rd.from_arrow(t).repartition(7), "x", QS)
+    ref = np.sort(vals)
+    for pct, v in zip(out["q_pct"], out["value"]):
+        assert v == ref[_disc_rank(pct / 100, len(vals))]
+
+
+def test_grouped_quantiles(ray_session):
+    import ray.data as rd
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 5, 2000),
+            "x": rng.integers(0, 50, 2000).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(9)
+    out = grouped_quantiles(ds, ["g"], "x", [0.5, 0.9]).to_pandas()
+    for g, sub in df.groupby("g"):
+        ref = np.sort(sub["x"].to_numpy())
+        mine = out[out["g"] == g].set_index("q_pct")["value"]
+        assert mine[50] == ref[_disc_rank(0.5, len(ref))]
+        assert mine[90] == ref[_disc_rank(0.9, len(ref))]
