@@ -918,6 +918,30 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_label_centroid_sums(sf_dir):
+        """Per-label embedding centroid sums (ops/vector.py): each
+        block collapses to |labels|×dim exploded partials (vectorized
+        np.add.at), one grouped_agg merges — vectors never shuffle.
+        Micro-int elements make the sums association-order-exact on
+        both engines."""
+        from ocr_service_ray.ops.vector import grouped_vector_sum
+
+        out = grouped_vector_sum(
+            _read(sf_dir, "embeddings", ["label", "embedding"]), "label"
+        )
+
+        def project(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "label": pc.cast(b["label"], pa.int64()),
+                    "dim": b["dim"],
+                    "vsum": b["vsum"],
+                    "n": b["n"],
+                }
+            )
+
+        return out.map_batches(project, batch_format="pyarrow")
+
     def q_event_value_quantiles(sf_dir):
         """Exact per-group discrete quantiles (ops/sketch.py
         grouped_quantiles) of event value in cents: (group, value)
@@ -1280,6 +1304,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "grouped_topk_events": q_grouped_topk_events,
         "running_user_value": q_running_user_value,
         "event_value_quantiles": q_event_value_quantiles,
+        "label_centroid_sums": q_label_centroid_sums,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2346,6 +2371,18 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "label_centroid_sums": """
+            WITH e AS (
+              SELECT CAST(label AS BIGINT) AS label,
+                     unnest(embedding) AS v,
+                     unnest(generate_series(0, len(embedding) - 1)) AS dim
+              FROM embeddings)
+            SELECT label, CAST(dim AS BIGINT) AS dim,
+                   CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5)
+                        AS BIGINT)) AS BIGINT) AS vsum,
+                   CAST(COUNT(*) AS BIGINT) AS n
+            FROM e GROUP BY label, dim
+        """,
         "event_value_quantiles": """
             WITH c AS (
               SELECT event_type,

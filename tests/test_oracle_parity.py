@@ -30,6 +30,7 @@ SUBSET = [
     "decontam_pairs",
     "grouped_topk_events",
     "event_value_quantiles",
+    "label_centroid_sums",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",
