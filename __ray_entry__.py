@@ -2168,7 +2168,7 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS jaccard_micro
             FROM pairs
         """,
-        "dup_ngram_stats": """
+        "dup_ngram_stats": f"""
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws,
                      length(string_split(text, ' ')) AS nt
@@ -2179,7 +2179,7 @@ def oracle_sql() -> dict[str, str]:
               FROM w),
             grams AS (
               SELECT doc_id, s,
-                     md5(array_to_string(list_slice(ws, s, s + 4), ' ')) AS gh
+                     {_hex_bigint_sql("md5(array_to_string(list_slice(ws, s, s + 4), ' '))", 1, 15)} AS gh
               FROM pos),
             u AS (SELECT DISTINCT gh, doc_id FROM grams),
             hot AS (SELECT gh FROM u GROUP BY gh HAVING COUNT(*) >= 2),
@@ -2422,7 +2422,7 @@ def oracle_sql() -> dict[str, str]:
                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS running_cents
             FROM c
         """,
-        "decontam_pairs": """
+        "decontam_pairs": f"""
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
             pos AS (
@@ -2431,7 +2431,7 @@ def oracle_sql() -> dict[str, str]:
               FROM w),
             g AS (
               SELECT DISTINCT doc_id,
-                     md5(array_to_string(list_slice(ws, s, s + 7), ' ')) AS gh
+                     {_hex_bigint_sql("md5(array_to_string(list_slice(ws, s, s + 7), ' '))", 1, 15)} AS gh
               FROM pos),
             tr AS (SELECT doc_id, gh FROM g WHERE doc_id % 20 <> 0),
             ev AS (SELECT doc_id, gh FROM g WHERE doc_id % 20 = 0)

@@ -46,7 +46,7 @@ def _unique_gram_rows(ds, n: int, text_col: str, id_col: str, out_id: str):
         return pa.table(
             {
                 out_id: pa.array(ids, batch[id_col].type),
-                "gram_hash": pa.array(grams, pa.string()),
+                "gram_hash": pa.array(grams, pa.int64()),
             }
         )
 

@@ -73,18 +73,82 @@ def _digest(labels_ds) -> tuple[int, int]:
     )
 
 
+def _empty_labels(pairs_ds, src_col: str):
+    """Typed empty (node, cluster_id) Dataset — grouped_agg over zero
+    blocks yields a schemaless Dataset otherwise."""
+    import ray.data as rd
+
+    s = pairs_ds.schema()
+    base = getattr(s, "base_schema", s)
+    if isinstance(base, pa.Schema):
+        id_type = base.field(src_col).type
+    else:  # PandasBlockSchema
+        id_type = pa.from_numpy_dtype(dict(zip(base.names, base.types))[src_col])
+    return rd.from_arrow(
+        pa.table(
+            {"node": pa.array([], id_type), "cluster_id": pa.array([], id_type)}
+        )
+    )
+
+
+def _driver_union_find(edges, pairs_ds, src_col: str):
+    """Small-graph fast path: classic path-compressed union-find over
+    the pulled edge table. Input size is pre-checked against
+    ``driver_threshold``; output is identical to the distributed
+    loop's fixpoint (min id per component)."""
+    import ray.data as rd
+
+    df = edges.to_pandas()
+    if df.empty:
+        return _empty_labels(pairs_ds, src_col)
+    parent: dict = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(df["node"], df["nbr"]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = list(parent)
+    labels = [find(x) for x in nodes]
+    id_type = edges.schema().base_schema.field("node").type
+    return rd.from_arrow(
+        pa.table(
+            {
+                "node": pa.array(nodes, id_type),
+                "cluster_id": pa.array(labels, id_type),
+            }
+        )
+    )
+
+
 def connected_components(
     pairs_ds,
     src_col: str = "id_a",
     dst_col: str = "id_b",
     max_iters: int = 25,
+    driver_threshold: int = 1_000_000,
 ):
     """Exact component labels for the undirected pair graph.
 
     Returns a Dataset ``(node, cluster_id)`` — one row per node that
     appears in any pair; ``cluster_id`` is the minimum node id of its
     component (ids must be totally ordered: ints or strings).
-    """
+
+    Graphs with ≤ ``driver_threshold`` directed edges collapse
+    driver-side with union-find (the edge table is already bounded by
+    verified near-dup pairs, so most corpora land here — one tiny
+    pull replaces per-round shuffle fixed costs, measured 5s → ms at
+    sf0.1); larger graphs run the distributed min-label loop. Both
+    paths produce identical labels (tested equal on random graphs).
+    Set ``driver_threshold=0`` to force the distributed path."""
     from ocr_service_ray.ops.agg import grouped_agg
     from ocr_service_ray.ops.relational import hash_join
 
@@ -98,6 +162,9 @@ def connected_components(
     # verification) per round.
     edges = pairs_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
 
+    if edges.count() <= driver_threshold:
+        return _driver_union_find(edges, pairs_ds, src_col)
+
     def with_self(b: pa.Table) -> pa.Table:
         self_rows = pa.table({"node": b["node"], "nbr": b["node"]})
         return pa.concat_tables([b, self_rows]).combine_chunks()
@@ -109,26 +176,7 @@ def connected_components(
     ).materialize()
     prev = _digest(labels)
     if prev[1] == 0:
-        # empty pair set: a typed empty table (grouped_agg over zero
-        # blocks yields a schemaless Dataset)
-        import ray.data as rd
-
-        s = pairs_ds.schema()
-        base = getattr(s, "base_schema", s)
-        if isinstance(base, pa.Schema):
-            id_type = base.field(src_col).type
-        else:  # PandasBlockSchema
-            id_type = pa.from_numpy_dtype(
-                dict(zip(base.names, base.types))[src_col]
-            )
-        return rd.from_arrow(
-            pa.table(
-                {
-                    "node": pa.array([], id_type),
-                    "cluster_id": pa.array([], id_type),
-                }
-            )
-        )
+        return _empty_labels(pairs_ds, src_col)
 
     for _ in range(max_iters):
         # neighbor labels: one shuffle join keyed by the edge endpoint

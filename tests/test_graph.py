@@ -27,7 +27,7 @@ def _uf_oracle(pairs):
     return {x: find(x) for x in list(parent)}
 
 
-def _run(pairs):
+def _run(pairs, **kw):
     import ray.data as rd
 
     t = pa.table(
@@ -36,7 +36,7 @@ def _run(pairs):
             "id_b": pa.array([p[1] for p in pairs]),
         }
     )
-    ds = connected_components(rd.from_arrow(t))
+    ds = connected_components(rd.from_arrow(t), **kw)
     assert ds.schema().names == ["node", "cluster_id"]
     out = ds.to_pandas()
     if out.empty:  # Ray's to_pandas drops columns on zero-row datasets
@@ -56,16 +56,25 @@ def test_matches_union_find(ray_session):
 
 
 def test_deep_chain_needs_multiple_rounds(ray_session):
-    # a 12-node path: min label must propagate the full diameter
+    # a 12-node path through the DISTRIBUTED loop: min label must
+    # propagate the full diameter
     pairs = [(i + 1, i) for i in range(11)]
-    got = _run(pairs)
+    got = _run(pairs, driver_threshold=0)
     assert set(got.values()) == {0}
     assert len(got) == 12
 
 
+def test_driver_and_distributed_paths_agree(ray_session):
+    rng = np.random.default_rng(21)
+    pairs = [tuple(map(int, rng.integers(0, 40, 2))) for _ in range(60)]
+    pairs = [(a, b) for a, b in pairs if a != b]
+    assert _run(pairs) == _run(pairs, driver_threshold=0)
+
+
 def test_string_ids(ray_session):
-    got = _run([("b", "a"), ("b", "c"), ("x", "y")])
-    assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
+    for kw in ({}, {"driver_threshold": 0}):
+        got = _run([("b", "a"), ("b", "c"), ("x", "y")], **kw)
+        assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
 def test_empty_pairs(ray_session):
@@ -76,7 +85,8 @@ def test_random_graph_matches_oracle(ray_session):
     rng = np.random.default_rng(7)
     pairs = [tuple(map(int, rng.integers(0, 60, 2))) for _ in range(80)]
     pairs = [(a, b) for a, b in pairs if a != b]
-    assert _run(pairs) == _uf_oracle(pairs)
+    # distributed path (driver_threshold=0) against the pure-Python oracle
+    assert _run(pairs, driver_threshold=0) == _uf_oracle(pairs)
 
 
 def test_keep_canonical(ray_session):
@@ -124,4 +134,4 @@ def test_nonconvergence_guard(ray_session):
         }
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(rd.from_arrow(pairs), max_iters=0)
+        connected_components(rd.from_arrow(pairs), max_iters=0, driver_threshold=0)

@@ -77,10 +77,13 @@ def test_strip_removes_shared_span(ray_session):
 def test_doc_grams_edges():
     assert _doc_grams("a b", 3) == []
     assert len(_doc_grams("a b c d", 3)) == 2
-    # hash matches md5 of the joined gram (the DuckDB-parity contract)
+    # key = int64 of the first 15 md5 hex chars of the joined gram
+    # (the DuckDB-parity contract via _hex_bigint_sql)
     import hashlib
 
-    assert _doc_grams("x y z", 3) == [hashlib.md5(b"x y z").hexdigest()]
+    assert _doc_grams("x y z", 3) == [
+        int(hashlib.md5(b"x y z").hexdigest()[:15], 16)
+    ]
 
 
 @pytest.mark.parametrize(
