@@ -918,6 +918,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_distinct_users_per_type(sf_dir):
+        """Exact COUNT(DISTINCT user_id) per event_type
+        (ops/agg.grouped_distinct_count): two combiner aggregates —
+        block-local (type, user) dedup before the shuffle, then a row
+        count per type. The exact counterpart of hll_users."""
+        from ocr_service_ray.ops.agg import grouped_distinct_count
+
+        out = grouped_distinct_count(
+            _read(sf_dir, "events", ["event_type", "user_id"]),
+            ["event_type"],
+            "user_id",
+        )
+        return out.map_batches(
+            lambda b: b.assign(n_distinct=b["n_distinct"].astype("int64")),
+            batch_format="pandas",
+        )
+
     def q_label_centroid_sums(sf_dir):
         """Per-label embedding centroid sums (ops/vector.py): each
         block collapses to |labels|×dim exploded partials (vectorized
@@ -1305,6 +1322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_user_value": q_running_user_value,
         "event_value_quantiles": q_event_value_quantiles,
         "label_centroid_sums": q_label_centroid_sums,
+        "distinct_users_per_type": q_distinct_users_per_type,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2371,6 +2389,11 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "distinct_users_per_type": """
+            SELECT event_type,
+                   CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct
+            FROM events GROUP BY event_type
+        """,
         "label_centroid_sums": """
             WITH e AS (
               SELECT CAST(label AS BIGINT) AS label,

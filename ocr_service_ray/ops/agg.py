@@ -214,3 +214,18 @@ def grouped_agg(
         .groupby("_bucket")
         .map_groups(final, batch_format="pandas")
     )
+
+
+def grouped_distinct_count(ds, group_keys: list[str], col: str, num_buckets: int = 32):
+    """Exact ``COUNT(DISTINCT col) GROUP BY keys`` as two combiner
+    aggregates: dedup to (keys, value) rows first (each block
+    collapses to its distinct pairs before the shuffle), then count
+    rows per key — the exchange moves distinct pairs, never raw rows.
+    The exact counterpart of the HLL sketch (ops/sketch.py): use this
+    when |distinct| per group is bounded, the sketch when it isn't."""
+    pairs = grouped_agg(
+        ds, group_keys + [col], {"_one": (None, "count")}, num_buckets
+    )
+    return grouped_agg(
+        pairs, group_keys, {"n_distinct": (None, "count")}, num_buckets
+    )

@@ -174,3 +174,66 @@ def grouped_quantiles(ds, group_keys: list[str], col: str, qs: list[float]):
         return pd.DataFrame(out)
 
     return bucketed_map_groups(vc, group_keys, fold)
+
+
+def histogram_quantiles(
+    ds, col: str, qs: list[float], bins: int = 4096
+) -> pd.DataFrame:
+    """APPROXIMATE quantiles for continuous columns: pass 1 finds the
+    global [min, max] (combiner min/max), pass 2 builds an equi-width
+    histogram (each block collapses to ≤ ``bins`` (bin, count)
+    partials — the combiner), and the quantile is answered from the
+    ≤ ``bins``-row merged histogram with intra-bin linear
+    interpolation. Error ≤ (max-min)/bins per answer — the
+    deterministic, layout-independent complement of
+    ``value_counts_quantiles`` when |distinct| is unbounded.
+
+    Returns ``(q_pct, value)`` with float values."""
+    from ocr_service_ray.ops.agg import global_agg, grouped_agg
+
+    span = global_agg(ds, {"lo": (col, "min"), "hi": (col, "max")})
+    lo, hi = float(span["lo"]), float(span["hi"])
+    if hi <= lo:
+        return pd.DataFrame(
+            {"q_pct": [int(round(q * 100)) for q in qs], "value": [lo] * len(qs)}
+        )
+    width = (hi - lo) / bins
+
+    def partial(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False).astype(np.float64)
+        v = v[~np.isnan(v)]
+        idx = np.minimum(((v - lo) / width).astype(np.int64), bins - 1)
+        counts = np.bincount(idx, minlength=bins)
+        nz = np.nonzero(counts)[0]
+        return pa.table(
+            {
+                "bin": pa.array(nz, pa.int64()),
+                "cnt": pa.array(counts[nz], pa.int64()),
+            }
+        )
+
+    hist = (
+        grouped_agg(
+            ds.map_batches(partial, batch_format="pyarrow"),
+            ["bin"],
+            {"cnt": ("cnt", "sum")},
+        )
+        .to_pandas()
+        .sort_values("bin")
+        .reset_index(drop=True)
+    )
+    cum = hist["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    rows = []
+    for q in qs:
+        target = q * n
+        i = int(np.searchsorted(cum, target, side="left"))
+        i = min(i, len(hist) - 1)
+        b = int(hist["bin"].iloc[i])
+        prev = float(cum[i - 1]) if i > 0 else 0.0
+        inbin = float(hist["cnt"].iloc[i])
+        frac = (target - prev) / inbin if inbin > 0 else 0.0
+        rows.append(
+            (int(round(q * 100)), lo + (b + min(max(frac, 0.0), 1.0)) * width)
+        )
+    return pd.DataFrame(rows, columns=["q_pct", "value"])

@@ -349,3 +349,29 @@ def test_hash_sample_and_stratified_split(ray_session):
     split2 = stratified_split(ds2, "doc_id", 0.8).to_pandas()
     m = split.merge(split2, on="doc_id", suffixes=("_a", "_b"))
     assert (m["split_a"] == m["split_b"]).all()
+
+
+def test_grouped_distinct_count(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.agg import grouped_distinct_count
+
+    rng = np.random.default_rng(4)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 6, 3000),
+            "u": rng.integers(0, 80, 3000),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(8)
+    got = (
+        grouped_distinct_count(ds, ["g"], "u")
+        .to_pandas()
+        .set_index("g")["n_distinct"]
+        .sort_index()
+    )
+    ref = df.groupby("g")["u"].nunique()
+    assert got.to_dict() == ref.to_dict()

@@ -31,6 +31,7 @@ SUBSET = [
     "grouped_topk_events",
     "event_value_quantiles",
     "label_centroid_sums",
+    "distinct_users_per_type",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",

@@ -59,3 +59,30 @@ def test_grouped_quantiles(ray_session):
         mine = out[out["g"] == g].set_index("q_pct")["value"]
         assert mine[50] == ref[_disc_rank(0.5, len(ref))]
         assert mine[90] == ref[_disc_rank(0.9, len(ref))]
+
+
+def test_histogram_quantiles_accuracy(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import histogram_quantiles
+
+    rng = np.random.default_rng(13)
+    vals = rng.normal(50.0, 12.0, 30_000)
+    t = pa.table({"x": pa.array(vals, pa.float64())})
+    out = histogram_quantiles(
+        rd.from_arrow(t).repartition(9), "x", [0.1, 0.5, 0.9], bins=4096
+    )
+    span = vals.max() - vals.min()
+    for pct, v in zip(out["q_pct"], out["value"]):
+        exact = np.quantile(vals, pct / 100)
+        assert abs(v - exact) <= span / 4096 + 1e-9
+
+
+def test_histogram_quantiles_constant_column(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import histogram_quantiles
+
+    t = pa.table({"x": pa.array([7.0] * 100)})
+    out = histogram_quantiles(rd.from_arrow(t), "x", [0.5, 0.99])
+    assert (out["value"] == 7.0).all()
