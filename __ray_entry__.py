@@ -918,6 +918,31 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_kmeans_clusters(sf_dir):
+        """Distributed k-means over the embeddings table
+        (ops/kmeans.py): broadcast centroids, one assign+partial-sum
+        pass per round, micro-int sums → byte-identical centroids
+        under any block layout (tested vs a single-process numpy
+        reference). Iterative — not SQL-expressible, so rows-only at
+        the driver; the pytest reference check is the exactness
+        evidence. Returns per-cluster member counts."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.kmeans import assign_clusters, kmeans
+
+        # materialized: the loop re-consumes the input every round, and
+        # at this table size object-store reuse beats re-reading parquet
+        # (at 100 TB the per-round re-scan is the right call — don't
+        # materialize there; kmeans() leaves that choice to the caller)
+        ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).materialize()
+        cents, _ = kmeans(ds, k=8, max_iters=10, merge="driver")
+        assigned = assign_clusters(ds, cents)
+        return grouped_agg(
+            assigned, ["cluster"], {"n_vectors": (None, "count")}
+        ).map_batches(
+            lambda b: b.assign(n_vectors=b["n_vectors"].astype("int64")),
+            batch_format="pandas",
+        )
+
     def q_distinct_users_per_type(sf_dir):
         """Exact COUNT(DISTINCT user_id) per event_type
         (ops/agg.grouped_distinct_count): two combiner aggregates —
@@ -1323,6 +1348,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_value_quantiles": q_event_value_quantiles,
         "label_centroid_sums": q_label_centroid_sums,
         "distinct_users_per_type": q_distinct_users_per_type,
+        "kmeans_clusters": q_kmeans_clusters,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
