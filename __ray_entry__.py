@@ -918,6 +918,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_inverted_search(sf_dir):
+        """Boolean AND retrieval through a term-bucket-partitioned
+        inverted index (ops/invindex.py): one build pass writes hive
+        postings; each term lookup reads exactly 1/64 of the
+        partitions (the IVF pruning pattern applied to text). Oracle
+        recomputes the AND from the raw text."""
+        import tempfile
+
+        from ocr_service_ray.ops.invindex import InvertedIndex
+
+        idx = InvertedIndex(num_buckets=64).build(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            tempfile.mkdtemp(prefix="inv_q_"),
+        )
+        import pandas as pd
+
+        ids = idx.search_and(["join", "hash", "vector"])
+        return pd.DataFrame({"doc_id": pd.array(ids, dtype="int64")})
+
     def q_kmeans_clusters(sf_dir):
         """Distributed k-means over the embeddings table
         (ops/kmeans.py): broadcast centroids, one assign+partial-sum
@@ -1349,6 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_centroid_sums": q_label_centroid_sums,
         "distinct_users_per_type": q_distinct_users_per_type,
         "kmeans_clusters": q_kmeans_clusters,
+        "inverted_search": q_inverted_search,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2415,6 +2435,14 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "inverted_search": """
+            WITH w AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents)
+            SELECT doc_id FROM w
+            WHERE len(list_filter(ws, x -> x = 'join')) > 0
+              AND len(list_filter(ws, x -> x = 'hash')) > 0
+              AND len(list_filter(ws, x -> x = 'vector')) > 0
+        """,
         "distinct_users_per_type": """
             SELECT event_type,
                    CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_distinct

@@ -32,6 +32,7 @@ SUBSET = [
     "event_value_quantiles",
     "label_centroid_sums",
     "distinct_users_per_type",
+    "inverted_search",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",
