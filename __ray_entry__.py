@@ -918,6 +918,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_pack_sequences(sf_dir):
+        """GPT-style concat-and-chop sequence packing (ops/scan.py):
+        per-doc placement in the 2048-token packed stream via a
+        two-phase distributed prefix scan — per-block totals to the
+        driver, broadcast bases, in-block vectorized cumsum. Oracle is
+        the equivalent window SUM."""
+        from ocr_service_ray.ops.scan import pack_sequences
+
+        return pack_sequences(
+            _read(sf_dir, "documents", ["doc_id", "text"]), max_tokens=2048
+        )
+
     def q_inverted_search(sf_dir):
         """Boolean AND retrieval through a term-bucket-partitioned
         inverted index (ops/invindex.py): one build pass writes hive
@@ -1369,6 +1381,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_users_per_type": q_distinct_users_per_type,
         "kmeans_clusters": q_kmeans_clusters,
         "inverted_search": q_inverted_search,
+        "pack_sequences": q_pack_sequences,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2435,6 +2448,25 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "pack_sequences": """
+            WITH d AS (
+              SELECT doc_id,
+                     length(string_split(text, ' ')) AS n_tokens
+              FROM documents),
+            o AS (
+              SELECT doc_id, n_tokens,
+                     COALESCE(SUM(n_tokens) OVER (
+                       ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS start_offset
+              FROM d)
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(start_offset AS BIGINT) AS start_offset,
+                   CAST(start_offset // 2048 AS BIGINT) AS first_seq,
+                   CAST((start_offset + n_tokens - 1) // 2048 AS BIGINT)
+                     AS last_seq
+            FROM o
+        """,
         "inverted_search": """
             WITH w AS (
               SELECT doc_id, string_split(text, ' ') AS ws FROM documents)

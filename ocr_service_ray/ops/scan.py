@@ -1,0 +1,119 @@
+"""Distributed prefix scan + sequence packing.
+
+Training-sequence packing (GPT-style concat-and-chop: concatenate all
+documents in a fixed order, chop into ``max_tokens`` windows, docs may
+straddle boundaries) reduces to an EXCLUSIVE PREFIX SUM of document
+token counts in corpus order — the classic two-phase distributed scan:
+
+  phase 1  one pass over the sorted, materialized input collects
+           per-BLOCK (min_key, total) metadata — |blocks| rows to the
+           driver, never data;
+  phase 2  a second pass over the SAME blocks (materialization pins
+           them) adds the block's exclusive base (binary-searched from
+           the broadcast block-offset table) to a vectorized in-block
+           exclusive cumsum.
+
+The input must be sorted by a UNIQUE key (``ds.sort`` upstream — the
+one all-to-all this op needs; at 100 TB the corpus is typically
+already id-ordered at rest, making the sort a no-op re-read).
+Uniqueness is asserted: equal keys split across block boundaries would
+make "rows before mine" ambiguous.
+
+``pack_sequences`` then emits, per document, its token span in the
+packed stream — ``(start_offset, first_seq, last_seq)`` — which is
+all a loader needs to build any sequence shard independently:
+sequence s = tokens [s*max_tokens, (s+1)*max_tokens), provided by the
+docs whose span intersects it. The DuckDB oracle mirrors the whole
+thing with a window SUM.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def prefix_sum(sorted_ds, key_col: str, value_col: str, out_col: str = "offset"):
+    """Adds ``out_col`` = exclusive prefix sum of ``value_col`` in
+    ``key_col`` order. ``sorted_ds`` MUST be sorted by ``key_col``
+    (unique keys). Returns a Dataset over the same rows."""
+    mat = sorted_ds.materialize()
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {
+                    "min_key": pa.array([], pa.int64()),
+                    "total": pa.array([], pa.int64()),
+                }
+            )
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "min_key": pa.array([b[key_col][0].as_py()]),
+                "total": pa.array([int(v.sum())], pa.int64()),
+            }
+        )
+
+    # phase 1: |blocks| metadata rows — data never moves
+    meta = (
+        mat.map_batches(block_meta, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("min_key")
+        .reset_index(drop=True)
+    )
+    if len(meta) == 0:
+        return mat
+    assert meta["min_key"].is_unique, (
+        "prefix_sum requires a unique sort key (equal keys split "
+        "across blocks are ambiguous)"
+    )
+    block_keys = meta["min_key"].to_numpy()
+    bases = np.concatenate(([0], meta["total"].cumsum().to_numpy()[:-1]))
+
+    def add_offset(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        first = b[key_col][0].as_py()
+        i = int(np.searchsorted(block_keys, first, side="left"))
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        local = np.concatenate(([0], np.cumsum(v)[:-1]))
+        return b.append_column(out_col, pa.array(bases[i] + local))
+
+    # phase 2 over the SAME materialized blocks (batch_size=None: one
+    # batch per block — the contract that makes the base lookup exact)
+    return mat.map_batches(add_offset, batch_format="pyarrow", batch_size=None)
+
+
+def pack_sequences(
+    ds,
+    max_tokens: int = 2048,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-document placement in the concat-and-chop packed stream
+    (docs in ``id_col`` order): ``(doc_id, n_tokens, start_offset,
+    first_seq, last_seq)``."""
+    import pyarrow.compute as pc
+
+    def lengths(b: pa.Table) -> pa.Table:
+        nt = pc.cast(pc.add(pc.count_substring(b[text_col], " "), 1), pa.int64())
+        return pa.table({id_col: b[id_col], "n_tokens": nt})
+
+    sized = ds.map_batches(lengths, batch_format="pyarrow").sort(id_col)
+    placed = prefix_sum(sized, id_col, "n_tokens", out_col="start_offset")
+
+    def spans(b: pa.Table) -> pa.Table:
+        off = b["start_offset"].to_numpy(zero_copy_only=False)
+        nt = b["n_tokens"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_tokens": b["n_tokens"],
+                "start_offset": b["start_offset"],
+                "first_seq": pa.array(off // max_tokens),
+                "last_seq": pa.array((off + nt - 1) // max_tokens),
+            }
+        )
+
+    return placed.map_batches(spans, batch_format="pyarrow")

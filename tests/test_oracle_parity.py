@@ -33,6 +33,7 @@ SUBSET = [
     "label_centroid_sums",
     "distinct_users_per_type",
     "inverted_search",
+    "pack_sequences",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",

@@ -1,0 +1,70 @@
+"""Prefix scan / sequence packing (ops/scan.py): exclusive cumsum vs
+numpy across block layouts, unique-key guard, packing boundary
+arithmetic."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_service_ray.ops.scan import pack_sequences, prefix_sum
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_prefix_sum_matches_numpy(ray_session, nblocks):
+    import ray.data as rd
+
+    rng = np.random.default_rng(6)
+    n = 500
+    vals = rng.integers(1, 100, n).astype(np.int64)
+    t = pa.table(
+        {"k": pa.array(range(n), pa.int64()), "v": pa.array(vals)}
+    )
+    ds = rd.from_arrow(t).repartition(nblocks).sort("k")
+    out = (
+        prefix_sum(ds, "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    ref = np.concatenate(([0], np.cumsum(vals)[:-1]))
+    assert out["offset"].to_numpy().tolist() == ref.tolist()
+
+
+def test_pack_sequences(ray_session):
+    import ray.data as rd
+
+    texts = ["a b c", "d e", "f g h i j k", "l"]  # dl = 3, 2, 6, 1
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(4), pa.int64()),
+            "text": pa.array(texts),
+        }
+    )
+    out = (
+        pack_sequences(rd.from_arrow(t), max_tokens=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .set_index("doc_id")
+    )
+    # offsets: 0, 3, 5, 11; seqs of width 4
+    assert out["start_offset"].tolist() == [0, 3, 5, 11]
+    assert out["first_seq"].tolist() == [0, 0, 1, 2]
+    # doc 1 spans tokens 3-4 → seqs 0-1; doc 2 spans 5-10 → seqs 1-2
+    assert out["last_seq"].tolist() == [0, 1, 2, 2]
+
+
+def test_prefix_sum_duplicate_key_guard(ray_session):
+    # the ambiguous case is two BLOCKS sharing a first key — build the
+    # blocks directly (Ray's sort may merge them otherwise)
+    import ray.data as rd
+
+    t1 = pa.table(
+        {"k": pa.array([1, 1], pa.int64()), "v": pa.array([1, 1], pa.int64())}
+    )
+    t2 = pa.table(
+        {"k": pa.array([1, 2], pa.int64()), "v": pa.array([1, 1], pa.int64())}
+    )
+    ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
+    with pytest.raises(Exception, match="unique sort key"):
+        prefix_sum(ds, "k", "v").to_pandas()
