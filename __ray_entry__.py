@@ -918,6 +918,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_user_event_sequences(sf_dir):
+        """Per-user ordered behavior sequence (ops/relational.py
+        grouped_sequence): event types joined in (ts, event_id) order
+        — the collect_list/string_agg shape behavioral training data
+        needs. Oracle: string_agg(... ORDER BY ts, event_id)."""
+        from ocr_service_ray.ops.relational import grouped_sequence
+
+        out = grouped_sequence(
+            _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"]),
+            "user_id",
+            ["ts", "event_id"],
+            "event_type",
+        )
+        return out.map_batches(
+            lambda b: b.assign(n_events=b["n_events"].astype("int64")),
+            batch_format="pandas",
+        )
+
     def q_pack_sequences(sf_dir):
         """GPT-style concat-and-chop sequence packing (ops/scan.py):
         per-doc placement in the 2048-token packed stream via a
@@ -1382,6 +1400,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "inverted_search": q_inverted_search,
         "pack_sequences": q_pack_sequences,
+        "user_event_sequences": q_user_event_sequences,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2448,6 +2467,12 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "user_event_sequences": """
+            SELECT user_id,
+                   string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,
+                   CAST(COUNT(*) AS BIGINT) AS n_events
+            FROM events GROUP BY user_id
+        """,
         "pack_sequences": """
             WITH d AS (
               SELECT doc_id,

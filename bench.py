@@ -62,6 +62,10 @@ BENCH_QUERIES = [
     "tfidf_topk",
     "hll_users",
     "running_user_value",
+    "decontam_pairs",
+    "kmeans_clusters",
+    "inverted_search",
+    "pack_sequences",
 ]
 
 

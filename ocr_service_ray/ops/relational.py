@@ -499,3 +499,33 @@ def cumulative_by_key(
         return g
 
     return bucketed_map_groups(ds, [key_col], fold)
+
+
+def grouped_sequence(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    sep: str = ",",
+    out_col: str = "seq",
+):
+    """Per-key ordered value sequence (SQL ``string_agg(v, sep ORDER
+    BY ...)`` / collect_list) — behavioral-sequence assembly for
+    training data: one coarse-bucket shuffle co-locates each key, a
+    vectorized in-group sort orders it, and the values join into one
+    string row per key. Same per-key-boundedness assumption as
+    ``sessionize``; ``order_cols`` must be unique per key for a
+    deterministic sequence."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                out_col: [sep.join(str(v) for v in g[value_col])],
+                "n_events": [len(g)],
+            }
+        )
+
+    return bucketed_map_groups(ds, [key_col], fold)

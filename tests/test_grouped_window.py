@@ -76,3 +76,22 @@ def test_cumulative_by_key(ray_session):
     ref["running_total"] = ref.groupby("grp")["val_cents"].cumsum()
     ref = ref.sort_values(["grp", "ord", "event_id"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[ref.columns.tolist()], ref)
+
+
+def test_grouped_sequence(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import grouped_sequence
+
+    df = _events(200, seed=21)
+    df["tag"] = np.array(["abcdef"[i] for i in df["val_cents"] % 6])
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(6)
+    got = (
+        grouped_sequence(ds, "grp", ["ord", "event_id"], "tag")
+        .to_pandas()
+        .set_index("grp")
+    )
+    for g, sub in df.groupby("grp"):
+        ref = ",".join(sub.sort_values(["ord", "event_id"])["tag"])
+        assert got.loc[g, "seq"] == ref
+        assert got.loc[g, "n_events"] == len(sub)

@@ -34,6 +34,7 @@ SUBSET = [
     "distinct_users_per_type",
     "inverted_search",
     "pack_sequences",
+    "user_event_sequences",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",
