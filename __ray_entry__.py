@@ -918,6 +918,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_bigram_top(sf_dir):
+        """Top-20 corpus bigrams by count (ops/text.bigram_counts +
+        combiner top-k) — collocation statistics; tiebreak (w1, w2)
+        ascending."""
+        from ocr_service_ray.ops.text import bigram_counts
+
+        return relational.topk(
+            bigram_counts(_read(sf_dir, "documents", ["text"])),
+            ["n", "w1", "w2"],
+            20,
+            descending=[True, False, False],
+        )
+
     def q_user_event_sequences(sf_dir):
         """Per-user ordered behavior sequence (ops/relational.py
         grouped_sequence): event types joined in (ts, event_id) order
@@ -1401,6 +1414,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inverted_search": q_inverted_search,
         "pack_sequences": q_pack_sequences,
         "user_event_sequences": q_user_event_sequences,
+        "bigram_top": q_bigram_top,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2467,6 +2481,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "bigram_top": """
+            WITH w AS (
+              SELECT string_split(text, ' ') AS ws FROM documents),
+            bg AS (
+              SELECT ws[s] AS w1, ws[s + 1] AS w2
+              FROM (SELECT ws,
+                      unnest(generate_series(1, greatest(length(ws) - 1, 0)))
+                        AS s
+                    FROM w)),
+            c AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS n
+                  FROM bg GROUP BY w1, w2)
+            SELECT w1, w2, n FROM c
+            ORDER BY n DESC, w1, w2 LIMIT 20
+        """,
         "user_event_sequences": """
             SELECT user_id,
                    string_agg(event_type, ',' ORDER BY ts, event_id) AS seq,

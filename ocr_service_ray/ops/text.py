@@ -181,3 +181,48 @@ def fingerprint(batch: pa.Table, text_col: str = "text", window: int = 8) -> pa.
         hashes = (win * weights).sum(axis=1, dtype=np.uint64)
         out.append(int(hashes.min()))
     return batch.append_column("fingerprint", pa.array(out, pa.uint64()))
+
+
+def bigram_counts(ds, text_col: str = "text", min_count: int = 1):
+    """Corpus bigram (adjacent token pair) counts — the co-occurrence
+    statistics layer (collocation mining, PMI, LM smoothing inputs).
+    Combiner-shaped: each block collapses to its distinct-bigram
+    partial counts before the shuffle; one ``grouped_agg`` merges.
+    Emits ``(w1, w2, n)``; PMI and friends are arithmetic over this
+    table plus the unigram counts — left to the caller because log is
+    libm-dependent (the repo's no-transcendentals oracle rule)."""
+    from collections import Counter
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            toks = t.split(" ")
+            counts.update(zip(toks, toks[1:]))
+        w1, w2, n = [], [], []
+        for (a, b), c in counts.items():
+            w1.append(a)
+            w2.append(b)
+            n.append(c)
+        return pa.table(
+            {
+                "w1": pa.array(w1, pa.string()),
+                "w2": pa.array(w2, pa.string()),
+                "n": pa.array(n, pa.int64()),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["w1", "w2"],
+        {"n": ("n", "sum")},
+    )
+    if min_count > 1:
+        import pyarrow.compute as pc
+
+        out = out.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n"], min_count)),
+            batch_format="pyarrow",
+        )
+    return out

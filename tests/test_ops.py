@@ -375,3 +375,21 @@ def test_grouped_distinct_count(ray_session):
     )
     ref = df.groupby("g")["u"].nunique()
     assert got.to_dict() == ref.to_dict()
+
+
+def test_bigram_counts(ray_session):
+    from collections import Counter
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.text import bigram_counts
+
+    docs = ["a b a b c", "b c", "x"]
+    t = pa.table({"text": pa.array(docs)})
+    got = bigram_counts(rd.from_arrow(t).repartition(3)).to_pandas()
+    ref = Counter()
+    for d in docs:
+        toks = d.split(" ")
+        ref.update(zip(toks, toks[1:]))
+    assert {(r.w1, r.w2): r.n for r in got.itertuples()} == dict(ref)

@@ -35,6 +35,7 @@ SUBSET = [
     "inverted_search",
     "pack_sequences",
     "user_event_sequences",
+    "bigram_top",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",
