@@ -918,6 +918,55 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_quantiles_cont_quantity(sf_dir):
+        """Interpolated quantiles of lineitem quantity
+        (ops/sketch.value_counts_quantiles_cont): value-counts
+        combiner + a + frac·(b−a) interpolation — bit-exact against
+        DuckDB quantile_cont (tested on randomized inputs)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.sketch import value_counts_quantiles_cont
+
+        out = value_counts_quantiles_cont(
+            _read(sf_dir, "lineitem", ["l_quantity"]),
+            "l_quantity",
+            [0.25, 0.5, 0.75, 0.9, 0.99],
+        )
+        return pd.DataFrame(
+            {
+                "q_pct": out["q_pct"].astype("int64"),
+                "value_micro": _micro(out["value"].to_numpy()),
+            }
+        )
+
+    def q_outlier_events(sf_dir):
+        """Events > 3σ from their event_type mean
+        (ops/agg.grouped_outliers): integer (n, Σv, Σv²) combiner →
+        broadcast stats → squared-deviation filter. No sqrt — every
+        float op is exact-rounded and mirrors the SQL."""
+        from ocr_service_ray.ops.agg import grouped_outliers
+
+        ds = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "event_type": b["event_type"],
+                    "cents": pa.array(cents),
+                }
+            )
+
+        return grouped_outliers(
+            ds.map_batches(to_cents, batch_format="pyarrow"),
+            ["event_type"],
+            "cents",
+            k=3.0,
+        )
+
     def q_bigram_top(sf_dir):
         """Top-20 corpus bigrams by count (ops/text.bigram_counts +
         combiner top-k) — collocation statistics; tiebreak (w1, w2)
@@ -1415,6 +1464,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": q_pack_sequences,
         "user_event_sequences": q_user_event_sequences,
         "bigram_top": q_bigram_top,
+        "quantiles_cont_quantity": q_quantiles_cont_quantity,
+        "outlier_events": q_outlier_events,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2481,6 +2532,39 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "quantiles_cont_quantity": """
+            SELECT CAST(25 AS BIGINT) AS q_pct,
+                   CAST(floor(quantile_cont(l_quantity, 0.25) * 1000000.0 + 0.5)
+                     AS BIGINT) AS value_micro FROM lineitem
+            UNION ALL SELECT 50,
+                   CAST(floor(quantile_cont(l_quantity, 0.5) * 1000000.0 + 0.5)
+                     AS BIGINT) FROM lineitem
+            UNION ALL SELECT 75,
+                   CAST(floor(quantile_cont(l_quantity, 0.75) * 1000000.0 + 0.5)
+                     AS BIGINT) FROM lineitem
+            UNION ALL SELECT 90,
+                   CAST(floor(quantile_cont(l_quantity, 0.9) * 1000000.0 + 0.5)
+                     AS BIGINT) FROM lineitem
+            UNION ALL SELECT 99,
+                   CAST(floor(quantile_cont(l_quantity, 0.99) * 1000000.0 + 0.5)
+                     AS BIGINT) FROM lineitem
+        """,
+        "outlier_events": """
+            WITH c AS (
+              SELECT event_id, event_type,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events),
+            st AS (
+              SELECT event_type, COUNT(*) AS n, SUM(cents) AS s,
+                     SUM(cents * cents) AS ss
+              FROM c GROUP BY event_type)
+            SELECT event_id, c.event_type, cents
+            FROM c JOIN st USING (event_type)
+            WHERE (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                  * (CAST(cents AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                  > 9.0 * (CAST(ss AS DOUBLE) / n
+                           - (CAST(s AS DOUBLE) / n) * (CAST(s AS DOUBLE) / n))
+        """,
         "bigram_top": """
             WITH w AS (
               SELECT string_split(text, ' ') AS ws FROM documents),

@@ -229,3 +229,78 @@ def grouped_distinct_count(ds, group_keys: list[str], col: str, num_buckets: int
     return grouped_agg(
         pairs, group_keys, {"n_distinct": (None, "count")}, num_buckets
     )
+
+
+def grouped_outliers(
+    ds,
+    group_keys: list[str],
+    value_col: str,
+    k: float = 3.0,
+    num_buckets: int = 32,
+):
+    """Rows whose INTEGER value deviates more than ``k`` population
+    standard deviations from their group mean — the statistical
+    quality-filter shape (price anomalies, length outliers). Two
+    passes, zero shuffle of data rows: per-group (n, Σv, Σv²) via the
+    combiner aggregate (INTEGER sums — float sums are
+    association-order-dependent and would break cross-engine
+    exactness), stats broadcast, then a vectorized filter comparing
+    SQUARED deviation to k²·variance — no sqrt, so every operation is
+    exact-rounded IEEE arithmetic identical to the SQL mirror.
+    ``value_col`` must be integral (use cents/micro upstream)."""
+    import ray
+
+    def add_sq(b: pa.Table) -> pa.Table:
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                **{g: b[g] for g in group_keys},
+                value_col: pa.array(v),
+                "_v2": pa.array(v * v),
+            }
+        )
+
+    stats = grouped_agg(
+        ds.map_batches(add_sq, batch_format="pyarrow"),
+        group_keys,
+        {
+            "n": (None, "count"),
+            "s": (value_col, "sum"),
+            "ss": ("_v2", "sum"),
+        },
+        num_buckets,
+    ).to_pandas()
+    # precompute per-group mean/var once (|groups| rows), broadcast
+    n = stats["n"].to_numpy(dtype=np.float64)
+    mean = stats["s"].to_numpy(dtype=np.float64) / n
+    var = stats["ss"].to_numpy(dtype=np.float64) / n - mean * mean
+    if len(group_keys) == 1:
+        lut = dict(zip(stats[group_keys[0]], zip(mean, var)))
+    else:
+        lut = dict(
+            zip(zip(*(stats[g] for g in group_keys)), zip(mean, var))
+        )
+    ref = ray.put(lut)
+    k2 = k * k
+
+    class Filter:
+        def __init__(self):
+            self.lut = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            v = b[value_col].to_numpy(zero_copy_only=False).astype(np.float64)
+            if len(group_keys) == 1:
+                keys = pd.Series(b[group_keys[0]].to_pylist())
+            else:
+                keys = pd.Series(
+                    list(zip(*(b[g].to_pylist() for g in group_keys)))
+                )
+            mv = keys.map(self.lut)  # vectorized dict lookup
+            means = np.fromiter((t[0] for t in mv), dtype=np.float64, count=len(b))
+            vars_ = np.fromiter((t[1] for t in mv), dtype=np.float64, count=len(b))
+            d = v - means
+            return b.filter(pa.array(d * d > k2 * vars_))
+
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))

@@ -237,3 +237,38 @@ def histogram_quantiles(
             (int(round(q * 100)), lo + (b + min(max(frac, 0.0), 1.0)) * width)
         )
     return pd.DataFrame(rows, columns=["q_pct", "value"])
+
+
+def value_counts_quantiles_cont(ds, col: str, qs: list[float]) -> pd.DataFrame:
+    """EXACT linearly-interpolated quantiles (DuckDB ``quantile_cont``
+    / numpy default) over the value-counts combiner: pos = (n-1)·q,
+    value = a + frac·(b - a) between the two straddling order
+    statistics — all +,×,÷ so the floats are bit-identical
+    cross-engine. Same |distinct|-bounded assumption as
+    ``value_counts_quantiles``. Returns ``(q_pct, value)`` floats."""
+    import math
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    vc = (
+        grouped_agg(ds, [col], {"cnt": (None, "count")})
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    cum = vc["cnt"].cumsum().to_numpy()
+    n = int(cum[-1])
+    vals = vc[col].to_numpy()
+
+    def order_stat(r: int) -> float:  # r is a 0-based rank
+        return float(vals[int(np.searchsorted(cum, r + 1, side="left"))])
+
+    rows = []
+    for q in qs:
+        pos = (n - 1) * q
+        i = math.floor(pos)
+        frac = pos - i
+        a = order_stat(i)
+        b = order_stat(min(i + 1, n - 1))
+        rows.append((int(round(q * 100)), a + frac * (b - a)))
+    return pd.DataFrame(rows, columns=["q_pct", "value"])

@@ -393,3 +393,32 @@ def test_bigram_counts(ray_session):
         toks = d.split(" ")
         ref.update(zip(toks, toks[1:]))
     assert {(r.w1, r.w2): r.n for r in got.itertuples()} == dict(ref)
+
+
+def test_grouped_outliers(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.agg import grouped_outliers
+
+    rng = np.random.default_rng(3)
+    base = rng.integers(90, 110, 500).astype(np.int64)
+    df = pd.DataFrame({"g": rng.integers(0, 3, 500), "v": base})
+    # plant extreme outliers
+    df.loc[df.index[:3], "v"] = [10_000, -10_000, 9_000]
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5)
+    out = grouped_outliers(ds, ["g"], "v", k=3.0).to_pandas()
+    # reference: same arithmetic
+    got = set(map(tuple, out[["g", "v"]].to_numpy()))
+    ref = set()
+    for g, sub in df.groupby("g"):
+        v = sub["v"].to_numpy(dtype=np.float64)
+        n = len(v)
+        mean = v.sum() / n  # ints sum exactly
+        var = (sub["v"].astype(np.int64) ** 2).sum() / n - mean * mean
+        for x in sub["v"]:
+            if (x - mean) ** 2 > 9.0 * var:
+                ref.add((g, x))
+    assert got == ref and len(got) >= 3

@@ -36,6 +36,7 @@ SUBSET = [
     "pack_sequences",
     "user_event_sequences",
     "bigram_top",
+    "outlier_events",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",

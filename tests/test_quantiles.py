@@ -86,3 +86,23 @@ def test_histogram_quantiles_constant_column(ray_session):
     t = pa.table({"x": pa.array([7.0] * 100)})
     out = histogram_quantiles(rd.from_arrow(t), "x", [0.5, 0.99])
     assert (out["value"] == 7.0).all()
+
+
+@pytest.mark.parametrize("seed", [4, 5])
+def test_quantile_cont_matches_duckdb(ray_session, seed):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import value_counts_quantiles_cont
+
+    rng = np.random.default_rng(seed)
+    vals = rng.integers(0, 35, 700).astype(np.int64)
+    t = pa.table({"x": pa.array(vals)})
+    df = pd.DataFrame({"x": vals})
+    out = value_counts_quantiles_cont(
+        rd.from_arrow(t).repartition(6), "x", QS
+    )
+    for pct, v in zip(out["q_pct"], out["value"]):
+        want = duckdb.sql(
+            f"SELECT quantile_cont(x, {pct / 100}) FROM df"
+        ).fetchone()[0]
+        assert v == want  # bit-exact interpolation contract
