@@ -918,6 +918,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_mode_priority(sf_dir):
+        """Most frequent order priority per order status
+        (ops/agg.grouped_mode): value-counts combiner + per-group
+        argmax (tie → smallest value) — raw rows never shuffle."""
+        from ocr_service_ray.ops.agg import grouped_mode
+
+        out = grouped_mode(
+            _read(sf_dir, "orders", ["o_orderstatus", "o_orderpriority"]),
+            ["o_orderstatus"],
+            "o_orderpriority",
+        )
+        return out.map_batches(
+            lambda b: b.assign(mode_count=b["mode_count"].astype("int64")),
+            batch_format="pandas",
+        )
+
+    def q_profile_orders(sf_dir):
+        """Per-column data-quality profile of the orders table
+        (ops/agg.profile_table): rows / nulls / exact distinct /
+        min / max via combiner partials — the pre-training ingest
+        audit."""
+        from ocr_service_ray.ops.agg import profile_table
+
+        cols = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+        return profile_table(_read(sf_dir, "orders", cols), cols)
+
     def q_quantiles_cont_quantity(sf_dir):
         """Interpolated quantiles of lineitem quantity
         (ops/sketch.value_counts_quantiles_cont): value-counts
@@ -1466,6 +1492,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top": q_bigram_top,
         "quantiles_cont_quantity": q_quantiles_cont_quantity,
         "outlier_events": q_outlier_events,
+        "mode_priority": q_mode_priority,
+        "profile_orders": q_profile_orders,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2532,6 +2560,49 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "mode_priority": """
+            WITH c AS (
+              SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt
+              FROM orders GROUP BY o_orderstatus, o_orderpriority),
+            r AS (
+              SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY o_orderstatus
+                ORDER BY cnt DESC, o_orderpriority) AS rn
+              FROM c)
+            SELECT o_orderstatus, o_orderpriority AS mode,
+                   CAST(cnt AS BIGINT) AS mode_count
+            FROM r WHERE rn = 1
+        """,
+        "profile_orders": """
+            SELECT 'o_orderkey' AS "column",
+                   CAST(COUNT(*) AS BIGINT) AS n_rows,
+                   CAST(COUNT(*) - COUNT(o_orderkey) AS BIGINT) AS n_null,
+                   CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_distinct,
+                   CAST(MIN(o_orderkey) AS VARCHAR) AS "min",
+                   CAST(MAX(o_orderkey) AS VARCHAR) AS "max"
+            FROM orders
+            UNION ALL
+            SELECT 'o_custkey', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_custkey) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+                   CAST(MIN(o_custkey) AS VARCHAR),
+                   CAST(MAX(o_custkey) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderstatus', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderstatus) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+                   CAST(MIN(o_orderstatus) AS VARCHAR),
+                   CAST(MAX(o_orderstatus) AS VARCHAR)
+            FROM orders
+            UNION ALL
+            SELECT 'o_orderpriority', CAST(COUNT(*) AS BIGINT),
+                   CAST(COUNT(*) - COUNT(o_orderpriority) AS BIGINT),
+                   CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+                   CAST(MIN(o_orderpriority) AS VARCHAR),
+                   CAST(MAX(o_orderpriority) AS VARCHAR)
+            FROM orders
+        """,
         "quantiles_cont_quantity": """
             SELECT CAST(25 AS BIGINT) AS q_pct,
                    CAST(floor(quantile_cont(l_quantity, 0.25) * 1000000.0 + 0.5)

@@ -79,10 +79,14 @@ def global_agg(ds, specs: dict[str, tuple[str | None, str]]) -> dict:
                 row[out] = [len(b) if col is None else int(b[col].count())]
             elif agg == "sum":
                 row[out] = [b[col].sum()]
-            elif agg == "min":
-                row[out] = [b[col].min()] if len(b) else [None]
-            elif agg == "max":
-                row[out] = [b[col].max()] if len(b) else [None]
+            elif agg in ("min", "max"):
+                # dropna first: an all-null block's pandas min() is a
+                # float sentinel that poisons the driver merge of a
+                # STRING column (mixed str/float comparison)
+                vals = b[col].dropna()
+                row[out] = (
+                    [getattr(vals, agg)()] if len(vals) else [None]
+                )
         return pd.DataFrame(row)
 
     partials = ds.map_batches(partial, batch_format="pandas").to_pandas()
@@ -90,10 +94,11 @@ def global_agg(ds, specs: dict[str, tuple[str | None, str]]) -> dict:
     for out, (_, agg) in phys.items():
         if agg in ("count", "sum"):
             result[out] = partials[out].sum()
-        elif agg == "min":
-            result[out] = partials[out].min()
-        elif agg == "max":
-            result[out] = partials[out].max()
+        elif agg in ("min", "max"):
+            # dropna: pandas nanops fills None with ±inf on object
+            # columns, breaking str/float comparison in the reduction
+            vals = partials[out].dropna()
+            result[out] = getattr(vals, agg)() if len(vals) else None
     for mean_col, (s, c) in derived_means.items():
         result[mean_col] = result[s] / result[c] if result[c] else None
         del result[s], result[c]
@@ -304,3 +309,80 @@ def grouped_outliers(
             return b.filter(pa.array(d * d > k2 * vars_))
 
     return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def grouped_mode(ds, group_keys: list[str], col: str, num_buckets: int = 32):
+    """Most frequent value of ``col`` per group (ties → smallest
+    value), via the value-counts combiner: (keys, value) partial
+    counts per block, merged, then a per-group argmax over the
+    ≤ |distinct values| count rows — raw rows never shuffle."""
+    vc = grouped_agg(
+        ds, group_keys + [col], {"cnt": (None, "count")}, num_buckets
+    )
+
+    def pick(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cnt", col], ascending=[False, True], kind="stable")
+        row = {k: [g[k].iloc[0]] for k in group_keys}
+        row["mode"] = [g[col].iloc[0]]
+        row["mode_count"] = [int(g["cnt"].iloc[0])]
+        return pd.DataFrame(row)
+
+    return bucketed_map_groups(vc, group_keys, pick, num_buckets)
+
+
+def profile_table(ds, columns: list[str]) -> pd.DataFrame:
+    """Data-quality profile: per column — row count, null count,
+    exact distinct count, min, max (as strings for a uniform schema).
+    One combiner pass per metric family: nulls/min/max fold per block
+    via ``global_agg`` partials; distinct via the per-column
+    value-dedup combiner. The profiling step every ingest pipeline
+    runs before training."""
+    rows = []
+    specs: dict = {"n_rows": (None, "count")}
+    for c in columns:
+        specs[f"nn_{c}"] = (c, "count")  # non-null
+        specs[f"min_{c}"] = (c, "min")
+        specs[f"max_{c}"] = (c, "max")
+    agg = global_agg(ds, specs)
+
+    s = ds.schema()
+    base = getattr(s, "base_schema", s)
+    types = (
+        {f.name: f.type for f in base}
+        if isinstance(base, pa.Schema)
+        else {}
+    )
+
+    def fmt(v, col):
+        # a nullable int column rides through pandas as float — format
+        # it back as an integer (SQL CAST(x AS VARCHAR) semantics)
+        if v is None:
+            return "None"
+        t = types.get(col)
+        if t is not None and pa.types.is_integer(t):
+            return str(int(v))
+        return str(v)
+
+    for c in columns:
+        # nulls excluded: SQL COUNT(DISTINCT c) semantics
+        distinct = grouped_agg(
+            ds.map_batches(
+                lambda b, c=c: pa.table(
+                    {c: b[c].combine_chunks().drop_null().unique()}
+                ),
+                batch_format="pyarrow",
+            ),
+            [c],
+            {"_one": (None, "count")},
+        ).count()
+        rows.append(
+            {
+                "column": c,
+                "n_rows": int(agg["n_rows"]),
+                "n_null": int(agg["n_rows"]) - int(agg[f"nn_{c}"]),
+                "n_distinct": int(distinct),
+                "min": fmt(agg[f"min_{c}"], c),
+                "max": fmt(agg[f"max_{c}"], c),
+            }
+        )
+    return pd.DataFrame(rows)

@@ -422,3 +422,50 @@ def test_grouped_outliers(ray_session):
             if (x - mean) ** 2 > 9.0 * var:
                 ref.add((g, x))
     assert got == ref and len(got) >= 3
+
+
+def test_grouped_mode(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.agg import grouped_mode
+
+    rng = np.random.default_rng(2)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 4, 2000),
+            "v": rng.choice(list("abcde"), 2000),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(7)
+    got = grouped_mode(ds, ["g"], "v").to_pandas().set_index("g")
+    for g, sub in df.groupby("g"):
+        counts = sub["v"].value_counts()
+        top = counts.max()
+        want = min(counts[counts == top].index)  # tie → smallest value
+        assert got.loc[g, "mode"] == want
+        assert got.loc[g, "mode_count"] == top
+
+
+def test_profile_table(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.agg import profile_table
+
+    t = pa.table(
+        {
+            "a": pa.array([1, 2, 2, None, 5], pa.int64()),
+            "b": pa.array(["x", None, None, "y", "x"]),
+        }
+    )
+    prof = profile_table(rd.from_arrow(t).repartition(3), ["a", "b"]).set_index(
+        "column"
+    )
+    assert prof.loc["a", "n_rows"] == 5 and prof.loc["a", "n_null"] == 1
+    assert prof.loc["a", "n_distinct"] == 3
+    assert prof.loc["a", "min"] == "1" and prof.loc["a", "max"] == "5"
+    assert prof.loc["b", "n_null"] == 2 and prof.loc["b", "n_distinct"] == 2

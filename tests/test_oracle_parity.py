@@ -37,6 +37,8 @@ SUBSET = [
     "user_event_sequences",
     "bigram_top",
     "outlier_events",
+    "mode_priority",
+    "profile_orders",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",

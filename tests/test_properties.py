@@ -214,9 +214,14 @@ def test_area_scale_reference_arithmetic(nw, nh, hw, hh):
 @SETTINGS
 @given(st.text(alphabet="abcdef <>/=\"'&;ghij\n", max_size=300))
 def test_html_extractor_never_crashes_and_is_text_only(s):
-    """Robustness: arbitrary tag soup must never raise, and the output
-    never contains markup characters."""
+    """Robustness: arbitrary tag soup must never raise, and no TAG
+    survives in the output. A bare '<' not opening a tag is character
+    data in HTML (browsers render '<3' as text; html.parser agrees) —
+    hypothesis found that case, so the property asserts tag-freedom,
+    not bracket-freedom."""
+    import re
+
     from ocr_service_ray.ops.html import extract_main_content
 
     out = extract_main_content("<div>" + s + "</div>")
-    assert "<" not in out
+    assert re.search(r"</?[a-zA-Z]", out) is None
