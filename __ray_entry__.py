@@ -918,6 +918,35 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_weighted_sample_events(sf_dir):
+        """Deterministic weight-proportional sampling
+        (ops/scan.weighted_systematic_sample): systematic ticks on the
+        cumulative cents line in event_id order — pure integer
+        arithmetic, zero RNG, layout-invariant. Oracle mirrors the
+        tick predicate over a window SUM."""
+        from ocr_service_ray.ops.scan import weighted_systematic_sample
+
+        ds = _read(sf_dir, "events", ["event_id", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            # clamp at 0: negative weights are meaningless for PPS
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "cents": pa.array(np.maximum(cents, 0)),
+                }
+            )
+
+        return weighted_systematic_sample(
+            ds.map_batches(to_cents, batch_format="pyarrow"),
+            "event_id",
+            "cents",
+            step=200000,
+        )
+
     def q_mode_priority(sf_dir):
         """Most frequent order priority per order status
         (ops/agg.grouped_mode): value-counts combiner + per-group
@@ -1494,6 +1523,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "outlier_events": q_outlier_events,
         "mode_priority": q_mode_priority,
         "profile_orders": q_profile_orders,
+        "weighted_sample_events": q_weighted_sample_events,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2560,6 +2590,24 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "weighted_sample_events": """
+            WITH c AS (
+              SELECT event_id,
+                     greatest(CAST(floor(value * 100.0 + 0.5) AS BIGINT), 0)
+                       AS cents
+              FROM events),
+            o AS (
+              SELECT event_id, cents,
+                     COALESCE(SUM(cents) OVER (
+                       ORDER BY event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                     ), 0) AS off
+              FROM c)
+            SELECT event_id, cents
+            FROM o
+            WHERE (off + cents - 1 + 200000) // 200000
+                  <> (off - 1 + 200000) // 200000
+        """,
         "mode_priority": """
             WITH c AS (
               SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt

@@ -117,3 +117,36 @@ def pack_sequences(
         )
 
     return placed.map_batches(spans, batch_format="pyarrow")
+
+
+def weighted_systematic_sample(
+    ds,
+    key_col: str,
+    weight_col: str,
+    step: int,
+):
+    """Deterministic sampling with probability proportional to an
+    INTEGER weight — systematic (fixed-interval) sampling on the
+    cumulative-weight line: rows are laid end-to-end in ``key_col``
+    order (the prefix scan above), and a row is selected iff a
+    sampling tick (a multiple of ``step``) falls inside its
+    ``[offset, offset + w)`` interval. Selection rate = w/step per
+    row, total sample ≈ Σw/step, zero RNG state: the SAME rows are
+    chosen on any cluster/layout/run, the sample composes with
+    resume, and the predicate is pure integer arithmetic —
+    ``⌊(off+w-1+step)/step⌋ ≠ ⌊(off-1+step)/step⌋`` (the +step shift
+    keeps operands non-negative so floor division is
+    engine-agnostic) — which a SQL window SUM reproduces exactly.
+
+    Weight-0 rows are never selected; rows with w ≥ step are always
+    selected (the classic PPS guarantee)."""
+    placed = prefix_sum(ds.sort(key_col), key_col, weight_col, out_col="_off")
+
+    def select(b: pa.Table) -> pa.Table:
+        off = b["_off"].to_numpy(zero_copy_only=False).astype(np.int64)
+        w = b[weight_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        hi = (off + w - 1 + step) // step
+        lo = (off - 1 + step) // step
+        return b.filter(pa.array(hi != lo)).drop_columns(["_off"])
+
+    return placed.map_batches(select, batch_format="pyarrow", batch_size=None)

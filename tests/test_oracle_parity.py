@@ -39,6 +39,7 @@ SUBSET = [
     "outlier_events",
     "mode_priority",
     "profile_orders",
+    "weighted_sample_events",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",

@@ -68,3 +68,36 @@ def test_prefix_sum_duplicate_key_guard(ray_session):
     ds = rd.from_arrow(t1).union(rd.from_arrow(t2))
     with pytest.raises(Exception, match="unique sort key"):
         prefix_sum(ds, "k", "v").to_pandas()
+
+
+def test_weighted_systematic_sample(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.scan import weighted_systematic_sample
+
+    rng = np.random.default_rng(15)
+    n = 400
+    w = rng.integers(0, 50, n).astype(np.int64)
+    w[7] = 0          # never selected
+    w[11] = 500       # >= step: always selected
+    t = pa.table({"k": pa.array(range(n), pa.int64()), "w": pa.array(w)})
+    step = 100
+    got = (
+        weighted_systematic_sample(
+            rd.from_arrow(t).repartition(6), "k", "w", step
+        )
+        .to_pandas()["k"]
+        .tolist()
+    )
+    # reference: tick-in-interval on the exclusive cumsum
+    off = np.concatenate(([0], np.cumsum(w)[:-1]))
+    ref = [
+        int(k)
+        for k in range(n)
+        if (off[k] + w[k] - 1 + step) // step != (off[k] - 1 + step) // step
+    ]
+    assert sorted(got) == ref
+    assert 7 not in got and 11 in got
+    # sample size ≈ total weight / step; a row covering multiple ticks
+    # (w=500 ≥ step) still counts once, so allow that slack
+    assert abs(len(got) - w.sum() / step) <= 2 + (500 // step - 1)
