@@ -918,6 +918,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
         )
 
+    def q_snapshot_diff(sf_dir):
+        """Incremental-ingest snapshot diff (ops/diff.py): documents
+        vs a simulated next crawl (doc_id%17 removed, %10 retexted,
+        %23 re-added under id+10M) → added/removed/changed ids via two
+        id-keyed left joins over (id, content-hash) — text never
+        shuffles. Oracle rebuilds the crawl rule and the diff in SQL."""
+        from ocr_service_ray.ops.diff import snapshot_diff_table
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def mutate(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            kept = b.filter(pa.array(ids % 17 != 0))
+            kids = kept["doc_id"].to_numpy(zero_copy_only=False)
+            texts = kept["text"].to_pylist()
+            out = [
+                t + " v2" if i % 10 == 0 else t for i, t in zip(kids, texts)
+            ]
+            return pa.table(
+                {
+                    "doc_id": kept["doc_id"],
+                    "text": pa.array(out, pa.string()),
+                }
+            )
+
+        def readded(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            keep = ids % 23 == 0
+            sub = b.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "doc_id": pa.array(
+                        sub["doc_id"].to_numpy(zero_copy_only=False)
+                        + 10_000_000
+                    ),
+                    "text": sub["text"],
+                }
+            )
+
+        new_ds = docs.map_batches(mutate, batch_format="pyarrow").union(
+            docs.map_batches(readded, batch_format="pyarrow")
+        )
+        return snapshot_diff_table(docs, new_ds)
+
     def q_weighted_sample_events(sf_dir):
         """Deterministic weight-proportional sampling
         (ops/scan.weighted_systematic_sample): systematic ticks on the
@@ -1524,6 +1568,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_priority": q_mode_priority,
         "profile_orders": q_profile_orders,
         "weighted_sample_events": q_weighted_sample_events,
+        "snapshot_diff": q_snapshot_diff,
         "simhash_dedup": q_simhash_dedup,
         "ivf_knn": q_ivf_knn,
         "lsh_knn": q_lsh_knn,
@@ -2590,6 +2635,27 @@ def oracle_sql() -> dict[str, str]:
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
+        "snapshot_diff": """
+            WITH newt AS (
+              SELECT doc_id,
+                     CASE WHEN doc_id % 10 = 0 THEN text || ' v2'
+                          ELSE text END AS text
+              FROM documents WHERE doc_id % 17 <> 0
+              UNION ALL
+              SELECT doc_id + 10000000, text
+              FROM documents WHERE doc_id % 23 = 0)
+            SELECT d.doc_id, 'removed' AS status
+            FROM documents d
+            WHERE d.doc_id NOT IN (SELECT doc_id FROM newt)
+            UNION ALL
+            SELECT n.doc_id, 'added'
+            FROM newt n
+            WHERE n.doc_id NOT IN (SELECT doc_id FROM documents)
+            UNION ALL
+            SELECT d.doc_id, 'changed'
+            FROM documents d JOIN newt n USING (doc_id)
+            WHERE d.text <> n.text
+        """,
         "weighted_sample_events": """
             WITH c AS (
               SELECT event_id,

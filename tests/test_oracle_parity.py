@@ -40,6 +40,7 @@ SUBSET = [
     "mode_priority",
     "profile_orders",
     "weighted_sample_events",
+    "snapshot_diff",
     "running_user_value",
     "simhash_dedup",
     "lsh_knn",
