@@ -849,18 +849,47 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def q_render_json(sf_dir):
-        """S9 format_output (JSON rendering) over the flagship output.
-        Rows-only by necessity: the JSON embeds shortest-round-trip
-        float reprs (json.dumps) that SQL cannot reproduce byte-exactly
-        — the text renderer (q_render_text) is the oracled variant."""
+        """S9 format_output (JSON rendering) over the flagship output,
+        PARTIAL-ORACLED: the real json.dumps output is rendered, then
+        json.loads-parsed back (float reprs round-trip exactly) and
+        projected to SQL-comparable fields — full_text byte-exact,
+        floats as micro-ints, counts and flags. Verifies the JSON is
+        well-formed and carries exactly the right values; only the
+        literal float byte layout stays unverified (shortest-round-trip
+        reprs are not SQL-reproducible, the r1/r2 no_oracle reason)."""
+        import json
+
         from ocr_service_ray.pipelines.derive import derived_corpus
         from ocr_service_ray.pipelines.flagship import run_extraction
         from ocr_service_ray.stages.ocr import GENERATE_MEDIA
         from ocr_service_ray.stages.render import render_output
 
-        return render_output(
+        rendered = render_output(
             run_extraction(derived_corpus(sf_dir), GENERATE_MEDIA), fmt="json"
         )
+
+        def parse_back(b: pa.Table) -> pa.Table:
+            ids, texts, qm, om, nr, nc = [], [], [], [], [], []
+            for s in b["rendered"].to_pylist():
+                p = json.loads(s)  # proves well-formedness per row
+                ids.append(p["doc_id"])
+                texts.append(p["full_text"])
+                qm.append(int(np.floor(p["overall_quality"] * 1000000.0 + 0.5)))
+                om.append(int(np.floor(p["ocr_confidence"] * 1000000.0 + 0.5)))
+                nr.append(bool(p["needs_review"]))
+                nc.append(len(p["corrections_applied"]))
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.string()),
+                    "full_text": pa.array(texts, pa.string()),
+                    "quality_micro": pa.array(qm, pa.int64()),
+                    "ocr_conf_micro": pa.array(om, pa.int64()),
+                    "needs_review": pa.array(nr, pa.bool_()),
+                    "n_corrections": pa.array(nc, pa.int64()),
+                }
+            )
+
+        return rendered.map_batches(parse_back, batch_format="pyarrow")
 
     def q_render_text(sf_dir):
         """S9 format_output text rendering over the flagship output —
@@ -1342,6 +1371,33 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(micro, batch_format="pyarrow")
 
+    def q_tfidf_topk_shuffle(sf_dir):
+        """Same tf·idf top-3 via strategy="shuffle" — the df table is
+        hash-joined on term instead of broadcast (the 100 TB
+        vocabulary path). Same oracle SQL as tfidf_topk: the two
+        strategies are value-identical by contract."""
+        from ocr_service_ray.ops.ranking import tfidf_topk_terms
+
+        out = tfidf_topk_terms(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            k=3,
+            strategy="shuffle",
+        )
+
+        def micro(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "term": b["term"],
+                    "tf": pc.cast(b["tf"], pa.int64()),
+                    "score_micro": pa.array(
+                        _micro(b["score"].to_numpy(zero_copy_only=False))
+                    ),
+                }
+            )
+
+        return out.map_batches(micro, batch_format="pyarrow")
+
     def q_bm25_docs(sf_dir):
         """BM25 top-10 documents for a 3-term query (ops/ranking.py):
         one text scan → int (dl, tf) table, global stats, scored
@@ -1551,6 +1607,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "hll_users": q_hll_users,
         "tfidf_topk": q_tfidf_topk,
+        "tfidf_topk_shuffle": q_tfidf_topk_shuffle,
         "bm25_docs": q_bm25_docs,
         "decontam_pairs": q_decontam_pairs,
         "grouped_topk_events": q_grouped_topk_events,
@@ -1855,15 +1912,15 @@ def _feedback_promote_oracle_sql() -> str:
         """
 
 
-def _render_text_oracle_sql() -> str:
-    """DuckDB mirror of the flagship TEXT renderer: reconstructs the
+def _render_base_ctes() -> str:
+    """The shared WITH-chain of both render oracles: reconstructs the
     generative media line texts word by word (list-literal indexing on
     the same modular indices), assembles raw_text with the exact
     separators of kernels/assemble.py, applies the planted-token
-    correction as a global replace, and renders the header/quality
-    lines with printf('%.3f') — C's correctly-rounded decimal
-    conversion, identical to Python's format(). Shares the quality /
-    confidence arithmetic with the flagship oracle."""
+    correction as a global replace, and ends in a ``rendered`` CTE
+    carrying (n, n_corr, total_pages, ocr_conf, quality, full_text).
+    Shares the quality / confidence arithmetic with the flagship
+    oracle."""
     from ocr_service_ray.sources.synth import (
         GEN_LINES_MOD,
         GEN_WORDS_BASE,
@@ -1974,6 +2031,17 @@ def _render_text_oracle_sql() -> str:
                    'пр0верка', 'проверка') AS full_text
           FROM assembled
         )
+    """
+
+
+def _render_text_oracle_sql() -> str:
+    """TEXT renderer oracle: the shared render CTEs plus the header /
+    printf('%.3f') quality line / corrections appendix — C's
+    correctly-rounded decimal conversion, identical to Python's
+    format()."""
+    corr_line = "'пр0верка -> проверка (contextual_russian_word, 0.95)'"
+    return f"""
+        {_render_base_ctes()}
         SELECT 'tdoc-' || lpad(CAST(n AS VARCHAR), 8, '0') AS doc_id,
                '=== Документ: tdoc-' || lpad(CAST(n AS VARCHAR), 8, '0') || ' ==='
                || chr(10) || 'Качество: ' || printf('%.3f', quality)
@@ -1985,6 +2053,26 @@ def _render_text_oracle_sql() -> str:
                             || repeat(chr(10) || {corr_line}, n_corr)
                        ELSE '' END
                AS rendered
+        FROM rendered
+    """
+
+
+def _render_json_oracle_sql() -> str:
+    """Partial oracle for the JSON renderer: the driver query renders
+    the REAL json.dumps output, json.loads-parses it back (floats
+    round-trip exactly), and projects SQL-comparable fields — so this
+    SQL verifies every VALUE the JSON carries (full text byte-exact,
+    micro-int floats, counts, flags); the one thing left unverified is
+    the literal float byte layout (shortest-round-trip reprs are not
+    SQL-reproducible — the reason this query was rows-only in r1/r2)."""
+    return f"""
+        {_render_base_ctes()}
+        SELECT 'tdoc-' || lpad(CAST(n AS VARCHAR), 8, '0') AS doc_id,
+               full_text,
+               CAST(floor(quality * 1000000.0 + 0.5) AS BIGINT) AS quality_micro,
+               CAST(floor(ocr_conf * 1000000.0 + 0.5) AS BIGINT) AS ocr_conf_micro,
+               TRUE AS needs_review,
+               CAST(n_corr AS BIGINT) AS n_corrections
         FROM rendered
     """
 
@@ -2634,6 +2722,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup": _minhash_oracle_sql(threshold=0.4),
         "dedup_clusters": _dedup_clusters_oracle_sql(threshold=0.4),
         "tfidf_topk": _tfidf_oracle_sql(k=3),
+        "tfidf_topk_shuffle": _tfidf_oracle_sql(k=3),
         "bm25_docs": _bm25_oracle_sql(["join", "hash", "vector"], k=10),
         "snapshot_diff": """
             WITH newt AS (
@@ -2920,6 +3009,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.v, b.v) >= 0.2
         """,
         "render_text": _render_text_oracle_sql(),
+        "render_json": _render_json_oracle_sql(),
         "multimodal_decode": """
             WITH base AS (
               SELECT doc_id, repeat(text, 8) AS p FROM documents),

@@ -95,13 +95,27 @@ def exact_dedup(ds, text_col: str = "text", id_col: str = "doc_id"):
     )
 
 
-def _shingle_hashes(text: str, n: int = 3) -> np.ndarray:
-    """Word n-gram shingles → stable 32-bit hashes.
+def _shingle_hashes(text: str, n: int = 3, hash: str = "oracle") -> np.ndarray:
+    """Word n-gram shingles → stable 32-bit hashes (distinct).
 
-    md5-derived (first 8 hex chars, big-endian) — PYTHONHASHSEED-
-    independent AND reproducible in DuckDB (``md5()`` + hex parse), so
-    the LSH oracle can recompute signatures from scratch."""
+    ``hash="oracle"`` (default): md5-derived (first 8 hex chars,
+    big-endian) — PYTHONHASHSEED-independent AND reproducible in
+    DuckDB (``md5()`` + hex parse), so the LSH oracle can recompute
+    signatures from scratch. ``hash="fast"``: the vectorized
+    polynomial gram hash (ops/hashing.py) masked to 32 bits — no
+    per-gram md5, for production runs that don't need
+    SQL-reproducibility. The two modes differ only in which CANDIDATE
+    pairs surface; verified-pair semantics (exact Jaccard / hamming
+    checks downstream) are mode-independent."""
     words = text.split()
+    if hash == "fast":
+        from ocr_service_ray.ops.hashing import gram_hashes_fast, hash_tokens_fast
+
+        if len(words) < n:
+            gh = hash_tokens_fast([" ".join(words)] if words else [""])
+        else:
+            gh = gram_hashes_fast(hash_tokens_fast(words), n)
+        return np.unique(gh & np.uint64(0xFFFFFFFF))
     if len(words) < n:
         grams = [" ".join(words)] if words else [""]
     else:
@@ -121,10 +135,12 @@ def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
     return a, b
 
 
-def minhash_signature(text: str, a: np.ndarray, b: np.ndarray, n: int = 3) -> np.ndarray:
+def minhash_signature(
+    text: str, a: np.ndarray, b: np.ndarray, n: int = 3, hash: str = "oracle"
+) -> np.ndarray:
     """MinHash signature: min over shingles of (a·x + b) mod 2^31-1.
-    a, x < 2^31 so a*x + b < 2^63 — exact in uint64."""
-    x = _shingle_hashes(text, n)
+    a, x < 2^32 so a*x + b < 2^63 — exact in uint64."""
+    x = _shingle_hashes(text, n, hash)
     if len(x) == 0:
         return np.zeros(len(a), dtype=np.uint64)
     # (num_perm, n_shingles) — vectorized outer product
@@ -141,8 +157,13 @@ def minhash_lsh_candidates(
     threshold: float = 0.5,
     shingle: int = 3,
     signature_path: str | None = None,
+    hash: str = "oracle",
 ):
     """Near-duplicate pairs via MinHash + LSH banding.
+
+    ``hash="fast"`` switches shingle hashing to the vectorized
+    polynomial mode (see ``_shingle_hashes``) — production runs that
+    don't need the SQL-recomputable md5 signatures.
 
     Stage 1 (map): signature per doc, exploded into one row per band
     with the band's hash key AND the full signature (so stage 2 needs
@@ -160,7 +181,7 @@ def minhash_lsh_candidates(
         ids, sigs = [], []
         for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             ids.append(doc_id)
-            sigs.append(minhash_signature(text, a, b, shingle).tolist())
+            sigs.append(minhash_signature(text, a, b, shingle, hash).tolist())
         return pa.table({"id": pa.array(ids), "sig": pa.array(sigs, pa.list_(pa.uint64()))})
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
@@ -302,19 +323,26 @@ def _keep_hot_buckets(rows_ds, key_cols: list[str]):
     return rows_ds.map_batches(HotFilter, batch_format="pyarrow", concurrency=(1, 8))
 
 
-def simhash64(text: str) -> int:
+def simhash64(text: str, hash: str = "oracle") -> int:
     """64-bit SimHash over whitespace tokens, vectorized: one
-    (n_tokens, 64) bit matrix reduction per document. Token hash is
-    md5-derived (first 16 hex chars, big-endian) so DuckDB's ``md5()``
-    reproduces the fingerprint bit-for-bit in the oracle."""
+    (n_tokens, 64) bit matrix reduction per document. Token hash in
+    ``"oracle"`` mode is md5-derived (first 16 hex chars, big-endian)
+    so DuckDB's ``md5()`` reproduces the fingerprint bit-for-bit; in
+    ``"fast"`` mode it is the vectorized polynomial token hash
+    (ops/hashing.py) — no per-token md5."""
     toks = text.split()
     if not toks:
         return 0
-    hs = np.fromiter(
-        (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks),
-        dtype=np.uint64,
-        count=len(toks),
-    )
+    if hash == "fast":
+        from ocr_service_ray.ops.hashing import hash_tokens_fast
+
+        hs = hash_tokens_fast(toks)
+    else:
+        hs = np.fromiter(
+            (int(hashlib.md5(t.encode()).hexdigest()[:16], 16) for t in toks),
+            dtype=np.uint64,
+            count=len(toks),
+        )
     bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(
         np.int64
     )
@@ -329,16 +357,19 @@ def simhash_candidates(
     id_col: str = "doc_id",
     max_hamming: int = 3,
     signature_path: str | None = None,
+    hash: str = "oracle",
 ):
     """Near-dup pairs within Hamming distance ≤ max_hamming, via 4×16-bit
     band blocking (any pair within distance 3 shares at least one exact
-    16-bit band — pigeonhole over 4 bands)."""
+    16-bit band — pigeonhole over 4 bands). ``hash="fast"`` switches
+    token hashing to the vectorized polynomial mode (see
+    ``simhash64``)."""
 
     def to_fp_rows(batch: pa.Table) -> pa.Table:
         ids, fps = [], []
         for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
             ids.append(doc_id)
-            fps.append(simhash64(text))
+            fps.append(simhash64(text, hash))
         return pa.table({"id": pa.array(ids), "fp": pa.array(fps, pa.uint64())})
 
     def to_band_rows(batch: pa.Table) -> pa.Table:

@@ -63,11 +63,20 @@ def snapshot_diff(
         return rd.from_arrow(pa.table({id_col: pa.array([], pa.int64())}))
 
     # Degenerate snapshots: Ray's hash join raises on a zero-row side
-    # (verified ArrowInvalid in the aggregator finalize). count() on a
-    # parquet-backed side is metadata-only — cheap even at scale.
-    if old_ds.count() == 0:
+    # (verified ArrowInvalid in the aggregator finalize). Probe
+    # emptiness with limit(1) — early-stopping, so a DERIVED input
+    # (map_batches/union lineage, as q_snapshot_diff passes) executes
+    # at most one block; count() would have run the full upstream plan
+    # once extra (it is metadata-only for plain parquet reads ONLY).
+    # The identity map blocks limit pushdown into a Union, which hits
+    # a Ray 2.49 planner assertion (len(physical_children) >= 2).
+    def _is_empty(ds) -> bool:
+        shielded = ds.map_batches(lambda b: b, batch_format="pyarrow")
+        return len(shielded.limit(1).take(1)) == 0
+
+    if _is_empty(old_ds):
         return {"removed": empty_ids(), "added": ids_of(n), "changed": empty_ids()}
-    if new_ds.count() == 0:
+    if _is_empty(new_ds):
         return {"removed": ids_of(o), "added": empty_ids(), "changed": empty_ids()}
 
     old_side = hash_join(o, n, on=id_col, join_type="left_outer")

@@ -21,12 +21,12 @@ Scale shape (100 TB corpus): every round touches only the PAIR GRAPH
 |edges| by the verified-pair count; the corpus itself is never read.
 The label table is materialized once per round (it is the loop-carried
 state; re-executing its lineage each round would recompute the
-upstream LSH). Rounds = component diameter; near-dup components are
-clique-ish (duplicates of one source document), so 2-4 rounds in
-practice — ``max_iters`` guards pathological chains, and a
-hash-to-min variant (label the neighborhood's min at every member,
-halving diameter per round) is the documented escalation if a corpus
-ever has deep chains.
+upstream LSH). Every round ALSO pointer-jumps
+(labels(v) absorbs labels(labels(v)) via one self-join of the label
+table), so chain depth halves per round and even deep-path graphs
+converge in O(log diameter) rounds; near-dup components are clique-ish
+(duplicates of one source document) and still finish in 2-4 rounds.
+``max_iters`` is a safety valve only (diameter > 2^max_iters).
 
 The DuckDB oracle (``dedup_clusters`` in ``__ray_entry__.py``)
 recomputes the same labels with a recursive CTE over the same SQL
@@ -169,11 +169,22 @@ def connected_components(
         self_rows = pa.table({"node": b["node"], "nbr": b["node"]})
         return pa.concat_tables([b, self_rows]).combine_chunks()
 
-    labels = grouped_agg(
-        edges.map_batches(with_self, batch_format="pyarrow"),
-        ["node"],
-        {"cluster_id": ("nbr", "min")},
-    ).materialize()
+    # The label table is loop-carried state and feeds the LEFT side of
+    # the jump join; map_groups emits schema-less zero-row blocks for
+    # empty shuffle partitions, and map transforms pass them through
+    # untouched (Ray never calls the fn on an empty block) — pyarrow's
+    # join then fails on the missing key field. repartition() merges
+    # them away and bounds block-count growth across rounds.
+    n_parts = max(2, min(64, edges.num_blocks()))
+    labels = (
+        grouped_agg(
+            edges.map_batches(with_self, batch_format="pyarrow"),
+            ["node"],
+            {"cluster_id": ("nbr", "min")},
+        )
+        .repartition(n_parts)
+        .materialize()
+    )
     prev = _digest(labels)
     if prev[1] == 0:
         return _empty_labels(pairs_ds, src_col)
@@ -189,17 +200,36 @@ def connected_components(
             {"node": "node", "lbl": "lbl"},
         )
         own = _project(labels, {"node": "node", "lbl": "cluster_id"})
-        labels = grouped_agg(
-            msgs.union(own), ["node"], {"cluster_id": ("lbl", "min")}
-        ).materialize()
+        # pointer jump (the hash-to-min escalation, run every round):
+        # shortcut label-of-label via one self-join of the label table
+        # — labels(v) can absorb labels(labels(v)), so chain depth
+        # HALVES per round and deep-path graphs converge in O(log
+        # diameter) rounds instead of O(diameter). Near-dup cliques
+        # still converge in 2-4 rounds exactly as before; the jump
+        # join touches only the |nodes|-row label table.
+        jump = _project(
+            hash_join(
+                _project(labels, {"node": "node", "mid": "cluster_id"}),
+                _project(labels, {"mid": "node", "lbl": "cluster_id"}),
+                on="mid",
+            ),
+            {"node": "node", "lbl": "lbl"},
+        )
+        labels = (
+            grouped_agg(
+                msgs.union(own).union(jump), ["node"], {"cluster_id": ("lbl", "min")}
+            )
+            .repartition(n_parts)  # scrub schema-less empty blocks
+            .materialize()
+        )
         cur = _digest(labels)
         if cur == prev:
             return labels
         prev = cur
     raise RuntimeError(
         f"connected_components did not converge in {max_iters} rounds — "
-        "component diameter exceeds the near-dup clique assumption; "
-        "use a hash-to-min variant for deep-chain graphs"
+        "with per-round pointer jumping this needs diameter > "
+        f"2^{max_iters}; raise max_iters"
     )
 
 

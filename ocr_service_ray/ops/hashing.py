@@ -69,3 +69,81 @@ def hash_pair_columns(a: pa.ChunkedArray | pa.Array, b: pa.ChunkedArray | pa.Arr
         return _splitmix64(
             hash_column(a) * np.uint64(0x100000001B3) ^ hash_column(b)
         )
+
+
+# --------------------------------------------------------------------
+# Fast vectorized token / n-gram hashing — the production (`hash=
+# "fast"`) mode of the dedup family (ops/dedup.py, ops/ngrams.py).
+# The oracle mode hashes every gram with hashlib.md5 in a Python loop
+# so DuckDB can recompute signatures from scratch; production corpora
+# don't need SQL-reproducibility, and per-gram md5 was the dominant
+# cost of the three slowest bench queries. Here the whole document is
+# hashed in O(bytes) numpy: one UTF-8 encode, a positional polynomial
+# prefix-sum, and segment differences — no per-token Python.
+#
+# Element-purity: a token's hash is a pure function of its bytes
+# (position weights are normalized away via the modular inverse of
+# the odd base, which exists mod 2^64), so the same token hashes
+# identically in every document, batch and process — the property the
+# banding/bucketing shuffles rely on.
+
+_POLY_B = np.uint64(0x100000001B3)  # odd → invertible mod 2^64
+_POLY_B_INV = np.uint64(pow(0x100000001B3, -1, 1 << 64))
+_GRAM_C = np.uint64(0x9E3779B97F4A7C15) | np.uint64(1)  # odd mixing base
+
+
+def hash_tokens_fast(toks: list[str]) -> np.ndarray:
+    """uint64 hash per token, vectorized over the whole list.
+
+    h(token) = splitmix64( Σ_i byte_i · B^i  ⊕  splitmix64(len) )
+    computed for ALL tokens at once: the tokens are NUL-joined and
+    encoded ONCE; per-position weights B^p and the weighted prefix sum
+    are cumulative numpy ops; each token's windowed sum is two prefix
+    lookups re-based by B^{-start}. Falls back to the per-token
+    blake2b loop iff a token itself contains NUL (would shift the
+    segment boundaries)."""
+    if not toks:
+        return np.empty(0, dtype=np.uint64)
+    buf = "\x00".join(toks).encode("utf-8")
+    a = np.frombuffer(buf, dtype=np.uint8)
+    seps = np.nonzero(a == 0)[0]
+    if len(seps) != len(toks) - 1:  # NUL inside a token — rare; exact fallback
+        return np.fromiter(
+            (
+                int.from_bytes(hashlib.blake2b(t.encode(), digest_size=8).digest(), "little")
+                for t in toks
+            ),
+            dtype=np.uint64,
+            count=len(toks),
+        )
+    n = len(a)
+    starts = np.concatenate([[0], seps + 1]).astype(np.int64)
+    ends = np.concatenate([seps, [n]]).astype(np.int64)  # exclusive
+    with np.errstate(over="ignore"):
+        bpow = np.ones(n + 1, dtype=np.uint64)
+        if n:
+            np.cumprod(np.full(n, _POLY_B, dtype=np.uint64), out=bpow[1:])
+        binv_pow = np.ones(n + 1, dtype=np.uint64)
+        if n:
+            np.cumprod(np.full(n, _POLY_B_INV, dtype=np.uint64), out=binv_pow[1:])
+        csum = np.concatenate(
+            [[np.uint64(0)], np.cumsum(a.astype(np.uint64) * bpow[:n], dtype=np.uint64)]
+        )
+        seg = (csum[ends] - csum[starts]) * binv_pow[starts]  # re-base to B^0
+        lens = (ends - starts).astype(np.uint64)
+        return _splitmix64(seg ^ _splitmix64(lens))
+
+
+def gram_hashes_fast(token_hashes: np.ndarray, n: int) -> np.ndarray:
+    """uint64 hash per token n-gram from per-token hashes: a sliding
+    window polynomial fold (Σ_j th[i+j] · C^j), splitmix64-finalized.
+    Returns len(th) - n + 1 hashes (empty when fewer than n tokens)."""
+    if len(token_hashes) < n:
+        return np.empty(0, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        w = np.empty(n, dtype=np.uint64)
+        w[0] = 1
+        if n > 1:
+            np.cumprod(np.full(n - 1, _GRAM_C, dtype=np.uint64), out=w[1:])
+        win = np.lib.stride_tricks.sliding_window_view(token_hashes, n)
+        return _splitmix64((win * w[None, :]).sum(axis=1, dtype=np.uint64))

@@ -41,6 +41,12 @@ key instead of the hex string keeps every downstream shuffle on the
 vectorized integer hash path (the string path is a ~1 µs/row Python
 loop) and moves 8 B/key instead of 32+ — measured 13.7s → ~9s on the
 sf0.1 shuffle strategy.
+
+``hash="fast"`` (every public function) replaces the per-gram md5
+loop with the fully vectorized polynomial gram hash of
+``ops/hashing.py`` — the production mode when SQL-reproducibility is
+not needed; statistics semantics are identical, only the key VALUES
+differ (``tests/test_ngrams.py`` pins fast == oracle output).
 """
 
 from __future__ import annotations
@@ -52,21 +58,38 @@ import pandas as pd
 import pyarrow as pa
 
 
-def _doc_grams(text: str, n: int) -> list[int]:
-    """All n-gram keys of a document, in positional order (1-based
-    start = index in this list + 1). Empty when the doc has < n
-    tokens. Key = int64 of the first 15 md5 hex chars — matches the
-    DuckDB oracle's hex-parse of ``md5(...)``."""
+def _doc_grams(text: str, n: int, hash: str = "oracle") -> np.ndarray:
+    """All n-gram keys of a document as an int64 array, in positional
+    order (1-based start = array index + 1). Empty when the doc has
+    < n tokens.
+
+    ``hash="oracle"`` (default): key = int64 of the first 15 md5 hex
+    chars — matches the DuckDB oracle's hex-parse of ``md5(...)``.
+    ``hash="fast"``: the vectorized polynomial gram hash
+    (ops/hashing.py) masked to the same 60-bit range — no per-gram
+    md5, for production runs; the two modes produce different key
+    VALUES but identical span/coverage semantics (hot-gram sets are
+    keyed consistently within a run)."""
     toks = text.split(" ")
     if len(toks) < n:
-        return []
-    return [
-        int(hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()[:15], 16)
-        for i in range(len(toks) - n + 1)
-    ]
+        return np.empty(0, dtype=np.int64)
+    if hash == "fast":
+        from ocr_service_ray.ops.hashing import gram_hashes_fast, hash_tokens_fast
+
+        gh = gram_hashes_fast(hash_tokens_fast(toks), n)
+        return (gh & np.uint64((1 << 60) - 1)).astype(np.int64)
+    return np.fromiter(
+        (
+            int(hashlib.md5(" ".join(toks[i : i + n]).encode("utf-8")).hexdigest()[:15], 16)
+            for i in range(len(toks) - n + 1)
+        ),
+        dtype=np.int64,
+        count=len(toks) - n + 1,
+    )
 
 
-def gram_df(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
+def gram_df(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id",
+            hash: str = "oracle"):
     """Pass 1: Dataset of ``(gram_hash, df)`` — document frequency of
     every n-gram. Per-doc grams are deduplicated INSIDE the batch
     before the shuffle (the combiner), so the exchange moves at most
@@ -74,21 +97,21 @@ def gram_df(ds, n: int = 3, text_col: str = "text", id_col: str = "doc_id"):
     from ocr_service_ray.ops.agg import grouped_agg
 
     def explode_unique(batch: pa.Table) -> pa.Table:
-        out: list[str] = []
+        parts = [np.empty(0, dtype=np.int64)]
         for t in batch[text_col].to_pylist():
-            out.extend(set(_doc_grams(t, n)))
-        return pa.table({"gram_hash": pa.array(out, pa.int64())})
+            parts.append(np.unique(_doc_grams(t, n, hash)))
+        return pa.table({"gram_hash": pa.array(np.concatenate(parts), pa.int64())})
 
     pairs = ds.map_batches(explode_unique, batch_format="pyarrow")
     return grouped_agg(pairs, ["gram_hash"], {"df": (None, "count")})
 
 
 def hot_grams(ds, n: int = 3, min_df: int = 2, text_col: str = "text",
-              id_col: str = "doc_id"):
+              id_col: str = "doc_id", hash: str = "oracle"):
     """Grams appearing in >= ``min_df`` distinct documents."""
     import pyarrow.compute as pc
 
-    return gram_df(ds, n, text_col, id_col).map_batches(
+    return gram_df(ds, n, text_col, id_col, hash).map_batches(
         lambda b: b.filter(pc.greater_equal(b["df"], min_df)),
         batch_format="pyarrow",
     )
@@ -112,6 +135,7 @@ def duplicate_ngram_stats(
     text_col: str = "text",
     id_col: str = "doc_id",
     strategy: str = "broadcast",
+    hash: str = "oracle",
 ):
     """Per-document duplicated-span statistics:
 
@@ -122,22 +146,28 @@ def duplicate_ngram_stats(
                               (interval union)
 
     Every document appears in the output (zeros when clean).
+    ``hash="fast"`` switches gram hashing to the vectorized
+    polynomial mode (see ``_doc_grams``) — same statistics, no
+    per-gram md5 (the md5 default is what the DuckDB oracle
+    recomputes).
     """
     if strategy == "broadcast":
-        return _stats_broadcast(ds, n, min_df, text_col, id_col)
+        return _stats_broadcast(ds, n, min_df, text_col, id_col, hash)
     if strategy == "shuffle":
-        return _stats_shuffle(ds, n, min_df, text_col, id_col)
+        return _stats_shuffle(ds, n, min_df, text_col, id_col, hash)
     raise ValueError(f"unknown strategy: {strategy}")
 
 
-def _stats_broadcast(ds, n, min_df, text_col, id_col):
+def _stats_broadcast(ds, n, min_df, text_col, id_col, hash="oracle"):
     import ray
 
     # Hot set size is bounded by the duplicated vocabulary — driver
     # materialization is intentional here; use strategy="shuffle" when
-    # it no longer fits (boilerplate-saturated corpora).
-    hot = hot_grams(ds, n, min_df, text_col, id_col).to_pandas()
-    hot_ref = ray.put(frozenset(hot["gram_hash"]))
+    # it no longer fits (boilerplate-saturated corpora). Broadcast as
+    # ONE sorted int64 array: the per-doc membership test is then a
+    # vectorized np.isin instead of a per-gram Python set probe.
+    hot = hot_grams(ds, n, min_df, text_col, id_col, hash).to_pandas()
+    hot_ref = ray.put(np.sort(hot["gram_hash"].to_numpy(dtype=np.int64)))
 
     class MarkSpans:
         def __init__(self):
@@ -148,11 +178,10 @@ def _stats_broadcast(ds, n, min_df, text_col, id_col):
             for key, t in zip(
                 batch[id_col].to_pylist(), batch[text_col].to_pylist()
             ):
-                grams = _doc_grams(t, n)
-                starts = np.array(
-                    [i + 1 for i, g in enumerate(grams) if g in self.hot],
-                    dtype=np.int64,
-                )
+                grams = _doc_grams(t, n, hash)
+                starts = (
+                    np.nonzero(np.isin(grams, self.hot))[0] + 1
+                ).astype(np.int64)
                 nt = t.count(" ") + 1
                 ids.append(key)
                 ntok.append(nt)
@@ -170,24 +199,29 @@ def _stats_broadcast(ds, n, min_df, text_col, id_col):
     return ds.map_batches(MarkSpans, batch_format="pyarrow", concurrency=(1, 8))
 
 
-def _stats_shuffle(ds, n, min_df, text_col, id_col):
+def _stats_shuffle(ds, n, min_df, text_col, id_col, hash="oracle"):
     from ocr_service_ray.ops.agg import bucketed_map_groups
     from ocr_service_ray.ops.relational import hash_join
 
-    hot = hot_grams(ds, n, min_df, text_col, id_col)
+    hot = hot_grams(ds, n, min_df, text_col, id_col, hash)
 
     def explode_pos(batch: pa.Table) -> pa.Table:
         ids, starts, grams = [], [], []
         for key, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
-            for i, g in enumerate(_doc_grams(t, n)):
-                ids.append(key)
-                starts.append(i + 1)
+            g = _doc_grams(t, n, hash)
+            if len(g):
+                ids.extend([key] * len(g))
+                starts.append(np.arange(1, len(g) + 1, dtype=np.int64))
                 grams.append(g)
         return pa.table(
             {
                 id_col: pa.array(ids, batch[id_col].type),
-                "s": pa.array(starts, pa.int64()),
-                "gram_hash": pa.array(grams, pa.int64()),
+                "s": pa.array(
+                    np.concatenate(starts) if starts else np.empty(0, np.int64)
+                ),
+                "gram_hash": pa.array(
+                    np.concatenate(grams) if grams else np.empty(0, np.int64)
+                ),
             }
         )
 
@@ -241,6 +275,7 @@ def strip_duplicate_spans(
     text_col: str = "text",
     id_col: str = "doc_id",
     out_col: str = "clean_text",
+    hash: str = "oracle",
 ):
     """Pass-2 variant that REMOVES covered tokens: the per-document
     text with every token that lies inside a hot n-gram dropped
@@ -248,8 +283,8 @@ def strip_duplicate_spans(
     the text and the hot set in the same task."""
     import ray
 
-    hot = hot_grams(ds, n, min_df, text_col, id_col).to_pandas()
-    hot_ref = ray.put(frozenset(hot["gram_hash"]))
+    hot = hot_grams(ds, n, min_df, text_col, id_col, hash).to_pandas()
+    hot_ref = ray.put(np.sort(hot["gram_hash"].to_numpy(dtype=np.int64)))
 
     class Strip:
         def __init__(self):
@@ -259,11 +294,12 @@ def strip_duplicate_spans(
             out = []
             for t in batch[text_col].to_pylist():
                 toks = t.split(" ")
-                grams = _doc_grams(t, n)
+                grams = _doc_grams(t, n, hash)
                 keep = np.ones(len(toks), dtype=bool)
-                for i, g in enumerate(grams):
-                    if g in self.hot:
-                        keep[i : i + n] = False
+                # loop over HITS only (few per doc); membership test
+                # is one vectorized np.isin over the gram array
+                for i in np.nonzero(np.isin(grams, self.hot))[0]:
+                    keep[i : i + n] = False
                 out.append(" ".join(tok for tok, k in zip(toks, keep) if k))
             return batch.append_column(out_col, pa.array(out, pa.string()))
 

@@ -7,16 +7,22 @@ Shapes (100 TB):
   each document to its DISTINCT terms inside the batch, so the
   ``grouped_agg`` shuffle moves ≤ one row per (doc, distinct term) —
   document frequency, never raw tokens.
-- **The idf table is broadcast, not joined.** Vocabulary (or the
-  query's terms) go to the object store once; pass 2 re-scans the
-  corpus and scores in-kernel — zero shuffle of document rows
-  (the same broadcast/shuffle trade as ``ops/ngrams.py``; a
-  boilerplate-saturated vocabulary would use the gram-keyed hash-join
-  strategy there).
+- **The idf table is broadcast OR joined — caller's choice.**
+  ``strategy="broadcast"`` ships the vocabulary to the object store
+  once and scores in-kernel (zero shuffle of document rows);
+  ``strategy="shuffle"`` keeps the df table distributed and
+  hash-joins it to the exploded (doc, term, tf) rows — the 100 TB
+  path when a hapax-heavy web vocabulary no longer fits a worker
+  heap (the same broadcast/shuffle pairing as ``ops/ngrams.py``,
+  tested equal).
 - **BM25 needs ONE corpus pass for stats.** The per-doc
   (dl, tf per query term) projection is tiny (ints), so it is
-  materialized once; df/avgdl come from it, and scoring + combiner
-  top-k run over it — the text is read exactly once.
+  pinned once; df/avgdl come from it, and scoring + combiner
+  top-k run over it — the text is read exactly once. At bench scale
+  the pin is an object-store ``materialize()``; ``stats_path`` is
+  the 10^12-doc tier — the same projection written as parquet and
+  read back (mirror of ``signature_path`` in ``ops/dedup.py``), so
+  O(docs) state lives in storage, not cluster memory.
 
 Oracle determinism: idf is the BM25 odds ratio WITHOUT the log —
 ``(N - df + 0.5) / (df + 0.5)`` — because +, ×, ÷ are IEEE-exact and
@@ -65,15 +71,31 @@ def tfidf_topk_terms(
     text_col: str = "text",
     id_col: str = "doc_id",
     log_idf: bool = False,
+    strategy: str = "broadcast",
 ):
     """Top-``k`` characteristic terms per document by tf·idf
     (ties → lexicographically smaller term wins; every doc emits
     ``min(k, |distinct terms|)`` rows).
 
-    Two corpus passes, zero shuffle of document rows: pass 1 builds
-    the df table (combiner aggregate), which is broadcast; pass 2
-    rescans and ranks in-kernel.
+    Two strategies, identical values (asserted in
+    ``tests/test_ranking.py`` — the same broadcast/shuffle pairing as
+    ``ops/ngrams.py``):
+
+    - ``"broadcast"``: pass 1 builds the df table (combiner
+      aggregate), the full-vocabulary idf dict is broadcast, pass 2
+      rescans and ranks in-kernel — zero shuffle of document rows.
+      Right while the distinct-token vocabulary fits a worker heap.
+    - ``"shuffle"``: the df table STAYS a Dataset; the per-doc
+      (doc, term, tf) projection (distinct terms only — the combiner)
+      is hash-joined to it on ``term``, scored vectorized, and folded
+      to per-doc top-k in one ``bucketed_map_groups`` keyed by doc.
+      The 100 TB path for hapax-heavy web vocabularies where the idf
+      dict itself is too large to pull to the driver or broadcast.
     """
+    if strategy == "shuffle":
+        return _tfidf_shuffle(ds, k, text_col, id_col, log_idf)
+    if strategy != "broadcast":
+        raise ValueError(f"unknown strategy: {strategy}")
     import ray
 
     df_tbl = term_doc_freq(ds, text_col).to_pandas()
@@ -116,6 +138,71 @@ def tfidf_topk_terms(
     return ds.map_batches(Rank, batch_format="pyarrow", concurrency=(1, 8))
 
 
+def _tfidf_shuffle(ds, k, text_col, id_col, log_idf):
+    """Gram-keyed shuffle strategy (mirrors ``ngrams._stats_shuffle``):
+    no driver pull and no broadcast of the vocabulary — the df table
+    is joined to the exploded (doc, term, tf) rows on ``term`` (one
+    hash shuffle moving distinct-term rows, never document text), and
+    the per-doc fold is one coarse-bucketed groupby on the doc id.
+
+    Every document emits ≥ 1 term row (an empty text tokenizes to the
+    single term ``""``, which is in the df table by construction), so
+    the inner join preserves the per-doc output contract without a
+    spine join."""
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+    from ocr_service_ray.ops.relational import hash_join
+
+    n_docs = int(ds.count())
+    df_ds = term_doc_freq(ds, text_col)
+
+    def explode_tf(batch: pa.Table) -> pa.Table:
+        ids, terms, tfs = [], [], []
+        for key, t in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+            for term, tf in Counter(t.split(" ")).items():
+                ids.append(key)
+                terms.append(term)
+                tfs.append(tf)
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "term": pa.array(terms, pa.string()),
+                "tf": pa.array(tfs, pa.int64()),
+            }
+        )
+
+    tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow")
+    joined = hash_join(tf_rows, df_ds, on="term")
+
+    def score(b: pa.Table) -> pa.Table:
+        tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
+        idf = _rational_idf(
+            n_docs, b["df"].to_numpy(zero_copy_only=False).astype(np.float64)
+        )
+        if log_idf:
+            idf = np.log(1.0 + idf)
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "term": b["term"],
+                "tf": pc.cast(b["tf"], pa.int64()),
+                "score": pa.array(tf * idf, pa.float64()),
+            }
+        )
+
+    scored = joined.map_batches(score, batch_format="pyarrow")
+
+    def per_doc_topk(g: pd.DataFrame) -> pd.DataFrame:
+        top = g.sort_values(
+            ["score", "term"], ascending=[False, True], kind="stable"
+        ).head(k)
+        return top[[id_col, "term", "tf", "score"]]
+
+    return bucketed_map_groups(scored, [id_col], per_doc_topk)
+
+
 def bm25_search(
     ds,
     query_terms: list[str],
@@ -125,6 +212,7 @@ def bm25_search(
     k1: float = 1.2,
     b: float = 0.75,
     log_idf: bool = False,
+    stats_path: str | None = None,
 ):
     """Top-``k`` documents for a bag-of-terms query by BM25
     (Robertson/Spärck Jones; idf per the module's rational-odds
@@ -133,9 +221,13 @@ def bm25_search(
 
     The text is scanned ONCE: per-doc (dl, tf_j) ints are projected
     vectorized (``pc.count_substring`` on a space-doubled pad — token
-    == exact ``\\x20term\\x20`` match), materialized (ints only),
-    then df/avgdl and the scored combiner top-k run over that tiny
-    table."""
+    == exact ``\\x20term\\x20`` match) and pinned (ints only), then
+    df/avgdl and the scored combiner top-k run over that tiny table.
+    The pin is the object store by default; pass ``stats_path`` to
+    write the projection as parquet and read it back instead — at
+    corpus scale the per-doc stats are O(docs) and must live in
+    storage, not cluster memory (and a re-run with the same terms can
+    reuse them)."""
     import pyarrow.compute as pc
 
     from ocr_service_ray.ops.agg import global_agg
@@ -162,7 +254,14 @@ def bm25_search(
             )
         return pa.table(cols)
 
-    stats = ds.map_batches(project, batch_format="pyarrow").materialize()
+    stats_plan = ds.map_batches(project, batch_format="pyarrow")
+    if stats_path is not None:
+        from ocr_service_ray.sources.readers import read_parquet_clean
+
+        stats_plan.write_parquet(stats_path)
+        stats = read_parquet_clean(stats_path)
+    else:
+        stats = stats_plan.materialize()
 
     # df_j = number of docs with tf_j > 0: indicator sum over the
     # materialized int table (second pass over ints, not text)

@@ -72,6 +72,32 @@ def _kmeans(sample: np.ndarray, nlist: int, iters: int = 10, seed: int = 13) -> 
     return centroids
 
 
+def _empty_knn_result(index_path: str | None, id_col: str):
+    """Typed empty ``(id_col, cos_sim)`` Dataset for a probe whose
+    cells are all absent — same pattern as ``InvertedIndex.postings``.
+    The id type comes from any written index file (int64 fallback when
+    the index is entirely empty)."""
+    import glob
+
+    import ray.data as rd
+
+    id_type = pa.int64()
+    if index_path is not None:
+        files = glob.glob(f"{index_path}/*/*.parquet")
+        if files:
+            import pyarrow.parquet as pq
+
+            id_type = pq.read_schema(sorted(files)[0]).field(id_col).type
+    return rd.from_arrow(
+        pa.table(
+            {
+                id_col: pa.array([], id_type),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+    )
+
+
 class IvfIndex:
     """IVF-flat index over a Dataset: train coarse centroids on a
     sample, then PERSIST the corpus as cell-partitioned parquet
@@ -122,16 +148,21 @@ class IvfIndex:
 
     def search(self, query: np.ndarray, k: int = 5):
         import glob
+        import os
 
         # Read ONLY the probed cell partitions (hive layout written by
         # build); a cell directory may be absent if no vector landed in
-        # that cell. File list passed explicitly — a mixed dir list
-        # trips read_parquet's file-vs-dir resolution.
+        # that cell (filtered like LshIndex.search). File list passed
+        # explicitly — a mixed dir list trips read_parquet's
+        # file-vs-dir resolution.
         files = [
             f
             for p in self.probe_paths(query)
+            if os.path.isdir(p)
             for f in sorted(glob.glob(f"{p}/*.parquet"))
         ]
+        if not files:
+            return _empty_knn_result(self.index_path, self.id_col)
         from ocr_service_ray.sources.readers import read_parquet_clean
 
         probed = read_parquet_clean(files, columns=[self.id_col, self.vec_col])
@@ -212,6 +243,8 @@ class LshIndex:
             if os.path.isdir(p)
             for f in sorted(glob.glob(f"{p}/*.parquet"))
         ]
+        if not files:
+            return _empty_knn_result(self.index_path, self.id_col)
         from ocr_service_ray.sources.readers import read_parquet_clean
 
         probed = read_parquet_clean(files, columns=[self.id_col, self.vec_col])

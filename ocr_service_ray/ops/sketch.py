@@ -117,6 +117,15 @@ def _disc_rank(q: float, n: int) -> int:
     return max(math.ceil(q * n) - 1, 0)
 
 
+def _empty_quantile_frame(qs: list[float]) -> "pd.DataFrame":
+    """(q_pct, value=None) rows — the SQL-NULL analogue for quantiles
+    of an empty input (mirrors the hi<=lo early-return shape in
+    ``histogram_quantiles``)."""
+    return pd.DataFrame(
+        {"q_pct": [int(round(q * 100)) for q in qs], "value": [None] * len(qs)}
+    )
+
+
 def value_counts_quantiles(ds, col: str, qs: list[float]) -> "pd.DataFrame":
     """EXACT discrete quantiles of a bounded-cardinality column via
     the value-counts combiner: one ``grouped_agg`` count per distinct
@@ -130,14 +139,13 @@ def value_counts_quantiles(ds, col: str, qs: list[float]) -> "pd.DataFrame":
     Returns a DataFrame ``(q_pct, value)``; ``q_pct`` = int(q*100)."""
     from ocr_service_ray.ops.agg import grouped_agg
 
-    vc = (
-        grouped_agg(ds, [col], {"cnt": (None, "count")})
-        .to_pandas()
-        .sort_values(col)
-        .reset_index(drop=True)
-    )
+    vc = grouped_agg(ds, [col], {"cnt": (None, "count")}).to_pandas()
+    if vc.empty:  # empty dataset: no order statistics exist (guard
+        # BEFORE sort_values — zero-row to_pandas drops columns)
+        return _empty_quantile_frame(qs)
+    vc = vc.sort_values(col).reset_index(drop=True)
     cum = vc["cnt"].cumsum().to_numpy()
-    n = int(cum[-1]) if len(cum) else 0
+    n = int(cum[-1])
     rows = []
     for q in qs:
         r = _disc_rank(q, n)
@@ -192,6 +200,8 @@ def histogram_quantiles(
     from ocr_service_ray.ops.agg import global_agg, grouped_agg
 
     span = global_agg(ds, {"lo": (col, "min"), "hi": (col, "max")})
+    if span["lo"] is None or span["hi"] is None:  # empty / all-null input
+        return _empty_quantile_frame(qs)
     lo, hi = float(span["lo"]), float(span["hi"])
     if hi <= lo:
         return pd.DataFrame(
@@ -250,12 +260,11 @@ def value_counts_quantiles_cont(ds, col: str, qs: list[float]) -> pd.DataFrame:
 
     from ocr_service_ray.ops.agg import grouped_agg
 
-    vc = (
-        grouped_agg(ds, [col], {"cnt": (None, "count")})
-        .to_pandas()
-        .sort_values(col)
-        .reset_index(drop=True)
-    )
+    vc = grouped_agg(ds, [col], {"cnt": (None, "count")}).to_pandas()
+    if vc.empty:  # empty dataset: no order statistics exist (guard
+        # BEFORE sort_values — zero-row to_pandas drops columns)
+        return _empty_quantile_frame(qs)
+    vc = vc.sort_values(col).reset_index(drop=True)
     cum = vc["cnt"].cumsum().to_numpy()
     n = int(cum[-1])
     vals = vc[col].to_numpy()

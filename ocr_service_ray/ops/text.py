@@ -155,11 +155,21 @@ def extract_json_int(
     kernel over the batch, no per-row json.loads). Matches
     ``"key": <digits>`` — the canonical json.dumps int rendering that
     DuckDB's ``json_extract`` agrees with on flat objects. Missing
-    key → null."""
+    key → null. A non-integer value (``"k": 1.5`` / ``1e3``) also
+    yields null (a trailing capture group detects a following ``.``
+    or exponent and the value is nulled, rather than silently
+    extracting the integer prefix); a same-named key inside a NESTED
+    object or an embedded string can still match first — the
+    documented flat-object contract."""
     out_col = out_col or key
-    pat = rf'"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)'  # extract_regex needs named groups
+    # extract_regex is RE2 (no lookaheads): capture one optional
+    # trailing float/exponent char instead — greedy \d+ means ``t`` is
+    # non-empty iff the value continues as a non-integer
+    pat = rf'"{re.escape(key)}"\s*:\s*(?P<v>-?\d+)(?P<t>[.eE]?)'
     ext = pc.extract_regex(batch[col], pattern=pat)
     vals = pc.cast(pc.struct_field(ext, "v"), pa.int64())
+    is_int = pc.equal(pc.struct_field(ext, "t"), "")
+    vals = pc.if_else(pc.fill_null(is_int, False), vals, pa.scalar(None, pa.int64()))
     return batch.append_column(out_col, vals)
 
 

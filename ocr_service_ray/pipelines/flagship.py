@@ -51,6 +51,22 @@ def read_documents(path: str, columns: list[str] | None = None):
         return read_parquet_clean(path, columns=cols)
 
 
+def write_documents(ds, path: str, **kwargs):
+    """Write an output table — the sink mirror of :func:`read_documents`
+    (BASELINE.json's ``input_hint`` is a Lance table, so the flagship
+    sink is Lance-symmetric): ``ds.write_lance`` when the package is
+    present, partitioned parquet as the sandbox fallback — identical
+    Arrow schema either way. For resumable sharded output wrap the
+    pipeline in ``stages/checkpoint.run_checkpointed`` instead (its
+    manifest row/byte accounting reads parquet footers)."""
+    try:
+        import lance  # noqa: F401
+
+        return ds.write_lance(path, **kwargs)
+    except ImportError:
+        return ds.write_parquet(path, **kwargs)
+
+
 def run_extraction(
     docs,
     media,

@@ -22,8 +22,10 @@ The manifest carries per-partition lineage + throughput (north_rule
 count, byte size, wall time, docs/sec, and optionally a content hash
 of the (doc_id, span-sequence) pairs for byte-stability checks.
 
-Scale note: shards execute sequentially on the driver, but each shard
-is itself a fully streaming, cluster-wide Dataset job — shard count
+Scale note: each shard is itself a fully streaming, cluster-wide
+Dataset job; up to ``max_in_flight`` shards run concurrently (driver
+threads — Ray Data schedules the overlapping jobs side by side, so
+one shard's straggler tail doesn't idle the cluster). Shard count
 should be small (tens), sized so one shard ≈ minutes of cluster work;
 checkpoint granularity trades against scheduling overhead.
 """
@@ -81,6 +83,69 @@ def span_content_hash(part_dir: str) -> str:
     return outer.hexdigest()
 
 
+def _run_one_shard(i, shard, build_pipeline, out_dir, hash_content) -> dict:
+    """Execute one shard end-to-end: build → write to ``.tmp`` →
+    stage manifest → atomic rename (the commit point). Returns the
+    manifest. Safe to run concurrently with other shards — every path
+    it touches is namespaced by the shard id."""
+    import pyarrow.parquet as pq
+
+    part = os.path.join(out_dir, _shard_id(i))
+    tmp = part + ".tmp"
+    if os.path.isdir(tmp):
+        import shutil
+
+        shutil.rmtree(tmp)
+    if os.path.isdir(part):
+        import shutil
+
+        shutil.rmtree(part)
+    t0 = time.perf_counter()
+    ds = build_pipeline(shard)
+    for attempt in range(3):
+        try:
+            ds.write_parquet(tmp)
+            break
+        except ImportError as e:
+            # Concurrent-shard races on Ray's lazy fsspec.http import:
+            # the module fails with ModuleNotFoundError (no aiohttp),
+            # is evicted from sys.modules (failed imports are never
+            # cached), and a second thread mid-import can observe the
+            # partial module as "cannot import name 'HTTPFileSystem'"
+            # — which escapes Ray's ModuleNotFoundError-only guard
+            # (ray/data/datasource/path_util.py:152). Retry is safe:
+            # the raise happens at path resolution, before any write.
+            if "fsspec" not in str(e) or attempt == 2:
+                raise
+            import shutil
+
+            shutil.rmtree(tmp, ignore_errors=True)
+            time.sleep(0.1 * (attempt + 1))
+    # Row/byte counts from parquet footers only — no data re-read.
+    rows = 0
+    nbytes = 0
+    for name in os.listdir(tmp):
+        if name.endswith(".parquet"):
+            fp = os.path.join(tmp, name)
+            rows += pq.read_metadata(fp).num_rows
+            nbytes += os.path.getsize(fp)
+    wall = time.perf_counter() - t0
+    manifest = {
+        "partition": i,
+        "input": repr(shard)[:500],
+        "rows": rows,
+        "bytes": nbytes,
+        "t_wall_sec": round(wall, 4),
+        "docs_per_sec": round(rows / wall, 3) if wall > 0 else None,
+    }
+    if hash_content:
+        manifest["span_hash"] = span_content_hash(tmp)
+    with open(os.path.join(tmp, "_manifest.json"), "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2)
+    os.rename(tmp, part)  # commit point
+    return manifest
+
+
 def run_checkpointed(
     shards: list,
     build_pipeline,
@@ -88,64 +153,47 @@ def run_checkpointed(
     *,
     resume: bool = True,
     hash_content: bool = False,
+    max_in_flight: int = 2,
 ) -> dict:
     """Run ``build_pipeline(shard) -> Dataset`` per shard with atomic
     per-partition commit; skip already-complete shards when resuming.
+
+    Up to ``max_in_flight`` shards execute CONCURRENTLY (each is an
+    independent streaming Dataset job; Ray Data schedules them side by
+    side, so a shard's long tail no longer idles the cluster between
+    commits). Commit atomicity is per shard and unchanged —
+    ``max_in_flight=1`` reproduces the strictly sequential behavior.
+    Each shard's output bytes are independent of in-flight count
+    (asserted by the resume test's span hashes).
 
     Returns a run summary {partitions, skipped, rows, seconds}.
     """
     os.makedirs(out_dir, exist_ok=True)
     done = completed_shards(out_dir) if resume else set()
-    total_rows = 0
+    todo = [(i, s) for i, s in enumerate(shards) if i not in done]
     t_run = time.perf_counter()
-    executed = []
-    for i, shard in enumerate(shards):
-        if i in done:
-            continue
-        part = os.path.join(out_dir, _shard_id(i))
-        tmp = part + ".tmp"
-        if os.path.isdir(tmp):
-            import shutil
+    manifests: list[dict] = []
+    if max_in_flight <= 1 or len(todo) <= 1:
+        for i, shard in todo:
+            manifests.append(
+                _run_one_shard(i, shard, build_pipeline, out_dir, hash_content)
+            )
+    else:
+        from concurrent.futures import ThreadPoolExecutor
 
-            shutil.rmtree(tmp)
-        if os.path.isdir(part):
-            import shutil
-
-            shutil.rmtree(part)
-        t0 = time.perf_counter()
-        ds = build_pipeline(shard)
-        ds.write_parquet(tmp)
-        # Row/byte counts from parquet footers only — no data re-read.
-        import pyarrow.parquet as pq
-
-        rows = 0
-        nbytes = 0
-        for name in os.listdir(tmp):
-            if name.endswith(".parquet"):
-                fp = os.path.join(tmp, name)
-                rows += pq.read_metadata(fp).num_rows
-                nbytes += os.path.getsize(fp)
-        wall = time.perf_counter() - t0
-        manifest = {
-            "partition": i,
-            "input": repr(shard)[:500],
-            "rows": rows,
-            "bytes": nbytes,
-            "t_wall_sec": round(wall, 4),
-            "docs_per_sec": round(rows / wall, 3) if wall > 0 else None,
-        }
-        if hash_content:
-            manifest["span_hash"] = span_content_hash(tmp)
-        with open(os.path.join(tmp, "_manifest.json"), "w", encoding="utf-8") as f:
-            json.dump(manifest, f, indent=2)
-        os.rename(tmp, part)  # commit point
-        total_rows += rows
-        executed.append(i)
+        with ThreadPoolExecutor(max_workers=max_in_flight) as pool:
+            futs = [
+                pool.submit(
+                    _run_one_shard, i, shard, build_pipeline, out_dir, hash_content
+                )
+                for i, shard in todo
+            ]
+            manifests = [f.result() for f in futs]
     return {
         "partitions": len(shards),
-        "executed": executed,
+        "executed": sorted(m["partition"] for m in manifests),
         "skipped": sorted(done),
-        "rows": total_rows,
+        "rows": sum(m["rows"] for m in manifests),
         "seconds": round(time.perf_counter() - t_run, 4),
     }
 

@@ -83,10 +83,13 @@ def write_rendered(out_ds, path: str, fmt: str = "text"):
     """S7 sink — rendered documents to partitioned parquet. The
     reference writes one .txt per doc (``process_dataset_phase1.py:
     133-202``); at 10^12 docs that is a filesystem DoS, so the rebuild
-    writes {doc_id, rendered} rows to parquet — one file per block,
-    directory-partitionable by the caller via ``run_checkpointed``
-    (stages/checkpoint.py) for resumability."""
-    render_output(out_ds, fmt).write_parquet(path)
+    writes {doc_id, rendered} rows to Lance when available / parquet
+    in the sandbox (``pipelines/flagship.write_documents``) — one file
+    per block, directory-partitionable by the caller via
+    ``run_checkpointed`` (stages/checkpoint.py) for resumability."""
+    from ocr_service_ray.pipelines.flagship import write_documents
+
+    write_documents(render_output(out_ds, fmt), path)
 
 
 def summary_json(out_ds, path: str | None = None) -> str:

@@ -66,6 +66,33 @@ def test_checkpoint_resume_identical(ray_session, build, tmp_path):
         assert span_content_hash(part) == full_hashes[i]
 
 
+def test_parallel_shards_match_sequential(ray_session, build, tmp_path):
+    """max_in_flight > 1 runs shards concurrently; every partition's
+    content hash must equal the strictly-sequential run's (commit
+    atomicity and output bytes are in-flight-count independent)."""
+    docs, build_pipeline = build
+    shards = table_shards(docs, 4)
+
+    seq_dir = str(tmp_path / "seq")
+    par_dir = str(tmp_path / "par")
+    s1 = run_checkpointed(
+        shards, build_pipeline, seq_dir, hash_content=True, max_in_flight=1
+    )
+    s2 = run_checkpointed(
+        shards, build_pipeline, par_dir, hash_content=True, max_in_flight=4
+    )
+    assert s1["executed"] == s2["executed"] == [0, 1, 2, 3]
+    assert s1["rows"] == s2["rows"]
+    for i in range(4):
+        h = [
+            json.load(
+                open(os.path.join(d, f"part={i:05d}", "_manifest.json"))
+            )["span_hash"]
+            for d in (seq_dir, par_dir)
+        ]
+        assert h[0] == h[1], f"partition {i} differs under parallel execution"
+
+
 def test_no_resume_overwrites(ray_session, build, tmp_path):
     docs, build_pipeline = build
     shards = table_shards(docs.slice(0, 20), 2)

@@ -124,6 +124,16 @@ def test_keep_canonical_no_pairs(ray_session):
     assert sorted(kept["doc_id"].tolist()) == [0, 1, 2, 3]
 
 
+def test_deep_chain_converges_logarithmically(ray_session):
+    """A 200-node path must converge well under max_iters thanks to
+    per-round pointer jumping (VERDICT r2: plain min-propagation needs
+    ~diameter rounds and used to RAISE here)."""
+    pairs = [(i + 1, i) for i in range(199)]
+    got = _run(pairs, driver_threshold=0, max_iters=12)  # ~log2(200)+slack
+    assert set(got.values()) == {0}
+    assert len(got) == 200
+
+
 def test_nonconvergence_guard(ray_session):
     import ray.data as rd
 

@@ -75,15 +75,68 @@ def test_strip_removes_shared_span(ray_session):
 
 
 def test_doc_grams_edges():
-    assert _doc_grams("a b", 3) == []
+    assert len(_doc_grams("a b", 3)) == 0
     assert len(_doc_grams("a b c d", 3)) == 2
     # key = int64 of the first 15 md5 hex chars of the joined gram
     # (the DuckDB-parity contract via _hex_bigint_sql)
     import hashlib
 
-    assert _doc_grams("x y z", 3) == [
+    assert _doc_grams("x y z", 3).tolist() == [
         int(hashlib.md5(b"x y z").hexdigest()[:15], 16)
     ]
+
+
+def test_doc_grams_fast_mode():
+    """Fast keys: 60-bit range, positionally aligned with oracle keys,
+    same-gram → same-key across documents."""
+    g1 = _doc_grams("a b c d", 3, hash="fast")
+    assert len(g1) == 2 and g1.dtype == np.int64 and (g1 >= 0).all()
+    g2 = _doc_grams("x a b c d", 3, hash="fast")
+    # the "a b c" and "b c d" grams hash identically wherever they occur
+    assert g1[0] == g2[1] and g1[1] == g2[2]
+    assert len(_doc_grams("a b", 3, hash="fast")) == 0
+
+
+def test_stats_fast_equals_oracle(ray_session):
+    """hash="fast" must produce IDENTICAL statistics to the md5 oracle
+    mode (only the internal key values differ) — both strategies."""
+    import ray.data as rd
+
+    for strategy in ("broadcast", "shuffle"):
+        a = (
+            duplicate_ngram_stats(
+                rd.from_arrow(DOCS), n=5, min_df=2, strategy=strategy, hash="oracle"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        b = (
+            duplicate_ngram_stats(
+                rd.from_arrow(DOCS), n=5, min_df=2, strategy=strategy, hash="fast"
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        cols = ["doc_id", "n_tokens", "hot_gram_occurrences", "dup_token_count"]
+        assert a[cols].equals(b[cols].astype(a[cols].dtypes.to_dict())), strategy
+
+
+def test_strip_fast_equals_oracle(ray_session):
+    import ray.data as rd
+
+    a = (
+        strip_duplicate_spans(rd.from_arrow(DOCS), n=5, min_df=2, hash="oracle")
+        .to_pandas()
+        .set_index("doc_id")["clean_text"]
+    )
+    b = (
+        strip_duplicate_spans(rd.from_arrow(DOCS), n=5, min_df=2, hash="fast")
+        .to_pandas()
+        .set_index("doc_id")["clean_text"]
+    )
+    assert a.sort_index().equals(b.sort_index())
 
 
 @pytest.mark.parametrize(

@@ -103,6 +103,41 @@ def test_simhash_candidates(ray_session):
     assert all("z" not in p for p in found)
 
 
+def test_dedup_fast_hash_mode_agrees(ray_session):
+    """hash="fast" (vectorized polynomial hashing, no per-gram md5)
+    must surface the same verified near-dup PAIRS as the md5 oracle
+    mode on a fixture corpus — the modes may differ in estimate values
+    / hamming distances, never in which documents pair up."""
+    import ray.data as rd
+
+    from ocr_service_ray.ops.dedup import minhash_lsh_candidates, simhash_candidates
+
+    base = "the quick brown fox jumps over the lazy dog again and again " * 5
+    near = base.replace("lazy", "sleepy", 1)
+    near2 = base.replace("again", "anew", 2)
+    far = "completely different content about ray data pipelines and arrow tables " * 5
+    far2 = "cabbages and kings and sealing wax and whether pigs have wings " * 5
+    df = pd.DataFrame(
+        {
+            "doc_id": ["a", "b", "b2", "c", "d"],
+            "text": [base, near, near2, far, far2],
+        }
+    )
+
+    def pairset(fn, **kw):
+        p = fn(rd.from_pandas(df), **kw).to_pandas()
+        return set(zip(p["id_a"], p["id_b"]))
+
+    mh_oracle = pairset(minhash_lsh_candidates, threshold=0.5, hash="oracle")
+    mh_fast = pairset(minhash_lsh_candidates, threshold=0.5, hash="fast")
+    assert mh_oracle == mh_fast and ("a", "b") in mh_fast
+
+    sh_oracle = pairset(simhash_candidates, max_hamming=10, hash="oracle")
+    sh_fast = pairset(simhash_candidates, max_hamming=10, hash="fast")
+    assert sh_oracle == sh_fast and ("a", "b") in sh_fast
+    assert all("c" not in p and "d" not in p for p in sh_fast | mh_fast)
+
+
 def test_embedding_near_dup_and_knn(emb_ds):
     from ocr_service_ray.ops.dedup import embedding_near_dup
     from ocr_service_ray.ops.similarity import knn_brute
@@ -224,6 +259,29 @@ def test_ivf_probe_prunes_read(emb_ds):
     assert len(got) == 5
 
 
+def test_ivf_search_all_probed_cells_absent(emb_ds):
+    """A probe whose nprobe cells are all empty returns a typed empty
+    result, not an IndexError (ADVICE r2). Forced by deleting the
+    probed cell dirs from the written index."""
+    import os
+    import shutil
+
+    from ocr_service_ray.ops.similarity import IvfIndex
+
+    idx = IvfIndex(nlist=8, nprobe=2).build(emb_ds, sample_size=256)
+    q = np.asarray(
+        pq.read_table(f"{SF}/embeddings.parquet").to_pandas().iloc[3]["embedding"],
+        dtype=np.float64,
+    )
+    for p in idx.probe_paths(q):
+        if os.path.isdir(p):
+            shutil.rmtree(p)
+    got = idx.search(q, k=5)
+    # typed empty Dataset (to_pandas drops columns on zero-row data)
+    assert got.count() == 0
+    assert set(got.schema().names) == {"vec_id", "cos_sim"}
+
+
 def test_asof_join_matches_merge_asof(ray_session):
     """As-of join (one shuffle + in-group merge_asof) vs a driver-side
     pandas merge_asof oracle, including left rows with no match."""
@@ -328,6 +386,28 @@ def test_extract_json_int(ray_session):
     assert out["k"].to_pylist() == [69, None, None, -3]
 
 
+def test_extract_json_int_rejects_non_integers(ray_session):
+    """A float / exponent value must yield null, not its integer
+    prefix (ADVICE r2: '"k": 1.5' used to extract 1)."""
+    import pyarrow as pa
+
+    from ocr_service_ray.ops.text import extract_json_int
+
+    t = pa.table(
+        {
+            "props": [
+                '{"k": 1.5}',
+                '{"k": 2e3}',
+                '{"k": 10E2}',
+                '{"k": 7}',
+                '{"k": -12, "z": 1.5}',
+            ]
+        }
+    )
+    out = extract_json_int(t, "props", "k")
+    assert out["k"].to_pylist() == [None, None, None, 7, -12]
+
+
 def test_hash_sample_and_stratified_split(ray_session):
     import ray.data as rd
 
@@ -375,6 +455,31 @@ def test_grouped_distinct_count(ray_session):
     )
     ref = df.groupby("g")["u"].nunique()
     assert got.to_dict() == ref.to_dict()
+
+
+def test_grouped_distinct_count_skips_nulls(ray_session):
+    """SQL COUNT(DISTINCT col) semantics: NULL is never counted as a
+    distinct value; an all-NULL group drops out of the output
+    (documented divergence from SQL's zero row)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from ocr_service_ray.ops.agg import grouped_distinct_count
+
+    df = pd.DataFrame(
+        {
+            "g": ["a", "a", "a", "b", "b", "c"],
+            "u": [1.0, None, 1.0, 2.0, 3.0, None],
+        }
+    )
+    ds = rd.from_pandas([df.iloc[:3], df.iloc[3:]])
+    got = (
+        grouped_distinct_count(ds, ["g"], "u")
+        .to_pandas()
+        .set_index("g")["n_distinct"]
+        .to_dict()
+    )
+    assert got == {"a": 1, "b": 2}  # "c" (all-NULL) absent
 
 
 def test_bigram_counts(ray_session):

@@ -42,6 +42,23 @@ def test_value_counts_quantiles(ray_session):
         assert v == ref[_disc_rank(pct / 100, len(vals))]
 
 
+def test_quantiles_empty_dataset(ray_session):
+    """All three quantile operators return (q_pct, value=None) frames
+    on an empty input instead of IndexError (ADVICE r2)."""
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import (
+        histogram_quantiles,
+        value_counts_quantiles_cont,
+    )
+
+    empty = rd.from_arrow(pa.table({"x": pa.array([], pa.int64())}))
+    for fn in (value_counts_quantiles, value_counts_quantiles_cont, histogram_quantiles):
+        out = fn(empty, "x", [0.5, 0.9])
+        assert list(out["q_pct"]) == [50, 90]
+        assert out["value"].isna().all()
+
+
 def test_grouped_quantiles(ray_session):
     import ray.data as rd
 

@@ -92,6 +92,64 @@ def test_bm25_matches_reference(ray_session):
     assert list(out["score"]) == [s for s, _ in ref[:5]]
 
 
+def test_tfidf_broadcast_equals_shuffle(ray_session):
+    """The two strategies must return IDENTICAL rows — same pairing
+    contract as ngrams broadcast/shuffle. Includes an empty doc (the
+    '' term) and heavy repetition."""
+    import ray.data as rd
+
+    docs = DOCS + ["", "cat cat cat", "the mat"]
+    t = pa.table(
+        {
+            "doc_id": pa.array(range(len(docs)), pa.int64()),
+            "text": pa.array(docs),
+        }
+    )
+    cols = ["doc_id", "term", "tf", "score"]
+    a = (
+        tfidf_topk_terms(rd.from_arrow(t), k=2, strategy="broadcast")
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    b = (
+        tfidf_topk_terms(rd.from_arrow(t), k=2, strategy="shuffle")
+        .to_pandas()[cols]
+        .sort_values(cols)
+        .reset_index(drop=True)
+    )
+    # bit-exact equality, scores included (same IEEE ops in both paths)
+    assert a.equals(b)
+    # every doc present in both
+    assert set(a["doc_id"]) == set(range(len(docs)))
+
+
+def test_tfidf_unknown_strategy(ray_session):
+    import ray.data as rd
+
+    with pytest.raises(ValueError):
+        tfidf_topk_terms(rd.from_arrow(_tbl()), strategy="nope")
+
+
+def test_bm25_stats_path_tier(ray_session, tmp_path):
+    """stats_path writes the int projection as parquet and reads it
+    back — identical result to the object-store pin."""
+    import ray.data as rd
+
+    q = ["cat", "dog", "mat"]
+    a = bm25_search(rd.from_arrow(_tbl()), q, k=5).to_pandas()
+    b = bm25_search(
+        rd.from_arrow(_tbl()), q, k=5, stats_path=str(tmp_path / "bm25_stats")
+    ).to_pandas()
+    assert a.equals(b)
+    # the tier actually wrote the projection
+    import os
+
+    assert any(
+        f.endswith(".parquet") for f in os.listdir(tmp_path / "bm25_stats")
+    )
+
+
 def test_bm25_token_boundaries(ray_session):
     # "cat" must not match "catalog" or "concat"
     import ray.data as rd
