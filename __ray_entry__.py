@@ -1561,6 +1561,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(micro, batch_format="pyarrow")
 
+    def q_repetition_rules(sf_dir):
+        """L40 Gopher-style repetition quality rules over documents:
+        per-doc word/bigram counts, distinct counts, top-word count,
+        and the two integer cross-multiplied keep flags. All phases
+        combiner aggregates over (doc, gram) COUNT rows — text never
+        shuffles (ops/quality_rules.py)."""
+        from ocr_service_ray.ops.quality_rules import repetition_stats
+
+        out = repetition_stats(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+        def flags_to_int(b: pa.Table) -> pa.Table:
+            cols = {}
+            for c in b.column_names:
+                cols[c] = (
+                    pc.cast(b[c], pa.int64()) if c.startswith("keep_") else b[c]
+                )
+            return pa.table(cols)
+
+        return out.map_batches(flags_to_int, batch_format="pyarrow")
+
+    def q_redact_props(sf_dir):
+        """L41 pattern redaction (PII-scrub shape) over events.props:
+        multi-digit runs → <NUM>, then remaining single digits → '#',
+        counting matches per rule in application order. Stateless RE2
+        map, zero shuffle (ops/quality_rules.py); the oracle replays
+        the same two regexp_replace passes."""
+        from ocr_service_ray.ops.quality_rules import redact_patterns
+
+        return redact_patterns(
+            _read(sf_dir, "events", ["event_id", "props"]),
+            "props",
+            [("num", "[0-9]{2,}", "<NUM>"), ("digit", "[0-9]", "#")],
+            keep_cols=["event_id"],
+        )
+
+    def q_length_deciles(sf_dir):
+        """L42 global percentile banding: every document's decile
+        bucket over n_chars via the value-counts CDF broadcast
+        (ops/sketch.percentile_buckets) — integer rank arithmetic,
+        SQL-reproducible with a window-sum CDF join."""
+        from ocr_service_ray.ops.sketch import percentile_buckets
+
+        return percentile_buckets(
+            _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+            "n_chars",
+            10,
+            ["doc_id"],
+        )
+
+    def q_quantized_embeddings(sf_dir):
+        """L43 scalar int8-range embedding quantization: per-dim
+        global (min, max) combiner broadcast once, then a streaming
+        vectorized map — float64 +,-,×,÷,floor only, so the oracle
+        replays it bit-exactly (ops/vector.quantize_embeddings).
+        Exploded (vec_id, dim, q) is the oracle-comparable surface."""
+        from ocr_service_ray.ops.vector import quantize_embeddings
+
+        return quantize_embeddings(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        )
+
+    def q_mix_schedule(sf_dir):
+        """L44 deterministic weighted source interleave (training data
+        mixing): integer stride schedule mix_key = (2·rank+1)·(lcm/w)
+        per source, zero RNG, layout-invariant (ops/mix.py). Sources
+        outside the weight map drop out of the mix."""
+        from ocr_service_ray.ops.mix import interleave_by_weight
+
+        return interleave_by_weight(
+            _read(sf_dir, "documents", ["doc_id", "source"]),
+            {"src0": 5, "src1": 3, "src2": 2, "src3": 1},
+            source_col="source",
+            order_col="doc_id",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -1637,6 +1712,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "windowed_streaming": q_windowed_streaming,
         "consensus_suggestions": q_consensus_suggestions,
         "corpus_summary": q_corpus_summary,
+        "repetition_rules": q_repetition_rules,
+        "redact_props": q_redact_props,
+        "length_deciles": q_length_deciles,
+        "quantized_embeddings": q_quantized_embeddings,
+        "mix_schedule": q_mix_schedule,
     }
 
 
@@ -3062,5 +3142,109 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) DESC,
                      e.vec_id ASC
             LIMIT 5
+        """,
+        # Gopher-style repetition rules: unigram stats from the
+        # word-count CTE, bigram stats from adjacent-pair grams built
+        # with list_transform; flags are the integer cross-multiplied
+        # thresholds from ops/quality_rules.py (10·top ≤ 3·n etc.).
+        "repetition_rules": """
+            WITH wc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS g
+                    FROM documents)
+              GROUP BY doc_id, g),
+            wstat AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                     CAST(count(*) AS BIGINT) AS n_distinct_words,
+                     CAST(max(c) AS BIGINT) AS top_word_count
+              FROM wc GROUP BY doc_id),
+            bc AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS g
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM documents))
+              GROUP BY doc_id, g),
+            bstat AS (
+              SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+                     CAST(count(*) AS BIGINT) AS n_distinct_bigrams
+              FROM bc GROUP BY doc_id)
+            SELECT w.doc_id, w.n_words, w.n_distinct_words, w.top_word_count,
+                   coalesce(b.n_bigrams, 0) AS n_bigrams,
+                   coalesce(b.n_distinct_bigrams, 0) AS n_distinct_bigrams,
+                   CAST(CASE WHEN 10 * w.top_word_count <= 3 * w.n_words
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep_top_word,
+                   CAST(CASE WHEN 10 * (coalesce(b.n_bigrams, 0)
+                                        - coalesce(b.n_distinct_bigrams, 0))
+                             <= 2 * coalesce(b.n_bigrams, 0)
+                        THEN 1 ELSE 0 END AS BIGINT) AS keep_dup_bigram
+            FROM wstat w LEFT JOIN bstat b USING (doc_id)
+        """,
+        # Redaction rules replayed in the SAME order the kernel
+        # applies them: counts are against the text as each rule sees
+        # it (rule 2 counts digits REMAINING after rule 1 replaced
+        # multi-digit runs).
+        "redact_props": """
+            WITH s1 AS (
+              SELECT event_id,
+                     CAST(len(regexp_extract_all(props, '[0-9]{2,}')) AS BIGINT)
+                       AS n_num,
+                     regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS p1
+              FROM events)
+            SELECT event_id,
+                   regexp_replace(p1, '[0-9]', '#', 'g') AS props,
+                   n_num,
+                   CAST(len(regexp_extract_all(p1, '[0-9]')) AS BIGINT) AS n_digit
+            FROM s1
+        """,
+        # Percentile banding: strict-less CDF via a window sum over
+        # the value counts, bucket = min(n_less·NB // n, NB-1) —
+        # identical integer arithmetic to ops/sketch.percentile_buckets.
+        "length_deciles": """
+            WITH vc AS (
+              SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+            cdf AS (
+              SELECT v, CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS lt
+              FROM vc),
+            tot AS (SELECT count(*) AS n FROM documents)
+            SELECT d.doc_id, d.n_chars, cdf.lt AS n_less,
+                   CAST(least(cdf.lt * 10 // tot.n, 9) AS BIGINT) AS bucket
+            FROM documents d JOIN cdf ON d.n_chars = cdf.v CROSS JOIN tot
+        """,
+        # Scalar quantization replayed in float64: unnest +
+        # generate_subscripts zip positionally (dim is 1-based on both
+        # sides); min/max/±/×/÷/floor are IEEE-exact cross-engine.
+        "quantized_embeddings": """
+            WITH e AS (
+              SELECT vec_id,
+                     CAST(unnest(embedding) AS DOUBLE) AS v,
+                     generate_subscripts(embedding, 1) AS dim
+              FROM embeddings),
+            st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim)
+            SELECT e.vec_id, CAST(e.dim AS BIGINT) AS dim,
+                   CAST(CASE WHEN st.mx > st.mn
+                        THEN least(floor((e.v - st.mn) * 255.0 / (st.mx - st.mn)),
+                                   255.0)
+                        ELSE 0 END AS BIGINT) AS q
+            FROM e JOIN st USING (dim)
+        """,
+        # Stride schedule: rank r of a weight-w source lands at
+        # (2r+1)·(lcm/w); lcm(5,3,2,1)=30 → strides 6/10/15/30.
+        "mix_schedule": """
+            WITH r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY doc_id) - 1 AS BIGINT)
+                       AS "rank"
+              FROM documents
+              WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+            SELECT doc_id, source, "rank",
+                   CAST((2 * "rank" + 1) *
+                        CASE source WHEN 'src0' THEN 6 WHEN 'src1' THEN 10
+                             WHEN 'src2' THEN 15 ELSE 30 END AS BIGINT)
+                     AS mix_key
+            FROM r
         """,
     }

@@ -66,6 +66,10 @@ BENCH_QUERIES = [
     "kmeans_clusters",
     "inverted_search",
     "pack_sequences",
+    # round-3 additions: curation hygiene + mixing
+    "repetition_rules",
+    "quantized_embeddings",
+    "mix_schedule",
 ]
 
 

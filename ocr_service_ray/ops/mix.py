@@ -1,0 +1,69 @@
+"""Deterministic weighted source interleaving — the data-mixing
+schedule of LLM training: given integer weights per source (e.g.
+web=7, code=2, books=1), emit for every document a global ``mix_key``
+such that reading the corpus in ``mix_key`` order yields the sources
+interleaved in weight proportion, with zero RNG and a layout-invariant
+result.
+
+Schedule: document ``rank`` (0-based, ordered by ``order_col`` within
+its source) of a source with weight ``w`` lands at the rational
+position ``(rank + 1/2) / w`` — the classic stride schedule (each
+source emits ``w`` items per unit interval, phase-centered). Scaled by
+``2 * lcm(weights)`` it is INTEGER: ``mix_key = (2*rank + 1) *
+(lcm / w)`` — exact in int64 and SQL-reproducible with one
+``row_number()`` window. Ties across sources (same key) are broken by
+``(mix_key, source, rank)``, also deterministic.
+
+100 TB shape: one coarse-bucket shuffle co-locates each source's rows
+for the in-group rank (same per-key-boundedness contract as
+``sessionize``; sources far bigger than a task should be pre-salted
+into ``source#shard`` pseudo-sources with proportional weights — the
+schedule composes). The weights dict is O(|sources|) in the task
+closure; nothing else is driver-side.
+"""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+
+
+def interleave_by_weight(
+    ds,
+    weights: dict[str, int],
+    source_col: str = "source",
+    order_col: str = "doc_id",
+):
+    """Add ``rank`` (0-based position within the source, ordered by
+    ``order_col``) and ``mix_key`` (global interleave position) to
+    every row of a source present in ``weights``; rows of unknown
+    sources are dropped (they are not part of the mix).
+
+    Output columns: order_col, source_col, rank, mix_key (int64)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    if not weights or any(w <= 0 for w in weights.values()):
+        raise ValueError("weights must be positive integers")
+    lcm = math.lcm(*weights.values())
+    stride = {s: lcm // w for s, w in weights.items()}
+    known = pa.array(sorted(stride), pa.string())
+
+    # Drop out-of-mix sources BEFORE the shuffle — they never move.
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_in(b[source_col], value_set=known)),
+        batch_format="pyarrow",
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[source_col].iloc[0]
+        g = g.sort_values(order_col, kind="stable")[[order_col, source_col]]
+        g = g.reset_index(drop=True)
+        g["rank"] = g.index.to_numpy().astype("int64")
+        g["mix_key"] = (2 * g["rank"] + 1) * stride[src]
+        return g
+
+    return bucketed_map_groups(ds, [source_col], fold)

@@ -1,0 +1,181 @@
+"""Heuristic corpus-quality filters (Gopher/C4-style repetition
+rules) and pattern redaction — the per-document hygiene pass a
+training-data pipeline runs before dedup/mixing.
+
+Shapes (100 TB):
+
+- **Repetition stats shuffle (doc, gram) count rows, never text.**
+  The explode is fully vectorized Arrow (``split_pattern`` →
+  ``list_flatten`` / ``list_parent_indices``; bigrams are an
+  element-wise join of the flat array against itself shifted by one,
+  masked at list boundaries) and each block collapses to its distinct
+  (doc, gram) counts BEFORE the one coarse-bucketed shuffle
+  (``grouped_agg`` combiner) — the bytes moved are bounded by
+  distinct grams per doc, not corpus size.
+- **Redaction is a stateless map** — zero shuffle, RE2 kernels on
+  both sides (pyarrow and DuckDB share the pattern strings, so the
+  oracle replays the exact transform).
+
+Rule thresholds follow the published Gopher repetition-filter family
+(top-word fraction, duplicate-bigram fraction) but are expressed in
+INTEGER cross-multiplied form (``10 * top_count <= 3 * n_words``) so
+the Ray kernels and the SQL oracle compare identically with no float
+round-trip.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+# Integer rule constants (numerator / denominator of the max allowed
+# fraction). Shared with the DuckDB oracle in __ray_entry__.py.
+TOP_WORD_MAX_NUM, TOP_WORD_MAX_DEN = 3, 10  # top word ≤ 30% of words
+DUP_BIGRAM_MAX_NUM, DUP_BIGRAM_MAX_DEN = 2, 10  # dup bigrams ≤ 20%
+
+
+def explode_grams(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id") -> pa.Table:
+    """Vectorized explode of a text column into (id, kind, gram) rows
+    where kind is 'w' (unigram, single-space split semantics) or 'b'
+    (adjacent-pair bigram joined with one space). No Python loop —
+    Arrow kernels end to end."""
+    words = pc.split_pattern(batch[text_col], " ")
+    flat = pc.list_flatten(words)
+    parent = pc.list_parent_indices(words).to_numpy(zero_copy_only=False)
+    uni_ids = pc.take(batch[id_col], pa.array(parent))
+
+    n = len(flat)
+    if n > 1:
+        bi = pc.binary_join_element_wise(flat.slice(0, n - 1), flat.slice(1), " ")
+        same_doc = parent[:-1] == parent[1:]
+        bi = pc.filter(bi, pa.array(same_doc))
+        bi_ids = pc.take(batch[id_col], pa.array(parent[:-1][same_doc]))
+    else:
+        bi = pa.array([], pa.string())
+        bi_ids = pa.array([], batch[id_col].type)
+
+    return pa.table(
+        {
+            id_col: pa.concat_arrays(
+                [pc.cast(uni_ids, batch[id_col].type).combine_chunks(),
+                 pc.cast(bi_ids, batch[id_col].type).combine_chunks()]
+            ),
+            "kind": pa.concat_arrays(
+                [pa.array(["w"] * n, pa.string()),
+                 pa.array(["b"] * len(bi), pa.string())]
+            ),
+            "gram": pa.concat_arrays([flat.combine_chunks(), bi.combine_chunks()]),
+        }
+    )
+
+
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+    """Per-document Gopher-style repetition statistics + keep flags.
+
+    Output (one row per input doc): id_col, n_words, n_distinct_words,
+    top_word_count, n_bigrams, n_distinct_bigrams, keep_top_word,
+    keep_dup_bigram (int64 counts, bool flags).
+
+    Three combiner shuffles over (doc, gram) COUNT rows (never text),
+    every phase vectorized: explode → grouped_agg count per
+    (doc, kind, gram) → grouped_agg per (doc, kind) folding
+    sum/count/max → conditional projection of the ≤2 kind rows into
+    parallel unigram/bigram columns → grouped_agg sum per doc (each
+    doc has at most one 'w' and one 'b' row, so sum IS the pivot).
+    A single-word doc has 0 bigrams; its dup-bigram rule passes
+    vacuously (0 <= 0)."""
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    exploded = ds.map_batches(
+        lambda b: explode_grams(b, text_col, id_col), batch_format="pyarrow"
+    )
+    per_gram = grouped_agg(
+        exploded, [id_col, "kind", "gram"], {"cnt": (None, "count")}
+    )
+    per_kind = grouped_agg(
+        per_gram,
+        [id_col, "kind"],
+        {"n": ("cnt", "sum"), "n_distinct": ("cnt", "count"), "top": ("cnt", "max")},
+    )
+
+    def widen(b: pa.Table) -> pa.Table:
+        is_w = pc.equal(b["kind"], "w")
+        zero = pa.scalar(0, pa.int64())
+        n = pc.cast(b["n"], pa.int64())
+        nd = pc.cast(b["n_distinct"], pa.int64())
+        top = pc.cast(b["top"], pa.int64())
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "n_words": pc.if_else(is_w, n, zero),
+                "n_distinct_words": pc.if_else(is_w, nd, zero),
+                "top_word_count": pc.if_else(is_w, top, zero),
+                "n_bigrams": pc.if_else(is_w, zero, n),
+                "n_distinct_bigrams": pc.if_else(is_w, zero, nd),
+            }
+        )
+
+    per_doc = grouped_agg(
+        per_kind.map_batches(widen, batch_format="pyarrow"),
+        [id_col],
+        {
+            "n_words": ("n_words", "sum"),
+            "n_distinct_words": ("n_distinct_words", "sum"),
+            "top_word_count": ("top_word_count", "sum"),
+            "n_bigrams": ("n_bigrams", "sum"),
+            "n_distinct_bigrams": ("n_distinct_bigrams", "sum"),
+        },
+    )
+
+    def flags(b: pa.Table) -> pa.Table:
+        nw = pc.cast(b["n_words"], pa.int64())
+        top = pc.cast(b["top_word_count"], pa.int64())
+        nb = pc.cast(b["n_bigrams"], pa.int64())
+        ndb = pc.cast(b["n_distinct_bigrams"], pa.int64())
+        keep_w = pc.less_equal(
+            pc.multiply(pa.scalar(TOP_WORD_MAX_DEN, pa.int64()), top),
+            pc.multiply(pa.scalar(TOP_WORD_MAX_NUM, pa.int64()), nw),
+        )
+        keep_b = pc.less_equal(
+            pc.multiply(pa.scalar(DUP_BIGRAM_MAX_DEN, pa.int64()), pc.subtract(nb, ndb)),
+            pc.multiply(pa.scalar(DUP_BIGRAM_MAX_NUM, pa.int64()), nb),
+        )
+        out = pa.table({c: pc.cast(b[c], pa.int64()) if c != id_col else b[c] for c in b.column_names})
+        return out.append_column("keep_top_word", keep_w).append_column(
+            "keep_dup_bigram", keep_b
+        )
+
+    return per_doc.map_batches(flags, batch_format="pyarrow")
+
+
+def redact_patterns(
+    ds,
+    col: str,
+    rules: list[tuple[str, str, str]],
+    keep_cols: list[str] | None = None,
+):
+    """Redact ``rules`` = [(name, RE2 pattern, replacement), ...] from
+    ``col``, applied in order, emitting the redacted text plus an
+    int64 ``n_<name>`` match count per rule (counted against the text
+    as each rule sees it, i.e. after the previous rules ran — same
+    order the oracle applies them).
+
+    Stateless vectorized map — the PII-scrub shape: at 100 TB this is
+    a pure streaming stage with zero shuffle and the patterns live in
+    the task closure (bytes, not an index)."""
+
+    def kernel(batch: pa.Table) -> pa.Table:
+        text = batch[col]
+        cols = {c: batch[c] for c in (keep_cols or [c for c in batch.column_names if c != col])}
+        counts = {}
+        for name, pattern, replacement in rules:
+            counts[f"n_{name}"] = pc.cast(
+                pc.count_substring_regex(text, pattern), pa.int64()
+            )
+            text = pc.replace_substring_regex(text, pattern, replacement)
+        cols[col] = text
+        cols.update(counts)
+        return pa.table(cols)
+
+    return ds.map_batches(kernel, batch_format="pyarrow")

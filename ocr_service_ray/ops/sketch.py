@@ -281,3 +281,53 @@ def value_counts_quantiles_cont(ds, col: str, qs: list[float]) -> pd.DataFrame:
         b = order_stat(min(i + 1, n - 1))
         rows.append((int(round(q * 100)), a + frac * (b - a)))
     return pd.DataFrame(rows, columns=["q_pct", "value"])
+
+
+def percentile_buckets(ds, col: str, n_buckets: int, keep_cols: list[str]):
+    """Assign every row its global percentile bucket over ``col`` —
+    the length/score-banding step of corpus curation (e.g. split a
+    corpus into 10 length deciles for per-band sampling rates).
+
+    Exact and integer end to end: pass 1 is the value-counts combiner
+    (shuffle moves ≤ |distinct| rows per block); the driver folds the
+    ≤ |distinct| counts into a strict-less CDF that is BROADCAST
+    (``ray.put`` once, searchsorted per batch); pass 2 streams the
+    corpus assigning ``n_less`` (rows strictly below this value) and
+    ``bucket = min(n_less * n_buckets // n_total, n_buckets - 1)`` —
+    SQL-reproducible with a window-sum CDF join. Ties share a bucket
+    by construction (same value → same n_less), so the split is
+    deterministic under any row order. Same |distinct(col)|-bounded
+    assumption as ``value_counts_quantiles``; pre-bin continuous
+    columns first.
+
+    Output: keep_cols + col + n_less + bucket (int64)."""
+    import ray
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    vc = grouped_agg(ds, [col], {"cnt": (None, "count")}).to_pandas()
+    if vc.empty:
+        empty = {c: [] for c in keep_cols + [col, "n_less", "bucket"]}
+        return ray.data.from_pandas(pd.DataFrame(empty))
+    vc = vc.sort_values(col).reset_index(drop=True)
+    cum = vc["cnt"].cumsum().to_numpy()
+    n_total = int(cum[-1])
+    values = vc[col].to_numpy()
+    n_less = np.concatenate(([0], cum[:-1])).astype(np.int64)
+    cdf_ref = ray.put((values, n_less))
+
+    def assign(b: pa.Table) -> pa.Table:
+        values_b, n_less_b = ray.get(cdf_ref)
+        v = b[col].to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(values_b, v, side="left")
+        less = n_less_b[idx]
+        bucket = np.minimum(
+            less * n_buckets // n_total, n_buckets - 1
+        ).astype(np.int64)
+        out = {c: b[c] for c in keep_cols}
+        out[col] = b[col]
+        out["n_less"] = pa.array(less)
+        out["bucket"] = pa.array(bucket)
+        return pa.table(out)
+
+    return ds.map_batches(assign, batch_format="pyarrow")

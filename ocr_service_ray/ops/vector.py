@@ -89,3 +89,88 @@ def centroids(ds, group_col: str, vec_col: str = "embedding") -> pd.DataFrame:
     return pd.DataFrame(
         {group_col: list(out), "centroid": [out[g] for g in out]}
     )
+
+
+def embedding_minmax(ds, vec_col: str = "embedding") -> pd.DataFrame:
+    """Per-dimension global (min, max) of a fixed-dim ``list<float>``
+    column — combiner-shaped: each block collapses to dim rows of
+    partial (mn, mx) and one ``grouped_agg`` merges (min/max are
+    decomposable and EXACT on floats, no association issues).
+    Returns a DataFrame (dim, mn, mx), dim 1-based (SQL
+    ``generate_subscripts`` convention)."""
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    def partial(b: pa.Table) -> pa.Table:
+        vecs = _flat_vectors(b[vec_col])
+        if vecs.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "mn": pa.array([], pa.float64()),
+                    "mx": pa.array([], pa.float64()),
+                }
+            )
+        dim = vecs.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+                "mn": pa.array(vecs.min(axis=0)),
+                "mx": pa.array(vecs.max(axis=0)),
+            }
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(
+        partials, ["dim"], {"mn": ("mn", "min"), "mx": ("mx", "max")}
+    ).to_pandas()
+
+
+def quantize_embeddings(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Scalar int8-range quantization of an embedding column — the
+    storage-compression step before ANN indexing at corpus scale
+    (4 bytes/dim → 1). Two passes: per-dim global (min, max) via the
+    combiner (dim-bounded partials), broadcast once; then a streaming
+    vectorized map computes ``q = min(floor((v - mn) * 255 / (mx -
+    mn)), 255)`` per element (``q = 0`` where mx == mn). All float64
+    +,-,×,÷,floor — IEEE-exact cross-engine, so the DuckDB oracle
+    replays it bit-for-bit from the same arithmetic.
+
+    Output EXPLODED (id_col, dim, q) int64 rows, dim 1-based —
+    positionally zips with SQL parallel unnest/generate_subscripts.
+    (Exploding multiplies rows by dim; at corpus scale keep the list
+    layout by reshaping q in-kernel instead — the exploded form here
+    is the oracle-comparable surface.)"""
+    import ray
+
+    stats = embedding_minmax(ds, vec_col).sort_values("dim")
+    mn = stats["mn"].to_numpy(dtype=np.float64)
+    mx = stats["mx"].to_numpy(dtype=np.float64)
+    stats_ref = ray.put((mn, mx))
+
+    def kernel(b: pa.Table) -> pa.Table:
+        mn_b, mx_b = ray.get(stats_ref)
+        vecs = _flat_vectors(b[vec_col])
+        n_rows = vecs.shape[0] if vecs.size else 0
+        if n_rows == 0:
+            return pa.table(
+                {
+                    id_col: pa.array([], b[id_col].type),
+                    "dim": pa.array([], pa.int64()),
+                    "q": pa.array([], pa.int64()),
+                }
+            )
+        dim = vecs.shape[1]
+        span = mx_b - mn_b
+        safe = np.where(span > 0.0, span, 1.0)
+        q = np.minimum(np.floor((vecs - mn_b) * 255.0 / safe), 255.0)
+        q = np.where(span > 0.0, q, 0.0).astype(np.int64)
+        ids = np.repeat(b[id_col].to_numpy(zero_copy_only=False), dim)
+        return pa.table(
+            {
+                id_col: pa.array(ids, b[id_col].type),
+                "dim": pa.array(np.tile(np.arange(1, dim + 1, dtype=np.int64), n_rows)),
+                "q": pa.array(q.ravel()),
+            }
+        )
+
+    return ds.map_batches(kernel, batch_format="pyarrow")
