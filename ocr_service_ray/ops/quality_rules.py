@@ -77,76 +77,64 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
     top_word_count, n_bigrams, n_distinct_bigrams, keep_top_word,
     keep_dup_bigram (int64 counts, bool flags).
 
-    Three combiner shuffles over (doc, gram) COUNT rows (never text),
-    every phase vectorized: explode → grouped_agg count per
-    (doc, kind, gram) → grouped_agg per (doc, kind) folding
-    sum/count/max → conditional projection of the ≤2 kind rows into
-    parallel unigram/bigram columns → grouped_agg sum per doc (each
-    doc has at most one 'w' and one 'b' row, so sum IS the pivot).
-    A single-word doc has 0 bigrams; its dup-bigram rule passes
-    vacuously (0 <= 0)."""
-    from ocr_service_ray.ops.agg import grouped_agg
+    ZERO shuffles: repetition statistics are per-document, and a row
+    IS a document, so every gram of a doc already lives in its batch —
+    the whole op is one streaming ``map_batches`` (the
+    embarrassingly-parallel shape; at 100 TB it pipelines with the
+    read and never touches the object store beyond its output). Inside
+    the batch the explode is vectorized Arrow and the two groupby
+    levels are C-level pandas on integer keys. A single-word doc has
+    0 bigrams; its dup-bigram rule passes vacuously (0 <= 0)."""
+    import pandas as pd
 
-    exploded = ds.map_batches(
-        lambda b: explode_grams(b, text_col, id_col), batch_format="pyarrow"
-    )
-    per_gram = grouped_agg(
-        exploded, [id_col, "kind", "gram"], {"cnt": (None, "count")}
-    )
-    per_kind = grouped_agg(
-        per_gram,
-        [id_col, "kind"],
-        {"n": ("cnt", "sum"), "n_distinct": ("cnt", "count"), "top": ("cnt", "max")},
-    )
-
-    def widen(b: pa.Table) -> pa.Table:
-        is_w = pc.equal(b["kind"], "w")
-        zero = pa.scalar(0, pa.int64())
-        n = pc.cast(b["n"], pa.int64())
-        nd = pc.cast(b["n_distinct"], pa.int64())
-        top = pc.cast(b["top"], pa.int64())
+    def kernel(batch: pa.Table) -> pa.Table:
+        g = explode_grams(batch, text_col, id_col)
+        # gram rows reference parent docs by id; per-(doc, kind, gram)
+        # counts then per-(doc, kind) folds, all within the batch.
+        df = pd.DataFrame(
+            {
+                "id": g[id_col].to_pandas(),
+                "kind": g["kind"].to_pandas(),
+                "gram": g["gram"].to_pandas(),
+            }
+        )
+        cnt = (
+            df.groupby(["id", "kind", "gram"], sort=False, observed=True)
+            .size()
+            .rename("c")
+            .reset_index()
+        )
+        agg = (
+            cnt.groupby(["id", "kind"], sort=False)
+            .agg(n=("c", "sum"), nd=("c", "size"), top=("c", "max"))
+            .reset_index()
+        )
+        w = agg[agg["kind"] == "w"].set_index("id")
+        b_ = agg[agg["kind"] == "b"].set_index("id")
+        ids = batch[id_col].to_pandas()
+        nw = ids.map(w["n"]).fillna(0).astype("int64")
+        ndw = ids.map(w["nd"]).fillna(0).astype("int64")
+        top = ids.map(w["top"]).fillna(0).astype("int64")
+        nb = ids.map(b_["n"]).fillna(0).astype("int64")
+        ndb = ids.map(b_["nd"]).fillna(0).astype("int64")
         return pa.table(
             {
-                id_col: b[id_col],
-                "n_words": pc.if_else(is_w, n, zero),
-                "n_distinct_words": pc.if_else(is_w, nd, zero),
-                "top_word_count": pc.if_else(is_w, top, zero),
-                "n_bigrams": pc.if_else(is_w, zero, n),
-                "n_distinct_bigrams": pc.if_else(is_w, zero, nd),
+                id_col: batch[id_col],
+                "n_words": pa.array(nw),
+                "n_distinct_words": pa.array(ndw),
+                "top_word_count": pa.array(top),
+                "n_bigrams": pa.array(nb),
+                "n_distinct_bigrams": pa.array(ndb),
+                "keep_top_word": pa.array(
+                    TOP_WORD_MAX_DEN * top <= TOP_WORD_MAX_NUM * nw
+                ),
+                "keep_dup_bigram": pa.array(
+                    DUP_BIGRAM_MAX_DEN * (nb - ndb) <= DUP_BIGRAM_MAX_NUM * nb
+                ),
             }
         )
 
-    per_doc = grouped_agg(
-        per_kind.map_batches(widen, batch_format="pyarrow"),
-        [id_col],
-        {
-            "n_words": ("n_words", "sum"),
-            "n_distinct_words": ("n_distinct_words", "sum"),
-            "top_word_count": ("top_word_count", "sum"),
-            "n_bigrams": ("n_bigrams", "sum"),
-            "n_distinct_bigrams": ("n_distinct_bigrams", "sum"),
-        },
-    )
-
-    def flags(b: pa.Table) -> pa.Table:
-        nw = pc.cast(b["n_words"], pa.int64())
-        top = pc.cast(b["top_word_count"], pa.int64())
-        nb = pc.cast(b["n_bigrams"], pa.int64())
-        ndb = pc.cast(b["n_distinct_bigrams"], pa.int64())
-        keep_w = pc.less_equal(
-            pc.multiply(pa.scalar(TOP_WORD_MAX_DEN, pa.int64()), top),
-            pc.multiply(pa.scalar(TOP_WORD_MAX_NUM, pa.int64()), nw),
-        )
-        keep_b = pc.less_equal(
-            pc.multiply(pa.scalar(DUP_BIGRAM_MAX_DEN, pa.int64()), pc.subtract(nb, ndb)),
-            pc.multiply(pa.scalar(DUP_BIGRAM_MAX_NUM, pa.int64()), nb),
-        )
-        out = pa.table({c: pc.cast(b[c], pa.int64()) if c != id_col else b[c] for c in b.column_names})
-        return out.append_column("keep_top_word", keep_w).append_column(
-            "keep_dup_bigram", keep_b
-        )
-
-    return per_doc.map_batches(flags, batch_format="pyarrow")
+    return ds.map_batches(kernel, batch_format="pyarrow")
 
 
 def redact_patterns(

@@ -35,12 +35,19 @@ def join_partitions_for(*datasets, target_bytes: int = 128 << 20, lo: int = 2, h
     """Partition count for a hash join, derived from the inputs' size
     (~``target_bytes`` of build+probe data per partition) instead of a
     literal — a fixed count either under-parallelizes at scale or
-    over-partitions tiny inputs. Falls back to 16 when Ray can't
-    estimate (no metadata yet)."""
+    over-partitions tiny inputs. Falls back to 16 when the size isn't
+    knowable WITHOUT EXECUTION: ``Dataset.size_bytes()`` runs the full
+    upstream plan of a lazy dataset and the work is not cached (the
+    join re-executes it), so only statically-inferred metadata
+    (parquet reads, materialized datasets) is consulted here."""
     total = 0
     for ds in datasets:
+        sz = None
         try:
-            sz = ds.size_bytes()
+            meta = ds._logical_plan.dag.infer_metadata()
+            sz = meta.size_bytes
+            if sz is None and ds._plan.has_computed_output():
+                sz = ds.size_bytes()  # already executed — free
         except Exception:
             sz = None
         if sz:
