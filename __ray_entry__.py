@@ -1345,6 +1345,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = docs.map_batches(lambda b: is_eval(b, True), batch_format="pyarrow")
         return contamination_pairs(train, ev, n=8, strategy="shuffle")
 
+    def q_decontam_pairs_bloom(sf_dir):
+        """Same decontamination contract through the BLOOM tier: the
+        eval gram set folded into broadcast bits prefilters the train
+        gram rows before the exact join (false positives die in the
+        join), so the exchange shrinks by the clean fraction. Same
+        oracle as decontam_pairs — the strategies are value-identical
+        by construction."""
+        from ocr_service_ray.ops.decontam import contamination_pairs
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def is_eval(b: pa.Table, want: bool) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False)
+            m = (ids % 20 == 0) if want else (ids % 20 != 0)
+            return b.filter(pa.array(m))
+
+        train = docs.map_batches(
+            lambda b: is_eval(b, False), batch_format="pyarrow"
+        )
+        ev = docs.map_batches(lambda b: is_eval(b, True), batch_format="pyarrow")
+        return contamination_pairs(train, ev, n=8, strategy="bloom")
+
+    def q_global_ranks(sf_dir):
+        """L45 global dense rank: every document's 0-based position in
+        (n_chars, doc_id) order — Ray's distributed sort (the one
+        all-to-all) + the two-phase block-offset scan
+        (ops/scan.global_rank); only |blocks| metadata rows reach the
+        driver."""
+        from ocr_service_ray.ops.scan import global_rank
+
+        return global_rank(
+            _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+            ["n_chars", "doc_id"],
+        )
+
+    def q_heavy_tokens(sf_dir):
+        """L46 bounded-memory heavy hitters (Misra–Gries + exact
+        verify, ops/heavy.py): top-20 corpus tokens with EXACT counts;
+        every sketch intermediate is ≤ capacity rows. Oracle is the
+        plain exact GROUP BY — valid because the verify pass makes the
+        reported counts exact and the corpus is Zipf-shaped enough for
+        the capacity bar (asserted in tests)."""
+        from ocr_service_ray.ops.heavy import heavy_hitters
+
+        return heavy_hitters(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            None,
+            k=20,
+            capacity=4096,
+            explode_tokens=True,
+        )
+
     def q_tfidf_topk(sf_dir):
         """Top-3 characteristic terms per document by tf·idf
         (ops/ranking.py) — df via combiner aggregate, idf broadcast,
@@ -1717,6 +1769,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_deciles": q_length_deciles,
         "quantized_embeddings": q_quantized_embeddings,
         "mix_schedule": q_mix_schedule,
+        "decontam_pairs_bloom": q_decontam_pairs_bloom,
+        "global_ranks": q_global_ranks,
+        "heavy_tokens": q_heavy_tokens,
     }
 
 
@@ -2424,7 +2479,7 @@ def _dedup_clusters_oracle_sql(threshold: float = 0.4) -> str:
 def oracle_sql() -> dict[str, str]:
     from ocr_service_ray.ops.text import BPE_TOKEN_RE, PUNCT_RE, STOPWORD_RE, WS_TOKEN_RE
 
-    return {
+    oracles = {
         "flagship_extraction": _flagship_oracle_sql(),
         "correct_text_guards": """
             SELECT doc_id, text AS corrected_text, CAST(0 AS BIGINT) AS n_corrections
@@ -3247,4 +3302,27 @@ def oracle_sql() -> dict[str, str]:
                      AS mix_key
             FROM r
         """,
+        # Global dense rank: the Ray side is a distributed sort + a
+        # two-phase block-offset scan; SQL is one window row_number.
+        "global_ranks": """
+            SELECT doc_id, n_chars,
+                   CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                        AS BIGINT) AS "rank"
+            FROM documents
+        """,
+        # Heavy hitters: the sketch discovers candidates, the verify
+        # pass makes their counts exact, so the oracle is the plain
+        # exact top-k (ties → lexicographically smaller token).
+        "heavy_tokens": """
+            SELECT g AS value, CAST(count(*) AS BIGINT) AS n
+            FROM (SELECT unnest(string_split(text, ' ')) AS g FROM documents)
+            GROUP BY g
+            ORDER BY n DESC, value ASC
+            LIMIT 20
+        """,
     }
+    # The bloom tier is value-identical to the shuffle strategy by
+    # construction (the prefilter only shrinks the exchange; false
+    # positives die in the exact join) — same oracle.
+    oracles["decontam_pairs_bloom"] = oracles["decontam_pairs"]
+    return oracles

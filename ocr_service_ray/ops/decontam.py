@@ -17,8 +17,16 @@ Shapes (100 TB train, thousands-of-docs eval — the real asymmetry):
   ``(id, gram_hash)`` tables and meet in ONE hash join keyed by the
   gram hash (moves gram rows, never text), followed by a combiner
   pair-count. For the hypothetical eval set too large to broadcast.
+- ``strategy="bloom"``: the shuffle strategy with a Bloom prefilter
+  in front of the join — the eval gram set is folded into ``m`` bits
+  (built distributed, OR-merged driver-side: the bits are O(m)
+  regardless of eval size), broadcast once, and the TRAIN gram rows
+  that the filter rejects never enter the shuffle. False positives
+  are removed by the exact join (they simply find no partner), so
+  the output is EXACTLY the other strategies' — the filter only
+  shrinks the exchange, by ~the non-contaminated fraction.
 
-Both return identical values (asserted in tests); gram hashing and
+All three return identical values (asserted in tests); gram hashing and
 tokenization follow ``ops/ngrams.py`` (single-space split, md5 of the
 space-joined gram) so the DuckDB oracle rebuilds the whole check in
 SQL.
@@ -68,6 +76,8 @@ def contamination_pairs(
         return _pairs_broadcast(train_ds, eval_ds, n, text_col, id_col)
     if strategy == "shuffle":
         return _pairs_shuffle(train_ds, eval_ds, n, text_col, id_col)
+    if strategy == "bloom":
+        return _pairs_shuffle(train_ds, eval_ds, n, text_col, id_col, bloom=True)
     raise ValueError(f"unknown strategy: {strategy}")
 
 
@@ -110,15 +120,78 @@ def _pairs_broadcast(train_ds, eval_ds, n, text_col, id_col):
     return train_ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
 
 
-def _pairs_shuffle(train_ds, eval_ds, n, text_col, id_col):
+def _pairs_shuffle(train_ds, eval_ds, n, text_col, id_col, bloom=False):
     from ocr_service_ray.ops.agg import grouped_agg
     from ocr_service_ray.ops.relational import hash_join
 
     tr = _unique_gram_rows(train_ds, n, text_col, id_col, "train_id")
     ev = _unique_gram_rows(eval_ds, n, text_col, id_col, "eval_id")
+    if bloom:
+        ev = ev.materialize()  # feeds both the filter build and the join
+        tr = _bloom_prefilter(tr, ev)
     hits = hash_join(tr, ev, on="gram_hash")
     return grouped_agg(
         hits, ["train_id", "eval_id"], {"shared_grams": (None, "count")}
+    )
+
+
+_BLOOM_BITS = 1 << 23  # 1 MiB of bits; ~0.1% fp at ~1M eval grams, k=3
+_BLOOM_SEEDS = (0x9E3779B97F4A7C15, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9)
+
+
+def _bloom_positions(h: "np.ndarray") -> "np.ndarray":
+    """(len(h), k) bit positions from the int64 gram hashes."""
+    import numpy as np
+
+    from ocr_service_ray.ops.hashing import _splitmix64
+
+    hu = h.astype(np.int64).view(np.uint64)
+    cols = [
+        (_splitmix64(hu ^ np.uint64(seed)) % np.uint64(_BLOOM_BITS)).astype(np.int64)
+        for seed in _BLOOM_SEEDS
+    ]
+    return np.stack(cols, axis=1)
+
+
+def _bloom_prefilter(train_rows, eval_rows):
+    """Filter (train_id, gram_hash) rows to grams the Bloom filter of
+    the eval gram set MAYBE contains. Build is distributed (each block
+    emits its packed bit array; the driver ORs ≤ |blocks| arrays of m/8
+    bytes); the bits broadcast once via ray.put."""
+    import numpy as np
+    import pyarrow.compute as pc
+    import ray
+
+    nbytes = _BLOOM_BITS // 8
+
+    def block_bits(b: pa.Table) -> pa.Table:
+        bits = np.zeros(nbytes, dtype=np.uint8)
+        if len(b):
+            pos = _bloom_positions(
+                b["gram_hash"].to_numpy(zero_copy_only=False)
+            ).ravel()
+            np.bitwise_or.at(bits, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    parts = eval_rows.map_batches(block_bits, batch_format="pyarrow").to_pandas()
+    bits = np.zeros(nbytes, dtype=np.uint8)
+    for blob in parts.get("bits", ()):
+        bits |= np.frombuffer(blob, dtype=np.uint8)
+    bits_ref = ray.put(bits)
+
+    class MaybeContains:
+        def __init__(self):
+            self.bits = ray.get(bits_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            if len(b) == 0:
+                return b
+            pos = _bloom_positions(b["gram_hash"].to_numpy(zero_copy_only=False))
+            hit = (self.bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
+            return b.filter(pa.array(hit.all(axis=1)))
+
+    return train_rows.map_batches(
+        MaybeContains, batch_format="pyarrow", concurrency=(1, 8)
     )
 
 

@@ -150,3 +150,56 @@ def weighted_systematic_sample(
         return b.filter(pa.array(hi != lo)).drop_columns(["_off"])
 
     return placed.map_batches(select, batch_format="pyarrow", batch_size=None)
+
+
+def global_rank(ds, by: list[str], out_col: str = "rank"):
+    """Dense 0-based global row rank in ``by`` order — the
+    sorted-export / leaderboard shape (``row_number() OVER (ORDER BY
+    ...)``) over the whole corpus.
+
+    The one genuine all-to-all here is Ray's distributed ``sort``
+    (sample → range-partition → per-block sort); ranks are then
+    assigned with the same two-phase block-offset scan as
+    ``prefix_sum``: phase 1 pulls |blocks| (first_key, n_rows)
+    metadata rows to the driver (never data), phase 2 adds each
+    block's exclusive row base to an in-block arange. The composite
+    ``by`` key must be UNIQUE per row (append an id column last) —
+    asserted, since equal keys split across block boundaries make
+    "rows before mine" ambiguous."""
+    mat = ds.sort(by).materialize()
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        # one row per block: the block's FIRST row's sort-key values
+        # (blocks out of a sort hold disjoint contiguous key ranges,
+        # so first keys order the blocks) + the block's row count
+        if len(b) == 0:
+            return b.select(by).append_column("_n", pa.array([], pa.int64()))
+        return b.select(by).slice(0, 1).append_column(
+            "_n", pa.array([len(b)], pa.int64())
+        )
+
+    meta = mat.map_batches(
+        block_meta, batch_format="pyarrow", batch_size=None
+    ).to_pandas()
+    if len(meta) == 0:
+        return mat
+    meta = meta.sort_values(by).reset_index(drop=True)
+    assert not meta.duplicated(by).any(), (
+        "global_rank requires a unique composite sort key "
+        "(append a unique id column last)"
+    )
+    block_bases = np.concatenate(([0], meta["_n"].cumsum().to_numpy()[:-1]))
+    bases = {
+        tuple(row): int(base)
+        for row, base in zip(meta[by].itertuples(index=False), block_bases)
+    }
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        base = bases[tuple(b[c][0].as_py() for c in by)]
+        return b.append_column(
+            out_col, pa.array(base + np.arange(len(b), dtype=np.int64))
+        )
+
+    return mat.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
