@@ -83,6 +83,34 @@ def span_content_hash(part_dir: str) -> str:
     return outer.hexdigest()
 
 
+def _shard_lineage(shard) -> dict:
+    """Structured input lineage for the partition manifest — what fed
+    this partition, queryable later (not a repr dump): row count /
+    columns / id range for in-memory tables, the path for path-backed
+    shards, the schema for Dataset shards."""
+    import pyarrow as _pa
+
+    if isinstance(shard, str):
+        return {"kind": "path", "path": shard}
+    if isinstance(shard, _pa.Table):
+        out = {
+            "kind": "arrow_table",
+            "rows": shard.num_rows,
+            "columns": shard.column_names,
+        }
+        if "doc_id" in shard.column_names and shard.num_rows:
+            col = shard["doc_id"]
+            out["doc_id_range"] = [str(col[0].as_py()), str(col[-1].as_py())]
+        return out
+    if hasattr(shard, "schema"):  # ray Dataset
+        try:
+            cols = list(shard.schema().names)
+        except Exception:
+            cols = None
+        return {"kind": "dataset", "columns": cols}
+    return {"kind": type(shard).__name__}
+
+
 def _run_one_shard(i, shard, build_pipeline, out_dir, hash_content) -> dict:
     """Execute one shard end-to-end: build → write to ``.tmp`` →
     stage manifest → atomic rename (the commit point). Returns the
@@ -132,7 +160,7 @@ def _run_one_shard(i, shard, build_pipeline, out_dir, hash_content) -> dict:
     wall = time.perf_counter() - t0
     manifest = {
         "partition": i,
-        "input": repr(shard)[:500],
+        "input": _shard_lineage(shard),
         "rows": rows,
         "bytes": nbytes,
         "t_wall_sec": round(wall, 4),
