@@ -1688,6 +1688,36 @@ def queries() -> dict[str, Callable[[str], Any]]:
             order_col="doc_id",
         )
 
+    def q_curate_corpus(sf_dir):
+        """The END-TO-END curation pipeline (pipelines/curate.py):
+        quality rules → exact dedup → MinHash near-dedup clusters →
+        decontamination vs the doc_id%20==0 eval slice → weighted mix
+        schedule, verified against ONE composite SQL statement built
+        from the per-stage oracle fragments. counts=False: the oracle
+        run needs no per-stage counts (each would re-execute its
+        stage)."""
+        from ocr_service_ray.pipelines.curate import curate_corpus
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+        def split(want_eval: bool):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                m = (ids % 20 == 0) if want_eval else (ids % 20 != 0)
+                return b.filter(pa.array(m))
+
+            return docs.map_batches(f, batch_format="pyarrow")
+
+        out, _ = curate_corpus(
+            split(False),
+            split(True),
+            mix_weights={"src0": 5, "src1": 3, "src2": 2, "src3": 1},
+            near_dup_threshold=0.4,
+            decontam_ngram=8,
+            counts=False,
+        )
+        return out.select_columns(["doc_id", "source", "rank", "mix_key"])
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -1772,6 +1802,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decontam_pairs_bloom": q_decontam_pairs_bloom,
         "global_ranks": q_global_ranks,
         "heavy_tokens": q_heavy_tokens,
+        "curate_corpus": q_curate_corpus,
     }
 
 
@@ -2321,14 +2352,15 @@ def _simhash_oracle_sql(max_hamming: int = 8) -> str:
         """
 
 
-def _minhash_cte_sql() -> str:
+def _minhash_cte_sql(src: str = "documents") -> str:
     """MinHash-LSH from scratch in SQL, as a CTE chain ending in
     ``est (id_a, id_b, eq)``: distinct word-3-gram shingles,
     md5-derived 32-bit shingle hashes, the 64 inlined (a, b) permanent
     parameters of ops/dedup._perm_params, per-perm min over shingles,
     16×4 banding via ordered string_agg keys, bucket self-join for
     candidates, eq = equal-position signature count. Shared by the
-    ``minhash_dedup`` and ``dedup_clusters`` oracles."""
+    ``minhash_dedup``, ``dedup_clusters`` and ``curate_corpus``
+    oracles (``src`` = the relation/CTE holding the corpus)."""
     from ocr_service_ray.ops.dedup import _perm_params
 
     a, b = _perm_params(64)
@@ -2336,7 +2368,7 @@ def _minhash_cte_sql() -> str:
         f"({p}, {int(a[p])}, {int(b[p])})" for p in range(64)
     )
     return f"""w AS (
-              SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM documents),
+              SELECT doc_id, regexp_extract_all(text, '\\S+') AS ws FROM {src}),
             g AS (
               SELECT doc_id,
                 CASE WHEN length(ws) < 3 THEN [array_to_string(ws, ' ')]
@@ -2473,6 +2505,110 @@ def _dedup_clusters_oracle_sql(threshold: float = 0.4) -> str:
             )
             SELECT u AS doc_id, CAST(MIN(lbl) AS BIGINT) AS cluster_id
             FROM reach GROUP BY u
+        """
+
+
+def _curate_oracle_sql() -> str:
+    """The FULL curation pipeline replayed in one SQL statement,
+    assembled from the already-verified per-stage fragments: Gopher
+    repetition rules (row-local) → exact dedup keep-min → MinHash-LSH
+    pairs + recursive-CTE components keep-canonical → n-gram
+    decontamination (row-local, so order-independent vs dedup) →
+    weighted-interleave mix keys. Train = doc_id % 20 != 0, eval =
+    the % 20 == 0 slice (the decontam_pairs split)."""
+    gram8 = _hex_bigint_sql(
+        "md5(array_to_string(list_slice(ws, s, s + 7), ' '))", 1, 15
+    )
+    return f"""
+            WITH RECURSIVE
+            train AS (SELECT * FROM documents WHERE doc_id % 20 <> 0),
+            -- stage 1: repetition quality rules (row-local)
+            wcnt AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS g
+                    FROM train)
+              GROUP BY doc_id, g),
+            wstat AS (
+              SELECT doc_id, sum(c) AS nw, max(c) AS topw
+              FROM wcnt GROUP BY doc_id),
+            bcnt AS (
+              SELECT doc_id, g, count(*) AS c
+              FROM (SELECT doc_id,
+                           unnest(list_transform(
+                             generate_series(1, len(ws) - 1),
+                             i -> ws[i] || ' ' || ws[i + 1])) AS g
+                    FROM (SELECT doc_id, string_split(text, ' ') AS ws
+                          FROM train))
+              GROUP BY doc_id, g),
+            bstat AS (
+              SELECT doc_id, sum(c) AS nb, count(*) AS ndb
+              FROM bcnt GROUP BY doc_id),
+            kq AS (
+              SELECT t.* FROM train t
+              JOIN wstat USING (doc_id) LEFT JOIN bstat USING (doc_id)
+              WHERE 10 * wstat.topw <= 3 * wstat.nw
+                AND 10 * (coalesce(bstat.nb, 0) - coalesce(bstat.ndb, 0))
+                    <= 2 * coalesce(bstat.nb, 0)),
+            -- stage 2: exact dedup, keep the min doc_id per md5(text)
+            keepers AS (
+              SELECT md5(text) AS h, min(doc_id) AS keep_id
+              FROM kq GROUP BY md5(text)),
+            ke AS (
+              SELECT kq.* FROM kq
+              JOIN keepers ON md5(kq.text) = keepers.h
+                          AND kq.doc_id = keepers.keep_id),
+            -- stage 3: MinHash-LSH pairs over the survivors +
+            -- connected components, keep the min-id canonical doc
+            {_minhash_cte_sql("ke")},
+            p AS (
+              SELECT id_a, id_b FROM est
+              WHERE CAST(eq AS DOUBLE) / 64.0 >= 0.4),
+            e AS (
+              SELECT id_a AS u, id_b AS v FROM p
+              UNION
+              SELECT id_b, id_a FROM p),
+            reach(u, lbl) AS (
+              SELECT u, u FROM (SELECT DISTINCT u FROM e)
+              UNION
+              SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v
+            ),
+            near_drop AS (
+              SELECT u AS doc_id FROM reach GROUP BY u
+              HAVING MIN(lbl) <> u),
+            kn AS (
+              SELECT * FROM ke
+              WHERE doc_id NOT IN (SELECT doc_id FROM near_drop)),
+            -- stage 4: decontamination (per-doc 8-gram overlap with
+            -- the eval slice; row-local, so computable from raw text)
+            wsx AS (
+              SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+            pos AS (
+              SELECT doc_id, ws,
+                     unnest(generate_series(1, greatest(length(ws) - 7, 0))) AS s
+              FROM wsx),
+            g8 AS (
+              SELECT DISTINCT doc_id, ({gram8}) AS gh FROM pos),
+            contaminated AS (
+              SELECT DISTINCT tr.doc_id
+              FROM (SELECT doc_id, gh FROM g8 WHERE doc_id % 20 <> 0) tr
+              JOIN (SELECT doc_id, gh FROM g8 WHERE doc_id % 20 = 0) ev
+                USING (gh)),
+            kd AS (
+              SELECT * FROM kn
+              WHERE doc_id NOT IN (SELECT doc_id FROM contaminated)),
+            -- stage 5: weighted interleave mix keys (src0..src3)
+            r AS (
+              SELECT doc_id, source,
+                     CAST(row_number() OVER (PARTITION BY source
+                                             ORDER BY doc_id) - 1 AS BIGINT)
+                       AS "rank"
+              FROM kd WHERE source IN ('src0', 'src1', 'src2', 'src3'))
+            SELECT doc_id, source, "rank",
+                   CAST((2 * "rank" + 1) *
+                        CASE source WHEN 'src0' THEN 6 WHEN 'src1' THEN 10
+                             WHEN 'src2' THEN 15 ELSE 30 END AS BIGINT)
+                     AS mix_key
+            FROM r
         """
 
 
@@ -3325,4 +3461,5 @@ def oracle_sql() -> dict[str, str]:
     # construction (the prefilter only shrinks the exchange; false
     # positives die in the exact join) — same oracle.
     oracles["decontam_pairs_bloom"] = oracles["decontam_pairs"]
+    oracles["curate_corpus"] = _curate_oracle_sql()
     return oracles

@@ -70,8 +70,10 @@ def explode_grams(batch: pa.Table, text_col: str = "text", id_col: str = "doc_id
     )
 
 
-def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
+def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id", append: bool = False):
     """Per-document Gopher-style repetition statistics + keep flags.
+    ``append=True`` keeps the original batch columns (text included)
+    alongside the stats — the form a filtering pipeline consumes.
 
     Output (one row per input doc): id_col, n_words, n_distinct_words,
     top_word_count, n_bigrams, n_distinct_bigrams, keep_top_word,
@@ -117,22 +119,25 @@ def repetition_stats(ds, text_col: str = "text", id_col: str = "doc_id"):
         top = ids.map(w["top"]).fillna(0).astype("int64")
         nb = ids.map(b_["n"]).fillna(0).astype("int64")
         ndb = ids.map(b_["nd"]).fillna(0).astype("int64")
-        return pa.table(
-            {
-                id_col: batch[id_col],
-                "n_words": pa.array(nw),
-                "n_distinct_words": pa.array(ndw),
-                "top_word_count": pa.array(top),
-                "n_bigrams": pa.array(nb),
-                "n_distinct_bigrams": pa.array(ndb),
-                "keep_top_word": pa.array(
-                    TOP_WORD_MAX_DEN * top <= TOP_WORD_MAX_NUM * nw
-                ),
-                "keep_dup_bigram": pa.array(
-                    DUP_BIGRAM_MAX_DEN * (nb - ndb) <= DUP_BIGRAM_MAX_NUM * nb
-                ),
-            }
-        )
+        cols = {
+            "n_words": pa.array(nw),
+            "n_distinct_words": pa.array(ndw),
+            "top_word_count": pa.array(top),
+            "n_bigrams": pa.array(nb),
+            "n_distinct_bigrams": pa.array(ndb),
+            "keep_top_word": pa.array(
+                TOP_WORD_MAX_DEN * top <= TOP_WORD_MAX_NUM * nw
+            ),
+            "keep_dup_bigram": pa.array(
+                DUP_BIGRAM_MAX_DEN * (nb - ndb) <= DUP_BIGRAM_MAX_NUM * nb
+            ),
+        }
+        if append:
+            out = batch
+            for name, arr in cols.items():
+                out = out.append_column(name, arr)
+            return out
+        return pa.table({id_col: batch[id_col], **cols})
 
     return ds.map_batches(kernel, batch_format="pyarrow")
 

@@ -1,0 +1,180 @@
+"""End-to-end corpus curation — the training-data counterpart of the
+extraction flagship: one composition of the repo's curation operators
+that takes a raw (doc_id, text, source) corpus to a filtered,
+deduplicated, decontaminated, mix-scheduled training corpus.
+
+    raw ──► quality filter (Gopher repetition rules; zero-shuffle map)
+        ──► exact dedup   (md5 group keep-min; drop set bounded by dups)
+        ──► near dedup    (MinHash-LSH pairs → connected components →
+                           one canonical doc per cluster)
+        ──► decontaminate (n-gram overlap vs an eval set; optional)
+        ──► mix schedule  (deterministic weighted source interleave)
+
+Every stage is an already-tested operator with its own oracle; the
+pipeline adds only composition and a stage-count summary. 100 TB
+shape notes per stage live in the operator modules — nothing here
+materializes the corpus: the only driver-side state is the bounded
+drop/keep sets (duplicates, near-dup clusters, contaminated ids) and
+the per-stage counts in the summary.
+
+``counts=True`` executes one ``count()`` per stage boundary for the
+summary — each count runs that stage's plan once (lazy datasets
+re-execute), so production runs at scale pass ``counts=False`` and
+read the stage deltas from the final dataset's lineage instead.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+
+
+def curate_corpus(
+    docs_ds,
+    eval_ds=None,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    mix_weights: dict[str, int] | None = None,
+    near_dup_threshold: float = 0.5,
+    decontam_ngram: int = 8,
+    counts: bool = True,
+    staging_path: str | None = None,
+):
+    """Returns ``(curated_ds, summary dict)``. ``curated_ds`` carries
+    the surviving rows (original columns + ``rank`` / ``mix_key`` when
+    ``mix_weights`` is given); the summary maps stage → surviving row
+    count (None when ``counts=False``)."""
+    import ray
+
+    from ocr_service_ray.ops.dedup import exact_dedup, minhash_lsh_candidates
+    from ocr_service_ray.ops.graph import keep_canonical
+    from ocr_service_ray.ops.mix import interleave_by_weight
+    from ocr_service_ray.ops.quality_rules import repetition_stats
+
+    summary: dict[str, int | None] = {}
+
+    def stage_count(ds):
+        return int(ds.count()) if counts else None
+
+    def pin(ds, name: str):
+        """Pin a stage boundary that MULTIPLE consumers read — lazy
+        lineage re-executes the whole upstream chain once per
+        consumer otherwise (measured 5× the pipeline cost). Object
+        store at bench scale; ``staging_path`` writes the boundary as
+        parquet instead (the real 100 TB pattern: curation phases
+        checkpoint to storage, and a re-run resumes from the last
+        phase)."""
+        if staging_path is not None:
+            from ocr_service_ray.sources.readers import read_parquet_clean
+
+            path = f"{staging_path}/{name}"
+            ds.write_parquet(path)
+            return read_parquet_clean(path)
+        return ds.materialize()
+
+    summary["input"] = stage_count(docs_ds)
+
+    # 1 — quality filter (streaming, zero shuffle)
+    flagged = repetition_stats(docs_ds, text_col, id_col, append=True)
+
+    def keep_quality(b: pa.Table) -> pa.Table:
+        keep = pc.and_(b["keep_top_word"], b["keep_dup_bigram"])
+        kept = b.filter(keep)
+        drop = [
+            "n_words", "n_distinct_words", "top_word_count",
+            "n_bigrams", "n_distinct_bigrams", "keep_top_word",
+            "keep_dup_bigram",
+        ]
+        return kept.drop_columns(drop)
+
+    quality = flagged.map_batches(keep_quality, batch_format="pyarrow")
+    summary["after_quality"] = stage_count(quality)
+
+    # 2 — exact dedup: {text_hash → keep_id} for DUPLICATED groups only
+    # (bounded by duplicate groups, never the corpus), broadcast once.
+    import numpy as np
+
+    groups = exact_dedup(quality, text_col, id_col).to_pandas()
+    dup_groups = groups[groups["dups"] > 1].sort_values("text_hash")
+    dup_hashes = dup_groups["text_hash"].to_numpy(dtype="U32")
+    dup_keep = dup_groups["keep_id"].to_numpy()
+    keep_ref = ray.put((dup_hashes, dup_keep))
+
+    from ocr_service_ray.ops.dedup import content_hash
+
+    class ExactKeep:
+        def __init__(self):
+            self.hashes, self.keep = ray.get(keep_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            # vectorized: row survives unless its hash is a duplicated
+            # group AND its id is not that group's keeper
+            hashed = content_hash(b, text_col)
+            hs = hashed["text_hash"].to_numpy(zero_copy_only=False).astype("U32")
+            ids = b[id_col].to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.hashes, hs)
+            idx_c = np.minimum(idx, max(len(self.hashes) - 1, 0))
+            in_dup = (
+                (self.hashes[idx_c] == hs) if len(self.hashes) else np.zeros(len(hs), bool)
+            )
+            mask = ~in_dup | (
+                (self.keep[idx_c] == ids) if len(self.hashes) else True
+            )
+            return b.filter(pa.array(mask))
+
+    # pinned: read by the LSH signature pass, the canonical-drop
+    # filter, and everything downstream
+    exact = pin(
+        quality.map_batches(ExactKeep, batch_format="pyarrow", concurrency=(1, 8)),
+        "exact",
+    )
+    summary["after_exact_dedup"] = stage_count(exact)
+
+    # 3 — near dedup: LSH candidate pairs → components → one canonical
+    # doc per cluster (drop set bounded by near-duplicates). The pair
+    # table re-reads `exact` (lazy); at corpus scale pass
+    # signature_path so the signature table persists instead.
+    pairs = minhash_lsh_candidates(
+        exact, text_col, id_col, threshold=near_dup_threshold
+    )
+    # pinned: read by the decontamination probe and the mix join
+    near = pin(keep_canonical(exact, pairs, id_col), "near")
+    summary["after_near_dedup"] = stage_count(near)
+
+    # 4 — decontamination (optional): drop docs sharing an n-gram with
+    # the eval set.
+    if eval_ds is not None:
+        from ocr_service_ray.ops.decontam import decontaminate
+
+        near = decontaminate(
+            near, eval_ds, n=decontam_ngram, text_col=text_col, id_col=id_col
+        )
+        summary["after_decontam"] = stage_count(near)
+
+    # 5 — mix schedule (optional): deterministic interleave key.
+    if mix_weights:
+        # The mix join's two sides SHARE lineage — without the pin the
+        # plan executes every upstream actor pool twice concurrently
+        # (and can deadlock a small cluster on pool minimums).
+        if eval_ds is not None:
+            near = pin(near, "decontaminated")
+        ranked = interleave_by_weight(
+            near.select_columns([id_col, source_col]),
+            mix_weights,
+            source_col=source_col,
+            order_col=id_col,
+        )
+        from ocr_service_ray.ops.relational import hash_join
+
+        near = hash_join(
+            near, ranked.select_columns([id_col, "rank", "mix_key"]), on=id_col
+        )
+        summary["final"] = stage_count(near)
+    else:
+        summary["final"] = summary.get(
+            "after_decontam", summary["after_near_dedup"]
+        )
+
+    return near, summary
