@@ -70,6 +70,8 @@ BENCH_QUERIES = [
     "repetition_rules",
     "quantized_embeddings",
     "mix_schedule",
+    # the end-to-end curation pipeline (quality → dedups → decontam → mix)
+    "curate_corpus",
 ]
 
 
