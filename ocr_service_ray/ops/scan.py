@@ -182,7 +182,11 @@ def global_rank(ds, by: list[str], out_col: str = "rank"):
         block_meta, batch_format="pyarrow", batch_size=None
     ).to_pandas()
     if len(meta) == 0:
-        return mat
+        # schema-stable empty result: still carries the rank column
+        return mat.map_batches(
+            lambda b: b.append_column(out_col, pa.array([], pa.int64())),
+            batch_format="pyarrow",
+        )
     meta = meta.sort_values(by).reset_index(drop=True)
     assert not meta.duplicated(by).any(), (
         "global_rank requires a unique composite sort key "

@@ -300,11 +300,17 @@ def percentile_buckets(ds, col: str, n_buckets: int, keep_cols: list[str]):
     assumption as ``value_counts_quantiles``; pre-bin continuous
     columns first.
 
-    Output: keep_cols + col + n_less + bucket (int64)."""
+    Output: keep_cols + col + n_less + bucket (int64). NULL ``col``
+    rows are DROPPED (no order statistic exists for them — the SQL
+    analogue's inner CDF join does the same)."""
+    import pyarrow.compute as pc
     import ray
 
     from ocr_service_ray.ops.agg import grouped_agg
 
+    ds = ds.map_batches(
+        lambda b: b.filter(pc.is_valid(b[col])), batch_format="pyarrow"
+    )
     vc = grouped_agg(ds, [col], {"cnt": (None, "count")}).to_pandas()
     if vc.empty:
         empty = {c: [] for c in keep_cols + [col, "n_less", "bucket"]}

@@ -175,3 +175,20 @@ def test_interleave_rejects_bad_weights(rd):
         interleave_by_weight(rd.from_arrow(t), {"a": 0})
     with pytest.raises(ValueError):
         interleave_by_weight(rd.from_arrow(t), {})
+
+
+def test_percentile_buckets_null_rows_dropped(rd):
+    from ocr_service_ray.ops.sketch import percentile_buckets
+
+    t = pa.table(
+        {"id": [1, 2, 3, 4], "v": pa.array([10, None, 20, 10], pa.int64())}
+    )
+    df = (
+        percentile_buckets(rd.from_arrow(t), "v", 2, ["id"])
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    # the null row (id 2) drops, matching the SQL inner CDF join
+    assert df["id"].tolist() == [1, 3, 4]
+    assert df["n_less"].tolist() == [0, 2, 0]
