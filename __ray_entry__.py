@@ -1718,6 +1718,137 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "source", "rank", "mix_key"])
 
+    def q_event_interarrival(sf_dir):
+        """Per-user inter-arrival deltas (ops/window.py
+        grouped_lag_delta) — the LAG window shape as one bucketed key
+        shuffle + in-group vectorized diff; integer µs, NULL first
+        row per user, exactly SQL lag semantics."""
+        from ocr_service_ray.ops.window import grouped_lag_delta
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+        out = grouped_lag_delta(ev, "user_id", ["ts", "event_id"], "ts")
+
+        def sentinel(b: pa.Table) -> pa.Table:
+            # the gate's value-hash comparator wants NULL-free ints;
+            # the operator's NULL-first-row semantics are pytest-pinned
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "user_id": b["user_id"],
+                    "delta_us": pc.fill_null(
+                        pc.cast(b["delta_us"], pa.int64()), -1
+                    ),
+                }
+            )
+
+        return out.map_batches(sentinel, batch_format="pyarrow")
+
+    def q_moving_sum_user_value(sf_dir):
+        """Per-user trailing-3-row sum of value CENTS ordered by
+        (ts, event_id) (ops/window.py grouped_moving_sum) — the ROWS
+        BETWEEN 2 PRECEDING frame; integer summation so the rolling
+        total is association-order-free."""
+        from ocr_service_ray.ops.window import grouped_moving_sum
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "user_id": b["user_id"],
+                    "ts": b["ts"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        out = grouped_moving_sum(
+            ev.map_batches(to_cents, batch_format="pyarrow"),
+            "user_id",
+            ["ts", "event_id"],
+            "cents",
+            3,
+            out_col="win3_cents",
+        )
+        return out.select_columns(["event_id", "user_id", "win3_cents"])
+
+    def q_rollup_order_totals(sf_dir):
+        """CUBE(o_orderpriority, o_orderstatus) count + price-cents sum
+        from ONE source scan (ops/agg.py rollup_agg): finest-level
+        combiner aggregate once, coarser grouping sets re-aggregated
+        from the |groups|-bounded partial table; grouping_id matches
+        DuckDB GROUPING()."""
+        from ocr_service_ray.ops.agg import rollup_agg
+
+        od = _read(
+            sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+        )
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "o_orderstatus": b["o_orderstatus"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        return rollup_agg(
+            od.map_batches(cents, batch_format="pyarrow"),
+            ["o_orderpriority", "o_orderstatus"],
+            {"n_orders": (None, "count"), "sum_price_cents": ("cents", "sum")},
+        )
+
+    def q_pivot_user_events(sf_dir):
+        """Per-user event counts pivoted by event_type (ops/agg.py
+        pivot_counts) — conditional aggregation in one scan: vectorized
+        0/1 indicator columns feed a single combiner sum, the COUNT(*)
+        FILTER shape."""
+        from ocr_service_ray.ops.agg import pivot_counts
+
+        ev = _read(sf_dir, "events", ["user_id", "event_type"])
+        return pivot_counts(
+            ev, "user_id", "event_type", ["click", "error", "purchase", "signup", "view"]
+        )
+
+    def q_paragraph_dedup(sf_dir):
+        """RefinedWeb-style paragraph-level exact dedup (ops/dedup.py
+        paragraph_dedup): paragraph breaks derived deterministically
+        (every ' table ' token becomes a newline — the synthetic docs
+        have no newlines of their own), then every paragraph keeps only
+        its globally FIRST (doc_id, pos) occurrence and documents
+        reassemble in order; fully-duplicated documents drop out."""
+        from ocr_service_ray.ops.dedup import paragraph_dedup
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def breaks(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "text": pc.replace_substring(b["text"], " table ", "\n"),
+                }
+            )
+
+        return paragraph_dedup(docs.map_batches(breaks, batch_format="pyarrow"))
+
+    def q_per_source_cap(sf_dir):
+        """Per-source document quota (corpus curation's per-domain cap,
+        ops/relational.py grouped_topk with ascending doc_id): keep the
+        first 50 documents of every source — block-local per-group
+        head(k) combiner, one coarse-bucket shuffle, never a global
+        sort."""
+        from ocr_service_ray.ops.relational import grouped_topk
+
+        docs = _read(sf_dir, "documents", ["doc_id", "source"])
+        return grouped_topk(docs, ["source"], ["doc_id"], 50, [False])
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -1803,6 +1934,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_ranks": q_global_ranks,
         "heavy_tokens": q_heavy_tokens,
         "curate_corpus": q_curate_corpus,
+        "event_interarrival": q_event_interarrival,
+        "moving_sum_user_value": q_moving_sum_user_value,
+        "rollup_order_totals": q_rollup_order_totals,
+        "pivot_user_events": q_pivot_user_events,
+        "paragraph_dedup": q_paragraph_dedup,
+        "per_source_cap": q_per_source_cap,
     }
 
 
@@ -3462,4 +3599,57 @@ def oracle_sql() -> dict[str, str]:
     # positives die in the exact join) — same oracle.
     oracles["decontam_pairs_bloom"] = oracles["decontam_pairs"]
     oracles["curate_corpus"] = _curate_oracle_sql()
+    oracles["event_interarrival"] = """
+        SELECT event_id, user_id,
+               CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id), -1) AS BIGINT)
+                 AS delta_us
+        FROM events
+    """
+    oracles["moving_sum_user_value"] = """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS BIGINT)
+                 AS win3_cents
+        FROM events
+    """
+    oracles["rollup_order_totals"] = """
+        SELECT o_orderpriority, o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sum_price_cents,
+               CAST(grouping(o_orderpriority, o_orderstatus) AS BIGINT)
+                 AS grouping_id
+        FROM orders GROUP BY CUBE(o_orderpriority, o_orderstatus)
+    """
+    oracles["pivot_user_events"] = """
+        SELECT user_id,
+               CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS click_cnt,
+               CAST(count(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS error_cnt,
+               CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchase_cnt,
+               CAST(count(*) FILTER (WHERE event_type = 'signup') AS BIGINT) AS signup_cnt,
+               CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS view_cnt
+        FROM events GROUP BY user_id
+    """
+    oracles["paragraph_dedup"] = """
+        WITH base AS (
+          SELECT doc_id, replace(text, ' table ', chr(10)) AS t FROM documents),
+        lists AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM base),
+        paras AS (
+          SELECT doc_id, unnest(l) AS para,
+                 unnest(list_transform(l, (x, i) -> i)) - 1 AS pos
+          FROM lists),
+        winners AS (
+          SELECT doc_id, pos, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+          FROM paras)
+        SELECT doc_id, string_agg(para, chr(10) ORDER BY pos) AS text,
+               CAST(count(*) AS BIGINT) AS n_kept
+        FROM winners WHERE rn = 1 GROUP BY doc_id
+    """
+    oracles["per_source_cap"] = """
+        SELECT doc_id, source FROM documents
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 50
+    """
     return oracles

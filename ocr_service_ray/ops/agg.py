@@ -356,6 +356,97 @@ def grouped_mode(ds, group_keys: list[str], col: str, num_buckets: int = 32):
     return bucketed_map_groups(vc, group_keys, pick, num_buckets)
 
 
+def rollup_agg(
+    ds,
+    keys: list[str],
+    specs: dict[str, tuple[str | None, str]],
+    sets: list[tuple[str, ...]] | None = None,
+    num_buckets: int = 32,
+) -> pd.DataFrame:
+    """``GROUP BY GROUPING SETS`` / ``CUBE`` / ``ROLLUP`` from ONE
+    source scan: the finest level ``grouped_agg`` runs once (combiner
+    shuffle moves partials, never rows), and every coarser grouping
+    set is derived by re-aggregating the |finest-groups|-bounded
+    partial table on the driver — count and sum merge as sums, min/max
+    as min/max (mean is not re-aggregatable and is rejected). The
+    naive form runs one full aggregate per set: at 100 TB a
+    CUBE(a, b) would be 4 scans; here it is 1.
+
+    ``sets`` defaults to the full CUBE (all subsets of ``keys``).
+    Output: keys (NULL where rolled up) + agg columns +
+    ``grouping_id`` — DuckDB's ``GROUPING(keys...)`` bitmask, first
+    key = most significant bit — which disambiguates a rolled-up NULL
+    from a genuine NULL key value. Returns a pandas DataFrame (the
+    result is |Σ set groups|-bounded, a driver-side table by nature).
+    """
+    for out, (_, agg) in specs.items():
+        if agg not in ("count", "sum", "min", "max"):
+            raise ValueError(
+                f"rollup_agg: {agg!r} is not re-aggregatable (mean = "
+                "derive sum/count sets yourself)"
+            )
+    if sets is None:
+        sets = [
+            tuple(k for j, k in enumerate(keys) if (i >> (len(keys) - 1 - j)) & 1 == 0)
+            for i in range(1 << len(keys))
+        ]
+    base = grouped_agg(ds, keys, specs, num_buckets).to_pandas()
+
+    frames = []
+    for s in sets:
+        gid = sum(
+            1 << (len(keys) - 1 - i) for i, k in enumerate(keys) if k not in s
+        )
+        merge = {out: (out, _MERGE[agg]) for out, (_, agg) in specs.items()}
+        if s:
+            lvl = base.groupby(list(s), as_index=False, dropna=False).agg(**merge)
+        else:
+            lvl = pd.DataFrame(
+                {out: [getattr(base[out], _MERGE[agg])()] for out, (_, agg) in specs.items()}
+            )
+        for k in keys:
+            if k not in s:
+                lvl[k] = None
+        lvl["grouping_id"] = gid
+        frames.append(lvl[keys + list(specs) + ["grouping_id"]])
+    return pd.concat(frames, ignore_index=True)
+
+
+def pivot_counts(
+    ds,
+    key: str,
+    pivot_col: str,
+    categories: list[str],
+    num_buckets: int = 32,
+):
+    """Pivot ``pivot_col`` into one count column per category — the
+    ``COUNT(*) FILTER (WHERE pivot = c)`` conditional-aggregation
+    shape — in ONE scan: a vectorized indicator projection (pyarrow
+    ``==`` per category, int64 0/1) feeds a single ``grouped_agg``
+    sum, so the shuffle moves ≤ |keys-in-block| combiner rows of
+    |categories|+1 ints. ``categories`` is explicit (stable output
+    schema — discovering it would be a second pass; use
+    ``distinct_values`` when unknown). Values of ``pivot_col`` outside
+    ``categories`` count toward no column (SQL FILTER semantics)."""
+    import pyarrow.compute as pc
+
+    def indicators(b: pa.Table) -> pa.Table:
+        cols: dict = {key: b[key]}
+        v = b[pivot_col]
+        for c in categories:
+            eq = pc.fill_null(pc.equal(v, c), False)
+            cols[f"{c}_cnt"] = pc.cast(eq, pa.int64())
+        return pa.table(cols)
+
+    specs = {f"{c}_cnt": (f"{c}_cnt", "sum") for c in categories}
+    return grouped_agg(
+        ds.map_batches(indicators, batch_format="pyarrow"),
+        [key],
+        specs,
+        num_buckets,
+    )
+
+
 def profile_table(ds, columns: list[str]) -> pd.DataFrame:
     """Data-quality profile: per column — row count, null count,
     exact distinct count, min, max (as strings for a uniform schema).

@@ -555,3 +555,77 @@ def embedding_near_dup(
     # bucketed: at corpus scale the block key is an IVF cluster id with
     # thousands of distinct values
     return bucketed_map_groups(ds, [block_col], block_pairs)
+
+
+def paragraph_dedup(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sep: str = "\n",
+    num_buckets: int = 64,
+):
+    """Global paragraph-level exact dedup (the RefinedWeb / CCNet
+    line-dedup rule): split every document on ``sep``, keep ONLY the
+    globally FIRST occurrence of each paragraph — first by
+    ``(id_col, position)`` order, so repeats both across documents and
+    within one document drop — and reassemble the survivors in
+    original order. Documents whose every paragraph was seen earlier
+    disappear from the output.
+
+    Ray shape — two exchanges, both element-pure-hash bucketed:
+
+    1. **explode** (map_batches, vectorized): ``pc.split_pattern`` →
+       flatten with ``list_parent_indices``; positions come from the
+       list offsets. No Python loop over rows.
+    2. **winner per paragraph** (bucketed_map_groups on the paragraph
+       text): all occurrences of one paragraph meet in one task; keep
+       the ``(doc, pos)``-min row. The exchange moves each paragraph
+       occurrence once — there is no cheaper exact rule, since the
+       surviving text must reach its reassembly group anyway.
+    3. **reassemble** (bucketed_map_groups on ``id_col``): in-group
+       sort by position, join with ``sep``.
+
+    Skew: the pathological key is a corpus-dominating paragraph (empty
+    string, boilerplate header) — all its copies meet in one group but
+    the fold is O(group) numpy, and only ONE row survives it.
+
+    Output: ``{id_col, text, n_kept}`` with ``n_kept`` = surviving
+    paragraph count per document.
+    """
+    import pyarrow.compute as pc
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    def explode(b: pa.Table) -> pa.Table:
+        lists = pc.split_pattern(b[text_col], sep)
+        flat = pc.list_flatten(lists)
+        parents = pc.list_parent_indices(lists).to_numpy(zero_copy_only=False)
+        ids = b[id_col].to_numpy(zero_copy_only=False)[parents]
+        # position within the document = running index minus the
+        # document's first flat index (vectorized off the list offsets)
+        counts = pc.list_value_length(lists).to_numpy(zero_copy_only=False)
+        starts = np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        pos = np.arange(len(parents), dtype=np.int64) - starts
+        return pa.table(
+            {id_col: pa.array(ids), "pos": pa.array(pos), "para": flat}
+        )
+
+    def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
+        i = np.lexsort((g["pos"].to_numpy(), g[id_col].to_numpy()))
+        return g.iloc[[i[0]]]
+
+    def reassemble(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values("pos", kind="stable")
+        return pd.DataFrame(
+            {
+                id_col: [g[id_col].iloc[0]],
+                "text": [sep.join(g["para"])],
+                "n_kept": [len(g)],
+            }
+        )
+
+    exploded = ds.map_batches(explode, batch_format="pyarrow")
+    winners = bucketed_map_groups(exploded, ["para"], first_occurrence, num_buckets)
+    return bucketed_map_groups(winners, [id_col], reassemble, num_buckets)

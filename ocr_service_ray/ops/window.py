@@ -1,0 +1,93 @@
+"""Per-key ordered window functions — lag deltas and rolling frames.
+
+The SQL shapes::
+
+    LAG(x) OVER (PARTITION BY key ORDER BY ...)
+    SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN n-1
+                 PRECEDING AND CURRENT ROW)
+
+Ray Data has no window operator; both are expressed as ONE
+coarse-bucket key shuffle (ops/agg.bucketed_map_groups — all rows of a
+key land in one task) followed by a vectorized in-group sort + numpy /
+pandas fold. Rows of one key must fit a task — the same
+per-key-boundedness assumption as ``sessionize`` / ``cumulative_by_key``
+(relational.py); salt a dominating key upstream.
+
+100-TB shape: the exchange moves each row exactly once, keyed by an
+element-pure hash (ops/hashing.py); no global sort, no driver
+materialization. Sums should be INTEGER (cents/micro — the repo-wide
+oracle discipline) so the rolling total is association-order-free.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+
+def grouped_lag_delta(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    ts_col: str,
+    out_col: str = "delta_us",
+):
+    """Per-key inter-arrival delta: for each row, ``ts - lag(ts)`` in
+    integer MICROSECONDS over the key's rows ordered by
+    ``order_cols`` (which must be unique per key for determinism).
+    The first row of each key gets NULL — exactly SQL's
+    ``epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY key ORDER
+    BY ...)``. ``ts_col`` may be a timestamp or any integer column
+    (then the delta is in its native unit)."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts_i = ts.astype(np.int64)
+        delta = np.empty(len(ts_i), dtype=np.int64)
+        delta[1:] = ts_i[1:] - ts_i[:-1]
+        out = g.copy()
+        # nullable Int64: the first row per key is SQL-NULL, not 0
+        vals = pd.array(delta, dtype="Int64")
+        if len(vals):
+            vals[0] = pd.NA
+        out[out_col] = vals
+        return out
+
+    return bucketed_map_groups(ds, [key_col], fold)
+
+
+def grouped_moving_sum(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    value_col: str,
+    window: int,
+    out_col: str = "moving_sum",
+):
+    """Per-key trailing-``window``-row sum ordered by ``order_cols``
+    — ``SUM(v) OVER (PARTITION BY key ORDER BY ... ROWS BETWEEN
+    window-1 PRECEDING AND CURRENT ROW)``. Rows before a full frame
+    sum what exists (SQL frame semantics). ``value_col`` should be an
+    integer (cents/micro) column; the result is exact int64."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        v = g[value_col].to_numpy().astype(np.int64)
+        cum = np.cumsum(v)
+        roll = cum.copy()
+        if len(v) > window:
+            roll[window:] = cum[window:] - cum[:-window]
+        out = g.copy()
+        out[out_col] = roll
+        return out
+
+    return bucketed_map_groups(ds, [key_col], fold)

@@ -32,7 +32,12 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         if pd.api.types.is_integer_dtype(df[c]):
-            df[c] = df[c].astype("int64")
+            # nullable Int64 with NA can't cast to int64 — compare as
+            # float (exact for the < 2^53 ints the queries emit)
+            if df[c].isna().any():
+                df[c] = df[c].astype("float64")
+            else:
+                df[c] = df[c].astype("int64")
         elif pd.api.types.is_float_dtype(df[c]):
             df[c] = df[c].astype("float64")
         elif pd.api.types.is_object_dtype(df[c]) or isinstance(

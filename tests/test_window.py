@@ -1,0 +1,202 @@
+"""Window/rollup/pivot/paragraph-dedup operators vs pandas/duckdb
+references across block layouts (ops/window.py, ops/agg.py rollup_agg
++ pivot_counts, ops/dedup.py paragraph_dedup)."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_service_ray.ops.agg import pivot_counts, rollup_agg
+from ocr_service_ray.ops.dedup import paragraph_dedup
+from ocr_service_ray.ops.window import grouped_lag_delta, grouped_moving_sum
+
+
+def _frame(n=300, seed=11):
+    rng = np.random.default_rng(seed)
+    return pd.DataFrame(
+        {
+            "event_id": np.arange(n, dtype=np.int64),
+            "key": rng.integers(0, 9, n).astype(np.int64),
+            "ts_us": rng.integers(0, 10_000_000, n).astype(np.int64),
+            "cents": rng.integers(-50, 500, n).astype(np.int64),
+        }
+    )
+
+
+def _ds(df, nblocks):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(
+        nblocks
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 7])
+def test_lag_delta_matches_window(ray_session, nblocks):
+    df = _frame()
+    out = (
+        grouped_lag_delta(_ds(df, nblocks), "key", ["ts_us", "event_id"], "ts_us")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["ts_us", "event_id"], kind="stable").copy()
+    ref["delta_us"] = ref.groupby("key")["ts_us"].diff()
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    got = out["delta_us"].astype("float64").to_numpy(na_value=np.nan)
+    np.testing.assert_array_equal(np.isnan(got), ref["delta_us"].isna().to_numpy())
+    mask = ~ref["delta_us"].isna().to_numpy()
+    np.testing.assert_array_equal(got[mask], ref["delta_us"].to_numpy()[mask])
+
+
+def test_lag_delta_timestamp_column(ray_session):
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "key": [1, 1, 1, 2],
+            "ts": pd.to_datetime(
+                [
+                    "2024-01-01 00:00:00",
+                    "2024-01-01 00:00:01.5",
+                    "2024-01-01 00:01:00",
+                    "2024-01-01 00:00:00",
+                ],
+                format="ISO8601",
+            ),
+        }
+    )
+    out = (
+        grouped_lag_delta(_ds(df, 2), "key", ["ts", "event_id"], "ts")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    assert out["delta_us"].tolist()[1:3] == [1_500_000, 58_500_000]
+    # the single first row of each key is NULL, not 0
+    assert pd.isna(out["delta_us"].iloc[0]) and pd.isna(out["delta_us"].iloc[3])
+
+
+@pytest.mark.parametrize("window", [1, 3, 1000])
+def test_moving_sum_matches_rolling(ray_session, window):
+    df = _frame()
+    out = (
+        grouped_moving_sum(
+            _ds(df, 5), "key", ["ts_us", "event_id"], "cents", window, out_col="ms"
+        )
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = df.sort_values(["ts_us", "event_id"], kind="stable").copy()
+    ref["ms"] = (
+        ref.groupby("key")["cents"]
+        .rolling(window, min_periods=1)
+        .sum()
+        .reset_index(level=0, drop=True)
+    )
+    ref = ref.sort_values("event_id").reset_index(drop=True)
+    np.testing.assert_array_equal(
+        out["ms"].to_numpy(np.int64), ref["ms"].to_numpy(np.int64)
+    )
+
+
+def test_rollup_matches_duckdb_cube(ray_session):
+    import duckdb
+
+    df = _frame()
+    df["a"] = (df["key"] % 3).map({0: "x", 1: "y", 2: "z"})
+    df["b"] = (df["key"] % 2).map({0: "p", 1: "q"})
+    out = rollup_agg(
+        _ds(df, 4), ["a", "b"], {"n": (None, "count"), "s": ("cents", "sum")}
+    )
+    ref = duckdb.connect().execute(
+        """SELECT a, b, CAST(count(*) AS BIGINT) n, CAST(sum(cents) AS BIGINT) s,
+                  CAST(grouping(a, b) AS BIGINT) AS grouping_id
+           FROM df GROUP BY CUBE(a, b)"""
+    ).fetchdf()
+    key = ["grouping_id", "a", "b"]
+    a = out.sort_values(key).reset_index(drop=True)
+    b = ref.sort_values(key).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+    )
+
+
+def test_rollup_min_max_and_custom_sets(ray_session):
+    df = _frame()
+    df["a"] = (df["key"] % 3).astype(str)
+    out = rollup_agg(
+        _ds(df, 3),
+        ["a"],
+        {"lo": ("cents", "min"), "hi": ("cents", "max")},
+        sets=[()],
+    )
+    assert len(out) == 1 and out["grouping_id"].iloc[0] == 1
+    assert out["lo"].iloc[0] == df["cents"].min()
+    assert out["hi"].iloc[0] == df["cents"].max()
+    with pytest.raises(ValueError):
+        rollup_agg(_ds(df, 1), ["a"], {"m": ("cents", "mean")})
+
+
+def test_pivot_counts_matches_filter_agg(ray_session):
+    df = _frame()
+    df["cat"] = (df["key"] % 4).map({0: "a", 1: "b", 2: "c", 3: "d"})
+    # category 'd' excluded → its rows count toward no column
+    out = (
+        pivot_counts(_ds(df, 6), "key", "cat", ["a", "b", "c", "zzz"])
+        .to_pandas()
+        .sort_values("key")
+        .reset_index(drop=True)
+    )
+    for c in ["a", "b", "c"]:
+        ref = (
+            df.assign(i=(df["cat"] == c).astype(np.int64))
+            .groupby("key", as_index=False)["i"]
+            .sum()
+            .sort_values("key")
+        )
+        np.testing.assert_array_equal(
+            out[f"{c}_cnt"].to_numpy(np.int64), ref["i"].to_numpy(np.int64)
+        )
+    assert (out["zzz_cnt"] == 0).all()
+    assert len(out) == df["key"].nunique()
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_paragraph_dedup_first_occurrence(ray_session, nblocks):
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "alpha\nbeta\ngamma",
+                "beta\ndelta\nalpha",  # beta+alpha seen in doc 1
+                "alpha\nbeta",  # fully deduped away
+                "eps\neps\nzeta",  # in-doc repeat: second eps drops
+            ],
+        }
+    )
+    out = (
+        paragraph_dedup(_ds(docs, nblocks))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == [1, 2, 4]  # doc 3 vanished
+    assert out["text"].tolist() == ["alpha\nbeta\ngamma", "delta", "eps\nzeta"]
+    assert out["n_kept"].tolist() == [3, 1, 2]
+
+
+def test_paragraph_dedup_global_first_is_doc_order(ray_session):
+    # the SAME paragraph in docs 10 and 2 → doc 2 (lower id) keeps it,
+    # whatever block the rows arrive in
+    docs = pd.DataFrame(
+        {"doc_id": [10, 2], "text": ["shared\nten-only", "shared\ntwo-only"]}
+    )
+    out = (
+        paragraph_dedup(_ds(docs, 2))
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out.loc[out["doc_id"] == 2, "text"].iloc[0] == "shared\ntwo-only"
+    assert out.loc[out["doc_id"] == 10, "text"].iloc[0] == "ten-only"
