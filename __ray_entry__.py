@@ -1849,6 +1849,67 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "source"])
         return grouped_topk(docs, ["source"], ["doc_id"], 50, [False])
 
+    def q_range_sum_user_value(sf_dir):
+        """Per-user trailing 1-HOUR time-RANGE sum of value cents
+        (ops/window.py grouped_range_sum) — the RANGE BETWEEN INTERVAL
+        frame: prefix-sum + searchsorted per user, equal-timestamp
+        peers included per SQL frame semantics."""
+        from ocr_service_ray.ops.window import grouped_range_sum
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "user_id": b["user_id"],
+                    "ts": b["ts"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        out = grouped_range_sum(
+            ev.map_batches(to_cents, batch_format="pyarrow"),
+            "user_id",
+            "ts",
+            "cents",
+            3_600_000_000,
+            out_col="hour_cents",
+        )
+        return out.select_columns(["event_id", "user_id", "hour_cents"])
+
+    def q_contamination_ratio(sf_dir):
+        """Per-train-doc contamination fraction vs the doc_id%20==0
+        eval slice (ops/decontam.py contamination_ratio): distinct
+        8-grams shared with ANY eval doc over the doc's distinct
+        8-grams, as an exact integer-division micro ratio."""
+        from ocr_service_ray.ops.decontam import contamination_ratio
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def split(want_eval: bool):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                m = (ids % 20 == 0) if want_eval else (ids % 20 != 0)
+                return b.filter(pa.array(m))
+
+            return docs.map_batches(f, batch_format="pyarrow")
+
+        return contamination_ratio(split(False), split(True), n=8)
+
+    def q_temperature_mix(sf_dir):
+        """Temperature-rebalanced (alpha=0.5) per-source document
+        sampling (ops/mix.py temperature_sample): keep floor(sqrt(n))
+        docs per source via deterministic integer systematic ticks —
+        zero RNG, SQL-reproducible."""
+        from ocr_service_ray.ops.mix import temperature_sample
+
+        docs = _read(sf_dir, "documents", ["doc_id", "source"])
+        return temperature_sample(docs, "source", "doc_id")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -1940,6 +2001,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pivot_user_events": q_pivot_user_events,
         "paragraph_dedup": q_paragraph_dedup,
         "per_source_cap": q_per_source_cap,
+        "range_sum_user_value": q_range_sum_user_value,
+        "contamination_ratio": q_contamination_ratio,
+        "temperature_mix": q_temperature_mix,
     }
 
 
@@ -3651,5 +3715,51 @@ def oracle_sql() -> dict[str, str]:
     oracles["per_source_cap"] = """
         SELECT doc_id, source FROM documents
         QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 50
+    """
+    oracles["range_sum_user_value"] = """
+        SELECT event_id, user_id,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) OVER (
+                   PARTITION BY user_id ORDER BY ts
+                   RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+                 AS BIGINT) AS hour_cents
+        FROM events
+    """
+    oracles["contamination_ratio"] = f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        pos AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(1, greatest(length(ws) - 7, 0))) AS s
+          FROM w),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 {_hex_bigint_sql("md5(array_to_string(list_slice(ws, s, s + 7), ' '))", 1, 15)} AS gh
+          FROM pos),
+        tr AS (SELECT doc_id, gh FROM g WHERE doc_id % 20 <> 0),
+        ev AS (SELECT DISTINCT gh FROM g WHERE doc_id % 20 = 0),
+        st AS (
+          SELECT doc_id, count(*) AS n_grams,
+                 count(*) FILTER (WHERE gh IN (SELECT gh FROM ev)) AS n_shared
+          FROM tr GROUP BY doc_id)
+        SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+               CAST(n_shared AS BIGINT) AS n_shared,
+               CAST((2000000 * n_shared + n_grams) // (2 * n_grams) AS BIGINT)
+                 AS ratio_micro
+        FROM st
+    """
+    oracles["temperature_mix"] = """
+        WITH n AS (
+          SELECT source, count(*) AS n_docs FROM documents GROUP BY source),
+        t AS (
+          SELECT source, n_docs,
+                 CAST(floor(sqrt(n_docs)) AS BIGINT) AS target
+          FROM n),
+        r AS (
+          SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM documents)
+        SELECT r.doc_id, r.source
+        FROM r JOIN t USING (source)
+        WHERE (rn * target) // n_docs > ((rn - 1) * target) // n_docs
     """
     return oracles

@@ -227,3 +227,67 @@ def decontaminate(
     return train_ds.map_batches(
         DropContaminated, batch_format="pyarrow", concurrency=(1, 8)
     )
+
+
+def contamination_ratio(
+    train_ds,
+    eval_ds,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Per-train-document contamination FRACTION: of the document's
+    distinct n-grams, how many appear anywhere in the eval set — the
+    score thresholded by Llama/GPT-style decontamination policies
+    (``contamination_pairs`` gives the per-pair breakdown; this gives
+    the per-doc decision input). Documents with fewer than ``n`` words
+    have no grams and are omitted (SQL GROUP BY semantics).
+
+    ``ratio_micro`` is the exact integer
+    ``(2_000_000 * n_shared + n_grams) // (2 * n_grams)`` — i.e.
+    round-half-up of ``1e6 * n_shared / n_grams`` computed entirely in
+    integers, so SQL reproduces it bit for bit with ``//``.
+
+    100-TB shape: the eval gram set broadcasts once (``ray.put`` —
+    bounded by the benchmark suite, the documented contract of the
+    broadcast decontam strategy); the train side streams, one pass,
+    zero shuffle. For a giant eval set, compose ``_unique_gram_rows``
+    with the gram-keyed join of ``_pairs_shuffle`` and derive the
+    counts from that instead.
+
+    Output: ``{id_col, n_grams, n_shared, ratio_micro}``.
+    """
+    import ray
+
+    ev = _unique_gram_rows(eval_ds, n, text_col, id_col, "eval_id").to_pandas()
+    gram_set = frozenset(ev["gram_hash"]) if not ev.empty else frozenset()
+    ev_ref = ray.put(gram_set)
+
+    class Score:
+        def __init__(self):
+            self.grams = ray.get(ev_ref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            ids, ngs, nss, rms = [], [], [], []
+            for key, t in zip(
+                batch[id_col].to_pylist(), batch[text_col].to_pylist()
+            ):
+                gs = set(_doc_grams(t, n))
+                if not gs:
+                    continue
+                c = sum(1 for g in gs if g in self.grams)
+                m = len(gs)
+                ids.append(key)
+                ngs.append(m)
+                nss.append(c)
+                rms.append((2_000_000 * c + m) // (2 * m))
+            return pa.table(
+                {
+                    id_col: pa.array(ids, batch[id_col].type),
+                    "n_grams": pa.array(ngs, pa.int64()),
+                    "n_shared": pa.array(nss, pa.int64()),
+                    "ratio_micro": pa.array(rms, pa.int64()),
+                }
+            )
+
+    return train_ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))

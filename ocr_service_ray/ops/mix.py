@@ -67,3 +67,54 @@ def interleave_by_weight(
         return g
 
     return bucketed_map_groups(ds, [source_col], fold)
+
+
+def temperature_sample(
+    ds,
+    source_col: str = "source",
+    order_col: str = "doc_id",
+    num_buckets: int = 32,
+):
+    """Temperature-rebalanced corpus sampling (the multilingual-
+    training alpha=0.5 rule): keep ``floor(sqrt(n_s))`` documents from
+    a source with ``n_s`` documents, so over-represented sources are
+    down-sampled toward uniform while small sources keep nearly
+    everything. Deterministic and layout-invariant — ZERO RNG: within
+    each source (ordered by ``order_col``) the kept rows are the
+    systematic ticks ``(rank * t) // n > ((rank-1) * t) // n`` (every
+    n/t-th document, the same integer-tick rule as
+    ``ops/scan.weighted_systematic_sample``), so the sample is
+    SQL-reproducible and stable under resume.
+
+    100-TB shape: one combiner ``grouped_agg`` for the per-source
+    counts (a |sources|-bounded broadcast dict), then one coarse-bucket
+    shuffle for the in-source rank — same per-key-boundedness contract
+    as ``interleave_by_weight`` (pre-salt giant sources into
+    pseudo-sources upstream; the tick rule composes per shard).
+    ``floor(sqrt(n))`` is exact for n < 2**52 (IEEE sqrt of an int is
+    correctly rounded; perfect squares are exact), matching SQL's
+    ``floor(sqrt(n))`` bit for bit.
+
+    Output: ``{order_col, source_col}`` — the kept rows.
+    """
+    import math
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+    counts = grouped_agg(
+        ds, [source_col], {"n_docs": (None, "count")}, num_buckets
+    ).to_pandas()
+    targets = {
+        s: (int(n), math.isqrt(int(n)))
+        for s, n in zip(counts[source_col], counts["n_docs"])
+    }
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        src = g[source_col].iloc[0]
+        n, t = targets[src]
+        g = g.sort_values(order_col, kind="stable")[[order_col, source_col]]
+        rank = pd.RangeIndex(1, len(g) + 1).to_numpy().astype("int64")
+        keep = (rank * t) // n > ((rank - 1) * t) // n
+        return g[keep]
+
+    return bucketed_map_groups(ds, [source_col], fold, num_buckets)

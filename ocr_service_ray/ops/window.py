@@ -91,3 +91,40 @@ def grouped_moving_sum(
         return out
 
     return bucketed_map_groups(ds, [key_col], fold)
+
+
+def grouped_range_sum(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    range_us: int,
+    out_col: str = "range_sum",
+):
+    """Per-key time-RANGE frame sum — ``SUM(v) OVER (PARTITION BY key
+    ORDER BY ts RANGE BETWEEN <range> PRECEDING AND CURRENT ROW)``:
+    each row sums every row of its key whose timestamp lies in
+    ``[ts - range_us, ts]``, INCLUDING equal-timestamp peers after it
+    (SQL RANGE frames end at the last peer). One bucketed key shuffle,
+    then an in-group sort + prefix-sum + two vectorized searchsorted
+    calls — O(n log n) per key, no per-row Python. The result depends
+    only on the timestamp SET, so no tiebreak column is needed; sums
+    should be integer (cents/micro) for cross-engine exactness."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(ts_col, kind="stable")
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts_i = ts.astype(np.int64)
+        v = g[value_col].to_numpy().astype(np.int64)
+        cum = np.concatenate(([0], np.cumsum(v)))
+        lo = np.searchsorted(ts_i, ts_i - range_us, side="left")
+        hi = np.searchsorted(ts_i, ts_i, side="right")
+        out = g.copy()
+        out[out_col] = cum[hi] - cum[lo]
+        return out
+
+    return bucketed_map_groups(ds, [key_col], fold)

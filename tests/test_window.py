@@ -200,3 +200,56 @@ def test_paragraph_dedup_global_first_is_doc_order(ray_session):
     )
     assert out.loc[out["doc_id"] == 2, "text"].iloc[0] == "shared\ntwo-only"
     assert out.loc[out["doc_id"] == 10, "text"].iloc[0] == "ten-only"
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_range_sum_matches_duckdb(ray_session, nblocks):
+    import duckdb
+
+    from ocr_service_ray.ops.window import grouped_range_sum
+
+    rng = np.random.default_rng(5)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(200, dtype=np.int64),
+            "key": rng.integers(0, 5, 200).astype(np.int64),
+            # coarse grid → many equal-timestamp peers
+            "ts_us": rng.integers(0, 40, 200).astype(np.int64) * 10,
+            "cents": rng.integers(-9, 100, 200).astype(np.int64),
+        }
+    )
+    out = (
+        grouped_range_sum(_ds(df, nblocks), "key", "ts_us", "cents", 100, "rs")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.connect().execute(
+        """SELECT event_id,
+                  CAST(sum(cents) OVER (PARTITION BY key ORDER BY ts_us
+                       RANGE BETWEEN 100 PRECEDING AND CURRENT ROW) AS BIGINT) AS rs
+           FROM df ORDER BY event_id"""
+    ).fetchdf()
+    np.testing.assert_array_equal(
+        out["rs"].to_numpy(np.int64), ref["rs"].to_numpy(np.int64)
+    )
+
+
+def test_range_sum_includes_equal_ts_peers(ray_session):
+    from ocr_service_ray.ops.window import grouped_range_sum
+
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2],
+            "key": [1, 1, 1],
+            "ts_us": [100, 100, 300],
+            "cents": [5, 7, 1],
+        }
+    )
+    out = (
+        grouped_range_sum(_ds(df, 1), "key", "ts_us", "cents", 50, "rs")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # both ts=100 rows see BOTH peers (frame ends at last peer)
+    assert out["rs"].tolist() == [12, 12, 1]
