@@ -1910,6 +1910,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "source"])
         return temperature_sample(docs, "source", "doc_id")
 
+    def _nation_sides(sf_dir):
+        cust = _read(sf_dir, "customer", ["c_nationkey"]).map_batches(
+            lambda b: pa.table({"nationkey": b["c_nationkey"]}),
+            batch_format="pyarrow",
+        )
+        supp = _read(sf_dir, "supplier", ["s_nationkey"]).map_batches(
+            lambda b: pa.table({"nationkey": b["s_nationkey"]}),
+            batch_format="pyarrow",
+        )
+        return cust, supp
+
+    def q_nations_intersect(sf_dir):
+        """SQL INTERSECT (ops/relational.py set_op): nations having
+        BOTH customers and suppliers — one combiner exchange merging
+        per-side presence flags over distinct keys."""
+        from ocr_service_ray.ops.relational import set_op
+
+        cust, supp = _nation_sides(sf_dir)
+        return set_op(cust, supp, ["nationkey"], "intersect")
+
+    def q_nations_except(sf_dir):
+        """SQL EXCEPT (ops/relational.py set_op): nations having
+        customers but none of the first ten suppliers — same single
+        exchange, opposite flag filter (the supplier side is capped so
+        the difference is non-empty at every sf: an empty Dataset
+        loses its schema through the gate's to_pandas)."""
+        from ocr_service_ray.ops.relational import set_op
+
+        cust = _nation_sides(sf_dir)[0]
+        supp = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"]).map_batches(
+            lambda b: pa.table(
+                {"nationkey": b.filter(pc.less_equal(b["s_suppkey"], 10))["s_nationkey"]}
+            ),
+            batch_format="pyarrow",
+        )
+        return set_op(cust, supp, ["nationkey"], "except")
+
+    def q_dense_rank_user_value(sf_dir):
+        """Per-user DENSE_RANK over value cents (ops/window.py
+        grouped_dense_rank): equal cents share a gapless rank — one
+        bucketed key shuffle + vectorized boundary cumsum."""
+        from ocr_service_ray.ops.window import grouped_dense_rank
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "user_id": b["user_id"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        out = grouped_dense_rank(
+            ev.map_batches(to_cents, batch_format="pyarrow"),
+            "user_id",
+            ["cents"],
+        )
+        return out.select_columns(["event_id", "user_id", "dense_rank"])
+
+    def q_decontam_best_match(sf_dir):
+        """Composition: for every eval doc its MOST-contaminating train
+        doc — contamination_pairs (gram-keyed shuffle strategy) fed
+        into grouped_topk k=1 (block-local per-group argmax combiner).
+        Ties break to the smallest train_id."""
+        from ocr_service_ray.ops.decontam import contamination_pairs
+        from ocr_service_ray.ops.relational import grouped_topk
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def split(want_eval: bool):
+            def f(b: pa.Table) -> pa.Table:
+                ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                m = (ids % 20 == 0) if want_eval else (ids % 20 != 0)
+                return b.filter(pa.array(m))
+
+            return docs.map_batches(f, batch_format="pyarrow")
+
+        pairs = contamination_pairs(
+            split(False), split(True), n=8, strategy="shuffle"
+        )
+        return grouped_topk(
+            pairs, ["eval_id"], ["shared_grams", "train_id"], 1, [True, False]
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -2004,6 +2093,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "range_sum_user_value": q_range_sum_user_value,
         "contamination_ratio": q_contamination_ratio,
         "temperature_mix": q_temperature_mix,
+        "nations_intersect": q_nations_intersect,
+        "nations_except": q_nations_except,
+        "dense_rank_user_value": q_dense_rank_user_value,
+        "decontam_best_match": q_decontam_best_match,
     }
 
 
@@ -3761,5 +3854,47 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.doc_id, r.source
         FROM r JOIN t USING (source)
         WHERE (rn * target) // n_docs > ((rn - 1) * target) // n_docs
+    """
+    oracles["nations_intersect"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        INTERSECT
+        SELECT s_nationkey AS nationkey FROM supplier
+    """
+    oracles["nations_except"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        EXCEPT
+        SELECT s_nationkey AS nationkey FROM supplier WHERE s_suppkey <= 10
+    """
+    oracles["dense_rank_user_value"] = """
+        SELECT event_id, user_id,
+               CAST(dense_rank() OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS dense_rank
+        FROM events
+    """
+    # best train match per eval doc: the decontam_pairs gram CTE +
+    # a per-eval argmax window
+    oracles["decontam_best_match"] = f"""
+        WITH w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        pos AS (
+          SELECT doc_id, ws,
+                 unnest(generate_series(1, greatest(length(ws) - 7, 0))) AS s
+          FROM w),
+        g AS (
+          SELECT DISTINCT doc_id,
+                 {_hex_bigint_sql("md5(array_to_string(list_slice(ws, s, s + 7), ' '))", 1, 15)} AS gh
+          FROM pos),
+        tr AS (SELECT doc_id, gh FROM g WHERE doc_id % 20 <> 0),
+        ev AS (SELECT doc_id, gh FROM g WHERE doc_id % 20 = 0),
+        pairs AS (
+          SELECT tr.doc_id AS train_id, ev.doc_id AS eval_id,
+                 CAST(COUNT(*) AS BIGINT) AS shared_grams
+          FROM tr JOIN ev USING (gh)
+          GROUP BY tr.doc_id, ev.doc_id)
+        SELECT eval_id, train_id, shared_grams FROM pairs
+        QUALIFY row_number() OVER (
+          PARTITION BY eval_id ORDER BY shared_grams DESC, train_id) = 1
     """
     return oracles

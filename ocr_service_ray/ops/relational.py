@@ -536,3 +536,60 @@ def grouped_sequence(
         )
 
     return bucketed_map_groups(ds, [key_col], fold)
+
+
+def set_op(ds_a, ds_b, cols: list[str], op: str = "intersect", num_buckets: int = 32):
+    """SQL ``INTERSECT`` / ``EXCEPT`` (DISTINCT set semantics) over the
+    ``cols`` projection of two datasets, as ONE combiner exchange: each
+    side projects + tags a presence indicator, the union flows through
+    ``ops/agg.grouped_agg`` max-merging the two flags per distinct key
+    (each block collapses to its distinct keys BEFORE the shuffle), and
+    a vectorized filter keeps keys present in both (intersect) or only
+    in the left (except). NULL keys compare equal, matching SQL set-op
+    semantics (grouped dropna=False + the null-sentinel bucket hash).
+
+    The naive plan is a distinct per side plus a join — three
+    exchanges; this is one, and it moves distinct keys, never rows.
+    """
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    if op not in ("intersect", "except"):
+        raise ValueError(f"unknown set op: {op}")
+
+    def tag(a_flag: int):
+        def f(b: pa.Table) -> pa.Table:
+            t = b.select(cols)
+            n = len(t)
+            return t.append_column(
+                "_in_a", pa.array(np.full(n, a_flag, dtype=np.int64))
+            ).append_column(
+                "_in_b", pa.array(np.full(n, 1 - a_flag, dtype=np.int64))
+            )
+
+        return f
+
+    both = ds_a.map_batches(tag(1), batch_format="pyarrow").union(
+        ds_b.map_batches(tag(0), batch_format="pyarrow")
+    )
+    flags = grouped_agg(
+        both,
+        cols,
+        {"in_a": ("_in_a", "max"), "in_b": ("_in_b", "max")},
+        num_buckets,
+    )
+
+    def keep(b: pa.Table) -> pa.Table:
+        in_a = pc.equal(b["in_a"], 1)
+        in_b = pc.equal(b["in_b"], 1)
+        mask = (
+            pc.and_(in_a, in_b)
+            if op == "intersect"
+            else pc.and_(in_a, pc.invert(in_b))
+        )
+        return b.filter(mask).select(cols)
+
+    return flags.map_batches(keep, batch_format="pyarrow")

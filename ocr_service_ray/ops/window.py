@@ -128,3 +128,33 @@ def grouped_range_sum(
         return out
 
     return bucketed_map_groups(ds, [key_col], fold)
+
+
+def grouped_dense_rank(
+    ds,
+    key_col: str,
+    value_cols: list[str],
+    out_col: str = "dense_rank",
+):
+    """Per-key ``DENSE_RANK() OVER (PARTITION BY key ORDER BY
+    value_cols)`` — equal value tuples share a rank, ranks are gapless
+    starting at 1. One bucketed key shuffle + an in-group sort and a
+    vectorized distinct-boundary cumsum; deterministic without a
+    tiebreak column (ties share the rank by definition)."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_cols, kind="stable")
+        vals = g[value_cols]
+        # boundary where ANY order column changes vs the previous row;
+        # two NULLs compare equal (SQL ORDER BY groups NULLs together)
+        prev = vals.shift()
+        changed = (
+            ((vals != prev) & ~(vals.isna() & prev.isna())).any(axis=1).to_numpy()
+        )
+        changed[0] = True
+        out = g.copy()
+        out[out_col] = np.cumsum(changed).astype(np.int64)
+        return out
+
+    return bucketed_map_groups(ds, [key_col], fold)

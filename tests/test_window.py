@@ -253,3 +253,66 @@ def test_range_sum_includes_equal_ts_peers(ray_session):
     )
     # both ts=100 rows see BOTH peers (frame ends at last peer)
     assert out["rs"].tolist() == [12, 12, 1]
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_dense_rank_matches_duckdb(ray_session, nblocks):
+    import duckdb
+
+    from ocr_service_ray.ops.window import grouped_dense_rank
+
+    df = _frame(250, seed=21)
+    df["cents"] = df["cents"] % 7  # force heavy ties
+    out = (
+        grouped_dense_rank(_ds(df, nblocks), "key", ["cents"], "dr")
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.connect().execute(
+        """SELECT event_id, CAST(dense_rank() OVER (
+               PARTITION BY key ORDER BY cents) AS BIGINT) AS dr
+           FROM df ORDER BY event_id"""
+    ).fetchdf()
+    np.testing.assert_array_equal(
+        out["dr"].to_numpy(np.int64), ref["dr"].to_numpy(np.int64)
+    )
+
+
+def test_dense_rank_nulls_share_rank(ray_session):
+    from ocr_service_ray.ops.window import grouped_dense_rank
+
+    df = pd.DataFrame(
+        {
+            "event_id": [0, 1, 2, 3],
+            "key": [1, 1, 1, 1],
+            "v": pd.array([None, None, 5, 5], dtype="Int64"),
+        }
+    )
+    out = (
+        grouped_dense_rank(_ds(df, 2), "key", ["v"], "dr")
+        .to_pandas()
+        .sort_values("event_id")
+    )
+    # two NULLs share one rank, two 5s share the next
+    assert sorted(out["dr"].tolist()) == [1, 1, 2, 2]
+
+
+@pytest.mark.parametrize("op,expect", [("intersect", {2, 3}), ("except", {1})])
+def test_set_op_semantics(ray_session, op, expect):
+    from ocr_service_ray.ops.relational import set_op
+
+    a = pd.DataFrame({"k": [1, 1, 2, 3, 3, 3]})  # duplicates collapse
+    b = pd.DataFrame({"k": [2, 2, 3, 4]})
+    out = set_op(_ds(a, 3), _ds(b, 2), ["k"], op).to_pandas()
+    assert set(out["k"]) == expect and len(out) == len(expect)
+
+
+def test_set_op_nulls_compare_equal(ray_session):
+    from ocr_service_ray.ops.relational import set_op
+
+    a = pd.DataFrame({"k": pd.array([None, 1], dtype="Int64")})
+    b = pd.DataFrame({"k": pd.array([None, 2], dtype="Int64")})
+    out = set_op(_ds(a, 1), _ds(b, 1), ["k"], "intersect").to_pandas()
+    # SQL INTERSECT: NULL equals NULL in set ops
+    assert len(out) == 1 and pd.isna(out["k"].iloc[0])
