@@ -1999,6 +1999,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             pairs, ["eval_id"], ["shared_grams", "train_id"], 1, [True, False]
         )
 
+    def q_prune_corpus(sf_dir):
+        """The corpus-PRUNING pipeline (pipelines/curate.py
+        prune_corpus): paragraph dedup → source re-attach → per-source
+        cap (50) → temperature sampling, verified against ONE composite
+        SQL statement chaining the per-stage oracle fragments.
+        counts=False: the oracle run needs no per-stage counts."""
+        from ocr_service_ray.pipelines.curate import prune_corpus
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+        def breaks(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "source": b["source"],
+                    "text": pc.replace_substring(b["text"], " table ", "\n"),
+                }
+            )
+
+        out, _ = prune_corpus(
+            docs.map_batches(breaks, batch_format="pyarrow"),
+            cap_per_source=50,
+            counts=False,
+        )
+        return out.select_columns(["doc_id", "source", "n_kept"])
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -2097,6 +2123,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nations_except": q_nations_except,
         "dense_rank_user_value": q_dense_rank_user_value,
         "decontam_best_match": q_decontam_best_match,
+        "prune_corpus": q_prune_corpus,
     }
 
 
@@ -3896,5 +3923,39 @@ def oracle_sql() -> dict[str, str]:
         SELECT eval_id, train_id, shared_grams FROM pairs
         QUALIFY row_number() OVER (
           PARTITION BY eval_id ORDER BY shared_grams DESC, train_id) = 1
+    """
+    # prune pipeline: paragraph-dedup fragment → per-source cap →
+    # temperature ticks, chained as one statement
+    oracles["prune_corpus"] = """
+        WITH base AS (
+          SELECT doc_id, source, replace(text, ' table ', chr(10)) AS t
+          FROM documents),
+        lists AS (
+          SELECT doc_id, source, string_split(t, chr(10)) AS l FROM base),
+        paras AS (
+          SELECT doc_id, source, unnest(l) AS para,
+                 unnest(list_transform(l, (x, i) -> i)) - 1 AS pos
+          FROM lists),
+        winners AS (
+          SELECT doc_id, source, pos, para,
+                 row_number() OVER (PARTITION BY para ORDER BY doc_id, pos) AS rn
+          FROM paras),
+        pd AS (
+          SELECT doc_id, source, CAST(count(*) AS BIGINT) AS n_kept
+          FROM winners WHERE rn = 1 GROUP BY doc_id, source),
+        capped AS (
+          SELECT * FROM pd
+          QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 50),
+        n AS (SELECT source, count(*) AS n_docs FROM capped GROUP BY source),
+        t AS (
+          SELECT source, n_docs, CAST(floor(sqrt(n_docs)) AS BIGINT) AS target
+          FROM n),
+        r AS (
+          SELECT doc_id, source, n_kept,
+                 row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+          FROM capped)
+        SELECT r.doc_id, r.source, r.n_kept
+        FROM r JOIN t USING (source)
+        WHERE (rn * target) // n_docs > ((rn - 1) * target) // n_docs
     """
     return oracles

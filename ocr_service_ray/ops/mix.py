@@ -95,7 +95,7 @@ def temperature_sample(
     correctly rounded; perfect squares are exact), matching SQL's
     ``floor(sqrt(n))`` bit for bit.
 
-    Output: ``{order_col, source_col}`` — the kept rows.
+    Output: the kept rows, ALL input columns preserved.
     """
     import math
 
@@ -112,7 +112,7 @@ def temperature_sample(
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         src = g[source_col].iloc[0]
         n, t = targets[src]
-        g = g.sort_values(order_col, kind="stable")[[order_col, source_col]]
+        g = g.sort_values(order_col, kind="stable")
         rank = pd.RangeIndex(1, len(g) + 1).to_numpy().astype("int64")
         keep = (rank * t) // n > ((rank - 1) * t) // n
         return g[keep]

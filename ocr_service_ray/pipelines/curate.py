@@ -178,3 +178,75 @@ def curate_corpus(
         )
 
     return near, summary
+
+
+def prune_corpus(
+    docs_ds,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+    cap_per_source: int = 50,
+    sep: str = "\n",
+    counts: bool = True,
+    staging_path: str | None = None,
+):
+    """The PRUNING half of corpus curation — size reduction rather
+    than content filtering:
+
+        raw ──► paragraph dedup   (global first-occurrence line dedup,
+                                   in-order reassembly; empty docs drop)
+            ──► source re-attach  (hash join on id — paragraph dedup
+                                   moves only id/pos/text)
+            ──► per-source cap    (first ``cap_per_source`` docs per
+                                   source, block-local head(k) combiner)
+            ──► temperature mix   (alpha=0.5: floor(sqrt(n)) docs per
+                                   source by integer systematic ticks)
+
+    Returns ``(pruned_ds, summary)``; the result carries
+    ``{id_col, source_col, n_kept}`` (``n_kept`` = surviving paragraph
+    count from the dedup stage). Lineage note: the capped stage is
+    pinned (object store, or ``staging_path`` parquet) because
+    ``temperature_sample`` consumes it twice (count pass + tick pass) —
+    the same multi-consumer rule as ``curate_corpus``. The re-attach
+    join's sides share only the source READ (no actor pools), so it
+    needs no pin.
+    """
+    from ocr_service_ray.ops.dedup import paragraph_dedup
+    from ocr_service_ray.ops.mix import temperature_sample
+    from ocr_service_ray.ops.relational import grouped_topk, hash_join
+
+    summary: dict[str, int | None] = {}
+
+    def stage_count(ds):
+        return int(ds.count()) if counts else None
+
+    def pin(ds, name: str):
+        if staging_path is not None:
+            from ocr_service_ray.sources.readers import read_parquet_clean
+
+            path = f"{staging_path}/{name}"
+            ds.write_parquet(path)
+            return read_parquet_clean(path)
+        return ds.materialize()
+
+    summary["input"] = stage_count(docs_ds)
+
+    deduped = paragraph_dedup(docs_ds, id_col, text_col, sep)
+    summary["after_paragraph_dedup"] = stage_count(deduped)
+
+    with_source = hash_join(
+        deduped.select_columns([id_col, "n_kept"]),
+        docs_ds.select_columns([id_col, source_col]),
+        on=id_col,
+    )
+
+    capped = pin(
+        grouped_topk(with_source, [source_col], [id_col], cap_per_source, [False]),
+        "capped",
+    )
+    summary["after_cap"] = stage_count(capped)
+
+    pruned = temperature_sample(capped, source_col, id_col)
+    summary["final"] = stage_count(pruned)
+    return pruned, summary

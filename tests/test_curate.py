@@ -71,3 +71,50 @@ def test_curate_no_optional_stages(ray_session):
     df = out.to_pandas()
     assert summary["final"] == summary["after_near_dedup"] == len(df) == 4
     assert "mix_key" not in df.columns
+
+
+def test_prune_corpus_stages(ray_session, tmp_path):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.pipelines.curate import prune_corpus
+
+    # 3 sources × 9 docs; doc texts share one paragraph so dedup bites
+    rows = []
+    for i in range(27):
+        src = f"s{i % 3}"
+        rows.append(
+            {
+                "doc_id": i,
+                "source": src,
+                "text": f"unique paragraph {i}\nshared boilerplate",
+            }
+        )
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+    ).repartition(4)
+
+    out, summary = prune_corpus(ds, cap_per_source=5, counts=True)
+    df = out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+
+    assert summary["input"] == 27
+    # every doc keeps its unique paragraph → none vanish entirely
+    assert summary["after_paragraph_dedup"] == 27
+    assert summary["after_cap"] == 15  # 5 per source
+    # temperature: floor(sqrt(5)) = 2 per source
+    assert summary["final"] == 6 and len(df) == 6
+    assert df.groupby("source").size().tolist() == [2, 2, 2]
+    # doc 0 keeps both paragraphs, everyone else one
+    kept_by_id = dict(zip(df["doc_id"], df["n_kept"]))
+    for i, k in kept_by_id.items():
+        assert k == (2 if i == 0 else 1)
+
+    # staging_path variant is byte-identical
+    out2, _ = prune_corpus(
+        ds, cap_per_source=5, counts=False, staging_path=str(tmp_path / "stg")
+    )
+    df2 = out2.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        df[sorted(df.columns)], df2[sorted(df2.columns)], check_dtype=False
+    )
