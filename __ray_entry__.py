@@ -2025,6 +2025,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.select_columns(["doc_id", "source", "n_kept"])
 
+    def q_funnel_stages(sf_dir):
+        """view → click → purchase conversion funnel (ops/funnel.py):
+        first-touch strictly-after matching per user over one bucketed
+        key shuffle; the driver sees |stages| integers."""
+        from ocr_service_ray.ops.funnel import funnel_stages
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        return funnel_stages(ev, ["view", "click", "purchase"])
+
+    def q_mad_outlier_events(sf_dir):
+        """Median/MAD robust outliers over value cents (ops/agg.py
+        mad_outliers, |x - median| > 3 * MAD): both medians from ONE
+        value-counts combiner pass, integer rule, broadcast filter."""
+        from ocr_service_ray.ops.agg import mad_outliers
+
+        ev = _read(sf_dir, "events", ["event_id", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"event_id": b["event_id"], "cents": pa.array(c)})
+
+        return mad_outliers(
+            ev.map_batches(to_cents, batch_format="pyarrow"),
+            "cents",
+            ["event_id"],
+            k_num=3,
+            k_den=1,
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -2124,6 +2155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dense_rank_user_value": q_dense_rank_user_value,
         "decontam_best_match": q_decontam_best_match,
         "prune_corpus": q_prune_corpus,
+        "funnel_stages": q_funnel_stages,
+        "mad_outlier_events": q_mad_outlier_events,
     }
 
 
@@ -3957,5 +3990,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.doc_id, r.source, r.n_kept
         FROM r JOIN t USING (source)
         WHERE (rn * target) // n_docs > ((rn - 1) * target) // n_docs
+    """
+    oracles["funnel_stages"] = """
+        WITH s1 AS (
+          SELECT user_id, min(ts) AS t FROM events
+          WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (
+          SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (
+          SELECT e.user_id, min(e.ts) AS t FROM events e
+          JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        SELECT CAST(1 AS BIGINT) AS stage_idx, 'view' AS stage,
+               (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_users
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), 'click',
+               (SELECT CAST(count(*) AS BIGINT) FROM s2)
+        UNION ALL
+        SELECT CAST(3 AS BIGINT), 'purchase',
+               (SELECT CAST(count(*) AS BIGINT) FROM s3)
+    """
+    oracles["mad_outlier_events"] = """
+        WITH c AS (
+          SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        m AS (SELECT CAST(2 * median(cents) AS BIGINT) AS med2 FROM c),
+        d AS (SELECT event_id, cents, abs(2 * cents - med2) AS dd FROM c, m),
+        md AS (SELECT CAST(2 * median(dd) AS BIGINT) AS m2d FROM d)
+        SELECT event_id, cents FROM d, md WHERE 2 * 1 * dd > 3 * m2d
     """
     return oracles

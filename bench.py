@@ -72,6 +72,11 @@ BENCH_QUERIES = [
     "mix_schedule",
     # the end-to-end curation pipeline (quality → dedups → decontam → mix)
     "curate_corpus",
+    # round-3 window/pruning wave: paragraph-level dedup, window frames,
+    # and the pruning pipeline (paragraph dedup → cap → temperature mix)
+    "paragraph_dedup",
+    "moving_sum_user_value",
+    "prune_corpus",
 ]
 
 

@@ -356,6 +356,72 @@ def grouped_mode(ds, group_keys: list[str], col: str, num_buckets: int = 32):
     return bucketed_map_groups(vc, group_keys, pick, num_buckets)
 
 
+def mad_outliers(
+    ds,
+    col: str,
+    keep_cols: list[str],
+    k_num: int = 3,
+    k_den: int = 1,
+    num_buckets: int = 32,
+):
+    """Robust outlier filter: keep rows where
+    ``|x - median| > (k_num/k_den) * MAD`` (MAD = median absolute
+    deviation) — the heavy-tail-safe alternative to the sigma filter
+    in ``grouped_outliers`` (a few extreme rows move a mean/stddev but
+    not a median). ``col`` must be integer (cents/micro).
+
+    Exact integers end to end: both medians come from ONE value-counts
+    combiner pass — the deviation distribution is a driver-side
+    TRANSFORM of the same |distinct|-bounded count table
+    (|2v - med2| re-grouped), not a second scan. With
+    ``med2 = 2*median`` and ``m2d = 2*median(|2x - med2|)`` the rule
+    ``|x-med| > k*MAD`` becomes ``2*k_den*|2x - med2| > k_num*m2d`` —
+    every quantity an int64, so SQL's ``2*median(...)`` (exact in
+    doubles for ints < 2^52) reproduces it bit for bit. Total cost:
+    one combiner exchange + one broadcast-filter rescan. NULL values
+    are never outliers (SQL comparison-with-NULL semantics).
+
+    Output: keep_cols + col rows flagged as outliers.
+    """
+    import pyarrow.compute as pc
+
+    vc = grouped_agg(ds, [col], {"cnt": (None, "count")}, num_buckets).to_pandas()
+    vc = vc.dropna(subset=[col])
+    if vc.empty:
+        # no order statistics: nothing can exceed the (undefined) MAD
+        return ds.limit(0).select_columns(keep_cols + [col])
+    vc = vc.sort_values(col).reset_index(drop=True)
+
+    def med2_of(vals: np.ndarray, cnts: np.ndarray) -> int:
+        # 2 * quantile_cont(0.5): sum of the two straddling order
+        # statistics at pos (n-1)/2 — integer, no halves
+        cum = np.cumsum(cnts)
+        n = int(cum[-1])
+        lo = (n - 1) // 2
+        hi = n // 2
+        a = vals[int(np.searchsorted(cum, lo + 1, side="left"))]
+        b = vals[int(np.searchsorted(cum, hi + 1, side="left"))]
+        return int(a) + int(b)
+
+    vals = vc[col].to_numpy().astype(np.int64)
+    cnts = vc["cnt"].to_numpy().astype(np.int64)
+    med2 = med2_of(vals, cnts)
+
+    # deviation distribution from the SAME count table: d = |2v - med2|
+    dev = pd.DataFrame({"d": np.abs(2 * vals - med2), "cnt": cnts})
+    dev = dev.groupby("d", as_index=False)["cnt"].sum().sort_values("d")
+    m2d = med2_of(dev["d"].to_numpy(), dev["cnt"].to_numpy())
+
+    def keep(b: pa.Table) -> pa.Table:
+        x = b[col].to_numpy(zero_copy_only=False)
+        valid = ~pd.isna(x)
+        xi = np.where(valid, x, 0).astype(np.int64)
+        mask = valid & (2 * k_den * np.abs(2 * xi - med2) > k_num * m2d)
+        return b.filter(pa.array(mask)).select(keep_cols + [col])
+
+    return ds.map_batches(keep, batch_format="pyarrow")
+
+
 def rollup_agg(
     ds,
     keys: list[str],

@@ -1,0 +1,90 @@
+"""funnel_stages (ops/funnel.py) and mad_outliers (ops/agg.py):
+hand-built fixtures for the strictly-after matching rule and the
+integer median/MAD arithmetic, plus a duckdb cross-check."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from ocr_service_ray.ops.agg import mad_outliers
+from ocr_service_ray.ops.funnel import funnel_stages
+
+
+def _ds(df, nblocks):
+    import ray.data as rd
+
+    return rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(
+        nblocks
+    )
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_funnel_strictly_after(ray_session, nblocks):
+    rows = [
+        # u1 completes all three in order
+        (1, 10, "view"), (1, 20, "click"), (1, 30, "purchase"),
+        # u2 clicks BEFORE viewing → stalls at stage 1
+        (2, 20, "click"), (2, 30, "view"),
+        # u3 click at the SAME ts as view → strictly-after rejects it
+        (3, 10, "view"), (3, 10, "click"),
+        # u4 never views → stage 0
+        (4, 5, "purchase"),
+        # u5 view → click; second view earlier must not reopen stage 1
+        (5, 50, "view"), (5, 40, "view"), (5, 45, "click"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    out = funnel_stages(_ds(df, nblocks), ["view", "click", "purchase"])
+    assert out["stage"].tolist() == ["view", "click", "purchase"]
+    # u1,u2,u3,u5 viewed; u1,u5 clicked after first view; u1 purchased
+    assert out["n_users"].tolist() == [4, 2, 1]
+
+
+def test_funnel_empty_and_unreached(ray_session):
+    df = pd.DataFrame({"user_id": [1], "ts": [1], "event_type": ["view"]})
+    out = funnel_stages(_ds(df, 1), ["signup", "purchase"])
+    assert out["n_users"].tolist() == [0, 0]
+
+
+@pytest.mark.parametrize("nblocks", [1, 5])
+def test_mad_outliers_matches_duckdb(ray_session, nblocks):
+    import duckdb
+
+    rng = np.random.default_rng(9)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(500, dtype=np.int64),
+            "cents": np.concatenate(
+                [rng.integers(90, 110, 490), rng.integers(5000, 9000, 10)]
+            ).astype(np.int64),
+        }
+    )
+    out = (
+        mad_outliers(_ds(df, nblocks), "cents", ["event_id"], k_num=3, k_den=1)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    ref = duckdb.connect().execute(
+        """WITH m AS (SELECT CAST(2*median(cents) AS BIGINT) AS med2 FROM df),
+           d AS (SELECT event_id, cents, abs(2*cents - med2) AS dd FROM df, m),
+           md AS (SELECT CAST(2*median(dd) AS BIGINT) AS m2d FROM d)
+           SELECT event_id, cents FROM d, md WHERE 2*dd > 3*m2d
+           ORDER BY event_id"""
+    ).fetchdf()
+    # the 10 planted extremes must all be flagged
+    assert len(out) >= 10
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+
+
+def test_mad_outliers_fractional_k_and_nulls(ray_session):
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "cents": pd.array([10, 10, 10, 13, 100, None], dtype="Int64"),
+        }
+    )
+    # median=10, deviations |x-10| = 0,0,0,3,90 → MAD=0 → every nonzero
+    # deviation is an outlier at any k; NULL is never an outlier
+    out = mad_outliers(_ds(df, 2), "cents", ["event_id"], k_num=1, k_den=2).to_pandas()
+    assert sorted(out["event_id"].tolist()) == [3, 4]
