@@ -356,6 +356,22 @@ def grouped_mode(ds, group_keys: list[str], col: str, num_buckets: int = 32):
     return bucketed_map_groups(vc, group_keys, pick, num_buckets)
 
 
+def _column_type(ds, col: str):
+    """Arrow type of ``col`` from METADATA ONLY (fetch_if_missing=False
+    — ``schema()`` would otherwise execute the first block of a lazy
+    plan, the size_bytes() landmine). Returns None when unknown or a
+    pandas block schema — callers then skip the type check rather than
+    executing the plan."""
+    try:
+        s = ds.schema(fetch_if_missing=False)
+        base = getattr(s, "base_schema", s)
+        if isinstance(base, pa.Schema):
+            return base.field(col).type
+    except Exception:
+        pass
+    return None
+
+
 def mad_outliers(
     ds,
     col: str,
@@ -385,8 +401,14 @@ def mad_outliers(
     """
     import pyarrow.compute as pc
 
+    ctype = _column_type(ds, col)
+    if ctype is not None and not pa.types.is_integer(ctype):
+        raise ValueError(
+            f"mad_outliers needs an integer column (cents/micro); {col} is {ctype}"
+        )
     vc = grouped_agg(ds, [col], {"cnt": (None, "count")}, num_buckets).to_pandas()
-    vc = vc.dropna(subset=[col])
+    # guard BEFORE dropna: zero-row to_pandas drops the columns
+    vc = vc if vc.empty else vc.dropna(subset=[col])
     if vc.empty:
         # no order statistics: nothing can exceed the (undefined) MAD
         return ds.limit(0).select_columns(keep_cols + [col])
@@ -456,7 +478,24 @@ def rollup_agg(
             tuple(k for j, k in enumerate(keys) if (i >> (len(keys) - 1 - j)) & 1 == 0)
             for i in range(1 << len(keys))
         ]
+    for s in sets:
+        unknown = [k for k in s if k not in keys]
+        if unknown:
+            raise ValueError(f"grouping set {s} references non-keys {unknown}")
     base = grouped_agg(ds, keys, specs, num_buckets).to_pandas()
+    if base.empty:
+        # zero-group input: keyed sets emit no rows; the () set emits
+        # SQL's global-aggregate row (COUNT/SUM = 0, MIN/MAX = NULL)
+        rows = []
+        for s in sets:
+            if s:
+                continue
+            row = {k: None for k in keys}
+            for out, (_, agg) in specs.items():
+                row[out] = 0 if agg in ("count", "sum") else None
+            row["grouping_id"] = (1 << len(keys)) - 1
+            rows.append(row)
+        return pd.DataFrame(rows, columns=keys + list(specs) + ["grouping_id"])
 
     frames = []
     for s in sets:
@@ -495,6 +534,9 @@ def pivot_counts(
     ``distinct_values`` when unknown). Values of ``pivot_col`` outside
     ``categories`` count toward no column (SQL FILTER semantics)."""
     import pyarrow.compute as pc
+
+    if not categories:
+        raise ValueError("categories must be non-empty")
 
     def indicators(b: pa.Table) -> pa.Table:
         cols: dict = {key: b[key]}

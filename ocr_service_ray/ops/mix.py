@@ -104,6 +104,10 @@ def temperature_sample(
     counts = grouped_agg(
         ds, [source_col], {"n_docs": (None, "count")}, num_buckets
     ).to_pandas()
+    if counts.empty:
+        # zero-row input: Ray's to_pandas drops the columns entirely,
+        # so build the (empty) result from the input itself
+        return ds
     targets = {
         s: (int(n), math.isqrt(int(n)))
         for s, n in zip(counts[source_col], counts["n_docs"])

@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 
 def grouped_lag_delta(
@@ -74,10 +75,15 @@ def grouped_moving_sum(
     window-1 PRECEDING AND CURRENT ROW)``. Rows before a full frame
     sum what exists (SQL frame semantics). ``value_col`` should be an
     integer (cents/micro) column; the result is exact int64."""
-    from ocr_service_ray.ops.agg import bucketed_map_groups
+    from ocr_service_ray.ops.agg import _column_type, bucketed_map_groups
 
     if window < 1:
         raise ValueError("window must be >= 1")
+    ctype = _column_type(ds, value_col)
+    if ctype is not None and not pa.types.is_integer(ctype):
+        raise ValueError(
+            f"grouped_moving_sum sums integers (cents/micro); {value_col} is {ctype}"
+        )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(order_cols, kind="stable")
@@ -110,7 +116,13 @@ def grouped_range_sum(
     calls — O(n log n) per key, no per-row Python. The result depends
     only on the timestamp SET, so no tiebreak column is needed; sums
     should be integer (cents/micro) for cross-engine exactness."""
-    from ocr_service_ray.ops.agg import bucketed_map_groups
+    from ocr_service_ray.ops.agg import _column_type, bucketed_map_groups
+
+    ctype = _column_type(ds, value_col)
+    if ctype is not None and not pa.types.is_integer(ctype):
+        raise ValueError(
+            f"grouped_range_sum sums integers (cents/micro); {value_col} is {ctype}"
+        )
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(ts_col, kind="stable")

@@ -88,3 +88,19 @@ def test_mad_outliers_fractional_k_and_nulls(ray_session):
     # deviation is an outlier at any k; NULL is never an outlier
     out = mad_outliers(_ds(df, 2), "cents", ["event_id"], k_num=1, k_den=2).to_pandas()
     assert sorted(out["event_id"].tolist()) == [3, 4]
+
+
+def test_mad_outliers_rejects_float_column(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items([{"event_id": 1, "v": 1.5}])
+    with pytest.raises(ValueError, match="integer"):
+        mad_outliers(ds, "v", ["event_id"])
+
+
+def test_mad_outliers_empty_input(ray_session):
+    df = pd.DataFrame({"event_id": [], "cents": []}).astype(
+        {"event_id": "int64", "cents": "int64"}
+    )
+    out = mad_outliers(_ds(df, 1), "cents", ["event_id"]).to_pandas()
+    assert len(out) == 0

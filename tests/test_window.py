@@ -316,3 +316,34 @@ def test_set_op_nulls_compare_equal(ray_session):
     out = set_op(_ds(a, 1), _ds(b, 1), ["k"], "intersect").to_pandas()
     # SQL INTERSECT: NULL equals NULL in set ops
     assert len(out) == 1 and pd.isna(out["k"].iloc[0])
+
+
+def test_moving_sum_rejects_float_column(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.window import grouped_moving_sum, grouped_range_sum
+
+    ds = rd.from_items([{"k": 1, "t": 1, "v": 1.5}])
+    with pytest.raises(ValueError, match="integer"):
+        grouped_moving_sum(ds, "k", ["t"], "v", 3)
+    with pytest.raises(ValueError, match="integer"):
+        grouped_range_sum(ds, "k", "t", "v", 10)
+
+
+def test_rollup_empty_input_emits_global_row(ray_session):
+    df = pd.DataFrame({"a": [], "cents": []}).astype({"a": "str", "cents": "int64"})
+    out = rollup_agg(
+        _ds(df, 1), ["a"], {"n": (None, "count"), "s": ("cents", "sum")}
+    )
+    # keyed set: no rows; () set: COUNT/SUM = 0 like SQL's global agg
+    assert len(out) == 1
+    row = out.iloc[0]
+    assert row["n"] == 0 and row["s"] == 0 and row["grouping_id"] == 1
+    with pytest.raises(ValueError, match="non-keys"):
+        rollup_agg(_ds(df, 1), ["a"], {"n": (None, "count")}, sets=[("zz",)])
+
+
+def test_pivot_rejects_empty_categories(ray_session):
+    df = pd.DataFrame({"k": [1], "c": ["x"]})
+    with pytest.raises(ValueError, match="non-empty"):
+        pivot_counts(_ds(df, 1), "k", "c", [])
