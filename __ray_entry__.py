@@ -1947,6 +1947,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return set_op(cust, supp, ["nationkey"], "except")
 
+    def q_nations_union(sf_dir):
+        """SQL UNION DISTINCT (ops/relational.py set_op): every nation
+        with a customer OR a supplier, deduplicated — the same single
+        presence-flag exchange, no filter."""
+        from ocr_service_ray.ops.relational import set_op
+
+        cust, supp = _nation_sides(sf_dir)
+        return set_op(cust, supp, ["nationkey"], "union")
+
     def q_dense_rank_user_value(sf_dir):
         """Per-user DENSE_RANK over value cents (ops/window.py
         grouped_dense_rank): equal cents share a gapless rank — one
@@ -2152,6 +2161,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "temperature_mix": q_temperature_mix,
         "nations_intersect": q_nations_intersect,
         "nations_except": q_nations_except,
+        "nations_union": q_nations_union,
         "dense_rank_user_value": q_dense_rank_user_value,
         "decontam_best_match": q_decontam_best_match,
         "prune_corpus": q_prune_corpus,
@@ -3924,6 +3934,11 @@ def oracle_sql() -> dict[str, str]:
         SELECT c_nationkey AS nationkey FROM customer
         EXCEPT
         SELECT s_nationkey AS nationkey FROM supplier WHERE s_suppkey <= 10
+    """
+    oracles["nations_union"] = """
+        SELECT c_nationkey AS nationkey FROM customer
+        UNION
+        SELECT s_nationkey AS nationkey FROM supplier
     """
     oracles["dense_rank_user_value"] = """
         SELECT event_id, user_id,

@@ -539,7 +539,8 @@ def grouped_sequence(
 
 
 def set_op(ds_a, ds_b, cols: list[str], op: str = "intersect", num_buckets: int = 32):
-    """SQL ``INTERSECT`` / ``EXCEPT`` (DISTINCT set semantics) over the
+    """SQL ``INTERSECT`` / ``EXCEPT`` / ``UNION`` (DISTINCT set
+    semantics) over the
     ``cols`` projection of two datasets, as ONE combiner exchange: each
     side projects + tags a presence indicator, the union flows through
     ``ops/agg.grouped_agg`` max-merging the two flags per distinct key
@@ -557,7 +558,7 @@ def set_op(ds_a, ds_b, cols: list[str], op: str = "intersect", num_buckets: int 
 
     from ocr_service_ray.ops.agg import grouped_agg
 
-    if op not in ("intersect", "except"):
+    if op not in ("intersect", "except", "union"):
         raise ValueError(f"unknown set op: {op}")
 
     def tag(a_flag: int):
@@ -583,6 +584,8 @@ def set_op(ds_a, ds_b, cols: list[str], op: str = "intersect", num_buckets: int 
     )
 
     def keep(b: pa.Table) -> pa.Table:
+        if op == "union":  # UNION DISTINCT: every grouped key survives
+            return b.select(cols)
         in_a = pc.equal(b["in_a"], 1)
         in_b = pc.equal(b["in_b"], 1)
         mask = (

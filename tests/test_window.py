@@ -347,3 +347,14 @@ def test_pivot_rejects_empty_categories(ray_session):
     df = pd.DataFrame({"k": [1], "c": ["x"]})
     with pytest.raises(ValueError, match="non-empty"):
         pivot_counts(_ds(df, 1), "k", "c", [])
+
+
+def test_set_op_union_distinct(ray_session):
+    from ocr_service_ray.ops.relational import set_op
+
+    a = pd.DataFrame({"k": [1, 1, 2]})
+    b = pd.DataFrame({"k": [2, 3, 3]})
+    out = set_op(_ds(a, 2), _ds(b, 2), ["k"], "union").to_pandas()
+    assert sorted(out["k"]) == [1, 2, 3]
+    with pytest.raises(ValueError, match="unknown set op"):
+        set_op(_ds(a, 1), _ds(b, 1), ["k"], "minus")
