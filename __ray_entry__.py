@@ -2043,6 +2043,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def q_hll_users_per_type(sf_dir):
+        """Per-event-type HLL register tables (ops/sketch.py
+        grouped_hll_registers): the sketch answer to distinct-users-
+        per-segment — block-local (group, bucket) max combiner, one
+        exchange; the register TABLE itself hash-matches SQL."""
+        from ocr_service_ray.ops.sketch import grouped_hll_registers
+
+        ev = _read(sf_dir, "events", ["event_type", "user_id"])
+        return grouped_hll_registers(ev, "event_type", "user_id", p=10)
+
     def q_mad_outlier_events(sf_dir):
         """Median/MAD robust outliers over value cents (ops/agg.py
         mad_outliers, |x - median| > 3 * MAD): both medians from ONE
@@ -2167,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "prune_corpus": q_prune_corpus,
         "funnel_stages": q_funnel_stages,
         "mad_outlier_events": q_mad_outlier_events,
+        "hll_users_per_type": q_hll_users_per_type,
     }
 
 
@@ -4026,6 +4037,18 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT CAST(3 AS BIGINT), 'purchase',
                (SELECT CAST(count(*) AS BIGINT) FROM s3)
+    """
+    oracles["hll_users_per_type"] = f"""
+        WITH h AS (
+          SELECT event_type,
+                 {_hex_bigint_sql("md5(CAST(user_id AS VARCHAR))", 1, 8)} AS x
+          FROM events WHERE user_id IS NOT NULL),
+        b AS (SELECT event_type, x // 4194304 AS bucket, x % 4194304 AS w FROM h)
+        SELECT event_type, CAST(bucket AS BIGINT) AS bucket,
+               CAST(MAX(CASE WHEN w = 0 THEN 23
+                             ELSE 23 - length(bin(w)) END) AS BIGINT)
+                 AS max_rho
+        FROM b GROUP BY event_type, bucket
     """
     oracles["mad_outlier_events"] = """
         WITH c AS (

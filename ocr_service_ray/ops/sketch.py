@@ -337,3 +337,72 @@ def percentile_buckets(ds, col: str, n_buckets: int, keep_cols: list[str]):
         return pa.table(out)
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def grouped_hll_registers(ds, group_col: str, col: str, p: int = 10):
+    """Per-GROUP HyperLogLog register tables — ``(group, bucket,
+    max_rho)``, at most ``|groups| * 2^p`` rows: the sketch-sized
+    answer to "approximate distinct users per segment" when
+    ``grouped_distinct_count`` (exact, ops/agg.py) would move too many
+    distinct pairs. Same hash/bucket/rho arithmetic as the global
+    ``hll_registers`` (md5-prefix, SQL-reproducible register table);
+    each block collapses to its per-(group, bucket) max BEFORE the one
+    combiner exchange. NULL values of ``col`` are skipped; NULL groups
+    form their own group."""
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    rem = 32 - p
+    mask = (1 << rem) - 1
+
+    def partial(b: pa.Table) -> pa.Table:
+        vals = b[col].to_pylist()
+        keep = [i for i, v in enumerate(vals) if v is not None]
+        h = np.fromiter(
+            (
+                int(hashlib.md5(str(vals[i]).encode("utf-8")).hexdigest()[:8], 16)
+                for i in keep
+            ),
+            dtype=np.uint32,
+            count=len(keep),
+        )
+        groups = b[group_col].take(pa.array(keep, pa.int64())).to_pylist()
+        if len(h) == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], b[group_col].type),
+                    "bucket": pa.array([], pa.int64()),
+                    "rho": pa.array([], pa.int64()),
+                }
+            )
+        bucket = (h >> np.uint32(rem)).astype(np.int64)
+        w = (h & np.uint32(mask)).astype(np.uint32)
+        rho = np.where(w == 0, rem + 1, rem + 1 - _bit_length(w)).astype(np.int64)
+        # block-local per-(group, bucket) max — the combiner
+        local = (
+            pd.DataFrame({group_col: groups, "bucket": bucket, "rho": rho})
+            .groupby([group_col, "bucket"], as_index=False, dropna=False)["rho"]
+            .max()
+        )
+        t = pa.Table.from_pandas(local, preserve_index=False)
+        return t.set_column(
+            t.schema.get_field_index(group_col),
+            group_col,
+            t[group_col].cast(b[group_col].type),
+        )
+
+    partials = ds.map_batches(partial, batch_format="pyarrow")
+    return grouped_agg(partials, [group_col, "bucket"], {"max_rho": ("rho", "max")})
+
+
+def grouped_approx_distinct(ds, group_col: str, col: str, p: int = 10) -> pd.DataFrame:
+    """Per-group approximate COUNT(DISTINCT col): fold each group's
+    register rows through the standard HLL estimate. Returns
+    ``(group, approx_distinct float)`` — |groups| rows on the driver."""
+    regs = grouped_hll_registers(ds, group_col, col, p).to_pandas()
+    if regs.empty:
+        return pd.DataFrame({group_col: [], "approx_distinct": []})
+    rows = [
+        (g, hll_estimate(sub, p))
+        for g, sub in regs.groupby(group_col, dropna=False, sort=False)
+    ]
+    return pd.DataFrame(rows, columns=[group_col, "approx_distinct"])

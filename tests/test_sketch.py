@@ -90,3 +90,56 @@ def test_small_range_correction():
     )
     est = hll_estimate(df, 10)
     assert abs(est - 30) < 4
+
+
+def test_grouped_hll_matches_exact_within_error(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import grouped_approx_distinct
+
+    rng = np.random.default_rng(3)
+    df = pd.DataFrame(
+        {
+            "seg": np.repeat(["a", "b", "c"], 2000),
+            "uid": np.concatenate(
+                [
+                    rng.integers(0, 150, 2000),     # ~150 distinct
+                    rng.integers(0, 900, 2000),     # ~850 distinct
+                    np.arange(2000),                # 2000 distinct
+                ]
+            ),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5)
+    out = grouped_approx_distinct(ds, "seg", "uid", p=10)
+    exact = df.groupby("seg")["uid"].nunique()
+    for _, row in out.iterrows():
+        e = exact[row["seg"]]
+        # p=10 → ~3.25% std error; allow 5 sigma
+        assert abs(row["approx_distinct"] - e) / e < 0.17, (row["seg"], row["approx_distinct"], e)
+
+
+def test_grouped_hll_registers_equal_global_per_group(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import grouped_hll_registers, hll_registers
+
+    df = pd.DataFrame({"seg": ["x"] * 50 + ["y"] * 30, "uid": list(range(50)) + list(range(100, 130))})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(3)
+    grouped = grouped_hll_registers(ds, "seg", "uid", p=6).to_pandas()
+    for seg in ["x", "y"]:
+        sub = df[df["seg"] == seg]
+        solo = hll_registers(
+            rd.from_arrow(pa.Table.from_pandas(sub, preserve_index=False)), "uid", p=6
+        ).to_pandas().sort_values("bucket").reset_index(drop=True)
+        g = (
+            grouped[grouped["seg"] == seg][["bucket", "max_rho"]]
+            .sort_values("bucket")
+            .reset_index(drop=True)
+        )
+        pd.testing.assert_frame_equal(g, solo, check_dtype=False)
