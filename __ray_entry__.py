@@ -2043,6 +2043,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def q_zorder_orders(sf_dir):
+        """Morton z-order clustering key over (o_custkey, o_orderkey)
+        low 16 bits (ops/scan.py zorder_key) — the multi-dimension
+        layout key for stat-pruned scans; pure integer bit interleave,
+        zero shuffle."""
+        from ocr_service_ray.ops.scan import zorder_key
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        return zorder_key(od, ["o_custkey", "o_orderkey"], bits=16)
+
     def q_hll_users_per_type(sf_dir):
         """Per-event-type HLL register tables (ops/sketch.py
         grouped_hll_registers): the sketch answer to distinct-users-
@@ -2178,6 +2188,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel_stages": q_funnel_stages,
         "mad_outlier_events": q_mad_outlier_events,
         "hll_users_per_type": q_hll_users_per_type,
+        "zorder_orders": q_zorder_orders,
     }
 
 
@@ -4037,6 +4048,24 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT CAST(3 AS BIGINT), 'purchase',
                (SELECT CAST(count(*) AS BIGINT) FROM s3)
+    """
+    def _zorder_sql(cols: list[str], bits: int) -> str:
+        # mirror of ops/scan.zorder_key: bit i of (col % 2^bits) lands
+        # at output position i*len(cols)+j — pure integer terms
+        m = 1 << bits
+        terms = []
+        for j, c in enumerate(cols):
+            for i in range(bits):
+                terms.append(
+                    f"((({c} % {m}) // {1 << i}) % 2) * {1 << (i * len(cols) + j)}"
+                )
+        return " + ".join(terms)
+
+    oracles["zorder_orders"] = f"""
+        SELECT o_orderkey, o_custkey,
+               CAST({_zorder_sql(["o_custkey", "o_orderkey"], 16)} AS BIGINT)
+                 AS z_key
+        FROM orders
     """
     oracles["hll_users_per_type"] = f"""
         WITH h AS (

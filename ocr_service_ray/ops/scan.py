@@ -207,3 +207,44 @@ def global_rank(ds, by: list[str], out_col: str = "rank"):
         )
 
     return mat.map_batches(add_rank, batch_format="pyarrow", batch_size=None)
+
+
+def zorder_key(ds, cols: list[str], bits: int = 16, out_col: str = "z_key"):
+    """Morton / z-order interleave key over non-negative integer
+    columns — the multi-dimensional CLUSTERING primitive (Delta/Iceberg
+    OPTIMIZE ZORDER): range-partitioning or sorting by ``z_key`` keeps
+    rows close in EVERY listed dimension physically together, so
+    min/max column statistics prune multi-predicate scans — the
+    100-TB layout step before writing partitioned parquet.
+
+    Each column contributes its low ``bits`` bits (values are masked
+    to ``bits`` — pre-scale/bucket wider domains; callers own the
+    normalization, the key is only as balanced as its inputs).
+    Vectorized: ``bits * len(cols)`` numpy shift/or passes per batch,
+    zero Python per row; streaming map, zero shuffle — the downstream
+    ``sort``/``repartition`` is where the exchange happens, exactly
+    once, on an int64 key. Pure integer bit arithmetic: SQL reproduces
+    the key with ``(x // 2^i) % 2`` terms.
+
+    Raises on > 64 total bits (int64 overflow) or negative inputs
+    (two's-complement masking would diverge from SQL ``%``).
+    """
+    import pyarrow.compute as pc
+
+    if bits * len(cols) > 63:
+        raise ValueError(f"{bits} bits x {len(cols)} cols exceeds int64")
+    mask = np.uint64((1 << bits) - 1)
+    stride = len(cols)
+
+    def add_key(b: pa.Table) -> pa.Table:
+        out = np.zeros(len(b), dtype=np.uint64)
+        for j, c in enumerate(cols):
+            x = b[c].to_numpy(zero_copy_only=False).astype(np.int64)
+            if len(x) and x.min() < 0:
+                raise ValueError(f"zorder_key needs non-negative ints; {c} has negatives")
+            v = x.view(np.uint64) & mask
+            for i in range(bits):
+                out |= ((v >> np.uint64(i)) & np.uint64(1)) << np.uint64(i * stride + j)
+        return b.append_column(out_col, pa.array(out.view(np.int64)))
+
+    return ds.map_batches(add_key, batch_format="pyarrow")

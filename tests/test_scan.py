@@ -101,3 +101,38 @@ def test_weighted_systematic_sample(ray_session):
     # sample size ≈ total weight / step; a row covering multiple ticks
     # (w=500 ≥ step) still counts once, so allow that slack
     assert abs(len(got) - w.sum() / step) <= 2 + (500 // step - 1)
+
+
+def test_zorder_key_interleave_and_locality(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.scan import zorder_key
+
+    df = pd.DataFrame({"a": [0, 1, 0, 3], "b": [0, 0, 1, 3]})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = zorder_key(ds, ["a", "b"], bits=2).to_pandas()
+    # a contributes even bit positions, b odd: (1,0)->1, (0,1)->2, (3,3)->15
+    assert out["z_key"].tolist() == [0, 1, 2, 15]
+
+    # locality: sorting by z_key keeps a 2x2 tile contiguous
+    grid = pd.DataFrame(
+        [(x, y) for x in range(8) for y in range(8)], columns=["a", "b"]
+    )
+    gout = (
+        zorder_key(rd.from_arrow(pa.Table.from_pandas(grid, preserve_index=False)),
+                   ["a", "b"], bits=3)
+        .to_pandas()
+        .sort_values("z_key")
+        .reset_index(drop=True)
+    )
+    tile = gout[(gout["a"] < 2) & (gout["b"] < 2)]
+    assert tile.index.max() - tile.index.min() == 3  # the 4 rows are adjacent
+
+    with pytest.raises(ValueError, match="exceeds int64"):
+        zorder_key(ds, ["a", "b"], bits=32)
+    neg = rd.from_items([{"a": -1, "b": 0}])
+    with pytest.raises(Exception, match="non-negative"):
+        zorder_key(neg, ["a", "b"], bits=4).materialize()
