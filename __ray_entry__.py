@@ -2043,6 +2043,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def q_normalized_dedup(sf_dir):
+        """Normalization-aware exact dedup (ops/text.py normalize_text
+        → ops/dedup.py exact_dedup): case/whitespace variants of a
+        document hash identically before the md5 group — the CCNet
+        normalize-then-hash rule. The synthetic corpus is ASCII so
+        utf8_lower == SQL lower byte for byte."""
+        from ocr_service_ray.ops.dedup import exact_dedup
+        from ocr_service_ray.ops.text import normalize_text
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        normed = docs.map_batches(
+            lambda b: normalize_text(b).drop_columns(["text"]),
+            batch_format="pyarrow",
+        )
+        return exact_dedup(normed, "norm_text", "doc_id")
+
     def q_zorder_orders(sf_dir):
         """Morton z-order clustering key over (o_custkey, o_orderkey)
         low 16 bits (ops/scan.py zorder_key) — the multi-dimension
@@ -2189,6 +2205,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mad_outlier_events": q_mad_outlier_events,
         "hll_users_per_type": q_hll_users_per_type,
         "zorder_orders": q_zorder_orders,
+        "normalized_dedup": q_normalized_dedup,
     }
 
 
@@ -4061,6 +4078,16 @@ def oracle_sql() -> dict[str, str]:
                 )
         return " + ".join(terms)
 
+    oracles["normalized_dedup"] = r"""
+        WITH n AS (
+          SELECT doc_id,
+                 trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS nt
+          FROM documents)
+        SELECT md5(nt) AS text_hash,
+               CAST(min(doc_id) AS BIGINT) AS keep_id,
+               CAST(count(*) AS BIGINT) AS dups
+        FROM n GROUP BY md5(nt)
+    """
     oracles["zorder_orders"] = f"""
         SELECT o_orderkey, o_custkey,
                CAST({_zorder_sql(["o_custkey", "o_orderkey"], 16)} AS BIGINT)

@@ -236,3 +236,20 @@ def bigram_counts(ds, text_col: str = "text", min_count: int = 1):
             batch_format="pyarrow",
         )
     return out
+
+
+def normalize_text(
+    batch: pa.Table, text_col: str = "text", out_col: str = "norm_text"
+) -> pa.Table:
+    """CCNet-style normalization BEFORE hashing/dedup: lowercase,
+    collapse whitespace runs to one space, trim — so case and spacing
+    variants of the same document hash identically. Fully vectorized
+    Arrow kernels (utf8_lower + one RE2 pass), streaming map, zero
+    shuffle. ASCII-stable vs SQL ``lower()``; non-ASCII case folding
+    can differ between utf8proc and a SQL engine's collation — the
+    synthetic corpus is ASCII, and callers with unicode text should
+    pin one engine's folding as truth."""
+    t = pc.utf8_lower(batch[text_col])
+    t = pc.replace_substring_regex(t, r"\s+", " ")
+    t = pc.utf8_trim_whitespace(t)
+    return batch.append_column(out_col, t)

@@ -104,3 +104,18 @@ def test_mad_outliers_empty_input(ray_session):
     )
     out = mad_outliers(_ds(df, 1), "cents", ["event_id"]).to_pandas()
     assert len(out) == 0
+
+
+def test_normalize_text_catches_variants(ray_session):
+    import pyarrow as pa
+
+    from ocr_service_ray.ops.text import normalize_text
+
+    b = pa.table(
+        {
+            "doc_id": [1, 2, 3],
+            "text": ["Hello  World", "  hello world\t", "HELLO\nWORLD"],
+        }
+    )
+    out = normalize_text(b)
+    assert out["norm_text"].to_pylist() == ["hello world"] * 3
