@@ -6,7 +6,10 @@
 Writes one parquet dataset per method:
 - ``exact/``    — {text_hash, keep_id, dups} groups;
 - ``minhash/``  — near-dup pairs {id_a, id_b, est_jaccard};
-- ``simhash/``  — near-dup pairs {id_a, id_b, hamming}.
+- ``simhash/``  — near-dup pairs {id_a, id_b, hamming};
+- ``paragraph/`` — documents rewritten with globally-duplicate
+  paragraphs removed {doc_id, text, n_kept} (opt-in: add ``paragraph``
+  to --methods).
 
 Run exact first on real corpora; identical texts should never reach
 the near-dup passes (ops/dedup.py skew note). Guarded ray.init.
@@ -29,6 +32,7 @@ def main() -> None:
     ap.add_argument("--methods", default="exact,minhash,simhash")
     ap.add_argument("--minhash-threshold", type=float, default=0.4)
     ap.add_argument("--max-hamming", type=int, default=8)
+    ap.add_argument("--paragraph-sep", default="\n")
     args = ap.parse_args()
 
     import ray
@@ -65,6 +69,11 @@ def main() -> None:
         out = dedup.simhash_candidates(docs(), max_hamming=args.max_hamming)
         out.write_parquet(os.path.join(args.out_dir, "simhash"))
         counts["simhash_pairs"] = out.count()
+    if "paragraph" in methods:
+        # line-level dedup: rewrites surviving documents (not pairs)
+        out = dedup.paragraph_dedup(docs(), sep=args.paragraph_sep)
+        out.write_parquet(os.path.join(args.out_dir, "paragraph"))
+        counts["paragraph_docs"] = out.count()
     print(json.dumps({**counts, "out": args.out_dir}))
 
 
