@@ -537,6 +537,8 @@ def pivot_counts(
 
     if not categories:
         raise ValueError("categories must be non-empty")
+    if len(set(categories)) != len(categories):
+        raise ValueError("categories must be unique (duplicate output columns)")
 
     def indicators(b: pa.Table) -> pa.Table:
         cols: dict = {key: b[key]}

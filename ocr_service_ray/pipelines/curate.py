@@ -25,6 +25,7 @@ read the stage deltas from the final dataset's lineage instead.
 
 from __future__ import annotations
 
+import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
 
@@ -96,8 +97,16 @@ def curate_corpus(
     # (bounded by duplicate groups, never the corpus), broadcast once.
     import numpy as np
 
-    groups = exact_dedup(quality, text_col, id_col).to_pandas()
-    dup_groups = groups[groups["dups"] > 1].sort_values("text_hash")
+    # filter dups > 1 INSIDE the dataset — the driver pull must be
+    # bounded by DUPLICATED groups, not by |distinct texts| ≈ corpus
+    # (pull-then-filter was the 100-TB violation)
+    dup_only = exact_dedup(quality, text_col, id_col).map_batches(
+        lambda b: b.filter(pc.greater(b["dups"], 1)), batch_format="pyarrow"
+    )
+    groups = dup_only.to_pandas()
+    if groups.empty:  # zero-row to_pandas drops columns
+        groups = pd.DataFrame({"text_hash": [], "keep_id": [], "dups": []})
+    dup_groups = groups.sort_values("text_hash")
     dup_hashes = dup_groups["text_hash"].to_numpy(dtype="U32")
     dup_keep = dup_groups["keep_id"].to_numpy()
     keep_ref = ray.put((dup_hashes, dup_keep))

@@ -358,3 +358,9 @@ def test_set_op_union_distinct(ray_session):
     assert sorted(out["k"]) == [1, 2, 3]
     with pytest.raises(ValueError, match="unknown set op"):
         set_op(_ds(a, 1), _ds(b, 1), ["k"], "minus")
+
+
+def test_pivot_rejects_duplicate_categories(ray_session):
+    df = pd.DataFrame({"k": [1], "c": ["x"]})
+    with pytest.raises(ValueError, match="unique"):
+        pivot_counts(_ds(df, 1), "k", "c", ["x", "x"])
