@@ -2043,6 +2043,28 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def q_winsorized_values(sf_dir):
+        """P1/P99 winsorization of event value cents (ops/sketch.py
+        winsorize): exact discrete-quantile bounds from the
+        value-counts combiner, one broadcast clip pass."""
+        from ocr_service_ray.ops.sketch import winsorize
+
+        ev = _read(sf_dir, "events", ["event_id", "value"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"event_id": b["event_id"], "cents": pa.array(c)})
+
+        return winsorize(
+            ev.map_batches(to_cents, batch_format="pyarrow"),
+            "cents",
+            0.01,
+            0.99,
+            keep_cols=["event_id"],
+        )
+
     def q_normalized_dedup(sf_dir):
         """Normalization-aware exact dedup (ops/text.py normalize_text
         → ops/dedup.py exact_dedup): case/whitespace variants of a
@@ -2206,6 +2228,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_users_per_type": q_hll_users_per_type,
         "zorder_orders": q_zorder_orders,
         "normalized_dedup": q_normalized_dedup,
+        "winsorized_values": q_winsorized_values,
     }
 
 
@@ -4078,6 +4101,18 @@ def oracle_sql() -> dict[str, str]:
                 )
         return " + ".join(terms)
 
+    oracles["winsorized_values"] = """
+        WITH c AS (
+          SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        b AS (
+          SELECT CAST(quantile_disc(cents, 0.01) AS BIGINT) AS lo,
+                 CAST(quantile_disc(cents, 0.99) AS BIGINT) AS hi
+          FROM c)
+        SELECT event_id,
+               CAST(least(greatest(cents, lo), hi) AS BIGINT) AS cents_w
+        FROM c, b
+    """
     oracles["normalized_dedup"] = r"""
         WITH n AS (
           SELECT doc_id,

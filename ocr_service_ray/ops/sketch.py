@@ -140,8 +140,10 @@ def value_counts_quantiles(ds, col: str, qs: list[float]) -> "pd.DataFrame":
     from ocr_service_ray.ops.agg import grouped_agg
 
     vc = grouped_agg(ds, [col], {"cnt": (None, "count")}).to_pandas()
-    if vc.empty:  # empty dataset: no order statistics exist (guard
-        # BEFORE sort_values — zero-row to_pandas drops columns)
+    # guard BEFORE sort/dropna — zero-row to_pandas drops columns;
+    # NULL values hold no rank (SQL quantile_disc ignores them)
+    vc = vc if vc.empty else vc.dropna(subset=[col])
+    if vc.empty:
         return _empty_quantile_frame(qs)
     vc = vc.sort_values(col).reset_index(drop=True)
     cum = vc["cnt"].cumsum().to_numpy()
@@ -165,7 +167,12 @@ def grouped_quantiles(ds, group_keys: list[str], col: str, qs: list[float]):
     vc = grouped_agg(ds, group_keys + [col], {"cnt": (None, "count")})
 
     def fold(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(col)
+        # NULL values hold no rank; a group whose values are all NULL
+        # emits no quantile rows (SQL aggregate-of-NULLs → NULL row
+        # callers rarely want — documented divergence)
+        g = g.dropna(subset=[col]).sort_values(col)
+        if g.empty:
+            return None
         cum = g["cnt"].cumsum().to_numpy()
         n = int(cum[-1])
         out = {k: [] for k in group_keys}
@@ -261,8 +268,10 @@ def value_counts_quantiles_cont(ds, col: str, qs: list[float]) -> pd.DataFrame:
     from ocr_service_ray.ops.agg import grouped_agg
 
     vc = grouped_agg(ds, [col], {"cnt": (None, "count")}).to_pandas()
-    if vc.empty:  # empty dataset: no order statistics exist (guard
-        # BEFORE sort_values — zero-row to_pandas drops columns)
+    # NULLs hold no rank (SQL quantile_cont ignores them); guard order
+    # matters — zero-row to_pandas drops columns
+    vc = vc if vc.empty else vc.dropna(subset=[col])
+    if vc.empty:
         return _empty_quantile_frame(qs)
     vc = vc.sort_values(col).reset_index(drop=True)
     cum = vc["cnt"].cumsum().to_numpy()
@@ -406,3 +415,38 @@ def grouped_approx_distinct(ds, group_col: str, col: str, p: int = 10) -> pd.Dat
         for g, sub in regs.groupby(group_col, dropna=False, sort=False)
     ]
     return pd.DataFrame(rows, columns=[group_col, "approx_distinct"])
+
+
+def winsorize(
+    ds,
+    col: str,
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    keep_cols: list[str] | None = None,
+    out_col: str | None = None,
+):
+    """Percentile clipping (winsorization): values below the ``lo_q``
+    discrete quantile clamp up to it, above ``hi_q`` clamp down — the
+    standard heavy-tail taming step before scaling/normalizing a
+    feature column. EXACT: bounds come from the value-counts combiner
+    (``value_counts_quantiles``, DuckDB ``quantile_disc`` rank
+    arithmetic), then one broadcast vectorized clip pass — one
+    combiner exchange + one rescan, nothing corpus-sized on the
+    driver. NULLs pass through unclipped (SQL least/greatest
+    propagates NULL)."""
+    import pyarrow.compute as pc
+
+    bounds = value_counts_quantiles(ds, col, [lo_q, hi_q])
+    lo, hi = bounds["value"].iloc[0], bounds["value"].iloc[1]
+    out_name = out_col or f"{col}_w"
+    cols = keep_cols if keep_cols is not None else []
+
+    def clip(b: pa.Table) -> pa.Table:
+        v = b[col]
+        if lo is not None:
+            v = pc.max_element_wise(v, pa.scalar(lo, v.type), skip_nulls=False)
+            v = pc.min_element_wise(v, pa.scalar(hi, v.type), skip_nulls=False)
+        t = b.select(cols) if cols else b.drop_columns([col])
+        return t.append_column(out_name, v)
+
+    return ds.map_batches(clip, batch_format="pyarrow")

@@ -143,3 +143,55 @@ def test_grouped_hll_registers_equal_global_per_group(ray_session):
             .reset_index(drop=True)
         )
         pd.testing.assert_frame_equal(g, solo, check_dtype=False)
+
+
+def test_winsorize_clips_to_disc_quantiles(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import winsorize
+
+    df = pd.DataFrame(
+        {"i": np.arange(100, dtype=np.int64), "v": np.arange(100, dtype=np.int64)}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(4)
+    out = (
+        winsorize(ds, "v", 0.10, 0.90, keep_cols=["i"])
+        .to_pandas()
+        .sort_values("i")
+        .reset_index(drop=True)
+    )
+    # quantile_disc(0.10) of 0..99 = 9, (0.90) = 89 (ceil(q*n)-1 rank)
+    assert out["v_w"].min() == 9 and out["v_w"].max() == 89
+    assert out.loc[50, "v_w"] == 50  # mid-range untouched
+    # NULLs pass through
+    df2 = pd.DataFrame({"i": [0, 1], "v": pd.array([1000, None], dtype="Int64")})
+    out2 = winsorize(
+        rd.from_arrow(pa.Table.from_pandas(df2, preserve_index=False)),
+        "v", 0.0, 1.0, keep_cols=["i"],
+    ).to_pandas()
+    assert pd.isna(out2.sort_values("i")["v_w"].iloc[1])
+
+
+def test_quantiles_ignore_nulls(ray_session):
+    import duckdb
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import (
+        value_counts_quantiles,
+        value_counts_quantiles_cont,
+    )
+
+    df = pd.DataFrame({"v": pd.array([1, 2, 3, 4, None, None], dtype="Int64")})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(2)
+    disc = value_counts_quantiles(ds, "v", [0.5])
+    cont = value_counts_quantiles_cont(ds, "v", [0.5])
+    ref = duckdb.connect().execute(
+        "SELECT quantile_disc(v, 0.5), quantile_cont(v, 0.5) FROM df"
+    ).fetchone()
+    assert disc["value"].iloc[0] == ref[0]
+    assert cont["value"].iloc[0] == ref[1]
