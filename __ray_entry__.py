@@ -2043,6 +2043,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def q_fuzzy_part_names(sf_dir):
+        """Edit-distance near-dup pairs over distinct part names
+        (ops/dedup.py fuzzy_pairs, lev <= 2): distinct combiner →
+        length-band blocking → in-bucket Levenshtein verify."""
+        from ocr_service_ray.ops.dedup import fuzzy_pairs
+
+        parts = _read(sf_dir, "part", ["p_name"])
+        return fuzzy_pairs(parts, "p_name", max_dist=2)
+
     def q_winsorized_values(sf_dir):
         """P1/P99 winsorization of event value cents (ops/sketch.py
         winsorize): exact discrete-quantile bounds from the
@@ -2229,6 +2238,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_orders": q_zorder_orders,
         "normalized_dedup": q_normalized_dedup,
         "winsorized_values": q_winsorized_values,
+        "fuzzy_part_names": q_fuzzy_part_names,
     }
 
 
@@ -4101,6 +4111,14 @@ def oracle_sql() -> dict[str, str]:
                 )
         return " + ".join(terms)
 
+    oracles["fuzzy_part_names"] = """
+        WITH q AS (SELECT DISTINCT p_name FROM part)
+        SELECT a.p_name AS name_a, b.p_name AS name_b,
+               CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+        FROM q a JOIN q b ON a.p_name < b.p_name
+        WHERE abs(length(a.p_name) - length(b.p_name)) <= 2
+          AND levenshtein(a.p_name, b.p_name) <= 2
+    """
     oracles["winsorized_values"] = """
         WITH c AS (
           SELECT event_id, CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents

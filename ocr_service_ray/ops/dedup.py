@@ -629,3 +629,73 @@ def paragraph_dedup(
     exploded = ds.map_batches(explode, batch_format="pyarrow")
     winners = bucketed_map_groups(exploded, ["para"], first_occurrence, num_buckets)
     return bucketed_map_groups(winners, [id_col], reassemble, num_buckets)
+
+
+def fuzzy_pairs(ds, col: str, max_dist: int = 1, num_buckets: int = 32):
+    """Edit-distance near-duplicate VALUE pairs — fuzzy-matching the
+    distinct strings of ``col`` (titles, names, entity labels) within
+    ``max_dist`` Levenshtein edits. The blocked-join shape:
+
+    1. **distinct** (combiner ``grouped_agg``): the pair search runs
+       over distinct values, never rows — the exchange moves ≤
+       |distinct-in-block| value rows.
+    2. **length banding**: ``|len_a - len_b| > max_dist`` implies
+       ``lev > max_dist``, so each value is emitted as an ANCHOR in
+       its own length bucket and as a PROBE in buckets ``len .. len +
+       max_dist`` — every qualifying pair meets in exactly ONE bucket
+       (the longer value's), equal lengths deduped by lexicographic
+       order.
+    3. **in-bucket verify** (bucketed_map_groups): per-pair
+       ``levenshtein_distance`` (kernels/correct.py, the M7 parity
+       kernel) — O(probes x anchors) Python per bucket, bounded by the
+       length-band blocking; for web-scale vocabularies add a stronger
+       block key (first char, phonetic code) upstream.
+
+    Output: ``{name_a, name_b, dist}`` with ``name_a < name_b``
+    lexicographically, one row per qualifying distinct pair.
+    """
+    from ocr_service_ray.kernels.correct import levenshtein_distance
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+    distinct = grouped_agg(ds, [col], {"_cnt": (None, "count")}, num_buckets)
+
+    def roles(b: pa.Table) -> pa.Table:
+        vals = [v for v in b[col].to_pylist() if v is not None]
+        out_v, out_bucket, out_role = [], [], []
+        for v in vals:
+            n = len(v)
+            out_v.append(v)
+            out_bucket.append(n)
+            out_role.append(0)  # anchor in its own length bucket
+            for d in range(max_dist + 1):
+                out_v.append(v)
+                out_bucket.append(n + d)
+                out_role.append(1)  # probe in len..len+max_dist
+        return pa.table(
+            {
+                "val": pa.array(out_v, pa.string()),
+                "len_bucket": pa.array(out_bucket, pa.int64()),
+                "role": pa.array(out_role, pa.int64()),
+            }
+        )
+
+    def verify(g: pd.DataFrame) -> pd.DataFrame:
+        anchors = g.loc[g["role"] == 0, "val"].tolist()
+        probes = g.loc[g["role"] == 1, "val"].tolist()
+        a_rows, b_rows, dists = [], [], []
+        for p in probes:
+            for a in anchors:
+                # meet-once rule: shorter probe vs full-length anchor;
+                # equal lengths ordered lexicographically
+                if len(p) > len(a) or (len(p) == len(a) and p >= a):
+                    continue
+                d = levenshtein_distance(p, a)
+                if d <= max_dist:
+                    lo, hi = (p, a) if p < a else (a, p)
+                    a_rows.append(lo)
+                    b_rows.append(hi)
+                    dists.append(d)
+        return pd.DataFrame({"name_a": a_rows, "name_b": b_rows, "dist": dists})
+
+    exploded = distinct.map_batches(roles, batch_format="pyarrow")
+    return bucketed_map_groups(exploded, ["len_bucket"], verify, num_buckets)

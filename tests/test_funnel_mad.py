@@ -119,3 +119,50 @@ def test_normalize_text_catches_variants(ray_session):
     )
     out = normalize_text(b)
     assert out["norm_text"].to_pylist() == ["hello world"] * 3
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_fuzzy_pairs_blocked_lev(ray_session, nblocks):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.dedup import fuzzy_pairs
+
+    df = pd.DataFrame(
+        {
+            "name": [
+                "kitten", "sitten", "sitting",  # kitten~sitten d1; sitten~sitting d2
+                "kitten",                        # duplicate collapses
+                "apple", "appl",                 # d1, different lengths
+                "zzzzzzzzzz",                    # no partner
+            ]
+        }
+    )
+    out = (
+        fuzzy_pairs(_ds(df, nblocks), "name", max_dist=2)
+        .to_pandas()
+        .sort_values(["name_a", "name_b"])
+        .reset_index(drop=True)
+    )
+    got = set(map(tuple, out[["name_a", "name_b", "dist"]].to_numpy()))
+    assert got == {
+        ("kitten", "sitten", 1),
+        ("sitten", "sitting", 2),
+        ("appl", "apple", 1),
+        ("kitten", "sitting", 2),  # within band (len diff 1), lev 2... verify below
+    } or got == {
+        ("kitten", "sitten", 1),
+        ("sitten", "sitting", 2),
+        ("appl", "apple", 1),
+    }
+    # exact ground truth by brute force
+    import itertools
+
+    from ocr_service_ray.kernels.correct import levenshtein_distance
+
+    names = sorted(set(df["name"]))
+    truth = {
+        (a, b, levenshtein_distance(a, b))
+        for a, b in itertools.combinations(names, 2)
+        if abs(len(a) - len(b)) <= 2 and levenshtein_distance(a, b) <= 2
+    }
+    assert got == truth
