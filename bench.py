@@ -206,6 +206,37 @@ def run_bench(flagship_only: bool = False) -> dict:
         def _docs():
             return _rpc(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
 
+        def _curate_fast(sf_dir):
+            # the full curation pipeline with the production gram hash
+            # (same stages/params as the oracled curate_corpus query)
+            import pyarrow as _pa
+
+            from ocr_service_ray.pipelines.curate import curate_corpus
+
+            docs = _rpc(
+                f"{sf_dir}/documents.parquet",
+                columns=["doc_id", "text", "source"],
+            )
+
+            def split(want_eval):
+                def f(b: _pa.Table) -> _pa.Table:
+                    ids = b["doc_id"].to_numpy(zero_copy_only=False)
+                    m = (ids % 20 == 0) if want_eval else (ids % 20 != 0)
+                    return b.filter(_pa.array(m))
+
+                return docs.map_batches(f, batch_format="pyarrow")
+
+            out, _ = curate_corpus(
+                split(False),
+                split(True),
+                mix_weights={"src0": 5, "src1": 3, "src2": 2, "src3": 1},
+                near_dup_threshold=0.4,
+                decontam_ngram=8,
+                counts=False,
+                minhash_hash="fast",
+            )
+            return out.select_columns(["doc_id", "source", "rank", "mix_key"])
+
         fast_variants = {
             "minhash_dedup_fast": lambda: _dedup.minhash_lsh_candidates(
                 _docs(), threshold=0.4, hash="fast"
@@ -216,6 +247,7 @@ def run_bench(flagship_only: bool = False) -> dict:
             "dup_ngram_stats_fast": lambda: _dns(
                 _docs(), n=5, min_df=2, strategy="shuffle", hash="fast"
             ),
+            "curate_corpus_fast": lambda: _curate_fast(SF_DIR),
         }
         for name, fn in fast_variants.items():
             t0 = time.perf_counter()

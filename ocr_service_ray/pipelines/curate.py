@@ -42,6 +42,7 @@ def curate_corpus(
     decontam_ngram: int = 8,
     counts: bool = True,
     staging_path: str | None = None,
+    minhash_hash: str = "oracle",
 ):
     """Returns ``(curated_ds, summary dict)``. ``curated_ds`` carries
     the surviving rows (original columns + ``rank`` / ``mix_key`` when
@@ -146,7 +147,7 @@ def curate_corpus(
     # table re-reads `exact` (lazy); at corpus scale pass
     # signature_path so the signature table persists instead.
     pairs = minhash_lsh_candidates(
-        exact, text_col, id_col, threshold=near_dup_threshold
+        exact, text_col, id_col, threshold=near_dup_threshold, hash=minhash_hash
     )
     # pinned: read by the decontamination probe and the mix join
     near = pin(keep_canonical(exact, pairs, id_col), "near")
