@@ -2043,6 +2043,17 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def q_streaming_dedup(sf_dir):
+        """Ingest-time exact dedup over the id-ordered log
+        (ops/streaming.py streaming_dedup): DedupShardActors own
+        disjoint shards of the seen-hash index — the shared-mutable-
+        index tier; first occurrence survives in LOG order, enforced
+        by sequence-numbered dispatch."""
+        from ocr_service_ray.ops.streaming import streaming_dedup
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return streaming_dedup(docs)
+
     def q_fuzzy_part_names(sf_dir):
         """Edit-distance near-dup pairs over distinct part names
         (ops/dedup.py fuzzy_pairs, lev <= 2): distinct combiner →
@@ -2239,6 +2250,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_dedup": q_normalized_dedup,
         "winsorized_values": q_winsorized_values,
         "fuzzy_part_names": q_fuzzy_part_names,
+        "streaming_dedup": q_streaming_dedup,
     }
 
 
@@ -4111,6 +4123,10 @@ def oracle_sql() -> dict[str, str]:
                 )
         return " + ".join(terms)
 
+    oracles["streaming_dedup"] = """
+        SELECT doc_id, md5(text) AS text_hash FROM documents
+        QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1
+    """
     oracles["fuzzy_part_names"] = """
         WITH q AS (SELECT DISTINCT p_name FROM part)
         SELECT a.p_name AS name_a, b.p_name AS name_b,

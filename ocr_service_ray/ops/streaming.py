@@ -403,3 +403,134 @@ def sessionize_streaming(
     for a in actors:
         ray.kill(a)
     return out
+
+
+def _dedup_actor_cls():
+    import ray
+
+    if "dedup_actor" in _remote_cache:
+        return _remote_cache["dedup_actor"]
+
+    @ray.remote
+    class DedupShardActor:
+        """Owns one shard of the SEEN-HASH INDEX — the canonical
+        'shared mutable index' that Dataset map_batches cannot express
+        (no key→actor affinity across batches). Partition slices
+        arrive with sequence numbers and are reordered in a bounded
+        buffer, so first-occurrence is decided in LOG order, not Ray
+        delivery order."""
+
+        def __init__(self, id_type_str: str):
+            self.seen: set = set()
+            self.kept_ids: list = []
+            self.kept_hashes: list = []
+            self.next_seq = 0
+            self.pending: dict = {}
+            self.id_type = id_type_str
+
+        def process(self, seq: int, ids: list, hashes: list) -> None:
+            self.pending[seq] = (ids, hashes)
+            while self.next_seq in self.pending:
+                pids, phashes = self.pending.pop(self.next_seq)
+                for doc, h in zip(pids, phashes):
+                    if h not in self.seen:
+                        self.seen.add(h)
+                        self.kept_ids.append(doc)
+                        self.kept_hashes.append(h)
+                self.next_seq += 1
+
+        def drain(self):
+            assert not self.pending, "gap in partition sequence"
+            return pa.table(
+                {
+                    "doc_id": pa.array(self.kept_ids, type=getattr(pa, self.id_type)()),
+                    "text_hash": pa.array(self.kept_hashes, pa.string()),
+                }
+            )
+
+    _remote_cache["dedup_actor"] = DedupShardActor
+    return DedupShardActor
+
+
+def _dedup_dispatch_task():
+    import ray
+
+    if "dedup_dispatch" in _remote_cache:
+        return _remote_cache["dedup_dispatch"]
+
+    @ray.remote
+    def dedup_dispatch(block: pa.Table, seq: int, actors, id_col: str, text_col: str):
+        # md5 per row (the oracle hash — SQL recomputes it); bucket by
+        # an element-pure hash of the hex so each actor owns a disjoint
+        # shard of hash space
+        from ocr_service_ray.ops.hashing import hash_column
+        from ocr_service_ray.ops.text import content_hash
+
+        hashed = content_hash(block, text_col)
+        buckets = hash_column(hashed["text_hash"]) % np.uint64(len(actors))
+        ids = block[id_col].to_pylist()
+        hexes = hashed["text_hash"].to_pylist()
+        waits = []
+        for i, a in enumerate(actors):
+            mask = buckets == i
+            waits.append(
+                a.process.remote(
+                    seq,
+                    [d for d, m in zip(ids, mask) if m],
+                    [h for h, m in zip(hexes, mask) if m],
+                )
+            )
+        ray.get(waits)  # dispatch returns once every shard accepted
+
+    _remote_cache["dedup_dispatch"] = dedup_dispatch
+    return dedup_dispatch
+
+
+def streaming_dedup(
+    docs_ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_buckets: int = 8,
+):
+    """Incremental exact dedup over an ORDERED document log: the first
+    occurrence of each content hash survives, later arrivals drop —
+    the ingest-time dedup shape, where the corpus index must persist
+    ACROSS batches while new documents stream in (vs ``exact_dedup``'s
+    batch groupby, which needs the whole corpus per run).
+
+    Same last-resort-tier architecture as ``sessionize_streaming``
+    (driver never touches rows): remote dispatch tasks hash each
+    id-ordered partition and push per-shard slices to
+    ``DedupShardActor``s; sequence numbers + per-actor reordering make
+    first-occurrence a LOG-order fact regardless of task scheduling;
+    survivors stream out via ``from_arrow_refs``.
+
+    Ordering assumption (load-bearing): partitions ascend by
+    ``id_col`` and rows within a partition are id-sorted — the sandbox
+    stand-in is one distributed sort; a real ingest reads its ordered
+    log partitions directly. Returns {doc_id, text_hash} of survivors.
+    """
+    import ray
+    import ray.data as rd
+
+    actor_cls = _dedup_actor_cls()
+    dispatch = _dedup_dispatch_task()
+    id_type = docs_ds.schema().base_schema.field(id_col).type
+    actors = [actor_cls.remote(str(id_type)) for _ in range(num_buckets)]
+
+    block_refs = docs_ds.sort(id_col).to_arrow_refs()
+
+    inflight: list = []
+    done: list = []
+    window = 4 * num_buckets
+    for seq, ref in enumerate(block_refs):
+        inflight.append(dispatch.remote(ref, seq, actors, id_col, text_col))
+        if len(inflight) >= window:
+            d, inflight = ray.wait(inflight, num_returns=len(inflight) - window + 1)
+            done.extend(d)
+    ray.get(inflight + done)
+
+    out = rd.from_arrow_refs([a.drain.remote() for a in actors]).materialize()
+    for a in actors:
+        ray.kill(a)
+    return out

@@ -166,3 +166,24 @@ def test_fuzzy_pairs_blocked_lev(ray_session, nblocks):
         if abs(len(a) - len(b)) <= 2 and levenshtein_distance(a, b) <= 2
     }
     assert got == truth
+
+
+@pytest.mark.parametrize("nblocks", [1, 6])
+def test_streaming_dedup_first_occurrence(ray_session, nblocks):
+    from ocr_service_ray.ops.streaming import streaming_dedup
+
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(40, dtype=np.int64),
+            # every text appears 4x; id order decides the survivor
+            "text": [f"t{i % 10}" for i in range(40)],
+        }
+    )
+    out = (
+        streaming_dedup(_ds(df, nblocks), num_buckets=3)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    assert out["doc_id"].tolist() == list(range(10))  # first 10 ids win
+    assert len(set(out["text_hash"])) == 10
