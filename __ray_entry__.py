@@ -2043,6 +2043,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def q_view_purchase_attribution(sf_dir):
+        """1-hour view→purchase attribution per user (ops/window.py
+        attribution_pairs): the inequality self-join counted via
+        per-key sort + searchsorted — pair rows never materialize."""
+        from ocr_service_ray.ops.window import attribution_pairs
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        out = attribution_pairs(
+            ev, "user_id", "ts", "event_type", "view", "purchase", 3_600_000_000
+        )
+        return out.select_columns(["event_id", "user_id", "n_attributed"])
+
     def q_streaming_dedup(sf_dir):
         """Ingest-time exact dedup over the id-ordered log
         (ops/streaming.py streaming_dedup): DedupShardActors own
@@ -2251,6 +2263,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_values": q_winsorized_values,
         "fuzzy_part_names": q_fuzzy_part_names,
         "streaming_dedup": q_streaming_dedup,
+        "view_purchase_attribution": q_view_purchase_attribution,
     }
 
 
@@ -4123,6 +4136,16 @@ def oracle_sql() -> dict[str, str]:
                 )
         return " + ".join(terms)
 
+    oracles["view_purchase_attribution"] = """
+        WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
+        p AS (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'purchase')
+        SELECT p.event_id, p.user_id,
+               CAST(count(v.ts) AS BIGINT) AS n_attributed
+        FROM p LEFT JOIN v ON p.user_id = v.user_id
+          AND epoch_us(p.ts) - epoch_us(v.ts) BETWEEN 1 AND 3600000000
+        GROUP BY p.event_id, p.user_id
+    """
     oracles["streaming_dedup"] = """
         SELECT doc_id, md5(text) AS text_hash FROM documents
         QUALIFY row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1

@@ -170,3 +170,53 @@ def grouped_dense_rank(
         return out
 
     return bucketed_map_groups(ds, [key_col], fold)
+
+
+def attribution_pairs(
+    ds,
+    key_col: str,
+    ts_col: str,
+    type_col: str,
+    from_type: str,
+    to_type: str,
+    window_us: int,
+):
+    """Attribution-window pair counting — for every ``to_type`` event,
+    how many ``from_type`` events the same key produced in the
+    preceding ``window_us`` microseconds (strictly before, window
+    inclusive): the SQL inequality self-join
+
+        FROM a JOIN b ON a.key = b.key AND a.type = from AND
+        b.type = to AND b.ts - a.ts BETWEEN 1 AND window
+
+    without materializing the pair table: one bucketed key shuffle,
+    then per key a sort + two vectorized ``searchsorted`` calls count
+    each target's qualifying sources in O(n log n) — the pair count is
+    derived, pairs never exist as rows. Ties (equal ts) do NOT
+    attribute (strictly-before, matching the funnel's strictly-after
+    rule).
+
+    Output: one row per ``to_type`` event — ALL its input columns plus
+    ``n_attributed`` (int64); rows of other types drop.
+    """
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts = ts.astype(np.int64)
+        types = g[type_col].to_numpy()
+        src = np.sort(ts[types == from_type])
+        tgt_mask = types == to_type
+        if not tgt_mask.any():
+            return None
+        tgt = ts[tgt_mask]
+        lo = np.searchsorted(src, tgt - window_us, side="left")
+        hi = np.searchsorted(src, tgt, side="left")  # strictly before
+        out = g.loc[tgt_mask].copy()
+        out["n_attributed"] = (hi - lo).astype(np.int64)
+        return out
+
+    return bucketed_map_groups(ds, [key_col], fold)

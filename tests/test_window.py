@@ -364,3 +364,28 @@ def test_pivot_rejects_duplicate_categories(ray_session):
     df = pd.DataFrame({"k": [1], "c": ["x"]})
     with pytest.raises(ValueError, match="unique"):
         pivot_counts(_ds(df, 1), "k", "c", ["x", "x"])
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_attribution_pairs_window_edges(ray_session, nblocks):
+    from ocr_service_ray.ops.window import attribution_pairs
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(7, dtype=np.int64),
+            "key": [1, 1, 1, 1, 1, 2, 2],
+            "ts_us": [0, 50, 100, 100, 160, 10, 10],
+            "typ": ["v", "v", "p", "v", "p", "v", "p"],
+        }
+    )
+    out = (
+        attribution_pairs(_ds(df, nblocks), "key", "ts_us", "typ", "v", "p", 100)
+        .to_pandas()
+        .sort_values("event_id")
+        .reset_index(drop=True)
+    )
+    # p@100: v@0 (diff 100, inclusive) + v@50 → 2; v@100 tie excluded
+    # p@160: v@100 + v@50 (diff 110 > 100 excluded? 160-50=110 → out) → 1
+    # p@10 (key 2): v@10 tie excluded → 0
+    assert out["event_id"].tolist() == [2, 4, 6]
+    assert out["n_attributed"].tolist() == [2, 1, 0]
