@@ -2043,6 +2043,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def q_banded_doc_sample(sf_dir):
+        """Length-band-balanced sampling (ops/sketch.py
+        percentile_buckets → ops/relational.py banded_sample): docs
+        split into 4 global length quartiles, sampled at 80/40/20/10%
+        by md5-uniform — the curation move that flattens a length
+        distribution with zero RNG."""
+        from ocr_service_ray.ops.relational import banded_sample
+        from ocr_service_ray.ops.sketch import percentile_buckets
+
+        docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        banded = percentile_buckets(docs, "n_chars", 4, keep_cols=["doc_id"])
+        out = banded_sample(
+            banded, "bucket", {0: 0.8, 1: 0.4, 2: 0.2, 3: 0.1}, "doc_id"
+        )
+        return out.select_columns(["doc_id", "n_chars", "bucket"])
+
     def q_view_purchase_attribution(sf_dir):
         """1-hour view→purchase attribution per user (ops/window.py
         attribution_pairs): the inequality self-join counted via
@@ -2264,6 +2280,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fuzzy_part_names": q_fuzzy_part_names,
         "streaming_dedup": q_streaming_dedup,
         "view_purchase_attribution": q_view_purchase_attribution,
+        "banded_doc_sample": q_banded_doc_sample,
     }
 
 
@@ -4136,6 +4153,23 @@ def oracle_sql() -> dict[str, str]:
                 )
         return " + ".join(terms)
 
+    oracles["banded_doc_sample"] = f"""
+        WITH vc AS (
+          SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+        cdf AS (
+          SELECT v, CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS lt
+          FROM vc),
+        tot AS (SELECT count(*) AS n FROM documents),
+        banded AS (
+          SELECT d.doc_id, d.n_chars,
+                 CAST(least(cdf.lt * 4 // tot.n, 3) AS BIGINT) AS bucket,
+                 md5('bands:' || CAST(d.doc_id AS VARCHAR)) AS hx
+          FROM documents d JOIN cdf ON d.n_chars = cdf.v CROSS JOIN tot)
+        SELECT doc_id, n_chars, bucket FROM banded
+        WHERE {_md5_unit_sql('hx')} <
+              CASE bucket WHEN 0 THEN 0.8 WHEN 1 THEN 0.4
+                          WHEN 2 THEN 0.2 ELSE 0.1 END
+    """
     oracles["view_purchase_attribution"] = """
         WITH v AS (SELECT user_id, ts FROM events WHERE event_type = 'view'),
         p AS (SELECT event_id, user_id, ts FROM events

@@ -596,3 +596,40 @@ def set_op(ds_a, ds_b, cols: list[str], op: str = "intersect", num_buckets: int 
         return b.filter(mask).select(cols)
 
     return flags.map_batches(keep, batch_format="pyarrow")
+
+
+def banded_sample(
+    ds,
+    bucket_col: str,
+    rates: dict[int, float],
+    key_col: str,
+    salt: str = "bands",
+):
+    """Per-band deterministic sampling — each row keeps with its
+    band's probability via the same md5-uniform rule as
+    ``hash_sample`` (zero RNG, layout-invariant, resume-stable): the
+    curation move "sample long documents at 10%, short at 80%" after
+    ``ops/sketch.percentile_buckets`` assigns the bands. Bands absent
+    from ``rates`` drop (rate 0). Streaming map, zero shuffle."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def keep(b: pa.Table) -> pa.Table:
+        buckets = b[bucket_col].to_numpy(zero_copy_only=False)
+        thresholds = np.array(
+            [rates.get(int(x), 0.0) for x in buckets], dtype=np.float64
+        )
+        keys = b[key_col].to_pylist()
+        u = np.fromiter(
+            (
+                int(hashlib.md5(f"{salt}:{k}".encode()).hexdigest()[:16], 16) / 2**64
+                for k in keys
+            ),
+            dtype=np.float64,
+            count=len(keys),
+        )
+        return b.filter(pa.array(u < thresholds))
+
+    return ds.map_batches(keep, batch_format="pyarrow")

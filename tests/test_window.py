@@ -389,3 +389,24 @@ def test_attribution_pairs_window_edges(ray_session, nblocks):
     # p@10 (key 2): v@10 tie excluded → 0
     assert out["event_id"].tolist() == [2, 4, 6]
     assert out["n_attributed"].tolist() == [2, 1, 0]
+
+
+def test_banded_sample_rates_and_determinism(ray_session):
+    from ocr_service_ray.ops.relational import banded_sample
+
+    df = pd.DataFrame(
+        {
+            "id": np.arange(4000, dtype=np.int64),
+            "bucket": np.tile([0, 1], 2000).astype(np.int64),
+        }
+    )
+    out = banded_sample(_ds(df, 4), "bucket", {0: 1.0, 1: 0.25}, "id").to_pandas()
+    by = out.groupby("bucket").size()
+    assert by[0] == 2000  # rate 1.0 keeps everything
+    assert 380 < by[1] < 620  # ~25% of 2000, md5-uniform
+    # bands absent from rates drop entirely
+    out2 = banded_sample(_ds(df, 2), "bucket", {0: 1.0}, "id").to_pandas()
+    assert set(out2["bucket"]) == {0}
+    # layout invariance: same ids at any block count
+    out3 = banded_sample(_ds(df, 9), "bucket", {0: 1.0, 1: 0.25}, "id").to_pandas()
+    assert sorted(out["id"]) == sorted(out3["id"])
