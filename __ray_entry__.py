@@ -2043,6 +2043,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def q_event_transitions(sf_dir):
+        """Per-user behavioral transition matrix (ops/window.py
+        transition_counts): consecutive (prev, next) event-type pair
+        counts — the lag + GROUP BY shape, one bucketed key shuffle
+        and a |types|^2-bounded merge."""
+        from ocr_service_ray.ops.window import transition_counts
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        return transition_counts(ev, "user_id", ["ts", "event_id"], "event_type")
+
     def q_banded_doc_sample(sf_dir):
         """Length-band-balanced sampling (ops/sketch.py
         percentile_buckets → ops/relational.py banded_sample): docs
@@ -2281,6 +2291,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "streaming_dedup": q_streaming_dedup,
         "view_purchase_attribution": q_view_purchase_attribution,
         "banded_doc_sample": q_banded_doc_sample,
+        "event_transitions": q_event_transitions,
     }
 
 
@@ -4153,6 +4164,15 @@ def oracle_sql() -> dict[str, str]:
                 )
         return " + ".join(terms)
 
+    oracles["event_transitions"] = """
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lag(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS prev
+          FROM events)
+        SELECT prev, event_type AS next, CAST(count(*) AS BIGINT) AS n
+        FROM s WHERE prev IS NOT NULL GROUP BY prev, next
+    """
     oracles["banded_doc_sample"] = f"""
         WITH vc AS (
           SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),

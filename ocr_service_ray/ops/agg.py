@@ -143,11 +143,15 @@ def bucketed_map_groups(ds, keys: list[str], fn, num_buckets: int = 32):
 
     def per_bucket(g: pd.DataFrame) -> pd.DataFrame:
         g = g.drop(columns=["_bucket"])
-        # every non-empty bucket has ≥1 group; empty outputs still carry
-        # fn's output schema through the concat. dropna=False: a null
-        # key is a real group (its rows all hash to the null sentinel).
+        # dropna=False: a null key is a real group (its rows all hash
+        # to the null sentinel). fn may return None to emit nothing
+        # for a group; a bucket where EVERY group did so yields an
+        # empty 0-column frame (concat of nothing raises).
         outs = [fn(grp) for _, grp in g.groupby(keys, sort=False, dropna=False)]
-        return pd.concat([o for o in outs if o is not None], ignore_index=True)
+        outs = [o for o in outs if o is not None]
+        if not outs:
+            return pd.DataFrame()
+        return pd.concat(outs, ignore_index=True)
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")

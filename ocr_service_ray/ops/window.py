@@ -220,3 +220,37 @@ def attribution_pairs(
         return out
 
     return bucketed_map_groups(ds, [key_col], fold)
+
+
+def transition_counts(
+    ds,
+    key_col: str,
+    order_cols: list[str],
+    type_col: str,
+):
+    """Behavioral transition matrix — counts of consecutive
+    ``(prev_type, next_type)`` pairs within each key's ordered event
+    stream (the Markov-chain / next-action-model input): the SQL
+    ``lag() OVER (PARTITION BY key ORDER BY ...)`` + GROUP BY shape.
+    One bucketed key shuffle; each key folds to its |types|^2-bounded
+    local counts (the combiner), then one tiny grouped merge. The
+    first event of a key has no predecessor and contributes nothing.
+
+    Output: ``{prev, next, n}`` (int64).
+    """
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        t = g[type_col].to_numpy()
+        if len(t) < 2:
+            return None
+        return (
+            pd.DataFrame({"prev": t[:-1], "next": t[1:]})
+            .groupby(["prev", "next"], as_index=False)
+            .size()
+            .rename(columns={"size": "n"})
+        )
+
+    local = bucketed_map_groups(ds, [key_col], fold)
+    return grouped_agg(local, ["prev", "next"], {"n": ("n", "sum")})

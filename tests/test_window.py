@@ -410,3 +410,25 @@ def test_banded_sample_rates_and_determinism(ray_session):
     # layout invariance: same ids at any block count
     out3 = banded_sample(_ds(df, 9), "bucket", {0: 1.0, 1: 0.25}, "id").to_pandas()
     assert sorted(out["id"]) == sorted(out3["id"])
+
+
+def test_transition_counts_lag_pairs(ray_session):
+    from ocr_service_ray.ops.window import transition_counts
+
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(6, dtype=np.int64),
+            "key": [1, 1, 1, 2, 2, 3],
+            "ord": [0, 1, 2, 0, 1, 0],
+            "typ": ["a", "b", "a", "a", "b", "a"],
+        }
+    )
+    out = (
+        transition_counts(_ds(df, 3), "key", ["ord", "event_id"], "typ")
+        .to_pandas()
+        .sort_values(["prev", "next"])
+        .reset_index(drop=True)
+    )
+    # key1: a→b, b→a; key2: a→b; key3: single event contributes nothing
+    got = {(r["prev"], r["next"]): r["n"] for _, r in out.iterrows()}
+    assert got == {("a", "b"): 2, ("b", "a"): 1}
