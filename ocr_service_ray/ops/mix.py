@@ -95,6 +95,12 @@ def temperature_sample(
     correctly rounded; perfect squares are exact), matching SQL's
     ``floor(sqrt(n))`` bit for bit.
 
+    Lineage note: the count pass and the tick pass each execute
+    ``ds``'s plan once — MATERIALIZE a derived input first (the
+    multi-consumer rule; ``pipelines/curate.prune_corpus`` pins its
+    capped stage for exactly this reason). A raw parquet read needs no
+    pin.
+
     Output: the kept rows, ALL input columns preserved.
     """
     import math
