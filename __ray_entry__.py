@@ -2043,6 +2043,53 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
         return funnel_stages(ev, ["view", "click", "purchase"])
 
+    def _events_roundtrip(sf_dir, fmt: str):
+        """Write the int/string projection of events once to /tmp in
+        ``fmt`` (csv | json lines), read it back with the native Ray
+        reader, and aggregate — ingest-parity proof for non-parquet
+        sources (floats/timestamps excluded: text round-trips of those
+        are representation-dependent by nature)."""
+        import os
+
+        import ray.data as rd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        src = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+        tag = os.path.basename(os.path.normpath(sf_dir))
+        path = f"/tmp/ingest_{fmt}_{tag}"
+        done = f"{path}/_SUCCESS"
+        if not os.path.exists(done):  # write once per sf, reuse after
+            import shutil
+
+            shutil.rmtree(path, ignore_errors=True)
+            if fmt == "csv":
+                src.write_csv(path)
+            else:
+                src.write_json(path)
+            open(done, "w").close()
+        files = [
+            f"{path}/{f}"
+            for f in sorted(os.listdir(path))
+            if not f.startswith("_")
+        ]
+        back = rd.read_csv(files) if fmt == "csv" else rd.read_json(files)
+        return grouped_agg(
+            back,
+            ["event_type"],
+            {"n_events": (None, "count"), "sum_user": ("user_id", "sum")},
+        )
+
+    def q_csv_ingest(sf_dir):
+        """CSV source parity: events → write_csv → read_csv → combiner
+        aggregate equals the same aggregate on the parquet table."""
+        return _events_roundtrip(sf_dir, "csv")
+
+    def q_jsonl_ingest(sf_dir):
+        """JSONL source parity: events → write_json → read_json →
+        combiner aggregate equals the parquet-table aggregate."""
+        return _events_roundtrip(sf_dir, "json")
+
     def q_event_transitions(sf_dir):
         """Per-user behavioral transition matrix (ops/window.py
         transition_counts): consecutive (prev, next) event-type pair
@@ -2292,6 +2339,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "view_purchase_attribution": q_view_purchase_attribution,
         "banded_doc_sample": q_banded_doc_sample,
         "event_transitions": q_event_transitions,
+        "csv_ingest": q_csv_ingest,
+        "jsonl_ingest": q_jsonl_ingest,
     }
 
 
@@ -4164,6 +4213,11 @@ def oracle_sql() -> dict[str, str]:
                 )
         return " + ".join(terms)
 
+    oracles["csv_ingest"] = oracles["jsonl_ingest"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(user_id) AS BIGINT) AS sum_user
+        FROM events GROUP BY event_type
+    """
     oracles["event_transitions"] = """
         WITH s AS (
           SELECT user_id, event_type,
