@@ -2080,6 +2080,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n_events": (None, "count"), "sum_user": ("user_id", "sum")},
         )
 
+    def q_source_pagerank(sf_dir):
+        """Integer PageRank (ops/graph.py pagerank_int, 3 rounds) over
+        the source-similarity graph — sources linked when they share a
+        duplicated 5-gram. All-integer micro ranks make the iterative
+        algorithm EXACTLY SQL-reproducible (the oracle unrolls the
+        same three rounds as chained CTEs); each round is one hash
+        join + one combiner sum, ranks stay distributed."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+        from ocr_service_ray.ops.decontam import _unique_gram_rows
+        from ocr_service_ray.ops.graph import pagerank_int
+
+        docs = _read(sf_dir, "documents", ["source", "text"])
+        # (source, gram) distinct — per-doc distinct rows deduped by a
+        # combiner agg; then source pairs per gram, deduped across grams
+        sg = grouped_agg(
+            _unique_gram_rows(docs, 5, "text", "source", "src"),
+            ["src", "gram_hash"],
+            {"_c": (None, "count")},
+        )
+
+        def gram_pairs(g: pd.DataFrame) -> pd.DataFrame:
+            s = sorted(g["src"].unique())
+            if len(s) < 2:
+                return None
+            pairs = [(a, b) for i, a in enumerate(s) for b in s[i + 1 :]]
+            return pd.DataFrame(pairs, columns=["sa", "sb"])
+
+        pairs = grouped_agg(
+            bucketed_map_groups(sg, ["gram_hash"], gram_pairs),
+            ["sa", "sb"],
+            {"_c": (None, "count")},
+        )
+
+        def both_dirs(b: pa.Table) -> pa.Table:
+            fwd = pa.table({"src": b["sa"], "dst": b["sb"]})
+            rev = pa.table({"src": b["sb"], "dst": b["sa"]})
+            return pa.concat_tables([fwd, rev]).combine_chunks()
+
+        edges = pairs.map_batches(both_dirs, batch_format="pyarrow").materialize()
+        return pagerank_int(edges, "src", "dst", iters=3)
+
     def q_csv_ingest(sf_dir):
         """CSV source parity: events → write_csv → read_csv → combiner
         aggregate equals the same aggregate on the parquet table."""
@@ -2341,6 +2384,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "csv_ingest": q_csv_ingest,
         "jsonl_ingest": q_jsonl_ingest,
+        "source_pagerank": q_source_pagerank,
     }
 
 
@@ -4213,6 +4257,38 @@ def oracle_sql() -> dict[str, str]:
                 )
         return " + ".join(terms)
 
+    # integer PageRank: 3 unrolled rounds over the shared-5-gram
+    # source graph — every quantity BIGINT, every division `//`
+    _pr_gram = _hex_bigint_sql(
+        "md5(array_to_string(list_slice(ws, s, s + 4), ' '))", 1, 15
+    )
+    _pr_sql = f"""
+        WITH w AS (
+          SELECT source, string_split(text, ' ') AS ws FROM documents),
+        pos AS (
+          SELECT source, ws,
+                 unnest(generate_series(1, greatest(length(ws) - 4, 0))) AS s
+          FROM w),
+        g AS (SELECT DISTINCT source, {_pr_gram} AS gh FROM pos),
+        prs AS (
+          SELECT DISTINCT a.source AS sa, b.source AS sb
+          FROM g a JOIN g b USING (gh) WHERE a.source < b.source),
+        edges AS (
+          SELECT sa AS src, sb AS dst FROM prs
+          UNION ALL SELECT sb, sa FROM prs),
+        deg AS (SELECT src AS node, CAST(count(*) AS BIGINT) AS d
+                FROM edges GROUP BY src),
+        it0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM deg)"""
+    for _k in range(1, 4):
+        _pr_sql += f""",
+        it{_k} AS (
+          SELECT e.dst AS node,
+                 CAST(150000 + (85 * sum(p.r // deg.d)) // 100 AS BIGINT) AS r
+          FROM edges e JOIN it{_k - 1} p ON e.src = p.node
+          JOIN deg ON e.src = deg.node
+          GROUP BY e.dst)"""
+    _pr_sql += "\n        SELECT node, r AS rank_micro FROM it3"
+    oracles["source_pagerank"] = _pr_sql
     oracles["csv_ingest"] = oracles["jsonl_ingest"] = """
         SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
                CAST(sum(user_id) AS BIGINT) AS sum_user

@@ -36,7 +36,9 @@ pair set, so the whole pairs→clusters path is driver-verified.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
+import pyarrow.compute as pc
 
 
 def _project(ds, mapping: dict[str, str]):
@@ -265,3 +267,134 @@ def keep_canonical(
             return b.filter(keep)
 
     return ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=(1, 8))
+
+
+def pagerank_int(
+    edges_ds,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    iters: int = 5,
+    damping_num: int = 85,
+    damping_den: int = 100,
+    scale: int = 1_000_000,
+):
+    """INTEGER PageRank — the distributed iterative graph shape with a
+    twist that makes it EXACTLY reproducible in SQL: every quantity is
+    an int64 micro-unit and every division is floor division, so rank
+    vectors are bit-identical across engines, layouts and cluster
+    sizes (float PageRank is association-order-dependent and can only
+    ever be approximately compared).
+
+    Per round (the textbook distributed plan):
+      contribution(u→v) = rank(u) // out_degree(u)
+      rank'(v) = (1-d)*scale + (d_num * Σ contributions into v) // d_den
+    computed as ONE hash join (ranks ⋈ edges on src) + ONE combiner
+    ``grouped_agg`` sum per round — ranks and edges stay distributed;
+    the driver holds nothing. Nodes with no in-edges decay to the
+    teleport term; dangling mass is dropped (the simple variant —
+    callers wanting it redistributed add the sink term themselves).
+
+    ``iters`` is fixed (not convergence-tested) so the oracle can
+    unroll the same number of rounds. Returns {node, rank_micro}.
+    """
+    from ocr_service_ray.ops.agg import grouped_agg
+    from ocr_service_ray.ops.relational import hash_join
+
+    base = ((damping_den - damping_num) * scale) // damping_den
+
+    # out-degree and the node set (nodes = every src/dst endpoint).
+    # repartition: map_groups emits schema-less zero-row blocks for
+    # empty shuffle partitions, and pyarrow's join rejects them (same
+    # landmine as connected_components' label table)
+    deg = grouped_agg(edges_ds, [src_col], {"deg": (None, "count")}).repartition(2)
+    nodes = (
+        edges_ds.map_batches(
+            lambda b: pa.table({"node": b[src_col]}), batch_format="pyarrow"
+        )
+        .union(
+            edges_ds.map_batches(
+                lambda b: pa.table({"node": b[dst_col]}), batch_format="pyarrow"
+            )
+        )
+    )
+    nodes = (
+        grouped_agg(nodes, ["node"], {"_c": (None, "count")})
+        .drop_columns(["_c"])
+        .repartition(2)
+    )
+
+    # rank table: start uniform at `scale`; join degree once (degree is
+    # loop-invariant) — carried through every round's rank table
+    ranks = hash_join(
+        nodes.map_batches(
+            lambda b: b.append_column(
+                "rank_micro", pa.array(np.full(len(b), scale, dtype=np.int64))
+            ),
+            batch_format="pyarrow",
+        ),
+        deg.map_batches(
+            lambda b: pa.table({"node": b[src_col], "deg": b["deg"]}),
+            batch_format="pyarrow",
+        ),
+        on="node",
+        join_type="left_outer",
+    )
+    # loop-carried state, read twice per round; repartition merges the
+    # join's schema-less empty partitions away before the NEXT join
+    ranks = ranks.repartition(2).materialize()
+
+    def to_contrib(b: pa.Table) -> pa.Table:
+        # PURE integer floor division (numpy) — a float divide + floor
+        # can round up across an integer boundary and diverge from
+        # SQL's `//`
+        r = b["rank_micro"].to_numpy(zero_copy_only=False).astype(np.int64)
+        d_raw = b["deg"].to_numpy(zero_copy_only=False)
+        valid = ~pd.isna(d_raw)
+        d = np.where(valid, d_raw, 1).astype(np.int64)
+        c = np.where(valid, r // np.maximum(d, 1), 0).astype(np.int64)
+        return pa.table({src_col: b["node"], "_contrib": pa.array(c)})
+
+    for _ in range(iters):
+        contrib = hash_join(
+            edges_ds,
+            ranks.map_batches(to_contrib, batch_format="pyarrow"),
+            on=src_col,
+        )
+        sums = grouped_agg(
+            contrib.map_batches(
+                lambda b: pa.table({"node": b[dst_col], "c": b["_contrib"]}),
+                batch_format="pyarrow",
+            ),
+            ["node"],
+            {"in_sum": ("c", "sum")},
+        ).repartition(2)
+        new_ranks = hash_join(
+            ranks.select_columns(["node", "deg"]),
+            sums,
+            on="node",
+            join_type="left_outer",
+        ).map_batches(
+            lambda b: pa.table(
+                {
+                    "node": b["node"],
+                    "deg": b["deg"],
+                    "rank_micro": pc.cast(
+                        pa.array(
+                            base
+                            + (
+                                damping_num
+                                * pc.coalesce(b["in_sum"], 0)
+                                .to_numpy(zero_copy_only=False)
+                                .astype(np.int64)
+                            )
+                            // damping_den
+                        ),
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        ranks = new_ranks.repartition(2).materialize()
+
+    return ranks.select_columns(["node", "rank_micro"])

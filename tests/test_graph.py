@@ -145,3 +145,46 @@ def test_nonconvergence_guard(ray_session):
     )
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(rd.from_arrow(pairs), max_iters=0, driver_threshold=0)
+
+
+@pytest.mark.parametrize("nblocks", [1, 4])
+def test_pagerank_int_matches_reference(ray_session, nblocks):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.graph import pagerank_int
+
+    # undirected triangle + pendant: 1-2, 2-3, 1-3, 3-4
+    und = [(1, 2), (2, 3), (1, 3), (3, 4)]
+    edges = pd.DataFrame(
+        [(a, b) for a, b in und] + [(b, a) for a, b in und],
+        columns=["src", "dst"],
+    ).astype("int64")
+    ds = rd.from_arrow(pa.Table.from_pandas(edges, preserve_index=False)).repartition(
+        nblocks
+    )
+    out = (
+        pagerank_int(ds, "src", "dst", iters=4)
+        .to_pandas()
+        .sort_values("node")
+        .reset_index(drop=True)
+    )
+
+    # integer reference: identical floor-division arithmetic
+    nodes = sorted(set(edges["src"]) | set(edges["dst"]))
+    deg = edges.groupby("src").size().to_dict()
+    rank = {n: 1_000_000 for n in nodes}
+    for _ in range(4):
+        contrib = {n: 0 for n in nodes}
+        for _, row in edges.iterrows():
+            contrib[row["dst"]] += rank[row["src"]] // deg[row["src"]]
+        rank = {n: 150_000 + (85 * contrib[n]) // 100 for n in nodes}
+    ref = pd.DataFrame(
+        {"node": nodes, "rank_micro": [rank[n] for n in nodes]}
+    ).astype({"node": "int64", "rank_micro": "int64"})
+    pd.testing.assert_frame_equal(out, ref, check_dtype=False)
+    # the hub (node 3, degree 3) outranks the pendant (node 4)
+    r = dict(zip(out["node"], out["rank_micro"]))
+    assert r[3] > r[1] > r[4]
