@@ -2080,6 +2080,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n_events": (None, "count"), "sum_user": ("user_id", "sum")},
         )
 
+    def q_funnel_cohorts(sf_dir):
+        """view→click→purchase funnel per first-event month cohort
+        (ops/funnel.py funnel_by_cohort): cohort derived in the same
+        per-user fold; |cohorts| x |stages| rows, zero rows kept."""
+        from ocr_service_ray.ops.funnel import funnel_by_cohort
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        return funnel_by_cohort(ev, ["view", "click", "purchase"])
+
     def q_source_pagerank(sf_dir):
         """Integer PageRank (ops/graph.py pagerank_int, 3 rounds) over
         the source-similarity graph — sources linked when they share a
@@ -2385,6 +2394,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "csv_ingest": q_csv_ingest,
         "jsonl_ingest": q_jsonl_ingest,
         "source_pagerank": q_source_pagerank,
+        "funnel_cohorts": q_funnel_cohorts,
     }
 
 
@@ -4223,6 +4233,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT r.doc_id, r.source, r.n_kept
         FROM r JOIN t USING (source)
         WHERE (rn * target) // n_docs > ((rn - 1) * target) // n_docs
+    """
+    oracles["funnel_cohorts"] = """
+        WITH f AS (
+          SELECT user_id, strftime(min(ts), '%Y-%m') AS cohort
+          FROM events GROUP BY user_id),
+        s1 AS (SELECT user_id, min(ts) AS t FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+        s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+               WHERE e.event_type = 'click' GROUP BY e.user_id),
+        s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+               JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+               WHERE e.event_type = 'purchase' GROUP BY e.user_id),
+        stg(stage_idx, stage) AS (
+          VALUES (1, 'view'), (2, 'click'), (3, 'purchase')),
+        grid AS (
+          SELECT DISTINCT f.cohort, stg.stage_idx, stg.stage
+          FROM f CROSS JOIN stg),
+        cnt AS (
+          SELECT cohort, 1 AS stage_idx, count(*) AS n
+          FROM s1 JOIN f USING (user_id) GROUP BY cohort
+          UNION ALL
+          SELECT cohort, 2, count(*) FROM s2 JOIN f USING (user_id)
+          GROUP BY cohort
+          UNION ALL
+          SELECT cohort, 3, count(*) FROM s3 JOIN f USING (user_id)
+          GROUP BY cohort)
+        SELECT g.cohort, CAST(g.stage_idx AS BIGINT) AS stage_idx, g.stage,
+               CAST(coalesce(cnt.n, 0) AS BIGINT) AS n_users
+        FROM grid g LEFT JOIN cnt
+          ON g.cohort = cnt.cohort AND g.stage_idx = cnt.stage_idx
     """
     oracles["funnel_stages"] = """
         WITH s1 AS (

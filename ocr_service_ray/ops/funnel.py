@@ -69,3 +69,61 @@ def funnel_stages(
         rows.append((k, stages[k - 1], below + int(by_reached.get(k, 0))))
     rows.reverse()
     return pd.DataFrame(rows, columns=["stage_idx", "stage", "n_users"])
+
+
+def funnel_by_cohort(
+    ds,
+    stages: list[str],
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    cohort_fmt: str = "%Y-%m",
+) -> pd.DataFrame:
+    """Per-cohort conversion funnel: users are cohorted by the
+    calendar period (``cohort_fmt``) of their FIRST event, and the
+    strictly-after funnel of ``funnel_stages`` is counted per cohort —
+    the retention/conversion-by-signup-month table. Same one-shuffle
+    shape: the per-user fold also derives the cohort (the user's rows
+    are already co-located), the merge is |cohorts| x |stages|
+    bounded.
+
+    Returns ``(cohort, stage_idx, stage, n_users)`` for every cohort
+    that has users, all stages listed (zero rows included)."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+    if not stages:
+        raise ValueError("stages must be non-empty")
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy()
+        if np.issubdtype(ts.dtype, np.datetime64):
+            ts_i = ts.astype("datetime64[us]").astype(np.int64)
+        else:
+            ts_i = ts.astype(np.int64)
+        types = g[type_col].to_numpy()
+        cohort = pd.Timestamp(ts.min()).strftime(cohort_fmt)
+        cur = np.iinfo(np.int64).min
+        reached = 0
+        for s in stages:
+            m = (types == s) & (ts_i > cur)
+            if not m.any():
+                break
+            cur = ts_i[m].min()
+            reached += 1
+        return pd.DataFrame({"cohort": [cohort], "stage_reached": [reached]})
+
+    per_user = bucketed_map_groups(ds, [user_col], fold)
+    counts = grouped_agg(
+        per_user, ["cohort", "stage_reached"], {"n": (None, "count")}
+    ).to_pandas()
+    rows = []
+    if not counts.empty:
+        for cohort, sub in counts.groupby("cohort", sort=True):
+            by_reached = dict(zip(sub["stage_reached"], sub["n"]))
+            acc = 0
+            level_rows = []
+            for k in range(len(stages), 0, -1):
+                acc += int(by_reached.get(k, 0))
+                level_rows.append((cohort, k, stages[k - 1], acc))
+            rows.extend(reversed(level_rows))
+    return pd.DataFrame(rows, columns=["cohort", "stage_idx", "stage", "n_users"])

@@ -187,3 +187,25 @@ def test_streaming_dedup_first_occurrence(ray_session, nblocks):
     )
     assert out["doc_id"].tolist() == list(range(10))  # first 10 ids win
     assert len(set(out["text_hash"])) == 10
+
+
+def test_funnel_by_cohort_zero_rows_kept(ray_session):
+    from ocr_service_ray.ops.funnel import funnel_by_cohort
+
+    rows = [
+        # Jan cohort: u1 converts fully, u2 stalls after view
+        (1, "2024-01-05 10:00", "view"), (1, "2024-01-06 10:00", "click"),
+        (2, "2024-01-07 10:00", "view"),
+        # Feb cohort: u3 only views → click/purchase rows must be 0
+        (3, "2024-02-01 10:00", "view"),
+    ]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = pd.to_datetime(df["ts"])
+    out = funnel_by_cohort(_ds(df, 2), ["view", "click", "purchase"])
+    got = {
+        (r["cohort"], r["stage"]): r["n_users"] for _, r in out.iterrows()
+    }
+    assert got == {
+        ("2024-01", "view"): 2, ("2024-01", "click"): 1, ("2024-01", "purchase"): 0,
+        ("2024-02", "view"): 1, ("2024-02", "click"): 0, ("2024-02", "purchase"): 0,
+    }
