@@ -147,8 +147,8 @@ def test_nonconvergence_guard(ray_session):
         connected_components(rd.from_arrow(pairs), max_iters=0, driver_threshold=0)
 
 
-@pytest.mark.parametrize("nblocks", [1, 4])
-def test_pagerank_int_matches_reference(ray_session, nblocks):
+@pytest.mark.parametrize("nblocks,threshold", [(1, 1_000_000), (4, 0)])
+def test_pagerank_int_matches_reference(ray_session, nblocks, threshold):
     import numpy as np
     import pandas as pd
     import pyarrow as pa
@@ -165,8 +165,9 @@ def test_pagerank_int_matches_reference(ray_session, nblocks):
     ds = rd.from_arrow(pa.Table.from_pandas(edges, preserve_index=False)).repartition(
         nblocks
     )
+    # threshold=0 forces the distributed loop; both paths must agree
     out = (
-        pagerank_int(ds, "src", "dst", iters=4)
+        pagerank_int(ds, "src", "dst", iters=4, driver_threshold=threshold)
         .to_pandas()
         .sort_values("node")
         .reset_index(drop=True)
