@@ -986,8 +986,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 }
             )
 
-        new_ds = docs.map_batches(mutate, batch_format="pyarrow").union(
-            docs.map_batches(readded, batch_format="pyarrow")
+        # materialize the derived snapshot: the diff's emptiness guard
+        # and its two joins would otherwise each re-execute the
+        # mutate/readded derivation (the multi-consumer rule — the
+        # ADVICE-documented caller contract of snapshot_diff)
+        new_ds = (
+            docs.map_batches(mutate, batch_format="pyarrow")
+            .union(docs.map_batches(readded, batch_format="pyarrow"))
+            .materialize()
         )
         return snapshot_diff_table(docs, new_ds)
 
