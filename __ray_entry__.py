@@ -2286,6 +2286,233 @@ def queries() -> dict[str, Callable[[str], Any]]:
             k_den=1,
         )
 
+    def q_part_triangles(sf_dir):
+        """Exact triangle count over the part co-occurrence graph
+        (ops/triangles.py triangle_count): parts linked when they
+        share an order — a sparse ~120-avg-degree graph (the supplier
+        version degenerates to a near-complete K_|S| and is the
+        wrong shape for a triangle demo). Degree-oriented wedge join:
+        out-degree is O(sqrt(m)) under the orientation, so the pair
+        explosion is bounded regardless of hub skew; the closure
+        check is a presence-tagged union + one combiner agg, never a
+        materialized join. Edge generation is bounded by
+        lines-per-order (TPC-H <= 7)."""
+        import itertools
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+        from ocr_service_ray.ops.triangles import triangle_count
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        dist = grouped_agg(
+            li, ["l_orderkey", "l_partkey"], {"_c": (None, "count")}
+        )
+
+        def pairs(g: pd.DataFrame):
+            s = sorted(g["l_partkey"].unique())
+            if len(s) < 2:
+                return None
+            return pd.DataFrame(
+                list(itertools.combinations(s, 2)), columns=["src", "dst"]
+            )
+
+        edges = bucketed_map_groups(dist, ["l_orderkey"], pairs)
+        return triangle_count(edges)
+
+    def q_chunk_documents(sf_dir):
+        """Fixed-size token-window chunking with stride overlap
+        (ops/chunking.py chunk_tokens, 16-token windows advancing by
+        12): the LLM-pretraining row explosion — a pure flat-map,
+        zero shuffle, byte-exact chunk text vs the SQL list-slice
+        oracle."""
+        from ocr_service_ray.ops.chunking import chunk_tokens
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return chunk_tokens(docs, chunk_size=16, stride=12)
+
+    def q_retention_daily(sf_dir):
+        """Daily cohort retention matrix (ops/retention.py
+        cohort_retention): users cohorted by first-event day; cell
+        (cohort_period, offset_periods) counts distinct active users.
+        One user-keyed shuffle; the second aggregate sees only
+        per-user distinct-day rows."""
+        from ocr_service_ray.ops.retention import cohort_retention
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+        return cohort_retention(ev, period="day")
+
+    def q_distinct_types_running(sf_dir):
+        """Per-user running COUNT(DISTINCT event_type) — the window
+        shape SQL can't express directly (ops/retention.py
+        cumulative_distinct): one user-keyed shuffle, vectorized
+        first-occurrence cumsum inside the group."""
+        from ocr_service_ray.ops.retention import cumulative_distinct
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        return cumulative_distinct(ev)
+
+    def q_pareto_parts(sf_dir):
+        """Pareto frontier / skyline (ops/frontier.py pareto_frontier):
+        parts not dominated on (minimize retail price, maximize size).
+        Block-local frontier filter, then a frontier-of-frontiers
+        reduce bounded by the (small) local frontier union."""
+        from ocr_service_ray.ops.frontier import pareto_frontier
+
+        parts = _read(sf_dir, "part", ["p_partkey", "p_size", "p_retailprice"])
+        fr = pareto_frontier(parts, "p_retailprice", "p_size")
+        fr = fr.copy()
+        fr["price_cents"] = np.floor(
+            fr["p_retailprice"].to_numpy() * 100.0 + 0.5
+        ).astype(np.int64)
+        fr["p_size"] = fr["p_size"].astype("int64")
+        return fr[["p_partkey", "p_size", "price_cents"]]
+
+    def q_pricing_comoments(sf_dir):
+        """Grouped bivariate moment sums (ops/stats.py
+        grouped_comoments): the distributed sufficient statistics for
+        corr/covar/OLS over (quantity, revenue) per return flag — six
+        integer sums per group, one combiner exchange. y is floored
+        to whole currency units so sum_yy stays within int64 at
+        bench scale (documented caller contract)."""
+        from ocr_service_ray.ops.stats import grouped_comoments
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_returnflag", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            qty = b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ext = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            disc = b["l_discount"].to_numpy(zero_copy_only=False)
+            rev = np.floor(ext * (1.0 - disc) + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "x": pa.array(qty),
+                    "y": pa.array(rev),
+                }
+            )
+
+        return grouped_comoments(
+            li.map_batches(prep, batch_format="pyarrow"), ["l_returnflag"], "x", "y"
+        )
+
+    def q_revenue_by_nation(sf_dir):
+        """TPC-H-Q5-shaped multiway star join: lineitem x orders
+        (hash join, date-filtered at the read) x customer (hash join,
+        segment-filtered) x supplier->nation (broadcast — dimension
+        tables ride ray.put, fact rows never re-shuffle for them).
+        Demonstrates join-order discipline: filters push into each
+        scan, the two large-large joins share the orderkey/custkey
+        partitioning, and revenue folds to cents per nation in one
+        combiner agg."""
+        import datetime as _dt
+
+        import pandas as pd
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        lo = _dt.datetime(1995, 1, 1)
+        hi = _dt.datetime(1996, 1, 1)
+
+        def order_filter(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+            return b.filter(keep).drop_columns(["o_orderdate"])
+
+        od = od.map_batches(order_filter, batch_format="pyarrow")
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+
+        def cust_filter(b: pa.Table) -> pa.Table:
+            return b.filter(pc.equal(b["c_mktsegment"], "BUILDING")).drop_columns(
+                ["c_mktsegment"]
+            )
+
+        cu = cu.map_batches(cust_filter, batch_format="pyarrow")
+        oc = od.join(
+            cu,
+            join_type="inner",
+            num_partitions=join_partitions_for(od, cu),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        lio = li.join(
+            oc,
+            join_type="inner",
+            num_partitions=join_partitions_for(li, oc),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        # supplier -> nation name: small-side broadcast (dimension join)
+        sup = pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        nat = pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_pandas()
+        s2n = dict(
+            zip(
+                sup["s_suppkey"],
+                sup["s_nationkey"].map(
+                    dict(zip(nat["n_nationkey"], nat["n_name"]))
+                ),
+            )
+        )
+
+        def to_nation_cents(b: pd.DataFrame) -> pd.DataFrame:
+            rev = np.floor(
+                b["l_extendedprice"].to_numpy()
+                * (1.0 - b["l_discount"].to_numpy())
+                * 100.0
+                + 0.5
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {"n_name": b["l_suppkey"].map(s2n), "rev_cents": rev}
+            )
+
+        return grouped_agg(
+            lio.map_batches(to_nation_cents, batch_format="pandas"),
+            ["n_name"],
+            {"revenue_cents": ("rev_cents", "sum"), "n_rows": (None, "count")},
+        )
+
+    def q_top_user_paths(sf_dir):
+        """Top-10 behavioral paths: each user's first five event types
+        joined '>' (one user-keyed fold), counted with a combiner agg,
+        ranked by the block-local top-k combiner — the funnel-mining
+        composition, deterministic tie-break on the path string."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+        def path(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            return pd.DataFrame({"path": [">".join(g["event_type"].head(5))]})
+
+        paths = bucketed_map_groups(ev, ["user_id"], path)
+        counts = grouped_agg(paths, ["path"], {"n_users": (None, "count")})
+        return relational.topk(
+            counts, by=["n_users", "path"], k=10, descending=[True, False]
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -2401,6 +2628,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "jsonl_ingest": q_jsonl_ingest,
         "source_pagerank": q_source_pagerank,
         "funnel_cohorts": q_funnel_cohorts,
+        "part_triangles": q_part_triangles,
+        "chunk_documents": q_chunk_documents,
+        "retention_daily": q_retention_daily,
+        "distinct_types_running": q_distinct_types_running,
+        "pareto_parts": q_pareto_parts,
+        "pricing_comoments": q_pricing_comoments,
+        "revenue_by_nation": q_revenue_by_nation,
+        "top_user_paths": q_top_user_paths,
     }
 
 
@@ -4437,5 +4672,97 @@ def oracle_sql() -> dict[str, str]:
         d AS (SELECT event_id, cents, abs(2 * cents - med2) AS dd FROM c, m),
         md AS (SELECT CAST(2 * median(dd) AS BIGINT) AS m2d FROM d)
         SELECT event_id, cents FROM d, md WHERE 2 * 1 * dd > 3 * m2d
+    """
+    # id-ordered triangle enumeration — orientation-free, equals the
+    # degree-oriented distributed count exactly
+    oracles["part_triangles"] = """
+        WITH e AS (
+          SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        SELECT
+          CAST((SELECT count(DISTINCT n) FROM
+                 (SELECT lo AS n FROM e UNION ALL SELECT hi FROM e)) AS BIGINT)
+            AS n_nodes,
+          CAST((SELECT count(*) FROM e) AS BIGINT) AS n_edges,
+          CAST((SELECT count(*)
+                FROM e e1 JOIN e e2 ON e2.lo = e1.lo AND e2.hi > e1.hi
+                          JOIN e e3 ON e3.lo = e1.hi AND e3.hi = e2.hi) AS BIGINT)
+            AS n_triangles
+    """
+    oracles["chunk_documents"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                          len(string_split(text, ' ')) AS n FROM documents)
+        SELECT t.doc_id, CAST(u.start // 12 AS BIGINT) AS chunk_idx,
+               CAST(least(u.start + 16, t.n) - u.start AS BIGINT)
+                 AS n_chunk_tokens,
+               array_to_string(t.toks[u.start + 1 : least(u.start + 16, t.n)], ' ')
+                 AS chunk_text
+        FROM t, unnest(generate_series(0, CAST(t.n - 1 AS BIGINT), 12)) AS u(start)
+    """
+    oracles["retention_daily"] = """
+        WITH m AS (SELECT user_id,
+                          date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS di
+                   FROM events),
+        c AS (SELECT user_id, min(di) AS cohort FROM m GROUP BY user_id),
+        act AS (SELECT DISTINCT m.user_id, c.cohort, m.di - c.cohort AS off
+                FROM m JOIN c USING (user_id))
+        SELECT CAST(cohort AS BIGINT) AS cohort_period,
+               CAST(off AS BIGINT) AS offset_periods,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM act GROUP BY 1, 2
+    """
+    oracles["distinct_types_running"] = """
+        SELECT event_id, user_id,
+          CAST(sum(ff) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS BIGINT) AS n_distinct_cum
+        FROM (SELECT event_id, user_id, ts,
+                CASE WHEN row_number() OVER (
+                       PARTITION BY user_id, event_type ORDER BY ts, event_id) = 1
+                     THEN 1 ELSE 0 END AS ff
+              FROM events)
+    """
+    oracles["pareto_parts"] = """
+        SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size,
+               CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT) AS price_cents
+        FROM part p
+        WHERE NOT EXISTS (SELECT 1 FROM part q
+          WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+            AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+    """
+    oracles["pricing_comoments"] = """
+        SELECT l_returnflag,
+          CAST(count(*) AS BIGINT) AS n,
+          CAST(sum(x) AS BIGINT) AS sum_x, CAST(sum(y) AS BIGINT) AS sum_y,
+          CAST(sum(x * x) AS BIGINT) AS sum_xx,
+          CAST(sum(y * y) AS BIGINT) AS sum_yy,
+          CAST(sum(x * y) AS BIGINT) AS sum_xy
+        FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x,
+                     CAST(floor(l_extendedprice * (1.0 - l_discount) + 0.5)
+                          AS BIGINT) AS y
+              FROM lineitem) GROUP BY 1
+    """
+    oracles["revenue_by_nation"] = """
+        SELECT n.n_name,
+          CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount) * 100.0
+                              + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+          CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE c.c_mktsegment = 'BUILDING'
+          AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o.o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1
+    """
+    oracles["top_user_paths"] = """
+        WITH seq AS (SELECT user_id,
+               array_to_string((list(event_type ORDER BY ts, event_id))[1:5], '>')
+                 AS path
+             FROM events GROUP BY user_id)
+        SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM seq GROUP BY 1
+        ORDER BY n_users DESC, path LIMIT 10
     """
     return oracles

@@ -1,0 +1,69 @@
+"""Fixed-size token-window document chunking with stride overlap.
+
+The canonical LLM-pretraining preprocessing move: split every
+document into windows of ``chunk_size`` tokens advancing by
+``stride`` tokens (overlap = chunk_size - stride), so long documents
+become multiple training rows and context is preserved across the
+seams. Each input row expands independently — a pure flat-map, zero
+shuffle, streams at any scale.
+
+Token semantics are the repo-wide single-space split (``ops/text.py``
+``n_tokens = count(' ') + 1``), which makes the whole operator
+exactly SQL-reproducible: DuckDB's ``string_split(text, ' ')`` plus a
+lateral ``generate_series`` over start offsets rebuilds byte-equal
+chunk text.
+
+Per-row work is O(len(text)); the only Python-level loop is over the
+rows of one batch (string re-assembly is not expressible as an Arrow
+kernel), with the split/join done by C-level str ops. For multi-GB
+documents, cap ``batch_size`` upstream so a batch x concurrency fits
+the worker heap.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+
+def chunk_tokens(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    chunk_size: int = 64,
+    stride: int = 48,
+):
+    """Explode each document into overlapping token windows.
+
+    Emits ``(id_col, chunk_idx, n_chunk_tokens, chunk_text)``: chunk
+    ``i`` covers tokens ``[i*stride, i*stride + chunk_size)`` of the
+    single-space token list; the final window may be short; every
+    document emits at least one chunk (empty text -> one 1-token
+    chunk, matching ``count(' ')+1`` semantics).
+    """
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+
+    def explode(b: pa.Table) -> pa.Table:
+        ids = b[id_col].to_pylist()
+        texts = b[text_col].to_pylist()
+        out_id, out_idx, out_n, out_text = [], [], [], []
+        for did, t in zip(ids, texts):
+            toks = (t or "").split(" ")
+            n = len(toks)
+            for ci, start in enumerate(range(0, n, stride)):
+                window = toks[start : start + chunk_size]
+                out_id.append(did)
+                out_idx.append(ci)
+                out_n.append(len(window))
+                out_text.append(" ".join(window))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=b[id_col].type),
+                "chunk_idx": pa.array(np.asarray(out_idx, dtype=np.int64)),
+                "n_chunk_tokens": pa.array(np.asarray(out_n, dtype=np.int64)),
+                "chunk_text": pa.array(out_text, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

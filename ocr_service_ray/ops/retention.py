@@ -1,0 +1,88 @@
+"""Cohort retention matrix and per-key cumulative distinct counts.
+
+Two first-seen-based temporal shapes over an event stream:
+
+- ``cohort_retention``: classic product-analytics retention triangle
+  — users cohorted by the calendar period (day/month) of their FIRST
+  event; cell (cohort_period, offset_periods) counts distinct users
+  of that cohort active that many periods later. One bucketed key
+  shuffle on the user id; each user folds to its (cohort,
+  distinct-active-period) rows inside the group, so the second
+  aggregate sees at most |users| x |periods| tiny rows and raw
+  events shuffle once.
+
+- ``cumulative_distinct``: per key and event, how many distinct
+  values of a column the key has seen up to and including that event
+  (the COUNT(DISTINCT) OVER shape SQL itself cannot express without
+  a first-occurrence-flag rewrite). Same single key shuffle; the
+  in-group fold is a vectorized pandas first-occurrence cumsum.
+
+Month arithmetic is integer (year*12 + month), so both ops are
+bit-exact against DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .agg import bucketed_map_groups, grouped_agg
+
+
+def _period_index(ts: pd.Series, period: str) -> np.ndarray:
+    dt = pd.DatetimeIndex(ts)
+    if period == "month":
+        return (dt.year.to_numpy() * 12 + (dt.month.to_numpy() - 1)).astype(np.int64)
+    if period == "day":
+        return dt.values.astype("datetime64[D]").astype(np.int64)
+    raise ValueError(f"unsupported period: {period}")
+
+
+def cohort_retention(ds, key_col: str = "user_id", ts_col: str = "ts", period: str = "day"):
+    """(cohort_period, offset_periods, n_users) — distinct keys per cell.
+
+    cohort_period is the integer calendar index of the key's FIRST
+    event (days since epoch, or year*12+month-1); offset is whole
+    periods between an active period and the cohort period. Both
+    integer, so the matrix is bit-exact against SQL.
+    """
+
+    def per_key(g: pd.DataFrame) -> pd.DataFrame:
+        periods = np.unique(_period_index(g[ts_col], period))
+        cohort = periods[0]
+        return pd.DataFrame(
+            {"cohort_period": cohort, "offset_periods": periods - cohort, "_one": 1}
+        )
+
+    cells = bucketed_map_groups(ds, [key_col], per_key)
+    out = grouped_agg(
+        cells, ["cohort_period", "offset_periods"], {"n_users": ("_one", "sum")}
+    )
+    return out
+
+
+def cumulative_distinct(
+    ds,
+    key_col: str = "user_id",
+    order_cols: list[str] | None = None,
+    val_col: str = "event_type",
+    id_col: str = "event_id",
+    out_col: str = "n_distinct_cum",
+):
+    """Per key, ordered by order_cols: running count of distinct
+    val_col values seen so far (inclusive). Emits (id_col, key_col,
+    out_col)."""
+    order_cols = order_cols or ["ts", id_col]
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="mergesort")
+        first = (~g.duplicated(subset=[val_col])).to_numpy().astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: g[key_col].to_numpy(),
+                out_col: np.cumsum(first),
+            }
+        )
+
+    return bucketed_map_groups(ds, [key_col], fold)
