@@ -2492,6 +2492,135 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"revenue_cents": ("rev_cents", "sum"), "n_rows": (None, "count")},
         )
 
+    def q_rolling_wau(sf_dir):
+        """Rolling 7-day distinct active users per day — the WAU
+        curve (ops/retention.py rolling_distinct): (user, day) pairs
+        dedup block-locally, explode x7 to the window cells they
+        serve, dedup, count. Every exchange moves integer pairs;
+        no per-day rescan."""
+        from ocr_service_ray.ops.retention import rolling_distinct
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+        return rolling_distinct(ev, window=7, period="day")
+
+    def q_hourly_type_grid(sf_dir):
+        """Zero-filled (event_type, hour) count grid (ops/grid.py
+        dense_grid_counts): observed counts from one combiner agg;
+        the |types| x |hours| grid generated driver-side
+        (vocabulary x calendar bounded) and left-merged."""
+        from ocr_service_ray.ops.grid import dense_grid_counts
+
+        ev = _read(sf_dir, "events", ["event_type", "ts"])
+        return dense_grid_counts(ev, "event_type", freq="hour")
+
+    def q_events_checksum(sf_dir):
+        """Order-invariant table checksum (ops/diff.py
+        table_checksum): sum of row md5-prefix ints mod a 2^63
+        prime — the resumable-run verification primitive (same rows
+        => same checksum under ANY partitioning / shuffle layout)."""
+        from ocr_service_ray.ops.diff import table_checksum
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type"])
+        return table_checksum(ev, ["event_id", "user_id", "event_type"])
+
+    def q_incremental_event_totals(sf_dir):
+        """Incremental aggregation (ops/agg.py merge_agg_states): the
+        first half-month's persisted agg state merged with the second
+        half's delta state equals the full recompute — the daily-
+        pipeline shape that never rescans history. Oracle is the
+        plain full-table GROUP BY."""
+        import pyarrow.compute as pc
+
+        from ocr_service_ray.ops.agg import grouped_agg, merge_agg_states
+
+        ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            micro = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 1_000_000.0 + 0.5
+            ).astype(np.int64)
+            day = pc.day(b["ts"])
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "micro": pa.array(micro),
+                    "day": day,
+                }
+            )
+
+        prepped = ev.map_batches(prep, batch_format="pyarrow")
+        specs = {
+            "n": (None, "count"),
+            "total_micro": ("micro", "sum"),
+            "lo_micro": ("micro", "min"),
+            "hi_micro": ("micro", "max"),
+        }
+
+        def split(le: bool):
+            def f(b: pa.Table) -> pa.Table:
+                mask = (
+                    pc.less_equal(b["day"], 15) if le else pc.greater(b["day"], 15)
+                )
+                return b.filter(mask).drop_columns(["day"])
+
+            return f
+
+        old_state = grouped_agg(
+            prepped.map_batches(split(True), batch_format="pyarrow"),
+            ["event_type"],
+            specs,
+        )
+        delta_state = grouped_agg(
+            prepped.map_batches(split(False), batch_format="pyarrow"),
+            ["event_type"],
+            specs,
+        )
+        return merge_agg_states([old_state, delta_state], ["event_type"], specs)
+
+    def q_session_overlaps(sf_dir):
+        """Banded interval overlap join (ops/intervals.py): even-user
+        sessions vs odd-user sessions — which users' activity windows
+        collide. Intervals explode to 2-hour cells, the join is
+        cell-local, the canonical-cell rule dedups multi-cell pairs
+        with no extra exchange; pair rows fold straight into a
+        per-user combiner count."""
+        import pyarrow.compute as pc
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.intervals import (
+            interval_overlap_join,
+            session_intervals,
+        )
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def parity(rem: int):
+            def f(b: pa.Table) -> pa.Table:
+                keep = pc.equal(
+                    pc.bit_wise_and(b["user_id"], pa.scalar(1, pa.int64())), rem
+                )
+                return b.filter(keep)
+
+            return f
+
+        left = session_intervals(ev.map_batches(parity(0), batch_format="pyarrow"))
+        right = session_intervals(ev.map_batches(parity(1), batch_format="pyarrow"))
+        pairs = interval_overlap_join(
+            left,
+            right,
+            ["user_id", "session_id"],
+            ["user_id", "session_id"],
+            band=2 * 3600 * 1_000_000,
+        )
+        out = grouped_agg(pairs, ["l_user_id"], {"n_overlaps": (None, "count")})
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                ["user_id" if c == "l_user_id" else c for c in b.column_names]
+            )
+
+        return out.map_batches(rename, batch_format="pyarrow")
+
     def q_top_user_paths(sf_dir):
         """Top-10 behavioral paths: each user's first five event types
         joined '>' (one user-keyed fold), counted with a combiner agg,
@@ -2636,6 +2765,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pricing_comoments": q_pricing_comoments,
         "revenue_by_nation": q_revenue_by_nation,
         "top_user_paths": q_top_user_paths,
+        "rolling_wau": q_rolling_wau,
+        "hourly_type_grid": q_hourly_type_grid,
+        "events_checksum": q_events_checksum,
+        "incremental_event_totals": q_incremental_event_totals,
+        "session_overlaps": q_session_overlaps,
     }
 
 
@@ -4764,5 +4898,71 @@ def oracle_sql() -> dict[str, str]:
              FROM events GROUP BY user_id)
         SELECT path, CAST(count(*) AS BIGINT) AS n_users FROM seq GROUP BY 1
         ORDER BY n_users DESC, path LIMIT 10
+    """
+    oracles["rolling_wau"] = """
+        WITH m AS (SELECT DISTINCT user_id,
+                     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+                   FROM events),
+        cells AS (SELECT DISTINCT user_id, d + o.off AS period
+                  FROM m, unnest(generate_series(0, 6)) AS o(off))
+        SELECT CAST(period AS BIGINT) AS period,
+               CAST(count(*) AS BIGINT) AS n_distinct
+        FROM cells GROUP BY 1
+    """
+    oracles["hourly_type_grid"] = """
+        WITH p AS (SELECT event_type,
+                     CAST(floor(epoch(ts) / 3600) AS BIGINT) AS period
+                   FROM events),
+        span AS (SELECT min(period) AS lo, max(period) AS hi FROM p),
+        keys AS (SELECT DISTINCT event_type FROM p),
+        grid AS (SELECT k.event_type, g.period
+                 FROM keys k, span s,
+                      unnest(generate_series(s.lo, s.hi)) AS g(period))
+        SELECT grid.event_type, CAST(grid.period AS BIGINT) AS period,
+               CAST(count(p.event_type) AS BIGINT) AS n
+        FROM grid LEFT JOIN p
+          ON p.event_type = grid.event_type AND p.period = grid.period
+        GROUP BY 1, 2
+    """
+    _row_h15 = _hex_bigint_sql(
+        "md5(concat_ws('|', CAST(event_id AS VARCHAR), "
+        "CAST(user_id AS VARCHAR), event_type))",
+        1,
+        15,
+    )
+    oracles["events_checksum"] = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(CAST(sum(h) AS HUGEINT) % 9223372036854775783 AS BIGINT)
+                 AS checksum
+        FROM (SELECT {_row_h15} AS h FROM events)
+    """
+    oracles["incremental_event_totals"] = """
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(m) AS BIGINT) AS total_micro,
+               CAST(min(m) AS BIGINT) AS lo_micro,
+               CAST(max(m) AS BIGINT) AS hi_micro
+        FROM (SELECT event_type,
+                CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS m
+              FROM events)
+        GROUP BY 1
+    """
+    oracles["session_overlaps"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS tus FROM events),
+        flagged AS (SELECT user_id, tus,
+            CASE WHEN tus - lag(tus) OVER (PARTITION BY user_id ORDER BY tus)
+                      > 1800000000 THEN 1 ELSE 0 END AS brk
+          FROM e),
+        sess AS (SELECT user_id,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY tus
+                           ROWS UNBOUNDED PRECEDING) AS sid, tus
+          FROM flagged),
+        iv AS (SELECT user_id, sid, min(tus) AS s, max(tus) AS e
+               FROM sess GROUP BY 1, 2),
+        L AS (SELECT * FROM iv WHERE user_id % 2 = 0),
+        R AS (SELECT * FROM iv WHERE user_id % 2 = 1)
+        SELECT L.user_id, CAST(count(*) AS BIGINT) AS n_overlaps
+        FROM L JOIN R ON L.s <= R.e AND R.s <= L.e
+        GROUP BY 1
     """
     return oracles

@@ -642,3 +642,34 @@ def profile_table(ds, columns: list[str]) -> pd.DataFrame:
             }
         )
     return pd.DataFrame(rows)
+
+
+_MERGE_OP = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def merge_agg_states(states: list, keys: list[str], specs: dict[str, tuple[str | None, str]]):
+    """Merge ``grouped_agg`` outputs — the incremental-aggregation
+    primitive: yesterday's persisted state table + today's delta
+    state fold to exactly the state a full recompute would produce,
+    so a 100-TB daily pipeline aggregates only the NEW partition and
+    never rescans history.
+
+    ``specs`` is the SAME dict the states were built with; the merge
+    op per column is derived from it (count merges by sum, sum by
+    sum, min by min, max by max — mean states are not mergeable from
+    their derived form, keep (sum, count) columns instead). Inputs
+    union block-wise (no re-read, no driver), then one combiner
+    grouped_agg over |groups|-bounded state rows.
+    """
+    for out, (_, agg) in specs.items():
+        if agg not in _MERGE_OP:
+            raise ValueError(
+                f"agg '{agg}' has no lossless state merge; materialize "
+                "its (sum, count) parts instead"
+            )
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.union(s)
+    return grouped_agg(
+        merged, keys, {out: (out, _MERGE_OP[agg]) for out, (_, agg) in specs.items()}
+    )

@@ -141,3 +141,44 @@ def snapshot_diff_table(old_ds, new_ds, id_col: str = "doc_id",
     if not parts:
         return pd.DataFrame({id_col: [], "status": []})
     return pd.concat(parts, ignore_index=True)
+
+
+def table_checksum(ds, cols: list[str], mod: int = (1 << 63) - 25):
+    """Order-invariant content checksum of a table projection — the
+    cheap cross-cluster verification primitive (does the re-run /
+    resumed run / replicated copy hold EXACTLY the same rows?).
+
+    checksum = sum over rows of int64-md5-prefix('|'-joined column
+    strings), mod a < 2^63 prime. Addition commutes, so block order,
+    partitioning and shuffle layout cannot change the result; any
+    lost, duplicated or altered row does. Each block folds to ONE
+    partial (Python-int accumulation — no int64 overflow), the
+    driver folds |blocks| partials.
+
+    Contract: int / string columns only (str(int) must equal SQL's
+    CAST(BIGINT AS VARCHAR)); the default mod is prime so paired
+    corruptions don't cancel. Returns a 1-row pandas DataFrame
+    (n_rows, checksum).
+    """
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        arrs = [b[c].to_pylist() for c in cols]
+        acc = 0
+        for vals in zip(*arrs):
+            s = "|".join(str(v) for v in vals)
+            acc += int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+        return pa.table(
+            {
+                "_n": pa.array([len(b)], type=pa.int64()),
+                "_sum": pa.array([acc % mod], type=pa.int64()),
+            }
+        )
+
+    n_rows, acc = 0, 0
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        n_rows += sum(batch["_n"].to_pylist())
+        acc = (acc + sum(batch["_sum"].to_pylist())) % mod
+    return pd.DataFrame({"n_rows": [n_rows], "checksum": [acc]}).astype("int64")

@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
+import pyarrow as pa
 
 from .agg import bucketed_map_groups, grouped_agg
 
@@ -59,6 +60,65 @@ def cohort_retention(ds, key_col: str = "user_id", ts_col: str = "ts", period: s
         cells, ["cohort_period", "offset_periods"], {"n_users": ("_one", "sum")}
     )
     return out
+
+
+def rolling_distinct(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window: int = 7,
+    period: str = "day",
+):
+    """Rolling-window COUNT(DISTINCT key) per period — the WAU/MAU
+    shape (distinct users active in the trailing ``window`` days of
+    each day).
+
+    Exact and shuffle-light: (key, period) pairs dedup in a combiner
+    agg first (raw events collapse block-locally), then each pair
+    explodes to the ``window`` period cells it contributes to (a
+    bounded x``window`` flat map), dedups again, and a final combiner
+    count per cell. No per-cell rescan, no driver state; every
+    exchange moves (key, period) integers only. Emits every cell any
+    activity contributes to, including trailing cells past the last
+    active period (partial windows) — the SQL mirror does the same
+    via generate_series.
+    """
+
+    def to_period(b: pa.Table) -> pa.Table:
+        pi = _period_index(pd.Series(b[ts_col].to_pandas()), period)
+        return pa.table({"k": b[key_col], "p": pa.array(pi)})
+
+    pairs = grouped_agg(
+        ds.map_batches(to_period, batch_format="pyarrow"),
+        ["k", "p"],
+        {"_c": (None, "count")},
+    )
+
+    def explode(b: pa.Table) -> pa.Table:
+        k = b["k"].to_numpy(zero_copy_only=False)
+        p = b["p"].to_numpy(zero_copy_only=False)
+        n = len(k)
+        offs = np.arange(window, dtype=np.int64)
+        return pa.table(
+            {
+                "k": pa.array(np.repeat(k, window)),
+                "cell": pa.array((p[:, None] + offs[None, :]).reshape(n * window)),
+            }
+        )
+
+    cells = grouped_agg(
+        pairs.map_batches(explode, batch_format="pyarrow"),
+        ["k", "cell"],
+        {"_c": (None, "count")},
+    )
+    out = grouped_agg(cells, ["cell"], {"n_distinct": (None, "count")})
+
+    def rename(b: pa.Table) -> pa.Table:
+        return b.rename_columns(
+            ["period" if c == "cell" else c for c in b.column_names]
+        )
+
+    return out.map_batches(rename, batch_format="pyarrow")
 
 
 def cumulative_distinct(
