@@ -2621,6 +2621,101 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(rename, batch_format="pyarrow")
 
+    def q_balanced_source_sample(sf_dir):
+        """Exactly-20-per-source uniform sample (ops/relational.py
+        grouped_sample_k): md5-rank order, block-local top-k
+        combiner — balanced without ingest-order bias, zero RNG."""
+        from ocr_service_ray.ops.relational import grouped_sample_k
+
+        docs = _read(sf_dir, "documents", ["doc_id", "source"])
+        return grouped_sample_k(docs, ["source"], "doc_id", 20).select_columns(
+            ["doc_id", "source"]
+        )
+
+    def q_span_corruption_pairs(sf_dir):
+        """T5-style span-corruption pair generation (ops/chunking.py
+        span_corruption, every=7 phase=3): deterministic positional
+        masking, byte-exact corrupted/target strings vs the SQL
+        indexed-lambda oracle. Pure flat map."""
+        from ocr_service_ray.ops.chunking import span_corruption
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return span_corruption(docs, every=7, phase=3)
+
+    def q_proportional_docs(sf_dir):
+        """Exact-200-document corpus cut with source proportions kept
+        (ops/mix.py proportional_sample): Hamilton largest-remainder
+        quotas from one combiner count, each quota filled by md5
+        rank — the budget-exact training-mix draw."""
+        from ocr_service_ray.ops.mix import proportional_sample
+
+        docs = _read(sf_dir, "documents", ["doc_id", "source"])
+        return proportional_sample(docs, "source", "doc_id", 200)
+
+    def q_frequent_part_pairs(sf_dir):
+        """Frequent co-occurring part pairs (market-basket shape):
+        distinct (order, part) combiner → bounded per-order pair
+        explode → combiner count → support filter (>=3) → top-25
+        combiner rank. Pair explosion bounded by lines-per-order."""
+        import itertools
+
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        dist = grouped_agg(li, ["l_orderkey", "l_partkey"], {"_c": (None, "count")})
+
+        def pairs(g: pd.DataFrame):
+            s = sorted(g["l_partkey"].unique())
+            if len(s) < 2:
+                return None
+            return pd.DataFrame(
+                list(itertools.combinations(s, 2)), columns=["part_a", "part_b"]
+            )
+
+        counted = grouped_agg(
+            bucketed_map_groups(dist, ["l_orderkey"], pairs),
+            ["part_a", "part_b"],
+            {"n_orders": (None, "count")},
+        )
+        frequent = counted.map_batches(
+            lambda b: b.filter(pc.greater_equal(b["n_orders"], 3)),
+            batch_format="pyarrow",
+        )
+        return relational.topk(
+            frequent,
+            by=["n_orders", "part_a", "part_b"],
+            k=25,
+            descending=[True, False, False],
+        )
+
+    def q_type_share_ppm(sf_dir):
+        """Percent-of-total as integer parts-per-million: one combiner
+        count per type, the |types|-bounded total folded on the
+        driver, shares by exact floor division (no float ratios)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_type"])
+        counts = grouped_agg(ev, ["event_type"], {"n": (None, "count")}).to_pandas()
+        total = int(counts["n"].sum())
+        counts["share_ppm"] = (
+            counts["n"].to_numpy(dtype=np.int64) * 1_000_000 // total
+        )
+        return counts.astype({"n": "int64", "share_ppm": "int64"})
+
+    def q_latest_user_event(sf_dir):
+        """CDC / upsert compaction: latest version per key
+        (ops/relational.py grouped_topk k=1 by (ts, event_id) desc) —
+        the keep-newest snapshot materialization, block-local argmax
+        combiner instead of a global sort."""
+        from ocr_service_ray.ops.relational import grouped_topk
+
+        ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
+        out = grouped_topk(ev, ["user_id"], ["ts", "event_id"], 1, [True, True])
+        return out.select_columns(["user_id", "event_id", "event_type"])
+
     def q_top_user_paths(sf_dir):
         """Top-10 behavioral paths: each user's first five event types
         joined '>' (one user-keyed fold), counted with a combiner agg,
@@ -2770,6 +2865,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_checksum": q_events_checksum,
         "incremental_event_totals": q_incremental_event_totals,
         "session_overlaps": q_session_overlaps,
+        "balanced_source_sample": q_balanced_source_sample,
+        "span_corruption_pairs": q_span_corruption_pairs,
+        "proportional_docs": q_proportional_docs,
+        "frequent_part_pairs": q_frequent_part_pairs,
+        "type_share_ppm": q_type_share_ppm,
+        "latest_user_event": q_latest_user_event,
     }
 
 
@@ -4964,5 +5065,66 @@ def oracle_sql() -> dict[str, str]:
         SELECT L.user_id, CAST(count(*) AS BIGINT) AS n_overlaps
         FROM L JOIN R ON L.s <= R.e AND R.s <= L.e
         GROUP BY 1
+    """
+    _gs_rank = _hex_bigint_sql("md5('gsample:' || CAST(doc_id AS VARCHAR))", 1, 15)
+    oracles["balanced_source_sample"] = f"""
+        WITH r AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+                               ORDER BY {_gs_rank}, doc_id) AS rn
+          FROM documents)
+        SELECT doc_id, source FROM r WHERE rn <= 20
+    """
+    oracles["span_corruption_pairs"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        SELECT doc_id,
+          array_to_string(list_transform(toks,
+            (x, i) -> CASE WHEN (i - 1) % 7 = 3 THEN '<mask>' ELSE x END), ' ')
+            AS corrupted,
+          array_to_string(list_filter(list_transform(toks,
+            (x, i) -> CASE WHEN (i - 1) % 7 = 3 THEN x ELSE NULL END),
+            x -> x IS NOT NULL), ' ') AS target,
+          CAST(len(list_filter(toks, (x, i) -> (i - 1) % 7 = 3)) AS BIGINT)
+            AS n_masked
+        FROM t
+    """
+    _mix_rank = _hex_bigint_sql("md5('mix:' || CAST(doc_id AS VARCHAR))", 1, 15)
+    oracles["proportional_docs"] = f"""
+        WITH cnt AS (SELECT source, count(*) AS c FROM documents GROUP BY 1),
+        tot AS (SELECT sum(c) AS t FROM cnt),
+        alloc AS (SELECT source, c, (200 * c) // t AS base, (200 * c) % t AS rem
+                  FROM cnt, tot),
+        ex AS (SELECT source, base,
+               CASE WHEN row_number() OVER (ORDER BY rem DESC, source)
+                    <= 200 - (SELECT sum(base) FROM alloc) THEN 1 ELSE 0 END AS e
+               FROM alloc),
+        quota AS (SELECT source, base + e AS q FROM ex),
+        ranked AS (SELECT doc_id, source,
+            row_number() OVER (PARTITION BY source
+                               ORDER BY {_mix_rank}, doc_id) AS rn
+          FROM documents)
+        SELECT r.doc_id, r.source
+        FROM ranked r JOIN quota USING (source) WHERE r.rn <= quota.q
+    """
+    oracles["frequent_part_pairs"] = """
+        WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b
+          FROM p a JOIN p b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)
+        SELECT part_a, part_b, CAST(count(*) AS BIGINT) AS n_orders
+        FROM pairs GROUP BY 1, 2 HAVING count(*) >= 3
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 25
+    """
+    oracles["type_share_ppm"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(count(*) * 1000000 // (SELECT count(*) FROM events)
+                    AS BIGINT) AS share_ppm
+        FROM events GROUP BY 1
+    """
+    oracles["latest_user_event"] = """
+        SELECT user_id, event_id, event_type FROM (
+          SELECT user_id, event_id, event_type,
+            row_number() OVER (PARTITION BY user_id
+                               ORDER BY ts DESC, event_id DESC) AS rn
+          FROM events) WHERE rn = 1
     """
     return oracles

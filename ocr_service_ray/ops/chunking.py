@@ -67,3 +67,45 @@ def chunk_tokens(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def span_corruption(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    every: int = 7,
+    phase: int = 3,
+    sentinel: str = "<mask>",
+):
+    """T5-style span-corruption pair generation, deterministic and
+    SQL-reproducible: token positions p (0-based, single-space split)
+    with ``p % every == phase`` are replaced by ``sentinel`` in the
+    corrupted text; the masked tokens, in order, form the target.
+    Emits (id_col, corrupted, target, n_masked). A pure flat map —
+    zero shuffle; real pretraining pipelines swap the positional rule
+    for a seeded RNG, everything else is this plumbing."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        texts = b[text_col].to_pylist()
+        corrupted, target, n_masked = [], [], []
+        for t in texts:
+            toks = (t or "").split(" ")
+            masked = [tok for p, tok in enumerate(toks) if p % every == phase]
+            corrupted.append(
+                " ".join(
+                    sentinel if p % every == phase else tok
+                    for p, tok in enumerate(toks)
+                )
+            )
+            target.append(" ".join(masked))
+            n_masked.append(len(masked))
+        return pa.table(
+            {
+                id_col: b[id_col],
+                "corrupted": pa.array(corrupted, type=pa.string()),
+                "target": pa.array(target, type=pa.string()),
+                "n_masked": pa.array(np.asarray(n_masked, dtype=np.int64)),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -128,3 +128,65 @@ def temperature_sample(
         return g[keep]
 
     return bucketed_map_groups(ds, [source_col], fold, num_buckets)
+
+
+def proportional_sample(ds, group_col: str, id_col: str, total_n: int, salt: str = "mix"):
+    """Exact-N proportional allocation sampling — draw EXACTLY
+    ``total_n`` rows overall, apportioned across groups by the
+    largest-remainder (Hamilton) method, each group's quota filled by
+    md5-rank (uniform, zero RNG, layout-invariant).
+
+    The curation move "cut this corpus to a 10M-doc budget keeping
+    source proportions": plain per-group rate sampling only hits the
+    budget in expectation; Hamilton quotas hit it exactly and are the
+    standard apportionment with no per-group bias.
+
+    Plan: one combiner count per group (|groups| rows to the driver —
+    vocabulary-bounded), quota arithmetic on the driver (pure int),
+    then one bucketed key shuffle where each group keeps its quota
+    smallest md5 ranks. Requires ``total_n`` <= corpus rows. The
+    quota dict rides the task closure (O(|groups|)); ray.put it
+    explicitly if sources number in the millions.
+    """
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    from .agg import bucketed_map_groups, grouped_agg
+
+    counts = (
+        grouped_agg(ds, [group_col], {"c": (None, "count")})
+        .to_pandas()
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )
+    total = int(counts["c"].sum())
+    if total_n > total:
+        raise ValueError(f"total_n={total_n} exceeds corpus rows={total}")
+    base = (total_n * counts["c"].to_numpy(dtype=np.int64)) // total
+    rem = (total_n * counts["c"].to_numpy(dtype=np.int64)) % total
+    extras = total_n - int(base.sum())
+    # largest remainders first, group value ascending on ties —
+    # mirrored exactly by the SQL oracle's ROW_NUMBER ordering
+    order = np.lexsort((counts[group_col].to_numpy(), -rem))
+    quota = base.copy()
+    quota[order[:extras]] += 1
+    quotas = dict(zip(counts[group_col], quota.tolist()))
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame | None:
+        q = quotas.get(g[group_col].iloc[0], 0)
+        if q <= 0:
+            return None
+        ranks = np.fromiter(
+            (
+                int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+                for v in g[id_col]
+            ),
+            dtype=np.int64,
+            count=len(g),
+        )
+        idx = np.lexsort((g[id_col].to_numpy(), ranks))[:q]
+        return g.iloc[np.sort(idx)]
+
+    return bucketed_map_groups(ds, [group_col], keep)

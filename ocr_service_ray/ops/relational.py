@@ -633,3 +633,33 @@ def banded_sample(
         return b.filter(pa.array(u < thresholds))
 
     return ds.map_batches(keep, batch_format="pyarrow")
+
+
+def grouped_sample_k(ds, group_keys: list[str], id_col: str, k: int, salt: str = "gsample"):
+    """Exactly-k-per-group deterministic uniform sample (groups with
+    fewer than k rows keep all): rank every row by the md5-uniform of
+    its id and keep each group's k smallest ranks via the block-local
+    ``grouped_topk`` combiner — no RNG, no global sort, identical
+    output under any partitioning, and SQL-reproducible
+    (ROW_NUMBER() OVER (PARTITION BY g ORDER BY md5) <= k). The
+    balanced-corpus move ``per-group quota cap`` (first-k) cannot
+    give: first-k keeps ingest-order bias, md5-rank-k is uniform."""
+    import hashlib
+
+    import numpy as np
+    import pyarrow as pa
+
+    def add_rank(b: pa.Table) -> pa.Table:
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+                for v in b[id_col].to_pylist()
+            ),
+            dtype=np.int64,
+            count=len(b),
+        )
+        return b.append_column("_rank", pa.array(hs))
+
+    ranked = ds.map_batches(add_rank, batch_format="pyarrow")
+    out = grouped_topk(ranked, group_keys, ["_rank", id_col], k, [False, False])
+    return out.drop_columns(["_rank"])
