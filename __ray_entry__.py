@@ -2297,28 +2297,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         check is a presence-tagged union + one combiner agg, never a
         materialized join. Edge generation is bounded by
         lines-per-order (TPC-H <= 7)."""
-        import itertools
-
-        import pandas as pd
-
-        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
         from ocr_service_ray.ops.triangles import triangle_count
 
-        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        dist = grouped_agg(
-            li, ["l_orderkey", "l_partkey"], {"_c": (None, "count")}
-        )
-
-        def pairs(g: pd.DataFrame):
-            s = sorted(g["l_partkey"].unique())
-            if len(s) < 2:
-                return None
-            return pd.DataFrame(
-                list(itertools.combinations(s, 2)), columns=["src", "dst"]
-            )
-
-        edges = bucketed_map_groups(dist, ["l_orderkey"], pairs)
-        return triangle_count(edges)
+        return triangle_count(_part_edges(sf_dir))
 
     def q_chunk_documents(sf_dir):
         """Fixed-size token-window chunking with stride overlap
@@ -2657,26 +2638,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         distinct (order, part) combiner → bounded per-order pair
         explode → combiner count → support filter (>=3) → top-25
         combiner rank. Pair explosion bounded by lines-per-order."""
-        import itertools
-
-        import pandas as pd
         import pyarrow.compute as pc
 
-        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+        from ocr_service_ray.ops.agg import grouped_agg
 
-        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
-        dist = grouped_agg(li, ["l_orderkey", "l_partkey"], {"_c": (None, "count")})
-
-        def pairs(g: pd.DataFrame):
-            s = sorted(g["l_partkey"].unique())
-            if len(s) < 2:
-                return None
-            return pd.DataFrame(
-                list(itertools.combinations(s, 2)), columns=["part_a", "part_b"]
-            )
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(["part_a", "part_b"])
 
         counted = grouped_agg(
-            bucketed_map_groups(dist, ["l_orderkey"], pairs),
+            _part_edges(sf_dir).map_batches(rename, batch_format="pyarrow"),
             ["part_a", "part_b"],
             {"n_orders": (None, "count")},
         )
@@ -2715,6 +2685,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ev = _read(sf_dir, "events", ["user_id", "event_id", "ts", "event_type"])
         out = grouped_topk(ev, ["user_id"], ["ts", "event_id"], 1, [True, True])
         return out.select_columns(["user_id", "event_id", "event_type"])
+
+    def _part_edges(sf_dir):
+        """Shared part co-occurrence edge derivation (see
+        q_part_triangles)."""
+        import itertools
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        dist = grouped_agg(li, ["l_orderkey", "l_partkey"], {"_c": (None, "count")})
+
+        def pairs(g: pd.DataFrame):
+            s = sorted(g["l_partkey"].unique())
+            if len(s) < 2:
+                return None
+            return pd.DataFrame(
+                list(itertools.combinations(s, 2)), columns=["src", "dst"]
+            )
+
+        return bucketed_map_groups(dist, ["l_orderkey"], pairs)
+
+    def q_part_degree_histogram(sf_dir):
+        """Degree histogram of the part co-occurrence graph
+        (ops/kcore.py degree_histogram): the skew diagnostic run
+        before any graph workload — two combiner aggregates."""
+        from ocr_service_ray.ops.kcore import degree_histogram
+
+        return degree_histogram(_part_edges(sf_dir))
+
+    def q_part_kcore(sf_dir):
+        """80-core of the part co-occurrence graph (ops/kcore.py
+        kcore_peel, 6 rounds — convergence-probed at this scale,
+        fixed rounds keep it SQL-unrollable exactly like
+        pagerank_int). Each round: one combiner degree count + two
+        node-keyed hash joins; payloads never shuffle."""
+        from ocr_service_ray.ops.kcore import kcore_peel
+
+        return kcore_peel(_part_edges(sf_dir), k=80, rounds=6)
+
+    def q_rolling_value_outliers(sf_dir):
+        """Per-user rolling 3-sigma anomaly flags over value cents
+        (ops/rolling.py rolling_zscore_outliers, prior-10 window):
+        the streaming anomaly shape as one bucketed key shuffle +
+        vectorized in-group integer rule — no sqrt, no float
+        division, bit-exact vs windowed-sum SQL."""
+        from ocr_service_ray.ops.rolling import rolling_zscore_outliers
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "user_id": b["user_id"],
+                    "ts": b["ts"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        return rolling_zscore_outliers(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            "user_id",
+            ["ts", "event_id"],
+            "cents",
+            "event_id",
+            window=10,
+            k_num=3,
+            k_den=1,
+            min_n=3,
+        )
+
+    def q_source_vocab_overlap(sf_dir):
+        """Pairwise source vocabulary Jaccard (ops/overlap.py
+        vocab_overlap_matrix): (source, token) dedup is a combiner
+        agg (vocabulary-bounded shuffle), per-token source pairs are
+        |sources|-bounded, the matrix is |sources|^2 — integer ppm
+        Jaccard, exact."""
+        from ocr_service_ray.ops.overlap import vocab_overlap_matrix
+
+        docs = _read(sf_dir, "documents", ["source", "text"])
+        return vocab_overlap_matrix(docs)
+
+    def q_diverse_top_docs(sf_dir):
+        """Diversity-capped top-k: the 30 longest documents with at
+        most 5 per source — per-source block-local top-k combiner,
+        then a global top-k combiner. The curation move that stops
+        one source from monopolizing a showcase/eval set."""
+        from ocr_service_ray.ops.relational import grouped_topk
+
+        docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+        capped = grouped_topk(
+            docs, ["source"], ["n_chars", "doc_id"], 5, [True, False]
+        )
+        return relational.topk(
+            capped, by=["n_chars", "doc_id"], k=30, descending=[True, False]
+        )
 
     def q_top_user_paths(sf_dir):
         """Top-10 behavioral paths: each user's first five event types
@@ -2871,6 +2942,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "frequent_part_pairs": q_frequent_part_pairs,
         "type_share_ppm": q_type_share_ppm,
         "latest_user_event": q_latest_user_event,
+        "part_degree_histogram": q_part_degree_histogram,
+        "part_kcore": q_part_kcore,
+        "rolling_value_outliers": q_rolling_value_outliers,
+        "source_vocab_overlap": q_source_vocab_overlap,
+        "diverse_top_docs": q_diverse_top_docs,
     }
 
 
@@ -5126,5 +5202,84 @@ def oracle_sql() -> dict[str, str]:
             row_number() OVER (PARTITION BY user_id
                                ORDER BY ts DESC, event_id DESC) AS rn
           FROM events) WHERE rn = 1
+    """
+    # AS MATERIALIZED: every CTE below is referenced 2-3x per round;
+    # default inlining would re-expand the whole chain exponentially
+    # (3^rounds parquet scans — observed fd exhaustion at 6 rounds)
+    _part_e0 = """e0 AS MATERIALIZED (
+          SELECT DISTINCT a.l_partkey AS lo, b.l_partkey AS hi
+          FROM lineitem a JOIN lineitem b
+            ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey)"""
+    oracles["part_degree_histogram"] = f"""
+        WITH {_part_e0},
+        d AS (SELECT node, count(*) AS deg FROM
+               (SELECT lo AS node FROM e0 UNION ALL SELECT hi FROM e0)
+              GROUP BY 1)
+        SELECT CAST(deg AS BIGINT) AS deg, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM d GROUP BY 1
+    """
+    # 6 unrolled peeling rounds — same fixed-round discipline as the
+    # pagerank_int oracle; extra rounds past the fixpoint are no-ops
+    _kcore_ctes = [_part_e0]
+    for r in range(1, 7):
+        _kcore_ctes.append(
+            f"""d{r} AS MATERIALIZED (SELECT node, count(*) AS deg FROM
+               (SELECT lo AS node FROM e{r - 1} UNION ALL SELECT hi FROM e{r - 1})
+              GROUP BY 1),
+        k{r} AS MATERIALIZED (SELECT node FROM d{r} WHERE deg >= 80),
+        e{r} AS MATERIALIZED (SELECT e.lo, e.hi FROM e{r - 1} e
+                 JOIN k{r} a ON e.lo = a.node JOIN k{r} b ON e.hi = b.node)"""
+        )
+    oracles["part_kcore"] = (
+        "WITH "
+        + ",\n        ".join(_kcore_ctes)
+        + """
+        SELECT node, CAST(deg AS BIGINT) AS deg FROM (
+          SELECT node, count(*) AS deg FROM
+            (SELECT lo AS node FROM e6 UNION ALL SELECT hi FROM e6)
+          GROUP BY 1) WHERE deg >= 80
+    """
+    )
+    oracles["rolling_value_outliers"] = """
+        WITH c AS (SELECT event_id, user_id, ts,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        w AS (SELECT event_id, user_id, cents,
+            coalesce(sum(cents) OVER win, 0) AS s,
+            coalesce(sum(cents * cents) OVER win, 0) AS q,
+            coalesce(count(*) OVER win, 0) AS n
+          FROM c
+          WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+        SELECT event_id, user_id, cents,
+          CAST(CASE WHEN n >= 3
+                     AND (n * cents - s) * (n * cents - s) * 1
+                         > 9 * (n * q - s * s)
+               THEN 1 ELSE 0 END AS BIGINT) AS is_outlier
+        FROM w
+    """
+    oracles["source_vocab_overlap"] = """
+        WITH st AS (SELECT DISTINCT source, tok FROM
+               (SELECT source, unnest(string_split(text, ' ')) AS tok
+                FROM documents)),
+        sz AS (SELECT source, count(*) AS n FROM st GROUP BY 1),
+        sh AS (SELECT a.source AS src_a, b.source AS src_b,
+                      count(*) AS n_shared
+               FROM st a JOIN st b ON a.tok = b.tok AND a.source < b.source
+               GROUP BY 1, 2)
+        SELECT sh.src_a, sh.src_b, CAST(n_shared AS BIGINT) AS n_shared,
+               CAST(sa.n AS BIGINT) AS n_a, CAST(sb.n AS BIGINT) AS n_b,
+               CAST(n_shared * 1000000 // (sa.n + sb.n - n_shared) AS BIGINT)
+                 AS jaccard_ppm
+        FROM sh JOIN sz sa ON sh.src_a = sa.source
+                JOIN sz sb ON sh.src_b = sb.source
+    """
+    oracles["diverse_top_docs"] = """
+        SELECT doc_id, source, n_chars FROM (
+          SELECT doc_id, source, n_chars,
+            row_number() OVER (PARTITION BY source
+                               ORDER BY n_chars DESC, doc_id) AS rn
+          FROM documents) WHERE rn <= 5
+        ORDER BY n_chars DESC, doc_id LIMIT 30
     """
     return oracles

@@ -1,0 +1,71 @@
+"""Cross-source vocabulary overlap matrix (pairwise Jaccard).
+
+The corpus-composition diagnostic: how much do two sources' token
+vocabularies overlap? For every source pair emits
+
+    (src_a, src_b, n_shared, n_a, n_b, jaccard_ppm)
+
+with jaccard_ppm = n_shared * 10^6 // (n_a + n_b - n_shared) — exact
+integer floor, SQL-reproducible.
+
+Scale shape: tokens explode once and dedup per (source, token) in a
+combiner agg, so the shuffle is vocabulary-bounded per source, never
+corpus-bounded; per-token source pairs are bounded by |sources| (the
+same per-gram pairing as the source-similarity graph in
+``source_pagerank``); the matrix itself is |sources|^2 rows. Hot
+tokens shared by every source cost |sources|^2 pairs each — prune
+stopword-grade tokens upstream if |sources| is large.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+from .agg import bucketed_map_groups, grouped_agg
+
+
+def vocab_overlap_matrix(ds, source_col: str = "source", text_col: str = "text"):
+    """Pairwise Jaccard of single-space-split token vocabularies."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        srcs, toks = [], []
+        for s, t in zip(b[source_col].to_pylist(), b[text_col].to_pylist()):
+            parts = set((t or "").split(" "))
+            srcs.extend([s] * len(parts))
+            toks.extend(parts)
+        return pa.table(
+            {"src": pa.array(srcs, type=b[source_col].type), "tok": pa.array(toks)}
+        )
+
+    st = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["src", "tok"],
+        {"_c": (None, "count")},
+    )
+    sizes = grouped_agg(st, ["src"], {"n": (None, "count")}).to_pandas()
+    n_of = dict(zip(sizes["src"], sizes["n"].astype(int)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame | None:
+        s = sorted(g["src"].unique())
+        if len(s) < 2:
+            return None
+        return pd.DataFrame(
+            [(a, b) for i, a in enumerate(s) for b in s[i + 1 :]],
+            columns=["src_a", "src_b"],
+        )
+
+    shared = grouped_agg(
+        bucketed_map_groups(st, ["tok"], pairs),
+        ["src_a", "src_b"],
+        {"n_shared": (None, "count")},
+    ).to_pandas()
+    shared["n_a"] = shared["src_a"].map(n_of).astype("int64")
+    shared["n_b"] = shared["src_b"].map(n_of).astype("int64")
+    union = shared["n_a"] + shared["n_b"] - shared["n_shared"]
+    shared["jaccard_ppm"] = (
+        shared["n_shared"].to_numpy(dtype=np.int64) * 1_000_000
+        // union.to_numpy(dtype=np.int64)
+    )
+    return shared.astype({"n_shared": "int64", "jaccard_ppm": "int64"})
