@@ -2787,6 +2787,96 @@ def queries() -> dict[str, Callable[[str], Any]]:
             capped, by=["n_chars", "doc_id"], k=30, descending=[True, False]
         )
 
+    def q_multi_knn_batch(sf_dir):
+        """Batched multi-query exact kNN (ops/similarity.py
+        multi_knn): 8 query vectors broadcast once, ONE corpus scan
+        with a per-batch matmul, per-query block-local top-k then a
+        combiner grouped top-k — the ANN-serving shape (never one
+        scan per query)."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.ops import similarity
+
+        qt = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).filter(pa.compute.less(pa.compute.field("vec_id"), 8))
+        queries = similarity._as_matrix(qt.sort_by("vec_id")["embedding"])
+        top = similarity.multi_knn(_read(sf_dir, "embeddings"), queries, k=5)
+
+        def micro(b: pa.Table) -> pa.Table:
+            m = _micro(b["cos_sim"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "query_id": b["query_id"],
+                    "vec_id": b["vec_id"],
+                    "cos_sim_micro": pa.array(m),
+                }
+            )
+
+        return top.map_batches(micro, batch_format="pyarrow")
+
+    def q_hashed_embeddings(sf_dir):
+        """Feature-hashing projection to 8 integer components
+        (ops/vector.py hash_project_quantized): deterministic ±1 md5
+        weights over the int8-quantized embedding — the RNG-free
+        signed-random-projection, columns-not-rows expansion, one
+        combiner sum per vector."""
+        from ocr_service_ray.ops.vector import hash_project_quantized
+
+        return hash_project_quantized(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]), n_out=8
+        )
+
+    def q_keyword_contexts_spark(sf_dir):
+        """KWIC concordance for the token 'spark' (ops/chunking.py
+        keyword_contexts, ±3 tokens): the corpus-inspection
+        primitive, pure flat map."""
+        from ocr_service_ray.ops.chunking import keyword_contexts
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return keyword_contexts(docs, "spark", n_ctx=3)
+
+    def q_langid_confusion(sf_dir):
+        """Language-ID confusion matrix: declared lang x heuristic
+        pred_lang counts — the classifier-evaluation cross-tab, one
+        stateless scoring map + one combiner agg."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        scored = docs.map_batches(
+            lambda b: text_ops.lang_id(b).drop_columns(["text", "doc_id"]),
+            batch_format="pyarrow",
+        )
+        return grouped_agg(scored, ["lang", "pred_lang"], {"n_docs": (None, "count")})
+
+    def q_value_cume_micro(sf_dir):
+        """Per-type CUME_DIST of value cents as exact integer
+        millionths (ops/window.py cume_dist_micro): cnt_le * 1e6 // n
+        — no float division, bit-exact vs a peers-inclusive running
+        count window."""
+        from ocr_service_ray.ops.window import cume_dist_micro
+
+        ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "event_type": b["event_type"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        return cume_dist_micro(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            "event_type",
+            "cents",
+            "event_id",
+        )
+
     def q_top_user_paths(sf_dir):
         """Top-10 behavioral paths: each user's first five event types
         joined '>' (one user-keyed fold), counted with a combiner agg,
@@ -2947,6 +3037,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rolling_value_outliers": q_rolling_value_outliers,
         "source_vocab_overlap": q_source_vocab_overlap,
         "diverse_top_docs": q_diverse_top_docs,
+        "multi_knn_batch": q_multi_knn_batch,
+        "hashed_embeddings": q_hashed_embeddings,
+        "keyword_contexts_spark": q_keyword_contexts_spark,
+        "langid_confusion": q_langid_confusion,
+        "value_cume_micro": q_value_cume_micro,
     }
 
 
@@ -5281,5 +5376,81 @@ def oracle_sql() -> dict[str, str]:
                                ORDER BY n_chars DESC, doc_id) AS rn
           FROM documents) WHERE rn <= 5
         ORDER BY n_chars DESC, doc_id LIMIT 30
+    """
+    # same float discipline as the proven knn_brute oracle, plus a
+    # query partition
+    oracles["multi_knn_batch"] = """
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8)
+        SELECT query_id, vec_id, cos_sim_micro FROM (
+          SELECT q.query_id, e.vec_id,
+            CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv) * 1000000.0 + 0.5) AS BIGINT)
+              AS cos_sim_micro,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv) DESC, e.vec_id) AS rn
+          FROM embeddings e, q) WHERE rn <= 5
+    """
+    _w_sql = (
+        "CASE WHEN strpos('01234567', substring(md5(CAST(d.dim AS VARCHAR) "
+        "|| ':' || CAST(j.j AS VARCHAR)), 1, 1)) > 0 THEN 1 ELSE -1 END"
+    )
+    _p_cols = ",\n          ".join(
+        f"CAST(sum(CASE WHEN w.j = {j} THEN w.w * qq.q ELSE 0 END) AS BIGINT) AS p{j}"
+        for j in range(8)
+    )
+    oracles["hashed_embeddings"] = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings),
+        st AS (SELECT dim, min(v) AS mn, max(v) AS mx FROM e GROUP BY dim),
+        qq AS (SELECT e.vec_id, e.dim,
+                 CAST(CASE WHEN st.mx > st.mn
+                      THEN least(floor((e.v - st.mn) * 255.0 / (st.mx - st.mn)),
+                                 255.0)
+                      ELSE 0 END AS BIGINT) AS q
+               FROM e JOIN st USING (dim)),
+        w AS (SELECT d.dim, j.j, {_w_sql} AS w
+              FROM (SELECT unnest(generate_series(1,
+                      (SELECT len(embedding) FROM embeddings LIMIT 1))) AS dim) d,
+                   (SELECT unnest(generate_series(0, 7)) AS j) j)
+        SELECT qq.vec_id,
+          {_p_cols}
+        FROM qq JOIN w ON qq.dim = w.dim GROUP BY qq.vec_id
+    """
+    oracles["keyword_contexts_spark"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        pos AS (SELECT doc_id, toks,
+                  unnest(list_filter(list_transform(toks,
+                    (x, i) -> CASE WHEN x = 'spark' THEN i END),
+                    x -> x IS NOT NULL)) AS p
+                FROM t)
+        SELECT doc_id, CAST(p - 1 AS BIGINT) AS pos,
+          coalesce(array_to_string(toks[greatest(1, p - 3) : p - 1], ' '), '')
+            AS left_ctx,
+          coalesce(array_to_string(toks[p + 1 : least(len(toks), p + 3)], ' '), '')
+            AS right_ctx
+        FROM pos
+    """
+    oracles["langid_confusion"] = f"""
+        WITH pred AS ({_lang_id_oracle_sql()})
+        SELECT d.lang, p.pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY 1, 2
+    """
+    oracles["value_cume_micro"] = """
+        WITH c AS (SELECT event_id, event_type,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                   FROM events),
+        w AS (SELECT event_id, event_type,
+                count(*) OVER (PARTITION BY event_type ORDER BY cents)
+                  AS cnt_le,
+                count(*) OVER (PARTITION BY event_type) AS n
+              FROM c)
+        SELECT event_id, event_type,
+               CAST(cnt_le * 1000000 // n AS BIGINT) AS cume_micro
+        FROM w
     """
     return oracles

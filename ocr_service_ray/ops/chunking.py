@@ -109,3 +109,39 @@ def span_corruption(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def keyword_contexts(
+    ds,
+    term: str,
+    n_ctx: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+):
+    """Keyword-in-context (KWIC) extraction: one row per occurrence of
+    ``term`` (exact token match on the single-space split) with the
+    ``n_ctx`` tokens either side — the concordance/grep-with-context
+    primitive for corpus inspection. Pure flat map, zero shuffle;
+    byte-exact vs the SQL indexed-lambda + list-slice oracle."""
+
+    def explode(b: pa.Table) -> pa.Table:
+        out_id, out_pos, out_l, out_r = [], [], [], []
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = (t or "").split(" ")
+            for p, tok in enumerate(toks):
+                if tok != term:
+                    continue
+                out_id.append(did)
+                out_pos.append(p)
+                out_l.append(" ".join(toks[max(0, p - n_ctx) : p]))
+                out_r.append(" ".join(toks[p + 1 : p + 1 + n_ctx]))
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=b[id_col].type),
+                "pos": pa.array(np.asarray(out_pos, dtype=np.int64)),
+                "left_ctx": pa.array(out_l, type=pa.string()),
+                "right_ctx": pa.array(out_r, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")

@@ -249,3 +249,59 @@ class LshIndex:
 
         probed = read_parquet_clean(files, columns=[self.id_col, self.vec_col])
         return knn_brute(probed, query, k, self.vec_col, self.id_col)
+
+
+def multi_knn(
+    ds,
+    queries: np.ndarray,
+    k: int = 5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Batched exact top-k by cosine for MANY queries in one corpus
+    scan — the production ANN-serving shape (one matmul per batch
+    against the broadcast (q, d) query matrix, never one scan per
+    query). Per block: local top-k rows per query; then one combiner
+    ``grouped_topk`` keyed by query id. Returns (query_id, id_col,
+    cos_sim); tie-break id ascending, same float discipline as
+    ``cosine_to_query`` (round 6) so the DuckDB oracle reproduces it.
+    """
+    from ocr_service_ray.ops.relational import grouped_topk
+
+    q = queries.astype(np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    nq = q.shape[0]
+
+    def score(b: pa.Table) -> pa.Table:
+        mat = _as_matrix(b[vec_col])
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], b[id_col].type),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat @ q.T) / norms[:, None] / qn[None, :], 6)  # (n, nq)
+        n = mat.shape[0]
+        kk = min(k, n)
+        # local top-k rows per query column
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        rows = part.T.reshape(-1)
+        return pa.table(
+            {
+                "query_id": pa.array(qid),
+                id_col: pa.array(ids[rows]),
+                "cos_sim": pa.array(sims[rows, qid], pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, ["query_id"], ["cos_sim", id_col], k, [True, False]
+    )

@@ -174,3 +174,51 @@ def quantize_embeddings(ds, vec_col: str = "embedding", id_col: str = "vec_id"):
         )
 
     return ds.map_batches(kernel, batch_format="pyarrow")
+
+
+def hash_project_quantized(ds, n_out: int = 8, vec_col: str = "embedding", id_col: str = "vec_id"):
+    """Feature-hashing projection: compress int8-quantized embeddings
+    to ``n_out`` integer components with deterministic ±1 md5 weights
+    (the hashing trick / signed random projection, RNG-free so the
+    projection is identical on every run AND reproducible in SQL).
+
+    proj[j] = sum over dims of w(dim, j) * q(dim),
+    w(dim, j) = +1 if the first hex digit of md5("dim:j") < 8 else -1.
+
+    Built on ``quantize_embeddings``'s exploded (id, dim, q) rows:
+    each row expands to ``n_out`` weighted COLUMNS (not rows), then
+    one combiner ``grouped_agg`` sums per id — the shuffle moves
+    n_out ints per (id, dim), no row explosion. |proj| <= 255 * dims,
+    far inside int64."""
+    import hashlib
+
+    from .agg import grouped_agg
+
+    def _w(dim: int, j: int) -> int:
+        return 1 if int(hashlib.md5(f"{dim}:{j}".encode()).hexdigest()[0], 16) < 8 else -1
+
+    exploded = quantize_embeddings(ds, vec_col=vec_col, id_col=id_col)
+    w_cache: dict = {}
+
+    def weight_matrix(max_dim: int) -> np.ndarray:
+        if max_dim not in w_cache:
+            w_cache[max_dim] = np.array(
+                [[_w(d, j) for j in range(n_out)] for d in range(max_dim + 1)],
+                dtype=np.int64,
+            )
+        return w_cache[max_dim]
+
+    def contribs(b: pa.Table) -> pa.Table:
+        dim = b["dim"].to_numpy(zero_copy_only=False)
+        q = b["q"].to_numpy(zero_copy_only=False)
+        w = weight_matrix(int(dim.max()) if len(dim) else 0)
+        cols = {id_col: b[id_col]}
+        for j in range(n_out):
+            cols[f"p{j}"] = pa.array(w[dim, j] * q)
+        return pa.table(cols)
+
+    return grouped_agg(
+        exploded.map_batches(contribs, batch_format="pyarrow"),
+        [id_col],
+        {f"p{j}": (f"p{j}", "sum") for j in range(n_out)},
+    )

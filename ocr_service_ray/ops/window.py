@@ -254,3 +254,35 @@ def transition_counts(
 
     local = bucketed_map_groups(ds, [key_col], fold)
     return grouped_agg(local, ["prev", "next"], {"n": ("n", "sum")})
+
+
+def cume_dist_micro(
+    ds,
+    key_col: str,
+    val_col: str,
+    id_col: str,
+    scale: int = 1_000_000,
+):
+    """Per-key cumulative distribution of each row's value as an
+    integer fraction: cume_ppm = (# peers with value <= v) * scale //
+    n — CUME_DIST() without the float division (a/b*1e6 in doubles
+    rounds differently than the exact a*1e6//b). One bucketed key
+    shuffle; in-group work is one sort + searchsorted."""
+    import numpy as np
+    import pandas as pd
+
+    from .agg import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        v = g[val_col].to_numpy()
+        sv = np.sort(v, kind="mergesort")
+        cnt_le = np.searchsorted(sv, v, side="right").astype(np.int64)
+        return pd.DataFrame(
+            {
+                id_col: g[id_col].to_numpy(),
+                key_col: g[key_col].to_numpy(),
+                "cume_micro": cnt_le * scale // len(v),
+            }
+        )
+
+    return bucketed_map_groups(ds, [key_col], fold)
