@@ -77,6 +77,15 @@ BENCH_QUERIES = [
     "paragraph_dedup",
     "moving_sum_user_value",
     "prune_corpus",
+    # round-3 session-2 wave: chunking/masking flat maps, rolling
+    # windows, the multiway star join, CDC compaction, batched ANN
+    "chunk_documents",
+    "span_corruption_pairs",
+    "rolling_wau",
+    "rolling_value_outliers",
+    "revenue_by_nation",
+    "latest_user_event",
+    "multi_knn_batch",
 ]
 
 
