@@ -2877,6 +2877,128 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_id",
         )
 
+    def q_embedding_clusters(sf_dir):
+        """Semantic dup-cluster composition: LSH-cell-blocked
+        embedding near-dup pairs (L5) fed into connected components
+        (L6) — the end-to-end semantic-dedup shape, cluster ids are
+        component minima. Oracle replays the pairing + a recursive
+        min-label CTE."""
+        from ocr_service_ray.ops import dedup
+        from ocr_service_ray.ops.graph import connected_components
+
+        planes = np.random.RandomState(13).standard_normal((4, 64))
+
+        def assign(b: pa.Table) -> pa.Table:
+            mat = similarity._as_matrix(b["embedding"])
+            bits = (mat @ planes.T) > 0.0
+            cell = (bits.astype(np.int64) << np.arange(4, dtype=np.int64)).sum(
+                axis=1
+            )
+            return b.append_column("lsh_cell", pa.array(cell, pa.int32()))
+
+        sampled = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+            lambda b: b.filter(
+                pa.array(b["vec_id"].to_numpy(zero_copy_only=False) % 5 == 0)
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = dedup.embedding_near_dup(
+            sampled.map_batches(assign, batch_format="pyarrow"),
+            block_col="lsh_cell",
+            threshold=0.2,
+        ).select_columns(["id_a", "id_b"])
+        return connected_components(pairs)
+
+    def q_ann_recall_at_k(sf_dir):
+        """ANN quality evaluation: recall@5 of the LSH-restricted
+        search vs exact brute force, for 8 queries in ONE scan each
+        (ops/similarity.py multi_knn + multi_knn_lsh). Emits integer
+        hit counts per query — the eval-harness shape, and both
+        searches are SQL-reproducible so even the recall itself is
+        oracled."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.ops import similarity
+
+        qt = pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        ).filter(pa.compute.less(pa.compute.field("vec_id"), 8))
+        queries = similarity._as_matrix(qt.sort_by("vec_id")["embedding"])
+        brute = similarity.multi_knn(
+            _read(sf_dir, "embeddings"), queries, k=5
+        ).to_pandas()
+        lsh = similarity.multi_knn_lsh(
+            _read(sf_dir, "embeddings"), queries, k=5
+        ).to_pandas()
+        hits = brute.merge(lsh[["query_id", "vec_id"]], on=["query_id", "vec_id"])
+        out = (
+            hits.groupby("query_id")["vec_id"]
+            .count()
+            .reindex(range(len(queries)), fill_value=0)
+            .reset_index()
+        )
+        out.columns = ["query_id", "n_hits"]
+        return out.astype("int64")
+
+    def q_partitioned_sink_roundtrip(sf_dir):
+        """Partitioned-sink parity (the resumable-output layout the
+        north rule requires): documents → write_parquet partitioned
+        by lang → read back through the native reader → per-lang
+        aggregate equals the direct aggregate."""
+        import shutil
+
+        import ray.data as rd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        out_dir = "/tmp/graft_part_sink"
+        shutil.rmtree(out_dir, ignore_errors=True)
+        docs = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+        docs.write_parquet(out_dir, partition_cols=["lang"])
+        back = rd.read_parquet(out_dir)
+
+        def norm(b: pa.Table) -> pa.Table:
+            # partition values come back as dictionary-encoded strings
+            return pa.table(
+                {
+                    "lang": b["lang"].cast(pa.string()),
+                    "n_chars": b["n_chars"],
+                }
+            )
+
+        return grouped_agg(
+            back.map_batches(norm, batch_format="pyarrow"),
+            ["lang"],
+            {"n_docs": (None, "count"), "sum_chars": ("n_chars", "sum")},
+        )
+
+    def q_pruned_read_orders(sf_dir):
+        """Predicate-pushdown read: the 1995 date filter is given to
+        read_parquet itself (row-group pruning at the scan, not a
+        post-read filter) — the prune-at-the-read discipline as a
+        verifiable query."""
+        import datetime as _dt
+
+        import pyarrow.compute as pc
+        import ray.data as rd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        expr = (pc.field("o_orderdate") >= _dt.datetime(1995, 1, 1)) & (
+            pc.field("o_orderdate") < _dt.datetime(1996, 1, 1)
+        )
+        od = rd.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderpriority", "o_orderdate"],
+            filter=expr,
+        )
+        return grouped_agg(
+            od.select_columns(["o_orderpriority"]),
+            ["o_orderpriority"],
+            {"n_orders": (None, "count")},
+        )
+
     def q_top_user_paths(sf_dir):
         """Top-10 behavioral paths: each user's first five event types
         joined '>' (one user-keyed fold), counted with a combiner agg,
@@ -3042,6 +3164,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "keyword_contexts_spark": q_keyword_contexts_spark,
         "langid_confusion": q_langid_confusion,
         "value_cume_micro": q_value_cume_micro,
+        "embedding_clusters": q_embedding_clusters,
+        "ann_recall_at_k": q_ann_recall_at_k,
+        "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
+        "pruned_read_orders": q_pruned_read_orders,
     }
 
 
@@ -5452,5 +5578,59 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_id, event_type,
                CAST(cnt_le * 1000000 // n AS BIGINT) AS cume_micro
         FROM w
+    """
+    oracles["embedding_clusters"] = f"""
+        WITH RECURSIVE
+        s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+              FROM embeddings WHERE vec_id % 5 = 0),
+        cells AS (SELECT vec_id, v, {_lsh_cell_terms_sql("v")} AS cell FROM s),
+        p AS (SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM cells a JOIN cells b
+                ON a.cell = b.cell AND a.vec_id < b.vec_id
+              WHERE list_cosine_similarity(a.v, b.v) >= 0.2),
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(u, lbl) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v)
+        SELECT u AS node, CAST(MIN(lbl) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY u
+    """
+    oracles["ann_recall_at_k"] = f"""
+        WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8),
+        v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        vc AS (SELECT vec_id, v, {_lsh_cell_terms_sql("v")} AS cell FROM v),
+        qc AS (SELECT query_id, qv, {_lsh_cell_terms_sql("qv")} AS cell FROM q),
+        brute AS (SELECT query_id, vec_id FROM (
+          SELECT q.query_id, v.vec_id,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY list_cosine_similarity(v.v, q.qv) DESC, v.vec_id) AS rn
+          FROM v, q) WHERE rn <= 5),
+        lsh AS (SELECT query_id, vec_id FROM (
+          SELECT qc.query_id, vc.vec_id,
+            row_number() OVER (PARTITION BY qc.query_id
+              ORDER BY list_cosine_similarity(vc.v, qc.qv) DESC, vc.vec_id)
+              AS rn
+          FROM vc JOIN qc
+            ON bit_count(xor(CAST(vc.cell AS BIGINT), CAST(qc.cell AS BIGINT)))
+               <= 1) WHERE rn <= 5)
+        SELECT b.query_id, CAST(count(l.vec_id) AS BIGINT) AS n_hits
+        FROM brute b LEFT JOIN lsh l
+          ON b.query_id = l.query_id AND b.vec_id = l.vec_id
+        GROUP BY 1
+    """
+    oracles["partitioned_sink_roundtrip"] = """
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        FROM documents GROUP BY 1
+    """
+    oracles["pruned_read_orders"] = """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-01-01'
+          AND o_orderdate < TIMESTAMP '1996-01-01'
+        GROUP BY 1
     """
     return oracles

@@ -305,3 +305,70 @@ def multi_knn(
     return grouped_topk(
         scored, ["query_id"], ["cos_sim", id_col], k, [True, False]
     )
+
+
+def multi_knn_lsh(
+    ds,
+    queries: np.ndarray,
+    k: int = 5,
+    nbits: int = 4,
+    radius: int = 1,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Batched multi-query LSH-restricted kNN: the multi-probe search
+    of :class:`LshIndex` for MANY queries in one scan — per batch,
+    sign-bit cells are assigned vectorized, each query considers only
+    vectors within Hamming ``radius`` of its own cell, and the rerank
+    is the same rounded-cosine discipline as ``multi_knn``. The
+    restriction is pure arithmetic, so the whole search is
+    SQL-reproducible (bit_count(xor(cell, qcell)) <= radius)."""
+    from ocr_service_ray.ops.relational import grouped_topk
+
+    dim = queries.shape[1]
+    planes = np.random.RandomState(seed).standard_normal((nbits, dim))
+    q = queries.astype(np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    nq = q.shape[0]
+
+    def cells_of(mat: np.ndarray) -> np.ndarray:
+        bits = (mat @ planes.T) > 0.0
+        return (bits.astype(np.int64) << np.arange(nbits, dtype=np.int64)).sum(axis=1)
+
+    qcells = cells_of(q)
+    # 2^nbits x 2^nbits Hamming table — tiny, rides the closure
+    n_cells = 1 << nbits
+    ham = np.zeros((n_cells, n_cells), dtype=np.int64)
+    for a in range(n_cells):
+        for b_ in range(n_cells):
+            ham[a, b_] = bin(a ^ b_).count("1")
+
+    def score(b: pa.Table) -> pa.Table:
+        mat = _as_matrix(b[vec_col])
+        if mat.size == 0:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    id_col: pa.array([], b[id_col].type),
+                    "cos_sim": pa.array([], pa.float64()),
+                }
+            )
+        vcells = cells_of(mat)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat @ q.T) / norms[:, None] / qn[None, :], 6)
+        cand = ham[vcells[:, None], qcells[None, :]] <= radius  # (n, nq)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        rows, qids = np.nonzero(cand)
+        return pa.table(
+            {
+                "query_id": pa.array(qids.astype(np.int64)),
+                id_col: pa.array(ids[rows]),
+                "cos_sim": pa.array(sims[rows, qids], pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(scored, ["query_id"], ["cos_sim", id_col], k, [True, False])

@@ -117,3 +117,35 @@ def test_cume_dist_micro(ray_session):
     assert out["cume_micro"].tolist() == [
         250000, 750000, 750000, 1000000, 1000000, 1000000
     ]
+
+
+def test_multi_knn_lsh_restriction(ray_session):
+    from ocr_service_ray.ops.similarity import multi_knn_lsh
+
+    rng = np.random.RandomState(47)
+    mat = rng.randn(150, 64)
+    queries = mat[:3].copy()
+    out = multi_knn_lsh(_vec_ds(mat), queries, k=5).to_pandas()
+    # brute-force replica of the restricted search
+    planes = np.random.RandomState(13).standard_normal((4, 64))
+
+    def cells(m):
+        bits = (m.astype(np.float64) @ planes.T) > 0.0
+        return (bits.astype(np.int64) << np.arange(4)).sum(axis=1)
+
+    m64 = mat.astype(np.float32).astype(np.float64)
+    vcells = cells(m64)
+    qcells = cells(queries.astype(np.float32).astype(np.float64))
+    for qi in range(3):
+        q = queries[qi].astype(np.float32).astype(np.float64)
+        sims = np.round(
+            (m64 @ q) / (np.linalg.norm(m64, axis=1) * np.linalg.norm(q)), 6
+        )
+        cand = np.where(
+            np.array([bin(int(c) ^ int(qcells[qi])).count("1") for c in vcells]) <= 1
+        )[0]
+        order = cand[np.lexsort((cand, -sims[cand]))][:5]
+        got = out[out["query_id"] == qi].sort_values(
+            ["cos_sim", "vec_id"], ascending=[False, True]
+        )
+        assert got["vec_id"].tolist() == order.tolist()
