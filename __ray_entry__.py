@@ -2999,6 +2999,149 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"n_orders": (None, "count")},
         )
 
+    def q_negative_part_samples(sf_dir):
+        """Deterministic negative sampling (ops/negatives.py): 5
+        not-purchased parts per customer from md5 draws over the part
+        vocabulary, positives from the orders x lineitem join — the
+        contrastive-training pair generator, zero RNG, rejection loop
+        bounded by `tries`."""
+        from ocr_service_ray.ops.negatives import negative_sampling
+        from ocr_service_ray.ops.relational import hash_join
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                ["o_orderkey" if c == "l_orderkey" else c for c in b.column_names]
+            )
+
+        pos = hash_join(
+            od, li.map_batches(rename, batch_format="pyarrow"), on="o_orderkey"
+        ).select_columns(["o_custkey", "l_partkey"])
+        return negative_sampling(pos, "o_custkey", "l_partkey", k=5, tries=25)
+
+    def q_constraint_report(sf_dir):
+        """Data-contract validation (ops/contracts.py
+        validate_constraints): declarative rules fold to one
+        (rule, n_violations) report — |rules| integers to the driver,
+        value-negativity is a real violation in this data."""
+        from ocr_service_ray.ops.contracts import validate_constraints
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "value"])
+        return validate_constraints(
+            ev,
+            [
+                ("not_null", "user_id"),
+                ("non_negative", "value"),
+                ("in_set", "event_type", ["view", "click", "purchase", "signup", "error"]),
+                ("unique", "event_id"),
+            ],
+        )
+
+    def q_user_rfm(sf_dir):
+        """Per-user RFM features (recency hours vs corpus max ts /
+        frequency / monetary cents) — the feature-store shape: one
+        combiner agg per user + one broadcast global max, all-integer
+        output."""
+        from ocr_service_ray.ops.agg import global_agg, grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            us = b["ts"].cast(pa.int64())
+            return pa.table(
+                {"user_id": b["user_id"], "cents": pa.array(c), "ts_us": us}
+            )
+
+        prepped = ev.map_batches(cents, batch_format="pyarrow")
+        gmax = int(global_agg(prepped, {"m": ("ts_us", "max")})["m"])
+        per_user = grouped_agg(
+            prepped,
+            ["user_id"],
+            {
+                "frequency": (None, "count"),
+                "monetary_cents": ("cents", "sum"),
+                "_last": ("ts_us", "max"),
+            },
+        )
+
+        def recency(b: pa.Table) -> pa.Table:
+            last = b["_last"].to_numpy(zero_copy_only=False)
+            rec = (gmax - last) // 3_600_000_000
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "frequency": b["frequency"],
+                    "monetary_cents": b["monetary_cents"],
+                    "recency_hours": pa.array(rec.astype(np.int64)),
+                }
+            )
+
+        return per_user.map_batches(recency, batch_format="pyarrow")
+
+    def q_bpe_merge_candidates(sf_dir):
+        """First-iteration BPE merge candidates: top-20 adjacent
+        character pairs inside words — tokenizer-training data prep.
+        Block-local Counter partials (the combiner), one
+        |pairs|-bounded exchange, combiner top-k."""
+        from collections import Counter
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        docs = _read(sf_dir, "documents", ["text"])
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            cnt: Counter = Counter()
+            for t in b["text"].to_pylist():
+                for w in (t or "").split(" "):
+                    for i in range(len(w) - 1):
+                        cnt[w[i : i + 2]] += 1
+            if not cnt:
+                return pa.table(
+                    {"pair": pa.array([], pa.string()), "n": pa.array([], pa.int64())}
+                )
+            ks, vs = zip(*cnt.items())
+            return pa.table(
+                {"pair": pa.array(list(ks)), "n": pa.array(list(vs), pa.int64())}
+            )
+
+        counted = grouped_agg(
+            docs.map_batches(pair_partial, batch_format="pyarrow"),
+            ["pair"],
+            {"n": ("n", "sum")},
+        )
+        return relational.topk(counted, by=["n", "pair"], k=20, descending=[True, False])
+
+    def q_dup_weighting(sf_dir):
+        """Duplicate-aware loss weighting: weight_ppm = 1e6 //
+        duplicate-cluster size per document — the keep-but-downweight
+        alternative to hard dedup. One content-hash key shuffle."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+        from ocr_service_ray.ops.text import content_hash
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        hashed = docs.map_batches(
+            lambda b: content_hash(b).drop_columns(["text"]), batch_format="pyarrow"
+        )
+
+        def weigh(g: pd.DataFrame) -> pd.DataFrame:
+            n = len(g)
+            return pd.DataFrame(
+                {
+                    "doc_id": g["doc_id"].to_numpy(),
+                    "dup_count": np.int64(n),
+                    "weight_ppm": np.int64(1_000_000 // n),
+                }
+            )
+
+        return bucketed_map_groups(hashed, ["text_hash"], weigh)
+
     def q_top_user_paths(sf_dir):
         """Top-10 behavioral paths: each user's first five event types
         joined '>' (one user-keyed fold), counted with a combiner agg,
@@ -3168,6 +3311,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_recall_at_k": q_ann_recall_at_k,
         "partitioned_sink_roundtrip": q_partitioned_sink_roundtrip,
         "pruned_read_orders": q_pruned_read_orders,
+        "negative_part_samples": q_negative_part_samples,
+        "constraint_report": q_constraint_report,
+        "user_rfm": q_user_rfm,
+        "bpe_merge_candidates": q_bpe_merge_candidates,
+        "dup_weighting": q_dup_weighting,
     }
 
 
@@ -5632,5 +5780,74 @@ def oracle_sql() -> dict[str, str]:
         WHERE o_orderdate >= TIMESTAMP '1995-01-01'
           AND o_orderdate < TIMESTAMP '1996-01-01'
         GROUP BY 1
+    """
+    _neg_h = _hex_bigint_sql(
+        "md5('neg:' || CAST(us.u AS VARCHAR) || ':' || CAST(j.j AS VARCHAR))", 1, 15
+    )
+    oracles["negative_part_samples"] = f"""
+        WITH pos AS (SELECT DISTINCT o.o_custkey AS u, l.l_partkey AS it
+                     FROM orders o JOIN lineitem l
+                       ON o.o_orderkey = l.l_orderkey),
+        vocab AS (SELECT it, row_number() OVER (ORDER BY it) - 1 AS idx
+                  FROM (SELECT DISTINCT it FROM pos)),
+        nv AS (SELECT count(*) AS c FROM vocab),
+        users AS (SELECT DISTINCT u FROM pos),
+        cand AS (SELECT us.u, j.j, v.it
+                 FROM users us
+                 CROSS JOIN nv
+                 CROSS JOIN unnest(generate_series(0, 24)) AS j(j)
+                 JOIN vocab v ON v.idx = ({_neg_h}) % nv.c),
+        filt AS (SELECT c.u, c.j, c.it FROM cand c
+                 WHERE NOT EXISTS (SELECT 1 FROM pos p
+                                   WHERE p.u = c.u AND p.it = c.it)),
+        firsts AS (SELECT u, it, min(j) AS mj FROM filt GROUP BY 1, 2),
+        ranked AS (SELECT u, it,
+                     row_number() OVER (PARTITION BY u ORDER BY mj) - 1 AS rank
+                   FROM firsts)
+        SELECT u AS o_custkey, it AS neg_item, CAST(rank AS BIGINT) AS rank
+        FROM ranked WHERE rank < 5
+    """
+    oracles["constraint_report"] = """
+        SELECT 'not_null:user_id' AS rule,
+               CAST(count(*) FILTER (WHERE user_id IS NULL) AS BIGINT)
+                 AS n_violations FROM events
+        UNION ALL
+        SELECT 'non_negative:value',
+               CAST(count(*) FILTER (WHERE value < 0) AS BIGINT) FROM events
+        UNION ALL
+        SELECT 'in_set:event_type',
+               CAST(count(*) FILTER (WHERE event_type IS NOT NULL
+                 AND event_type NOT IN
+                   ('view', 'click', 'purchase', 'signup', 'error')) AS BIGINT)
+          FROM events
+        UNION ALL
+        SELECT 'unique:event_id',
+               CAST(count(*) - count(DISTINCT event_id) AS BIGINT) FROM events
+    """
+    oracles["user_rfm"] = """
+        WITH g AS (SELECT max(ts) AS gmax FROM events)
+        SELECT user_id,
+          CAST(count(*) AS BIGINT) AS frequency,
+          CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+            AS monetary_cents,
+          CAST(date_diff('microsecond', max(ts), g.gmax) // 3600000000
+               AS BIGINT) AS recency_hours
+        FROM events, g GROUP BY user_id, g.gmax
+    """
+    oracles["bpe_merge_candidates"] = """
+        WITH w AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        pairs AS (SELECT substring(w, i, 2) AS pair
+                  FROM w, unnest(generate_series(1, CAST(length(w) - 1 AS BIGINT)))
+                         AS t(i)
+                  WHERE length(w) >= 2)
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20
+    """
+    oracles["dup_weighting"] = """
+        WITH h AS (SELECT doc_id, md5(text) AS hh FROM documents),
+        c AS (SELECT hh, count(*) AS n FROM h GROUP BY 1)
+        SELECT h.doc_id, CAST(c.n AS BIGINT) AS dup_count,
+               CAST(1000000 // c.n AS BIGINT) AS weight_ppm
+        FROM h JOIN c USING (hh)
     """
     return oracles

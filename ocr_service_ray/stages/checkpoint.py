@@ -128,6 +128,7 @@ def _run_one_shard(i, shard, build_pipeline, out_dir, hash_content) -> dict:
         import shutil
 
         shutil.rmtree(part)
+    t_start = time.time()
     t0 = time.perf_counter()
     ds = build_pipeline(shard)
     for attempt in range(3):
@@ -158,11 +159,29 @@ def _run_one_shard(i, shard, build_pipeline, out_dir, hash_content) -> dict:
             rows += pq.read_metadata(fp).num_rows
             nbytes += os.path.getsize(fp)
     wall = time.perf_counter() - t0
+    # span count from a spans-column-pruned read (lineage spec wants
+    # docs AND spans per partition); skipped for span-less schemas
+    n_spans = None
+    try:
+        import pyarrow.compute as _pc
+        import pyarrow.dataset as _pads
+
+        dset = _pads.dataset(tmp, format="parquet")
+        if "spans" in dset.schema.names:
+            lens = _pc.list_value_length(
+                dset.to_table(columns=["spans"])["spans"]
+            )
+            n_spans = int(_pc.sum(lens).as_py() or 0)
+    except Exception:
+        n_spans = None
     manifest = {
         "partition": i,
         "input": _shard_lineage(shard),
         "rows": rows,
+        "n_spans": n_spans,
         "bytes": nbytes,
+        "t_start": round(t_start, 3),
+        "t_end": round(t_start + wall, 3),
         "t_wall_sec": round(wall, 4),
         "docs_per_sec": round(rows / wall, 3) if wall > 0 else None,
     }
