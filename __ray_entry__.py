@@ -3142,6 +3142,142 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bucketed_map_groups(hashed, ["text_hash"], weigh)
 
+    def q_late_events(sf_dir):
+        """Event-time lateness audit (ops/scan.py running_max): the
+        watermark as of each ARRIVAL (event_id order) minus the
+        event's own time — flags out-of-order arrivals beyond 1 hour.
+        Two-phase global running max: one sort, block metadata to the
+        driver, vectorized in-block cummax."""
+        from ocr_service_ray.ops.scan import running_max
+
+        ev = _read(sf_dir, "events", ["event_id", "ts"])
+
+        def us(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {"event_id": b["event_id"], "ts_us": b["ts"].cast(pa.int64())}
+            )
+
+        run = running_max(
+            ev.map_batches(us, batch_format="pyarrow"), "event_id", "ts_us"
+        )
+
+        def flag(b: pa.Table) -> pa.Table:
+            late = b["running_max"].to_numpy(zero_copy_only=False) - b[
+                "ts_us"
+            ].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "lateness_us": pa.array(late.astype(np.int64)),
+                    "is_late": pa.array(
+                        (late > 3_600_000_000).astype(np.int64)
+                    ),
+                }
+            )
+
+        return run.map_batches(flag, batch_format="pyarrow")
+
+    def q_golden_records(sf_dir):
+        """Survivorship / golden-record merge: per exact-duplicate
+        cluster (md5 of text) keep the min doc_id, the max length and
+        the sorted distinct source list — the MDM keep-best compose,
+        one content-hash key shuffle."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+        from ocr_service_ray.ops.text import content_hash
+
+        docs = _read(sf_dir, "documents", ["doc_id", "source", "n_chars", "text"])
+        hashed = docs.map_batches(
+            lambda b: content_hash(b).drop_columns(["text"]), batch_format="pyarrow"
+        )
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "survivor_id": [np.int64(g["doc_id"].min())],
+                    "n_dups": [np.int64(len(g))],
+                    "max_chars": [np.int64(g["n_chars"].max())],
+                    "sources": [",".join(sorted(set(g["source"])))],
+                }
+            )
+
+        return bucketed_map_groups(hashed, ["text_hash"], merge).select_columns(
+            ["survivor_id", "n_dups", "max_chars", "sources"]
+        )
+
+    def q_skipgram_pairs(sf_dir):
+        """Skip-gram (center, context) pair counts within a ±2 token
+        window — word2vec training-data prep. Block-local Counter
+        partials, one |pairs|-bounded exchange, combiner top-k."""
+        from collections import Counter
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        docs = _read(sf_dir, "documents", ["text"])
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            cnt: Counter = Counter()
+            for t in b["text"].to_pylist():
+                toks = (t or "").split(" ")
+                n = len(toks)
+                for i, c in enumerate(toks):
+                    for j in range(max(0, i - 2), min(n, i + 3)):
+                        if j != i:
+                            cnt[(c, toks[j])] += 1
+            if not cnt:
+                return pa.table(
+                    {
+                        "center": pa.array([], pa.string()),
+                        "context": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            ks, vs = zip(*cnt.items())
+            return pa.table(
+                {
+                    "center": pa.array([k[0] for k in ks]),
+                    "context": pa.array([k[1] for k in ks]),
+                    "n": pa.array(list(vs), pa.int64()),
+                }
+            )
+
+        counted = grouped_agg(
+            docs.map_batches(pair_partial, batch_format="pyarrow"),
+            ["center", "context"],
+            {"n": ("n", "sum")},
+        )
+        return relational.topk(
+            counted, by=["n", "center", "context"], k=30, descending=[True, False, False]
+        )
+
+    def q_sliding_distinct_types(sf_dir):
+        """Per-user distinct event types among the last 5 events
+        (sliding ROWS window COUNT DISTINCT — inexpressible as a SQL
+        window function, rewritten as a bounded self-join in the
+        oracle). One bucketed key shuffle; O(w) per row in-group."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="mergesort")
+            types = g["event_type"].tolist()
+            out = [
+                len(set(types[max(0, i - 4) : i + 1])) for i in range(len(types))
+            ]
+            return pd.DataFrame(
+                {
+                    "event_id": g["event_id"].to_numpy(),
+                    "user_id": g["user_id"].to_numpy(),
+                    "n_distinct_5": np.asarray(out, dtype=np.int64),
+                }
+            )
+
+        return bucketed_map_groups(ev, ["user_id"], fold)
+
     def q_top_user_paths(sf_dir):
         """Top-10 behavioral paths: each user's first five event types
         joined '>' (one user-keyed fold), counted with a combiner agg,
@@ -3316,6 +3452,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rfm": q_user_rfm,
         "bpe_merge_candidates": q_bpe_merge_candidates,
         "dup_weighting": q_dup_weighting,
+        "late_events": q_late_events,
+        "golden_records": q_golden_records,
+        "skipgram_pairs": q_skipgram_pairs,
+        "sliding_distinct_types": q_sliding_distinct_types,
     }
 
 
@@ -5849,5 +5989,45 @@ def oracle_sql() -> dict[str, str]:
         SELECT h.doc_id, CAST(c.n AS BIGINT) AS dup_count,
                CAST(1000000 // c.n AS BIGINT) AS weight_ppm
         FROM h JOIN c USING (hh)
+    """
+    oracles["late_events"] = """
+        WITH r AS (SELECT event_id, epoch_us(ts) AS tus,
+                     max(epoch_us(ts)) OVER (ORDER BY event_id
+                       ROWS UNBOUNDED PRECEDING) AS run
+                   FROM events)
+        SELECT event_id, CAST(run - tus AS BIGINT) AS lateness_us,
+               CAST(CASE WHEN run - tus > 3600000000 THEN 1 ELSE 0 END
+                    AS BIGINT) AS is_late
+        FROM r
+    """
+    oracles["golden_records"] = """
+        WITH h AS (SELECT doc_id, source, n_chars, md5(text) AS hh
+                   FROM documents)
+        SELECT CAST(min(doc_id) AS BIGINT) AS survivor_id,
+               CAST(count(*) AS BIGINT) AS n_dups,
+               CAST(max(n_chars) AS BIGINT) AS max_chars,
+               array_to_string(list_sort(list(DISTINCT source)), ',')
+                 AS sources
+        FROM h GROUP BY hh
+    """
+    oracles["skipgram_pairs"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        p AS (SELECT doc_id, unnest(toks) AS w,
+                     generate_subscripts(toks, 1) AS i FROM t)
+        SELECT a.w AS center, b.w AS context, CAST(count(*) AS BIGINT) AS n
+        FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND a.i <> b.i AND abs(a.i - b.i) <= 2
+        GROUP BY 1, 2 ORDER BY n DESC, center, context LIMIT 30
+    """
+    oracles["sliding_distinct_types"] = """
+        WITH r AS (SELECT user_id, event_id, event_type,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS rn
+                   FROM events)
+        SELECT a.event_id, a.user_id,
+               CAST(count(DISTINCT b.event_type) AS BIGINT) AS n_distinct_5
+        FROM r a JOIN r b
+          ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 4 AND a.rn
+        GROUP BY 1, 2
     """
     return oracles

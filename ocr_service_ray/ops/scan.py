@@ -248,3 +248,51 @@ def zorder_key(ds, cols: list[str], bits: int = 16, out_col: str = "z_key"):
         return b.append_column(out_col, pa.array(out.view(np.int64)))
 
     return ds.map_batches(add_key, batch_format="pyarrow")
+
+
+def running_max(ds, key_col: str, value_col: str, out_col: str = "running_max"):
+    """Inclusive global running max of ``value_col`` in ``key_col``
+    order — the event-time watermark shape (how far has time
+    progressed as of each arrival). Same two-phase discipline as
+    ``prefix_sum``: sort by the key, |blocks| (min_key, block_max)
+    metadata rows to the driver, exclusive prefix-max as per-block
+    bases, vectorized in-block cummax. Data crosses the wire once
+    (the sort); the driver sees block METADATA only."""
+    mat = ds.sort(key_col).materialize()
+
+    def block_meta(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return pa.table(
+                {"min_key": pa.array([], pa.int64()), "vmax": pa.array([], pa.int64())}
+            )
+        v = b[value_col].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "min_key": pa.array([b[key_col][0].as_py()]),
+                "vmax": pa.array([int(v.max())], pa.int64()),
+            }
+        )
+
+    meta = (
+        mat.map_batches(block_meta, batch_format="pyarrow", batch_size=None)
+        .to_pandas()
+        .sort_values("min_key")
+        .reset_index(drop=True)
+    )
+    if len(meta) == 0:
+        return mat
+    block_keys = meta["min_key"].to_numpy()
+    cmax = meta["vmax"].cummax().to_numpy()
+    int_min = np.iinfo(np.int64).min
+    bases = np.concatenate(([int_min], cmax[:-1]))
+
+    def add_running(b: pa.Table) -> pa.Table:
+        if len(b) == 0:
+            return b.append_column(out_col, pa.array([], pa.int64()))
+        first = b[key_col][0].as_py()
+        i = int(np.searchsorted(block_keys, first, side="left"))
+        v = b[value_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        run = np.maximum(np.maximum.accumulate(v), bases[i])
+        return b.append_column(out_col, pa.array(run))
+
+    return mat.map_batches(add_running, batch_format="pyarrow")

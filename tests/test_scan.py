@@ -136,3 +136,26 @@ def test_zorder_key_interleave_and_locality(ray_session):
     neg = rd.from_items([{"a": -1, "b": 0}])
     with pytest.raises(Exception, match="non-negative"):
         zorder_key(neg, ["a", "b"], bits=4).materialize()
+
+
+def test_running_max_two_phase(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.scan import running_max
+
+    rng = np.random.RandomState(53)
+    keys = np.arange(5000, dtype=np.int64)
+    vals = rng.randint(0, 10_000, 5000).astype(np.int64)
+    perm = rng.permutation(5000)  # unsorted input
+    ds = rd.from_arrow(
+        pa.table({"k": keys[perm], "v": vals[perm]})
+    ).repartition(13)
+    out = (
+        running_max(ds, "k", "v")
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert (out["running_max"].to_numpy() == np.maximum.accumulate(vals)).all()
