@@ -3278,6 +3278,98 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bucketed_map_groups(ev, ["user_id"], fold)
 
+    def q_next_token_top3(sf_dir):
+        """Bigram language-model estimation: for every token, its
+        top-3 followers by count — Counter combiner partials, one
+        exchange, per-center grouped top-k (deterministic tie-break
+        on the follower string)."""
+        from collections import Counter
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import grouped_topk
+
+        docs = _read(sf_dir, "documents", ["text"])
+
+        def pair_partial(b: pa.Table) -> pa.Table:
+            cnt: Counter = Counter()
+            for t in b["text"].to_pylist():
+                toks = (t or "").split(" ")
+                for i in range(len(toks) - 1):
+                    cnt[(toks[i], toks[i + 1])] += 1
+            if not cnt:
+                return pa.table(
+                    {
+                        "w1": pa.array([], pa.string()),
+                        "w2": pa.array([], pa.string()),
+                        "n": pa.array([], pa.int64()),
+                    }
+                )
+            ks, vs = zip(*cnt.items())
+            return pa.table(
+                {
+                    "w1": pa.array([k[0] for k in ks]),
+                    "w2": pa.array([k[1] for k in ks]),
+                    "n": pa.array(list(vs), pa.int64()),
+                }
+            )
+
+        counted = grouped_agg(
+            docs.map_batches(pair_partial, batch_format="pyarrow"),
+            ["w1", "w2"],
+            {"n": ("n", "sum")},
+        )
+        return grouped_topk(counted, ["w1"], ["n", "w2"], 3, [True, False])
+
+    def q_quality_rank_in_source(sf_dir):
+        """Within-source quality percentile (quality_micro fed into
+        ops/window.py cume_dist_micro keyed by source) — the
+        per-domain RELATIVE quality filter (FineWeb-style: cut the
+        worst X% of each source, not a global threshold)."""
+        from ocr_service_ray.ops.window import cume_dist_micro
+
+        docs = _read(sf_dir, "documents", ["doc_id", "source", "text"])
+        scored = docs.map_batches(
+            lambda b: text_ops.quality_score(b).select(
+                ["doc_id", "source", "quality_micro"]
+            ),
+            batch_format="pyarrow",
+        )
+        return cume_dist_micro(scored, "source", "quality_micro", "doc_id")
+
+    def q_dedup_rate_by_source(sf_dir):
+        """Per-source duplication diagnostic: docs, distinct texts and
+        the duplicated fraction in ppm — two combiner aggregates
+        (hashes shuffle once, never text)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.text import content_hash
+
+        docs = _read(sf_dir, "documents", ["source", "text"])
+        hashed = docs.map_batches(
+            lambda b: content_hash(b).drop_columns(["text"]), batch_format="pyarrow"
+        )
+        per_hash = grouped_agg(
+            hashed, ["source", "text_hash"], {"n": (None, "count")}
+        )
+        per_source = grouped_agg(
+            per_hash,
+            ["source"],
+            {"n_unique": (None, "count"), "n_docs": ("n", "sum")},
+        )
+
+        def rate(b: pa.Table) -> pa.Table:
+            nd = b["n_docs"].to_numpy(zero_copy_only=False)
+            nu = b["n_unique"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "source": b["source"],
+                    "n_docs": b["n_docs"],
+                    "n_unique": b["n_unique"],
+                    "dup_ppm": pa.array((nd - nu) * 1_000_000 // nd),
+                }
+            )
+
+        return per_source.map_batches(rate, batch_format="pyarrow")
+
     def q_top_user_paths(sf_dir):
         """Top-10 behavioral paths: each user's first five event types
         joined '>' (one user-keyed fold), counted with a combiner agg,
@@ -3456,6 +3548,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "golden_records": q_golden_records,
         "skipgram_pairs": q_skipgram_pairs,
         "sliding_distinct_types": q_sliding_distinct_types,
+        "next_token_top3": q_next_token_top3,
+        "quality_rank_in_source": q_quality_rank_in_source,
+        "dedup_rate_by_source": q_dedup_rate_by_source,
     }
 
 
@@ -6029,5 +6124,41 @@ def oracle_sql() -> dict[str, str]:
         FROM r a JOIN r b
           ON a.user_id = b.user_id AND b.rn BETWEEN a.rn - 4 AND a.rn
         GROUP BY 1, 2
+    """
+    oracles["next_token_top3"] = """
+        WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        p AS (SELECT doc_id, unnest(toks) AS w,
+                     generate_subscripts(toks, 1) AS i FROM t),
+        bg AS (SELECT a.w AS w1, b.w AS w2, count(*) AS n
+               FROM p a JOIN p b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+               GROUP BY 1, 2)
+        SELECT w1, w2, CAST(n AS BIGINT) AS n FROM (
+          SELECT w1, w2, n,
+            row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS rn
+          FROM bg) WHERE rn <= 3
+    """
+    oracles["quality_rank_in_source"] = f"""
+        WITH q AS ({oracles["quality_scores"]}),
+        j AS (SELECT d.doc_id, d.source, q.quality_micro
+              FROM documents d JOIN q USING (doc_id)),
+        w AS (SELECT doc_id, source,
+                count(*) OVER (PARTITION BY source ORDER BY quality_micro)
+                  AS cnt_le,
+                count(*) OVER (PARTITION BY source) AS n
+              FROM j)
+        SELECT doc_id, source, CAST(cnt_le * 1000000 // n AS BIGINT)
+          AS cume_micro
+        FROM w
+    """
+    oracles["dedup_rate_by_source"] = """
+        WITH h AS (SELECT source, md5(text) AS hh FROM documents),
+        s AS (SELECT source, count(*) AS n_docs,
+                     count(DISTINCT hh) AS n_unique
+              FROM h GROUP BY 1)
+        SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_unique AS BIGINT) AS n_unique,
+               CAST((n_docs - n_unique) * 1000000 // n_docs AS BIGINT)
+                 AS dup_ppm
+        FROM s
     """
     return oracles
