@@ -3370,6 +3370,79 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return per_source.map_batches(rate, batch_format="pyarrow")
 
+    def q_value_histogram(sf_dir):
+        """Equi-width integer histogram of value cents (1000-cent
+        buckets, floor division) — the profiling histogram, one
+        combiner agg."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["value"])
+
+        def bucket(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"bucket": pa.array(c // 1000)})
+
+        return grouped_agg(
+            ev.map_batches(bucket, batch_format="pyarrow"),
+            ["bucket"],
+            {"n": (None, "count")},
+        )
+
+    def q_daily_type_delta(sf_dir):
+        """Day-over-day event-count deltas per type: combiner counts
+        per (type, day), then an in-group LAG fold (first day delta
+        0 by COALESCE on both sides) — the monitoring time-series
+        shape."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+        def day(b: pa.Table) -> pa.Table:
+            d = (
+                pd.DatetimeIndex(b["ts"].to_pandas())
+                .values.astype("datetime64[D]")
+                .astype(np.int64)
+            )
+            return pa.table({"event_type": b["event_type"], "day": pa.array(d)})
+
+        counts = grouped_agg(
+            ev.map_batches(day, batch_format="pyarrow"),
+            ["event_type", "day"],
+            {"n": (None, "count")},
+        )
+
+        def delta(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("day")
+            d = g["n"].diff().fillna(0).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "event_type": g["event_type"].to_numpy(),
+                    "day": g["day"].to_numpy(),
+                    "n": g["n"].to_numpy(),
+                    "delta": d.to_numpy(),
+                }
+            )
+
+        return bucketed_map_groups(counts, ["event_type"], delta)
+
+    def q_session_count_histogram(sf_dir):
+        """Distribution of sessions-per-user (sessionize fold ->
+        value-counts combiner): the engagement-shape diagnostic."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import sessionize
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+        per_user = sessionize(ev)
+        return grouped_agg(
+            per_user.select_columns(["n_sessions"]),
+            ["n_sessions"],
+            {"n_users": (None, "count")},
+        )
+
     def q_top_user_paths(sf_dir):
         """Top-10 behavioral paths: each user's first five event types
         joined '>' (one user-keyed fold), counted with a combiner agg,
@@ -3551,6 +3624,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "next_token_top3": q_next_token_top3,
         "quality_rank_in_source": q_quality_rank_in_source,
         "dedup_rate_by_source": q_dedup_rate_by_source,
+        "value_histogram": q_value_histogram,
+        "daily_type_delta": q_daily_type_delta,
+        "session_count_histogram": q_session_count_histogram,
     }
 
 
@@ -6160,5 +6236,40 @@ def oracle_sql() -> dict[str, str]:
                CAST((n_docs - n_unique) * 1000000 // n_docs AS BIGINT)
                  AS dup_ppm
         FROM s
+    """
+    oracles["value_histogram"] = """
+        SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) // 1000 AS bucket,
+               CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """
+    oracles["daily_type_delta"] = """
+        WITH d AS (SELECT event_type,
+                     date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS day,
+                     count(*) AS n
+                   FROM events GROUP BY 1, 2)
+        SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+               CAST(coalesce(n - lag(n) OVER (PARTITION BY event_type
+                                              ORDER BY day), 0) AS BIGINT)
+                 AS delta
+        FROM d
+    """
+    oracles["session_count_histogram"] = """
+        WITH flagged AS (
+          SELECT user_id, ts,
+            CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+          FROM events),
+        sess AS (
+          SELECT user_id,
+            sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS session_id
+          FROM flagged),
+        per_user AS (
+          SELECT user_id, count(DISTINCT session_id) AS n_sessions
+          FROM sess GROUP BY user_id)
+        SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
+               CAST(count(*) AS BIGINT) AS n_users
+        FROM per_user GROUP BY 1
     """
     return oracles
