@@ -3464,6 +3464,124 @@ def queries() -> dict[str, Callable[[str], Any]]:
             counts, by=["n_users", "path"], k=10, descending=[True, False]
         )
 
+    def q_value_trend_ols(sf_dir):
+        """Per-type OLS trend of event value (cents) on the epoch day
+        (ops/trend.py grouped_ols): six integer moment sums per group
+        ride ONE combiner exchange; slope/intercept close as exact
+        bigint floor divisions on the |types|-bounded driver frame.
+        The drift monitor a training-data pipeline runs per feature."""
+        from ocr_service_ray.ops.trend import grouped_ols
+
+        ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            day = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[D]")
+                .astype(np.int64)
+            )
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "x": pa.array(day),
+                    "y": pa.array(cents),
+                }
+            )
+
+        return grouped_ols(
+            ev.map_batches(prep, batch_format="pyarrow"), ["event_type"], "x", "y"
+        )
+
+    def q_cusum_change_point(sf_dir):
+        """Per-type CUSUM change-point peak over the dense daily grid
+        (ops/trend.py cusum_peak): denominator-free integer CUSUM
+        (D*cum_k - k*total) so the peak day is exact — the
+        rate-shift detector behind ingestion monitoring."""
+        from ocr_service_ray.ops.trend import cusum_peak
+
+        return cusum_peak(
+            _read(sf_dir, "events", ["event_type", "ts"]), "event_type", "ts"
+        )
+
+    def q_time_weighted_value(sf_dir):
+        """Per-user step-interpolated time-weighted value average
+        (ops/trend.py time_weighted_avg): one bucketed exchange, each
+        value weighted by the whole seconds until the user's next
+        event, closing as an exact integer floor division."""
+        from ocr_service_ray.ops.trend import time_weighted_avg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "ts": b["ts"],
+                    "event_id": b["event_id"],
+                    "cents": pa.array(cents),
+                }
+            )
+
+        return time_weighted_avg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            "user_id",
+            "ts",
+            "cents",
+            ["ts", "event_id"],
+        )
+
+    def q_user_dom_bitmap(sf_dir):
+        """Per-user day-of-month activity bitmap (ops/bitmap.py): a
+        combiner dedupe of (user, day) then SUM of distinct powers of
+        two == bitwise OR — an 8-byte seasonality mask per user."""
+        from ocr_service_ray.ops.bitmap import activity_bitmap
+
+        return activity_bitmap(
+            _read(sf_dir, "events", ["user_id", "ts"]),
+            "user_id",
+            "ts",
+            unit="day_of_month",
+        )
+
+    def q_benford_totalprice(sf_dir):
+        """First-significant-digit (Benford) profile of order totals
+        in cents (ops/sketch.py first_digit_counts): lexical digit
+        extraction (Arrow cast+slice, no float log10), one combiner
+        count, ppm shares by exact floor division."""
+        from ocr_service_ray.ops.sketch import first_digit_counts
+
+        orders = _read(sf_dir, "orders", ["o_totalprice"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"cents": pa.array(c)})
+
+        return first_digit_counts(
+            orders.map_batches(cents, batch_format="pyarrow"), "cents"
+        )
+
+    def q_event_pair_lift(sf_dir):
+        """Association lift per event-type pair within users
+        (ops/lift.py pair_lift): combiner dedupe -> bounded per-user
+        pair explode -> combiner counts; the overflowing
+        1e6*n_pair*n_baskets/(n_a*n_b) ratio closes in Python bigints
+        on the |types|^2 driver frame (HUGEINT in the oracle)."""
+        from ocr_service_ray.ops.lift import pair_lift
+
+        return pair_lift(
+            _read(sf_dir, "events", ["user_id", "event_type"]),
+            "user_id",
+            "event_type",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -3627,6 +3745,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_histogram": q_value_histogram,
         "daily_type_delta": q_daily_type_delta,
         "session_count_histogram": q_session_count_histogram,
+        "value_trend_ols": q_value_trend_ols,
+        "cusum_change_point": q_cusum_change_point,
+        "time_weighted_value": q_time_weighted_value,
+        "user_dom_bitmap": q_user_dom_bitmap,
+        "benford_totalprice": q_benford_totalprice,
+        "event_pair_lift": q_event_pair_lift,
     }
 
 
@@ -6271,5 +6395,124 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(n_sessions AS BIGINT) AS n_sessions,
                CAST(count(*) AS BIGINT) AS n_users
         FROM per_user GROUP BY 1
+    """
+    # Exact floor division for a possibly-negative HUGEINT numerator:
+    # (a - mathmod(a, b)) is an exact multiple of b > 0, so DuckDB's
+    # truncating // equals Python's flooring // (repo-wide identity).
+    oracles["value_trend_ols"] = """
+        WITH m AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(count(*) AS HUGEINT) AS n,
+                 CAST(sum(x) AS HUGEINT) AS sx,
+                 CAST(sum(y) AS HUGEINT) AS sy,
+                 CAST(sum(x * x) AS HUGEINT) AS sxx,
+                 CAST(sum(x * y) AS HUGEINT) AS sxy
+          FROM (SELECT event_type,
+                  CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                       AS BIGINT) AS x,
+                  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+                FROM events) GROUP BY 1),
+        d AS (SELECT *, n * sxx - sx * sx AS den,
+                     1000000 * (n * sxy - sx * sy) AS snum
+              FROM m WHERE n * sxx - sx * sx <> 0),
+        s AS (SELECT *,
+                     (snum - (((snum % den) + den) % den)) // den AS slope
+              FROM d),
+        i AS (SELECT *, 1000000 * sy - slope * sx AS inum FROM s)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST(slope AS BIGINT) AS slope_micro,
+               CAST((inum - (((inum % n) + n) % n)) // n AS BIGINT)
+                 AS icept_micro
+        FROM i
+    """
+    oracles["cusum_change_point"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type AS k,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS d
+          FROM events),
+        span AS MATERIALIZED (
+          SELECT min(d) AS lo, max(d) AS hi, hi - lo + 1 AS nd FROM p),
+        grid AS (SELECT k, g.d
+                 FROM (SELECT DISTINCT k FROM p)
+                 CROSS JOIN (SELECT unnest(generate_series(
+                               (SELECT lo FROM span),
+                               (SELECT hi FROM span))) AS d) g),
+        c AS (SELECT grid.k, grid.d, count(p.k) AS n
+              FROM grid LEFT JOIN p ON p.k = grid.k AND p.d = grid.d
+              GROUP BY 1, 2),
+        w AS (SELECT k, d,
+                     sum(n) OVER (PARTITION BY k ORDER BY d) AS cum,
+                     row_number() OVER (PARTITION BY k ORDER BY d) AS rk,
+                     sum(n) OVER (PARTITION BY k) AS tot
+              FROM c),
+        s AS MATERIALIZED (
+          SELECT k, d, tot,
+                 (SELECT nd FROM span) * cum - rk * tot AS scaled
+          FROM w),
+        pk AS (SELECT k, max(scaled) AS peak FROM s GROUP BY 1)
+        SELECT s.k AS event_type,
+               CAST((SELECT nd FROM span) AS BIGINT) AS n_days,
+               CAST(s.tot AS BIGINT) AS total,
+               CAST(pk.peak AS BIGINT) AS peak_scaled,
+               CAST(min(s.d) AS BIGINT) AS peak_day
+        FROM s JOIN pk ON s.k = pk.k AND s.scaled = pk.peak
+        GROUP BY 1, 2, 3, 4
+    """
+    oracles["time_weighted_value"] = """
+        WITH g AS (
+          SELECT user_id,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+                 (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))
+                  - epoch_us(ts)) // 1000000 AS gap
+          FROM events),
+        a AS (SELECT user_id, sum(v * gap) AS wv, sum(gap) AS w
+              FROM g WHERE gap IS NOT NULL GROUP BY 1)
+        SELECT user_id, CAST(w AS BIGINT) AS w_seconds,
+               CAST(wv // w AS BIGINT) AS tw_value
+        FROM a WHERE w > 0
+    """
+    oracles["user_dom_bitmap"] = """
+        WITH d AS (SELECT DISTINCT user_id,
+                          CAST(day(ts) AS BIGINT) - 1 AS pos
+                   FROM events)
+        SELECT user_id,
+               CAST(sum(CAST(1 AS BIGINT) << pos) AS BIGINT) AS bitmap,
+               CAST(count(*) AS BIGINT) AS n_active
+        FROM d GROUP BY 1
+    """
+    oracles["benford_totalprice"] = """
+        WITH c AS (SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                     AS cents FROM orders WHERE o_totalprice > 0),
+        k AS MATERIALIZED (
+          SELECT CAST(substr(CAST(cents AS VARCHAR), 1, 1) AS BIGINT)
+                   AS digit,
+                 count(*) AS n
+          FROM c GROUP BY 1)
+        SELECT digit, CAST(n AS BIGINT) AS n,
+               CAST(n * 1000000 // (SELECT sum(n) FROM k) AS BIGINT)
+                 AS share_ppm
+        FROM k
+    """
+    oracles["event_pair_lift"] = """
+        WITH d AS MATERIALIZED (
+          SELECT DISTINCT user_id, event_type FROM events),
+        tot AS (SELECT count(DISTINCT user_id) AS nu FROM d),
+        m AS MATERIALIZED (
+          SELECT event_type, count(*) AS n FROM d GROUP BY 1),
+        p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+                     count(*) AS n_pair
+              FROM d a JOIN d b
+                ON a.user_id = b.user_id AND a.event_type < b.event_type
+              GROUP BY 1, 2)
+        SELECT p.item_a, p.item_b, CAST(p.n_pair AS BIGINT) AS n_pair,
+               CAST(ma.n AS BIGINT) AS n_a, CAST(mb.n AS BIGINT) AS n_b,
+               CAST(tot.nu AS BIGINT) AS n_baskets,
+               CAST((1000000 * CAST(p.n_pair AS HUGEINT) * tot.nu)
+                    // (ma.n * mb.n) AS BIGINT) AS lift_ppm
+        FROM p
+        CROSS JOIN tot
+        JOIN m ma ON ma.event_type = p.item_a
+        JOIN m mb ON mb.event_type = p.item_b
     """
     return oracles

@@ -1,0 +1,91 @@
+"""Association lift over (basket, item) pairs — market-basket
+strength as an exact integer ratio.
+
+For each unordered item pair (a < b):
+
+    lift = P(a,b) / (P(a) * P(b))
+         = n_pair * n_baskets / (n_a * n_b)
+
+emitted as ``lift_ppm = floor(1e6 * n_pair * n_baskets / (n_a *
+n_b))`` — the intermediate product overflows int64, so the closing
+division runs in Python bigints on the driver over the
+|items|^2-bounded pair frame (HUGEINT in the DuckDB oracle).
+
+Distributed shape (the frequent_part_pairs recipe, plus marginals):
+1. one combiner dedupe of (basket, item);
+2. one bucketed exchange on basket; each basket explodes to its
+   C(k,2) sorted pairs (bounded by the per-basket item count — the
+   caller's contract, as for frequent_part_pairs);
+3. one combiner count per pair + one per item + a global basket
+   count (tiny exchanges).
+Raw rows shuffle once; the driver only touches vocabulary-bounded
+frames.
+"""
+
+from __future__ import annotations
+
+from itertools import combinations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def pair_lift(ds, basket_col: str, item_col: str) -> pd.DataFrame:
+    """DataFrame ``(item_a, item_b, n_pair, n_a, n_b, n_baskets,
+    lift_ppm)`` for every item pair co-occurring in >= 1 basket."""
+    from .agg import bucketed_map_groups, grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        return pa.table({"b": b[basket_col], "i": b[item_col]})
+
+    distinct = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["b", "i"],
+        {"n": (None, "count")},
+    )
+
+    def explode(g: pd.DataFrame) -> pd.DataFrame:
+        items = sorted(g["i"].tolist())
+        if len(items) < 2:
+            return pd.DataFrame({"item_a": [], "item_b": []})
+        pairs = list(combinations(items, 2))
+        return pd.DataFrame(
+            {"item_a": [p[0] for p in pairs], "item_b": [p[1] for p in pairs]}
+        )
+
+    pair_counts = grouped_agg(
+        bucketed_map_groups(distinct, ["b"], explode),
+        ["item_a", "item_b"],
+        {"n_pair": (None, "count")},
+    ).to_pandas()
+    marginals = (
+        grouped_agg(distinct, ["i"], {"n": (None, "count")})
+        .to_pandas()
+        .set_index("i")["n"]
+    )
+    n_baskets = int(
+        grouped_agg(distinct, ["b"], {"n": (None, "count")}).count()
+    )
+
+    if pair_counts.empty:
+        return pd.DataFrame(
+            columns=[
+                "item_a", "item_b", "n_pair", "n_a", "n_b", "n_baskets", "lift_ppm",
+            ]
+        )
+    n_a = marginals.loc[pair_counts["item_a"]].to_numpy(dtype=np.int64)
+    n_b = marginals.loc[pair_counts["item_b"]].to_numpy(dtype=np.int64)
+    lift = [
+        (1_000_000 * int(np_) * n_baskets) // (int(a) * int(b))
+        for np_, a, b in zip(pair_counts["n_pair"], n_a, n_b)
+    ]
+    out = pair_counts.copy()
+    out["n_a"] = n_a
+    out["n_b"] = n_b
+    out["n_baskets"] = np.int64(n_baskets)
+    out["lift_ppm"] = np.array(lift, dtype=np.int64)
+    return out.astype(
+        {"n_pair": "int64", "n_a": "int64", "n_b": "int64",
+         "n_baskets": "int64", "lift_ppm": "int64"}
+    )

@@ -450,3 +450,41 @@ def winsorize(
         return t.append_column(out_name, v)
 
     return ds.map_batches(clip, batch_format="pyarrow")
+
+
+def first_digit_counts(ds, col: str) -> pd.DataFrame:
+    """Benford profile: count of values by FIRST significant digit of
+    the positive integer column ``col``, with the share as exact
+    parts-per-million (floor(1e6 * n / total) — positive, so integer
+    truncation == floor on both engines).
+
+    The digit is taken lexically (first character of the decimal
+    string, a pure Arrow cast+slice) rather than via float log10,
+    whose rounding at exact powers of ten is engine-dependent. One
+    combiner count per digit; the ppm fold runs on the <= 9-row
+    driver frame. Non-positive values drop out (Benford is defined on
+    positive magnitudes); an all-dropped input returns the empty
+    frame."""
+    import pyarrow.compute as pc
+
+    from .agg import grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        v = b[col]
+        v = b.filter(pc.greater(v, 0))[col]
+        s = pc.cast(v, pa.string())
+        return pa.table({"digit": pc.cast(pc.utf8_slice_codeunits(s, 0, 1), pa.int64())})
+
+    counts = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["digit"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    if counts.empty:
+        return pd.DataFrame(columns=["digit", "n", "share_ppm"]).astype(
+            {"digit": "int64", "n": "int64", "share_ppm": "int64"}
+        )
+    total = int(counts["n"].sum())
+    counts = counts.sort_values("digit", kind="stable").reset_index(drop=True)
+    counts["share_ppm"] = counts["n"].to_numpy(dtype=np.int64) * 1_000_000 // total
+    return counts.astype({"digit": "int64", "n": "int64", "share_ppm": "int64"})

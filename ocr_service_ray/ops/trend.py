@@ -1,0 +1,162 @@
+"""Trend / time-series analytics — grouped OLS, CUSUM change
+detection, time-weighted averages.
+
+All three follow the repo's exact-integer oracle discipline
+(__ray_entry__.py module docstring): the data-parallel part reduces to
+integer sufficient statistics (one combiner exchange), the final
+ratios are exact floor divisions — Python bigints on the driver, the
+HUGEINT floor-div identity ``(a - ((a % b) + b) % b) // b`` in the
+DuckDB oracle — so results are bit-identical regardless of
+association order or summation order.
+
+100-TB shape: raw rows shuffle at most once (the comoments combiner /
+the per-key bucket exchange); the driver only ever touches
+|groups|-bounded frames.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+
+def grouped_ols(ds, group_keys: list[str], x_col: str, y_col: str, scale: int = 1_000_000) -> pd.DataFrame:
+    """Per-group least-squares fit of y on x as exact scaled integers.
+
+    slope_micro  = floor(scale * (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2))
+    icept_micro  = floor((scale*Sy - slope_micro*Sx) / n)
+
+    The distributed part is ``grouped_comoments`` (ops/stats.py): six
+    integer sums per group, one combiner exchange. The closing
+    division runs on the driver over the |groups|-bounded frame in
+    Python bigints (n*Sxy*scale overflows int64 long before the
+    int64-safe partial sums do). Degenerate groups (all x equal,
+    denominator 0) drop out — the oracle filters them identically.
+
+    Caller contract (inherited from grouped_comoments): x and y are
+    integer-scaled so ``max|x*y| * rows`` fits int64.
+    """
+    from .stats import grouped_comoments
+
+    mom = grouped_comoments(ds, group_keys, x_col, y_col).to_pandas()
+    rows = []
+    for _, r in mom.iterrows():
+        n = int(r["n"])
+        sx, sy = int(r["sum_x"]), int(r["sum_y"])
+        sxx, sxy = int(r["sum_xx"]), int(r["sum_xy"])
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        slope = (scale * (n * sxy - sx * sy)) // den
+        icept = (scale * sy - slope * sx) // n
+        rows.append(
+            {
+                **{k: r[k] for k in group_keys},
+                "n": n,
+                "slope_micro": slope,
+                "icept_micro": icept,
+            }
+        )
+    if not rows:
+        return pd.DataFrame(
+            columns=[*group_keys, "n", "slope_micro", "icept_micro"]
+        ).astype({"n": "int64", "slope_micro": "int64", "icept_micro": "int64"})
+    out = pd.DataFrame(rows)
+    return out.astype({"n": "int64", "slope_micro": "int64", "icept_micro": "int64"})
+
+
+def cusum_peak(ds, key_col: str, ts_col: str = "ts") -> pd.DataFrame:
+    """Per-key CUSUM change-point peak over the dense daily grid,
+    denominator-free: with D grid days and running count cum_k at the
+    k-th day (k = 1..D, zero-filled), the classic CUSUM against the
+    key's own mean rate is
+
+        cusum_k = sum_{i<=k}(c_i - total/D)  ==  (D*cum_k - k*total) / D
+
+    so ``scaled_k = D*cum_k - k*total`` ranks identically and stays a
+    pure integer. Emits the maximum positive deviation and its
+    EARLIEST day — the most likely "rate went up here" change point.
+
+    Built on dense_grid_counts (ops/grid.py): one combiner count +
+    one global span agg; the grid fold runs on the driver over the
+    |keys| x |days| frame (vocabulary x calendar bounded).
+    """
+    from .grid import dense_grid_counts
+
+    grid = dense_grid_counts(ds, key_col, ts_col, freq="day")
+    if grid.empty:
+        return pd.DataFrame(
+            columns=[key_col, "n_days", "total", "peak_scaled", "peak_day"]
+        )
+    n_days = int(grid["period"].nunique())
+    rows = []
+    for key, g in grid.groupby(key_col, sort=True):
+        g = g.sort_values("period", kind="stable")
+        n = g["n"].to_numpy(dtype=np.int64)
+        total = int(n.sum())
+        cum = np.cumsum(n)
+        k = np.arange(1, len(n) + 1, dtype=np.int64)
+        scaled = n_days * cum - k * total
+        best = int(scaled.max())
+        peak_day = int(g["period"].to_numpy()[scaled == best].min())
+        rows.append(
+            {
+                key_col: key,
+                "n_days": n_days,
+                "total": total,
+                "peak_scaled": best,
+                "peak_day": peak_day,
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"n_days": "int64", "total": "int64", "peak_scaled": "int64", "peak_day": "int64"}
+    )
+
+
+def time_weighted_avg(
+    ds,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_cols: list[str],
+):
+    """Per-key time-weighted average — each value weighted by the
+    WHOLE SECONDS until the key's next event (step interpolation; the
+    last event carries no weight):
+
+        tw = floor( sum(v_i * gap_i) / sum(gap_i) ),
+        gap_i = (epoch_us(t_{i+1}) - epoch_us(t_i)) // 1_000_000
+
+    ``value_col`` must be integer-scaled (cents). Whole-second gaps
+    keep ``sum(v*gap)`` int64-safe for any horizon (max_v * span_s).
+    Keys whose gaps are all sub-second (or with a single event) drop
+    out — the SQL mirror filters ``sum(gap) > 0`` identically. Uses
+    epoch arithmetic, NOT date_diff('second', ...): date_diff counts
+    boundary CROSSINGS, which differs from the floored duration.
+
+    One bucketed exchange (ops/agg.bucketed_map_groups); per-key rows
+    must fit a task — the repo-wide sessionize contract.
+    """
+    from .agg import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(order_cols, kind="stable")
+        ts = g[ts_col].to_numpy().astype("datetime64[us]").astype(np.int64)
+        v = g[value_col].to_numpy().astype(np.int64)
+        if len(ts) < 2:
+            return pd.DataFrame({key_col: [], "w_seconds": [], "tw_value": []})
+        gap = (ts[1:] - ts[:-1]) // 1_000_000
+        w = int(gap.sum())
+        if w <= 0:
+            return pd.DataFrame({key_col: [], "w_seconds": [], "tw_value": []})
+        wv = int((v[:-1] * gap).sum())
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "w_seconds": np.array([w], dtype=np.int64),
+                "tw_value": np.array([wv // w], dtype=np.int64),
+            }
+        )
+
+    return bucketed_map_groups(ds, [key_col], fold)
