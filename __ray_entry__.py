@@ -3582,6 +3582,78 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "event_type",
         )
 
+    # -------------------------------------------- wave 15: distribution shift
+
+    def q_lang_tv_by_source(sf_dir):
+        """Total-variation distance of each source's language mix vs
+        the corpus (ops/divergence.py tv_distance_by_group): one
+        combiner aggregate to (source, lang) counts, exact single-
+        division ppm on the vocabulary-bounded driver frame — the
+        slice-drift monitor run before mixing sources into a corpus."""
+        from ocr_service_ray.ops.divergence import tv_distance_by_group
+
+        return tv_distance_by_group(
+            _read(sf_dir, "documents", ["source", "lang"]), "source", "lang"
+        )
+
+    def q_type_user_hhi(sf_dir):
+        """Herfindahl concentration of each event type over users
+        (ops/divergence.py grouped_hhi): two combiner exchanges (rows
+        -> (type,user) counts -> per-type moment sums), bigint close —
+        flags slices dominated by a handful of contributors."""
+        from ocr_service_ray.ops.divergence import grouped_hhi
+
+        return grouped_hhi(
+            _read(sf_dir, "events", ["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+        )
+
+    def q_ewma_event_counts(sf_dir):
+        """Geometric-weight (alpha=1/2) moving average of daily event
+        counts per type over the dense zero-filled grid (ops/trend.py
+        ewma_grid): power-of-two weights keep numpy and the DuckDB
+        banded self-join bit-identical — the smoothed ingestion-rate
+        monitor."""
+        from ocr_service_ray.ops.trend import ewma_grid
+
+        return ewma_grid(_read(sf_dir, "events", ["event_type", "ts"]), "event_type")
+
+    def q_daily_autocorr(sf_dir):
+        """Lag-1 autocorrelation of daily counts per event type on the
+        dense grid (ops/trend.py lag1_autocorr), reported as signed
+        squared correlation in exact ppm (sqrt-free) — the seasonality
+        detector behind sampling-schedule decisions."""
+        from ocr_service_ray.ops.trend import lag1_autocorr
+
+        return lag1_autocorr(
+            _read(sf_dir, "events", ["event_type", "ts"]), "event_type"
+        )
+
+    def q_customer_event_reconcile(sf_dir):
+        """Full-outer key reconciliation customers vs event actors
+        (ops/relational.py reconcile_keys): each side collapses to
+        per-key counts in its own combiner, one merged exchange
+        assigns both/left_only/right_only — the migration-audit report
+        without a row-level full outer join."""
+        from ocr_service_ray.ops.relational import reconcile_keys
+
+        return reconcile_keys(
+            _read(sf_dir, "customer", ["c_custkey"]),
+            _read(sf_dir, "events", ["user_id"]),
+            "c_custkey",
+            "user_id",
+        )
+
+    def q_daily_user_jaccard(sf_dir):
+        """Jaccard similarity of consecutive days' active-user sets
+        (ops/retention.py day_over_day_jaccard): distinct actives ->
+        2x flat-map contributions -> per-day flag sums; exact ppm —
+        the audience-churn shape over time."""
+        from ocr_service_ray.ops.retention import day_over_day_jaccard
+
+        return day_over_day_jaccard(_read(sf_dir, "events", ["user_id", "ts"]))
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -3751,6 +3823,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_dom_bitmap": q_user_dom_bitmap,
         "benford_totalprice": q_benford_totalprice,
         "event_pair_lift": q_event_pair_lift,
+        "lang_tv_by_source": q_lang_tv_by_source,
+        "type_user_hhi": q_type_user_hhi,
+        "ewma_event_counts": q_ewma_event_counts,
+        "daily_autocorr": q_daily_autocorr,
+        "customer_event_reconcile": q_customer_event_reconcile,
+        "daily_user_jaccard": q_daily_user_jaccard,
     }
 
 
@@ -6514,5 +6592,125 @@ def oracle_sql() -> dict[str, str]:
         CROSS JOIN tot
         JOIN m ma ON ma.event_type = p.item_a
         JOIN m mb ON mb.event_type = p.item_b
+    """
+    oracles["lang_tv_by_source"] = """
+        WITH c AS MATERIALIZED (
+          SELECT source, lang, CAST(count(*) AS HUGEINT) AS c
+          FROM documents GROUP BY 1, 2),
+        g AS (SELECT source, sum(c) AS ng FROM c GROUP BY 1),
+        v AS (SELECT lang, sum(c) AS cv FROM c GROUP BY 1),
+        t AS (SELECT sum(c) AS n FROM c),
+        cell AS (SELECT g.source, g.ng, v.cv, t.n, COALESCE(c.c, 0) AS c
+                 FROM g CROSS JOIN v CROSS JOIN t
+                 LEFT JOIN c ON c.source = g.source AND c.lang = v.lang)
+        SELECT source, CAST(ng AS BIGINT) AS n_rows,
+               CAST((1000000 * sum(abs(c * n - ng * cv)))
+                    // (2 * ng * n) AS BIGINT) AS tv_ppm
+        FROM cell GROUP BY source, ng, n
+    """
+    oracles["type_user_hhi"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type, user_id, CAST(count(*) AS HUGEINT) AS c
+          FROM events GROUP BY 1, 2)
+        SELECT event_type,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST((1000000 * sum(c * c)) // (sum(c) * sum(c)) AS BIGINT)
+                 AS hhi_ppm
+        FROM p GROUP BY 1
+    """
+    oracles["ewma_event_counts"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d
+          FROM events),
+        span AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+        keys AS (SELECT DISTINCT event_type FROM p),
+        grid AS MATERIALIZED (
+          SELECT k.event_type, k.d, count(p.event_type) AS n
+          FROM (SELECT k.event_type, gg.d
+                FROM keys k, span s,
+                     unnest(generate_series(s.lo, s.hi)) AS gg(d)) k
+          LEFT JOIN p ON p.event_type = k.event_type AND p.d = k.d
+          GROUP BY 1, 2)
+        SELECT a.event_type, a.d AS day, CAST(a.n AS BIGINT) AS n,
+               CAST((1000 * sum(b.n * CAST(power(2, 7 - (a.d - b.d)) AS BIGINT)))
+                    // 255 AS BIGINT) AS ewma_milli
+        FROM grid a JOIN grid b
+          ON b.event_type = a.event_type
+         AND b.d BETWEEN a.d - 7 AND a.d
+        GROUP BY a.event_type, a.d, a.n
+    """
+    oracles["daily_autocorr"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d
+          FROM events),
+        span AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+        keys AS (SELECT DISTINCT event_type FROM p),
+        grid AS (SELECT k.event_type, k.d, count(p.event_type) AS n
+                 FROM (SELECT k.event_type, gg.d
+                       FROM keys k, span s,
+                            unnest(generate_series(s.lo, s.hi)) AS gg(d)) k
+                 LEFT JOIN p ON p.event_type = k.event_type AND p.d = k.d
+                 GROUP BY 1, 2),
+        pairs AS (SELECT event_type, CAST(n AS HUGEINT) AS x,
+                         CAST(lead(n) OVER (PARTITION BY event_type ORDER BY d)
+                              AS HUGEINT) AS y
+                  FROM grid),
+        m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS n,
+                     sum(x) AS sx, sum(y) AS sy,
+                     sum(x * x) AS sxx, sum(y * y) AS syy,
+                     sum(x * y) AS sxy
+              FROM pairs WHERE y IS NOT NULL GROUP BY 1),
+        f AS (SELECT event_type, n,
+                     n * sxy - sx * sy AS num,
+                     (n * sxx - sx * sx) * (n * syy - sy * sy) AS den
+              FROM m)
+        SELECT event_type, CAST(n AS BIGINT) AS n_pairs,
+               CAST(CASE WHEN num >= 0
+                         THEN (1000000 * num * num) // den
+                         ELSE -((1000000 * num * num) // den)
+                    END AS BIGINT) AS acorr2_ppm
+        FROM f WHERE den <> 0
+    """
+    oracles["customer_event_reconcile"] = """
+        WITH l AS (SELECT c_custkey AS k, count(*) AS ln
+                   FROM customer GROUP BY 1),
+        r AS (SELECT user_id AS k, count(*) AS rn FROM events GROUP BY 1),
+        f AS (SELECT COALESCE(l.ln, 0) AS ln, COALESCE(r.rn, 0) AS rn
+              FROM l FULL OUTER JOIN r ON l.k = r.k)
+        SELECT CASE WHEN ln > 0 AND rn > 0 THEN 'both'
+                    WHEN ln > 0 THEN 'left_only'
+                    ELSE 'right_only' END AS category,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(ln) AS BIGINT) AS left_rows,
+               CAST(sum(rn) AS BIGINT) AS right_rows
+        FROM f GROUP BY 1
+    """
+    oracles["daily_user_jaccard"] = """
+        WITH du AS MATERIALIZED (
+          SELECT DISTINCT
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d,
+                 user_id AS k
+          FROM events),
+        mx AS (SELECT max(d) AS md FROM du),
+        e AS (SELECT d, k, 1 AS cur, 0 AS prev FROM du
+              UNION ALL
+              SELECT d + 1, k, 0, 1 FROM du),
+        f AS (SELECT d, k, max(cur) AS cur, max(prev) AS prev
+              FROM e GROUP BY 1, 2),
+        pd AS (SELECT d, sum(cur) AS n_cur, sum(prev) AS n_prev,
+                      sum(cur * prev) AS n_inter
+               FROM f GROUP BY 1)
+        SELECT d AS day, CAST(n_cur AS BIGINT) AS n_cur,
+               CAST(n_prev AS BIGINT) AS n_prev,
+               CAST(n_inter AS BIGINT) AS n_inter,
+               CAST((1000000 * n_inter) // (n_cur + n_prev - n_inter)
+                    AS BIGINT) AS jac_ppm
+        FROM pd, mx WHERE d <= md
     """
     return oracles

@@ -1,0 +1,119 @@
+"""Distribution-shift / concentration metrics — total-variation
+distance per group vs the corpus, and Herfindahl (HHI) concentration
+per group. The drift + imbalance monitors a curation pipeline runs
+per slice before training.
+
+Both follow the repo's exact-integer oracle discipline: the
+data-parallel part is one combiner aggregate over (group, value)
+pairs (ops/agg.grouped_agg — raw rows shuffle once, as partials);
+the closing ratio is an exact floor division over integer counts —
+Python bigints here, HUGEINT in the DuckDB oracle — so no float,
+log, or sqrt anywhere.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from .agg import grouped_agg
+
+
+def tv_distance_by_group(
+    ds, group_col: str, value_col: str, scale: int = 1_000_000
+) -> pd.DataFrame:
+    """Total-variation distance between each group's value
+    distribution and the corpus-wide distribution, in exact ppm:
+
+        tv(g) = 1/2 * sum_v | c_gv/N_g - c_v/N |
+        tv_ppm = floor( scale * sum_v |c_gv*N - N_g*c_v| / (2*N_g*N) )
+
+    The single-division form keeps it exact: the numerator is a sum
+    of integer absolute differences (values ABSENT from a group
+    contribute |0 - N_g*c_v|), the denominator divides once.
+
+    Distribution: one combiner aggregate collapses the input to
+    (group, value) counts; the close runs on the |groups| x |values|
+    driver frame (vocabulary-bounded — sources x langs, never rows).
+    """
+    counts = grouped_agg(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col],
+        {"c": (None, "count")},
+    ).to_pandas()
+    if counts.empty:
+        return pd.DataFrame({group_col: [], "n_rows": [], "tv_ppm": []})
+    pivot = counts.pivot_table(
+        index=group_col, columns=value_col, values="c", aggfunc="sum", fill_value=0
+    )
+    cell = [[int(v) for v in row] for row in pivot.to_numpy()]
+    col_tot = [sum(col) for col in zip(*cell)]
+    total = sum(col_tot)
+    rows = []
+    for gi, gname in enumerate(pivot.index):
+        ng = sum(cell[gi])
+        num = sum(
+            abs(cell[gi][vi] * total - ng * col_tot[vi])
+            for vi in range(len(col_tot))
+        )
+        rows.append(
+            {
+                group_col: gname,
+                "n_rows": ng,
+                "tv_ppm": (scale * num) // (2 * ng * total),
+            }
+        )
+    return pd.DataFrame(rows).astype({"n_rows": "int64", "tv_ppm": "int64"})
+
+
+def grouped_hhi(ds, group_col: str, member_col: str, scale: int = 1_000_000):
+    """Herfindahl concentration of each group over its members, in
+    exact ppm — how dominated a slice is by its heaviest contributors
+    (1e6/|members| = uniform, 1e6 = single member):
+
+        hhi_ppm = floor( scale * sum_m c_gm^2 / (sum_m c_gm)^2 )
+
+    Distribution: two combiner aggregates — raw rows collapse to
+    (group, member) counts in the first exchange, counts collapse to
+    per-group (sum c^2, sum c, members) in the second; no exchange
+    ever moves raw rows twice. The closing division runs per
+    post-aggregation row with Python bigints (scale * sum_c2 exceeds
+    int64 at 100-TB member counts; the oracle uses HUGEINT).
+
+    Returns a Dataset with (group, n_rows, n_members, hhi_ppm).
+    """
+    pair = grouped_agg(
+        ds.select_columns([group_col, member_col]),
+        [group_col, member_col],
+        {"c": (None, "count")},
+    )
+
+    def square(b: pa.Table) -> pa.Table:
+        return b.append_column("c2", pc.multiply(b["c"], b["c"]))
+
+    per_g = grouped_agg(
+        pair.map_batches(square, batch_format="pyarrow"),
+        [group_col],
+        {
+            "sum_c2": ("c2", "sum"),
+            "n_rows": ("c", "sum"),
+            "n_members": (None, "count"),
+        },
+    )
+
+    def close(b: pd.DataFrame) -> pd.DataFrame:
+        hhi = [
+            (scale * int(s)) // (int(n) * int(n))
+            for s, n in zip(b["sum_c2"], b["n_rows"])
+        ]
+        return pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "n_rows": b["n_rows"].astype("int64"),
+                "n_members": b["n_members"].astype("int64"),
+                "hhi_ppm": pd.array(hhi, dtype="int64"),
+            }
+        )
+
+    return per_g.map_batches(close, batch_format="pandas")

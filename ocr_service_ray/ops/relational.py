@@ -75,6 +75,13 @@ def hash_join(left_ds, right_ds, on: str, num_partitions: int | None = None, joi
 
     left_ds = left_ds.map_batches(_strip_meta, batch_format="pyarrow")
     right_ds = right_ds.map_batches(_strip_meta, batch_format="pyarrow")
+    # LANDMINE (verified on ray 2.49): partitions that receive no rows
+    # make the join emit zero-COLUMN empty blocks, and map_batches
+    # re-normalizes any zero-row output back to a schema-less block —
+    # padding cannot stick. If this join's OUTPUT feeds another acero
+    # consumer (a chained hash_join, Dataset.sort), interpose a
+    # repartition() (a real exchange rebuilds blocks with the unified
+    # schema); see triangle_count for the pattern.
     return left_ds.join(
         right_ds, join_type=join_type, num_partitions=num_partitions, on=(on,)
     )
@@ -663,3 +670,66 @@ def grouped_sample_k(ds, group_keys: list[str], id_col: str, k: int, salt: str =
     ranked = ds.map_batches(add_rank, batch_format="pyarrow")
     out = grouped_topk(ranked, group_keys, ["_rank", id_col], k, [False, False])
     return out.drop_columns(["_rank"])
+
+
+def reconcile_keys(left_ds, right_ds, left_key: str, right_key: str):
+    """Full-outer key reconciliation between two tables — the data-
+    quality report a migration/dedup job closes with: for each
+    category ``both`` / ``left_only`` / ``right_only``, how many
+    distinct keys and how many underlying rows each side holds.
+
+    Shuffle-minimizing shape (no row-level full outer join): each
+    side collapses to (key, row-count) in its own combiner aggregate,
+    the two aggregates union (same tiny schema, sides zero-filled),
+    ONE more combiner merge per key assigns the category, and a final
+    |categories|-row aggregate closes. Raw rows never shuffle — only
+    per-key partials do.
+
+    Returns a Dataset (category, n_keys, left_rows, right_rows).
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    from .agg import grouped_agg
+
+    def tagged(ds, key, out_col):
+        agg = grouped_agg(
+            ds.select_columns([key]), [key], {out_col: (None, "count")}
+        )
+
+        def widen(b: pa.Table) -> pa.Table:
+            zero = pa.array(np.zeros(len(b), dtype=np.int64))
+            ln = b[out_col] if out_col == "ln" else zero
+            rn = b[out_col] if out_col == "rn" else zero
+            return pa.table({"k": b[key], "ln": ln, "rn": rn})
+
+        return agg.map_batches(widen, batch_format="pyarrow")
+
+    both = tagged(left_ds, left_key, "ln").union(
+        tagged(right_ds, right_key, "rn")
+    )
+    per_key = grouped_agg(
+        both, ["k"], {"ln": ("ln", "sum"), "rn": ("rn", "sum")}
+    )
+
+    def categorize(b: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        has_l = pc.greater(b["ln"], 0)
+        has_r = pc.greater(b["rn"], 0)
+        cat = pc.if_else(
+            pc.and_(has_l, has_r),
+            "both",
+            pc.if_else(has_l, "left_only", "right_only"),
+        )
+        return pa.table({"category": cat, "ln": b["ln"], "rn": b["rn"]})
+
+    return grouped_agg(
+        per_key.map_batches(categorize, batch_format="pyarrow"),
+        ["category"],
+        {
+            "n_keys": (None, "count"),
+            "left_rows": ("ln", "sum"),
+            "right_rows": ("rn", "sum"),
+        },
+    )

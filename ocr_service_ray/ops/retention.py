@@ -146,3 +146,87 @@ def cumulative_distinct(
         )
 
     return bucketed_map_groups(ds, [key_col], fold)
+
+
+def day_over_day_jaccard(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    scale: int = 1_000_000,
+):
+    """Jaccard similarity of consecutive days' active-key sets — the
+    churn-shape monitor (how much of today's audience is yesterday's):
+
+        jac_ppm(d) = floor( scale * |U_{d-1} ∩ U_d|
+                            / |U_{d-1} ∪ U_d| )
+
+    Three combiner exchanges, none over raw rows twice:
+    1. raw rows collapse to DISTINCT (day, key) actives;
+    2. each active contributes to day d as "cur" and to day d+1 as
+       "prev" (a 2x flat-map of the DISTINCT pairs), re-grouped per
+       (day, key) into {cur, prev} flags;
+    3. per-day sums of cur / prev / cur*prev give |U_d|, |U_{d-1}|,
+       and the intersection; union = cur + prev - inter.
+
+    The first observed day has no predecessor (prev = 0 → jac 0,
+    emitted); the synthetic day AFTER the last observed one is
+    dropped (filter d <= max_day). Days with union 0 cannot occur
+    inside the span (every emitted d has cur > 0 or prev > 0).
+
+    Returns a Dataset (day, n_prev, n_cur, n_inter, jac_ppm); day is
+    integer epoch-days."""
+    import pyarrow.compute as pc
+
+    from .agg import global_agg, grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = (
+            b[ts_col]
+            .to_pandas()
+            .values.astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table({"d": pa.array(day), "k": b[key_col]})
+
+    pairs = ds.map_batches(prep, batch_format="pyarrow")
+    distinct = grouped_agg(pairs, ["d", "k"], {"_c": (None, "count")})
+    max_day = int(global_agg(pairs, {"hi": ("d", "max")})["hi"])
+
+    def emit(b: pa.Table) -> pa.Table:
+        n = len(b)
+        one = pa.array(np.ones(n, dtype=np.int64))
+        zero = pa.array(np.zeros(n, dtype=np.int64))
+        cur = pa.table({"d": b["d"], "k": b["k"], "cur": one, "prev": zero})
+        nxt = pa.table(
+            {"d": pc.add(b["d"], 1), "k": b["k"], "cur": zero, "prev": one}
+        )
+        return pa.concat_tables([cur, nxt])
+
+    flags = grouped_agg(
+        distinct.map_batches(emit, batch_format="pyarrow"),
+        ["d", "k"],
+        {"cur": ("cur", "sum"), "prev": ("prev", "sum")},
+    )
+
+    def inter(b: pa.Table) -> pa.Table:
+        return b.append_column("both", pc.multiply(b["cur"], b["prev"]))
+
+    per_day = grouped_agg(
+        flags.map_batches(inter, batch_format="pyarrow"),
+        ["d"],
+        {
+            "n_cur": ("cur", "sum"),
+            "n_prev": ("prev", "sum"),
+            "n_inter": ("both", "sum"),
+        },
+    )
+
+    def close(b: pd.DataFrame) -> pd.DataFrame:
+        b = b[b["d"] <= max_day].copy()
+        union = b["n_cur"] + b["n_prev"] - b["n_inter"]
+        b["jac_ppm"] = (scale * b["n_inter"]) // union
+        for c in ("n_cur", "n_prev", "n_inter", "jac_ppm"):
+            b[c] = b[c].astype("int64")
+        return b.rename(columns={"d": "day"})
+
+    return per_day.map_batches(close, batch_format="pandas")

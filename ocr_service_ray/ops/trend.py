@@ -160,3 +160,108 @@ def time_weighted_avg(
         )
 
     return bucketed_map_groups(ds, [key_col], fold)
+
+
+def ewma_grid(
+    ds,
+    key_col: str,
+    ts_col: str = "ts",
+    window: int = 8,
+    scale: int = 1000,
+) -> pd.DataFrame:
+    """Per-key geometric-weight moving average of DAILY counts over
+    the dense zero-filled grid — the integer-exact EWMA stand-in
+    (alpha = 1/2) every ingestion monitor wants:
+
+        S_t        = sum_{j=0..w-1} n_{t-j} * 2^(w-1-j)
+        ewma_milli = floor(scale * S_t / (2^w - 1))
+
+    Weights are exact powers of two, so both sides (numpy here, a
+    banded self-join in the DuckDB oracle) compute the SAME integer —
+    no float pow drift. Days before the observed span contribute 0
+    (the grid zero-fills only inside [min_day, max_day]).
+
+    Distribution: the raw rows shuffle once inside
+    ``dense_grid_counts``'s combiner aggregate; the convolution runs
+    on the |keys| x |days| driver grid (vocabulary x calendar bounded
+    — grid.py's documented contract)."""
+    from .grid import dense_grid_counts
+
+    grid = dense_grid_counts(ds, key_col, ts_col, freq="day")
+    if grid.empty:
+        return pd.DataFrame(
+            {key_col: [], "day": [], "n": [], "ewma_milli": []}
+        )
+    den = (1 << window) - 1
+    outs = []
+    for key, g in grid.groupby(key_col, sort=False):
+        g = g.sort_values("period", kind="stable")
+        n = g["n"].to_numpy(dtype=np.int64)
+        s = np.zeros(len(n), dtype=np.int64)
+        for j in range(window):
+            w = np.int64(1 << (window - 1 - j))
+            if j == 0:
+                s += n * w
+            else:
+                s[j:] += n[:-j] * w
+        outs.append(
+            pd.DataFrame(
+                {
+                    key_col: g[key_col].to_numpy(),
+                    "day": g["period"].to_numpy(),
+                    "n": n,
+                    "ewma_milli": (scale * s) // den,
+                }
+            )
+        )
+    return pd.concat(outs, ignore_index=True)
+
+
+def lag1_autocorr(
+    ds,
+    key_col: str,
+    ts_col: str = "ts",
+    scale: int = 1_000_000,
+) -> pd.DataFrame:
+    """Per-key lag-1 autocorrelation of daily counts on the dense
+    grid, as an exact SIGNED SQUARED correlation in ppm (sqrt is
+    transcendental; r^2 with r's sign is floor-divisible):
+
+        pairs (x, y) = (n_d, n_{d+1})   for consecutive grid days
+        num  = n*Sxy - Sx*Sy
+        denx = n*Sxx - Sx^2,  deny = n*Syy - Sy^2
+        acorr2_ppm = sign(num) * floor(scale * num^2 / (denx*deny))
+
+    Keys with a constant series (denx*deny == 0) drop out — the SQL
+    mirror filters identically. Python bigints: num^2 exceeds int64
+    at scale (HUGEINT in the oracle)."""
+    from .grid import dense_grid_counts
+
+    grid = dense_grid_counts(ds, key_col, ts_col, freq="day")
+    rows = []
+    for key, g in grid.groupby(key_col, sort=False):
+        g = g.sort_values("period", kind="stable")
+        vals = [int(v) for v in g["n"].to_numpy()]
+        if len(vals) < 2:
+            continue
+        xs, ys = vals[:-1], vals[1:]
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxx = sum(v * v for v in xs)
+        syy = sum(v * v for v in ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den == 0:
+            continue
+        mag = (scale * num * num) // den
+        rows.append(
+            {
+                key_col: key,
+                "n_pairs": n,
+                "acorr2_ppm": mag if num >= 0 else -mag,
+            }
+        )
+    if not rows:
+        return pd.DataFrame({key_col: [], "n_pairs": [], "acorr2_ppm": []})
+    return pd.DataFrame(rows).astype({"n_pairs": "int64", "acorr2_ppm": "int64"})

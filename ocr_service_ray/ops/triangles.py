@@ -69,6 +69,17 @@ def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst"):
     a 3-way self-join; orientation choice does not change the count).
     """
     edges = _canonical_edges(edges_ds, src_col, dst_col).materialize()
+    if edges.count() == 0:
+        # all input edges were self-loops (or the input was empty):
+        # the downstream hash joins reject schema-less empty blocks
+        # (repo landmine), and the answer is trivially all-zero.
+        return pd.DataFrame(
+            {
+                "n_nodes": pd.array([0], dtype="int64"),
+                "n_edges": pd.array([0], dtype="int64"),
+                "n_triangles": pd.array([0], dtype="int64"),
+            }
+        )
 
     def explode(b: pa.Table) -> pa.Table:
         return pa.table(
@@ -93,8 +104,19 @@ def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst"):
 
     deg_lo = deg.map_batches(rename({"node": "lo", "deg": "deg_lo"}), batch_format="pyarrow")
     deg_hi = deg.map_batches(rename({"node": "hi", "deg": "deg_hi"}), batch_format="pyarrow")
+    # repartition between the chained joins: the first join's empty
+    # partitions emit zero-column blocks the second join's acero
+    # cannot take (see hash_join docstring); the exchange rebuilds
+    # every block with the unified schema. Cost: one extra exchange
+    # of the (lo, hi, deg_lo) edge table.
+    from .relational import join_partitions_for
+
     with_deg = hash_join(
-        hash_join(edges, deg_lo, on="lo"), deg_hi, on="hi"
+        hash_join(edges, deg_lo, on="lo").repartition(
+            join_partitions_for(edges, deg)
+        ),
+        deg_hi,
+        on="hi",
     )
 
     # orient from (deg, id)-smaller to larger endpoint
@@ -128,7 +150,18 @@ def triangle_count(edges_ds, src_col: str = "src", dst_col: str = "dst"):
         bucketed_map_groups(oriented, ["a"], wedges),
         ["x", "y"],
         {"m": (None, "count")},
-    )
+    ).materialize()
+    if cand.count() == 0:
+        # no node has two out-edges -> no wedges -> no triangles; the
+        # presence-tagged union below cannot take a schema-less empty
+        # side (repo landmine), so answer directly.
+        return pd.DataFrame(
+            {
+                "n_nodes": pd.array([n_nodes], dtype="int64"),
+                "n_edges": pd.array([n_edges], dtype="int64"),
+                "n_triangles": pd.array([0], dtype="int64"),
+            }
+        )
 
     def tag_edges(b: pa.Table) -> pa.Table:
         return pa.table(
