@@ -3654,6 +3654,192 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return day_over_day_jaccard(_read(sf_dir, "events", ["user_id", "ts"]))
 
+    # ------------------------------------------ wave 16: slice health + Q7
+
+    def q_gini_user_activity(sf_dir):
+        """Gini concentration of each event type's activity over users
+        (ops/divergence.py grouped_gini): combiner to (type, user)
+        counts, one bucketed key shuffle, numpy rank fold per type —
+        the inequality complement to HHI (needs sorted counts, not a
+        moment)."""
+        from ocr_service_ray.ops.divergence import grouped_gini
+
+        return grouped_gini(
+            _read(sf_dir, "events", ["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+        )
+
+    def q_activity_streaks(sf_dir):
+        """Histogram of longest consecutive-day user streaks
+        (ops/retention.py streak_histogram): gaps-and-islands via a
+        vectorized per-user numpy diff fold after one bucketed key
+        shuffle of DISTINCT (user, day) pairs — the engagement-depth
+        report."""
+        from ocr_service_ray.ops.retention import streak_histogram
+
+        return streak_histogram(_read(sf_dir, "events", ["user_id", "ts"]))
+
+    def q_hapax_by_source(sf_dir):
+        """Per-source hapax TRIGRAM-shingle share (ops/text.py
+        hapax_by_group, ngram=3): distinct (source, shingle) combiner
+        counts, a per-shingle fold (a corpus-hapax lives in exactly
+        one source, so max(source) rides along), per-source close in
+        exact ppm — the vocabulary-freshness / OCR-noise monitor.
+        Trigrams because the synthetic corpus has a 31-word fixed
+        vocabulary: no word-level hapax exists, the 3-shingle space is
+        ~58% hapax."""
+        from ocr_service_ray.ops.text import hapax_by_group
+
+        return hapax_by_group(
+            _read(sf_dir, "documents", ["source", "text"]),
+            "source",
+            "text",
+            ngram=3,
+        )
+
+    def q7_trade_volume(sf_dir):
+        """TPC-H-Q7-shaped nation-pair trade volume by ship year:
+        lineitem (date-filtered + cents-rounded at the scan) hash-joins
+        orders then customer on the shared key chain; BOTH nation
+        lookups (supplier side and customer side) broadcast — fact
+        rows shuffle only for the two large-large joins, never for
+        dimensions. Cross-border pairs only (supp != cust nation)."""
+        import datetime as _dt
+
+        import numpy as np
+        import pandas as pd
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        lo = _dt.datetime(1995, 1, 1)
+        hi = _dt.datetime(1997, 1, 1)
+        li = _read(
+            sf_dir,
+            "lineitem",
+            [
+                "l_orderkey",
+                "l_suppkey",
+                "l_extendedprice",
+                "l_discount",
+                "l_shipdate",
+            ],
+        )
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+            b = b.filter(keep)
+            rev = np.floor(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+                * 100.0
+                + 0.5
+            ).astype(np.int64)
+            year = (
+                b["l_shipdate"]
+                .to_pandas()
+                .dt.year.to_numpy()
+                .astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "l_suppkey": b["l_suppkey"],
+                    "l_year": pa.array(year),
+                    "rev_cents": pa.array(rev),
+                }
+            )
+
+        li = li.map_batches(li_prep, batch_format="pyarrow")
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        oc = od.join(
+            cu,
+            join_type="inner",
+            num_partitions=join_partitions_for(od, cu),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        lio = li.join(
+            oc,
+            join_type="inner",
+            num_partitions=join_partitions_for(li, oc),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+
+        sup = _pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ).to_pandas()
+        nat = _pq.read_table(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).to_pandas()
+        k2n = dict(zip(nat["n_nationkey"], nat["n_name"]))
+        s2n = dict(zip(sup["s_suppkey"], sup["s_nationkey"].map(k2n)))
+
+        def to_pair(b: pd.DataFrame) -> pd.DataFrame:
+            out = pd.DataFrame(
+                {
+                    "supp_nation": b["l_suppkey"].map(s2n),
+                    "cust_nation": b["c_nationkey"].map(k2n),
+                    "l_year": b["l_year"],
+                    "rev_cents": b["rev_cents"],
+                }
+            )
+            return out[out["supp_nation"] != out["cust_nation"]]
+
+        return grouped_agg(
+            lio.map_batches(to_pair, batch_format="pandas"),
+            ["supp_nation", "cust_nation", "l_year"],
+            {"revenue_cents": ("rev_cents", "sum"), "n_rows": (None, "count")},
+        )
+
+    def q_label_centroid_cosine(sf_dir):
+        """Pairwise signed-squared cosine between per-label centroid
+        embeddings (ops/vector.py centroid_cosine_pairs): the member
+        counts cancel out of cosine, so micro-int element SUMS make it
+        exact bigint arithmetic end to end; vectors never shuffle
+        (blocks collapse to |labels| x dim partials)."""
+        from ocr_service_ray.ops.vector import centroid_cosine_pairs
+
+        out = centroid_cosine_pairs(
+            _read(sf_dir, "embeddings", ["label", "embedding"]), "label"
+        )
+        out["group_a"] = out["group_a"].astype("int64")
+        out["group_b"] = out["group_b"].astype("int64")
+        return out
+
+    def q_quality_rate_ztest(sf_dir):
+        """Per-source two-proportion z^2 (signed, exact ppm) of the
+        long-document rate vs the rest of the corpus (ops/stats.py
+        grouped_rate_ztest): one combiner collapses rows to per-source
+        (n, k); the pooled-variance close is bigint driver arithmetic
+        — the slice-regression alarm."""
+        from ocr_service_ray.ops.stats import grouped_rate_ztest
+
+        docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+        def flag(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "source": b["source"],
+                    "is_long": pc.cast(
+                        pc.greater_equal(b["n_chars"], 200), pa.int64()
+                    ),
+                }
+            )
+
+        return grouped_rate_ztest(
+            docs.map_batches(flag, batch_format="pyarrow"), "source", "is_long"
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -3829,6 +4015,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_autocorr": q_daily_autocorr,
         "customer_event_reconcile": q_customer_event_reconcile,
         "daily_user_jaccard": q_daily_user_jaccard,
+        "gini_user_activity": q_gini_user_activity,
+        "activity_streaks": q_activity_streaks,
+        "hapax_by_source": q_hapax_by_source,
+        "q7_trade_volume": q7_trade_volume,
+        "label_centroid_cosine": q_label_centroid_cosine,
+        "quality_rate_ztest": q_quality_rate_ztest,
     }
 
 
@@ -6712,5 +6904,127 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * n_inter) // (n_cur + n_prev - n_inter)
                     AS BIGINT) AS jac_ppm
         FROM pd, mx WHERE d <= md
+    """
+    oracles["gini_user_activity"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type, user_id, CAST(count(*) AS HUGEINT) AS c
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, c,
+                     CAST(row_number() OVER (PARTITION BY event_type
+                                             ORDER BY c) AS HUGEINT) AS i
+              FROM p)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_members,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST((1000000 * (2 * sum(i * c) - (count(*) + 1) * sum(c)))
+                    // (count(*) * sum(c)) AS BIGINT) AS gini_ppm
+        FROM r GROUP BY 1
+    """
+    oracles["activity_streaks"] = """
+        WITH du AS MATERIALIZED (
+          SELECT DISTINCT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d
+          FROM events),
+        i AS (SELECT user_id,
+                     d - row_number() OVER (PARTITION BY user_id ORDER BY d)
+                       AS isl
+              FROM du),
+        r AS (SELECT user_id, count(*) AS run FROM i GROUP BY user_id, isl),
+        s AS (SELECT user_id, max(run) AS streak FROM r GROUP BY 1)
+        SELECT CAST(streak AS BIGINT) AS streak_len,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM s GROUP BY 1
+    """
+    oracles["hapax_by_source"] = r"""
+        WITH d AS MATERIALIZED (
+          SELECT source, regexp_extract_all(text, '\S+') AS s
+          FROM documents),
+        w AS MATERIALIZED (
+          SELECT source, s[i] || ' ' || s[i + 1] || ' ' || s[i + 2] AS word
+          FROM d, unnest(generate_series(1, len(s) - 2)) AS g(i)),
+        p AS MATERIALIZED (
+          SELECT source, word, CAST(count(*) AS BIGINT) AS c
+          FROM w GROUP BY 1, 2),
+        t AS (SELECT word, sum(c) AS tot, max(source) AS grp
+              FROM p GROUP BY 1),
+        h AS (SELECT grp AS source, count(*) AS n_hapax
+              FROM t WHERE tot = 1 GROUP BY 1),
+        n AS (SELECT source, sum(c) AS n_tokens FROM p GROUP BY 1)
+        SELECT n.source, CAST(n.n_tokens AS BIGINT) AS n_tokens,
+               CAST(COALESCE(h.n_hapax, 0) AS BIGINT) AS n_hapax,
+               CAST((1000000 * COALESCE(h.n_hapax, 0)) // n.n_tokens
+                    AS BIGINT) AS hapax_ppm
+        FROM n LEFT JOIN h ON h.source = n.source
+        WHERE n.n_tokens > 0
+    """
+    oracles["q7_trade_volume"] = """
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                   * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n1 ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c.c_nationkey = n2.n_nationkey
+        WHERE n1.n_name <> n2.n_name
+          AND l.l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l.l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3
+    """
+    oracles["label_centroid_cosine"] = """
+        WITH e AS MATERIALIZED (
+          SELECT CAST(label AS BIGINT) AS label,
+                 unnest(embedding) AS v,
+                 unnest(generate_series(0, len(embedding) - 1)) AS dim
+          FROM embeddings),
+        s AS MATERIALIZED (
+          SELECT label, dim,
+                 CAST(SUM(CAST(floor(CAST(v AS DOUBLE) * 1000000.0 + 0.5)
+                               AS BIGINT)) AS HUGEINT) AS vsum
+          FROM e GROUP BY 1, 2),
+        pair AS (SELECT a.label AS group_a, b.label AS group_b,
+                        sum(a.vsum * b.vsum) AS dot
+                 FROM s a JOIN s b ON a.dim = b.dim AND a.label < b.label
+                 GROUP BY 1, 2),
+        norm AS (SELECT label, sum(vsum * vsum) AS n2 FROM s GROUP BY 1)
+        SELECT p.group_a, p.group_b,
+               CAST(CASE WHEN p.dot >= 0
+                         THEN (1000000 * p.dot * p.dot) // (na.n2 * nb.n2)
+                         ELSE -((1000000 * p.dot * p.dot) // (na.n2 * nb.n2))
+                    END AS BIGINT) AS cos2_ppm
+        FROM pair p
+        JOIN norm na ON na.label = p.group_a
+        JOIN norm nb ON nb.label = p.group_b
+        WHERE na.n2 > 0 AND nb.n2 > 0
+    """
+    oracles["quality_rate_ztest"] = """
+        WITH g AS (SELECT source,
+                          CAST(count(*) AS HUGEINT) AS n,
+                          CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                               AS HUGEINT) AS k
+                   FROM documents GROUP BY 1),
+        tot AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g)
+        SELECT g.source,
+               CAST(g.n AS BIGINT) AS n_docs,
+               CAST(g.k AS BIGINT) AS n_pass,
+               CAST(CASE
+                 WHEN t.kk = 0 OR t.kk = t.nn THEN 0
+                 WHEN g.k * (t.nn - g.n) - (t.kk - g.k) * g.n >= 0
+                 THEN (1000000 * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                               * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                               * t.nn)
+                      // (g.n * (t.nn - g.n) * t.kk * (t.nn - t.kk))
+                 ELSE -((1000000 * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                                 * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                                 * t.nn)
+                        // (g.n * (t.nn - g.n) * t.kk * (t.nn - t.kk)))
+               END AS BIGINT) AS z2_ppm
+        FROM g, tot t
+        WHERE t.nn - g.n > 0
     """
     return oracles

@@ -67,6 +67,55 @@ def tv_distance_by_group(
     return pd.DataFrame(rows).astype({"n_rows": "int64", "tv_ppm": "int64"})
 
 
+def grouped_gini(ds, group_col: str, member_col: str, scale: int = 1_000_000):
+    """Gini coefficient of each group's activity distribution over its
+    members, in exact ppm (0 = perfectly even, →1e6 = one member owns
+    everything). Rank form over ascending member counts c_1..c_n:
+
+        gini_ppm = floor( scale * (2*Σ i*c_i - (n+1)*Σ c_i)
+                          / (n * Σ c_i) )
+
+    Unlike HHI (a moment, mergeable in one pass) Gini needs the
+    per-group SORTED counts, so the close is a per-group fold:
+    one combiner aggregate collapses raw rows to (group, member)
+    counts, then a single bucketed key shuffle on the group feeds a
+    vectorized numpy rank fold — the exchange moves member counts,
+    never raw rows, and no group's counts ever sit on the driver.
+    Ties in c are order-independent (equal values contribute the same
+    Σ i*c_i under any permutation), so no tie-break column is needed.
+
+    Returns a Dataset (group, n_members, n_rows, gini_ppm).
+    """
+    from .agg import bucketed_map_groups
+
+    pair = grouped_agg(
+        ds.select_columns([group_col, member_col]),
+        [group_col, member_col],
+        {"c": (None, "count")},
+    )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        c = sorted(int(v) for v in g["c"])
+        n = len(c)
+        s0 = sum(c)
+        s1 = sum((i + 1) * v for i, v in enumerate(c))
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n_members": pd.array([n], dtype="int64"),
+                "n_rows": pd.array([s0], dtype="int64"),
+                "gini_ppm": pd.array(
+                    [(scale * (2 * s1 - (n + 1) * s0)) // (n * s0)],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    return bucketed_map_groups(
+        pair.select_columns([group_col, "c"]), [group_col], close
+    )
+
+
 def grouped_hhi(ds, group_col: str, member_col: str, scale: int = 1_000_000):
     """Herfindahl concentration of each group over its members, in
     exact ppm — how dominated a slice is by its heaviest contributors

@@ -266,7 +266,10 @@ def _stats_shuffle(ds, n, min_df, text_col, id_col, hash="oracle"):
             }
         )
 
-    folded = bucketed_map_groups(hits, [id_col], per_doc)
+    # repartition: the bucketed fold emits schema-less zero-row blocks
+    # for empty buckets and the pyarrow hash join below rejects them
+    # on its right side (repo landmine — see hash_join's docstring)
+    folded = bucketed_map_groups(hits, [id_col], per_doc).repartition(4)
 
     def spine(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc

@@ -230,3 +230,60 @@ def day_over_day_jaccard(
         return b.rename(columns={"d": "day"})
 
     return per_day.map_batches(close, batch_format="pandas")
+
+
+def streak_histogram(ds, key_col: str = "user_id", ts_col: str = "ts"):
+    """Histogram of longest consecutive-day activity streaks — the
+    gaps-and-islands shape (SQL needs the d - row_number() island
+    trick; here the island fold is a vectorized numpy diff per key):
+
+        streak(key) = max run length of consecutive active days
+        output      = (streak_len, n_keys)
+
+    Two combiner exchanges plus one bucketed key shuffle, none over
+    raw rows twice:
+    1. raw rows collapse to DISTINCT (key, day) actives (combiner);
+    2. one bucketed shuffle on the key; inside each bucket a numpy
+       fold sorts the key's days and takes the longest run where
+       diff == 1 — each key's distinct days are bounded by the time
+       span, never by row count;
+    3. per-key streaks collapse to the (streak_len, n_keys) histogram
+       (combiner — the output is span-bounded, a few dozen rows).
+
+    Returns a Dataset (streak_len, n_keys)."""
+    from .agg import bucketed_map_groups, grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = (
+            b[ts_col]
+            .to_pandas()
+            .values.astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table({"k": b[key_col], "d": pa.array(day)})
+
+    distinct = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        ["k", "d"],
+        {"_c": (None, "count")},
+    )
+
+    def longest(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["d"].to_numpy(dtype=np.int64))
+        # run boundaries where the day gap exceeds 1
+        breaks = np.flatnonzero(np.diff(d) != 1)
+        edges = np.concatenate(([-1], breaks, [len(d) - 1]))
+        streak = int(np.max(np.diff(edges)))
+        return pd.DataFrame(
+            {"k": [g["k"].iloc[0]], "streak_len": pd.array([streak], dtype="int64")}
+        )
+
+    per_key = bucketed_map_groups(
+        distinct.select_columns(["k", "d"]), ["k"], longest
+    )
+    hist = grouped_agg(per_key, ["streak_len"], {"n_keys": (None, "count")})
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return b.astype({"streak_len": "int64", "n_keys": "int64"})
+
+    return hist.map_batches(cast, batch_format="pandas")

@@ -66,3 +66,56 @@ def grouped_comoments(ds, group_keys: list[str], x_col: str, y_col: str):
             "sum_xy": ("_xy", "sum"),
         },
     )
+
+
+def grouped_rate_ztest(
+    ds, group_col: str, flag_col: str, scale: int = 1_000_000
+) -> "pd.DataFrame":
+    """Per-group two-proportion z-test of a 0/1 flag's rate vs the
+    REST of the corpus — the slice-regression detector (is this
+    source's pass-rate significantly off?). Sqrt-free: reports the
+    SIGNED SQUARED z statistic in exact ppm (z^2 ~ chi^2(1); |z|>2
+    <=> z2_ppm > 4e6), pooled-variance form with every term an
+    integer:
+
+        z2 = (k1*n2 - k2*n1)^2 * N / (n1 * n2 * K * (N-K))
+
+    with (n1, k1) the group's trials/successes, (n2, k2) = rest,
+    N = n1+n2, K = k1+k2. Python bigints keep it exact at any scale
+    (the DuckDB oracle's HUGEINT caps at ~1.7e38 — fine to ~1e8 rows;
+    this side has no cap).
+
+    Distribution: ONE combiner aggregate collapses raw rows to
+    per-group (n, k); the close is group-cardinality-bounded driver
+    arithmetic. Degenerate corpora (K == 0 or K == N: the flag never
+    varies) emit z2_ppm = 0 for every group; a group that IS the whole
+    corpus (n2 == 0) drops out."""
+    import pandas as pd
+
+    per_g = grouped_agg(
+        ds.select_columns([group_col, flag_col]),
+        [group_col],
+        {"n": (None, "count"), "k": (flag_col, "sum")},
+    ).to_pandas()
+    N = int(per_g["n"].sum())
+    K = int(per_g["k"].sum())
+    rows = []
+    for _, r in per_g.iterrows():
+        n1, k1 = int(r["n"]), int(r["k"])
+        n2, k2 = N - n1, K - k1
+        if n2 == 0:
+            continue
+        if K == 0 or K == N:
+            z2 = 0
+        else:
+            num = k1 * n2 - k2 * n1
+            z2 = (scale * num * num * N) // (n1 * n2 * K * (N - K))
+            if num < 0:
+                z2 = -z2
+        rows.append(
+            {group_col: r[group_col], "n_docs": n1, "n_pass": k1, "z2_ppm": z2}
+        )
+    out = pd.DataFrame(rows, columns=[group_col, "n_docs", "n_pass", "z2_ppm"])
+    for c in ("n_docs", "n_pass", "z2_ppm"):
+        out[c] = out[c].astype("int64")
+    return out

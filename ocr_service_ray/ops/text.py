@@ -253,3 +253,95 @@ def normalize_text(
     t = pc.replace_substring_regex(t, r"\s+", " ")
     t = pc.utf8_trim_whitespace(t)
     return batch.append_column(out_col, t)
+
+
+def hapax_by_group(ds, group_col: str = "source", text_col: str = "text",
+                   scale: int = 1_000_000, ngram: int = 1):
+    """Per-group hapax-legomenon rate — the share of a slice's shingle
+    mass made of ``ngram``-word shingles that appear EXACTLY ONCE in
+    the whole corpus (a classic vocabulary-freshness / OCR-noise
+    signal: garbled text inflates hapaxes, boilerplate deflates them).
+    Tokens are ``\\S+`` runs (the repo's SQL-matching whitespace
+    tokenizer); shingles join ``ngram`` adjacent tokens with a single
+    space (``ngram=1`` = plain words). Small fixed vocabularies have
+    no word hapaxes at all — bump ``ngram`` until the shingle space is
+    sparse enough to discriminate.
+
+    Combiner-shaped end to end — a hapax set is vocabulary-sized, so
+    it is never collected anywhere:
+    1. each block collapses to its distinct (group, shingle) partial
+       counts; one ``grouped_agg`` merges to exact (group, shingle, c);
+    2. a second combiner folds per SHINGLE: tot = Σ c carries the
+       shingle's group along via max() — legal because a corpus-hapax
+       (tot == 1) by definition occurs in exactly one group;
+    3. hapaxes (tot == 1) collapse to per-group counts; per-group
+       shingle totals come from the same (group, shingle, c) table.
+
+    Returns a driver DataFrame (group, n_tokens, n_hapax, hapax_ppm)
+    — group-cardinality-bounded by contract. n_tokens counts SHINGLES
+    (a doc shorter than ``ngram`` words contributes none)."""
+    import re as _re
+
+    from collections import Counter
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    tok = _re.compile(r"\S+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        groups = batch[group_col].to_pylist()
+        for g, t in zip(groups, batch[text_col].to_pylist()):
+            ws = tok.findall(t or "")
+            for i in range(len(ws) - ngram + 1):
+                counts[(g, " ".join(ws[i : i + ngram]))] += 1
+        gs, ws, cs = [], [], []
+        for (g, w), c in counts.items():
+            gs.append(g)
+            ws.append(w)
+            cs.append(c)
+        return pa.table(
+            {
+                group_col: pa.array(gs, batch[group_col].type),
+                "word": pa.array(ws, pa.string()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    pairs = grouped_agg(
+        ds.select_columns([group_col, text_col]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        [group_col, "word"],
+        {"c": ("c", "sum")},
+    )
+    word_tot = grouped_agg(
+        pairs, ["word"], {"tot": ("c", "sum"), "grp": (group_col, "max")}
+    )
+    hapax = grouped_agg(
+        word_tot.map_batches(
+            lambda b: b.filter(pc.equal(b["tot"], 1)).select(["grp"]),
+            batch_format="pyarrow",
+        ),
+        ["grp"],
+        {"n_hapax": (None, "count")},
+    ).to_pandas()
+    totals = grouped_agg(pairs, [group_col], {"n_tokens": ("c", "sum")}).to_pandas()
+
+    import pandas as pd
+
+    if hapax.empty:
+        # a corpus with NO hapax shingles yields a column-less empty
+        # frame from to_pandas — rebuild the schema so the merge works
+        hapax = pd.DataFrame({"grp": pd.Series([], dtype=object),
+                              "n_hapax": pd.Series([], dtype="int64")})
+    out = totals.merge(
+        hapax.rename(columns={"grp": group_col}), on=group_col, how="left"
+    )
+    out["n_hapax"] = out["n_hapax"].fillna(0).astype("int64")
+    out = out[out["n_tokens"] > 0].copy()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["hapax_ppm"] = (
+        (scale * out["n_hapax"].astype(object)) // out["n_tokens"].astype(object)
+    ).astype("int64")
+    return out.reset_index(drop=True)

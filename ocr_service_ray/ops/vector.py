@@ -222,3 +222,56 @@ def hash_project_quantized(ds, n_out: int = 8, vec_col: str = "embedding", id_co
         [id_col],
         {f"p{j}": (f"p{j}", "sum") for j in range(n_out)},
     )
+
+
+def centroid_cosine_pairs(
+    ds, group_col: str, vec_col: str = "embedding", scale: int = 1_000_000
+) -> pd.DataFrame:
+    """Pairwise cosine similarity between per-group embedding
+    centroids, exact — the class-prototype confusion map (which
+    labels' mean embeddings point the same way) behind mixture design
+    and label-noise audits.
+
+    Exactness trick: centroid = vsum/n, and cosine is scale-invariant,
+    so cos(centroid_a, centroid_b) = cos(vsum_a, vsum_b) — the member
+    counts cancel. With micro-quantized integer element sums (the
+    ``grouped_vector_sum`` oracle contract) both the dot product and
+    the squared norms are exact bigints, and the reported value is the
+    SIGNED SQUARED cosine in ppm (sqrt-free, the same discipline as
+    lag1_autocorr):
+
+        cos2_ppm = sign(dot) * floor( scale * dot^2
+                                      / (|a|^2 * |b|^2) )
+
+    Distribution: the data-parallel part is ``grouped_vector_sum``
+    (vectors never shuffle — blocks collapse to |groups| x dim partial
+    sums); the pairwise close runs on the groups x dim driver frame
+    (small by contract). Zero-norm groups drop out."""
+    t = grouped_vector_sum(ds, group_col, vec_col, micro=True).to_pandas()
+    vecs: dict = {}
+    for g, sub in t.groupby(group_col):
+        sub = sub.sort_values("dim")
+        vecs[g] = [int(v) for v in sub["vsum"]]
+    keys = sorted(vecs)
+    rows = []
+    for i, a in enumerate(keys):
+        na = sum(v * v for v in vecs[a])
+        if na == 0:
+            continue
+        for b in keys[i + 1 :]:
+            nb = sum(v * v for v in vecs[b])
+            if nb == 0:
+                continue
+            dot = sum(x * y for x, y in zip(vecs[a], vecs[b]))
+            mag = (scale * dot * dot) // (na * nb)
+            rows.append(
+                {
+                    "group_a": a,
+                    "group_b": b,
+                    "cos2_ppm": mag if dot >= 0 else -mag,
+                }
+            )
+    out = pd.DataFrame(rows, columns=["group_a", "group_b", "cos2_ppm"])
+    if len(out):
+        out["cos2_ppm"] = out["cos2_ppm"].astype("int64")
+    return out
