@@ -3840,6 +3840,151 @@ def queries() -> dict[str, Callable[[str], Any]]:
             docs.map_batches(flag, batch_format="pyarrow"), "source", "is_long"
         )
 
+    # --------------------------------------- wave 17: stats + similarity
+
+    def q_chi2_type_weekday(sf_dir):
+        """Chi-square independence check of event type vs day-of-week
+        bucket (ops/divergence.py contingency_chi2): one combiner to
+        the |types| x 7 contingency cells, exact per-cell ppm close —
+        the seasonality-bias test. Weekday = epoch_day mod 7 (identical
+        integer convention on both engines, no calendar functions)."""
+        from ocr_service_ray.ops.divergence import contingency_chi2
+
+        ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+        def add_dow(b: pa.Table) -> pa.Table:
+            day = (
+                b["ts"].to_pandas().values.astype("datetime64[D]").astype(np.int64)
+            )
+            return pa.table(
+                {"event_type": b["event_type"], "dow": pa.array(day % 7)}
+            )
+
+        return contingency_chi2(
+            ev.map_batches(add_dow, batch_format="pyarrow"), "event_type", "dow"
+        )
+
+    def q_source_shingle_jaccard(sf_dir):
+        """Pairwise Jaccard of sources' DISTINCT trigram-shingle sets
+        (ops/similarity.py group_set_jaccard): the inter-slice
+        duplication map. Distinct pairs in one combiner, pair emission
+        per shingle after one bucketed value shuffle; disjoint source
+        pairs (none here) are omitted by contract."""
+        from collections import Counter
+
+        from ocr_service_ray.ops.similarity import group_set_jaccard
+
+        docs = _read(sf_dir, "documents", ["source", "text"])
+
+        def explode(batch: pa.Table) -> pa.Table:
+            seen = set()
+            for g, t in zip(
+                batch["source"].to_pylist(), batch["text"].to_pylist()
+            ):
+                ws = (t or "").split()
+                for i in range(len(ws) - 2):
+                    seen.add((g, " ".join(ws[i : i + 3])))
+            gs = [g for g, _ in seen]
+            sh = [w for _, w in seen]
+            return pa.table(
+                {
+                    "source": pa.array(gs, batch["source"].type),
+                    "shingle": pa.array(sh, pa.string()),
+                }
+            )
+
+        return group_set_jaccard(
+            docs.map_batches(explode, batch_format="pyarrow"), "source", "shingle"
+        )
+
+    def q_length_ks_by_source(sf_dir):
+        """Kolmogorov–Smirnov distance of each source's doc-length
+        distribution vs the corpus (ops/divergence.py
+        ks_distance_by_group): ordered-drift monitor; one combiner to
+        (source, n_chars) counts, cumulative max on the distinct-
+        value-bounded driver frame, exact single division."""
+        from ocr_service_ray.ops.divergence import ks_distance_by_group
+
+        return ks_distance_by_group(
+            _read(sf_dir, "documents", ["source", "n_chars"]), "source", "n_chars"
+        )
+
+    def q_score_decile_lift(sf_dir):
+        """Decile lift table of the quality score against the
+        long-document label: global_rank (ops/scan.py — distributed
+        sort + block-offset scan) over (quality_micro, doc_id) buckets
+        docs into exact deciles; per-decile long-doc rate closes in
+        one combiner — the model-eval lift chart."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.scan import global_rank
+        from ocr_service_ray.ops.text import quality_score
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        n_total = docs.count()
+
+        def score(b: pa.Table) -> pa.Table:
+            q = quality_score(b, "text")
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "quality_micro": q["quality_micro"],
+                    "is_long": pc.cast(
+                        pc.greater_equal(b["n_chars"], 200), pa.int64()
+                    ),
+                }
+            )
+
+        ranked = global_rank(
+            docs.map_batches(score, batch_format="pyarrow"),
+            ["quality_micro", "doc_id"],
+        )
+
+        def to_decile(b: pa.Table) -> pa.Table:
+            r = b["rank"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "decile": pa.array(r * 10 // n_total),
+                    "is_long": b["is_long"],
+                }
+            )
+
+        agg = grouped_agg(
+            ranked.map_batches(to_decile, batch_format="pyarrow"),
+            ["decile"],
+            {"n_docs": (None, "count"), "n_long": ("is_long", "sum")},
+        )
+
+        def close(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.astype({"decile": "int64", "n_docs": "int64", "n_long": "int64"})
+            b["long_rate_ppm"] = (1_000_000 * b["n_long"]) // b["n_docs"]
+            return b
+
+        return agg.map_batches(close, batch_format="pandas")
+
+    def q_event_run_lengths(sf_dir):
+        """Histogram of each user's longest same-type event run in
+        (ts, event_id) order (ops/retention.py run_length_histogram):
+        one bucketed key shuffle, numpy change-point fold per user —
+        the bot-burst / stuck-client detector."""
+        from ocr_service_ray.ops.retention import run_length_histogram
+
+        return run_length_histogram(
+            _read(sf_dir, "events", ["user_id", "event_type", "ts", "event_id"])
+        )
+
+    def q_type_user_cosine(sf_dir):
+        """Item–item cosine between event types over per-user count
+        vectors (ops/lift.py pair_count_cosine): the collaborative-
+        filtering similarity kernel, exact signed-squared ppm; raw
+        rows shuffle once, pair products emit per user."""
+        from ocr_service_ray.ops.lift import pair_count_cosine
+
+        return pair_count_cosine(
+            _read(sf_dir, "events", ["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -4021,6 +4166,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q7_trade_volume": q7_trade_volume,
         "label_centroid_cosine": q_label_centroid_cosine,
         "quality_rate_ztest": q_quality_rate_ztest,
+        "chi2_type_weekday": q_chi2_type_weekday,
+        "source_shingle_jaccard": q_source_shingle_jaccard,
+        "length_ks_by_source": q_length_ks_by_source,
+        "score_decile_lift": q_score_decile_lift,
+        "event_run_lengths": q_event_run_lengths,
+        "type_user_cosine": q_type_user_cosine,
     }
 
 
@@ -7026,5 +7177,134 @@ def oracle_sql() -> dict[str, str]:
                END AS BIGINT) AS z2_ppm
         FROM g, tot t
         WHERE t.nn - g.n > 0
+    """
+    oracles["chi2_type_weekday"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) % 7 AS dow
+          FROM events),
+        c AS (SELECT event_type, dow, CAST(count(*) AS HUGEINT) AS o
+              FROM p GROUP BY 1, 2),
+        r AS (SELECT event_type, sum(o) AS rr FROM c GROUP BY 1),
+        v AS (SELECT dow, sum(o) AS cc FROM c GROUP BY 1),
+        t AS (SELECT sum(o) AS n FROM c),
+        cell AS (SELECT r.event_type, r.rr, v.cc, t.n, COALESCE(c.o, 0) AS o
+                 FROM r CROSS JOIN v CROSS JOIN t
+                 LEFT JOIN c ON c.event_type = r.event_type AND c.dow = v.dow)
+        SELECT event_type, CAST(rr AS BIGINT) AS n_rows,
+               CAST(sum((1000000 * (o * n - rr * cc) * (o * n - rr * cc))
+                        // (n * rr * cc)) AS BIGINT) AS chi2_ppm
+        FROM cell GROUP BY event_type, rr
+    """
+    oracles["source_shingle_jaccard"] = r"""
+        WITH d AS MATERIALIZED (
+          SELECT source, regexp_extract_all(text, '\S+') AS s FROM documents),
+        w AS MATERIALIZED (
+          SELECT DISTINCT source,
+                 s[i] || ' ' || s[i + 1] || ' ' || s[i + 2] AS shingle
+          FROM d, unnest(generate_series(1, len(s) - 2)) AS g(i)),
+        sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        inter AS (SELECT a.source AS group_a, b.source AS group_b,
+                         CAST(count(*) AS BIGINT) AS n_inter
+                  FROM w a JOIN w b ON a.shingle = b.shingle
+                                   AND a.source < b.source
+                  GROUP BY 1, 2)
+        SELECT i.group_a, i.group_b, i.n_inter,
+               CAST((1000000 * i.n_inter) // (sa.n + sb.n - i.n_inter)
+                    AS BIGINT) AS jac_ppm
+        FROM inter i
+        JOIN sz sa ON sa.source = i.group_a
+        JOIN sz sb ON sb.source = i.group_b
+    """
+    oracles["length_ks_by_source"] = """
+        WITH c AS MATERIALIZED (
+          SELECT source, n_chars AS v, CAST(count(*) AS HUGEINT) AS c
+          FROM documents GROUP BY 1, 2),
+        vals AS (SELECT DISTINCT v FROM c),
+        g AS (SELECT source, sum(c) AS ng FROM c GROUP BY 1),
+        t AS (SELECT sum(c) AS n FROM c),
+        grid AS (SELECT g.source, g.ng, vals.v, COALESCE(c.c, 0) AS c
+                 FROM g CROSS JOIN vals
+                 LEFT JOIN c ON c.source = g.source AND c.v = vals.v),
+        cum AS (SELECT source, ng, v,
+                       sum(c) OVER (PARTITION BY source ORDER BY v) AS cumg
+                FROM grid),
+        ca AS (SELECT v, sum(c) AS cv FROM c GROUP BY 1),
+        cumall AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cuma FROM ca),
+        j AS (SELECT cum.source, cum.ng, t.n,
+                     abs(cum.cumg * t.n - cum.ng * ca2.cuma) AS num
+              FROM cum JOIN cumall ca2 ON ca2.v = cum.v CROSS JOIN t)
+        SELECT source, CAST(ng AS BIGINT) AS n_rows,
+               CAST((1000000 * max(num)) // (ng * n) AS BIGINT) AS ks_ppm
+        FROM j GROUP BY source, ng, n
+    """
+    oracles["score_decile_lift"] = r"""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, n_chars,
+                 length(regexp_extract_all(text, '\S+')) AS n_words,
+                 length(text) AS n_chars_utf,
+                 length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                 length(regexp_extract_all(text, '\b(the|a|to|of|and|in|is)\b'))
+                   AS n_stop
+          FROM documents),
+        q AS (SELECT doc_id, n_chars,
+                     CAST(floor((
+                       0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                       + 0.25 * (1.0 - least(CAST(n_punct AS DOUBLE)
+                                 / greatest(n_chars_utf, 1) * 10.0, 1.0))
+                       + 0.25 * (CAST(n_stop AS DOUBLE) / greatest(n_words, 1))
+                     ) * 1000000.0 + 0.5) AS BIGINT) AS qm
+              FROM t),
+        r AS (SELECT doc_id, n_chars, qm,
+                     row_number() OVER (ORDER BY qm, doc_id) - 1 AS rk,
+                     count(*) OVER () AS n
+              FROM q),
+        d AS (SELECT (rk * 10) // n AS decile,
+                     CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS is_long
+              FROM r)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(is_long) AS BIGINT) AS n_long,
+               CAST((1000000 * sum(is_long)) // count(*) AS BIGINT)
+                 AS long_rate_ppm
+        FROM d GROUP BY 1
+    """
+    oracles["event_run_lengths"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 CASE WHEN lag(event_type) OVER (PARTITION BY user_id
+                                                 ORDER BY ts, event_id)
+                           IS DISTINCT FROM event_type
+                      THEN 1 ELSE 0 END AS chg
+          FROM events),
+        i AS (SELECT user_id, rn,
+                     sum(chg) OVER (PARTITION BY user_id ORDER BY rn) AS isl
+              FROM o),
+        r AS (SELECT user_id, count(*) AS run FROM i GROUP BY user_id, isl),
+        s AS (SELECT user_id, max(run) AS mx FROM r GROUP BY 1)
+        SELECT CAST(mx AS BIGINT) AS run_len,
+               CAST(count(*) AS BIGINT) AS n_keys
+        FROM s GROUP BY 1
+    """
+    oracles["type_user_cosine"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type, user_id, CAST(count(*) AS HUGEINT) AS c
+          FROM events GROUP BY 1, 2),
+        d AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+                     sum(a.c * b.c) AS dot,
+                     CAST(count(*) AS BIGINT) AS n_members_both
+              FROM p a JOIN p b ON a.user_id = b.user_id
+                               AND a.event_type < b.event_type
+              GROUP BY 1, 2),
+        n AS (SELECT event_type, sum(c * c) AS n2 FROM p GROUP BY 1)
+        SELECT d.item_a, d.item_b, d.n_members_both,
+               CAST((1000000 * d.dot * d.dot) // (na.n2 * nb.n2) AS BIGINT)
+                 AS cos2_ppm
+        FROM d
+        JOIN n na ON na.event_type = d.item_a
+        JOIN n nb ON nb.event_type = d.item_b
     """
     return oracles

@@ -40,12 +40,12 @@ def tv_distance_by_group(
     counts = grouped_agg(
         ds.select_columns([group_col, value_col]),
         [group_col, value_col],
-        {"c": (None, "count")},
+        {"_cnt": (None, "count")},
     ).to_pandas()
     if counts.empty:
         return pd.DataFrame({group_col: [], "n_rows": [], "tv_ppm": []})
     pivot = counts.pivot_table(
-        index=group_col, columns=value_col, values="c", aggfunc="sum", fill_value=0
+        index=group_col, columns=value_col, values="_cnt", aggfunc="sum", fill_value=0
     )
     cell = [[int(v) for v in row] for row in pivot.to_numpy()]
     col_tot = [sum(col) for col in zip(*cell)]
@@ -91,11 +91,11 @@ def grouped_gini(ds, group_col: str, member_col: str, scale: int = 1_000_000):
     pair = grouped_agg(
         ds.select_columns([group_col, member_col]),
         [group_col, member_col],
-        {"c": (None, "count")},
+        {"_cnt": (None, "count")},
     )
 
     def close(g: pd.DataFrame) -> pd.DataFrame:
-        c = sorted(int(v) for v in g["c"])
+        c = sorted(int(v) for v in g["_cnt"])
         n = len(c)
         s0 = sum(c)
         s1 = sum((i + 1) * v for i, v in enumerate(c))
@@ -112,7 +112,7 @@ def grouped_gini(ds, group_col: str, member_col: str, scale: int = 1_000_000):
         )
 
     return bucketed_map_groups(
-        pair.select_columns([group_col, "c"]), [group_col], close
+        pair.select_columns([group_col, "_cnt"]), [group_col], close
     )
 
 
@@ -135,18 +135,18 @@ def grouped_hhi(ds, group_col: str, member_col: str, scale: int = 1_000_000):
     pair = grouped_agg(
         ds.select_columns([group_col, member_col]),
         [group_col, member_col],
-        {"c": (None, "count")},
+        {"_cnt": (None, "count")},
     )
 
     def square(b: pa.Table) -> pa.Table:
-        return b.append_column("c2", pc.multiply(b["c"], b["c"]))
+        return b.append_column("_cnt2", pc.multiply(b["_cnt"], b["_cnt"]))
 
     per_g = grouped_agg(
         pair.map_batches(square, batch_format="pyarrow"),
         [group_col],
         {
-            "sum_c2": ("c2", "sum"),
-            "n_rows": ("c", "sum"),
+            "sum_c2": ("_cnt2", "sum"),
+            "n_rows": ("_cnt", "sum"),
             "n_members": (None, "count"),
         },
     )
@@ -166,3 +166,107 @@ def grouped_hhi(ds, group_col: str, member_col: str, scale: int = 1_000_000):
         )
 
     return per_g.map_batches(close, batch_format="pandas")
+
+
+def contingency_chi2(ds, row_col: str, col_col: str, scale: int = 1_000_000):
+    """Chi-square contingency statistic of two categorical columns,
+    reported per row-category in exact ppm — the independence test
+    behind seasonality / slice-bias checks (is event mix independent
+    of weekday?). Per-cell term with the single-division discipline:
+
+        cell_ppm(r, c) = floor( scale * (o*N - R_r*C_c)^2
+                                / (N * R_r * C_c) )
+        chi2_ppm(r)    = Σ_c cell_ppm(r, c)
+
+    (the per-cell floor is mirrored verbatim in the oracle, so the sum
+    of floors — not the floor of the sum — is the contract; absent
+    cells contribute with o = 0). Σ_r chi2_ppm / scale ~ the classic
+    X² against chi2((R-1)(C-1)).
+
+    Distribution: ONE combiner aggregate to (row, col) cell counts;
+    the close runs on the |rows| x |cols| driver frame (category-
+    vocabulary bounded). Returns a DataFrame
+    (row_col, n_rows, chi2_ppm)."""
+    counts = grouped_agg(
+        ds.select_columns([row_col, col_col]),
+        [row_col, col_col],
+        {"_cnt": (None, "count")},
+    ).to_pandas()
+    if counts.empty:
+        return pd.DataFrame({row_col: [], "n_rows": [], "chi2_ppm": []})
+    pivot = counts.pivot_table(
+        index=row_col, columns=col_col, values="_cnt", aggfunc="sum", fill_value=0
+    )
+    cell = [[int(v) for v in row] for row in pivot.to_numpy()]
+    col_tot = [sum(col) for col in zip(*cell)]
+    total = sum(col_tot)
+    rows = []
+    for gi, gname in enumerate(pivot.index):
+        rr = sum(cell[gi])
+        chi = sum(
+            (scale * (cell[gi][vi] * total - rr * col_tot[vi]) ** 2)
+            // (total * rr * col_tot[vi])
+            for vi in range(len(col_tot))
+            if col_tot[vi] > 0
+        )
+        rows.append({row_col: gname, "n_rows": rr, "chi2_ppm": chi})
+    return pd.DataFrame(rows).astype({"n_rows": "int64", "chi2_ppm": "int64"})
+
+
+def ks_distance_by_group(
+    ds, group_col: str, value_col: str, scale: int = 1_000_000
+):
+    """Kolmogorov–Smirnov distance of each group's ORDERED value
+    distribution vs the corpus, in exact ppm — the drift monitor for
+    numeric columns (TV distance ignores order; KS respects it):
+
+        ks_ppm(g) = floor( scale * max_v |F_g(v)*N_g*N - F(v)*N_g*N|
+                           / (N_g * N) )
+                  = floor( scale * max_v |cum_g(v)*N - N_g*cum(v)|
+                           / (N_g * N) )
+
+    The maximized numerator is exact integer; one division closes.
+
+    Distribution: one combiner aggregate to (group, value) counts;
+    the cumulative scan + max runs on the |groups| x |distinct values|
+    driver frame — DISTINCT-VALUE bounded by contract (lengths,
+    scores, bucketed metrics; not for unbounded-cardinality columns).
+    Returns a DataFrame (group, n_rows, ks_ppm)."""
+    counts = grouped_agg(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col],
+        {"_cnt": (None, "count")},
+    ).to_pandas()
+    if counts.empty:
+        return pd.DataFrame({group_col: [], "n_rows": [], "ks_ppm": []})
+    pivot = (
+        counts.pivot_table(
+            index=group_col,
+            columns=value_col,
+            values="_cnt",
+            aggfunc="sum",
+            fill_value=0,
+        )
+        .sort_index(axis=1)
+    )
+    cell = [[int(v) for v in row] for row in pivot.to_numpy()]
+    col_tot = [sum(col) for col in zip(*cell)]
+    total = sum(col_tot)
+    rows = []
+    for gi, gname in enumerate(pivot.index):
+        ng = sum(cell[gi])
+        cum_g = 0
+        cum_all = 0
+        best = 0
+        for vi in range(len(col_tot)):
+            cum_g += cell[gi][vi]
+            cum_all += col_tot[vi]
+            best = max(best, abs(cum_g * total - ng * cum_all))
+        rows.append(
+            {
+                group_col: gname,
+                "n_rows": ng,
+                "ks_ppm": (scale * best) // (ng * total),
+            }
+        )
+    return pd.DataFrame(rows).astype({"n_rows": "int64", "ks_ppm": "int64"})

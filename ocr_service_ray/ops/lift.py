@@ -89,3 +89,83 @@ def pair_lift(ds, basket_col: str, item_col: str) -> pd.DataFrame:
         {"n_pair": "int64", "n_a": "int64", "n_b": "int64",
          "n_baskets": "int64", "lift_ppm": "int64"}
     )
+
+
+def pair_count_cosine(
+    ds, item_col: str, member_col: str, scale: int = 1_000_000
+) -> pd.DataFrame:
+    """Item–item cosine similarity over per-member count vectors —
+    the collaborative-filtering co-occurrence kernel (two event types
+    are similar when the same members do both, weighted by how much).
+    Exact and sqrt-free: with integer count vectors c_a, c_b over the
+    member axis, report the SIGNED SQUARED cosine in ppm (counts are
+    non-negative, so the sign is always +; kept for interface parity
+    with centroid_cosine_pairs):
+
+        cos2_ppm = floor( scale * (Σ_m c_a(m) c_b(m))^2
+                          / (Σ c_a^2 * Σ c_b^2) )
+
+    Distribution: one combiner collapses raw rows to (item, member)
+    counts; ONE bucketed shuffle on the member then emits, per member,
+    its items' pairwise products (|items-per-member| is category-
+    bounded) plus squares; a final combiner sums dot products and
+    norms. Raw rows shuffle once; the close is |item-pairs| driver
+    arithmetic in Python bigints.
+
+    Returns a DataFrame (item_a, item_b, n_members_both, cos2_ppm)
+    for pairs with at least one co-active member."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+    pair = grouped_agg(
+        ds.select_columns([item_col, member_col]),
+        [item_col, member_col],
+        {"c": (None, "count")},
+    )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        items = g[item_col].tolist()
+        cs = [int(v) for v in g["c"]]
+        order = sorted(range(len(items)), key=lambda i: items[i])
+        a_col, b_col, prod, both = [], [], [], []
+        for x, y in combinations(order, 2):
+            a_col.append(items[x])
+            b_col.append(items[y])
+            prod.append(cs[x] * cs[y])
+            both.append(1)
+        # per-item squares ride along as self-pairs (item, item)
+        for i in order:
+            a_col.append(items[i])
+            b_col.append(items[i])
+            prod.append(cs[i] * cs[i])
+            both.append(1)
+        return pd.DataFrame(
+            {"item_a": a_col, "item_b": b_col, "prod": prod, "both": both}
+        )
+
+    sums = grouped_agg(
+        bucketed_map_groups(
+            pair.select_columns([member_col, item_col, "c"]),
+            [member_col],
+            emit,
+        ),
+        ["item_a", "item_b"],
+        {"dot": ("prod", "sum"), "n_members_both": ("both", "sum")},
+    ).to_pandas()
+    norms = {
+        r["item_a"]: int(r["dot"])
+        for _, r in sums[sums["item_a"] == sums["item_b"]].iterrows()
+    }
+    cross = sums[sums["item_a"] != sums["item_b"]].copy()
+    cos = [
+        (scale * int(d) * int(d)) // (norms[a] * norms[b])
+        for a, b, d in zip(cross["item_a"], cross["item_b"], cross["dot"])
+    ]
+    out = pd.DataFrame(
+        {
+            "item_a": cross["item_a"].to_numpy(),
+            "item_b": cross["item_b"].to_numpy(),
+            "n_members_both": cross["n_members_both"].astype("int64").to_numpy(),
+            "cos2_ppm": pd.array(cos, dtype="int64"),
+        }
+    )
+    return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)

@@ -287,3 +287,50 @@ def streak_histogram(ds, key_col: str = "user_id", ts_col: str = "ts"):
         return b.astype({"streak_len": "int64", "n_keys": "int64"})
 
     return hist.map_batches(cast, batch_format="pandas")
+
+
+def run_length_histogram(
+    ds,
+    key_col: str = "user_id",
+    value_col: str = "event_type",
+    ts_col: str = "ts",
+    tiebreak_col: str = "event_id",
+):
+    """Histogram of each key's LONGEST run of consecutive equal values
+    in event order — the behavioral-repetition signal (bot bursts,
+    stuck clients repeat one action; organic traffic alternates).
+    Order within a key is (ts, tiebreak) — deterministic even with
+    equal timestamps, matching a SQL ``row_number() OVER (PARTITION BY
+    key ORDER BY ts, tiebreak)`` oracle exactly.
+
+    One bucketed key shuffle (raw event rows move once); the in-group
+    fold is a vectorized numpy change-point scan; the per-key maxima
+    collapse to a span-bounded (run_len, n_keys) histogram in a final
+    combiner.
+
+    Returns a Dataset (run_len, n_keys)."""
+    from .agg import bucketed_map_groups, grouped_agg
+
+    def longest_run(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        v = g[value_col].to_numpy()
+        if len(v) == 0:
+            return None
+        change = np.flatnonzero(v[1:] != v[:-1])
+        edges = np.concatenate(([-1], change, [len(v) - 1]))
+        run = int(np.max(np.diff(edges)))
+        return pd.DataFrame(
+            {"k": [g[key_col].iloc[0]], "run_len": pd.array([run], dtype="int64")}
+        )
+
+    per_key = bucketed_map_groups(
+        ds.select_columns([key_col, value_col, ts_col, tiebreak_col]),
+        [key_col],
+        longest_run,
+    )
+    hist = grouped_agg(per_key, ["run_len"], {"n_keys": (None, "count")})
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return b.astype({"run_len": "int64", "n_keys": "int64"})
+
+    return hist.map_batches(cast, batch_format="pandas")

@@ -372,3 +372,74 @@ def multi_knn_lsh(
 
     scored = ds.map_batches(score, batch_format="pyarrow")
     return grouped_topk(scored, ["query_id"], ["cos_sim", id_col], k, [True, False])
+
+
+def group_set_jaccard(ds, group_col: str, value_col: str, scale: int = 1_000_000):
+    """Pairwise Jaccard similarity between groups' DISTINCT value sets
+    — the inter-slice duplication map (how much of source A's shingle
+    vocabulary source B shares). Exact ppm:
+
+        jac_ppm(a, b) = floor( scale * |S_a ∩ S_b|
+                               / (|S_a| + |S_b| - |S_a ∩ S_b|) )
+
+    Distribution (no pairwise set materialization anywhere):
+    1. one combiner collapses rows to DISTINCT (group, value) pairs;
+    2. per-group set sizes fall out of the same table (combiner);
+    3. ONE bucketed shuffle on the VALUE emits, per value, every
+       group pair sharing it (|groups per value| is group-cardinality
+       bounded); a final combiner counts pairs = intersections.
+
+    Returns a driver DataFrame (group_a, group_b, n_inter, jac_ppm),
+    one row per UNORDERED pair with non-empty intersection (disjoint
+    pairs are omitted — document at the call site).
+    """
+    from itertools import combinations
+
+    import pandas as pd
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+    distinct = grouped_agg(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col],
+        {"_c": (None, "count")},
+    )
+    sizes = (
+        grouped_agg(
+            distinct.select_columns([group_col]),
+            [group_col],
+            {"n": (None, "count")},
+        )
+        .to_pandas()
+        .set_index(group_col)["n"]
+        .to_dict()
+    )
+
+    def emit(g: pd.DataFrame) -> pd.DataFrame:
+        groups = sorted(g[group_col].tolist())
+        if len(groups) < 2:
+            return None
+        a_col, b_col = [], []
+        for x, y in combinations(groups, 2):
+            a_col.append(x)
+            b_col.append(y)
+        return pd.DataFrame({"group_a": a_col, "group_b": b_col})
+
+    inter = grouped_agg(
+        bucketed_map_groups(
+            distinct.select_columns([value_col, group_col]), [value_col], emit
+        ),
+        ["group_a", "group_b"],
+        {"n_inter": (None, "count")},
+    ).to_pandas()
+    if inter.empty:
+        return pd.DataFrame(
+            {"group_a": [], "group_b": [], "n_inter": [], "jac_ppm": []}
+        )
+    jac = [
+        (scale * int(ni)) // (int(sizes[a]) + int(sizes[b]) - int(ni))
+        for a, b, ni in zip(inter["group_a"], inter["group_b"], inter["n_inter"])
+    ]
+    inter["n_inter"] = inter["n_inter"].astype("int64")
+    inter["jac_ppm"] = pd.array(jac, dtype="int64")
+    return inter.sort_values(["group_a", "group_b"]).reset_index(drop=True)
