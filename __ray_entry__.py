@@ -3985,6 +3985,192 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "user_id",
         )
 
+    # --------------------------------- wave 18: concentration + ML eval
+
+    def q_burstiness_fano(sf_dir):
+        """Per-type Fano factor (variance/mean) of daily event counts
+        on the dense grid (ops/trend.py fano_grid): the burstiness
+        monitor — Poisson-like ingestion scores ~1e6 ppm, batchy
+        sources score above. One combiner shuffle; integer moments."""
+        from ocr_service_ray.ops.trend import fano_grid
+
+        return fano_grid(_read(sf_dir, "events", ["event_type", "ts"]), "event_type")
+
+    def q_type_top_decile_share(sf_dir):
+        """Share of each event type's volume owned by its top 10% of
+        users (ops/divergence.py top_share_by_group): the Lorenz-curve
+        point behind whale-domination checks; top-k sum is tie-
+        permutation invariant so both engines agree exactly."""
+        from ocr_service_ray.ops.divergence import top_share_by_group
+
+        return top_share_by_group(
+            _read(sf_dir, "events", ["event_type", "user_id"]),
+            "event_type",
+            "user_id",
+            top_pct=10,
+        )
+
+    def q_quality_auc(sf_dir):
+        """Exact AUC of the quality score against the long-document
+        label via the rank formula over the (quality_micro, doc_id)
+        global sort (ops/scan.py global_rank — ties broken by doc_id
+        identically on both engines):
+
+            AUC = (sum of positives' 1-based ranks - P(P+1)/2) / (P*N)
+
+        One distributed sort + one combiner aggregate; the close is a
+        single-row bigint division."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.scan import global_rank
+        from ocr_service_ray.ops.text import quality_score
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+        def score(b: pa.Table) -> pa.Table:
+            q = quality_score(b, "text")
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "quality_micro": q["quality_micro"],
+                    "is_long": pc.cast(
+                        pc.greater_equal(b["n_chars"], 200), pa.int64()
+                    ),
+                }
+            )
+
+        ranked = global_rank(
+            docs.map_batches(score, batch_format="pyarrow"),
+            ["quality_micro", "doc_id"],
+        )
+
+        def one_based(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "is_long": b["is_long"],
+                    "r1": pc.add(b["rank"], 1),
+                }
+            )
+
+        per_label = grouped_agg(
+            ranked.map_batches(one_based, batch_format="pyarrow"),
+            ["is_long"],
+            {"n": (None, "count"), "rank_sum": ("r1", "sum")},
+        ).to_pandas().set_index("is_long")
+
+        p = int(per_label.loc[1, "n"]) if 1 in per_label.index else 0
+        n_neg = int(per_label.loc[0, "n"]) if 0 in per_label.index else 0
+        if p == 0 or n_neg == 0:
+            auc = 0
+        else:
+            rs = int(per_label.loc[1, "rank_sum"])
+            auc = (1_000_000 * (rs - p * (p + 1) // 2)) // (p * n_neg)
+        return pd.DataFrame(
+            {
+                "n_pos": pd.array([p], dtype="int64"),
+                "n_neg": pd.array([n_neg], dtype="int64"),
+                "auc_ppm": pd.array([auc], dtype="int64"),
+            }
+        )
+
+    def q_reorder_gap_quantiles(sf_dir):
+        """Exact p25/p50/p75 of per-customer consecutive order-date
+        gaps, by market segment: consecutive_gaps (ops/retention.py —
+        one bucketed key shuffle + numpy diff) feeds a broadcast
+        custkey→segment map, then grouped_quantiles (ops/sketch.py)
+        closes combiner-style — the repurchase-cadence report."""
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.relational import broadcast_join
+        from ocr_service_ray.ops.retention import consecutive_gaps
+        from ocr_service_ray.ops.sketch import grouped_quantiles
+
+        gaps = consecutive_gaps(
+            _read(sf_dir, "orders", ["o_custkey", "o_orderdate"]),
+            "o_custkey",
+            "o_orderdate",
+        )
+        seg = _pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ).to_pandas()
+
+        def rename(b: pa.Table) -> pa.Table:
+            return b.select(["c_mktsegment", "gap"])
+
+        # broadcast_join matches on the shared key name — align first
+        def widen(b: pd.DataFrame) -> pd.DataFrame:
+            return b.rename(columns={"o_custkey": "c_custkey"})
+
+        joined = broadcast_join(
+            gaps.map_batches(widen, batch_format="pandas"), seg, on="c_custkey"
+        ).map_batches(rename, batch_format="pyarrow")
+        return grouped_quantiles(
+            joined, ["c_mktsegment"], "gap", [0.25, 0.5, 0.75]
+        )
+
+    def q_systematic_sample_orders(sf_dir):
+        """Deterministic systematic 1-in-100 sample along the orderkey
+        order (ops/scan.py global_rank): rank % 100 == 0 keeps rows,
+        a combiner folds the sample to per-status counts + cents —
+        the layout-independent audit sample."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.scan import global_rank
+
+        od = _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        )
+        ranked = global_rank(od, ["o_orderkey"])
+
+        def keep(b: pa.Table) -> pa.Table:
+            r = b["rank"].to_numpy(zero_copy_only=False)
+            b = b.filter(pa.array(r % 100 == 0))
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"o_orderstatus": b["o_orderstatus"], "cents": pa.array(cents)}
+            )
+
+        return grouped_agg(
+            ranked.map_batches(keep, batch_format="pyarrow"),
+            ["o_orderstatus"],
+            {"n_rows": (None, "count"), "sample_cents": ("cents", "sum")},
+        )
+
+    def q_weighted_price_quantiles(sf_dir):
+        """Quantity-WEIGHTED price quantiles per return flag
+        (ops/sketch.py grouped_weighted_quantiles): quantile_disc over
+        the weight-expanded multiset without expanding it — rational
+        rank thresholds keep both engines integer-exact."""
+        from ocr_service_ray.ops.sketch import grouped_weighted_quantiles
+
+        li = _read(
+            sf_dir, "lineitem", ["l_returnflag", "l_extendedprice", "l_quantity"]
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            w = (
+                b["l_quantity"].to_numpy(zero_copy_only=False).astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "cents": pa.array(cents),
+                    "w": pa.array(w),
+                }
+            )
+
+        return grouped_weighted_quantiles(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["l_returnflag"],
+            "cents",
+            "w",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -4172,6 +4358,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "score_decile_lift": q_score_decile_lift,
         "event_run_lengths": q_event_run_lengths,
         "type_user_cosine": q_type_user_cosine,
+        "burstiness_fano": q_burstiness_fano,
+        "type_top_decile_share": q_type_top_decile_share,
+        "quality_auc": q_quality_auc,
+        "reorder_gap_quantiles": q_reorder_gap_quantiles,
+        "systematic_sample_orders": q_systematic_sample_orders,
+        "weighted_price_quantiles": q_weighted_price_quantiles,
     }
 
 
@@ -7306,5 +7498,137 @@ def oracle_sql() -> dict[str, str]:
         FROM d
         JOIN n na ON na.event_type = d.item_a
         JOIN n nb ON nb.event_type = d.item_b
+    """
+    oracles["burstiness_fano"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d
+          FROM events),
+        span AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+        keys AS (SELECT DISTINCT event_type FROM p),
+        grid AS (SELECT k.event_type, k.d,
+                        CAST(count(p.event_type) AS HUGEINT) AS n
+                 FROM (SELECT k.event_type, gg.d
+                       FROM keys k, span s,
+                            unnest(generate_series(s.lo, s.hi)) AS gg(d)) k
+                 LEFT JOIN p ON p.event_type = k.event_type AND p.d = k.d
+                 GROUP BY 1, 2),
+        m AS (SELECT event_type, CAST(count(*) AS HUGEINT) AS nd,
+                     sum(n) AS sx, sum(n * n) AS sxx
+              FROM grid GROUP BY 1)
+        SELECT event_type, CAST(nd AS BIGINT) AS n_days,
+               CAST(sx AS BIGINT) AS n_rows,
+               CAST((1000000 * (nd * sxx - sx * sx)) // (nd * sx) AS BIGINT)
+                 AS fano_ppm
+        FROM m
+    """
+    oracles["type_top_decile_share"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type, user_id, CAST(count(*) AS HUGEINT) AS c
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT event_type, c,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY c DESC) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS nm
+              FROM p)
+        SELECT event_type,
+               CAST(max(nm) AS BIGINT) AS n_members,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST((1000000 * sum(CASE WHEN rn <= (nm * 10 + 99) // 100
+                                        THEN c ELSE 0 END)) // sum(c)
+                    AS BIGINT) AS top_share_ppm
+        FROM r GROUP BY 1
+    """
+    oracles["quality_auc"] = r"""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, n_chars,
+                 length(regexp_extract_all(text, '\S+')) AS n_words,
+                 length(text) AS n_chars_utf,
+                 length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                 length(regexp_extract_all(text, '\b(the|a|to|of|and|in|is)\b'))
+                   AS n_stop
+          FROM documents),
+        q AS (SELECT doc_id, n_chars,
+                     CAST(floor((
+                       0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                       + 0.25 * (1.0 - least(CAST(n_punct AS DOUBLE)
+                                 / greatest(n_chars_utf, 1) * 10.0, 1.0))
+                       + 0.25 * (CAST(n_stop AS DOUBLE) / greatest(n_words, 1))
+                     ) * 1000000.0 + 0.5) AS BIGINT) AS qm
+              FROM t),
+        r AS (SELECT n_chars,
+                     CAST(row_number() OVER (ORDER BY qm, doc_id) AS HUGEINT)
+                       AS r1
+              FROM q),
+        m AS (SELECT CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                          AS HUGEINT) AS p,
+                     CAST(sum(CASE WHEN n_chars >= 200 THEN 0 ELSE 1 END)
+                          AS HUGEINT) AS nn,
+                     sum(CASE WHEN n_chars >= 200 THEN r1 ELSE 0 END) AS rs
+              FROM r)
+        SELECT CAST(p AS BIGINT) AS n_pos, CAST(nn AS BIGINT) AS n_neg,
+               CAST(CASE WHEN p = 0 OR nn = 0 THEN 0
+                         ELSE (1000000 * (rs - (p * (p + 1)) // 2)) // (p * nn)
+                    END AS BIGINT) AS auc_ppm
+        FROM m
+    """
+    oracles["reorder_gap_quantiles"] = """
+        WITH g AS MATERIALIZED (
+          SELECT o_custkey,
+                 lead(CAST(date_diff('day', DATE '1970-01-01',
+                                     CAST(o_orderdate AS DATE)) AS BIGINT))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate)
+                 - CAST(date_diff('day', DATE '1970-01-01',
+                                  CAST(o_orderdate AS DATE)) AS BIGINT) AS gap
+          FROM orders),
+        j AS MATERIALIZED (
+          SELECT c.c_mktsegment, g.gap
+          FROM g JOIN customer c ON c.c_custkey = g.o_custkey
+          WHERE g.gap IS NOT NULL)
+        SELECT c_mktsegment, CAST(25 AS BIGINT) AS q_pct,
+               CAST(quantile_disc(gap, 0.25) AS BIGINT) AS value
+        FROM j GROUP BY 1
+        UNION ALL
+        SELECT c_mktsegment, CAST(50 AS BIGINT),
+               CAST(quantile_disc(gap, 0.5) AS BIGINT)
+        FROM j GROUP BY 1
+        UNION ALL
+        SELECT c_mktsegment, CAST(75 AS BIGINT),
+               CAST(quantile_disc(gap, 0.75) AS BIGINT)
+        FROM j GROUP BY 1
+    """
+    oracles["systematic_sample_orders"] = """
+        WITH r AS (SELECT o_orderstatus, o_totalprice,
+                          row_number() OVER (ORDER BY o_orderkey) - 1 AS rk
+                   FROM orders)
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS sample_cents
+        FROM r WHERE rk % 100 = 0 GROUP BY 1
+    """
+    oracles["weighted_price_quantiles"] = """
+        WITH c AS MATERIALIZED (
+          SELECT l_returnflag,
+                 CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                 CAST(l_quantity AS BIGINT) AS w
+          FROM lineitem),
+        tw AS (SELECT l_returnflag, CAST(sum(w) AS HUGEINT) AS tw
+               FROM c GROUP BY 1),
+        cum AS (SELECT l_returnflag, cents,
+                       sum(w) OVER (PARTITION BY l_returnflag
+                                    ORDER BY cents) AS cw
+                FROM c),
+        qq AS (SELECT * FROM (VALUES (1, 4), (1, 2), (3, 4)) AS q(num, den)),
+        sel AS (SELECT w.l_returnflag, qq.num, qq.den, min(cum.cents) AS v
+                FROM tw w
+                JOIN cum ON cum.l_returnflag = w.l_returnflag
+                CROSS JOIN qq
+                WHERE cum.cw >= greatest(
+                        (qq.num * w.tw + qq.den - 1) // qq.den, 1)
+                GROUP BY 1, 2, 3)
+        SELECT l_returnflag, CAST((100 * num) // den AS BIGINT) AS q_pct,
+               CAST(v AS BIGINT) AS value
+        FROM sel
     """
     return oracles

@@ -270,3 +270,56 @@ def ks_distance_by_group(
             }
         )
     return pd.DataFrame(rows).astype({"n_rows": "int64", "ks_ppm": "int64"})
+
+
+def top_share_by_group(
+    ds,
+    group_col: str,
+    member_col: str,
+    top_pct: int = 10,
+    scale: int = 1_000_000,
+):
+    """Share of each group's activity owned by its top ``top_pct``
+    percent of members, exact ppm — the Lorenz-curve point behind
+    "the top 10% of users generate X% of events" (complements Gini,
+    which integrates the whole curve):
+
+        k          = ceil(n_members * top_pct / 100)
+        share_ppm  = floor( scale * sum(top-k counts) / sum(counts) )
+
+    The top-k SUM is permutation-invariant under count ties (tied
+    members are interchangeable), so no tie-break column is needed —
+    both engines agree whatever order ties land in.
+
+    Distribution: one combiner to (group, member) counts, one
+    bucketed key shuffle, a numpy partial-sort fold per group — raw
+    rows never shuffle twice, no group's counts reach the driver.
+    Returns a Dataset (group, n_members, n_rows, top_share_ppm)."""
+    from .agg import bucketed_map_groups
+
+    pair = grouped_agg(
+        ds.select_columns([group_col, member_col]),
+        [group_col, member_col],
+        {"_cnt": (None, "count")},
+    )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        c = sorted((int(v) for v in g["_cnt"]), reverse=True)
+        n = len(c)
+        k = (n * top_pct + 99) // 100
+        total = sum(c)
+        top = sum(c[:k])
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n_members": pd.array([n], dtype="int64"),
+                "n_rows": pd.array([total], dtype="int64"),
+                "top_share_ppm": pd.array(
+                    [(scale * top) // total], dtype="int64"
+                ),
+            }
+        )
+
+    return bucketed_map_groups(
+        pair.select_columns([group_col, "_cnt"]), [group_col], close
+    )

@@ -334,3 +334,46 @@ def run_length_histogram(
         return b.astype({"run_len": "int64", "n_keys": "int64"})
 
     return hist.map_batches(cast, batch_format="pandas")
+
+
+def consecutive_gaps(ds, key_col: str, ts_col: str = "ts"):
+    """Per-key consecutive-event gaps in whole days — one (key, gap)
+    row per adjacent pair of the key's DATE-sorted events (the
+    reorder-interval / return-visit signal). The gap MULTISET is
+    invariant under same-day tie order (sorted dates diff the same
+    whatever permutation ties take), so no tie-break column is needed
+    and a SQL ``lead() OVER (ORDER BY date)`` oracle matches exactly.
+
+    One bucketed key shuffle; the in-group fold is a numpy diff.
+    Keys with a single event emit nothing.
+
+    Returns a Dataset (key, gap) with gap in integer days."""
+    from .agg import bucketed_map_groups
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = (
+            b[ts_col]
+            .to_pandas()
+            .values.astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table({key_col: b[key_col], "d": pa.array(day)})
+
+    def gaps(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["d"].to_numpy(dtype=np.int64))
+        if len(d) < 2:
+            return None
+        return pd.DataFrame(
+            {
+                key_col: np.repeat(g[key_col].iloc[0], len(d) - 1),
+                "gap": pd.array(np.diff(d), dtype="int64"),
+            }
+        )
+
+    return bucketed_map_groups(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        [key_col],
+        gaps,
+    )

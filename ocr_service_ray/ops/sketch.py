@@ -488,3 +488,64 @@ def first_digit_counts(ds, col: str) -> pd.DataFrame:
     counts = counts.sort_values("digit", kind="stable").reset_index(drop=True)
     counts["share_ppm"] = counts["n"].to_numpy(dtype=np.int64) * 1_000_000 // total
     return counts.astype({"digit": "int64", "n": "int64", "share_ppm": "int64"})
+
+
+def grouped_weighted_quantiles(
+    ds,
+    group_keys: list[str],
+    col: str,
+    weight_col: str,
+    qs: list[tuple[int, int]] = ((1, 4), (1, 2), (3, 4)),
+):
+    """EXACT per-group WEIGHTED discrete quantiles — ``quantile_disc``
+    over the multiset where each row is repeated ``weight`` times,
+    without ever expanding it. Quantiles are RATIONAL (num, den)
+    pairs so the rank threshold is pure integer arithmetic on both
+    engines (no float q*W):
+
+        W        = sum of weights in the group
+        t(q)     = max( ceil(num*W / den), 1 )
+        value(q) = smallest v with cumweight(v) >= t(q)
+
+    (cumweight(v) = total weight of rows with value <= v; for integer
+    weights this equals quantile_disc on the expanded multiset.)
+
+    Combiner-shaped like ``grouped_quantiles``: a (group, value)
+    weight-sum aggregate collapses raw rows before the shuffle; one
+    bucketed fold walks each group's <= |distinct values| rows.
+    NULL values or weights drop (SQL aggregate semantics); zero or
+    negative weights are the caller's contract violation.
+    Output: group_keys + (q_pct, value) rows, q_pct = 100*num//den."""
+    import pyarrow.compute as pc
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+    def clean(b):
+        return b.filter(
+            pc.and_(pc.is_valid(b[col]), pc.is_valid(b[weight_col]))
+        )
+
+    vc = grouped_agg(
+        ds.map_batches(clean, batch_format="pyarrow"),
+        group_keys + [col],
+        {"_w": (weight_col, "sum")},
+    )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(col)
+        cum = g["_w"].cumsum().to_numpy()
+        total = int(cum[-1])
+        out = {k: [] for k in group_keys}
+        pcts, vals = [], []
+        for num, den in qs:
+            t = max((num * total + den - 1) // den, 1)
+            idx = int(np.searchsorted(cum, t, side="left"))
+            for k in group_keys:
+                out[k].append(g[k].iloc[0])
+            pcts.append(100 * num // den)
+            vals.append(g[col].iloc[idx])
+        out["q_pct"] = pcts
+        out["value"] = vals
+        return pd.DataFrame(out)
+
+    return bucketed_map_groups(vc, group_keys, fold)

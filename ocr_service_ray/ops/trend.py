@@ -265,3 +265,44 @@ def lag1_autocorr(
     if not rows:
         return pd.DataFrame({key_col: [], "n_pairs": [], "acorr2_ppm": []})
     return pd.DataFrame(rows).astype({"n_pairs": "int64", "acorr2_ppm": "int64"})
+
+
+def fano_grid(ds, key_col: str, ts_col: str = "ts", scale: int = 1_000_000):
+    """Per-key burstiness (Fano factor — variance-to-mean ratio) of
+    DAILY counts on the dense zero-filled grid, exact ppm (1e6 =
+    Poisson-like, above = bursty, below = regular):
+
+        F = var_pop / mean = (n*Sxx - Sx^2) / (n * Sx)
+        fano_ppm = floor( scale * (n*Sxx - Sx^2) / (n * Sx) )
+
+    with n = grid days, Sx / Sxx the count sums — all integers, one
+    closing floor division (numerator >= 0 by Cauchy–Schwarz).
+
+    Distribution: raw rows shuffle once inside ``dense_grid_counts``'s
+    combiner; the moment fold runs on the |keys| x |days| driver grid
+    (vocabulary x calendar bounded). Every emitted key has Sx > 0 (a
+    key exists only with >= 1 event).
+
+    Returns a DataFrame (key, n_days, n_rows, fano_ppm)."""
+    from .grid import dense_grid_counts
+
+    grid = dense_grid_counts(ds, key_col, ts_col, freq="day")
+    if grid.empty:
+        return pd.DataFrame({key_col: [], "n_days": [], "n_rows": [], "fano_ppm": []})
+    rows = []
+    for key, g in grid.groupby(key_col, sort=False):
+        x = [int(v) for v in g["n"]]
+        n = len(x)
+        sx = sum(x)
+        sxx = sum(v * v for v in x)
+        rows.append(
+            {
+                key_col: key,
+                "n_days": n,
+                "n_rows": sx,
+                "fano_ppm": (scale * (n * sxx - sx * sx)) // (n * sx),
+            }
+        )
+    return pd.DataFrame(rows).astype(
+        {"n_days": "int64", "n_rows": "int64", "fano_ppm": "int64"}
+    )
