@@ -4171,6 +4171,174 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "w",
         )
 
+    # ------------------------------ wave 19: exact sim-join + growth
+
+    def q_jaccard_pair_join(sf_dir):
+        """Exact PPJoin-style set-similarity self-join (ops/
+        similarity.py jaccard_pair_join): every doc pair with trigram
+        Jaccard >= 0.5, via prefix filtering under the global (df,
+        shingle) token order + exact verification — the zero-false-
+        negative complement to MinHash-LSH dedup."""
+        from ocr_service_ray.ops.similarity import jaccard_pair_join
+
+        return jaccard_pair_join(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            ngram=3,
+            threshold_ppm=500_000,
+        )
+
+    def q_growth_accounting(sf_dir):
+        """Daily new / retained / resurrected user decomposition
+        (ops/retention.py growth_accounting): distinct actives in one
+        combiner, per-user numpy classification after one bucketed key
+        shuffle — the DAU growth-accounting report."""
+        from ocr_service_ray.ops.retention import growth_accounting
+
+        return growth_accounting(_read(sf_dir, "events", ["user_id", "ts"]))
+
+    def q_above_priority_avg(sf_dir):
+        """Orders strictly above their priority class's average price,
+        WITHOUT floats: the average compare cross-multiplies
+        (cents * n > sum_cents), so one combiner computes per-priority
+        (sum, n), the tiny map broadcasts back, and a second combiner
+        counts — the correlated-subquery shape made exact."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"o_orderpriority": b["o_orderpriority"], "cents": pa.array(cents)}
+            )
+
+        cents_ds = od.map_batches(to_cents, batch_format="pyarrow")
+        stats = (
+            grouped_agg(
+                cents_ds,
+                ["o_orderpriority"],
+                {"sum_cents": ("cents", "sum"), "n": (None, "count")},
+            )
+            .to_pandas()
+            .set_index("o_orderpriority")
+        )
+        sums = {k: int(v) for k, v in stats["sum_cents"].items()}
+        ns = {k: int(v) for k, v in stats["n"].items()}
+
+        def flag(b: pd.DataFrame) -> pd.DataFrame:
+            s = b["o_orderpriority"].map(sums).to_numpy(dtype=np.int64)
+            n = b["o_orderpriority"].map(ns).to_numpy(dtype=np.int64)
+            above = (b["cents"].to_numpy(dtype=np.int64) * n > s).astype(
+                np.int64
+            )
+            return pd.DataFrame(
+                {"o_orderpriority": b["o_orderpriority"], "above": above}
+            )
+
+        return grouped_agg(
+            cents_ds.map_batches(flag, batch_format="pandas"),
+            ["o_orderpriority"],
+            {"n_total": (None, "count"), "n_above": ("above", "sum")},
+        )
+
+    def q_rrf_prune_candidates(sf_dir):
+        """Reciprocal-rank-fusion of two ascending rankings (quality
+        score, doc length) into a prune-candidate top-10: two
+        global_rank sorts share the doc_id spine via a hash join,
+        per-rank terms are floor(1e6/(60+r)) — integer-exact RRF —
+        and a combiner top-k closes. Ties break on doc_id on both
+        engines."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.relational import hash_join, topk
+        from ocr_service_ray.ops.scan import global_rank
+        from ocr_service_ray.ops.text import quality_score
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+        def score(b: pa.Table) -> pa.Table:
+            q = quality_score(b, "text")
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "quality_micro": q["quality_micro"],
+                    "n_chars": b["n_chars"],
+                }
+            )
+
+        scored = docs.map_batches(score, batch_format="pyarrow")
+        r1 = global_rank(
+            scored.select_columns(["doc_id", "quality_micro"]),
+            ["quality_micro", "doc_id"],
+        ).map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "r1": pc.add(b["rank"], 1)}),
+            batch_format="pyarrow",
+        )
+        r2 = global_rank(
+            scored.select_columns(["doc_id", "n_chars"]),
+            ["n_chars", "doc_id"],
+        ).map_batches(
+            lambda b: pa.table({"doc_id": b["doc_id"], "r2": pc.add(b["rank"], 1)}),
+            batch_format="pyarrow",
+        )
+        both = hash_join(r1.repartition(4), r2.repartition(4), on="doc_id")
+
+        def fuse(b: pd.DataFrame) -> pd.DataFrame:
+            s = (1_000_000 // (60 + b["r1"].to_numpy(dtype=np.int64))) + (
+                1_000_000 // (60 + b["r2"].to_numpy(dtype=np.int64))
+            )
+            return pd.DataFrame(
+                {"doc_id": b["doc_id"], "rrf_milli": s.astype(np.int64)}
+            )
+
+        fused = both.map_batches(fuse, batch_format="pandas")
+        return topk(fused, ["rrf_milli", "doc_id"], 10, [True, False])
+
+    def q_order_width_histogram(sf_dir):
+        """Histogram of lineitems-per-order INCLUDING empty orders:
+        per-order counts in one combiner, a left join onto the orders
+        spine zero-fills absentees, a second combiner folds the
+        histogram — the fill-rate report."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import hash_join
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey"])
+        counts = grouped_agg(li, ["l_orderkey"], {"n_items": (None, "count")})
+        spine = _read(sf_dir, "orders", ["o_orderkey"])
+        # counts keys are l_orderkey — align names for the join
+        aligned = counts.map_batches(
+            lambda b: b.rename_columns(
+                ["o_orderkey" if c == "l_orderkey" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            spine, aligned.repartition(4), on="o_orderkey", join_type="left_outer"
+        )
+
+        def fill(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {"n_items": b["n_items"].fillna(0).astype("int64")}
+            )
+
+        out = grouped_agg(
+            joined.map_batches(fill, batch_format="pandas"),
+            ["n_items"],
+            {"n_orders": (None, "count")},
+        )
+        return out.map_batches(
+            lambda b: b.astype({"n_items": "int64", "n_orders": "int64"}),
+            batch_format="pandas",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -4364,6 +4532,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reorder_gap_quantiles": q_reorder_gap_quantiles,
         "systematic_sample_orders": q_systematic_sample_orders,
         "weighted_price_quantiles": q_weighted_price_quantiles,
+        "jaccard_pair_join": q_jaccard_pair_join,
+        "growth_accounting": q_growth_accounting,
+        "above_priority_avg": q_above_priority_avg,
+        "rrf_prune_candidates": q_rrf_prune_candidates,
+        "order_width_histogram": q_order_width_histogram,
     }
 
 
@@ -7630,5 +7803,94 @@ def oracle_sql() -> dict[str, str]:
         SELECT l_returnflag, CAST((100 * num) // den AS BIGINT) AS q_pct,
                CAST(v AS BIGINT) AS value
         FROM sel
+    """
+    oracles["jaccard_pair_join"] = r"""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS s FROM documents),
+        w AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 s[i] || ' ' || s[i + 1] || ' ' || s[i + 2] AS sh
+          FROM d, unnest(generate_series(1, len(s) - 2)) AS g(i)),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(count(*) AS BIGINT) AS n_inter
+                  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        j AS (SELECT i.id_a, i.id_b, i.n_inter,
+                     CAST((1000000 * i.n_inter) // (sa.n + sb.n - i.n_inter)
+                          AS BIGINT) AS jac_ppm
+              FROM inter i
+              JOIN sz sa ON sa.doc_id = i.id_a
+              JOIN sz sb ON sb.doc_id = i.id_b)
+        SELECT * FROM j WHERE jac_ppm >= 500000
+    """
+    oracles["growth_accounting"] = """
+        WITH du AS MATERIALIZED (
+          SELECT DISTINCT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d
+          FROM events),
+        c AS (SELECT user_id, d,
+                     CASE
+                       WHEN lag(d) OVER (PARTITION BY user_id ORDER BY d)
+                            IS NULL THEN 'new'
+                       WHEN d - lag(d) OVER (PARTITION BY user_id ORDER BY d)
+                            = 1 THEN 'retained'
+                       ELSE 'resurrected'
+                     END AS category
+              FROM du)
+        SELECT d AS day, category, CAST(count(*) AS BIGINT) AS n_keys
+        FROM c GROUP BY 1, 2
+    """
+    oracles["above_priority_avg"] = """
+        WITH c AS MATERIALIZED (
+          SELECT o_orderpriority,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders),
+        s AS (SELECT o_orderpriority, CAST(sum(cents) AS HUGEINT) AS sc,
+                     CAST(count(*) AS HUGEINT) AS n
+              FROM c GROUP BY 1)
+        SELECT c.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN c.cents * s.n > s.sc THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above
+        FROM c JOIN s ON s.o_orderpriority = c.o_orderpriority
+        GROUP BY 1
+    """
+    oracles["rrf_prune_candidates"] = r"""
+        WITH t AS MATERIALIZED (
+          SELECT doc_id, n_chars,
+                 length(regexp_extract_all(text, '\S+')) AS n_words,
+                 length(text) AS n_chars_utf,
+                 length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                 length(regexp_extract_all(text, '\b(the|a|to|of|and|in|is)\b'))
+                   AS n_stop
+          FROM documents),
+        q AS (SELECT doc_id, n_chars,
+                     CAST(floor((
+                       0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                       + 0.25 * (1.0 - least(CAST(n_punct AS DOUBLE)
+                                 / greatest(n_chars_utf, 1) * 10.0, 1.0))
+                       + 0.25 * (CAST(n_stop AS DOUBLE) / greatest(n_words, 1))
+                     ) * 1000000.0 + 0.5) AS BIGINT) AS qm
+              FROM t),
+        r AS (SELECT doc_id,
+                     row_number() OVER (ORDER BY qm, doc_id) AS r1,
+                     row_number() OVER (ORDER BY n_chars, doc_id) AS r2
+              FROM q)
+        SELECT doc_id,
+               CAST(1000000 // (60 + r1) + 1000000 // (60 + r2) AS BIGINT)
+                 AS rrf_milli
+        FROM r
+        ORDER BY rrf_milli DESC, doc_id ASC
+        LIMIT 10
+    """
+    oracles["order_width_histogram"] = """
+        WITH c AS (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1),
+        f AS (SELECT COALESCE(c.n, 0) AS n_items
+              FROM orders o LEFT JOIN c ON c.l_orderkey = o.o_orderkey)
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM f GROUP BY 1
     """
     return oracles

@@ -86,6 +86,12 @@ BENCH_QUERIES = [
     "revenue_by_nation",
     "latest_user_event",
     "multi_knn_batch",
+    # round-3 session-5 wave: the 6-table star join, value-keyed pair
+    # emission, multi-exchange set ops, bucketed sequence folds
+    "q7_trade_volume",
+    "source_shingle_jaccard",
+    "daily_user_jaccard",
+    "event_run_lengths",
 ]
 
 

@@ -377,3 +377,59 @@ def consecutive_gaps(ds, key_col: str, ts_col: str = "ts"):
         [key_col],
         gaps,
     )
+
+
+def growth_accounting(ds, key_col: str = "user_id", ts_col: str = "ts"):
+    """Daily growth accounting — each active (key, day) classified as
+
+        new          first day the key was ever seen
+        retained     also active the previous day
+        resurrected  seen before, but not the previous day
+
+    (the standard DAU decomposition product analytics closes with;
+    churn falls out as yesterday's actives minus today's retained).
+
+    One combiner collapses raw rows to DISTINCT (key, day) actives;
+    one bucketed key shuffle; the per-key numpy fold classifies its
+    sorted days (first → new, diff == 1 → retained, else resurrected);
+    a final combiner folds to the span-bounded (day, category, n_keys)
+    report. Raw rows never shuffle twice.
+
+    Returns a Dataset (day, category, n_keys); day is epoch-days."""
+    from .agg import bucketed_map_groups, grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        day = (
+            b[ts_col]
+            .to_pandas()
+            .values.astype("datetime64[D]")
+            .astype(np.int64)
+        )
+        return pa.table({"k": b[key_col], "d": pa.array(day)})
+
+    distinct = grouped_agg(
+        ds.select_columns([key_col, ts_col]).map_batches(
+            prep, batch_format="pyarrow"
+        ),
+        ["k", "d"],
+        {"_c": (None, "count")},
+    )
+
+    def classify(g: pd.DataFrame) -> pd.DataFrame:
+        d = np.sort(g["d"].to_numpy(dtype=np.int64))
+        cat = np.empty(len(d), dtype=object)
+        cat[0] = "new"
+        if len(d) > 1:
+            gaps = np.diff(d)
+            cat[1:] = np.where(gaps == 1, "retained", "resurrected")
+        return pd.DataFrame({"day": d, "category": cat})
+
+    per_day = bucketed_map_groups(
+        distinct.select_columns(["k", "d"]), ["k"], classify
+    )
+    out = grouped_agg(per_day, ["day", "category"], {"n_keys": (None, "count")})
+
+    def cast(b: pd.DataFrame) -> pd.DataFrame:
+        return b.astype({"day": "int64", "n_keys": "int64"})
+
+    return out.map_batches(cast, batch_format="pandas")

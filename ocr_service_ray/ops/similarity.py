@@ -443,3 +443,199 @@ def group_set_jaccard(ds, group_col: str, value_col: str, scale: int = 1_000_000
     inter["n_inter"] = inter["n_inter"].astype("int64")
     inter["jac_ppm"] = pd.array(jac, dtype="int64")
     return inter.sort_values(["group_a", "group_b"]).reset_index(drop=True)
+
+
+def jaccard_pair_join(
+    ds,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    ngram: int = 3,
+    threshold_ppm: int = 500_000,
+):
+    """EXACT set-similarity self-join — every unordered document pair
+    whose ``ngram``-shingle Jaccard meets the threshold, found with
+    PPJoin-style PREFIX FILTERING (Xiao et al., WWW'08) instead of an
+    all-pairs product: under a common global token order, two sets
+    with J >= t MUST share a token among their first
+    ``|S| - ceil(t*|S|) + 1`` tokens, so only prefix-token postings
+    generate candidates; every candidate is then verified exactly.
+    This is the exact complement to MinHash-LSH dedup (ops/dedup.py):
+    no false negatives, no probabilistic tuning.
+
+    Distributed shape (nothing corpus-sized on the driver):
+    1. distinct (id, shingle) pairs (combiner);
+    2. shingle document-frequency (combiner) hash-joined back — the
+       canonical order is (df, shingle), rarest first, so prefixes hit
+       the emptiest postings;
+    3. a bucketed per-ID fold sorts the doc's tokens and emits only
+       its PREFIX rows; set size + the full sorted set (one
+       US-separated string column — list columns don't survive the
+       acero join) materialize per doc once;
+    4. a bucketed per-SHINGLE fold emits candidate pairs from each
+       prefix posting (posting lengths are prefix-pruned); a combiner
+       dedups pairs;
+    5. two hash joins attach both docs' set strings; a vectorized
+       verify computes exact intersection and filters on
+
+           jac_ppm = floor(1e6 * |A∩B| / (|A|+|B|-|A∩B|)) >= threshold
+
+    Returns a Dataset (id_a, id_b, n_inter, jac_ppm). Documents with
+    fewer than ``ngram`` tokens have empty sets and never pair.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+    from ocr_service_ray.ops.relational import hash_join
+
+    SEP = "\x1f"
+
+    def explode(batch: pa.Table) -> pa.Table:
+        seen = set()
+        for key, t in zip(
+            batch[id_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            ws = (t or "").split()
+            for i in range(len(ws) - ngram + 1):
+                seen.add((key, " ".join(ws[i : i + ngram])))
+        ids = [k for k, _ in seen]
+        sh = [w for _, w in seen]
+        return pa.table(
+            {
+                id_col: pa.array(ids, batch[id_col].type),
+                "shingle": pa.array(sh, pa.string()),
+            }
+        )
+
+    pairs = grouped_agg(
+        ds.select_columns([id_col, text_col]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        [id_col, "shingle"],
+        {"_c": (None, "count")},
+    )
+    df = grouped_agg(
+        pairs.select_columns(["shingle"]), ["shingle"], {"df": (None, "count")}
+    )
+    with_df = hash_join(
+        pairs.select_columns([id_col, "shingle"]), df, on="shingle"
+    )
+
+    def prefix_and_set(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["df", "shingle"], kind="mergesort")
+        toks = g["shingle"].tolist()
+        s = len(toks)
+        L = s - (threshold_ppm * s + 999_999) // 1_000_000 + 1
+        key = g[id_col].iloc[0]
+        return pd.DataFrame(
+            {
+                "shingle": toks[:L],
+                id_col: [key] * L,
+                "set_str": [SEP.join(toks)] * L,
+                "set_size": pd.array([s] * L, dtype="int64"),
+                "is_head": [1] + [0] * (L - 1),
+            }
+        )
+
+    # materialize the two fan-out points: `prefixed` feeds both the
+    # candidate branch and the doc-set branch, and `doc_sets` feeds
+    # BOTH verification sides — left lazy, Ray 2.49's planner re-executes
+    # the shared chain per consumer and the combined DAG stalls (repo
+    # landmine: shared lazy subplans). Blocks live in the object store
+    # (spillable), nothing lands on the driver.
+    prefixed = bucketed_map_groups(with_df, [id_col], prefix_and_set).materialize()
+    doc_sets = prefixed.map_batches(
+        lambda b: b.filter(pc.equal(b["is_head"], 1)).select(
+            [id_col, "set_str"]
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    def emit_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        ids = sorted(g[id_col].tolist())
+        if len(ids) < 2:
+            return None
+        a_col, b_col = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a_col.append(ids[i])
+                b_col.append(ids[j])
+        return pd.DataFrame({"id_a": a_col, "id_b": b_col})
+
+    # materialize: candidate pairs are prefix-pruned small; the count
+    # below must not re-execute the plan, and a FULLY-empty dataset
+    # loses its schema through acero joins even after repartition
+    # (repo landmine) — short-circuit instead
+    cand = (
+        grouped_agg(
+            bucketed_map_groups(
+                prefixed.select_columns(["shingle", id_col]),
+                ["shingle"],
+                emit_pairs,
+            ),
+            ["id_a", "id_b"],
+            {"_n": (None, "count")},
+        )
+        .drop_columns(["_n"])
+        .materialize()
+    )
+    if cand.count() == 0:
+        import ray.data as rd
+
+        return rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "n_inter": pa.array([], pa.int64()),
+                    "jac_ppm": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    def rn(frm: str, to: str):
+        def f(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [to if c == frm else c for c in b.column_names]
+            )
+
+        return f
+
+    side_a = doc_sets.map_batches(rn(id_col, "id_a"), batch_format="pyarrow")
+    side_a = side_a.map_batches(rn("set_str", "set_a"), batch_format="pyarrow")
+    side_b = doc_sets.map_batches(rn(id_col, "id_b"), batch_format="pyarrow")
+    side_b = side_b.map_batches(rn("set_str", "set_b"), batch_format="pyarrow")
+    # repartition: bucketed folds emit schema-less empty blocks that
+    # the acero join rejects (repo landmine)
+    joined = hash_join(
+        hash_join(cand.repartition(4), side_a.repartition(4), on="id_a")
+        .repartition(4),  # chained joins need a real exchange between
+        side_b.repartition(4),
+        on="id_b",
+    )
+
+    def verify(b: pd.DataFrame) -> pd.DataFrame:
+        out_a, out_b, inter, jac = [], [], [], []
+        for a, bb, sa, sb in zip(
+            b["id_a"], b["id_b"], b["set_a"], b["set_b"]
+        ):
+            s1 = set(sa.split(SEP))
+            s2 = set(sb.split(SEP))
+            ni = len(s1 & s2)
+            union = len(s1) + len(s2) - ni
+            jp = (1_000_000 * ni) // union
+            if jp >= threshold_ppm:
+                out_a.append(a)
+                out_b.append(bb)
+                inter.append(ni)
+                jac.append(jp)
+        return pd.DataFrame(
+            {
+                "id_a": pd.array(out_a, dtype="int64"),
+                "id_b": pd.array(out_b, dtype="int64"),
+                "n_inter": pd.array(inter, dtype="int64"),
+                "jac_ppm": pd.array(jac, dtype="int64"),
+            }
+        )
+
+    return joined.map_batches(verify, batch_format="pandas")
