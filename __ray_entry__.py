@@ -4339,6 +4339,65 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    # ---------------------------- wave 20: co-movement + coverage
+
+    def q_rolling_type_correlation(sf_dir):
+        """Rolling 7-day windowed correlation between the view and
+        purchase daily count series (ops/trend.py rolling_window_corr):
+        exact signed-squared ppm per day over the shared dense grid —
+        the demand co-movement monitor."""
+        from ocr_service_ray.ops.trend import rolling_window_corr
+
+        return rolling_window_corr(
+            _read(sf_dir, "events", ["event_type", "ts"]),
+            "event_type",
+            "view",
+            "purchase",
+        )
+
+    def q_seasonal_outlier_days(sf_dir):
+        """Days >10% above their type's same-weekday average
+        (ops/trend.py seasonal_outliers, factor 11/10): the
+        seasonality-adjusted spike list; weekday = epoch_day mod 7 and
+        the average compare cross-multiplies — all integer."""
+        from ocr_service_ray.ops.trend import seasonal_outliers
+
+        return seasonal_outliers(
+            _read(sf_dir, "events", ["event_type", "ts"]),
+            "event_type",
+            factor_num=11,
+            factor_den=10,
+        )
+
+    def q_oov_rate_by_source(sf_dir):
+        """Per-source out-of-vocabulary token rate against the corpus
+        top-20 vocabulary (ops/text.py oov_rate_by_group): (count
+        DESC, word ASC) picks the same boundary words on both engines;
+        three combiner passes over (source, word) counts — the
+        tokenizer-coverage monitor."""
+        from ocr_service_ray.ops.text import oov_rate_by_group
+
+        return oov_rate_by_group(
+            _read(sf_dir, "documents", ["source", "text"]),
+            "source",
+            "text",
+            vocab_k=20,
+        )
+
+    def q_conversion_lag_quantiles(sf_dir):
+        """Exact p25/p50/p75 of first-view→first-purchase lag in
+        seconds (ops/retention.py first_conversion_lags + ops/
+        sketch.py value_counts_quantiles): one bucketed key shuffle of
+        just the two event types, per-user vectorized minima, then the
+        value-count quantile fold — the time-to-convert report."""
+        from ocr_service_ray.ops.retention import first_conversion_lags
+        from ocr_service_ray.ops.sketch import value_counts_quantiles
+
+        lags = first_conversion_lags(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+        )
+        return value_counts_quantiles(lags, "lag_sec", [0.25, 0.5, 0.75])
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -4537,6 +4596,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "above_priority_avg": q_above_priority_avg,
         "rrf_prune_candidates": q_rrf_prune_candidates,
         "order_width_histogram": q_order_width_histogram,
+        "rolling_type_correlation": q_rolling_type_correlation,
+        "seasonal_outlier_days": q_seasonal_outlier_days,
+        "oov_rate_by_source": q_oov_rate_by_source,
+        "conversion_lag_quantiles": q_conversion_lag_quantiles,
     }
 
 
@@ -7892,5 +7955,107 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(n_items AS BIGINT) AS n_items,
                CAST(count(*) AS BIGINT) AS n_orders
         FROM f GROUP BY 1
+    """
+    oracles["rolling_type_correlation"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        span AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+        keys AS (SELECT DISTINCT event_type FROM p),
+        grid AS (SELECT k.event_type, k.d, count(p.event_type) AS n
+                 FROM (SELECT k.event_type, gg.d
+                       FROM keys k, span s,
+                            unnest(generate_series(s.lo, s.hi)) AS gg(d)) k
+                 LEFT JOIN p ON p.event_type = k.event_type AND p.d = k.d
+                 GROUP BY 1, 2),
+        g2 AS MATERIALIZED (
+          SELECT d,
+                 CAST(max(CASE WHEN event_type = 'view' THEN n END)
+                      AS HUGEINT) AS x,
+                 CAST(max(CASE WHEN event_type = 'purchase' THEN n END)
+                      AS HUGEINT) AS y
+          FROM grid GROUP BY 1),
+        win AS (SELECT a.d, a.x AS xa, a.y AS ya,
+                       CAST(count(*) AS HUGEINT) AS n,
+                       sum(b.x) AS sx, sum(b.y) AS sy,
+                       sum(b.x * b.x) AS sxx, sum(b.y * b.y) AS syy,
+                       sum(b.x * b.y) AS sxy
+                FROM g2 a JOIN g2 b ON b.d BETWEEN a.d - 6 AND a.d
+                GROUP BY a.d, a.x, a.y)
+        SELECT d AS day, CAST(xa AS BIGINT) AS n_a, CAST(ya AS BIGINT) AS n_b,
+               CAST(CASE
+                 WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+                 WHEN n * sxy - sx * sy >= 0
+                 THEN (1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 ELSE -((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                        // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+               END AS BIGINT) AS rcorr2_ppm
+        FROM win
+    """
+    oracles["seasonal_outlier_days"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d
+          FROM events),
+        span AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+        keys AS (SELECT DISTINCT event_type FROM p),
+        grid AS MATERIALIZED (
+          SELECT k.event_type, k.d, count(p.event_type) AS n
+          FROM (SELECT k.event_type, gg.d
+                FROM keys k, span s,
+                     unnest(generate_series(s.lo, s.hi)) AS gg(d)) k
+          LEFT JOIN p ON p.event_type = k.event_type AND p.d = k.d
+          GROUP BY 1, 2),
+        dw AS (SELECT event_type, d % 7 AS dow,
+                      CAST(count(*) AS BIGINT) AS nd,
+                      CAST(sum(n) AS BIGINT) AS tot
+               FROM grid GROUP BY 1, 2)
+        SELECT g.event_type, CAST(g.d AS BIGINT) AS day,
+               CAST(g.n AS BIGINT) AS n,
+               dw.nd AS dow_days, dw.tot AS dow_total
+        FROM grid g
+        JOIN dw ON dw.event_type = g.event_type AND dw.dow = g.d % 7
+        WHERE g.n * dw.nd * 10 > 11 * dw.tot
+    """
+    oracles["oov_rate_by_source"] = r"""
+        WITH w AS MATERIALIZED (
+          SELECT source, unnest(regexp_extract_all(text, '\S+')) AS word
+          FROM documents),
+        p AS MATERIALIZED (
+          SELECT source, word, CAST(count(*) AS BIGINT) AS c
+          FROM w GROUP BY 1, 2),
+        t AS (SELECT word, sum(c) AS tot FROM p GROUP BY 1),
+        v AS (SELECT word FROM t ORDER BY tot DESC, word ASC LIMIT 20),
+        o AS (SELECT p.source, sum(p.c) AS n_tokens,
+                     sum(CASE WHEN p.word IN (SELECT word FROM v)
+                              THEN 0 ELSE p.c END) AS n_oov
+              FROM p GROUP BY 1)
+        SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(n_oov AS BIGINT) AS n_oov,
+               CAST((1000000 * n_oov) // n_tokens AS BIGINT) AS oov_ppm
+        FROM o WHERE n_tokens > 0
+    """
+    oracles["conversion_lag_quantiles"] = """
+        WITH v AS MATERIALIZED (
+          SELECT user_id, min(ts) AS vt FROM events
+          WHERE event_type = 'view' GROUP BY 1),
+        pp AS (SELECT e.user_id, min(e.ts) AS pt
+               FROM events e JOIN v ON v.user_id = e.user_id
+               WHERE e.event_type = 'purchase' AND e.ts >= v.vt
+               GROUP BY 1),
+        l AS (SELECT (epoch_us(pp.pt) - epoch_us(v.vt)) // 1000000 AS lag
+              FROM v JOIN pp ON pp.user_id = v.user_id)
+        SELECT CAST(25 AS BIGINT) AS q_pct,
+               CAST(quantile_disc(lag, 0.25) AS BIGINT) AS value FROM l
+        UNION ALL
+        SELECT CAST(50 AS BIGINT), CAST(quantile_disc(lag, 0.5) AS BIGINT)
+        FROM l
+        UNION ALL
+        SELECT CAST(75 AS BIGINT), CAST(quantile_disc(lag, 0.75) AS BIGINT)
+        FROM l
     """
     return oracles

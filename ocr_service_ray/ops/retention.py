@@ -433,3 +433,57 @@ def growth_accounting(ds, key_col: str = "user_id", ts_col: str = "ts"):
         return b.astype({"day": "int64", "n_keys": "int64"})
 
     return out.map_batches(cast, batch_format="pandas")
+
+
+def first_conversion_lags(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    from_val: str = "view",
+    to_val: str = "purchase",
+):
+    """Per-key lag in WHOLE SECONDS from the key's first ``from_val``
+    event to its first ``to_val`` event at-or-after it — the
+    time-to-convert signal funnels quantile over. Keys without a
+    ``from_val`` event, or without a qualifying ``to_val``, emit
+    nothing (SQL inner-join semantics).
+
+    One bucketed key shuffle of the two relevant event types only
+    (filter pushes into the scan side); the per-key fold is two
+    vectorized minima. Returns a Dataset (key, lag_sec)."""
+    import pyarrow.compute as pc
+
+    from .agg import bucketed_map_groups
+
+    def keep(b: pa.Table) -> pa.Table:
+        return b.filter(
+            pc.or_(
+                pc.equal(b[type_col], from_val), pc.equal(b[type_col], to_val)
+            )
+        )
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        ts = g[ts_col].to_numpy()
+        is_from = (g[type_col] == from_val).to_numpy()
+        if not is_from.any():
+            return None
+        vt = ts[is_from].min()
+        after = ts[(~is_from) & (ts >= vt)]
+        if len(after) == 0:
+            return None
+        lag = (after.min() - vt).astype("timedelta64[s]").astype(np.int64)
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "lag_sec": pd.array([int(lag)], dtype="int64"),
+            }
+        )
+
+    return bucketed_map_groups(
+        ds.select_columns([key_col, ts_col, type_col]).map_batches(
+            keep, batch_format="pyarrow"
+        ),
+        [key_col],
+        fold,
+    )

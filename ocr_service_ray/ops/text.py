@@ -345,3 +345,92 @@ def hapax_by_group(ds, group_col: str = "source", text_col: str = "text",
         (scale * out["n_hapax"].astype(object)) // out["n_tokens"].astype(object)
     ).astype("int64")
     return out.reset_index(drop=True)
+
+
+def oov_rate_by_group(
+    ds,
+    group_col: str = "source",
+    text_col: str = "text",
+    vocab_k: int = 10_000,
+    scale: int = 1_000_000,
+):
+    """Per-group out-of-vocabulary token rate against the corpus'
+    top-``vocab_k`` vocabulary — the tokenizer-coverage / noise
+    monitor (a slice full of OOV tokens will fragment into garbage
+    subwords). The vocabulary is the top-k words by (count DESC, word
+    ASC) — the deterministic tie-break makes both engines pick the
+    same boundary words.
+
+    Distribution: one combiner collapses blocks to (group, word)
+    counts; the global word ranking folds from those SAME rows
+    (second combiner), the top-k set broadcasts driver-side
+    (vocab-bounded by construction), and the per-group OOV fold is a
+    third combiner over the (group, word) counts — raw rows shuffle
+    once. Returns a DataFrame (group, n_tokens, n_oov, oov_ppm)."""
+    import re as _re
+
+    from collections import Counter
+
+    import pandas as pd
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    tok = _re.compile(r"\S+")
+
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for g, t in zip(
+            batch[group_col].to_pylist(), batch[text_col].to_pylist()
+        ):
+            for w in tok.findall(t or ""):
+                counts[(g, w)] += 1
+        gs = [g for g, _ in counts]
+        ws = [w for _, w in counts]
+        cs = [counts[k] for k in counts]
+        return pa.table(
+            {
+                group_col: pa.array(gs, batch[group_col].type),
+                "word": pa.array(ws, pa.string()),
+                "c": pa.array(cs, pa.int64()),
+            }
+        )
+
+    pairs = grouped_agg(
+        ds.select_columns([group_col, text_col]).map_batches(
+            explode, batch_format="pyarrow"
+        ),
+        [group_col, "word"],
+        {"c": ("c", "sum")},
+    ).materialize()
+    word_tot = (
+        grouped_agg(pairs, ["word"], {"tot": ("c", "sum")})
+        .to_pandas()
+        .sort_values(["tot", "word"], ascending=[False, True], kind="mergesort")
+    )
+    vocab = set(word_tot["word"].head(vocab_k))
+
+    def flag(b: pd.DataFrame) -> pd.DataFrame:
+        oov = (~b["word"].isin(vocab)).to_numpy()
+        return pd.DataFrame(
+            {
+                group_col: b[group_col],
+                "n": b["c"],
+                "oov": b["c"].to_numpy() * oov,
+            }
+        )
+
+    out = (
+        grouped_agg(
+            pairs.map_batches(flag, batch_format="pandas"),
+            [group_col],
+            {"n_tokens": ("n", "sum"), "n_oov": ("oov", "sum")},
+        )
+        .to_pandas()
+    )
+    out = out[out["n_tokens"] > 0].copy()
+    out["n_tokens"] = out["n_tokens"].astype("int64")
+    out["n_oov"] = out["n_oov"].astype("int64")
+    out["oov_ppm"] = (
+        (scale * out["n_oov"].astype(object)) // out["n_tokens"].astype(object)
+    ).astype("int64")
+    return out.reset_index(drop=True)

@@ -306,3 +306,127 @@ def fano_grid(ds, key_col: str, ts_col: str = "ts", scale: int = 1_000_000):
     return pd.DataFrame(rows).astype(
         {"n_days": "int64", "n_rows": "int64", "fano_ppm": "int64"}
     )
+
+
+def rolling_window_corr(
+    ds,
+    key_col: str,
+    key_a,
+    key_b,
+    ts_col: str = "ts",
+    window: int = 7,
+    scale: int = 1_000_000,
+):
+    """Rolling windowed correlation between two keys' DAILY count
+    series on the shared dense grid — "do views and purchases move
+    together this week?" — as an exact SIGNED SQUARED correlation in
+    ppm per day (same sqrt-free discipline as lag1_autocorr):
+
+        window  = the ``window`` grid days ending at d (shorter at
+                  the span head)
+        num     = n*Sxy - Sx*Sy ;  den = (n*Sxx - Sx^2)(n*Syy - Sy^2)
+        rcorr2_ppm = sign(num) * floor(scale * num^2 / den)
+
+    Days whose window has a constant series on either side (den == 0)
+    are emitted with rcorr2_ppm NULL-free as 0 — a flat week has no
+    co-movement signal, and keeping the row keeps the day axis dense.
+
+    Distribution: raw rows shuffle once inside ``dense_grid_counts``;
+    the windowed fold runs on the 2 x |days| driver grid (calendar
+    bounded). Returns a DataFrame (day, n_a, n_b, rcorr2_ppm)."""
+    import pyarrow.compute as pc
+
+    from .grid import dense_grid_counts
+
+    two = ds.map_batches(
+        lambda b: b.filter(
+            pc.or_(pc.equal(b[key_col], key_a), pc.equal(b[key_col], key_b))
+        ),
+        batch_format="pyarrow",
+    )
+    grid = dense_grid_counts(two, key_col, ts_col, freq="day")
+    if grid.empty:
+        return pd.DataFrame({"day": [], "n_a": [], "n_b": [], "rcorr2_ppm": []})
+    pivot = (
+        grid.pivot_table(index="period", columns=key_col, values="n", fill_value=0)
+        .sort_index()
+    )
+    days = [int(v) for v in pivot.index]
+    xa = [int(v) for v in pivot.get(key_a, pd.Series(0, index=pivot.index))]
+    xb = [int(v) for v in pivot.get(key_b, pd.Series(0, index=pivot.index))]
+    rows = []
+    for i, d in enumerate(days):
+        lo = max(0, i - window + 1)
+        ax, bx = xa[lo : i + 1], xb[lo : i + 1]
+        n = len(ax)
+        sx, sy = sum(ax), sum(bx)
+        sxx = sum(v * v for v in ax)
+        syy = sum(v * v for v in bx)
+        sxy = sum(u * v for u, v in zip(ax, bx))
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den == 0:
+            r2 = 0
+        else:
+            r2 = (scale * num * num) // den
+            if num < 0:
+                r2 = -r2
+        rows.append({"day": d, "n_a": xa[i], "n_b": xb[i], "rcorr2_ppm": r2})
+    return pd.DataFrame(rows).astype(
+        {"day": "int64", "n_a": "int64", "n_b": "int64", "rcorr2_ppm": "int64"}
+    )
+
+
+def seasonal_outliers(
+    ds,
+    key_col: str,
+    ts_col: str = "ts",
+    factor_num: int = 2,
+    factor_den: int = 1,
+):
+    """Days whose count exceeds ``factor`` x their key's SAME-WEEKDAY
+    average — the seasonality-adjusted spike detector (a busy Monday
+    is judged against Mondays, not the whole week). Weekday is
+    epoch_day mod 7 (integer, calendar-convention-free), the average
+    compare cross-multiplies so everything stays integer:
+
+        flag(d)  <=>  n_d * n_days(key, dow) * factor_den
+                      >  factor_num * total(key, dow) * 1
+
+    computed over the DENSE grid (zero days pull the weekday average
+    down, exactly as a monitor wants).
+
+    Distribution: one combiner inside ``dense_grid_counts``; the
+    close runs on the |keys| x |days| driver grid. Returns a
+    DataFrame (key, day, n, dow_days, dow_total) of flagged days."""
+    from .grid import dense_grid_counts
+
+    grid = dense_grid_counts(ds, key_col, ts_col, freq="day")
+    if grid.empty:
+        return pd.DataFrame(
+            {key_col: [], "day": [], "n": [], "dow_days": [], "dow_total": []}
+        )
+    grid = grid.copy()
+    grid["dow"] = grid["period"].astype("int64") % 7
+    rows = []
+    for (key, dow), g in grid.groupby([key_col, "dow"], sort=False):
+        nd = len(g)
+        tot = int(g["n"].sum())
+        for _, r in g.iterrows():
+            n = int(r["n"])
+            if n * nd * factor_den > factor_num * tot:
+                rows.append(
+                    {
+                        key_col: key,
+                        "day": int(r["period"]),
+                        "n": n,
+                        "dow_days": nd,
+                        "dow_total": tot,
+                    }
+                )
+    out = pd.DataFrame(
+        rows, columns=[key_col, "day", "n", "dow_days", "dow_total"]
+    )
+    for c in ("day", "n", "dow_days", "dow_total"):
+        out[c] = out[c].astype("int64") if len(out) else out[c]
+    return out
