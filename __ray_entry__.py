@@ -4398,6 +4398,149 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return value_counts_quantiles(lags, "lag_sec", [0.25, 0.5, 0.75])
 
+    # ---------------------------- wave 21: composites + lead-lag
+
+    def q_slice_health_report(sf_dir):
+        """ONE per-source health frame composing three drift monitors
+        — language-mix TV distance, doc-length KS distance, long-doc
+        two-proportion z² (ops/divergence.py + ops/stats.py): each is
+        its own combiner pass over a pruned column pair; the join is
+        a |sources|-row driver merge. The report a curation run gates
+        a source on before mixing it in."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.divergence import (
+            ks_distance_by_group,
+            tv_distance_by_group,
+        )
+        from ocr_service_ray.ops.stats import grouped_rate_ztest
+
+        tv = tv_distance_by_group(
+            _read(sf_dir, "documents", ["source", "lang"]), "source", "lang"
+        )[["source", "n_rows", "tv_ppm"]].rename(columns={"n_rows": "n_docs"})
+        ks = ks_distance_by_group(
+            _read(sf_dir, "documents", ["source", "n_chars"]),
+            "source",
+            "n_chars",
+        )[["source", "ks_ppm"]]
+
+        docs = _read(sf_dir, "documents", ["source", "n_chars"])
+
+        def flag(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "source": b["source"],
+                    "is_long": pc.cast(
+                        pc.greater_equal(b["n_chars"], 200), pa.int64()
+                    ),
+                }
+            )
+
+        zt = grouped_rate_ztest(
+            docs.map_batches(flag, batch_format="pyarrow"), "source", "is_long"
+        )[["source", "z2_ppm"]]
+        out = tv.merge(ks, on="source").merge(zt, on="source")
+        return out.sort_values("source").reset_index(drop=True)
+
+    def q_snm_candidate_pairs(sf_dir):
+        """Sorted-neighborhood dedup blocking: docs globally sorted by
+        (n_chars, doc_id) (ops/scan.py global_rank), consecutive-rank
+        neighbors paired via a rank-keyed hash join (rank r joins
+        r+1), kept when the length gap <= 2 — the entity-resolution
+        candidate generator that never compares across the corpus."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.relational import hash_join
+        from ocr_service_ray.ops.scan import global_rank
+
+        ranked = global_rank(
+            _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+            ["n_chars", "doc_id"],
+        )
+        a = ranked.map_batches(
+            lambda b: pa.table(
+                {"rank": b["rank"], "id_a": b["doc_id"], "n_a": b["n_chars"]}
+            ),
+            batch_format="pyarrow",
+        )
+        b_side = ranked.map_batches(
+            lambda b: pa.table(
+                {
+                    "rank": pc.subtract(b["rank"], 1),
+                    "id_b": b["doc_id"],
+                    "n_b": b["n_chars"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        pairs = hash_join(a.repartition(4), b_side.repartition(4), on="rank")
+
+        def keep(b: pd.DataFrame) -> pd.DataFrame:
+            d = (b["n_b"] - b["n_a"]).abs()
+            out = b[d <= 2][["id_a", "id_b", "n_a", "n_b"]].copy()
+            for c in out.columns:
+                out[c] = out[c].astype("int64")
+            return out
+
+        return pairs.map_batches(keep, batch_format="pandas")
+
+    def q_leadlag_view_purchase(sf_dir):
+        """Lead–lag cross-correlation of view vs purchase daily counts
+        for lags 0..3 (ops/trend.py leadlag_corr): exact signed-
+        squared ppm per lag over the shared dense grid — which lag the
+        demand signal peaks at."""
+        from ocr_service_ray.ops.trend import leadlag_corr
+
+        return leadlag_corr(
+            _read(sf_dir, "events", ["event_type", "ts"]),
+            "event_type",
+            "view",
+            "purchase",
+            max_lag=3,
+        )
+
+    def q_cramers_v_lang_source(sf_dir):
+        """Cramér's V² between document language and source
+        (ops/divergence.py cramers_v2): the single-number association
+        summary over the same contingency cells as the chi-square op —
+        sum of per-cell floors, one normalizing division."""
+        from ocr_service_ray.ops.divergence import cramers_v2
+
+        return cramers_v2(
+            _read(sf_dir, "documents", ["lang", "source"]), "lang", "source"
+        )
+
+    def q_daily_value_p95(sf_dir):
+        """Exact per-(type, day) p95 of event value in cents
+        (ops/sketch.py grouped_quantiles over a two-column key): the
+        daily-grain tail-metric report; raw rows collapse to value
+        counts before any shuffle."""
+        from ocr_service_ray.ops.sketch import grouped_quantiles
+
+        ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            day = (
+                b["ts"].to_pandas().values.astype("datetime64[D]").astype(np.int64)
+            )
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "day": pa.array(day),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        return grouped_quantiles(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "day"],
+            "cents",
+            [0.95],
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -4600,6 +4743,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "seasonal_outlier_days": q_seasonal_outlier_days,
         "oov_rate_by_source": q_oov_rate_by_source,
         "conversion_lag_quantiles": q_conversion_lag_quantiles,
+        "slice_health_report": q_slice_health_report,
+        "snm_candidate_pairs": q_snm_candidate_pairs,
+        "leadlag_view_purchase": q_leadlag_view_purchase,
+        "cramers_v_lang_source": q_cramers_v_lang_source,
+        "daily_value_p95": q_daily_value_p95,
     }
 
 
@@ -8057,5 +8205,149 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT CAST(75 AS BIGINT), CAST(quantile_disc(lag, 0.75) AS BIGINT)
         FROM l
+    """
+    oracles["slice_health_report"] = """
+        WITH lc AS MATERIALIZED (
+          SELECT source, lang, CAST(count(*) AS HUGEINT) AS c
+          FROM documents GROUP BY 1, 2),
+        lg AS (SELECT source, sum(c) AS ng FROM lc GROUP BY 1),
+        lv AS (SELECT lang, sum(c) AS cv FROM lc GROUP BY 1),
+        lt AS (SELECT sum(c) AS n FROM lc),
+        lcell AS (SELECT g.source, g.ng, v.cv, t.n, COALESCE(lc.c, 0) AS c
+                  FROM lg g CROSS JOIN lv v CROSS JOIN lt t
+                  LEFT JOIN lc ON lc.source = g.source AND lc.lang = v.lang),
+        tv AS (SELECT source, CAST(ng AS BIGINT) AS n_docs,
+                      CAST((1000000 * sum(abs(c * n - ng * cv)))
+                           // (2 * ng * n) AS BIGINT) AS tv_ppm
+               FROM lcell GROUP BY source, ng, n),
+        kc AS MATERIALIZED (
+          SELECT source, n_chars AS v, CAST(count(*) AS HUGEINT) AS c
+          FROM documents GROUP BY 1, 2),
+        kvals AS (SELECT DISTINCT v FROM kc),
+        kg AS (SELECT source, sum(c) AS ng FROM kc GROUP BY 1),
+        kt AS (SELECT sum(c) AS n FROM kc),
+        kgrid AS (SELECT g.source, g.ng, kvals.v, COALESCE(kc.c, 0) AS c
+                  FROM kg g CROSS JOIN kvals
+                  LEFT JOIN kc ON kc.source = g.source AND kc.v = kvals.v),
+        kcum AS (SELECT source, ng, v,
+                        sum(c) OVER (PARTITION BY source ORDER BY v) AS cumg
+                 FROM kgrid),
+        kca AS (SELECT v, sum(c) AS cv FROM kc GROUP BY 1),
+        kcumall AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cuma FROM kca),
+        kj AS (SELECT kcum.source, kcum.ng, kt.n,
+                      abs(kcum.cumg * kt.n - kcum.ng * ca2.cuma) AS num
+               FROM kcum JOIN kcumall ca2 ON ca2.v = kcum.v CROSS JOIN kt),
+        ks AS (SELECT source,
+                      CAST((1000000 * max(num)) // (ng * n) AS BIGINT) AS ks_ppm
+               FROM kj GROUP BY source, ng, n),
+        zg AS (SELECT source, CAST(count(*) AS HUGEINT) AS n,
+                      CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END)
+                           AS HUGEINT) AS k
+               FROM documents GROUP BY 1),
+        ztot AS (SELECT sum(n) AS nn, sum(k) AS kk FROM zg),
+        zt AS (SELECT g.source,
+                      CAST(CASE
+                        WHEN t.kk = 0 OR t.kk = t.nn THEN 0
+                        WHEN g.k * (t.nn - g.n) - (t.kk - g.k) * g.n >= 0
+                        THEN (1000000
+                              * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                              * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                              * t.nn)
+                             // (g.n * (t.nn - g.n) * t.kk * (t.nn - t.kk))
+                        ELSE -((1000000
+                                * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                                * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                                * t.nn)
+                               // (g.n * (t.nn - g.n) * t.kk * (t.nn - t.kk)))
+                      END AS BIGINT) AS z2_ppm
+               FROM zg g, ztot t WHERE t.nn - g.n > 0)
+        SELECT tv.source, tv.n_docs, tv.tv_ppm, ks.ks_ppm, zt.z2_ppm
+        FROM tv JOIN ks ON ks.source = tv.source
+        JOIN zt ON zt.source = tv.source
+    """
+    oracles["snm_candidate_pairs"] = """
+        WITH r AS (SELECT doc_id, n_chars,
+                          lead(doc_id) OVER (ORDER BY n_chars, doc_id) AS nb_id,
+                          lead(n_chars) OVER (ORDER BY n_chars, doc_id) AS nb_n
+                   FROM documents)
+        SELECT CAST(doc_id AS BIGINT) AS id_a, CAST(nb_id AS BIGINT) AS id_b,
+               CAST(n_chars AS BIGINT) AS n_a, CAST(nb_n AS BIGINT) AS n_b
+        FROM r WHERE nb_id IS NOT NULL AND abs(nb_n - n_chars) <= 2
+    """
+    oracles["leadlag_view_purchase"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_type,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS d
+          FROM events WHERE event_type IN ('view', 'purchase')),
+        span AS (SELECT min(d) AS lo, max(d) AS hi FROM p),
+        keys AS (SELECT DISTINCT event_type FROM p),
+        grid AS (SELECT k.event_type, k.d, count(p.event_type) AS n
+                 FROM (SELECT k.event_type, gg.d
+                       FROM keys k, span s,
+                            unnest(generate_series(s.lo, s.hi)) AS gg(d)) k
+                 LEFT JOIN p ON p.event_type = k.event_type AND p.d = k.d
+                 GROUP BY 1, 2),
+        g2 AS MATERIALIZED (
+          SELECT d,
+                 CAST(max(CASE WHEN event_type = 'view' THEN n END)
+                      AS HUGEINT) AS x,
+                 CAST(max(CASE WHEN event_type = 'purchase' THEN n END)
+                      AS HUGEINT) AS y
+          FROM grid GROUP BY 1),
+        lags AS (SELECT * FROM (VALUES (0), (1), (2), (3)) AS l(lag)),
+        m AS (SELECT l.lag, CAST(count(*) AS HUGEINT) AS n,
+                     sum(a.x) AS sx, sum(b.y) AS sy,
+                     sum(a.x * a.x) AS sxx, sum(b.y * b.y) AS syy,
+                     sum(a.x * b.y) AS sxy
+              FROM lags l
+              JOIN g2 a ON TRUE
+              JOIN g2 b ON b.d = a.d + l.lag
+              GROUP BY 1)
+        SELECT CAST(lag AS BIGINT) AS lag, CAST(n AS BIGINT) AS n_pairs,
+               CAST(CASE
+                 WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+                 WHEN n * sxy - sx * sy >= 0
+                 THEN (1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 ELSE -((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                        // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+               END AS BIGINT) AS xcorr2_ppm
+        FROM m
+    """
+    oracles["cramers_v_lang_source"] = """
+        WITH c AS MATERIALIZED (
+          SELECT lang, source, CAST(count(*) AS HUGEINT) AS o
+          FROM documents GROUP BY 1, 2),
+        r AS (SELECT lang, sum(o) AS rr FROM c GROUP BY 1),
+        v AS (SELECT source, sum(o) AS cc FROM c GROUP BY 1),
+        t AS (SELECT sum(o) AS n FROM c),
+        cell AS (SELECT r.lang, r.rr, v.cc, t.n, COALESCE(c.o, 0) AS o
+                 FROM r CROSS JOIN v CROSS JOIN t
+                 LEFT JOIN c ON c.lang = r.lang AND c.source = v.source),
+        chi AS (SELECT sum((1000000 * (o * n - rr * cc) * (o * n - rr * cc))
+                           // (n * rr * cc)) AS x2,
+                       max(n) AS n
+                FROM cell),
+        dims AS (SELECT (SELECT count(*) FROM r) AS rc,
+                        (SELECT count(*) FROM v) AS cc2)
+        SELECT CAST(chi.n AS BIGINT) AS n_rows,
+               CAST(dims.rc AS BIGINT) AS r_cats,
+               CAST(dims.cc2 AS BIGINT) AS c_cats,
+               CAST(CASE WHEN least(dims.rc - 1, dims.cc2 - 1) = 0 THEN 0
+                         ELSE chi.x2 // (chi.n * least(dims.rc - 1,
+                                                       dims.cc2 - 1))
+                    END AS BIGINT) AS v2_ppm
+        FROM chi, dims
+    """
+    oracles["daily_value_p95"] = """
+        WITH c AS (SELECT event_type,
+                          CAST(date_diff('day', DATE '1970-01-01',
+                                         CAST(ts AS DATE)) AS BIGINT) AS day,
+                          CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+                   FROM events)
+        SELECT event_type, day, CAST(95 AS BIGINT) AS q_pct,
+               CAST(quantile_disc(cents, 0.95) AS BIGINT) AS value
+        FROM c GROUP BY 1, 2
     """
     return oracles

@@ -323,3 +323,51 @@ def top_share_by_group(
     return bucketed_map_groups(
         pair.select_columns([group_col, "_cnt"]), [group_col], close
     )
+
+
+def cramers_v2(ds, row_col: str, col_col: str, scale: int = 1_000_000):
+    """Cramér's V SQUARED for two categorical columns, exact ppm —
+    the normalized-association summary over the same contingency
+    cells as ``contingency_chi2`` (V² = X²/(N·min(R-1, C-1)); 0 =
+    independent, 1e6 = perfectly associated). The per-cell floor
+    terms are summed first (the chi2 contract), then one more floor
+    division normalizes — both floors mirrored in the oracle.
+
+    Returns a single-row DataFrame (n_rows, r_cats, c_cats, v2_ppm);
+    degenerate tables (one row or one column category) emit v2_ppm 0.
+    """
+    counts = grouped_agg(
+        ds.select_columns([row_col, col_col]),
+        [row_col, col_col],
+        {"_cnt": (None, "count")},
+    ).to_pandas()
+    if counts.empty:
+        return pd.DataFrame(
+            {"n_rows": [0], "r_cats": [0], "c_cats": [0], "v2_ppm": [0]}
+        ).astype("int64")
+    pivot = counts.pivot_table(
+        index=row_col, columns=col_col, values="_cnt", aggfunc="sum", fill_value=0
+    )
+    cell = [[int(v) for v in row] for row in pivot.to_numpy()]
+    col_tot = [sum(col) for col in zip(*cell)]
+    total = sum(col_tot)
+    r_cats, c_cats = len(cell), len(col_tot)
+    chi = 0
+    for gi in range(r_cats):
+        rr = sum(cell[gi])
+        chi += sum(
+            (scale * (cell[gi][vi] * total - rr * col_tot[vi]) ** 2)
+            // (total * rr * col_tot[vi])
+            for vi in range(c_cats)
+            if col_tot[vi] > 0 and rr > 0
+        )
+    minrc = min(r_cats - 1, c_cats - 1)
+    v2 = 0 if minrc == 0 else chi // (total * minrc)
+    return pd.DataFrame(
+        {
+            "n_rows": [total],
+            "r_cats": [r_cats],
+            "c_cats": [c_cats],
+            "v2_ppm": [v2],
+        }
+    ).astype("int64")

@@ -430,3 +430,67 @@ def seasonal_outliers(
     for c in ("day", "n", "dow_days", "dow_total"):
         out[c] = out[c].astype("int64") if len(out) else out[c]
     return out
+
+
+def leadlag_corr(
+    ds,
+    key_col: str,
+    key_a,
+    key_b,
+    max_lag: int = 3,
+    ts_col: str = "ts",
+    scale: int = 1_000_000,
+):
+    """Lead–lag cross-correlation between two keys' daily count
+    series: for each lag L in 0..max_lag, the exact signed-squared
+    correlation (ppm) of (a[t], b[t+L]) over the overlapping grid —
+    "purchases follow views by how many days?". Same integer-moment
+    discipline as lag1_autocorr; lags whose overlap is constant on
+    either side (den == 0) emit 0.
+
+    Distribution: one combiner inside ``dense_grid_counts``; the lag
+    scan runs on the 2 x |days| driver grid. Returns a DataFrame
+    (lag, n_pairs, xcorr2_ppm)."""
+    import pyarrow.compute as pc
+
+    from .grid import dense_grid_counts
+
+    two = ds.map_batches(
+        lambda b: b.filter(
+            pc.or_(pc.equal(b[key_col], key_a), pc.equal(b[key_col], key_b))
+        ),
+        batch_format="pyarrow",
+    )
+    grid = dense_grid_counts(two, key_col, ts_col, freq="day")
+    if grid.empty:
+        return pd.DataFrame({"lag": [], "n_pairs": [], "xcorr2_ppm": []})
+    pivot = (
+        grid.pivot_table(index="period", columns=key_col, values="n", fill_value=0)
+        .sort_index()
+    )
+    xa = [int(v) for v in pivot.get(key_a, pd.Series(0, index=pivot.index))]
+    xb = [int(v) for v in pivot.get(key_b, pd.Series(0, index=pivot.index))]
+    rows = []
+    for lag in range(max_lag + 1):
+        ax = xa[: len(xa) - lag] if lag else xa
+        bx = xb[lag:]
+        n = len(ax)
+        if n == 0:
+            rows.append({"lag": lag, "n_pairs": 0, "xcorr2_ppm": 0})
+            continue
+        sx, sy = sum(ax), sum(bx)
+        sxx = sum(v * v for v in ax)
+        syy = sum(v * v for v in bx)
+        sxy = sum(u * v for u, v in zip(ax, bx))
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den == 0:
+            r2 = 0
+        else:
+            r2 = (scale * num * num) // den
+            if num < 0:
+                r2 = -r2
+        rows.append({"lag": lag, "n_pairs": n, "xcorr2_ppm": r2})
+    return pd.DataFrame(rows).astype(
+        {"lag": "int64", "n_pairs": "int64", "xcorr2_ppm": "int64"}
+    )
