@@ -4541,6 +4541,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
             [0.95],
         )
 
+    # -------------------------- wave 22: baskets + session behavior
+
+    def q_frequent_part_triples(sf_dir):
+        """Frequent part 3-itemsets with Apriori pruning (ops/lift.py
+        frequent_triples): per-basket triple candidates gated by the
+        broadcast frequent-PAIR set (a triple can't beat its worst
+        sub-pair), counted in one combiner — the next market-basket
+        tier above frequent_part_pairs."""
+        from ocr_service_ray.ops.lift import frequent_triples
+
+        return frequent_triples(
+            _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"]),
+            "l_orderkey",
+            "l_partkey",
+            min_support=2,
+        )
+
+    def q_bounce_rate_by_entry(sf_dir):
+        """Per-entry-type session bounce rate (ops/retention.py
+        bounce_rate_by_entry): 30-min-gap sessions attributed to their
+        first event's type in (ts, event_id) order, single-event
+        sessions = bounces — the landing-quality report."""
+        from ocr_service_ray.ops.retention import bounce_rate_by_entry
+
+        return bounce_rate_by_entry(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+        )
+
+    def q_user_burstiness(sf_dir):
+        """Histogram of per-user inter-event burstiness classes
+        (ops/retention.py burstiness_classes): squared coefficient of
+        variation of gap seconds in exact ppm, bucketed regular /
+        poisson / bursty / degenerate — the bot-cadence screen."""
+        from ocr_service_ray.ops.retention import burstiness_classes
+
+        return burstiness_classes(_read(sf_dir, "events", ["user_id", "ts"]))
+
+    def q_daily_mix_drift(sf_dir):
+        """Total-variation distance of each DAY's event-type mix vs
+        the corpus mix (ops/divergence.py tv_distance_by_group over a
+        derived day column): the daily composition-drift monitor —
+        same exact single-division ppm as lang_tv_by_source."""
+        from ocr_service_ray.ops.divergence import tv_distance_by_group
+
+        ev = _read(sf_dir, "events", ["event_type", "ts"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            day = (
+                b["ts"].to_pandas().values.astype("datetime64[D]").astype(np.int64)
+            )
+            return pa.table(
+                {"day": pa.array(day), "event_type": b["event_type"]}
+            )
+
+        return tv_distance_by_group(
+            ev.map_batches(prep, batch_format="pyarrow"), "day", "event_type"
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -4748,6 +4806,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "leadlag_view_purchase": q_leadlag_view_purchase,
         "cramers_v_lang_source": q_cramers_v_lang_source,
         "daily_value_p95": q_daily_value_p95,
+        "frequent_part_triples": q_frequent_part_triples,
+        "bounce_rate_by_entry": q_bounce_rate_by_entry,
+        "user_burstiness": q_user_burstiness,
+        "daily_mix_drift": q_daily_mix_drift,
     }
 
 
@@ -8349,5 +8411,91 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, day, CAST(95 AS BIGINT) AS q_pct,
                CAST(quantile_disc(cents, 0.95) AS BIGINT) AS value
         FROM c GROUP BY 1, 2
+    """
+    oracles["frequent_part_triples"] = """
+        WITH b AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem)
+        SELECT CAST(a.p AS BIGINT) AS item_a, CAST(b2.p AS BIGINT) AS item_b,
+               CAST(c.p AS BIGINT) AS item_c,
+               CAST(count(*) AS BIGINT) AS n_baskets
+        FROM b a
+        JOIN b b2 ON a.o = b2.o AND a.p < b2.p
+        JOIN b c ON a.o = c.o AND b2.p < c.p
+        GROUP BY 1, 2, 3 HAVING count(*) >= 2
+    """
+    oracles["bounce_rate_by_entry"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id, event_type, event_id, epoch_us(ts) AS t,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        s AS (SELECT user_id, event_type, rn,
+                     CASE WHEN rn = 1
+                            OR t - lag(t) OVER (PARTITION BY user_id
+                                                ORDER BY rn) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM o),
+        s2 AS MATERIALIZED (
+          SELECT user_id, event_type, rn,
+                 sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS sid
+          FROM s),
+        per AS (SELECT user_id, sid, count(*) AS n FROM s2 GROUP BY 1, 2),
+        fst AS (SELECT user_id, sid, event_type
+                FROM (SELECT user_id, sid, event_type,
+                             row_number() OVER (PARTITION BY user_id, sid
+                                                ORDER BY rn) AS rr
+                      FROM s2)
+                WHERE rr = 1)
+        SELECT f.event_type AS entry_type,
+               CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(CASE WHEN p.n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_bounces,
+               CAST((1000000 * sum(CASE WHEN p.n = 1 THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS bounce_ppm
+        FROM fst f
+        JOIN per p ON p.user_id = f.user_id AND p.sid = f.sid
+        GROUP BY 1
+    """
+    oracles["user_burstiness"] = """
+        WITH t AS MATERIALIZED (
+          SELECT user_id, epoch_us(ts) AS t FROM events),
+        g AS (SELECT user_id,
+                     (lead(t) OVER (PARTITION BY user_id ORDER BY t) - t)
+                       // 1000000 AS gap
+              FROM t),
+        m AS (SELECT user_id, CAST(count(gap) AS HUGEINT) AS n,
+                     CAST(sum(gap) AS HUGEINT) AS s,
+                     CAST(sum(gap * gap) AS HUGEINT) AS sgg
+              FROM g WHERE gap IS NOT NULL GROUP BY 1),
+        allu AS (SELECT DISTINCT user_id FROM t),
+        cls AS (SELECT a.user_id,
+                       CASE
+                         WHEN m.user_id IS NULL OR m.s = 0 THEN 'degenerate'
+                         WHEN (1000000 * (m.n * m.sgg - m.s * m.s))
+                              // (m.s * m.s) < 500000 THEN 'regular'
+                         WHEN (1000000 * (m.n * m.sgg - m.s * m.s))
+                              // (m.s * m.s) <= 2000000 THEN 'poisson'
+                         ELSE 'bursty'
+                       END AS class
+                FROM allu a LEFT JOIN m ON m.user_id = a.user_id)
+        SELECT class, CAST(count(*) AS BIGINT) AS n_keys
+        FROM cls GROUP BY 1
+    """
+    oracles["daily_mix_drift"] = """
+        WITH c AS MATERIALIZED (
+          SELECT CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS day,
+                 event_type, CAST(count(*) AS HUGEINT) AS c
+          FROM events GROUP BY 1, 2),
+        g AS (SELECT day, sum(c) AS ng FROM c GROUP BY 1),
+        v AS (SELECT event_type, sum(c) AS cv FROM c GROUP BY 1),
+        t AS (SELECT sum(c) AS n FROM c),
+        cell AS (SELECT g.day, g.ng, v.cv, t.n, COALESCE(c.c, 0) AS c
+                 FROM g CROSS JOIN v CROSS JOIN t
+                 LEFT JOIN c ON c.day = g.day AND c.event_type = v.event_type)
+        SELECT day, CAST(ng AS BIGINT) AS n_rows,
+               CAST((1000000 * sum(abs(c * n - ng * cv)))
+                    // (2 * ng * n) AS BIGINT) AS tv_ppm
+        FROM cell GROUP BY day, ng, n
     """
     return oracles

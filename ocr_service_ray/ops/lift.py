@@ -169,3 +169,95 @@ def pair_count_cosine(
         }
     )
     return out.sort_values(["item_a", "item_b"]).reset_index(drop=True)
+
+
+def frequent_triples(
+    ds,
+    basket_col: str,
+    item_col: str,
+    min_support: int = 2,
+    pair_support: int | None = None,
+):
+    """Frequent 3-itemsets with APRIORI pruning — candidate triples
+    are enumerated per basket ONLY when all three sub-pairs are
+    frequent (a triple's support can't exceed any sub-pair's), so the
+    combinatorial explode is gated by the frequent-pair set instead of
+    basket size alone. ``pair_support`` defaults to ``min_support``
+    (the tightest admissible prune).
+
+    Distributed shape: distinct (basket, item) pairs in one combiner;
+    frequent PAIRS from one bounded per-basket explode + combiner
+    (the frequent_part_pairs recipe); the pair set broadcasts via
+    ``ray.put`` (pattern-vocabulary bounded — the Apriori contract);
+    a second per-basket pass emits only pruned triples; a final
+    combiner counts and filters. Returns a Dataset
+    (item_a, item_b, item_c, n_baskets), items ordered ascending."""
+    from itertools import combinations
+
+    import ray
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    pair_support = min_support if pair_support is None else pair_support
+
+    distinct = grouped_agg(
+        ds.select_columns([basket_col, item_col]),
+        [basket_col, item_col],
+        {"_c": (None, "count")},
+    ).select_columns([basket_col, item_col]).materialize()
+
+    def explode_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        items = sorted(g[item_col].tolist())
+        if len(items) < 2:
+            return None
+        a, b = zip(*combinations(items, 2))
+        return pd.DataFrame({"a": list(a), "b": list(b)})
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    pairs = grouped_agg(
+        bucketed_map_groups(distinct, [basket_col], explode_pairs),
+        ["a", "b"],
+        {"n": (None, "count")},
+    ).to_pandas()
+    freq_pairs = {
+        (x, y)
+        for x, y, n in zip(pairs["a"], pairs["b"], pairs["n"])
+        if int(n) >= pair_support
+    }
+    pairs_ref = ray.put(freq_pairs)
+
+    # bucketed_map_groups takes a plain fn; bind the broadcast set once
+    # per process via a closure over the object ref
+    freq_local = {}
+
+    def emit_triples(g: pd.DataFrame) -> pd.DataFrame:
+        if "fp" not in freq_local:
+            freq_local["fp"] = ray.get(pairs_ref)
+        fp = freq_local["fp"]
+        items = sorted(g[item_col].tolist())
+        if len(items) < 3:
+            return None
+        rows_a, rows_b, rows_c = [], [], []
+        for x, y, z in combinations(items, 3):
+            if (x, y) in fp and (x, z) in fp and (y, z) in fp:
+                rows_a.append(x)
+                rows_b.append(y)
+                rows_c.append(z)
+        if not rows_a:
+            return None
+        return pd.DataFrame(
+            {"item_a": rows_a, "item_b": rows_b, "item_c": rows_c}
+        )
+
+    counted = grouped_agg(
+        bucketed_map_groups(distinct, [basket_col], emit_triples),
+        ["item_a", "item_b", "item_c"],
+        {"n_baskets": (None, "count")},
+    )
+    import pyarrow.compute as pc
+
+    return counted.map_batches(
+        lambda b: b.filter(pc.greater_equal(b["n_baskets"], min_support)),
+        batch_format="pyarrow",
+    )

@@ -487,3 +487,117 @@ def first_conversion_lags(
         [key_col],
         fold,
     )
+
+
+def bounce_rate_by_entry(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+    gap_us: int = 30 * 60 * 1_000_000,
+    scale: int = 1_000_000,
+):
+    """Per-entry-type session bounce rate — sessions split on gaps
+    STRICTLY greater than ``gap_us``, attributed to the type of their
+    first event ((ts, tiebreak) order — deterministic under equal
+    timestamps), a bounce being a single-event session. The classic
+    landing-quality report, integer-exact:
+
+        bounce_ppm = floor( scale * n_bounces / n_sessions )
+
+    One bucketed key shuffle (raw events move once); the in-group fold
+    is a vectorized gap-split; a final combiner folds per entry type.
+    Returns a Dataset (entry_type, n_sessions, n_bounces, bounce_ppm).
+    """
+    from .agg import bucketed_map_groups, grouped_agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        t = pd.DatetimeIndex(g[ts_col]).values.astype("datetime64[us]").astype(np.int64)
+        brk = np.zeros(len(t), dtype=np.int64)
+        brk[1:] = (np.diff(t) > gap_us).astype(np.int64)
+        sid = np.cumsum(brk)
+        types = g[type_col].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([1], np.diff(sid)))).astype(int)
+        sizes = np.diff(np.concatenate((starts, [len(t)])))
+        return pd.DataFrame(
+            {
+                "entry_type": types[starts],
+                "is_bounce": pd.array(
+                    (sizes == 1).astype(np.int64), dtype="int64"
+                ),
+            }
+        )
+
+    per_session = bucketed_map_groups(
+        ds.select_columns([key_col, ts_col, type_col, tiebreak_col]),
+        [key_col],
+        fold,
+    )
+    agg = grouped_agg(
+        per_session,
+        ["entry_type"],
+        {"n_sessions": (None, "count"), "n_bounces": ("is_bounce", "sum")},
+    )
+
+    def close(b: pd.DataFrame) -> pd.DataFrame:
+        b = b.astype({"n_sessions": "int64", "n_bounces": "int64"})
+        b["bounce_ppm"] = (scale * b["n_bounces"]) // b["n_sessions"]
+        return b
+
+    return agg.map_batches(close, batch_format="pandas")
+
+
+def burstiness_classes(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    scale: int = 1_000_000,
+):
+    """Histogram of per-key inter-event burstiness classes — each
+    key's inter-event gaps (whole seconds, event order by ts) scored
+    by the squared coefficient of variation in exact ppm:
+
+        cv2_ppm = floor( scale * (n*Σg² - (Σg)²) / (Σg)² )
+
+    (population variance over mean squared — 1e6 ~ Poisson/memoryless,
+    below = metronome-regular, above = bursty) and bucketed:
+
+        regular  cv2 <  500_000
+        poisson  500_000 <= cv2 <= 2_000_000
+        bursty   cv2 >  2_000_000
+
+    Keys with fewer than 2 events or an all-zero gap sum (every event
+    in the same second) are classed ``degenerate``. One bucketed key
+    shuffle; Python-int moments (second-scale squares stay modest, but
+    bigints cost nothing here). Returns a Dataset (class, n_keys)."""
+    from .agg import bucketed_map_groups, grouped_agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        t = np.sort(
+            pd.DatetimeIndex(g[ts_col]).values.astype("datetime64[us]").astype(np.int64)
+        )
+        gaps = [int(v) // 1_000_000 for v in np.diff(t)]
+        n = len(gaps)
+        s = sum(gaps)
+        if n < 1 or s == 0:
+            cls = "degenerate"
+        else:
+            sgg = sum(v * v for v in gaps)
+            cv2 = (scale * (n * sgg - s * s)) // (s * s)
+            if cv2 < 500_000:
+                cls = "regular"
+            elif cv2 <= 2_000_000:
+                cls = "poisson"
+            else:
+                cls = "bursty"
+        return pd.DataFrame({"class": [cls]})
+
+    per_key = bucketed_map_groups(
+        ds.select_columns([key_col, ts_col]), [key_col], fold
+    )
+    out = grouped_agg(per_key, ["class"], {"n_keys": (None, "count")})
+    return out.map_batches(
+        lambda b: b.astype({"n_keys": "int64"}), batch_format="pandas"
+    )
