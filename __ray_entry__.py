@@ -4599,6 +4599,112 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ev.map_batches(prep, batch_format="pyarrow"), "day", "event_type"
         )
 
+    # --------------------------- wave 23: window-SQL surface closure
+
+    def q_orders_ntile_revenue(sf_dir):
+        """NTILE(4) revenue quartiles per order priority (ops/
+        window.py grouped_ntile_agg): exact SQL NTILE fill (first n%k
+        tiles one row bigger) over the unique (cents, orderkey) sort,
+        folded to per-tile row counts + cents sums — the quartile
+        revenue report."""
+        from ocr_service_ray.ops.window import grouped_ntile_agg
+
+        od = _read(
+            sf_dir, "orders", ["o_orderpriority", "o_totalprice", "o_orderkey"]
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "cents": pa.array(cents),
+                    "o_orderkey": b["o_orderkey"],
+                }
+            )
+
+        return grouped_ntile_agg(
+            od.map_batches(prep, batch_format="pyarrow"),
+            "o_orderpriority",
+            ["cents", "o_orderkey"],
+            n_tiles=4,
+            agg_specs={"n_rows": (None, "count"), "cents_sum": ("cents", "sum")},
+        )
+
+    def q_topk_with_ties_orders(sf_dir):
+        """RANK() <= 3 top order prices per priority INCLUDING ties
+        (ops/relational.py topk_with_ties): block-local top-k finds
+        the per-group threshold, one filtered pass + combiner keeps
+        the tie multiplicity — the WITH TIES variant grouped_topk
+        cannot express."""
+        from ocr_service_ray.ops.relational import topk_with_ties
+
+        od = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "cents": pa.array(cents),
+                }
+            )
+
+        return topk_with_ties(
+            od.map_batches(prep, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            "cents",
+            3,
+        )
+
+    def q_unpivot_roundtrip(sf_dir):
+        """Pivot → UNPIVOT round-trip: the per-user conditional-
+        aggregation pivot (ops/agg.py pivot_counts) melts back to
+        (event_type, n) via a vectorized stack and must reproduce the
+        plain GROUP BY counts — the melt/unpivot shape plus a
+        conservation proof in one query."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg, pivot_counts
+
+        types = ["click", "error", "purchase", "signup", "view"]
+        ev = _read(sf_dir, "events", ["user_id", "event_type"])
+        wide = pivot_counts(ev, "user_id", "event_type", types)
+
+        def melt(b: pd.DataFrame) -> pd.DataFrame:
+            long = b.melt(
+                id_vars=["user_id"],
+                value_vars=[f"{t}_cnt" for t in types],
+                var_name="event_type",
+                value_name="n",
+            )
+            long["event_type"] = long["event_type"].str.removesuffix("_cnt")
+            return long[["event_type", "n"]]
+
+        out = grouped_agg(
+            wide.map_batches(melt, batch_format="pandas"),
+            ["event_type"],
+            {"n": ("n", "sum")},
+        )
+        return out.map_batches(
+            lambda b: b.astype({"n": "int64"}), batch_format="pandas"
+        )
+
+    def q_first_last_matrix(sf_dir):
+        """First-touch × last-touch event-type attribution matrix with
+        per-cell user counts and summed activity spans (ops/
+        retention.py first_last_matrix): FIRST_VALUE/LAST_VALUE window
+        shapes as one bucketed fold in (ts, event_id) order."""
+        from ocr_service_ray.ops.retention import first_last_matrix
+
+        return first_last_matrix(
+            _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -4810,6 +4916,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bounce_rate_by_entry": q_bounce_rate_by_entry,
         "user_burstiness": q_user_burstiness,
         "daily_mix_drift": q_daily_mix_drift,
+        "orders_ntile_revenue": q_orders_ntile_revenue,
+        "topk_with_ties_orders": q_topk_with_ties_orders,
+        "unpivot_roundtrip": q_unpivot_roundtrip,
+        "first_last_matrix": q_first_last_matrix,
     }
 
 
@@ -8497,5 +8607,52 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * sum(abs(c * n - ng * cv)))
                     // (2 * ng * n) AS BIGINT) AS tv_ppm
         FROM cell GROUP BY day, ng, n
+    """
+    oracles["orders_ntile_revenue"] = """
+        WITH c AS (SELECT o_orderpriority,
+                          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                            AS cents,
+                          o_orderkey
+                   FROM orders),
+        r AS (SELECT o_orderpriority, cents,
+                     ntile(4) OVER (PARTITION BY o_orderpriority
+                                    ORDER BY cents, o_orderkey) AS tile
+              FROM c)
+        SELECT o_orderpriority, CAST(tile AS BIGINT) AS tile,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS cents_sum
+        FROM r GROUP BY 1, 2
+    """
+    oracles["topk_with_ties_orders"] = """
+        WITH c AS (SELECT o_orderpriority,
+                          CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                            AS cents
+                   FROM orders),
+        r AS (SELECT o_orderpriority, cents,
+                     rank() OVER (PARTITION BY o_orderpriority
+                                  ORDER BY cents DESC) AS rk
+              FROM c)
+        SELECT o_orderpriority, cents, CAST(count(*) AS BIGINT) AS n_rows
+        FROM r WHERE rk <= 3 GROUP BY 1, 2
+    """
+    oracles["unpivot_roundtrip"] = """
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    """
+    oracles["first_last_matrix"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id, event_type, epoch_us(ts) AS t,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn,
+                 count(*) OVER (PARTITION BY user_id) AS cnt
+          FROM events),
+        f AS (SELECT user_id,
+                     max(CASE WHEN rn = 1 THEN event_type END) AS first_type,
+                     max(CASE WHEN rn = cnt THEN event_type END) AS last_type,
+                     (max(t) - min(t)) // 1000000 AS span
+              FROM o GROUP BY 1)
+        SELECT first_type, last_type, CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(sum(span) AS BIGINT) AS span_sec_sum
+        FROM f GROUP BY 1, 2
     """
     return oracles

@@ -733,3 +733,51 @@ def reconcile_keys(left_ds, right_ds, left_key: str, right_key: str):
             "right_rows": ("rn", "sum"),
         },
     )
+
+
+def topk_with_ties(ds, group_keys: list[str], value_col: str, k: int):
+    """SQL ``RANK() <= k`` per group — top-k BY VALUE including every
+    row tied with the k-th (competition-rank semantics), without a
+    per-row window: the rank-<=k set is exactly {rows with value >=
+    v*} where v* is the k-th highest value counting ties as one rank
+    each per row — equivalently the min of the top-k ROWS by value
+    under any tie order. So:
+
+    1. ``grouped_topk`` (block-local combiner) finds each group's
+       top-k rows by value alone; the per-group thresholds v*
+       broadcast driver-side (group-cardinality bounded);
+    2. one filtered pass keeps value >= v*; a combiner collapses to
+       (group, value, n_rows) — tie multiplicity preserved, row
+       orderless.
+
+    Returns a Dataset (group_keys..., value_col, n_rows)."""
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    top = grouped_topk(
+        ds.select_columns(group_keys + [value_col]),
+        group_keys,
+        [value_col],
+        k,
+        [True],
+    ).to_pandas()
+    thresh = (
+        top.groupby(group_keys)[value_col].min().to_dict()
+        if len(group_keys) > 1
+        else top.groupby(group_keys[0])[value_col].min().to_dict()
+    )
+
+    def keep(b: pd.DataFrame) -> pd.DataFrame:
+        key = (
+            b[group_keys[0]]
+            if len(group_keys) == 1
+            else list(zip(*[b[c] for c in group_keys]))
+        )
+        t = pd.Series(key).map(thresh).to_numpy()
+        return b[b[value_col].to_numpy() >= t]
+
+    kept = ds.select_columns(group_keys + [value_col]).map_batches(
+        keep, batch_format="pandas"
+    )
+    return grouped_agg(
+        kept, group_keys + [value_col], {"n_rows": (None, "count")}
+    )

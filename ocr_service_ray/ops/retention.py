@@ -601,3 +601,49 @@ def burstiness_classes(
     return out.map_batches(
         lambda b: b.astype({"n_keys": "int64"}), batch_format="pandas"
     )
+
+
+def first_last_matrix(
+    ds,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    tiebreak_col: str = "event_id",
+):
+    """First-touch x last-touch attribution matrix — each key's FIRST
+    and LAST event type in (ts, tiebreak) order, counted into the
+    |types|² matrix (plus the key's total span in whole seconds,
+    summed per cell). The multi-touch attribution summary marketers
+    close with; FIRST_VALUE/LAST_VALUE window shapes as one fold.
+
+    One bucketed key shuffle; vectorized idxmin/idxmax per key; one
+    |types|²-bounded combiner. Returns a Dataset
+    (first_type, last_type, n_keys, span_sec_sum)."""
+    from .agg import bucketed_map_groups, grouped_agg
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([ts_col, tiebreak_col], kind="mergesort")
+        t = pd.DatetimeIndex(g[ts_col]).values.astype("datetime64[us]").astype(np.int64)
+        span = int((t[-1] - t[0]) // 1_000_000)
+        return pd.DataFrame(
+            {
+                "first_type": [g[type_col].iloc[0]],
+                "last_type": [g[type_col].iloc[-1]],
+                "span_sec": pd.array([span], dtype="int64"),
+            }
+        )
+
+    per_key = bucketed_map_groups(
+        ds.select_columns([key_col, ts_col, type_col, tiebreak_col]),
+        [key_col],
+        fold,
+    )
+    out = grouped_agg(
+        per_key,
+        ["first_type", "last_type"],
+        {"n_keys": (None, "count"), "span_sec_sum": ("span_sec", "sum")},
+    )
+    return out.map_batches(
+        lambda b: b.astype({"n_keys": "int64", "span_sec_sum": "int64"}),
+        batch_format="pandas",
+    )

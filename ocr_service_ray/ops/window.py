@@ -286,3 +286,68 @@ def cume_dist_micro(
         )
 
     return bucketed_map_groups(ds, [key_col], fold)
+
+
+def grouped_ntile_agg(
+    ds,
+    group_col: str,
+    value_col: str,
+    n_tiles: int = 4,
+    agg_specs: dict | None = None,
+):
+    """SQL ``NTILE(k) OVER (PARTITION BY g ORDER BY v, tiebreak)``
+    folded to per-(group, tile) aggregates — the quartile-bucket
+    revenue report without per-row output. NTILE semantics are
+    mirrored exactly: with n rows, the first ``n % k`` tiles hold
+    ``n//k + 1`` rows, ordered by (value, input order); since only
+    AGGREGATES of tiles leave the fold, value ties make the per-tile
+    sums permutation-invariant ONLY if the caller's sort key is
+    unique per row — pass a pre-sorted unique composite via
+    ``value_col`` being a tuple-like list of columns.
+
+    One bucketed group shuffle; the in-group fold sorts and slices.
+    ``agg_specs``: {out: (col, 'sum'|'count'|'min'|'max')}; default
+    counts rows. Returns a Dataset (group, tile, *aggs)."""
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    value_cols = value_col if isinstance(value_col, list) else [value_col]
+    agg_specs = agg_specs or {"n_rows": (None, "count")}
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(value_cols, kind="mergesort").reset_index(drop=True)
+        n = len(g)
+        k = n_tiles
+        big = n % k
+        size_small = n // k
+        rows = []
+        pos = 0
+        for tile in range(1, k + 1):
+            size = size_small + (1 if tile <= big else 0)
+            if size == 0:
+                continue
+            sub = g.iloc[pos : pos + size]
+            pos += size
+            row = {group_col: g[group_col].iloc[0], "tile": tile}
+            for out, (col, how) in agg_specs.items():
+                if how == "count":
+                    row[out] = len(sub)
+                elif how == "sum":
+                    row[out] = int(sub[col].sum())
+                elif how == "min":
+                    row[out] = sub[col].min()
+                elif how == "max":
+                    row[out] = sub[col].max()
+                else:
+                    raise ValueError(how)
+            rows.append(row)
+        out = pd.DataFrame(rows)
+        out["tile"] = out["tile"].astype("int64")
+        return out
+
+    return bucketed_map_groups(
+        ds.select_columns(
+            [group_col] + [c for c in value_cols if c != group_col]
+        ),
+        [group_col],
+        fold,
+    )
