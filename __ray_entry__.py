@@ -4705,6 +4705,156 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
         )
 
+    # ------------------------------- wave 24: graph reach + audits
+
+    def q_part_khop_reach(sf_dir):
+        """Bounded 2-hop BFS reach from the smallest part key over the
+        part co-occurrence graph (ops/graph.py khop_reach): per round
+        one hash join + distinct combiner + distributed EXCEPT — the
+        blast-radius / related-items frontier count."""
+        from ocr_service_ray.ops.agg import global_agg
+        from ocr_service_ray.ops.graph import khop_reach
+
+        edges = _part_edges(sf_dir).map_batches(
+            lambda b: b.rename_columns(["lo", "hi"]), batch_format="pyarrow"
+        )
+        li = _read(sf_dir, "lineitem", ["l_partkey"])
+        seed = int(global_agg(li, {"lo": ("l_partkey", "min")})["lo"])
+        return khop_reach(edges, [seed], hops=2)
+
+    def q_label_dispersion(sf_dir):
+        """Per-label intra-class embedding scatter (ops/vector.py
+        label_dispersion): mean pairwise squared distance from two
+        moment sums — n·Σ||q||² − ||Σq||² on micro-int vectors, no
+        pairwise pass, vectors never shuffle. The label-noise /
+        cluster-tightness audit."""
+        from ocr_service_ray.ops.vector import label_dispersion
+
+        out = label_dispersion(
+            _read(sf_dir, "embeddings", ["label", "embedding"]), "label"
+        )
+        out["label"] = out["label"].astype("int64")
+        return out
+
+    def q_monthly_revenue_reconcile(sf_dir):
+        """Monthly revenue reconciliation: lineitem net-of-discount
+        gross-of-tax cents (joined to orders for the month) vs the
+        orders table's own totalprice cents, with the drift as exact
+        ppm — the cross-table consistency audit every warehouse runs.
+        One hash join on the shared orderkey chain; both sums fold in
+        one combiner each."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_extendedprice", "l_discount", "l_tax"],
+        )
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_totalprice"])
+
+        def od_prep(b: pa.Table) -> pa.Table:
+            dt = b["o_orderdate"].to_pandas()
+            month = (dt.dt.year * 12 + dt.dt.month - 1).to_numpy(np.int64)
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "month": pa.array(month),
+                    "o_cents": pa.array(cents),
+                }
+            )
+
+        odp = od.map_batches(od_prep, batch_format="pyarrow")
+        order_side = grouped_agg(
+            odp.select_columns(["month", "o_cents"]),
+            ["month"],
+            {"order_cents": ("o_cents", "sum"), "n_orders": (None, "count")},
+        ).to_pandas()
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            gross = np.floor(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                * (1.0 - b["l_discount"].to_numpy(zero_copy_only=False))
+                * (1.0 + b["l_tax"].to_numpy(zero_copy_only=False))
+                * 100.0
+                + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"l_orderkey": b["l_orderkey"], "li_cents": pa.array(gross)}
+            )
+
+        lip = li.map_batches(li_prep, batch_format="pyarrow")
+        joined = lip.join(
+            odp.select_columns(["o_orderkey", "month"]),
+            join_type="inner",
+            num_partitions=join_partitions_for(lip, odp),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        li_side = grouped_agg(
+            joined.select_columns(["month", "li_cents"]),
+            ["month"],
+            {"lineitem_cents": ("li_cents", "sum")},
+        ).to_pandas()
+        out = order_side.merge(li_side, on="month", how="left")
+        out["lineitem_cents"] = out["lineitem_cents"].fillna(0)
+        for c in ("month", "order_cents", "n_orders", "lineitem_cents"):
+            out[c] = out[c].astype("int64")
+        out["drift_ppm"] = [
+            (1_000_000 * int(l)) // int(o) if int(o) else 0
+            for l, o in zip(out["lineitem_cents"], out["order_cents"])
+        ]
+        out["drift_ppm"] = out["drift_ppm"].astype("int64")
+        return out.sort_values("month").reset_index(drop=True)
+
+    def q_balance_band_pairs(sf_dir):
+        """Broadcast band join: customers paired with suppliers whose
+        account balance is within ±1.00, counted per customer nation —
+        the |a-b| <= eps theta-join done as a sorted broadcast +
+        vectorized searchsorted window per batch (suppliers are the
+        small side), no shuffle at all."""
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        sup = _pq.read_table(
+            f"{sf_dir}/supplier.parquet", columns=["s_acctbal"]
+        ).to_pandas()
+        s_cents = np.sort(
+            np.floor(sup["s_acctbal"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+        )
+        cu = _read(sf_dir, "customer", ["c_nationkey", "c_acctbal"])
+
+        def count_band(b: pa.Table) -> pa.Table:
+            c_cents = np.floor(
+                b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            lo = np.searchsorted(s_cents, c_cents - 100, side="left")
+            hi = np.searchsorted(s_cents, c_cents + 100, side="right")
+            return pa.table(
+                {
+                    "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                    "n_pairs": pa.array(hi - lo),
+                }
+            )
+
+        out = grouped_agg(
+            cu.map_batches(count_band, batch_format="pyarrow"),
+            ["c_nationkey"],
+            {"n_pairs": ("n_pairs", "sum"), "n_customers": (None, "count")},
+        )
+        return out.map_batches(
+            lambda b: b.astype(
+                {"c_nationkey": "int64", "n_pairs": "int64", "n_customers": "int64"}
+            ),
+            batch_format="pandas",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -4920,6 +5070,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "topk_with_ties_orders": q_topk_with_ties_orders,
         "unpivot_roundtrip": q_unpivot_roundtrip,
         "first_last_matrix": q_first_last_matrix,
+        "part_khop_reach": q_part_khop_reach,
+        "label_dispersion": q_label_dispersion,
+        "monthly_revenue_reconcile": q_monthly_revenue_reconcile,
+        "balance_band_pairs": q_balance_band_pairs,
     }
 
 
@@ -8654,5 +8808,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT first_type, last_type, CAST(count(*) AS BIGINT) AS n_keys,
                CAST(sum(span) AS BIGINT) AS span_sec_sum
         FROM f GROUP BY 1, 2
+    """
+    oracles["part_khop_reach"] = """
+        WITH b AS MATERIALIZED (
+          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        e0 AS (SELECT a.p AS s, b2.p AS d
+               FROM b a JOIN b b2 ON a.o = b2.o AND a.p < b2.p),
+        e AS MATERIALIZED (SELECT s, d FROM e0 UNION SELECT d, s FROM e0),
+        seed AS (SELECT min(l_partkey) AS n FROM lineitem),
+        h1 AS MATERIALIZED (
+          SELECT DISTINCT e.d AS n FROM e JOIN seed ON e.s = seed.n
+          WHERE e.d <> seed.n),
+        h2 AS (SELECT DISTINCT e.d AS n FROM e JOIN h1 ON e.s = h1.n
+               WHERE e.d NOT IN (SELECT n FROM h1)
+                 AND e.d <> (SELECT n FROM seed))
+        SELECT CAST(0 AS BIGINT) AS hop, CAST(count(*) AS BIGINT) AS n_nodes
+        FROM seed
+        UNION ALL SELECT 1, CAST(count(*) AS BIGINT) FROM h1
+        UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM h2
+    """
+    oracles["label_dispersion"] = """
+        WITH e AS MATERIALIZED (
+          SELECT CAST(label AS BIGINT) AS lab, vec_id,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0
+                            + 0.5) AS HUGEINT) AS q,
+                 unnest(generate_series(0, len(embedding) - 1)) AS dim
+          FROM embeddings),
+        m AS (SELECT lab, CAST(count(DISTINCT vec_id) AS HUGEINT) AS n,
+                     sum(q * q) AS s2
+              FROM e GROUP BY 1),
+        vs AS (SELECT lab, dim, sum(q) AS vq FROM e GROUP BY 1, 2),
+        vn AS (SELECT lab, sum(vq * vq) AS v2 FROM vs GROUP BY 1)
+        SELECT m.lab AS label, CAST(m.n AS BIGINT) AS n,
+               CAST(m.n * m.s2 - vn.v2 AS BIGINT) AS scatter_num,
+               CAST((2 * (m.n * m.s2 - vn.v2)) // (m.n * m.n * 1000000)
+                    AS BIGINT) AS mean_pd2_micro
+        FROM m JOIN vn ON vn.lab = m.lab
+    """
+    oracles["monthly_revenue_reconcile"] = """
+        WITH o AS MATERIALIZED (
+          SELECT o_orderkey,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                      AS BIGINT) AS month,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS oc
+          FROM orders),
+        os AS (SELECT month, sum(oc) AS order_cents, count(*) AS n_orders
+               FROM o GROUP BY 1),
+        ls AS (SELECT o.month,
+                      sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                     * (1.0 + l.l_tax) * 100.0 + 0.5)
+                               AS BIGINT)) AS lineitem_cents
+               FROM lineitem l JOIN o ON o.o_orderkey = l.l_orderkey
+               GROUP BY 1)
+        SELECT os.month, CAST(os.order_cents AS BIGINT) AS order_cents,
+               CAST(os.n_orders AS BIGINT) AS n_orders,
+               CAST(COALESCE(ls.lineitem_cents, 0) AS BIGINT)
+                 AS lineitem_cents,
+               CAST(CASE WHEN os.order_cents = 0 THEN 0
+                         ELSE (1000000 * COALESCE(ls.lineitem_cents, 0))
+                              // os.order_cents
+                    END AS BIGINT) AS drift_ppm
+        FROM os LEFT JOIN ls ON ls.month = os.month
+    """
+    oracles["balance_band_pairs"] = """
+        WITH s AS MATERIALIZED (
+          SELECT CAST(floor(s_acctbal * 100.0 + 0.5) AS BIGINT) AS sc
+          FROM supplier),
+        c AS MATERIALIZED (
+          SELECT CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                 CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS cc
+          FROM customer),
+        pairsn AS (SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS np
+                   FROM c JOIN s ON abs(c.cc - s.sc) <= 100
+                   GROUP BY 1),
+        custn AS (SELECT c_nationkey, CAST(count(*) AS BIGINT) AS nc
+                  FROM c GROUP BY 1)
+        SELECT custn.c_nationkey,
+               COALESCE(pairsn.np, 0) AS n_pairs,
+               custn.nc AS n_customers
+        FROM custn LEFT JOIN pairsn ON pairsn.c_nationkey = custn.c_nationkey
     """
     return oracles

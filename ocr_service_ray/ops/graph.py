@@ -449,3 +449,68 @@ def pagerank_int(
         ranks = new_ranks.repartition(2).materialize()
 
     return ranks.select_columns(["node", "rank_micro"])
+
+
+def khop_reach(edges_ds, seed_nodes, hops: int = 2):
+    """Bounded-round BFS reach — how many nodes first appear at each
+    hop distance from a seed set (0 = seeds). The frontier-expansion
+    primitive under "related items within 2 clicks" features and
+    contamination blast-radius checks.
+
+    Each round is ONE hash join (undirected edges pre-exploded both
+    directions) + one distinct combiner + one distributed EXCEPT
+    against the visited set (ops/relational.set_op — no driver-side
+    set), so frontiers never land on the driver. Rounds are bounded by
+    ``hops``; an empty frontier short-circuits (the fully-empty-join
+    schema landmine). Fan-out points materialize (visited feeds both
+    the EXCEPT and the next union — shared-lazy-subplan landmine).
+
+    Returns a DataFrame (hop, n_nodes)."""
+    import ray.data as rd
+
+    from .agg import grouped_agg
+    from .relational import hash_join, set_op
+
+    def both_dirs(b: pa.Table) -> pa.Table:
+        lo, hi = b["lo"].combine_chunks(), b["hi"].combine_chunks()
+        return pa.table(
+            {
+                "src": pa.chunked_array([lo, hi]),
+                "dst": pa.chunked_array([hi, lo]),
+            }
+        )
+
+    edges = edges_ds.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    frontier = rd.from_arrow(
+        pa.table({"node": pa.array(sorted(set(int(s) for s in seed_nodes)), pa.int64())})
+    ).materialize()
+    visited = frontier
+    rows = [{"hop": 0, "n_nodes": frontier.count()}]
+    for h in range(1, hops + 1):
+        probe = frontier.map_batches(
+            lambda b: b.rename_columns(
+                ["src" if c == "node" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        hit = hash_join(edges, probe.repartition(4), on="src")
+        nxt = (
+            grouped_agg(
+                hit.map_batches(
+                    lambda b: b.select(["dst"]).rename_columns(["node"]),
+                    batch_format="pyarrow",
+                ),
+                ["node"],
+                {"_c": (None, "count")},
+            )
+            .select_columns(["node"])
+        )
+        new = set_op(nxt, visited, ["node"], "except").materialize()
+        n = new.count()
+        rows.append({"hop": h, "n_nodes": n})
+        if n == 0:
+            break
+        visited = visited.union(new).materialize()
+        frontier = new
+    return pd.DataFrame(rows).astype({"hop": "int64", "n_nodes": "int64"})

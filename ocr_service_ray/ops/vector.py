@@ -275,3 +275,76 @@ def centroid_cosine_pairs(
     if len(out):
         out["cos2_ppm"] = out["cos2_ppm"].astype("int64")
     return out
+
+
+def label_dispersion(ds, group_col: str, vec_col: str = "embedding"):
+    """Per-group intra-class scatter of an embedding column, exact —
+    the unnormalized trace of the within-class covariance, i.e. the
+    mean pairwise squared distance numerator, from two moment sums
+    (no pairwise pass):
+
+        Σ_{i,j} ||q_i - q_j||² / 2 = n·Σ||q_i||² - ||Σq_i||²  =: D
+        mean_pd2_micro = floor( 2·D / (n² · 1e6) )
+
+    with q the micro-quantized integer vectors (the
+    ``grouped_vector_sum`` oracle contract), so D is an exact bigint
+    and ``mean_pd2_micro`` is the mean pairwise squared distance in
+    micro-(original-unit²). The compactness signal behind label-noise
+    and cluster-quality audits (small = tight class).
+
+    Distribution: vectors never shuffle — each block collapses to
+    per-group (Σ||q||², n) partials plus the |groups|×dim vsum
+    partials; two combiner merges; bigint close per group.
+    Returns a DataFrame (group, n, scatter_num, mean_pd2_micro)."""
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    def norm_partial(b: pa.Table) -> pa.Table:
+        vecs = _flat_vectors(b[vec_col])
+        if vecs.size == 0:
+            return pa.table(
+                {
+                    group_col: pa.array([], b[group_col].type),
+                    "s2": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(vecs * 1000000.0 + 0.5).astype(np.int64)
+        s2 = (q * q).sum(axis=1)
+        return pa.table(
+            {
+                group_col: b[group_col],
+                "s2": pa.array(s2),
+                "n": pa.array(np.ones(len(s2), dtype=np.int64)),
+            }
+        )
+
+    moments = (
+        grouped_agg(
+            ds.map_batches(norm_partial, batch_format="pyarrow"),
+            [group_col],
+            {"s2": ("s2", "sum"), "n": ("n", "sum")},
+        )
+        .to_pandas()
+        .set_index(group_col)
+    )
+    vsums = grouped_vector_sum(ds, group_col, vec_col, micro=True).to_pandas()
+    v2 = {
+        g: sum(int(v) * int(v) for v in sub["vsum"])
+        for g, sub in vsums.groupby(group_col)
+    }
+    rows = []
+    for g, r in moments.iterrows():
+        n, s2 = int(r["n"]), int(r["s2"])
+        d = n * s2 - v2[g]
+        rows.append(
+            {
+                group_col: g,
+                "n": n,
+                "scatter_num": d,
+                "mean_pd2_micro": (2 * d) // (n * n * 1_000_000),
+            }
+        )
+    out = pd.DataFrame(rows)
+    for c in ("n", "scatter_num", "mean_pd2_micro"):
+        out[c] = out[c].astype("int64")
+    return out
