@@ -4855,6 +4855,201 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    # ------------------------- wave 25: hierarchy + ANOVA + Q16-ish
+
+    def q_nation_share_of_region(sf_dir):
+        """Hierarchical share-of-parent revenue: customer-nation
+        revenue (one hash join chain, cents combiner) with each
+        nation's share of its REGION in exact ppm — the region →
+        nation drill-down report (first use of the region dimension).
+        Both dimension joins broadcast."""
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        oc = od.join(
+            cu,
+            join_type="inner",
+            num_partitions=join_partitions_for(od, cu),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        )
+        nat = _pq.read_table(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_name", "n_regionkey"],
+        ).to_pandas()
+        reg = _pq.read_table(f"{sf_dir}/region.parquet").to_pandas()
+        n2name = dict(zip(nat["n_nationkey"], nat["n_name"]))
+        n2reg = dict(
+            zip(
+                nat["n_nationkey"],
+                nat["n_regionkey"].map(
+                    dict(zip(reg["r_regionkey"], reg["r_name"]))
+                ),
+            )
+        )
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            cents = np.floor(
+                b["o_totalprice"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "r_name": b["c_nationkey"].map(n2reg),
+                    "n_name": b["c_nationkey"].map(n2name),
+                    "cents": cents,
+                }
+            )
+
+        per_nation = grouped_agg(
+            oc.map_batches(tag, batch_format="pandas"),
+            ["r_name", "n_name"],
+            {"revenue_cents": ("cents", "sum")},
+        ).to_pandas()
+        per_region = (
+            per_nation.groupby("r_name")["revenue_cents"].sum().to_dict()
+        )
+        per_nation["share_ppm"] = [
+            (1_000_000 * int(c)) // int(per_region[r])
+            for r, c in zip(per_nation["r_name"], per_nation["revenue_cents"])
+        ]
+        per_nation["revenue_cents"] = per_nation["revenue_cents"].astype("int64")
+        per_nation["share_ppm"] = per_nation["share_ppm"].astype("int64")
+        return per_nation.sort_values(["r_name", "n_name"]).reset_index(
+            drop=True
+        )
+
+    def q_sentence_stats_by_lang(sf_dir):
+        """Per-language sentence statistics: sentence-terminator runs
+        ([.!?]+, the shared RE2 pattern) and words, folded to mean
+        words-per-sentence in exact milli — the prose-shape profile
+        behind readability filters. One combiner; zero shuffle of
+        text."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        docs = _read(sf_dir, "documents", ["lang", "text"])
+
+        def counts(b: pa.Table) -> pa.Table:
+            n_sent = pc.cast(
+                pc.count_substring_regex(b["text"], r"[.!?]+"), pa.int64()
+            )
+            n_words = pc.cast(
+                pc.count_substring_regex(b["text"], r"\S+"), pa.int64()
+            )
+            return pa.table(
+                {"lang": b["lang"], "n_sent": n_sent, "n_words": n_words}
+            )
+
+        agg = grouped_agg(
+            docs.map_batches(counts, batch_format="pyarrow"),
+            ["lang"],
+            {
+                "n_docs": (None, "count"),
+                "n_sentences": ("n_sent", "sum"),
+                "n_words": ("n_words", "sum"),
+            },
+        )
+
+        def close(b: pd.DataFrame) -> pd.DataFrame:
+            for c in ("n_docs", "n_sentences", "n_words"):
+                b[c] = b[c].astype("int64")
+            b["words_per_sent_milli"] = (
+                1000 * b["n_words"] // b["n_sentences"].clip(lower=1)
+            ).astype("int64")
+            return b
+
+        return agg.map_batches(close, batch_format="pandas")
+
+    def q_price_anova_eta2(sf_dir):
+        """One-way ANOVA effect size (eta² = SSB/SST, exact ppm) of
+        lineitem price DOLLARS across return flags — "does the flag
+        explain price variance?" — from per-group integer moment sums
+        only. Exactness trick: scale SSB and SST by N·Π n_g (their
+        ratio is unchanged and both become integers — P/n_g divides
+        exactly), one floor division closes. One combiner exchange."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        li = _read(sf_dir, "lineitem", ["l_returnflag", "l_extendedprice"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            dollars = np.floor(
+                b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "d": pa.array(dollars),
+                    "d2": pa.array(dollars * dollars),
+                }
+            )
+
+        m = grouped_agg(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["l_returnflag"],
+            {"n": (None, "count"), "s": ("d", "sum"), "s2": ("d2", "sum")},
+        ).to_pandas()
+        ns = [int(v) for v in m["n"]]
+        ss = [int(v) for v in m["s"]]
+        s2s = [int(v) for v in m["s2"]]
+        n_tot, s_tot, s2_tot = sum(ns), sum(ss), sum(s2s)
+        prod = 1
+        for v in ns:
+            prod *= v
+        ssb_scaled = sum(
+            sg * sg * n_tot * (prod // ng) for sg, ng in zip(ss, ns)
+        ) - prod * s_tot * s_tot
+        sst_scaled = prod * (n_tot * s2_tot - s_tot * s_tot)
+        eta2 = 0 if sst_scaled == 0 else (1_000_000 * ssb_scaled) // sst_scaled
+        return pd.DataFrame(
+            {
+                "n_groups": pd.array([len(ns)], dtype="int64"),
+                "n_rows": pd.array([n_tot], dtype="int64"),
+                "eta2_ppm": pd.array([eta2], dtype="int64"),
+            }
+        )
+
+    def q_brand_supplier_counts(sf_dir):
+        """TPC-H-Q16-shaped distinct supplier counts per (brand, type)
+        via the lineitem link: part dims broadcast onto the fact scan,
+        then exact COUNT(DISTINCT suppkey) per combo through the
+        two-combiner distinct-pair fold (ops/agg.py
+        grouped_distinct_count) — no row-level fact shuffle."""
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_distinct_count
+
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_suppkey"])
+        part = _pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_type"]
+        ).to_pandas()
+        p2b = dict(zip(part["p_partkey"], part["p_brand"]))
+        p2t = dict(zip(part["p_partkey"], part["p_type"]))
+
+        def tag(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "p_brand": b["l_partkey"].map(p2b),
+                    "p_type": b["l_partkey"].map(p2t),
+                    "l_suppkey": b["l_suppkey"],
+                }
+            )
+
+        out = grouped_distinct_count(
+            li.map_batches(tag, batch_format="pandas"),
+            ["p_brand", "p_type"],
+            "l_suppkey",
+        )
+        return out.map_batches(
+            lambda b: b.astype({"n_distinct": "int64"}), batch_format="pandas"
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -5074,6 +5269,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "label_dispersion": q_label_dispersion,
         "monthly_revenue_reconcile": q_monthly_revenue_reconcile,
         "balance_band_pairs": q_balance_band_pairs,
+        "nation_share_of_region": q_nation_share_of_region,
+        "sentence_stats_by_lang": q_sentence_stats_by_lang,
+        "price_anova_eta2": q_price_anova_eta2,
+        "brand_supplier_counts": q_brand_supplier_counts,
     }
 
 
@@ -8887,5 +9086,67 @@ def oracle_sql() -> dict[str, str]:
                COALESCE(pairsn.np, 0) AS n_pairs,
                custn.nc AS n_customers
         FROM custn LEFT JOIN pairsn ON pairsn.c_nationkey = custn.c_nationkey
+    """
+    oracles["nation_share_of_region"] = """
+        WITH j AS MATERIALIZED (
+          SELECT r.r_name, n.n_name,
+                 CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders o
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN nation n ON n.n_nationkey = c.c_nationkey
+          JOIN region r ON r.r_regionkey = n.n_regionkey),
+        pn AS (SELECT r_name, n_name,
+                      CAST(sum(cents) AS HUGEINT) AS revenue_cents
+               FROM j GROUP BY 1, 2),
+        pr AS (SELECT r_name, sum(revenue_cents) AS rtot FROM pn GROUP BY 1)
+        SELECT pn.r_name, pn.n_name,
+               CAST(pn.revenue_cents AS BIGINT) AS revenue_cents,
+               CAST((1000000 * pn.revenue_cents) // pr.rtot AS BIGINT)
+                 AS share_ppm
+        FROM pn JOIN pr ON pr.r_name = pn.r_name
+    """
+    oracles["sentence_stats_by_lang"] = r"""
+        WITH c AS (SELECT lang,
+                          CAST(length(regexp_extract_all(text, '[.!?]+'))
+                               AS BIGINT) AS n_sent,
+                          CAST(length(regexp_extract_all(text, '\S+'))
+                               AS BIGINT) AS n_words
+                   FROM documents)
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_sent) AS BIGINT) AS n_sentences,
+               CAST(sum(n_words) AS BIGINT) AS n_words,
+               CAST((1000 * sum(n_words)) // greatest(sum(n_sent), 1)
+                    AS BIGINT) AS words_per_sent_milli
+        FROM c GROUP BY 1
+    """
+    oracles["price_anova_eta2"] = """
+        WITH c AS (SELECT l_returnflag AS f,
+                          CAST(floor(l_extendedprice) AS HUGEINT) AS d
+                   FROM lineitem),
+        m AS (SELECT f, CAST(count(*) AS HUGEINT) AS n, sum(d) AS s,
+                     sum(d * d) AS s2
+              FROM c GROUP BY 1),
+        p AS (SELECT CAST(count(*) AS BIGINT) AS ng, sum(n) AS nt,
+                     sum(s) AS st, sum(s2) AS s2t,
+                     list(n ORDER BY f) AS ln, list(s ORDER BY f) AS ls
+              FROM m),
+        q AS (SELECT ng, nt, st, s2t,
+                     ln[1] * ln[2] * ln[3] AS prod,
+                     ls[1] * ls[1] * nt * (ln[2] * ln[3])
+                     + ls[2] * ls[2] * nt * (ln[1] * ln[3])
+                     + ls[3] * ls[3] * nt * (ln[1] * ln[2]) AS ssb_a
+              FROM p)
+        SELECT ng AS n_groups, CAST(nt AS BIGINT) AS n_rows,
+               CAST(CASE WHEN prod * (nt * s2t - st * st) = 0 THEN 0
+                         ELSE (1000000 * (ssb_a - prod * st * st))
+                              // (prod * (nt * s2t - st * st))
+                    END AS BIGINT) AS eta2_ppm
+        FROM q
+    """
+    oracles["brand_supplier_counts"] = """
+        SELECT p.p_brand, p.p_type,
+               CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_distinct
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1, 2
     """
     return oracles
