@@ -5050,6 +5050,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.astype({"n_distinct": "int64"}), batch_format="pandas"
         )
 
+    # --------------------------- wave 26: whales + exact-dup closure
+
+    def q_revenue_whale_share(sf_dir):
+        """Revenue share of each nation's top 10% customers by spend
+        (ops/divergence.py weighted_top_share_by_group): the
+        value-weighted Lorenz point — order cents fold to per-customer
+        sums in one combiner, nations attach by broadcast, one
+        bucketed fold ranks by spend."""
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.divergence import weighted_top_share_by_group
+
+        od = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+        cu = _pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ).to_pandas()
+        c2n = dict(zip(cu["c_custkey"], cu["c_nationkey"]))
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            cents = np.floor(
+                b["o_totalprice"].to_numpy() * 100.0 + 0.5
+            ).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "nationkey": b["o_custkey"].map(c2n).astype("int64"),
+                    "custkey": b["o_custkey"],
+                    "cents": cents,
+                }
+            )
+
+        return weighted_top_share_by_group(
+            od.map_batches(prep, batch_format="pandas"),
+            "nationkey",
+            "custkey",
+            "cents",
+            top_pct=10,
+        )
+
+    def q_brand_return_ztest(sf_dir):
+        """Per-brand return-rate two-proportion z² vs the rest of the
+        corpus (ops/stats.py grouped_rate_ztest over a broadcast part
+        dimension): which brands return significantly more — the
+        slice-regression alarm pointed at merchandising."""
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.stats import grouped_rate_ztest
+
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_returnflag"])
+        part = _pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        ).to_pandas()
+        p2b = dict(zip(part["p_partkey"], part["p_brand"]))
+
+        def prep(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "p_brand": b["l_partkey"].map(p2b),
+                    "is_return": (b["l_returnflag"] == "R").astype("int64"),
+                }
+            )
+
+        out = grouped_rate_ztest(
+            li.map_batches(prep, batch_format="pandas"), "p_brand", "is_return"
+        )
+        return out.rename(columns={"n_docs": "n_rows", "n_pass": "n_returns"})
+
+    def q_exact_dup_components(sf_dir):
+        """Cluster-size histogram of the EXACT near-dup graph: the
+        PPJoin Jaccard self-join (>= 0.5) feeds connected components
+        (ops/graph.py), component sizes fold to (size, n_clusters) —
+        the zero-false-negative closure of the dedup pipeline
+        (pairs → clusters → survivor math)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.graph import connected_components
+        from ocr_service_ray.ops.similarity import jaccard_pair_join
+
+        pairs = jaccard_pair_join(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            ngram=3,
+            threshold_ppm=500_000,
+        )
+        labels = connected_components(pairs)
+        sizes = grouped_agg(
+            labels.select_columns(["cluster_id"]),
+            ["cluster_id"],
+            {"cluster_size": (None, "count")},
+        )
+        hist = grouped_agg(
+            sizes.select_columns(["cluster_size"]),
+            ["cluster_size"],
+            {"n_clusters": (None, "count")},
+        )
+        return hist.map_batches(
+            lambda b: b.astype({"cluster_size": "int64", "n_clusters": "int64"}),
+            batch_format="pandas",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -5273,6 +5374,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sentence_stats_by_lang": q_sentence_stats_by_lang,
         "price_anova_eta2": q_price_anova_eta2,
         "brand_supplier_counts": q_brand_supplier_counts,
+        "revenue_whale_share": q_revenue_whale_share,
+        "brand_return_ztest": q_brand_return_ztest,
+        "exact_dup_components": q_exact_dup_components,
     }
 
 
@@ -9148,5 +9252,80 @@ def oracle_sql() -> dict[str, str]:
                CAST(count(DISTINCT l.l_suppkey) AS BIGINT) AS n_distinct
         FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
         GROUP BY 1, 2
+    """
+    oracles["revenue_whale_share"] = """
+        WITH pc2 AS MATERIALIZED (
+          SELECT CAST(c.c_nationkey AS BIGINT) AS nationkey,
+                 o.o_custkey AS custkey,
+                 CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                      AS HUGEINT) AS w
+          FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2),
+        r AS (SELECT nationkey, w,
+                     row_number() OVER (PARTITION BY nationkey
+                                        ORDER BY w DESC) AS rn,
+                     count(*) OVER (PARTITION BY nationkey) AS nm
+              FROM pc2)
+        SELECT nationkey, CAST(max(nm) AS BIGINT) AS n_members,
+               CAST(sum(w) AS BIGINT) AS weight_total,
+               CAST((1000000 * sum(CASE WHEN rn <= (nm * 10 + 99) // 100
+                                        THEN w ELSE 0 END)) // sum(w)
+                    AS BIGINT) AS top_share_ppm
+        FROM r GROUP BY 1
+    """
+    oracles["brand_return_ztest"] = """
+        WITH g AS (SELECT p.p_brand, CAST(count(*) AS HUGEINT) AS n,
+                          CAST(sum(CASE WHEN l.l_returnflag = 'R'
+                                        THEN 1 ELSE 0 END) AS HUGEINT) AS k
+                   FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+                   GROUP BY 1),
+        tot AS (SELECT sum(n) AS nn, sum(k) AS kk FROM g)
+        SELECT g.p_brand,
+               CAST(g.n AS BIGINT) AS n_rows,
+               CAST(g.k AS BIGINT) AS n_returns,
+               CAST(CASE
+                 WHEN t.kk = 0 OR t.kk = t.nn THEN 0
+                 WHEN g.k * (t.nn - g.n) - (t.kk - g.k) * g.n >= 0
+                 THEN (1000000 * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                               * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                               * t.nn)
+                      // (g.n * (t.nn - g.n) * t.kk * (t.nn - t.kk))
+                 ELSE -((1000000 * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                                 * (g.k * (t.nn - g.n) - (t.kk - g.k) * g.n)
+                                 * t.nn)
+                        // (g.n * (t.nn - g.n) * t.kk * (t.nn - t.kk)))
+               END AS BIGINT) AS z2_ppm
+        FROM g, tot t
+        WHERE t.nn - g.n > 0
+    """
+    oracles["exact_dup_components"] = r"""
+        WITH RECURSIVE d AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS s FROM documents),
+        w AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 s[i] || ' ' || s[i + 1] || ' ' || s[i + 2] AS sh
+          FROM d, unnest(generate_series(1, len(s) - 2)) AS g(i)),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(count(*) AS BIGINT) AS n_inter
+                  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        p AS MATERIALIZED (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.id_a
+          JOIN sz sb ON sb.doc_id = i.id_b
+          WHERE (1000000 * i.n_inter) // (sa.n + sb.n - i.n_inter) >= 500000),
+        e AS (SELECT id_a AS u, id_b AS v FROM p
+              UNION SELECT id_b, id_a FROM p),
+        reach(u, lbl) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v),
+        lab AS (SELECT u, MIN(lbl) AS cluster_id FROM reach GROUP BY 1),
+        szs AS (SELECT cluster_id, count(*) AS sz2 FROM lab GROUP BY 1)
+        SELECT CAST(sz2 AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM szs GROUP BY 1
     """
     return oracles

@@ -371,3 +371,53 @@ def cramers_v2(ds, row_col: str, col_col: str, scale: int = 1_000_000):
             "v2_ppm": [v2],
         }
     ).astype("int64")
+
+
+def weighted_top_share_by_group(
+    ds,
+    group_col: str,
+    member_col: str,
+    weight_col: str,
+    top_pct: int = 10,
+    scale: int = 1_000_000,
+):
+    """VALUE-weighted Lorenz share — the fraction of each group's
+    total WEIGHT (revenue, bytes, tokens) owned by its top ``top_pct``
+    percent of members ranked by their weight sum ("whales own X% of
+    revenue"); the count-based ``top_share_by_group`` with money on
+    the axis. Integer weights required (cents, bytes). The top-k SUM
+    is invariant under weight ties, so both engines agree without a
+    tie-break column.
+
+    Distribution: one combiner collapses raw rows to (group, member,
+    weight-sum); one bucketed key shuffle + numpy partial sort per
+    group. Returns a Dataset
+    (group, n_members, weight_total, top_share_ppm)."""
+    from .agg import bucketed_map_groups
+
+    pair = grouped_agg(
+        ds.select_columns([group_col, member_col, weight_col]),
+        [group_col, member_col],
+        {"_w": (weight_col, "sum")},
+    )
+
+    def close(g: pd.DataFrame) -> pd.DataFrame:
+        w = sorted((int(v) for v in g["_w"]), reverse=True)
+        n = len(w)
+        k = (n * top_pct + 99) // 100
+        total = sum(w)
+        top = sum(w[:k])
+        return pd.DataFrame(
+            {
+                group_col: [g[group_col].iloc[0]],
+                "n_members": pd.array([n], dtype="int64"),
+                "weight_total": pd.array([total], dtype="int64"),
+                "top_share_ppm": pd.array(
+                    [(scale * top) // total if total else 0], dtype="int64"
+                ),
+            }
+        )
+
+    return bucketed_map_groups(
+        pair.select_columns([group_col, "_w"]), [group_col], close
+    )

@@ -130,3 +130,26 @@ def test_burstiness_classes_buckets():
     assert out.get("regular") == 1
     assert out.get("bursty") == 1
     assert out.get("degenerate") == 2
+
+
+def test_weighted_top_share_brute_force():
+    from ocr_service_ray.ops.divergence import weighted_top_share_by_group
+
+    rng = np.random.RandomState(30)
+    g = rng.choice(["a", "b"], 300).tolist()
+    m = rng.randint(0, 30, 300).tolist()
+    w = rng.randint(1, 500, 300).tolist()
+    out = (
+        weighted_top_share_by_group(
+            _ds({"g": g, "m": m, "w": w}), "g", "m", "w", top_pct=10
+        )
+        .to_pandas()
+        .set_index("g")
+    )
+    df = pd.DataFrame({"g": g, "m": m, "w": w})
+    for key, sub in df.groupby("g"):
+        sums = sorted(sub.groupby("m")["w"].sum().tolist(), reverse=True)
+        k = (len(sums) * 10 + 99) // 100
+        expect = (1_000_000 * sum(sums[:k])) // sum(sums)
+        assert out.loc[key, "top_share_ppm"] == expect
+        assert out.loc[key, "weight_total"] == sum(sums)
