@@ -614,7 +614,7 @@ def jaccard_pair_join(
         on="id_b",
     )
 
-    def verify(b: pd.DataFrame) -> pd.DataFrame:
+    def verify(b: pd.DataFrame) -> pa.Table:
         out_a, out_b, inter, jac = [], [], [], []
         for a, bb, sa, sb in zip(
             b["id_a"], b["id_b"], b["set_a"], b["set_b"]
@@ -625,16 +625,19 @@ def jaccard_pair_join(
             union = len(s1) + len(s2) - ni
             jp = (1_000_000 * ni) // union
             if jp >= threshold_ppm:
-                out_a.append(a)
-                out_b.append(bb)
+                out_a.append(int(a))
+                out_b.append(int(bb))
                 inter.append(ni)
                 jac.append(jp)
-        return pd.DataFrame(
+        # typed arrow output: a batch where EVERY candidate fails
+        # verification must still carry the schema (zero-row pandas
+        # blocks go schema-less through Ray — repo landmine)
+        return pa.table(
             {
-                "id_a": pd.array(out_a, dtype="int64"),
-                "id_b": pd.array(out_b, dtype="int64"),
-                "n_inter": pd.array(inter, dtype="int64"),
-                "jac_ppm": pd.array(jac, dtype="int64"),
+                "id_a": pa.array(out_a, pa.int64()),
+                "id_b": pa.array(out_b, pa.int64()),
+                "n_inter": pa.array(inter, pa.int64()),
+                "jac_ppm": pa.array(jac, pa.int64()),
             }
         )
 

@@ -122,3 +122,57 @@ def test_triangles_invariant_to_dup_and_reversal(ray_session, edges):
         _ds({"src": [e[0] for e in noisy], "dst": [e[1] for e in noisy]})
     )
     assert a.iloc[0].tolist() == b.iloc[0].tolist()
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(TEXT, min_size=2, max_size=8),
+    dup_idx=st.integers(0, 1),
+    t_pct=st.sampled_from([30, 50, 70]),
+)
+def test_jaccard_pair_join_lossless_vs_brute_force(
+    ray_session, texts, dup_idx, t_pct
+):
+    """Prefix filtering must be LOSSLESS: for any corpus and
+    threshold, the PPJoin result equals the all-pairs brute force
+    (no false negatives from the prefix prune, no false positives
+    from candidate generation). A near-duplicate of one doc is
+    planted so the non-empty path is exercised too."""
+    from ocr_service_ray.ops.similarity import jaccard_pair_join
+
+    texts = list(texts) + [texts[dup_idx] + " zz"]
+    ids = list(range(len(texts)))
+    t_ppm = t_pct * 10_000
+    got = jaccard_pair_join(
+        _ds({"doc_id": ids, "text": texts}),
+        "doc_id",
+        "text",
+        ngram=2,
+        threshold_ppm=t_ppm,
+    ).to_pandas()
+    if len(got) == 0:
+        # ray 2.49 to_pandas drops the schema for zero-row datasets
+        got = pd.DataFrame(
+            {c: pd.Series([], dtype="int64") for c in
+             ("id_a", "id_b", "n_inter", "jac_ppm")}
+        )
+    got = got.sort_values(["id_a", "id_b"]).reset_index(drop=True)
+    sets = {}
+    for i, t in zip(ids, texts):
+        ws = t.split()
+        sets[i] = {" ".join(ws[j : j + 2]) for j in range(len(ws) - 1)}
+    expect = []
+    for x in range(len(ids)):
+        for y in range(x + 1, len(ids)):
+            a, b = sets[ids[x]], sets[ids[y]]
+            if not a or not b:
+                continue
+            ni = len(a & b)
+            jp = (1_000_000 * ni) // (len(a) + len(b) - ni)
+            if jp >= t_ppm:
+                expect.append((ids[x], ids[y], ni, jp))
+    got_t = [
+        tuple(int(v) for v in row)
+        for row in got[["id_a", "id_b", "n_inter", "jac_ppm"]].to_numpy()
+    ]
+    assert got_t == sorted(expect)
