@@ -5151,6 +5151,130 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    # ----------------------------- wave 27: churn + complement joins
+
+    def q_churned_customers_1995(sf_dir):
+        """EXISTS/NOT-EXISTS combo: customers with >= 1 order in 1995
+        and none in 1996, counted per market segment — the churn
+        cohort. One combiner collapses orders to per-customer
+        (n_1995, n_1996) flags; the segment dimension broadcasts; a
+        second combiner closes. No row-level semi/anti join shuffles."""
+        import datetime as _dt
+
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+
+        def flags(b: pa.Table) -> pa.Table:
+            y = b["o_orderdate"].to_pandas().dt.year.to_numpy()
+            return pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "in95": pa.array((y == 1995).astype(np.int64)),
+                    "in96": pa.array((y == 1996).astype(np.int64)),
+                }
+            )
+
+        per_cust = grouped_agg(
+            od.map_batches(flags, batch_format="pyarrow"),
+            ["o_custkey"],
+            {"n95": ("in95", "sum"), "n96": ("in96", "sum")},
+        )
+        seg = _pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        ).to_pandas()
+        c2s = dict(zip(seg["c_custkey"], seg["c_mktsegment"]))
+
+        def churn(b: pd.DataFrame) -> pd.DataFrame:
+            keep = b[(b["n95"] > 0) & (b["n96"] == 0)]
+            return pd.DataFrame(
+                {"c_mktsegment": keep["o_custkey"].map(c2s)}
+            )
+
+        out = grouped_agg(
+            per_cust.map_batches(churn, batch_format="pandas"),
+            ["c_mktsegment"],
+            {"n_churned": (None, "count")},
+        )
+        return out.map_batches(
+            lambda b: b.astype({"n_churned": "int64"}), batch_format="pandas"
+        )
+
+    def q_median_split_priorities(sf_dir):
+        """Median-split contingency: orders above vs at-or-below the
+        GLOBAL median price, counted per priority — the exact global
+        quantile (ops/sketch.py value_counts_quantiles) broadcast back
+        into a one-pass conditional aggregate. Quantile-then-compare
+        without a second full sort."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.sketch import value_counts_quantiles
+
+        od = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+        def to_cents(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"o_orderpriority": b["o_orderpriority"], "cents": pa.array(cents)}
+            )
+
+        cents_ds = od.map_batches(to_cents, batch_format="pyarrow")
+        med = int(
+            value_counts_quantiles(cents_ds, "cents", [0.5])["value"].iloc[0]
+        )
+
+        def split(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "above": (b["cents"] > med).astype("int64"),
+                }
+            )
+
+        out = grouped_agg(
+            cents_ds.map_batches(split, batch_format="pandas"),
+            ["o_orderpriority"],
+            {"n_total": (None, "count"), "n_above": ("above", "sum")},
+        )
+        return out.map_batches(
+            lambda b: b.astype({"n_total": "int64", "n_above": "int64"}),
+            batch_format="pandas",
+        )
+
+    def q_parts_never_ordered(sf_dir):
+        """Dimension-complement anti join: parts NEVER ordered in bulk
+        (no lineitem with quantity >= 45), counted per brand — the
+        slow-mover report. The bulk-ordered key set collapses in one
+        combiner and broadcasts (ops/relational.py
+        broadcast_anti_join); the part scan never shuffles."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import (
+            broadcast_anti_join,
+            distinct_values,
+        )
+
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"]).map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["l_quantity"], 45)
+            ).select(["l_partkey"]),
+            batch_format="pyarrow",
+        )
+        ordered = distinct_values(li, "l_partkey")
+        part = _read(sf_dir, "part", ["p_partkey", "p_brand"])
+        never = broadcast_anti_join(part, ordered, on="p_partkey")
+        out = grouped_agg(never, ["p_brand"], {"n_parts": (None, "count")})
+        return out.map_batches(
+            lambda b: b.astype({"n_parts": "int64"}), batch_format="pandas"
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -5377,6 +5501,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_whale_share": q_revenue_whale_share,
         "brand_return_ztest": q_brand_return_ztest,
         "exact_dup_components": q_exact_dup_components,
+        "churned_customers_1995": q_churned_customers_1995,
+        "median_split_priorities": q_median_split_priorities,
+        "parts_never_ordered": q_parts_never_ordered,
     }
 
 
@@ -9327,5 +9454,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST(sz2 AS BIGINT) AS cluster_size,
                CAST(count(*) AS BIGINT) AS n_clusters
         FROM szs GROUP BY 1
+    """
+    oracles["churned_customers_1995"] = """
+        WITH f AS (SELECT o_custkey,
+                          sum(CASE WHEN year(o_orderdate) = 1995
+                                   THEN 1 ELSE 0 END) AS n95,
+                          sum(CASE WHEN year(o_orderdate) = 1996
+                                   THEN 1 ELSE 0 END) AS n96
+                   FROM orders GROUP BY 1)
+        SELECT c.c_mktsegment, CAST(count(*) AS BIGINT) AS n_churned
+        FROM f JOIN customer c ON c.c_custkey = f.o_custkey
+        WHERE f.n95 > 0 AND f.n96 = 0
+        GROUP BY 1
+    """
+    oracles["median_split_priorities"] = """
+        WITH c AS MATERIALIZED (
+          SELECT o_orderpriority,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders),
+        m AS (SELECT quantile_disc(cents, 0.5) AS med FROM c)
+        SELECT c.o_orderpriority, CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(CASE WHEN c.cents > m.med THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_above
+        FROM c, m GROUP BY 1
+    """
+    oracles["parts_never_ordered"] = """
+        SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_parts
+        FROM part p
+        WHERE p.p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem
+                                  WHERE l_quantity >= 45)
+        GROUP BY 1
     """
     return oracles
