@@ -5275,6 +5275,246 @@ def queries() -> dict[str, Callable[[str], Any]]:
             lambda b: b.astype({"n_parts": "int64"}), batch_format="pandas"
         )
 
+    # ------------------------- wave 28: rank statistics + cohorts
+
+    def q_spearman_balance_activity(sf_dir):
+        """EXACT Spearman rank correlation between customer account
+        balance and order activity, as signed r² ppm: both variables
+        rank through ops/scan.py global_rank with the custkey
+        tie-break (identical on both engines), the Pearson moments of
+        the two integer rank columns fold in one combiner, one bigint
+        close. The monotone-association test without sqrt or floats."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import hash_join
+        from ocr_service_ray.ops.scan import global_rank
+
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_acctbal"])
+
+        def bal_cents(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"c_custkey": b["c_custkey"], "bal": pa.array(cents)}
+            )
+
+        od = _read(sf_dir, "orders", ["o_custkey"])
+        counts = grouped_agg(
+            od, ["o_custkey"], {"n_orders": (None, "count")}
+        ).map_batches(
+            lambda b: b.rename_columns(
+                ["c_custkey" if c == "o_custkey" else c for c in b.column_names]
+            ),
+            batch_format="pyarrow",
+        )
+        # customers with no orders count as 0 — left join onto the spine
+        joined = hash_join(
+            cu.map_batches(bal_cents, batch_format="pyarrow"),
+            counts.repartition(4),
+            on="c_custkey",
+            join_type="left_outer",
+        ).map_batches(
+            lambda b: pd.DataFrame(
+                {
+                    "c_custkey": b["c_custkey"],
+                    "bal": b["bal"],
+                    "n_orders": b["n_orders"].fillna(0).astype("int64"),
+                }
+            ),
+            batch_format="pandas",
+        )
+        r1 = global_rank(
+            joined.select_columns(["c_custkey", "bal"]), ["bal", "c_custkey"]
+        ).map_batches(
+            lambda b: pa.table(
+                {"c_custkey": b["c_custkey"], "rx": pc.add(b["rank"], 1)}
+            ),
+            batch_format="pyarrow",
+        )
+        r2 = global_rank(
+            joined.select_columns(["c_custkey", "n_orders"]),
+            ["n_orders", "c_custkey"],
+        ).map_batches(
+            lambda b: pa.table(
+                {"c_custkey": b["c_custkey"], "ry": pc.add(b["rank"], 1)}
+            ),
+            batch_format="pyarrow",
+        )
+        both = hash_join(r1.repartition(4), r2.repartition(4), on="c_custkey")
+
+        def moments(b: pd.DataFrame) -> pd.DataFrame:
+            x = b["rx"].to_numpy(dtype=np.int64)
+            y = b["ry"].to_numpy(dtype=np.int64)
+            return pd.DataFrame(
+                {
+                    "n": [len(x)],
+                    "sx": [int(x.sum())],
+                    "sy": [int(y.sum())],
+                    "sxx": [int((x * x).sum())],
+                    "syy": [int((y * y).sum())],
+                    "sxy": [int((x * y).sum())],
+                }
+            )
+
+        m = (
+            both.map_batches(moments, batch_format="pandas")
+            .to_pandas()
+            .sum()
+        )
+        n, sx, sy = int(m["n"]), int(m["sx"]), int(m["sy"])
+        sxx, syy, sxy = int(m["sxx"]), int(m["syy"]), int(m["sxy"])
+        num = n * sxy - sx * sy
+        den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+        if den == 0:
+            r2v = 0
+        else:
+            r2v = (1_000_000 * num * num) // den
+            if num < 0:
+                r2v = -r2v
+        return pd.DataFrame(
+            {
+                "n_customers": pd.array([n], dtype="int64"),
+                "spearman2_ppm": pd.array([r2v], dtype="int64"),
+            }
+        )
+
+    def q_decile_migration(sf_dir):
+        """Year-over-year revenue-decile migration matrix: each
+        customer's 1995 spend decile vs their 1996 decile (deciles by
+        global_rank over (cents, custkey) within each year's
+        population; customers active both years only) — the rank-
+        mobility report. Two sorts + one key join; the matrix is
+        10x10 bounded."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import hash_join
+        from ocr_service_ray.ops.scan import global_rank
+
+        od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+        def year_cents(b: pa.Table) -> pa.Table:
+            y = b["o_orderdate"].to_pandas().dt.year.to_numpy()
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            keep = (y == 1995) | (y == 1996)
+            return pa.table(
+                {
+                    "o_custkey": pa.array(
+                        b["o_custkey"].to_numpy(zero_copy_only=False)[keep]
+                    ),
+                    "year": pa.array(y[keep].astype(np.int64)),
+                    "cents": pa.array(cents[keep]),
+                }
+            )
+
+        spend = grouped_agg(
+            od.map_batches(year_cents, batch_format="pyarrow"),
+            ["o_custkey", "year"],
+            {"cents": ("cents", "sum")},
+        ).materialize()
+
+        def decile_of(year):
+            sub = spend.map_batches(
+                lambda b, yr=year: b.filter(pc.equal(b["year"], yr)).select(
+                    ["o_custkey", "cents"]
+                ),
+                batch_format="pyarrow",
+            )
+            n = sub.count()
+            ranked = global_rank(sub, ["cents", "o_custkey"])
+            return ranked.map_batches(
+                lambda b, tot=n: pa.table(
+                    {
+                        "o_custkey": b["o_custkey"],
+                        f"d{year}": pa.array(
+                            b["rank"].to_numpy(zero_copy_only=False) * 10 // tot
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ).materialize()
+
+        d95 = decile_of(1995)
+        d96 = decile_of(1996)
+        both = hash_join(d95.repartition(4), d96.repartition(4), on="o_custkey")
+        out = grouped_agg(
+            both.select_columns(["d1995", "d1996"]),
+            ["d1995", "d1996"],
+            {"n_customers": (None, "count")},
+        )
+        return out.map_batches(
+            lambda b: b.astype(
+                {"d1995": "int64", "d1996": "int64", "n_customers": "int64"}
+            ),
+            batch_format="pandas",
+        )
+
+    def q_weekend_value_ratio(sf_dir):
+        """Weekend-vs-weekday mean event value per type as an exact
+        cross-multiplied ppm ratio (sum_w * n_d * 1e6 // (n_w *
+        sum_d)) — day-of-week = epoch_day mod 7, weekend = days 2,3
+        (1970-01-01 is a Thursday: +2 = Saturday, +3 = Sunday). One
+        combiner; no floats."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            day = (
+                b["ts"].to_pandas().values.astype("datetime64[D]").astype(np.int64)
+            )
+            wk = ((day % 7 == 2) | (day % 7 == 3)).astype(np.int64)
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "is_weekend": pa.array(wk),
+                    "cents": pa.array(cents),
+                    "wk_cents": pa.array(wk * cents),
+                }
+            )
+
+        agg = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_type"],
+            {
+                "n_total": (None, "count"),
+                "n_weekend": ("is_weekend", "sum"),
+                "sum_cents": ("cents", "sum"),
+                "sum_wk_cents": ("wk_cents", "sum"),
+            },
+        ).to_pandas()
+        rows = []
+        for _, r in agg.iterrows():
+            nt, nw = int(r["n_total"]), int(r["n_weekend"])
+            st, sw = int(r["sum_cents"]), int(r["sum_wk_cents"])
+            nd, sd = nt - nw, st - sw
+            ratio = (
+                (1_000_000 * sw * nd) // (nw * sd)
+                if nw > 0 and sd > 0
+                else 0
+            )
+            rows.append(
+                {
+                    "event_type": r["event_type"],
+                    "n_weekend": nw,
+                    "n_weekday": nd,
+                    "ratio_ppm": ratio,
+                }
+            )
+        out = pd.DataFrame(rows)
+        for c in ("n_weekend", "n_weekday", "ratio_ppm"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values("event_type").reset_index(drop=True)
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -5504,6 +5744,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "churned_customers_1995": q_churned_customers_1995,
         "median_split_priorities": q_median_split_priorities,
         "parts_never_ordered": q_parts_never_ordered,
+        "spearman_balance_activity": q_spearman_balance_activity,
+        "decile_migration": q_decile_migration,
+        "weekend_value_ratio": q_weekend_value_ratio,
     }
 
 
@@ -9484,5 +9727,75 @@ def oracle_sql() -> dict[str, str]:
         WHERE p.p_partkey NOT IN (SELECT DISTINCT l_partkey FROM lineitem
                                   WHERE l_quantity >= 45)
         GROUP BY 1
+    """
+    oracles["spearman_balance_activity"] = """
+        WITH cnt AS (SELECT o_custkey, count(*) AS n_orders
+                     FROM orders GROUP BY 1),
+        j AS MATERIALIZED (
+          SELECT c.c_custkey,
+                 CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal,
+                 COALESCE(cnt.n_orders, 0) AS n_orders
+          FROM customer c LEFT JOIN cnt ON cnt.o_custkey = c.c_custkey),
+        r AS (SELECT CAST(row_number() OVER (ORDER BY bal, c_custkey)
+                          AS HUGEINT) AS rx,
+                     CAST(row_number() OVER (ORDER BY n_orders, c_custkey)
+                          AS HUGEINT) AS ry
+              FROM j),
+        m AS (SELECT CAST(count(*) AS HUGEINT) AS n, sum(rx) AS sx,
+                     sum(ry) AS sy, sum(rx * rx) AS sxx,
+                     sum(ry * ry) AS syy, sum(rx * ry) AS sxy
+              FROM r)
+        SELECT CAST(n AS BIGINT) AS n_customers,
+               CAST(CASE
+                 WHEN (n * sxx - sx * sx) * (n * syy - sy * sy) = 0 THEN 0
+                 WHEN n * sxy - sx * sy >= 0
+                 THEN (1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                      // ((n * sxx - sx * sx) * (n * syy - sy * sy))
+                 ELSE -((1000000 * (n * sxy - sx * sy) * (n * sxy - sx * sy))
+                        // ((n * sxx - sx * sx) * (n * syy - sy * sy)))
+               END AS BIGINT) AS spearman2_ppm
+        FROM m
+    """
+    oracles["decile_migration"] = """
+        WITH yc AS MATERIALIZED (
+          SELECT o_custkey, CAST(year(o_orderdate) AS BIGINT) AS year,
+                 sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                   AS cents
+          FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+          GROUP BY 1, 2),
+        d95 AS (SELECT o_custkey,
+                       ((row_number() OVER (ORDER BY cents, o_custkey) - 1)
+                        * 10) // (count(*) OVER ()) AS d1995
+                FROM yc WHERE year = 1995),
+        d96 AS (SELECT o_custkey,
+                       ((row_number() OVER (ORDER BY cents, o_custkey) - 1)
+                        * 10) // (count(*) OVER ()) AS d1996
+                FROM yc WHERE year = 1996)
+        SELECT CAST(d95.d1995 AS BIGINT) AS d1995,
+               CAST(d96.d1996 AS BIGINT) AS d1996,
+               CAST(count(*) AS BIGINT) AS n_customers
+        FROM d95 JOIN d96 ON d96.o_custkey = d95.o_custkey
+        GROUP BY 1, 2
+    """
+    oracles["weekend_value_ratio"] = """
+        WITH p AS (SELECT event_type,
+                          CAST(date_diff('day', DATE '1970-01-01',
+                                         CAST(ts AS DATE)) AS BIGINT) % 7
+                            AS dow,
+                          CAST(floor(value * 100.0 + 0.5) AS HUGEINT) AS cents
+                   FROM events),
+        a AS (SELECT event_type,
+                     CAST(count(*) AS HUGEINT) AS nt,
+                     CAST(sum(CASE WHEN dow IN (2, 3) THEN 1 ELSE 0 END)
+                          AS HUGEINT) AS nw,
+                     sum(cents) AS st,
+                     sum(CASE WHEN dow IN (2, 3) THEN cents ELSE 0 END) AS sw
+              FROM p GROUP BY 1)
+        SELECT event_type, CAST(nw AS BIGINT) AS n_weekend,
+               CAST(nt - nw AS BIGINT) AS n_weekday,
+               CAST(CASE WHEN nw > 0 AND st - sw > 0
+                         THEN (1000000 * sw * (nt - nw)) // (nw * (st - sw))
+                         ELSE 0 END AS BIGINT) AS ratio_ppm
+        FROM a
     """
     return oracles

@@ -44,3 +44,26 @@ def test_eta2_extremes():
     # constant everything -> SST 0 -> defined as 0
     assert _eta2_ppm([[3, 3], [3, 3]]) == 0 or True  # SST==0 path
     assert _eta2_ppm([[3], [3]]) == 0
+
+
+def test_spearman_signed_squared_formula():
+    """The q_spearman_balance_activity close: Pearson on unique ranks
+    == scipy-free Spearman (no ties by construction of the composite
+    sort key)."""
+    rng = np.random.RandomState(9)
+    n = 200
+    x = rng.permutation(n) + 1
+    # monotone-ish y with noise -> positive association
+    y_vals = x + rng.randint(-20, 21, n)
+    # ranks of y with a deterministic tie-break (stable argsort)
+    y = np.empty(n, dtype=int)
+    y[np.argsort(y_vals, kind="stable")] = np.arange(1, n + 1)
+    sx, sy = int(x.sum()), int(y.sum())
+    sxx, syy = int((x * x).sum()), int((y * y).sum())
+    sxy = int((x.astype(object) * y).sum())
+    num = n * sxy - sx * sy
+    den = (n * sxx - sx * sx) * (n * syy - sy * sy)
+    got = (1_000_000 * num * num) // den * (1 if num >= 0 else -1)
+    r = np.corrcoef(x, y)[0, 1]
+    assert abs(abs(got) / 1e6 - r * r) < 1e-5
+    assert got > 0
