@@ -5515,6 +5515,145 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out.sort_values("event_type").reset_index(drop=True)
 
+    # ------------------------ wave 29: sweep-line + leakage matrix
+
+    def q_peak_concurrent_sessions(sf_dir):
+        """Maximum simultaneous 30-min-gap sessions (ops/intervals.py
+        peak_concurrency): the sweep-line classic — boundary deltas,
+        one combiner merge, distributed sort + two-phase prefix scan,
+        global max. Capacity planning's favorite number."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.intervals import (
+            peak_concurrency,
+            session_intervals,
+        )
+
+        si = session_intervals(
+            _read(sf_dir, "events", ["user_id", "ts"])
+        )
+        out = peak_concurrency(si)
+        return pd.DataFrame(
+            {
+                "n_sessions": pd.array([out["n_intervals"]], dtype="int64"),
+                "peak_concurrent": pd.array(
+                    [out["peak_concurrent"]], dtype="int64"
+                ),
+            }
+        )
+
+    def q_dup_leakage_matrix(sf_dir):
+        """Cross-source near-dup leakage matrix: every exact PPJoin
+        pair (Jaccard >= 0.5) attributed to its UNORDERED source pair
+        via a broadcast doc→source map — which sources share content,
+        the contamination-direction report."""
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.similarity import jaccard_pair_join
+
+        pairs = jaccard_pair_join(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            ngram=3,
+            threshold_ppm=500_000,
+        )
+        docs = _pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+        ).to_pandas()
+        d2s = dict(zip(docs["doc_id"], docs["source"]))
+
+        def attribute(b: pd.DataFrame) -> pd.DataFrame:
+            sa = b["id_a"].map(d2s)
+            sb = b["id_b"].map(d2s)
+            lo = np.minimum(sa, sb)
+            hi = np.maximum(sa, sb)
+            return pd.DataFrame({"source_a": lo, "source_b": hi})
+
+        out = grouped_agg(
+            pairs.map_batches(attribute, batch_format="pandas"),
+            ["source_a", "source_b"],
+            {"n_pairs": (None, "count")},
+        )
+        return out.map_batches(
+            lambda b: b.astype({"n_pairs": "int64"}), batch_format="pandas"
+        )
+
+    def q_activity_decile_conversion(sf_dir):
+        """Purchase-conversion rate by user-activity decile: users
+        ranked by (event count, user_id) through global_rank, bucketed
+        into exact deciles, each decile's share of users with >= 1
+        purchase in exact ppm — does raw activity predict conversion?"""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import hash_join
+        from ocr_service_ray.ops.scan import global_rank
+
+        ev = _read(sf_dir, "events", ["user_id", "event_type"])
+
+        def flags(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "is_purchase": pc.cast(
+                        pc.equal(b["event_type"], "purchase"), pa.int64()
+                    ),
+                }
+            )
+
+        per_user = grouped_agg(
+            ev.map_batches(flags, batch_format="pyarrow"),
+            ["user_id"],
+            {"n_events": (None, "count"), "n_purch": ("is_purchase", "sum")},
+        ).materialize()
+        n_users = per_user.count()
+        ranked = global_rank(
+            per_user.select_columns(["user_id", "n_events"]),
+            ["n_events", "user_id"],
+        )
+        deciled = ranked.map_batches(
+            lambda b, tot=n_users: pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "decile": pa.array(
+                        b["rank"].to_numpy(zero_copy_only=False) * 10 // tot
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        joined = hash_join(
+            deciled.repartition(4),
+            per_user.select_columns(["user_id", "n_purch"]).repartition(4),
+            on="user_id",
+        )
+
+        def conv(b: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "decile": b["decile"],
+                    "converted": (b["n_purch"] > 0).astype("int64"),
+                }
+            )
+
+        agg = grouped_agg(
+            joined.map_batches(conv, batch_format="pandas"),
+            ["decile"],
+            {"n_users": (None, "count"), "n_converted": ("converted", "sum")},
+        )
+
+        def close(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.astype(
+                {"decile": "int64", "n_users": "int64", "n_converted": "int64"}
+            )
+            b["conv_ppm"] = (1_000_000 * b["n_converted"]) // b["n_users"]
+            return b
+
+        return agg.map_batches(close, batch_format="pandas")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -5747,6 +5886,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "spearman_balance_activity": q_spearman_balance_activity,
         "decile_migration": q_decile_migration,
         "weekend_value_ratio": q_weekend_value_ratio,
+        "peak_concurrent_sessions": q_peak_concurrent_sessions,
+        "dup_leakage_matrix": q_dup_leakage_matrix,
+        "activity_decile_conversion": q_activity_decile_conversion,
     }
 
 
@@ -9797,5 +9939,74 @@ def oracle_sql() -> dict[str, str]:
                          THEN (1000000 * sw * (nt - nw)) // (nw * (st - sw))
                          ELSE 0 END AS BIGINT) AS ratio_ppm
         FROM a
+    """
+    oracles["peak_concurrent_sessions"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id, epoch_us(ts) AS t,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM events),
+        s AS (SELECT user_id, t, rn,
+                     CASE WHEN rn = 1
+                            OR t - lag(t) OVER (PARTITION BY user_id
+                                                ORDER BY rn) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM o),
+        s2 AS (SELECT user_id, t,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS sid
+               FROM s),
+        sess AS MATERIALIZED (
+          SELECT user_id, sid, min(t) AS st, max(t) AS en
+          FROM s2 GROUP BY 1, 2),
+        b AS (SELECT st * 2 AS k, 1 AS d FROM sess
+              UNION ALL SELECT en * 2 + 1, -1 FROM sess),
+        a AS (SELECT k, sum(d) AS d FROM b GROUP BY 1),
+        run AS (SELECT sum(d) OVER (ORDER BY k) AS conc FROM a)
+        SELECT CAST((SELECT count(*) FROM sess) AS BIGINT) AS n_sessions,
+               CAST(max(conc) AS BIGINT) AS peak_concurrent
+        FROM run
+    """
+    oracles["dup_leakage_matrix"] = r"""
+        WITH d AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS s FROM documents),
+        w AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 s[i] || ' ' || s[i + 1] || ' ' || s[i + 2] AS sh
+          FROM d, unnest(generate_series(1, len(s) - 2)) AS g(i)),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM w GROUP BY 1),
+        inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                         CAST(count(*) AS BIGINT) AS n_inter
+                  FROM w a JOIN w b ON a.sh = b.sh AND a.doc_id < b.doc_id
+                  GROUP BY 1, 2),
+        sel AS (SELECT i.id_a, i.id_b
+                FROM inter i
+                JOIN sz sa ON sa.doc_id = i.id_a
+                JOIN sz sb ON sb.doc_id = i.id_b
+                WHERE (1000000 * i.n_inter) // (sa.n + sb.n - i.n_inter)
+                      >= 500000),
+        m AS (SELECT least(da.source, db.source) AS source_a,
+                     greatest(da.source, db.source) AS source_b
+              FROM sel
+              JOIN documents da ON da.doc_id = sel.id_a
+              JOIN documents db ON db.doc_id = sel.id_b)
+        SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_pairs
+        FROM m GROUP BY 1, 2
+    """
+    oracles["activity_decile_conversion"] = """
+        WITH pu AS MATERIALIZED (
+          SELECT user_id, count(*) AS n_events,
+                 sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purch
+          FROM events GROUP BY 1),
+        r AS (SELECT user_id, n_purch,
+                     ((row_number() OVER (ORDER BY n_events, user_id) - 1)
+                      * 10) // (count(*) OVER ()) AS decile
+              FROM pu)
+        SELECT CAST(decile AS BIGINT) AS decile,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_converted,
+               CAST((1000000 * sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END))
+                    // count(*) AS BIGINT) AS conv_ppm
+        FROM r GROUP BY 1
     """
     return oracles

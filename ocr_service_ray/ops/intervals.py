@@ -116,3 +116,57 @@ def interval_overlap_join(
         return b.filter(pa.array(overlap & canonical)).drop_columns(["cell"])
 
     return joined.map_batches(keep, batch_format="pyarrow")
+
+
+def peak_concurrency(intervals_ds, s_col: str = "s_us", e_col: str = "e_us"):
+    """Maximum number of simultaneously-open CLOSED intervals — the
+    sweep-line classic (peak concurrent sessions / connections /
+    jobs), fully distributed:
+
+    1. each interval emits +1 at its start and -1 just after its end,
+       keyed ``k = 2*t + kind`` (kind 0 = start, 1 = end) so starts
+       apply BEFORE ends at the same timestamp (closed-interval
+       overlap) and boundary keys are unique after one combiner
+       merge;
+    2. one distributed sort by k + the two-phase exclusive
+       ``prefix_sum`` (ops/scan.py — block metadata only crosses the
+       driver) make the running concurrency ``offset + delta`` per
+       boundary row;
+    3. a global max closes.
+
+    Returns {"n_intervals": int, "peak_concurrent": int}."""
+    from ocr_service_ray.ops.agg import global_agg, grouped_agg
+    from ocr_service_ray.ops.scan import prefix_sum
+
+    n_intervals = intervals_ds.count()
+    if n_intervals == 0:
+        return {"n_intervals": 0, "peak_concurrent": 0}
+
+    def boundaries(b: pa.Table) -> pa.Table:
+        s = b[s_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        e = b[e_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        k = np.concatenate([s * 2, e * 2 + 1])
+        d = np.concatenate(
+            [np.ones(len(s), dtype=np.int64), -np.ones(len(e), dtype=np.int64)]
+        )
+        return pa.table({"k": pa.array(k), "d": pa.array(d)})
+
+    agg = grouped_agg(
+        intervals_ds.map_batches(boundaries, batch_format="pyarrow"),
+        ["k"],
+        {"d": ("d", "sum")},
+    )
+    scanned = prefix_sum(agg.sort("k"), "k", "d", out_col="offset")
+
+    def inclusive(b: pa.Table) -> pa.Table:
+        run = (
+            b["offset"].to_numpy(zero_copy_only=False)
+            + b["d"].to_numpy(zero_copy_only=False)
+        ).astype(np.int64)
+        return pa.table({"conc": pa.array(run)})
+
+    peak = global_agg(
+        scanned.map_batches(inclusive, batch_format="pyarrow"),
+        {"peak": ("conc", "max")},
+    )
+    return {"n_intervals": int(n_intervals), "peak_concurrent": int(peak["peak"])}
