@@ -5654,6 +5654,169 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return agg.map_batches(close, batch_format="pandas")
 
+    # ----------------------- wave 30: LTV cohorts + distinctive terms
+
+    def q_cohort_revenue_matrix(sf_dir):
+        """Customer-cohort revenue matrix: customers cohorted by the
+        integer month (year*12+month-1) of their FIRST order, cell
+        (cohort_month, offset_months) = total cents that cohort spent
+        that many months later — the LTV triangle. One bucketed key
+        shuffle on the customer; the in-group fold pins the cohort and
+        emits per-month partials; one combiner closes."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate", "o_totalprice"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            dt = b["o_orderdate"].to_pandas()
+            month = (dt.dt.year * 12 + dt.dt.month - 1).to_numpy(np.int64)
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_custkey": b["o_custkey"],
+                    "month": pa.array(month),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            cohort = int(g["month"].min())
+            per = g.groupby("month")["cents"].sum()
+            return pd.DataFrame(
+                {
+                    "cohort_month": np.int64(cohort),
+                    "offset_months": (per.index.to_numpy() - cohort).astype(
+                        np.int64
+                    ),
+                    "cents": per.to_numpy(),
+                }
+            )
+
+        per_cell = bucketed_map_groups(
+            od.map_batches(prep, batch_format="pyarrow"),
+            ["o_custkey"],
+            fold,
+        )
+        out = grouped_agg(
+            per_cell,
+            ["cohort_month", "offset_months"],
+            {"revenue_cents": ("cents", "sum")},
+        )
+        return out.map_batches(
+            lambda b: b.astype(
+                {
+                    "cohort_month": "int64",
+                    "offset_months": "int64",
+                    "revenue_cents": "int64",
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def q_distinctive_terms(sf_dir):
+        """Top-3 overrepresented words per source by the exact
+        cross-multiplied rate ratio (c_sw * N_total * 1e6) //
+        (N_source * c_word) — the log-free tf-idf-flavored
+        slice-signature report; ties break on the word. One combiner
+        to (source, word) counts; the ratio close runs on the
+        vocabulary-bounded driver frame."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        docs = _read(sf_dir, "documents", ["source", "text"])
+
+        def explode(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            counts: Counter = Counter()
+            for g, t in zip(
+                batch["source"].to_pylist(), batch["text"].to_pylist()
+            ):
+                for w in (t or "").split():
+                    counts[(g, w)] += 1
+            gs = [g for g, _ in counts]
+            ws = [w for _, w in counts]
+            cs = [counts[k] for k in counts]
+            return pa.table(
+                {
+                    "source": pa.array(gs, batch["source"].type),
+                    "word": pa.array(ws, pa.string()),
+                    "c": pa.array(cs, pa.int64()),
+                }
+            )
+
+        pairs = grouped_agg(
+            docs.map_batches(explode, batch_format="pyarrow"),
+            ["source", "word"],
+            {"c": ("c", "sum")},
+        ).to_pandas()
+        word_tot = pairs.groupby("word")["c"].sum().to_dict()
+        src_tot = pairs.groupby("source")["c"].sum().to_dict()
+        n_total = int(sum(word_tot.values()))
+        pairs["ratio_ppm"] = [
+            (int(c) * n_total * 1_000_000)
+            // (int(src_tot[s]) * int(word_tot[w]))
+            for s, w, c in zip(pairs["source"], pairs["word"], pairs["c"])
+        ]
+        pairs = pairs.sort_values(
+            ["source", "ratio_ppm", "word"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        )
+        out = pairs.groupby("source").head(3).reset_index(drop=True)
+        out["c"] = out["c"].astype("int64")
+        out["ratio_ppm"] = out["ratio_ppm"].astype("int64")
+        return out[["source", "word", "c", "ratio_ppm"]]
+
+    def q_session_depth_survival(sf_dir):
+        """Session-depth survival curve: for k = 1..5, how many 30-min
+        sessions reach >= k events and the share in exact ppm — the
+        engagement funnel beneath bounce rate. Session sizes come from
+        one bucketed key fold; the k-expansion is a 5x flat map of the
+        span-bounded size histogram."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            t = np.sort(
+                pd.DatetimeIndex(g["ts"]).values.astype("datetime64[us]").astype(np.int64)
+            )
+            brk = np.zeros(len(t), dtype=np.int64)
+            brk[1:] = (np.diff(t) > 1_800_000_000).astype(np.int64)
+            sid = np.cumsum(brk)
+            sizes = np.bincount(sid)
+            return pd.DataFrame({"ssize": sizes[sizes > 0].astype(np.int64)})
+
+        sizes = bucketed_map_groups(
+            ev.select_columns(["user_id", "ts"]), ["user_id"], fold
+        )
+        hist = grouped_agg(
+            sizes, ["ssize"], {"n_sessions": (None, "count")}
+        ).to_pandas()
+        total = int(hist["n_sessions"].sum())
+        rows = []
+        for k in range(1, 6):
+            ge = int(hist.loc[hist["ssize"] >= k, "n_sessions"].sum())
+            rows.append(
+                {
+                    "k": k,
+                    "n_ge_k": ge,
+                    "share_ppm": (1_000_000 * ge) // total if total else 0,
+                }
+            )
+        out = pd.DataFrame(rows)
+        for c in ("k", "n_ge_k", "share_ppm"):
+            out[c] = out[c].astype("int64")
+        return out
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -5889,6 +6052,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrent_sessions": q_peak_concurrent_sessions,
         "dup_leakage_matrix": q_dup_leakage_matrix,
         "activity_decile_conversion": q_activity_decile_conversion,
+        "cohort_revenue_matrix": q_cohort_revenue_matrix,
+        "distinctive_terms": q_distinctive_terms,
+        "session_depth_survival": q_session_depth_survival,
     }
 
 
@@ -10008,5 +10174,69 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * sum(CASE WHEN n_purch > 0 THEN 1 ELSE 0 END))
                     // count(*) AS BIGINT) AS conv_ppm
         FROM r GROUP BY 1
+    """
+    oracles["cohort_revenue_matrix"] = """
+        WITH p AS MATERIALIZED (
+          SELECT o_custkey,
+                 CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                      AS BIGINT) AS month,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders),
+        f AS (SELECT o_custkey, min(month) AS cohort FROM p GROUP BY 1)
+        SELECT f.cohort AS cohort_month,
+               p.month - f.cohort AS offset_months,
+               CAST(sum(p.cents) AS BIGINT) AS revenue_cents
+        FROM p JOIN f ON f.o_custkey = p.o_custkey
+        GROUP BY 1, 2
+    """
+    oracles["distinctive_terms"] = r"""
+        WITH w AS MATERIALIZED (
+          SELECT source, unnest(regexp_extract_all(text, '\S+')) AS word
+          FROM documents),
+        p AS MATERIALIZED (
+          SELECT source, word, CAST(count(*) AS HUGEINT) AS c
+          FROM w GROUP BY 1, 2),
+        wt AS (SELECT word, sum(c) AS cw FROM p GROUP BY 1),
+        st AS (SELECT source, sum(c) AS ns FROM p GROUP BY 1),
+        tt AS (SELECT sum(c) AS n FROM p),
+        r AS (SELECT p.source, p.word, CAST(p.c AS BIGINT) AS c,
+                     CAST((p.c * tt.n * 1000000) // (st.ns * wt.cw)
+                          AS BIGINT) AS ratio_ppm
+              FROM p
+              JOIN wt ON wt.word = p.word
+              JOIN st ON st.source = p.source
+              CROSS JOIN tt),
+        k AS (SELECT *, row_number() OVER (PARTITION BY source
+                                           ORDER BY ratio_ppm DESC,
+                                                    word ASC) AS rn
+              FROM r)
+        SELECT source, word, c, ratio_ppm FROM k WHERE rn <= 3
+    """
+    oracles["session_depth_survival"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id, epoch_us(ts) AS t,
+                 row_number() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+          FROM events),
+        s AS (SELECT user_id, rn,
+                     CASE WHEN rn = 1
+                            OR t - lag(t) OVER (PARTITION BY user_id
+                                                ORDER BY rn) > 1800000000
+                          THEN 1 ELSE 0 END AS brk
+              FROM o),
+        s2 AS (SELECT user_id,
+                      sum(brk) OVER (PARTITION BY user_id ORDER BY rn) AS sid
+               FROM s),
+        sz AS MATERIALIZED (
+          SELECT user_id, sid, count(*) AS ssize FROM s2 GROUP BY 1, 2),
+        t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM sz),
+        ks AS (SELECT * FROM (VALUES (1), (2), (3), (4), (5)) AS v(k))
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(sum(CASE WHEN sz.ssize >= ks.k THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ge_k,
+               CAST((1000000 * sum(CASE WHEN sz.ssize >= ks.k
+                                        THEN 1 ELSE 0 END)) // t.total
+                    AS BIGINT) AS share_ppm
+        FROM ks CROSS JOIN sz CROSS JOIN t
+        GROUP BY ks.k, t.total
     """
     return oracles

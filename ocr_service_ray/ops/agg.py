@@ -193,10 +193,15 @@ def grouped_agg(
         data_cols = [c for c, _ in phys.values() if c is not None and c not in keys]
         if not data_cols:
             # count-only over the key columns: size() (agg() can't
-            # reference a grouping column)
-            out = b.groupby(keys, as_index=False, dropna=False).size()
+            # reference a grouping column). reset_index(name=...)
+            # names the count column directly — as_index=False +
+            # rename breaks when a KEY is itself named "size"
             (count_out,) = phys.keys()
-            return out.rename(columns={"size": count_out})
+            return (
+                b.groupby(keys, dropna=False)
+                .size()
+                .reset_index(name=count_out)
+            )
         named = {}
         for out, (col, agg) in phys.items():
             if agg == "count":
