@@ -174,7 +174,11 @@ def _tfidf_shuffle(ds, k, text_col, id_col, log_idf):
         )
 
     tf_rows = ds.map_batches(explode_tf, batch_format="pyarrow")
-    joined = hash_join(tf_rows, df_ds, on="term")
+    # repartition: term_doc_freq's combiner emits schema-less zero-row
+    # blocks for empty buckets and the acero join intermittently
+    # rejects them on the probe side (repo landmine — flaked once in a
+    # 237-query sweep under load; see hash_join's docstring)
+    joined = hash_join(tf_rows, df_ds.repartition(4), on="term")
 
     def score(b: pa.Table) -> pa.Table:
         tf = b["tf"].to_numpy(zero_copy_only=False).astype(np.float64)
