@@ -5817,6 +5817,513 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out
 
+    # -- wave 31: TPC-H relational fill (Q3/Q4/Q14/Q18 shapes) --------
+
+    def q3_shipping_priority(sf_dir):
+        """TPC-H Q3 shape (ref has no analytic SQL layer — this is the
+        scale-side join discipline demo): lineitem revenue is
+        pre-aggregated to per-orderkey cents by the COMBINER before
+        any join (partials shuffle, raw lineitem rows never do), then
+        one hash join to date-filtered orders x segment-filtered
+        customers, then the block-local top-k — no full sort."""
+        import datetime as _dt
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for, topk
+
+        cutoff = _dt.datetime(1996, 6, 1)
+
+        li = _read(
+            sf_dir, "lineitem", ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"]
+        )
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.greater(b["l_shipdate"], pa.scalar(cutoff)))
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)
+            cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {"l_orderkey": b["l_orderkey"], "cents": pa.array(cents)}
+            )
+
+        rev = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"revenue_cents": ("cents", "sum")},
+        )
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def od_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.less(b["o_orderdate"], pa.scalar(cutoff)))
+            us = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_custkey": b["o_custkey"],
+                    "o_day": pa.array(us // 86_400_000_000),
+                }
+            )
+
+        od = od.map_batches(od_prep, batch_format="pyarrow")
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        cu = cu.map_batches(
+            lambda b: b.filter(
+                pc.equal(b["c_mktsegment"], "AUTOMOBILE")
+            ).drop_columns(["c_mktsegment"]),
+            batch_format="pyarrow",
+        )
+        oc = od.join(
+            cu,
+            join_type="inner",
+            num_partitions=join_partitions_for(od, cu),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "o_day"])
+        r = rev.join(
+            oc,
+            join_type="inner",
+            num_partitions=join_partitions_for(rev, oc),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        out = topk(
+            r.select_columns(["l_orderkey", "o_day", "revenue_cents"]),
+            by=["revenue_cents", "l_orderkey"],
+            k=10,
+            descending=[True, False],
+        )
+        return out.map_batches(
+            lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}).astype(
+                {"o_orderkey": "int64", "o_day": "int64", "revenue_cents": "int64"}
+            ),
+            batch_format="pandas",
+        )
+
+    def q4_late_priority_counts(sf_dir):
+        """TPC-H Q4 shape with EXISTS folded into a combiner max:
+        EXISTS(lineitem shipped > orderdate + 30d) == per-order
+        max(shipdate) > orderdate + 30d, so lineitem collapses to one
+        int per orderkey BEFORE the join — the semi-join never moves
+        raw lineitem rows."""
+        import datetime as _dt
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "ship_us": b["l_shipdate"].cast(pa.int64()),
+                }
+            )
+
+        mx = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"max_ship_us": ("ship_us", "max")},
+        )
+
+        lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+        def od_prep(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                pc.less(b["o_orderdate"], pa.scalar(hi)),
+            )
+            b = b.filter(keep)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_us": b["o_orderdate"].cast(pa.int64()),
+                    "o_orderpriority": b["o_orderpriority"],
+                }
+            )
+
+        od = od.map_batches(od_prep, batch_format="pyarrow")
+        j = od.join(
+            mx,
+            join_type="inner",
+            num_partitions=join_partitions_for(od, mx),
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+
+        THIRTY_D_US = 30 * 86_400_000_000
+
+        def late_only(b: pa.Table) -> pa.Table:
+            keep = pc.greater(
+                b["max_ship_us"], pc.add(b["o_us"], pa.scalar(THIRTY_D_US))
+            )
+            return b.filter(keep).select(["o_orderpriority"])
+
+        late = j.map_batches(late_only, batch_format="pyarrow")
+        out = grouped_agg(late, ["o_orderpriority"], {"n_late": (None, "count")})
+        return out.map_batches(
+            lambda b: b.astype({"n_late": "int64"}), batch_format="pandas"
+        )
+
+    def q14_promo_revenue(sf_dir):
+        """TPC-H Q14 shape: promo-revenue share per shipdate month in
+        exact ppm. part is the dimension side — broadcast as a
+        partkey->is_promo lookup (ray.put once, read per actor), so
+        the fact table joins with zero shuffle; per-month cents fold
+        in one combiner agg."""
+        import datetime as _dt
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import broadcast_join
+
+        lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+            b = b.filter(keep)
+            dt = b["l_shipdate"].to_pandas()
+            ym = (dt.dt.year * 100 + dt.dt.month).to_numpy(np.int64)
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)
+            cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "l_partkey": b["l_partkey"],
+                    "ym": pa.array(ym),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        facts = li.map_batches(li_prep, batch_format="pyarrow")
+        part = (
+            _read(sf_dir, "part", ["p_partkey", "p_type"])
+            .to_pandas()
+            .rename(columns={"p_partkey": "l_partkey"})
+        )
+        part["promo"] = (part["p_type"] == "PROMO").astype(np.int64)
+        joined = broadcast_join(facts, part[["l_partkey", "promo"]], on="l_partkey")
+
+        def weigh(b: pa.Table) -> pa.Table:
+            cents = b["cents"].to_numpy(zero_copy_only=False)
+            promo = b["promo"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "ym": b["ym"],
+                    "cents": b["cents"],
+                    "promo_cents": pa.array(cents * promo),
+                }
+            )
+
+        agg = grouped_agg(
+            joined.map_batches(weigh, batch_format="pyarrow"),
+            ["ym"],
+            {
+                "total_cents": ("cents", "sum"),
+                "promo_cents": ("promo_cents", "sum"),
+            },
+        ).to_pandas()
+        agg["promo_ppm"] = (
+            1_000_000 * agg["promo_cents"].astype(np.int64)
+        ) // agg["total_cents"].astype(np.int64)
+        for c in ("ym", "total_cents", "promo_cents", "promo_ppm"):
+            agg[c] = agg[c].astype("int64")
+        return agg[["ym", "total_cents", "promo_cents", "promo_ppm"]]
+
+    def q18_big_quantity_orders(sf_dir):
+        """TPC-H Q18 shape (large-volume customers): HAVING over a
+        per-orderkey combiner sum prunes lineitem to the whale orders
+        before anything joins; customer names attach by broadcast."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import (
+            broadcast_join,
+            join_partitions_for,
+            topk,
+        )
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"])
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            q = b["l_quantity"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "qty": pa.array(np.floor(q + 0.5).astype(np.int64)),
+                }
+            )
+
+        sums = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"total_qty": ("qty", "sum")},
+        )
+        big = sums.map_batches(
+            lambda b: b.filter(pc.greater(b["total_qty"], pa.scalar(240))),
+            batch_format="pyarrow",
+        )
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_totalprice"])
+
+        def od_prep(b: pa.Table) -> pa.Table:
+            tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_custkey": b["o_custkey"],
+                    "o_cents": pa.array(
+                        np.floor(tp * 100.0 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+        od = od.map_batches(od_prep, batch_format="pyarrow")
+        j = big.join(
+            od,
+            join_type="inner",
+            num_partitions=join_partitions_for(big, od),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        cust = (
+            _read(sf_dir, "customer", ["c_custkey", "c_name"])
+            .to_pandas()
+            .rename(columns={"c_custkey": "o_custkey"})
+        )
+        named = broadcast_join(j, cust, on="o_custkey")
+        out = topk(
+            named.select_columns(
+                ["l_orderkey", "c_name", "total_qty", "o_cents"]
+            ),
+            by=["total_qty", "l_orderkey"],
+            k=20,
+            descending=[True, False],
+        )
+        return out.map_batches(
+            lambda b: b.rename(columns={"l_orderkey": "o_orderkey"}).astype(
+                {"o_orderkey": "int64", "total_qty": "int64", "o_cents": "int64"}
+            ),
+            batch_format="pandas",
+        )
+
+    # -- wave 32: markov stationary / TTR curve / SCD2 islands / drawdown
+
+    def q_markov_stationary(sf_dir):
+        """Stationary-distribution estimate of the user behavioral
+        Markov chain: the transition matrix comes from the distributed
+        lag+GROUP BY combiner (ops/window.transition_counts — raw
+        events fold per user, only |types|^2 partials shuffle), then
+        THREE unrolled integer power-iteration steps run on the
+        |types|^2-bounded driver table. All arithmetic is ppm/micro
+        integer (per-term floor), so the unrolled-CTE oracle replays
+        it bit-exactly."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.relational import distinct_values
+        from ocr_service_ray.ops.window import transition_counts
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        tc = transition_counts(ev, "user_id", ["ts", "event_id"], "event_type").to_pandas()
+        types = sorted(distinct_values(ev, "event_type"))
+        k = len(types)
+        rowsum = tc.groupby("prev")["n"].sum().to_dict()
+        # P in ppm, per-(prev,next) floor — the SQL mirror's exact form
+        p = {
+            (r["prev"], r["next"]): (1_000_000 * int(r["n"])) // int(rowsum[r["prev"]])
+            for _, r in tc.iterrows()
+        }
+        v = {t: 1_000_000 // k for t in types} if k else {}
+        for _ in range(3):
+            nxt = {t: 0 for t in types}
+            for (a, b), pp in p.items():
+                nxt[b] += (v.get(a, 0) * pp) // 1_000_000
+            v = nxt
+        out = pd.DataFrame(
+            {"event_type": types, "v3": [int(v.get(t, 0)) for t in types]}
+        )
+        out["v3"] = out["v3"].astype("int64")
+        return out
+
+    def q_ttr_by_length_decile(sf_dir):
+        """Type-token-ratio curve over global document-length deciles
+        (lexical diversity vs length — the classic corpus-linguistics
+        diagnostic): decile assignment rides ops/sketch.
+        percentile_buckets' broadcast CDF (text rides the SAME scan as
+        a keep_col — no join), then one (bucket, word) combiner; the
+        close runs on the vocabulary-bounded count table."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.sketch import percentile_buckets
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        banded = percentile_buckets(docs, "n_chars", 10, ["doc_id", "text"])
+
+        def explode(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            counts: Counter = Counter()
+            for bk, t in zip(
+                batch["bucket"].to_pylist(), batch["text"].to_pylist()
+            ):
+                for w in (t or "").split():
+                    counts[(bk, w)] += 1
+            return pa.table(
+                {
+                    "bucket": pa.array([b for b, _ in counts], pa.int64()),
+                    "word": pa.array([w for _, w in counts], pa.string()),
+                    "c": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+        pairs = grouped_agg(
+            banded.map_batches(explode, batch_format="pyarrow"),
+            ["bucket", "word"],
+            {"c": ("c", "sum")},
+        ).to_pandas()
+        g = pairs.groupby("bucket").agg(
+            total_words=("c", "sum"), distinct_words=("c", "size")
+        )
+        g["ttr_ppm"] = (1_000_000 * g["distinct_words"]) // g["total_words"]
+        out = g.reset_index()
+        for c in ("bucket", "total_words", "distinct_words", "ttr_ppm"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def q_scd2_type_intervals(sf_dir):
+        """SCD2-style validity intervals from an event stream
+        (gaps-and-islands): per user, consecutive same-type runs in
+        (ts, event_id) order become (island_idx, start_us, end_us)
+        rows where end_us is the next island's start (-1 open-ended) —
+        the dimension-history build. One bucketed key shuffle, numpy
+        change-point fold per user, then the block-local top-50 by run
+        size."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+        from ocr_service_ray.ops.relational import topk
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            t = g["event_type"].to_numpy()
+            us = (
+                pd.DatetimeIndex(g["ts"]).values.astype("datetime64[us]").astype(np.int64)
+            )
+            brk = np.ones(len(t), dtype=bool)
+            brk[1:] = t[1:] != t[:-1]
+            starts = np.flatnonzero(brk)
+            ends = np.append(starts[1:], len(t))
+            nxt_start = np.append(us[starts[1:]], np.int64(-1))
+            return pd.DataFrame(
+                {
+                    "user_id": np.repeat(
+                        np.int64(g["user_id"].iloc[0]), len(starts)
+                    ),
+                    "island_idx": np.arange(1, len(starts) + 1, dtype=np.int64),
+                    "event_type": t[starts],
+                    "start_us": us[starts],
+                    "end_us": nxt_start,
+                    "n_events": (ends - starts).astype(np.int64),
+                }
+            )
+
+        islands = bucketed_map_groups(ev, ["user_id"], fold)
+        out = topk(
+            islands,
+            by=["n_events", "user_id", "island_idx"],
+            k=50,
+            descending=[True, False, False],
+        )
+        return out.map_batches(
+            lambda b: b.astype(
+                {
+                    "user_id": "int64",
+                    "island_idx": "int64",
+                    "start_us": "int64",
+                    "end_us": "int64",
+                    "n_events": "int64",
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def q_user_net_drawdown(sf_dir):
+        """Max drawdown of each user's net-value ledger (purchases
+        credit, errors debit, other events neutral): running sum →
+        running max → max(peak - cum), the nested-window shape that
+        SQL needs two window passes for. Per-user series fold after
+        one bucketed key shuffle; top-20 by drawdown closes
+        block-locally."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+        from ocr_service_ray.ops.relational import topk
+
+        ev = _read(
+            sf_dir, "events", ["event_id", "user_id", "ts", "event_type", "value"]
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            cents = np.floor(v * 100.0 + 0.5).astype(np.int64)
+            ty = b["event_type"].to_pylist()
+            sign = np.array(
+                [1 if t == "purchase" else (-1 if t == "error" else 0) for t in ty],
+                dtype=np.int64,
+            )
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "ts": b["ts"],
+                    "event_id": b["event_id"],
+                    "flow": pa.array(cents * sign),
+                }
+            )
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            cum = g["flow"].to_numpy().cumsum()
+            peak = np.maximum.accumulate(cum)
+            dd = int((peak - cum).max()) if len(cum) else 0
+            return pd.DataFrame(
+                {
+                    "user_id": [np.int64(g["user_id"].iloc[0])],
+                    "drawdown_cents": [np.int64(dd)],
+                    "final_cents": [np.int64(cum[-1])],
+                }
+            )
+
+        per_user = bucketed_map_groups(
+            ev.map_batches(prep, batch_format="pyarrow"), ["user_id"], fold
+        )
+        out = topk(
+            per_user,
+            by=["drawdown_cents", "user_id"],
+            k=20,
+            descending=[True, False],
+        )
+        return out.map_batches(
+            lambda b: b.astype(
+                {
+                    "user_id": "int64",
+                    "drawdown_cents": "int64",
+                    "final_cents": "int64",
+                }
+            ),
+            batch_format="pandas",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -6055,6 +6562,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cohort_revenue_matrix": q_cohort_revenue_matrix,
         "distinctive_terms": q_distinctive_terms,
         "session_depth_survival": q_session_depth_survival,
+        "q3_shipping_priority": q3_shipping_priority,
+        "q4_late_priority_counts": q4_late_priority_counts,
+        "q14_promo_revenue": q14_promo_revenue,
+        "q18_big_quantity_orders": q18_big_quantity_orders,
+        "markov_stationary": q_markov_stationary,
+        "ttr_by_length_decile": q_ttr_by_length_decile,
+        "scd2_type_intervals": q_scd2_type_intervals,
+        "user_net_drawdown": q_user_net_drawdown,
     }
 
 
@@ -10238,5 +10753,183 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS share_ppm
         FROM ks CROSS JOIN sz CROSS JOIN t
         GROUP BY ks.k, t.total
+    """
+    oracles["q3_shipping_priority"] = """
+        WITH r AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                     * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM lineitem
+          WHERE l_shipdate > TIMESTAMP '1996-06-01'
+          GROUP BY 1)
+        SELECT o.o_orderkey,
+               CAST(epoch_us(o.o_orderdate) // 86400000000 AS BIGINT) AS o_day,
+               r.revenue_cents
+        FROM r
+        JOIN orders o ON o.o_orderkey = r.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+                       AND c.c_mktsegment = 'AUTOMOBILE'
+        WHERE o.o_orderdate < TIMESTAMP '1996-06-01'
+        ORDER BY r.revenue_cents DESC, o.o_orderkey
+        LIMIT 10
+    """
+    oracles["q4_late_priority_counts"] = """
+        WITH m AS (
+          SELECT l_orderkey, max(epoch_us(l_shipdate)) AS ms
+          FROM lineitem GROUP BY 1)
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_late
+        FROM orders o
+        JOIN m ON m.l_orderkey = o.o_orderkey
+        WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+          AND m.ms > epoch_us(o.o_orderdate) + 2592000000000
+        GROUP BY 1
+    """
+    oracles["q14_promo_revenue"] = """
+        WITH l AS (
+          SELECT CAST(year(l_shipdate) * 100 + month(l_shipdate) AS BIGINT)
+                   AS ym,
+                 CAST(floor(l_extendedprice * (1.0 - l_discount)
+                            * 100.0 + 0.5) AS BIGINT) AS cents,
+                 l_partkey
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1997-01-01')
+        SELECT ym,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN p.p_type = 'PROMO' THEN cents ELSE 0 END)
+                    AS BIGINT) AS promo_cents,
+               CAST((1000000 * sum(CASE WHEN p.p_type = 'PROMO' THEN cents
+                                        ELSE 0 END)) // sum(cents)
+                    AS BIGINT) AS promo_ppm
+        FROM l JOIN part p ON p.p_partkey = l.l_partkey
+        GROUP BY 1
+    """
+    oracles["q18_big_quantity_orders"] = """
+        WITH s AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(floor(l_quantity + 0.5) AS BIGINT))
+                      AS BIGINT) AS total_qty
+          FROM lineitem GROUP BY 1
+          HAVING sum(CAST(floor(l_quantity + 0.5) AS BIGINT)) > 240)
+        SELECT o.o_orderkey, c.c_name, s.total_qty,
+               CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS o_cents
+        FROM s
+        JOIN orders o ON o.o_orderkey = s.l_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        ORDER BY s.total_qty DESC, o.o_orderkey
+        LIMIT 20
+    """
+    # Integer power iteration replayed as an unrolled CTE: P in ppm
+    # (per-cell floor), v0 uniform micro, each step sums per-term
+    # floors — identical arithmetic to the driver-side loop.
+    oracles["markov_stationary"] = """
+        WITH e AS MATERIALIZED (
+          SELECT user_id, event_type,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        t AS MATERIALIZED (
+          SELECT a.event_type AS prev, b.event_type AS next,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM e a JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+          GROUP BY 1, 2),
+        rs AS (SELECT prev, sum(n) AS s FROM t GROUP BY 1),
+        p AS MATERIALIZED (
+          SELECT t.prev, t.next, (1000000 * t.n) // rs.s AS p
+          FROM t JOIN rs ON rs.prev = t.prev),
+        ty AS (SELECT DISTINCT event_type FROM events),
+        kk AS (SELECT count(*) AS k FROM ty),
+        v0 AS (SELECT event_type, 1000000 // kk.k AS v
+               FROM ty CROSS JOIN kk),
+        v1 AS (SELECT p.next AS event_type,
+                      sum((v0.v * p.p) // 1000000) AS v
+               FROM v0 JOIN p ON p.prev = v0.event_type GROUP BY 1),
+        v2 AS (SELECT p.next AS event_type,
+                      sum((v1.v * p.p) // 1000000) AS v
+               FROM v1 JOIN p ON p.prev = v1.event_type GROUP BY 1),
+        v3 AS (SELECT p.next AS event_type,
+                      sum((v2.v * p.p) // 1000000) AS v
+               FROM v2 JOIN p ON p.prev = v2.event_type GROUP BY 1)
+        SELECT ty.event_type, CAST(coalesce(v3.v, 0) AS BIGINT) AS v3
+        FROM ty LEFT JOIN v3 ON v3.event_type = ty.event_type
+    """
+    oracles["ttr_by_length_decile"] = r"""
+        WITH vc AS (
+          SELECT n_chars AS v, count(*) AS c FROM documents GROUP BY 1),
+        cdf AS (
+          SELECT v, CAST(sum(c) OVER (ORDER BY v) - c AS BIGINT) AS lt
+          FROM vc),
+        tot AS (SELECT count(*) AS n FROM documents),
+        b AS MATERIALIZED (
+          SELECT d.text,
+                 CAST(least(cdf.lt * 10 // tot.n, 9) AS BIGINT) AS bucket
+          FROM documents d JOIN cdf ON d.n_chars = cdf.v CROSS JOIN tot),
+        w AS (SELECT bucket, unnest(regexp_extract_all(text, '\S+')) AS word
+              FROM b)
+        SELECT bucket,
+               CAST(count(*) AS BIGINT) AS total_words,
+               CAST(count(DISTINCT word) AS BIGINT) AS distinct_words,
+               CAST((1000000 * count(DISTINCT word)) // count(*)
+                    AS BIGINT) AS ttr_ppm
+        FROM w GROUP BY 1
+    """
+    oracles["scd2_type_intervals"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id, event_type, epoch_us(ts) AS t,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        m AS (SELECT *, CASE WHEN rn = 1
+                               OR event_type <> lag(event_type)
+                                  OVER (PARTITION BY user_id ORDER BY rn)
+                             THEN 1 ELSE 0 END AS brk
+              FROM o),
+        g AS (SELECT *, sum(brk) OVER (PARTITION BY user_id
+                                       ORDER BY rn) AS island_idx
+              FROM m),
+        i AS (SELECT user_id, island_idx, min(event_type) AS event_type,
+                     min(t) AS start_us, count(*) AS n_events
+              FROM g GROUP BY 1, 2),
+        j AS (SELECT *, coalesce(lead(start_us)
+                                 OVER (PARTITION BY user_id
+                                       ORDER BY island_idx), -1) AS end_us
+              FROM i)
+        SELECT user_id, CAST(island_idx AS BIGINT) AS island_idx,
+               event_type, CAST(start_us AS BIGINT) AS start_us,
+               CAST(end_us AS BIGINT) AS end_us,
+               CAST(n_events AS BIGINT) AS n_events
+        FROM j
+        ORDER BY n_events DESC, user_id, island_idx
+        LIMIT 50
+    """
+    oracles["user_net_drawdown"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+                 * (CASE event_type WHEN 'purchase' THEN 1
+                                    WHEN 'error' THEN -1
+                                    ELSE 0 END) AS flow,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        c AS (SELECT user_id, rn,
+                     sum(flow) OVER (PARTITION BY user_id
+                                     ORDER BY rn) AS cum
+              FROM o),
+        r AS (SELECT user_id, cum,
+                     max(cum) OVER (PARTITION BY user_id
+                                    ORDER BY rn) AS peak
+              FROM c),
+        d AS (SELECT user_id,
+                     CAST(max(peak - cum) AS BIGINT) AS drawdown_cents
+              FROM r GROUP BY 1),
+        f AS (SELECT user_id, CAST(sum(flow) AS BIGINT) AS final_cents
+              FROM o GROUP BY 1)
+        SELECT d.user_id, d.drawdown_cents, f.final_cents
+        FROM d JOIN f USING (user_id)
+        ORDER BY d.drawdown_cents DESC, d.user_id
+        LIMIT 20
     """
     return oracles
