@@ -6324,6 +6324,176 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    # -- wave 33: covariance matmul / CMS / skew audit / grouped medians
+
+    def q_embedding_covariance(sf_dir):
+        """Upper-triangle Gram (covariance-sum) matrix of the embedding
+        table via per-block integer matmul: each block quantizes to
+        milli ints and folds to ONE d x d partial (Q^T Q — the
+        combiner), so only |blocks| * d^2/2 partial cells shuffle,
+        never vectors. Milli scale keeps the global sums inside int64
+        out to ~10^12 rows (|q| <= 578 here -> cell products < 2^19)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        emb = _read(sf_dir, "embeddings", ["embedding"])
+
+        def partial(b: pa.Table) -> pa.Table:
+            n = len(b)
+            if n == 0:
+                return pa.table(
+                    {
+                        "i": pa.array([], pa.int64()),
+                        "j": pa.array([], pa.int64()),
+                        "s": pa.array([], pa.int64()),
+                    }
+                )
+            arr = b["embedding"].combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            d = flat.size // n
+            q = np.floor(flat.reshape(n, d) * 1000.0 + 0.5).astype(np.int64)
+            g = q.T @ q
+            iu = np.triu_indices(d)
+            return pa.table(
+                {
+                    "i": pa.array((iu[0] + 1).astype(np.int64)),
+                    "j": pa.array((iu[1] + 1).astype(np.int64)),
+                    "s": pa.array(g[iu]),
+                }
+            )
+
+        out = grouped_agg(
+            emb.map_batches(partial, batch_format="pyarrow"),
+            ["i", "j"],
+            {"s": ("s", "sum")},
+        )
+        return out.map_batches(
+            lambda b: b.astype({"i": "int64", "j": "int64", "s": "int64"}),
+            batch_format="pandas",
+        )
+
+    def q_cms_token_counts(sf_dir):
+        """Count-min sketch (ops/sketch.cms_build) point-queried at the
+        true top-10 tokens: the sketch is the only shuffled state
+        (depth x width partial cells per block), the exact top-10 comes
+        from the vocabulary-bounded count table, and the output pins
+        the one-sided error (est >= true) cell by cell against a
+        from-scratch SQL CMS."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.sketch import cms_build, cms_estimate
+
+        docs = _read(sf_dir, "documents", ["text"])
+        sk = cms_build(docs, "text", depth=4, width=1024)
+
+        def explode(batch: pa.Table) -> pa.Table:
+            from collections import Counter
+
+            counts: Counter = Counter()
+            for t in batch["text"].to_pylist():
+                for w in (t or "").split():
+                    counts[w] += 1
+            return pa.table(
+                {
+                    "token": pa.array(list(counts.keys()), pa.string()),
+                    "c": pa.array(list(counts.values()), pa.int64()),
+                }
+            )
+
+        tc = grouped_agg(
+            docs.map_batches(explode, batch_format="pyarrow"),
+            ["token"],
+            {"true_c": ("c", "sum")},
+        ).to_pandas()
+        top = tc.sort_values(
+            ["true_c", "token"], ascending=[False, True], kind="mergesort"
+        ).head(10)
+        est = cms_estimate(sk, list(top["token"]), depth=4, width=1024)
+        out = top.merge(est, on="token")
+        out["over_c"] = out["est_c"] - out["true_c"]
+        for c in ("true_c", "est_c", "over_c"):
+            out[c] = out[c].astype("int64")
+        return out[["token", "true_c", "est_c", "over_c"]]
+
+    def q_skew_audit_events(sf_dir):
+        """Pre-shuffle skew audit for the user_id key: per md5 hash
+        bucket (the same bucketing discipline the engine shuffles
+        with), row count, distinct keys and the hottest key's share in
+        ppm — the diagnostic that decides salting. Runs entirely on the
+        |keys|-bounded per-user count table (one combiner agg); raw
+        events never shuffle."""
+        import hashlib as _hl
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id"])
+        uc = grouped_agg(ev, ["user_id"], {"c": (None, "count")})
+
+        def bucketize(b: pa.Table) -> pa.Table:
+            us = b["user_id"].to_pylist()
+            bk = np.array(
+                [
+                    int(_hl.md5(f"u{u}".encode()).hexdigest()[:16], 16) % 32
+                    for u in us
+                ],
+                dtype=np.int64,
+            )
+            return pa.table({"bucket": pa.array(bk), "c": b["c"]})
+
+        bt = grouped_agg(
+            uc.map_batches(bucketize, batch_format="pyarrow"),
+            ["bucket"],
+            {
+                "n_rows": ("c", "sum"),
+                "n_users": (None, "count"),
+                "max_c": ("c", "max"),
+            },
+        ).to_pandas()
+        bt["top_share_ppm"] = (
+            1_000_000 * bt["max_c"].astype(np.int64)
+        ) // bt["n_rows"].astype(np.int64)
+        for c in ("bucket", "n_rows", "n_users", "max_c", "top_share_ppm"):
+            bt[c] = bt[c].astype("int64")
+        return bt[["bucket", "n_rows", "n_users", "max_c", "top_share_ppm"]]
+
+    def q_median_value_by_type(sf_dir):
+        """Per-event-type interpolated quartiles of value cents
+        (ops/sketch.grouped_quantiles_cont — quantile_cont semantics):
+        the (group, value)-count combiner collapses blocks before the
+        shuffle; quarter-fraction interpolation over int cents is exact
+        in micro units."""
+        from ocr_service_ray.ops.sketch import grouped_quantiles_cont
+
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        out = grouped_quantiles_cont(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_type"],
+            "cents",
+            [0.25, 0.5, 0.75],
+        )
+
+        def close(b) -> "pa.Table":
+            import pandas as pd
+
+            df = b if hasattr(b, "columns") else b.to_pandas()
+            df["value_micro"] = np.floor(
+                df["value"].to_numpy(np.float64) * 1_000_000.0 + 0.5
+            ).astype(np.int64)
+            df["q_pct"] = df["q_pct"].astype("int64")
+            return df[["event_type", "q_pct", "value_micro"]]
+
+        return out.map_batches(close, batch_format="pandas")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -6570,6 +6740,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ttr_by_length_decile": q_ttr_by_length_decile,
         "scd2_type_intervals": q_scd2_type_intervals,
         "user_net_drawdown": q_user_net_drawdown,
+        "embedding_covariance": q_embedding_covariance,
+        "cms_token_counts": q_cms_token_counts,
+        "skew_audit_events": q_skew_audit_events,
+        "median_value_by_type": q_median_value_by_type,
     }
 
 
@@ -10931,5 +11105,78 @@ def oracle_sql() -> dict[str, str]:
         FROM d JOIN f USING (user_id)
         ORDER BY d.drawdown_cents DESC, d.user_id
         LIMIT 20
+    """
+    oracles["embedding_covariance"] = """
+        WITH e AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000.0
+                            + 0.5) AS BIGINT) AS q,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings)
+        SELECT CAST(a.dim AS BIGINT) AS i, CAST(b.dim AS BIGINT) AS j,
+               CAST(sum(a.q * b.q) AS BIGINT) AS s
+        FROM e a JOIN e b ON b.vec_id = a.vec_id AND b.dim >= a.dim
+        GROUP BY 1, 2
+    """
+    _cms_cell = lambda tok_expr, r_expr: (  # noqa: E731
+        f"({_md5_u64_sql(f'md5(CAST({r_expr} AS VARCHAR) || chr(58) || {tok_expr})')} % 1024)"
+    )
+    oracles["cms_token_counts"] = rf"""
+        WITH w AS MATERIALIZED (
+          SELECT unnest(regexp_extract_all(text, '\S+')) AS tok
+          FROM documents),
+        tc AS MATERIALIZED (
+          SELECT tok, CAST(count(*) AS BIGINT) AS true_c
+          FROM w GROUP BY 1),
+        top AS MATERIALIZED (
+          SELECT tok, true_c FROM tc
+          ORDER BY true_c DESC, tok LIMIT 10),
+        rws AS (SELECT * FROM (VALUES (0), (1), (2), (3)) r(r)),
+        cells AS MATERIALIZED (
+          SELECT r.r AS rw, {_cms_cell('w.tok', 'r.r')} AS cell,
+                 CAST(count(*) AS BIGINT) AS c
+          FROM w CROSS JOIN rws r GROUP BY 1, 2),
+        est AS (
+          SELECT t.tok, min(c.c) AS est_c
+          FROM top t
+          CROSS JOIN rws r
+          JOIN cells c ON c.rw = r.r
+                      AND c.cell = {_cms_cell('t.tok', 'r.r')}
+          GROUP BY 1)
+        SELECT t.tok AS token, t.true_c,
+               CAST(e.est_c AS BIGINT) AS est_c,
+               CAST(e.est_c - t.true_c AS BIGINT) AS over_c
+        FROM top t JOIN est e ON e.tok = t.tok
+    """
+    oracles["skew_audit_events"] = f"""
+        WITH uc AS MATERIALIZED (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        b AS (
+          SELECT CAST({_md5_u64_sql("md5('u' || CAST(user_id AS VARCHAR))")}
+                      % 32 AS BIGINT) AS bucket, c
+          FROM uc)
+        SELECT bucket,
+               CAST(sum(c) AS BIGINT) AS n_rows,
+               CAST(count(*) AS BIGINT) AS n_users,
+               CAST(max(c) AS BIGINT) AS max_c,
+               CAST((1000000 * max(c)) // sum(c) AS BIGINT) AS top_share_ppm
+        FROM b GROUP BY 1
+    """
+    oracles["median_value_by_type"] = """
+        WITH o AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        q AS (
+          SELECT event_type,
+                 unnest([25, 50, 75]) AS q_pct,
+                 unnest([quantile_cont(cents, 0.25),
+                         quantile_cont(cents, 0.5),
+                         quantile_cont(cents, 0.75)]) AS v
+          FROM o GROUP BY event_type)
+        SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
+               CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS value_micro
+        FROM q
     """
     return oracles

@@ -549,3 +549,108 @@ def grouped_weighted_quantiles(
         return pd.DataFrame(out)
 
     return bucketed_map_groups(vc, group_keys, fold)
+
+
+def grouped_quantiles_cont(ds, group_keys: list[str], col: str, qs: list[float]):
+    """EXACT per-group linearly-interpolated quantiles (DuckDB
+    ``quantile_cont`` semantics) — the grouped sibling of
+    ``value_counts_quantiles_cont``: one (group, value)-count combiner
+    collapses every block before the shuffle, then each group's
+    ≤ |distinct values| count rows fold to its quantile rows with
+    pos = (n-1)·q, value = a + frac·(b−a) — all +,×,÷, bit-identical
+    cross-engine. NULL values hold no rank; an all-NULL group emits
+    nothing. Output: group_keys + (q_pct, value[float64]) rows."""
+    import math
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+    vc = grouped_agg(ds, group_keys + [col], {"cnt": (None, "count")})
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.dropna(subset=[col]).sort_values(col)
+        if g.empty:
+            return None
+        cum = g["cnt"].cumsum().to_numpy()
+        n = int(cum[-1])
+        vals = g[col].to_numpy()
+
+        def order_stat(r: int) -> float:
+            return float(vals[int(np.searchsorted(cum, r + 1, side="left"))])
+
+        out = {k: [] for k in group_keys}
+        pcts, vv = [], []
+        for q in qs:
+            pos = (n - 1) * q
+            i = math.floor(pos)
+            frac = pos - i
+            a = order_stat(i)
+            b = order_stat(min(i + 1, n - 1))
+            for k in group_keys:
+                out[k].append(g[k].iloc[0])
+            pcts.append(int(round(q * 100)))
+            vv.append(a + frac * (b - a))
+        out["q_pct"] = pcts
+        out["value"] = vv
+        return pd.DataFrame(out)
+
+    return bucketed_map_groups(vc, group_keys, fold)
+
+
+# ------------------------------------------------------------- count-min
+
+def _cms_cell(token: str, row: int, width: int) -> int:
+    """md5-derived CMS cell: first 16 hex chars of md5('<row>:<token>')
+    as uint64, mod width — DuckDB replays it bit-for-bit (the repo-wide
+    md5 oracle discipline; production would swap in ops/hashing.py)."""
+    h = hashlib.md5(f"{row}:{token}".encode()).hexdigest()[:16]
+    return int(h, 16) % width
+
+
+def cms_build(ds, text_col: str, depth: int = 4, width: int = 1024):
+    """Count-min sketch over whitespace tokens of ``text_col`` (Cormode
+    & Muthukrishnan 2005): every token instance increments one cell per
+    row r at ``md5('<r>:<tok>') % width``. Combiner-shaped end to end —
+    each block collapses to ≤ depth·width (row, cell) partial counts,
+    one tiny ``grouped_agg`` sums them; the sketch (depth·width rows)
+    is the ONLY thing that ever shuffles, never tokens. Returns the
+    sketch as a pandas DataFrame (bounded driver table by design)."""
+    from collections import Counter
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        counts: Counter = Counter()
+        for t in batch[text_col].to_pylist():
+            for w in (t or "").split():
+                for r in range(depth):
+                    counts[(r, _cms_cell(w, r, width))] += 1
+        return pa.table(
+            {
+                "row": pa.array([r for r, _ in counts], pa.int64()),
+                "cell": pa.array([c for _, c in counts], pa.int64()),
+                "c": pa.array(list(counts.values()), pa.int64()),
+            }
+        )
+
+    sk = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["row", "cell"],
+        {"c": ("c", "sum")},
+    ).to_pandas()
+    sk["row"] = sk["row"].astype("int64")
+    sk["cell"] = sk["cell"].astype("int64")
+    sk["c"] = sk["c"].astype("int64")
+    return sk
+
+
+def cms_estimate(sketch: pd.DataFrame, tokens: list[str], depth: int = 4, width: int = 1024) -> pd.DataFrame:
+    """Point-query the CMS: est(tok) = min over rows of the addressed
+    cell — always ≥ the true count (one-sided error). Returns
+    (token, est_c)."""
+    lut = {(int(r), int(c)): int(v) for r, c, v in zip(sketch["row"], sketch["cell"], sketch["c"])}
+    ests = []
+    for t in tokens:
+        ests.append(
+            min(lut.get((r, _cms_cell(t, r, width)), 0) for r in range(depth))
+        )
+    return pd.DataFrame({"token": tokens, "est_c": np.array(ests, dtype=np.int64)})

@@ -195,3 +195,94 @@ def test_quantiles_ignore_nulls(ray_session):
     ).fetchone()
     assert disc["value"].iloc[0] == ref[0]
     assert cont["value"].iloc[0] == ref[1]
+
+
+def test_grouped_quantiles_cont_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import grouped_quantiles_cont
+
+    rng = np.random.default_rng(11)
+    df = pd.DataFrame(
+        {
+            "g": rng.integers(0, 3, 200),
+            "v": rng.integers(-50, 5000, 200),
+        }
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False)).repartition(5)
+    out = (
+        grouped_quantiles_cont(ds, ["g"], "v", [0.25, 0.5, 0.9])
+        .to_pandas()
+        .sort_values(["g", "q_pct"])
+        .reset_index(drop=True)
+    )
+    for g, grp in df.groupby("g"):
+        for q in (0.25, 0.5, 0.9):
+            want = np.quantile(grp["v"].to_numpy(np.float64), q)  # linear
+            got = out[(out["g"] == g) & (out["q_pct"] == int(q * 100))][
+                "value"
+            ].iloc[0]
+            assert got == want, (g, q, got, want)
+
+
+def test_grouped_quantiles_cont_all_null_group_dropped(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import grouped_quantiles_cont
+
+    df = pd.DataFrame(
+        {"g": ["a", "a", "b"], "v": pd.array([1, 3, None], dtype="Int64")}
+    )
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    out = grouped_quantiles_cont(ds, ["g"], "v", [0.5]).to_pandas()
+    assert set(out["g"]) == {"a"}
+    assert out["value"].iloc[0] == 2.0
+
+
+def test_cms_overestimates_and_is_exact_when_sparse(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import cms_build, cms_estimate
+
+    # heavy token appears 60x, tail tokens once each
+    texts = ["heavy " * 6] * 10 + [f"tail{i}" for i in range(30)]
+    ds = rd.from_arrow(
+        pa.table({"text": pa.array(texts, pa.string())})
+    ).repartition(4)
+    sk = cms_build(ds, "text", depth=4, width=1024)
+    # total mass in every row equals the token-instance count
+    assert (sk.groupby("row")["c"].sum() == 90).all()
+    est = cms_estimate(sk, ["heavy"] + [f"tail{i}" for i in range(30)] + ["absent"],
+                       depth=4, width=1024)
+    lut = dict(zip(est["token"], est["est_c"]))
+    assert lut["heavy"] >= 60
+    for i in range(30):
+        assert lut[f"tail{i}"] >= 1
+    # 61 distinct tokens in 4x1024 cells: collisions possible but the
+    # one-sided bound always holds; the absent token can only collide
+    assert lut["absent"] >= 0
+
+
+def test_cms_block_layout_invariant(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import cms_build
+
+    texts = [f"w{i % 7} w{i % 11}" for i in range(50)]
+    t = pa.table({"text": pa.array(texts, pa.string())})
+    a = cms_build(rd.from_arrow(t), "text").sort_values(["row", "cell"]).reset_index(drop=True)
+    b = (
+        cms_build(rd.from_arrow(t).repartition(7), "text")
+        .sort_values(["row", "cell"])
+        .reset_index(drop=True)
+    )
+    assert a.equals(b)
