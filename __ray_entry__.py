@@ -5867,19 +5867,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         od = od.map_batches(od_prep, batch_format="pyarrow")
         cu = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+        # repartition: the segment filter can leave schema-less
+        # zero-row blocks that the acero join rejects on the build
+        # side (repo landmine — see ops/ranking.py:177)
         cu = cu.map_batches(
             lambda b: b.filter(
                 pc.equal(b["c_mktsegment"], "AUTOMOBILE")
             ).drop_columns(["c_mktsegment"]),
             batch_format="pyarrow",
-        )
+        ).repartition(2)
         oc = od.join(
             cu,
             join_type="inner",
             num_partitions=join_partitions_for(od, cu),
             on=("o_custkey",),
             right_on=("c_custkey",),
-        ).select_columns(["o_orderkey", "o_day"])
+        ).select_columns(["o_orderkey", "o_day"]).repartition(2)
         r = rev.join(
             oc,
             join_type="inner",
@@ -6494,6 +6497,188 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return out.map_batches(close, batch_format="pandas")
 
+    # -- wave 34: top-2 margin / debounce / in-row top dims / impurity
+
+    def q_top2_margin_by_type(sf_dir):
+        """Winner-vs-runner-up margin per event type (the argmax
+        confidence report): per-(type, user) cents totals from one
+        combiner agg, then each type's |users|-bounded count rows fold
+        to (top, runner-up, margin) — a missing runner-up emits the -1
+        sentinel so the row stays integer-typed."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "user_id": b["user_id"],
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        tot = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "user_id"],
+            {"cents": ("cents", "sum")},
+        )
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["cents", "user_id"], ascending=[False, True], kind="mergesort"
+            )
+            top_u = np.int64(g["user_id"].iloc[0])
+            top_c = np.int64(g["cents"].iloc[0])
+            if len(g) > 1:
+                ru, rc = np.int64(g["user_id"].iloc[1]), np.int64(g["cents"].iloc[1])
+            else:
+                ru, rc = np.int64(-1), np.int64(-1)
+            return pd.DataFrame(
+                {
+                    "event_type": [g["event_type"].iloc[0]],
+                    "top_user": [top_u],
+                    "top_cents": [top_c],
+                    "runner_user": [ru],
+                    "runner_cents": [rc],
+                    "margin_cents": [top_c - rc if rc >= 0 else np.int64(-1)],
+                }
+            )
+
+        out = bucketed_map_groups(tot, ["event_type"], fold)
+        return out.map_batches(
+            lambda b: b.astype(
+                {
+                    "top_user": "int64",
+                    "top_cents": "int64",
+                    "runner_user": "int64",
+                    "runner_cents": "int64",
+                    "margin_cents": "int64",
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def q_debounce_events(sf_dir):
+        """Telemetry debounce: within each (user, type) stream an event
+        is kept only if it is the first or follows the previous kept-
+        candidate by > 300 s (plain lag gap, not chained suppression —
+        the SQL-window form). Per-type keep rates in exact ppm; one
+        bucketed two-key shuffle, numpy diff fold."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            us = (
+                pd.DatetimeIndex(g["ts"]).values.astype("datetime64[us]").astype(np.int64)
+            )
+            keep = np.ones(len(us), dtype=np.int64)
+            if len(us) > 1:
+                keep[1:] = (np.diff(us) > 300_000_000).astype(np.int64)
+            return pd.DataFrame(
+                {
+                    "event_type": [g["event_type"].iloc[0]],
+                    "n_total": [np.int64(len(us))],
+                    "n_kept": [np.int64(keep.sum())],
+                }
+            )
+
+        per_stream = bucketed_map_groups(ev, ["user_id", "event_type"], fold)
+        agg = grouped_agg(
+            per_stream,
+            ["event_type"],
+            {"n_total": ("n_total", "sum"), "n_kept": ("n_kept", "sum")},
+        ).to_pandas()
+        agg["kept_ppm"] = (
+            1_000_000 * agg["n_kept"].astype(np.int64)
+        ) // agg["n_total"].astype(np.int64)
+        for c in ("n_total", "n_kept", "kept_ppm"):
+            agg[c] = agg[c].astype("int64")
+        return agg[["event_type", "n_total", "n_kept", "kept_ppm"]]
+
+    def q_embedding_top_dims(sf_dir):
+        """Per-vector top-3 dimensions by value (in-row ranked explode
+        — the sparse-feature projection): one vectorized argsort per
+        batch, embarrassingly parallel, output micro-quantized. No
+        shuffle at all."""
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def top3(b: pa.Table) -> pa.Table:
+            n = len(b)
+            if n == 0:
+                return pa.table(
+                    {
+                        "vec_id": pa.array([], pa.int64()),
+                        "rank": pa.array([], pa.int64()),
+                        "dim": pa.array([], pa.int64()),
+                        "val_micro": pa.array([], pa.int64()),
+                    }
+                )
+            arr = b["embedding"].combine_chunks()
+            flat = arr.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+            d = flat.size // n
+            m = flat.reshape(n, d)
+            dims = np.arange(d)
+            # sort by (-value, dim): lexsort keys are last-key-primary
+            order = np.lexsort(
+                (np.broadcast_to(dims, (n, d)), -m), axis=1
+            )[:, :3]
+            rows = np.repeat(
+                b["vec_id"].to_numpy(zero_copy_only=False), 3
+            )
+            vals = np.take_along_axis(m, order, axis=1).ravel()
+            return pa.table(
+                {
+                    "vec_id": pa.array(rows.astype(np.int64)),
+                    "rank": pa.array(
+                        np.tile(np.arange(1, 4, dtype=np.int64), n)
+                    ),
+                    "dim": pa.array((order + 1).astype(np.int64).ravel()),
+                    "val_micro": pa.array(
+                        np.floor(vals * 1_000_000.0 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+        return emb.map_batches(top3, batch_format="pyarrow")
+
+    def q_lang_impurity_by_source(sf_dir):
+        """Gini impurity (1 - sum p^2, the log-free diversity measure)
+        of each source's language mix, exact in ppm via integer
+        cross-multiplication: impurity_ppm = 1e6 - (1e6 * sum c^2) //
+        n^2 over the (source, lang) combiner counts. Python-int close
+        (sum c^2 needs HUGEINT at corpus scale)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        docs = _read(sf_dir, "documents", ["source", "lang"])
+        p = grouped_agg(
+            docs, ["source", "lang"], {"c": (None, "count")}
+        ).to_pandas()
+        rows = []
+        for s, g in p.groupby("source"):
+            n = int(g["c"].sum())
+            ss = int((g["c"].astype(object) ** 2).sum())
+            rows.append(
+                {
+                    "source": s,
+                    "n_docs": n,
+                    "impurity_ppm": 1_000_000 - (1_000_000 * ss) // (n * n),
+                }
+            )
+        out = pd.DataFrame(rows).sort_values("source").reset_index(drop=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["impurity_ppm"] = out["impurity_ppm"].astype("int64")
+        return out
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -6744,6 +6929,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_token_counts": q_cms_token_counts,
         "skew_audit_events": q_skew_audit_events,
         "median_value_by_type": q_median_value_by_type,
+        "top2_margin_by_type": q_top2_margin_by_type,
+        "debounce_events": q_debounce_events,
+        "embedding_top_dims": q_embedding_top_dims,
+        "lang_impurity_by_source": q_lang_impurity_by_source,
     }
 
 
@@ -11178,5 +11367,73 @@ def oracle_sql() -> dict[str, str]:
         SELECT event_type, CAST(q_pct AS BIGINT) AS q_pct,
                CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS value_micro
         FROM q
+    """
+    oracles["top2_margin_by_type"] = """
+        WITH tot AS MATERIALIZED (
+          SELECT event_type, user_id,
+                 CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM events GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                                           ORDER BY cents DESC,
+                                                    user_id ASC) AS rn
+              FROM tot)
+        SELECT event_type,
+               CAST(max(CASE WHEN rn = 1 THEN user_id END) AS BIGINT)
+                 AS top_user,
+               CAST(max(CASE WHEN rn = 1 THEN cents END) AS BIGINT)
+                 AS top_cents,
+               CAST(coalesce(max(CASE WHEN rn = 2 THEN user_id END), -1)
+                    AS BIGINT) AS runner_user,
+               CAST(coalesce(max(CASE WHEN rn = 2 THEN cents END), -1)
+                    AS BIGINT) AS runner_cents,
+               CAST(CASE WHEN max(CASE WHEN rn = 2 THEN cents END)
+                              IS NULL THEN -1
+                         ELSE max(CASE WHEN rn = 1 THEN cents END)
+                              - max(CASE WHEN rn = 2 THEN cents END)
+                    END AS BIGINT) AS margin_cents
+        FROM r WHERE rn <= 2 GROUP BY 1
+    """
+    oracles["debounce_events"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id, event_type, epoch_us(ts) AS t,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        k AS (SELECT event_type,
+                     CASE WHEN rn = 1
+                            OR t - lag(t) OVER (PARTITION BY user_id,
+                                                             event_type
+                                                ORDER BY rn) > 300000000
+                          THEN 1 ELSE 0 END AS kept
+              FROM o)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_total,
+               CAST(sum(kept) AS BIGINT) AS n_kept,
+               CAST((1000000 * sum(kept)) // count(*) AS BIGINT) AS kept_ppm
+        FROM k GROUP BY 1
+    """
+    oracles["embedding_top_dims"] = """
+        WITH e AS MATERIALIZED (
+          SELECT vec_id,
+                 CAST(unnest(embedding) AS DOUBLE) AS v,
+                 generate_subscripts(embedding, 1) AS dim
+          FROM embeddings),
+        r AS (SELECT *, row_number() OVER (PARTITION BY vec_id
+                                           ORDER BY v DESC, dim ASC) AS rk
+              FROM e)
+        SELECT vec_id, CAST(rk AS BIGINT) AS rank, CAST(dim AS BIGINT) AS dim,
+               CAST(floor(v * 1000000.0 + 0.5) AS BIGINT) AS val_micro
+        FROM r WHERE rk <= 3
+    """
+    oracles["lang_impurity_by_source"] = """
+        WITH p AS (
+          SELECT source, lang, CAST(count(*) AS HUGEINT) AS c
+          FROM documents GROUP BY 1, 2),
+        s AS (SELECT source, sum(c) AS n, sum(c * c) AS ss FROM p GROUP BY 1)
+        SELECT source, CAST(n AS BIGINT) AS n_docs,
+               CAST(1000000 - (1000000 * ss) // (n * n) AS BIGINT)
+                 AS impurity_ppm
+        FROM s
     """
     return oracles
