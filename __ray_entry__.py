@@ -6679,6 +6679,273 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["impurity_ppm"] = out["impurity_ppm"].astype("int64")
         return out
 
+    # -- wave 35: join sizing / business days / Kendall / trimmed mean
+
+    def q_join_size_estimate(sf_dir):
+        """Join-output cardinality computed WITHOUT executing the join
+        (the planner's sizing pass): |A join B on k| = sum over keys of
+        cA*cB. Both sides collapse to per-key count tables (combiner),
+        the count tables key-join (only counts shuffle, never rows),
+        and the close reports exact output rows, matching-key count and
+        the hottest key's contribution — the skew early-warning."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import global_agg, grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        def pair_stats(label, left_ds, lkey, right_ds, rkey):
+            ca = grouped_agg(left_ds, [lkey], {"ca": (None, "count")})
+            cb = grouped_agg(right_ds, [rkey], {"cb": (None, "count")})
+            j = ca.join(
+                cb,
+                join_type="inner",
+                num_partitions=join_partitions_for(ca, cb),
+                on=(lkey,),
+                right_on=(rkey,),
+            )
+
+            def prod(b: pa.Table) -> pa.Table:
+                p = b["ca"].to_numpy(zero_copy_only=False) * b[
+                    "cb"
+                ].to_numpy(zero_copy_only=False)
+                return pa.table({"p": pa.array(p.astype(np.int64))})
+
+            agg = global_agg(
+                j.map_batches(prod, batch_format="pyarrow"),
+                {
+                    "est_rows": ("p", "sum"),
+                    "n_keys": (None, "count"),
+                    "max_key_rows": ("p", "max"),
+                },
+            )
+            return {
+                "pair": label,
+                "est_rows": int(agg["est_rows"]),
+                "n_keys": int(agg["n_keys"]),
+                "max_key_rows": int(agg["max_key_rows"]),
+            }
+
+        rows = [
+            pair_stats(
+                "customer_orders",
+                _read(sf_dir, "customer", ["c_custkey"]),
+                "c_custkey",
+                _read(sf_dir, "orders", ["o_custkey"]),
+                "o_custkey",
+            ),
+            pair_stats(
+                "orders_lineitem",
+                _read(sf_dir, "orders", ["o_orderkey"]),
+                "o_orderkey",
+                _read(sf_dir, "lineitem", ["l_orderkey"]),
+                "l_orderkey",
+            ),
+        ]
+        out = pd.DataFrame(rows)
+        for c in ("est_rows", "n_keys", "max_key_rows"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def q_business_day_latency(sf_dir):
+        """Order-to-first-shipment latency in BUSINESS days per
+        priority, with the weekday count as pure integer calendar
+        arithmetic (Monday-anchored shift d+3, f(d) = 5*(d'//7) +
+        min(d'%7, 5) — no date-function semantics to disagree on).
+        lineitem collapses to per-order min epoch-day by the combiner
+        before the single join."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            us = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "ship_day": pa.array(us // 86_400_000_000),
+                }
+            )
+
+        first_ship = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"ship_day": ("ship_day", "min")},
+        )
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+        def od_prep(b: pa.Table) -> pa.Table:
+            us = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_day": pa.array(us // 86_400_000_000),
+                    "o_orderpriority": b["o_orderpriority"],
+                }
+            )
+
+        j = od.map_batches(od_prep, batch_format="pyarrow").join(
+            first_ship,
+            join_type="inner",
+            num_partitions=join_partitions_for(od, first_ship),
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+
+        def latency(b: pa.Table) -> pa.Table:
+            def f(d: np.ndarray) -> np.ndarray:
+                dp = d + 3  # epoch day 0 = Thursday; +3 anchors Monday
+                return 5 * (dp // 7) + np.minimum(dp % 7, 5)
+
+            o = b["o_day"].to_numpy(zero_copy_only=False)
+            s = b["ship_day"].to_numpy(zero_copy_only=False)
+            bd = f(s) - f(o)
+            return pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "bd": pa.array(bd.astype(np.int64)),
+                }
+            )
+
+        agg = grouped_agg(
+            j.map_batches(latency, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            {
+                "n_orders": (None, "count"),
+                "sum_bd": ("bd", "sum"),
+                "max_bd": ("bd", "max"),
+            },
+        ).to_pandas()
+        # signed mean (synthetic shipdates are not anchored to their
+        # order's date): floor of the identical IEEE double expression
+        # on both sides — integer // differs on negatives (DuckDB
+        # truncates, Python floors)
+        agg["mean_bd_micro"] = np.floor(
+            1_000_000.0
+            * agg["sum_bd"].to_numpy(np.float64)
+            / agg["n_orders"].to_numpy(np.float64)
+        ).astype(np.int64)
+        out = agg[["o_orderpriority", "n_orders", "max_bd", "mean_bd_micro"]]
+        for c in ("n_orders", "max_bd", "mean_bd_micro"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def q_kendall_even_odd(sf_dir):
+        """Exact Kendall concordance between each user's even-epoch-day
+        and odd-epoch-day activity counts: the distributed part is one
+        (user, parity) combiner; the strict-pair C/D count runs on the
+        |users|-bounded driver table (vectorized n^2 — the documented
+        bounded-keys close). conc_ppm = 1e6*C // (C+D) keeps every
+        division nonnegative (DuckDB // truncates toward zero)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "parity": pa.array((us // 86_400_000_000) % 2),
+                }
+            )
+
+        pc_tab = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id", "parity"],
+            {"c": (None, "count")},
+        ).to_pandas()
+        w = (
+            pc_tab.pivot_table(
+                index="user_id", columns="parity", values="c", fill_value=0
+            )
+            .reindex(columns=[0, 1], fill_value=0)
+            .reset_index()
+        )
+        x = w[0].to_numpy(np.int64)
+        y = w[1].to_numpy(np.int64)
+        n = len(w)
+        dx = np.sign(x[:, None] - x[None, :])
+        dy = np.sign(y[:, None] - y[None, :])
+        prod = dx * dy
+        iu = np.triu_indices(n, k=1)
+        conc = int((prod[iu] > 0).sum())
+        disc = int((prod[iu] < 0).sum())
+        out = pd.DataFrame(
+            {
+                "n_users": [n],
+                "concordant": [conc],
+                "discordant": [disc],
+                "conc_ppm": [
+                    (1_000_000 * conc) // (conc + disc) if conc + disc else 0
+                ],
+            }
+        )
+        return out.astype("int64")
+
+    def q_trimmed_mean_by_type(sf_dir):
+        """10%-trimmed mean of value cents per event type, computed on
+        the (type, cents) value-counts table (combiner — raw rows never
+        shuffle): k = n//10 instances clipped off each end by count
+        arithmetic (instances of equal cents are interchangeable for a
+        sum, so no per-row tiebreak is needed)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        vc = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_type", "cents"],
+            {"c": (None, "count")},
+        )
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("cents")
+            c = g["c"].to_numpy(np.int64)
+            v = g["cents"].to_numpy(np.int64)
+            n = int(c.sum())
+            k = n // 10
+            cum = np.cumsum(c)
+            low_before = cum - c
+            drop_low = np.clip(k - low_before, 0, c)
+            above = n - cum
+            drop_high = np.clip(k - above, 0, c)
+            kept = c - drop_low - drop_high
+            n_used = int(kept.sum())
+            s = int((kept * v).sum())
+            return pd.DataFrame(
+                {
+                    "event_type": [g["event_type"].iloc[0]],
+                    "n_used": [np.int64(n_used)],
+                    "trimmed_mean_micro": [
+                        np.int64((1_000_000 * s) // n_used) if n_used else np.int64(0)
+                    ],
+                }
+            )
+
+        out = bucketed_map_groups(vc, ["event_type"], fold)
+        return out.map_batches(
+            lambda b: b.astype(
+                {"n_used": "int64", "trimmed_mean_micro": "int64"}
+            ),
+            batch_format="pandas",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -6933,6 +7200,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "debounce_events": q_debounce_events,
         "embedding_top_dims": q_embedding_top_dims,
         "lang_impurity_by_source": q_lang_impurity_by_source,
+        "join_size_estimate": q_join_size_estimate,
+        "business_day_latency": q_business_day_latency,
+        "kendall_even_odd": q_kendall_even_odd,
+        "trimmed_mean_by_type": q_trimmed_mean_by_type,
     }
 
 
@@ -11435,5 +11706,92 @@ def oracle_sql() -> dict[str, str]:
                CAST(1000000 - (1000000 * ss) // (n * n) AS BIGINT)
                  AS impurity_ppm
         FROM s
+    """
+    oracles["join_size_estimate"] = """
+        WITH ca AS (SELECT c_custkey AS k, CAST(count(*) AS BIGINT) AS ca
+                    FROM customer GROUP BY 1),
+        cb AS (SELECT o_custkey AS k, CAST(count(*) AS BIGINT) AS cb
+               FROM orders GROUP BY 1),
+        p1 AS (SELECT ca.ca * cb.cb AS p FROM ca JOIN cb USING (k)),
+        oa AS (SELECT o_orderkey AS k, CAST(count(*) AS BIGINT) AS ca
+               FROM orders GROUP BY 1),
+        ob AS (SELECT l_orderkey AS k, CAST(count(*) AS BIGINT) AS cb
+               FROM lineitem GROUP BY 1),
+        p2 AS (SELECT oa.ca * ob.cb AS p FROM oa JOIN ob USING (k))
+        SELECT 'customer_orders' AS pair,
+               CAST(sum(p) AS BIGINT) AS est_rows,
+               CAST(count(*) AS BIGINT) AS n_keys,
+               CAST(max(p) AS BIGINT) AS max_key_rows
+        FROM p1
+        UNION ALL
+        SELECT 'orders_lineitem',
+               CAST(sum(p) AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(max(p) AS BIGINT)
+        FROM p2
+    """
+    oracles["business_day_latency"] = """
+        WITH fs AS (
+          SELECT l_orderkey,
+                 min(epoch_us(l_shipdate) // 86400000000) AS ship_day
+          FROM lineitem GROUP BY 1),
+        o AS (SELECT o_orderkey, o_orderpriority,
+                     epoch_us(o_orderdate) // 86400000000 AS o_day
+              FROM orders),
+        j AS (SELECT o.o_orderpriority,
+                     (5 * ((fs.ship_day + 3) // 7)
+                      + least((fs.ship_day + 3) % 7, 5))
+                   - (5 * ((o.o_day + 3) // 7)
+                      + least((o.o_day + 3) % 7, 5)) AS bd
+              FROM o JOIN fs ON fs.l_orderkey = o.o_orderkey)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(max(bd) AS BIGINT) AS max_bd,
+               CAST(floor(1000000.0 * sum(bd) / count(*)) AS BIGINT)
+                 AS mean_bd_micro
+        FROM j GROUP BY 1
+    """
+    oracles["kendall_even_odd"] = """
+        WITH pcounts AS (
+          SELECT user_id,
+                 (epoch_us(ts) // 86400000000) % 2 AS parity,
+                 count(*) AS c
+          FROM events GROUP BY 1, 2),
+        u AS (SELECT DISTINCT user_id FROM events),
+        w AS MATERIALIZED (
+          SELECT u.user_id,
+                 coalesce(max(CASE WHEN parity = 0 THEN c END), 0) AS x,
+                 coalesce(max(CASE WHEN parity = 1 THEN c END), 0) AS y
+          FROM u LEFT JOIN pcounts p ON p.user_id = u.user_id
+          GROUP BY 1),
+        pr AS (
+          SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END
+                   AS co,
+                 CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END
+                   AS di
+          FROM w a JOIN w b ON a.user_id < b.user_id)
+        SELECT CAST((SELECT count(*) FROM w) AS BIGINT) AS n_users,
+               CAST(sum(co) AS BIGINT) AS concordant,
+               CAST(sum(di) AS BIGINT) AS discordant,
+               CAST(CASE WHEN sum(co) + sum(di) = 0 THEN 0
+                         ELSE (1000000 * sum(co)) // (sum(co) + sum(di))
+                    END AS BIGINT) AS conc_ppm
+        FROM pr
+    """
+    oracles["trimmed_mean_by_type"] = """
+        WITH o AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        r AS (SELECT event_type, cents,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY cents) AS rn,
+                     count(*) OVER (PARTITION BY event_type) AS n
+              FROM o)
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_used,
+               CAST((1000000 * sum(cents)) // count(*) AS BIGINT)
+                 AS trimmed_mean_micro
+        FROM r WHERE rn > n // 10 AND rn <= n - n // 10
+        GROUP BY 1
     """
     return oracles

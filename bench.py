@@ -92,6 +92,13 @@ BENCH_QUERIES = [
     "source_shingle_jaccard",
     "daily_user_jaccard",
     "event_run_lengths",
+    # round-3 session-6 wave: TPC-H join fill, per-block integer
+    # matmul partials, CMS build, gaps-and-islands fold
+    "q3_shipping_priority",
+    "q18_big_quantity_orders",
+    "embedding_covariance",
+    "cms_token_counts",
+    "scd2_type_intervals",
 ]
 
 
