@@ -6946,6 +6946,204 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    # -- wave 36: RLE runs / partition manifest / WoW lag / Theil-Sen
+
+    def q_rle_runs_orders(sf_dir):
+        """Run-length structure of o_orderpriority along the dense
+        orderkey axis (the RLE-compressibility estimate a columnar
+        writer wants) WITHOUT a global sort: the predecessor row
+        attaches by a keyed self-join on orderkey = orderkey + 1
+        (dense-key adjacency — only (key, priority) pairs shuffle),
+        run starts are prev IS NULL OR prev != cur, one combiner
+        closes per priority."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+        def shift(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "nxt_key": pa.array((k + 1).astype(np.int64)),
+                    "prev_prio": b["o_orderpriority"],
+                }
+            )
+
+        shifted = od.map_batches(shift, batch_format="pyarrow")
+        j = od.join(
+            shifted,
+            join_type="left_outer",
+            num_partitions=join_partitions_for(od, shifted),
+            on=("o_orderkey",),
+            right_on=("nxt_key",),
+        )
+
+        def starts(b: pa.Table) -> pa.Table:
+            cur = b["o_orderpriority"].to_pylist()
+            prev = b["prev_prio"].to_pylist()
+            st = np.array(
+                [1 if (p is None or p != c) else 0 for c, p in zip(cur, prev)],
+                dtype=np.int64,
+            )
+            return pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "start": pa.array(st),
+                }
+            )
+
+        agg = grouped_agg(
+            j.map_batches(starts, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            {"n_rows": (None, "count"), "n_runs": ("start", "sum")},
+        )
+        return agg.map_batches(
+            lambda b: b.astype({"n_rows": "int64", "n_runs": "int64"}),
+            batch_format="pandas",
+        )
+
+    def q_partition_manifest_orders(sf_dir):
+        """Partition-pruning manifest for a month-partitioned orders
+        layout: per month — row count, min/max totalprice cents and
+        distinct order days (the zone-map a reader consults to skip
+        partitions). One combiner pass for n/min/max + one
+        (month, day)-count combiner folded to day counts."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            dt = b["o_orderdate"].to_pandas()
+            ym = (dt.dt.year * 100 + dt.dt.month).to_numpy(np.int64)
+            day = (
+                b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )
+            tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "ym": pa.array(ym),
+                    "day": pa.array(day.astype(np.int64)),
+                    "cents": pa.array(
+                        np.floor(tp * 100.0 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+        prep_ds = od.map_batches(prep, batch_format="pyarrow")
+        stats = grouped_agg(
+            prep_ds,
+            ["ym"],
+            {
+                "n_orders": (None, "count"),
+                "min_cents": ("cents", "min"),
+                "max_cents": ("cents", "max"),
+            },
+        ).to_pandas()
+        days = grouped_agg(
+            prep_ds, ["ym", "day"], {"c": (None, "count")}
+        ).to_pandas()
+        nd = days.groupby("ym").size().rename("n_days").reset_index()
+        out = stats.merge(nd, on="ym")
+        for c in ("ym", "n_orders", "min_cents", "max_cents", "n_days"):
+            out[c] = out[c].astype("int64")
+        return out[["ym", "n_orders", "min_cents", "max_cents", "n_days"]]
+
+    def q_wow_by_weekday(sf_dir):
+        """Week-over-week comparison: each day's event cents total
+        against the same weekday one week earlier (lag-by-key
+        arithmetic, not row lag — robust to missing days). Daily totals
+        come from one combiner; the |days|-bounded table self-joins on
+        day = day - 7 at the close."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            day = (
+                b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "day": pa.array(day.astype(np.int64)),
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        daily = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["day"],
+            {"cents": ("cents", "sum")},
+        ).to_pandas()
+        prev = daily.rename(columns={"day": "pday", "cents": "prev_cents"})
+        prev["day"] = prev["pday"] + 7
+        out = daily.merge(prev[["day", "prev_cents"]], on="day", how="inner")
+        out["diff_cents"] = out["cents"] - out["prev_cents"]
+        for c in ("day", "cents", "prev_cents", "diff_cents"):
+            out[c] = out[c].astype("int64")
+        return out[["day", "cents", "prev_cents", "diff_cents"]]
+
+    def q_theil_sen_daily(sf_dir):
+        """Theil-Sen robust trend of daily event cents: the lower
+        median of all pairwise slopes. The distributed part is the
+        daily combiner; the |days|^2 pair enumeration runs at the
+        bounded close, ordered (slope, i, j) for a deterministic
+        median. Slope division and the micro floor are the identical
+        IEEE expressions on both sides."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            day = (
+                b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "day": pa.array(day.astype(np.int64)),
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        daily = (
+            grouped_agg(
+                ev.map_batches(prep, batch_format="pyarrow"),
+                ["day"],
+                {"cents": ("cents", "sum")},
+            )
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        x = daily["day"].to_numpy(np.float64)
+        y = daily["cents"].to_numpy(np.float64)
+        n = len(daily)
+        ii, jj = np.triu_indices(n, k=1)
+        slopes = (y[jj] - y[ii]) / (x[jj] - x[ii])
+        order = np.lexsort((jj, ii, slopes))
+        m = len(slopes)
+        pick = order[(m + 1) // 2 - 1]
+        med = slopes[pick]
+        out = pd.DataFrame(
+            {
+                "n_days": [n],
+                "n_pairs": [m],
+                "slope_micro": [int(np.floor(med * 1_000_000.0 + 0.5))],
+            }
+        )
+        return out.astype("int64")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -7204,6 +7402,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "business_day_latency": q_business_day_latency,
         "kendall_even_odd": q_kendall_even_odd,
         "trimmed_mean_by_type": q_trimmed_mean_by_type,
+        "rle_runs_orders": q_rle_runs_orders,
+        "partition_manifest_orders": q_partition_manifest_orders,
+        "wow_by_weekday": q_wow_by_weekday,
+        "theil_sen_daily": q_theil_sen_daily,
     }
 
 
@@ -11793,5 +11995,60 @@ def oracle_sql() -> dict[str, str]:
                  AS trimmed_mean_micro
         FROM r WHERE rn > n // 10 AND rn <= n - n // 10
         GROUP BY 1
+    """
+    oracles["rle_runs_orders"] = """
+        WITH r AS (
+          SELECT o_orderpriority,
+                 lag(o_orderpriority) OVER (ORDER BY o_orderkey) AS prev
+          FROM orders)
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CASE WHEN prev IS NULL
+                               OR prev <> o_orderpriority
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM r GROUP BY 1
+    """
+    oracles["partition_manifest_orders"] = """
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate)
+                    AS BIGINT) AS ym,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(min(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS min_cents,
+               CAST(max(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS max_cents,
+               CAST(count(DISTINCT epoch_us(o_orderdate) // 86400000000)
+                    AS BIGINT) AS n_days
+        FROM orders GROUP BY 1
+    """
+    oracles["wow_by_weekday"] = """
+        WITH d AS MATERIALIZED (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM events GROUP BY 1)
+        SELECT CAST(a.day AS BIGINT) AS day, a.cents,
+               b.cents AS prev_cents,
+               CAST(a.cents - b.cents AS BIGINT) AS diff_cents
+        FROM d a JOIN d b ON b.day = a.day - 7
+    """
+    oracles["theil_sen_daily"] = """
+        WITH d AS MATERIALIZED (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM events GROUP BY 1),
+        p AS (
+          SELECT (CAST(b.cents AS DOUBLE) - a.cents)
+                 / (CAST(b.day AS DOUBLE) - a.day) AS slope,
+                 a.day AS i, b.day AS j
+          FROM d a JOIN d b ON b.day > a.day),
+        r AS (SELECT slope,
+                     row_number() OVER (ORDER BY slope, i, j) AS rn,
+                     count(*) OVER () AS m
+              FROM p)
+        SELECT CAST((SELECT count(*) FROM d) AS BIGINT) AS n_days,
+               CAST(m AS BIGINT) AS n_pairs,
+               CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) AS slope_micro
+        FROM r WHERE rn = (m + 1) // 2
     """
     return oracles
