@@ -7144,6 +7144,226 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.astype("int64")
 
+    # -- wave 37: TPC-H completion (Q6/Q10/Q13/Q15 shapes) ------------
+
+    def q6_forecast_revenue(sf_dir):
+        """TPC-H Q6 shape: pure filter + global fold — the query every
+        column-pruned, predicate-pushed scan should make IO-bound. One
+        pass, zero shuffle; the aggregate is a single combiner cell."""
+        import datetime as _dt
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import global_agg
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+        )
+        lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+        def prep(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.and_(
+                    pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)),
+                ),
+                pc.and_(
+                    pc.and_(
+                        pc.greater_equal(b["l_discount"], pa.scalar(0.05)),
+                        pc.less_equal(b["l_discount"], pa.scalar(0.07)),
+                    ),
+                    pc.less(b["l_quantity"], pa.scalar(24.0)),
+                ),
+            )
+            b = b.filter(keep)
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "cents": pa.array(
+                        np.floor(ep * dc * 100.0 + 0.5).astype(np.int64)
+                    )
+                }
+            )
+
+        agg = global_agg(
+            li.map_batches(prep, batch_format="pyarrow"),
+            {"revenue_cents": ("cents", "sum"), "n_rows": (None, "count")},
+        )
+        return pd.DataFrame(
+            {
+                "revenue_cents": [int(agg["revenue_cents"])],
+                "n_rows": [int(agg["n_rows"])],
+            }
+        ).astype("int64")
+
+    def q10_returned_revenue(sf_dir):
+        """TPC-H Q10 shape (returned-item losses by customer): the
+        returnflag filter prunes lineitem at the scan, revenue folds to
+        per-order cents by the combiner, one hash join attaches the
+        customer through orders, and the block-local top-20 closes —
+        no global sort, no raw-lineitem shuffle."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import (
+            broadcast_join,
+            join_partitions_for,
+            topk,
+        )
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_returnflag", "l_extendedprice", "l_discount"],
+        )
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["l_returnflag"], "R"))
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "cents": pa.array(
+                        np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+        rev = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"cents": ("cents", "sum")},
+        )
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        j = rev.join(
+            od,
+            join_type="inner",
+            num_partitions=join_partitions_for(rev, od),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        per_cust = grouped_agg(
+            j, ["o_custkey"], {"lost_cents": ("cents", "sum")}
+        )
+        cust = (
+            _read(sf_dir, "customer", ["c_custkey", "c_name", "c_acctbal"])
+            .to_pandas()
+            .rename(columns={"c_custkey": "o_custkey"})
+        )
+        cust["acctbal_cents"] = np.floor(
+            cust["c_acctbal"].to_numpy(np.float64) * 100.0 + 0.5
+        ).astype(np.int64)
+        named = broadcast_join(
+            per_cust, cust[["o_custkey", "c_name", "acctbal_cents"]], on="o_custkey"
+        )
+        out = topk(
+            named,
+            by=["lost_cents", "o_custkey"],
+            k=20,
+            descending=[True, False],
+        )
+        return out.map_batches(
+            lambda b: b.rename(columns={"o_custkey": "c_custkey"}).astype(
+                {
+                    "c_custkey": "int64",
+                    "lost_cents": "int64",
+                    "acctbal_cents": "int64",
+                }
+            )[["c_custkey", "c_name", "lost_cents", "acctbal_cents"]],
+            batch_format="pandas",
+        )
+
+    def q13_custdist(sf_dir):
+        """TPC-H Q13 shape (customer order-count distribution INCLUDING
+        zero-order customers): per-customer order counts by combiner,
+        then the zero bucket comes from an anti-join count rather than
+        a row-expanding outer join — customers never shuffle."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import global_agg, grouped_agg
+
+        od = _read(sf_dir, "orders", ["o_custkey"])
+        per_cust = grouped_agg(od, ["o_custkey"], {"n_orders": (None, "count")})
+        dist = (
+            grouped_agg(per_cust, ["n_orders"], {"n_cust": (None, "count")})
+            .to_pandas()
+        )
+        n_customers = int(
+            global_agg(
+                _read(sf_dir, "customer", ["c_custkey"]),
+                {"n": (None, "count")},
+            )["n"]
+        )
+        with_orders = int(dist["n_cust"].sum())
+        zero = n_customers - with_orders
+        if zero > 0:
+            dist = pd.concat(
+                [dist, pd.DataFrame({"n_orders": [0], "n_cust": [zero]})],
+                ignore_index=True,
+            )
+        dist = dist.sort_values(
+            ["n_cust", "n_orders"], ascending=[False, False], kind="mergesort"
+        ).reset_index(drop=True)
+        return dist.astype("int64")
+
+    def q15_top_supplier(sf_dir):
+        """TPC-H Q15 shape: suppliers whose window revenue EQUALS the
+        maximum (all ties kept — not a top-k): per-supplier cents by
+        combiner, the scalar max broadcasts back as a filter. Two
+        passes over the |suppliers|-bounded partial table, one over
+        lineitem."""
+        import datetime as _dt
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"],
+        )
+        lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1996, 4, 1)
+
+        def prep(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+            b = b.filter(keep)
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_suppkey": b["l_suppkey"],
+                    "cents": pa.array(
+                        np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+                    ),
+                }
+            )
+
+        per_supp = grouped_agg(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["l_suppkey"],
+            {"revenue_cents": ("cents", "sum")},
+        ).to_pandas()
+        mx = int(per_supp["revenue_cents"].max())
+        top = per_supp[per_supp["revenue_cents"] == mx].copy()
+        supp = (
+            _read(sf_dir, "supplier", ["s_suppkey", "s_name"])
+            .to_pandas()
+            .rename(columns={"s_suppkey": "l_suppkey"})
+        )
+        out = top.merge(supp, on="l_suppkey").rename(
+            columns={"l_suppkey": "s_suppkey"}
+        )
+        out = out.sort_values("s_suppkey").reset_index(drop=True)
+        out["s_suppkey"] = out["s_suppkey"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out[["s_suppkey", "s_name", "revenue_cents"]]
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -7406,6 +7626,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "partition_manifest_orders": q_partition_manifest_orders,
         "wow_by_weekday": q_wow_by_weekday,
         "theil_sen_daily": q_theil_sen_daily,
+        "q6_forecast_revenue": q6_forecast_revenue,
+        "q10_returned_revenue": q10_returned_revenue,
+        "q13_custdist": q13_custdist,
+        "q15_top_supplier": q15_top_supplier,
     }
 
 
@@ -12050,5 +12274,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(m AS BIGINT) AS n_pairs,
                CAST(floor(slope * 1000000.0 + 0.5) AS BIGINT) AS slope_micro
         FROM r WHERE rn = (m + 1) // 2
+    """
+    oracles["q6_forecast_revenue"] = """
+        SELECT CAST(sum(CAST(floor(l_extendedprice * l_discount * 100.0
+                                   + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24
+    """
+    oracles["q10_returned_revenue"] = """
+        WITH rev AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                     * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents
+          FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+        pc2 AS (
+          SELECT o.o_custkey, CAST(sum(rev.cents) AS BIGINT) AS lost_cents
+          FROM rev JOIN orders o ON o.o_orderkey = rev.l_orderkey
+          GROUP BY 1)
+        SELECT pc2.o_custkey AS c_custkey, c.c_name, pc2.lost_cents,
+               CAST(floor(c.c_acctbal * 100.0 + 0.5) AS BIGINT)
+                 AS acctbal_cents
+        FROM pc2 JOIN customer c ON c.c_custkey = pc2.o_custkey
+        ORDER BY pc2.lost_cents DESC, pc2.o_custkey
+        LIMIT 20
+    """
+    oracles["q13_custdist"] = """
+        WITH pc2 AS (
+          SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+          FROM orders GROUP BY 1),
+        d AS (SELECT n_orders, CAST(count(*) AS BIGINT) AS n_cust
+              FROM pc2 GROUP BY 1),
+        z AS (SELECT CAST(0 AS BIGINT) AS n_orders,
+                     CAST((SELECT count(*) FROM customer)
+                          - (SELECT count(*) FROM pc2) AS BIGINT) AS n_cust)
+        SELECT * FROM d
+        UNION ALL
+        SELECT * FROM z WHERE n_cust > 0
+    """
+    oracles["q15_top_supplier"] = """
+        WITH ps AS (
+          SELECT l_suppkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                     * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+          FROM lineitem
+          WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l_shipdate < TIMESTAMP '1996-04-01'
+          GROUP BY 1),
+        m AS (SELECT max(revenue_cents) AS mx FROM ps)
+        SELECT ps.l_suppkey AS s_suppkey, s.s_name, ps.revenue_cents
+        FROM ps
+        JOIN m ON ps.revenue_cents = m.mx
+        JOIN supplier s ON s.s_suppkey = ps.l_suppkey
     """
     return oracles
