@@ -7364,6 +7364,181 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["revenue_cents"] = out["revenue_cents"].astype("int64")
         return out[["s_suppkey", "s_name", "revenue_cents"]]
 
+    # -- wave 38: dedup PR eval / latency SLO / revenue waterfall -----
+
+    def q_minhash_pr_eval(sf_dir):
+        """Precision/recall of MinHash-LSH candidates against the exact
+        PPJoin truth set at the same Jaccard-0.5 threshold — the
+        evaluation harness that decides band/permutation settings
+        before a corpus-scale dedup run. Both sides are pair tables
+        (bounded by similarity, not corpus size); the comparison is one
+        driver merge."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.dedup import minhash_lsh_candidates
+        from ocr_service_ray.ops.similarity import jaccard_pair_join
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        cand = minhash_lsh_candidates(docs, threshold=0.5).to_pandas()[
+            ["id_a", "id_b"]
+        ]
+        truth = jaccard_pair_join(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            ngram=3,
+            threshold_ppm=500_000,
+        ).to_pandas()[["id_a", "id_b"]]
+        hit = cand.merge(truth, on=["id_a", "id_b"])
+        n_cand, n_truth, n_hit = len(cand), len(truth), len(hit)
+        return pd.DataFrame(
+            {
+                "n_cand": [n_cand],
+                "n_truth": [n_truth],
+                "n_hit": [n_hit],
+                "precision_ppm": [
+                    (1_000_000 * n_hit) // n_cand if n_cand else 0
+                ],
+                "recall_ppm": [
+                    (1_000_000 * n_hit) // n_truth if n_truth else 0
+                ],
+            }
+        ).astype("int64")
+
+    def q_latency_slo_report(sf_dir):
+        """SLO report: p25/p50/p75 (quantile_disc) of the signed
+        business-day order-to-first-ship latency per priority —
+        composition of the wave-35 integer calendar arithmetic with
+        ops/sketch.grouped_quantiles (value-counts combiner; raw rows
+        never shuffle)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+        from ocr_service_ray.ops.sketch import grouped_quantiles
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            us = b["l_shipdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "ship_day": pa.array(us // 86_400_000_000),
+                }
+            )
+
+        first_ship = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"ship_day": ("ship_day", "min")},
+        )
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate", "o_orderpriority"])
+
+        def od_prep(b: pa.Table) -> pa.Table:
+            us = b["o_orderdate"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_day": pa.array(us // 86_400_000_000),
+                    "o_orderpriority": b["o_orderpriority"],
+                }
+            )
+
+        j = od.map_batches(od_prep, batch_format="pyarrow").join(
+            first_ship,
+            join_type="inner",
+            num_partitions=join_partitions_for(od, first_ship),
+            on=("o_orderkey",),
+            right_on=("l_orderkey",),
+        )
+
+        def latency(b: pa.Table) -> pa.Table:
+            def f(d: np.ndarray) -> np.ndarray:
+                dp = d + 3
+                return 5 * (dp // 7) + np.minimum(dp % 7, 5)
+
+            o = b["o_day"].to_numpy(zero_copy_only=False)
+            s = b["ship_day"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "bd": pa.array((f(s) - f(o)).astype(np.int64)),
+                }
+            )
+
+        out = grouped_quantiles(
+            j.map_batches(latency, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            "bd",
+            [0.25, 0.5, 0.75],
+        )
+        return out.map_batches(
+            lambda b: b.astype({"q_pct": "int64", "value": "int64"}),
+            batch_format="pandas",
+        )
+
+    def q_revenue_waterfall_mom(sf_dir):
+        """Month-over-month revenue waterfall: the revenue delta split
+        into a volume effect ((n2-n1) x month-1 average) and a
+        price/mix effect (n2 x (avg2-avg1)) — the contribution
+        decomposition every revenue dashboard runs. Monthly (n, cents)
+        come from one combiner; the |months|-bounded close uses the
+        shared IEEE floor expression for the two float effects (they
+        sum to the integer delta only up to rounding — both emitted,
+        nothing re-derived)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(sf_dir, "orders", ["o_orderdate", "o_totalprice"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            dt = b["o_orderdate"].to_pandas()
+            ym = (dt.dt.year * 12 + dt.dt.month - 1).to_numpy(np.int64)
+            tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "m": pa.array(ym),
+                    "cents": pa.array(np.floor(tp * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        monthly = (
+            grouped_agg(
+                od.map_batches(prep, batch_format="pyarrow"),
+                ["m"],
+                {"n": (None, "count"), "cents": ("cents", "sum")},
+            )
+            .to_pandas()
+            .sort_values("m")
+            .reset_index(drop=True)
+        )
+        cur = monthly.iloc[1:].reset_index(drop=True)
+        prv = monthly.iloc[:-1].reset_index(drop=True)
+        contiguous = (
+            cur["m"].to_numpy(np.int64) - prv["m"].to_numpy(np.int64)
+        ) == 1
+        cur, prv = cur[contiguous].reset_index(drop=True), prv[
+            contiguous
+        ].reset_index(drop=True)
+        n1 = prv["n"].to_numpy(np.float64)
+        n2 = cur["n"].to_numpy(np.float64)
+        r1 = prv["cents"].to_numpy(np.float64)
+        r2 = cur["cents"].to_numpy(np.float64)
+        vol = np.floor((n2 - n1) * (r1 / n1) + 0.5)
+        mix = np.floor(n2 * (r2 / n2 - r1 / n1) + 0.5)
+        out = pd.DataFrame(
+            {
+                "m": cur["m"].to_numpy(np.int64),
+                "delta_cents": (
+                    cur["cents"].to_numpy(np.int64)
+                    - prv["cents"].to_numpy(np.int64)
+                ),
+                "volume_effect_cents": vol.astype(np.int64),
+                "mix_effect_cents": mix.astype(np.int64),
+            }
+        )
+        return out.astype("int64")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -7630,6 +7805,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_revenue": q10_returned_revenue,
         "q13_custdist": q13_custdist,
         "q15_top_supplier": q15_top_supplier,
+        "minhash_pr_eval": q_minhash_pr_eval,
+        "latency_slo_report": q_latency_slo_report,
+        "revenue_waterfall_mom": q_revenue_waterfall_mom,
     }
 
 
@@ -12332,5 +12510,91 @@ def oracle_sql() -> dict[str, str]:
         FROM ps
         JOIN m ON ps.revenue_cents = m.mx
         JOIN supplier s ON s.s_suppkey = ps.l_suppkey
+    """
+    oracles["minhash_pr_eval"] = rf"""
+        WITH {_minhash_cte_sql()},
+        mh_cand AS MATERIALIZED (
+          SELECT id_a, id_b FROM est
+          WHERE CAST(eq AS DOUBLE) / 64.0 >= 0.5),
+        d2 AS MATERIALIZED (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS s
+          FROM documents),
+        w2 AS MATERIALIZED (
+          SELECT DISTINCT doc_id,
+                 s[i] || ' ' || s[i + 1] || ' ' || s[i + 2] AS sh
+          FROM d2, unnest(generate_series(1, len(s) - 2)) AS g2(i)),
+        sz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+               FROM w2 GROUP BY 1),
+        inter AS (SELECT a2.doc_id AS id_a, b2.doc_id AS id_b,
+                         CAST(count(*) AS BIGINT) AS n_inter
+                  FROM w2 a2 JOIN w2 b2 ON a2.sh = b2.sh
+                                       AND a2.doc_id < b2.doc_id
+                  GROUP BY 1, 2),
+        truth AS MATERIALIZED (
+          SELECT i.id_a, i.id_b
+          FROM inter i
+          JOIN sz sa ON sa.doc_id = i.id_a
+          JOIN sz sb ON sb.doc_id = i.id_b
+          WHERE (1000000 * i.n_inter) // (sa.n + sb.n - i.n_inter)
+                >= 500000),
+        hit AS (SELECT count(*) AS h
+                FROM mh_cand c JOIN truth t ON t.id_a = c.id_a
+                                           AND t.id_b = c.id_b),
+        nc AS (SELECT count(*) AS c FROM mh_cand),
+        nt AS (SELECT count(*) AS t FROM truth)
+        SELECT CAST(nc.c AS BIGINT) AS n_cand,
+               CAST(nt.t AS BIGINT) AS n_truth,
+               CAST(hit.h AS BIGINT) AS n_hit,
+               CAST(CASE WHEN nc.c = 0 THEN 0
+                         ELSE (1000000 * hit.h) // nc.c END AS BIGINT)
+                 AS precision_ppm,
+               CAST(CASE WHEN nt.t = 0 THEN 0
+                         ELSE (1000000 * hit.h) // nt.t END AS BIGINT)
+                 AS recall_ppm
+        FROM nc CROSS JOIN nt CROSS JOIN hit
+    """
+    oracles["latency_slo_report"] = """
+        WITH fs AS (
+          SELECT l_orderkey,
+                 min(epoch_us(l_shipdate) // 86400000000) AS ship_day
+          FROM lineitem GROUP BY 1),
+        j AS MATERIALIZED (
+          SELECT o.o_orderpriority,
+                 (5 * ((fs.ship_day + 3) // 7)
+                  + least((fs.ship_day + 3) % 7, 5))
+               - (5 * (((epoch_us(o.o_orderdate) // 86400000000) + 3) // 7)
+                  + least(((epoch_us(o.o_orderdate) // 86400000000) + 3) % 7,
+                          5)) AS bd
+          FROM orders o JOIN fs ON fs.l_orderkey = o.o_orderkey)
+        SELECT o_orderpriority, CAST(25 AS BIGINT) AS q_pct,
+               CAST(quantile_disc(bd, 0.25) AS BIGINT) AS value
+        FROM j GROUP BY 1
+        UNION ALL
+        SELECT o_orderpriority, CAST(50 AS BIGINT),
+               CAST(quantile_disc(bd, 0.5) AS BIGINT)
+        FROM j GROUP BY 1
+        UNION ALL
+        SELECT o_orderpriority, CAST(75 AS BIGINT),
+               CAST(quantile_disc(bd, 0.75) AS BIGINT)
+        FROM j GROUP BY 1
+    """
+    oracles["revenue_waterfall_mom"] = """
+        WITH mo AS MATERIALIZED (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                      AS BIGINT) AS m,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents
+          FROM orders GROUP BY 1)
+        SELECT b.m,
+               CAST(b.cents - a.cents AS BIGINT) AS delta_cents,
+               CAST(floor((CAST(b.n AS DOUBLE) - a.n)
+                          * (CAST(a.cents AS DOUBLE) / a.n) + 0.5)
+                    AS BIGINT) AS volume_effect_cents,
+               CAST(floor(CAST(b.n AS DOUBLE)
+                          * (CAST(b.cents AS DOUBLE) / b.n
+                             - CAST(a.cents AS DOUBLE) / a.n) + 0.5)
+                    AS BIGINT) AS mix_effect_cents
+        FROM mo a JOIN mo b ON b.m = a.m + 1
     """
     return oracles
