@@ -7539,6 +7539,144 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.astype("int64")
 
+    # -- wave 39: iterative median / bucketed co-join / HLL union ----
+
+    def q_iterative_median_price(sf_dir):
+        """Exact lower median of order price cents WITHOUT the bounded-
+        distinct assumption (ops/sketch.iterative_exact_median): each
+        round one counting scan folds blocks to 256-bin histograms
+        over the bracket, narrowing 256x per round — the algorithm for
+        a median over 10^12 near-unique values, where value-counts
+        quantiles would shuffle a row per distinct value."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.sketch import iterative_exact_median
+
+        od = _read(sf_dir, "orders", ["o_totalprice"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            tp = b["o_totalprice"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {"cents": pa.array(np.floor(tp * 100.0 + 0.5).astype(np.int64))}
+            )
+
+        med, n, rounds = iterative_exact_median(
+            od.map_batches(prep, batch_format="pyarrow"), "cents"
+        )
+        assert rounds >= 1  # the narrowing path actually ran
+        return pd.DataFrame(
+            {"median_cents": [med], "n_rows": [n]}
+        ).astype("int64")
+
+    def q_bucketed_cojoin_revenue(sf_dir):
+        """Storage-bucketed co-located join (the Hive bucketed-join
+        move): both sides are written ONCE to hive-partitioned parquet
+        bucketed by orderkey % 16, then every bucket pair joins
+        independently inside a task that reads exactly its two bucket
+        directories — the join itself needs NO shuffle, and at corpus
+        scale one bucketing write amortizes across every subsequent
+        key-aligned join. Verified against the plain SQL join."""
+        import shutil
+
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        root = "/tmp/graft_cojoin"
+        shutil.rmtree(root, ignore_errors=True)
+        n_buckets = 16
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+        def od_prep(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_orderpriority": b["o_orderpriority"],
+                    "bucket": pa.array((k % n_buckets).astype(np.int64)),
+                }
+            )
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_extendedprice", "l_discount"])
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            k = b["l_orderkey"].to_numpy(zero_copy_only=False)
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "cents": pa.array(
+                        np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+                    ),
+                    "bucket": pa.array((k % n_buckets).astype(np.int64)),
+                }
+            )
+
+        od.map_batches(od_prep, batch_format="pyarrow").write_parquet(
+            f"{root}/orders", partition_cols=["bucket"]
+        )
+        li.map_batches(li_prep, batch_format="pyarrow").write_parquet(
+            f"{root}/lineitem", partition_cols=["bucket"]
+        )
+
+        import ray.data as rd
+
+        def join_bucket(batch: pd.DataFrame) -> pd.DataFrame:
+            frames = []
+            for bk in batch["bucket"]:
+                o = _pq.read_table(
+                    f"{root}/orders/bucket={bk}",
+                    columns=["o_orderkey", "o_orderpriority"],
+                ).to_pandas()
+                l = _pq.read_table(
+                    f"{root}/lineitem/bucket={bk}",
+                    columns=["l_orderkey", "cents"],
+                ).to_pandas()
+                m = l.merge(
+                    o, left_on="l_orderkey", right_on="o_orderkey"
+                )
+                frames.append(
+                    m.groupby("o_orderpriority", as_index=False)["cents"].sum()
+                )
+            return pd.concat(frames, ignore_index=True)
+
+        per_bucket = rd.from_items(
+            [{"bucket": i} for i in range(n_buckets)]
+        ).map_batches(join_bucket, batch_format="pandas", batch_size=1)
+        out = grouped_agg(
+            per_bucket, ["o_orderpriority"], {"revenue_cents": ("cents", "sum")}
+        )
+        return out.map_batches(
+            lambda b: b.astype({"revenue_cents": "int64"}),
+            batch_format="pandas",
+        )
+
+    def q_hll_union_users(sf_dir):
+        """Sketch-union identity: HLL registers built separately over
+        event users and order customers merge by elementwise max into
+        the registers of the UNION — the cross-table distinct count
+        that never co-shuffles the tables. The whole merged register
+        table is SQL-reproducible."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.sketch import hll_registers
+
+        a = hll_registers(
+            _read(sf_dir, "events", ["user_id"]), "user_id", p=10
+        ).to_pandas()
+        b = hll_registers(
+            _read(sf_dir, "orders", ["o_custkey"]), "o_custkey", p=10
+        ).to_pandas()
+        m = a.merge(b, on="bucket", how="outer", suffixes=("_a", "_b"))
+        m["max_rho"] = (
+            m[["max_rho_a", "max_rho_b"]].max(axis=1).astype(np.int64)
+        )
+        out = m[["bucket", "max_rho"]].sort_values("bucket").reset_index(drop=True)
+        return out.astype("int64")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -7808,6 +7946,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_pr_eval": q_minhash_pr_eval,
         "latency_slo_report": q_latency_slo_report,
         "revenue_waterfall_mom": q_revenue_waterfall_mom,
+        "iterative_median_price": q_iterative_median_price,
+        "bucketed_cojoin_revenue": q_bucketed_cojoin_revenue,
+        "hll_union_users": q_hll_union_users,
     }
 
 
@@ -12596,5 +12737,35 @@ def oracle_sql() -> dict[str, str]:
                              - CAST(a.cents AS DOUBLE) / a.n) + 0.5)
                     AS BIGINT) AS mix_effect_cents
         FROM mo a JOIN mo b ON b.m = a.m + 1
+    """
+    oracles["iterative_median_price"] = """
+        WITH c AS (
+          SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders)
+        SELECT CAST(quantile_disc(cents, 0.5) AS BIGINT) AS median_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM c
+    """
+    oracles["bucketed_cojoin_revenue"] = """
+        SELECT o.o_orderpriority,
+               CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1
+    """
+    oracles["hll_union_users"] = f"""
+        WITH h AS (
+          SELECT {_hex_bigint_sql("md5(CAST(user_id AS VARCHAR))", 1, 8)} AS x
+          FROM events WHERE user_id IS NOT NULL
+          UNION ALL
+          SELECT {_hex_bigint_sql("md5(CAST(o_custkey AS VARCHAR))", 1, 8)}
+          FROM orders WHERE o_custkey IS NOT NULL),
+        b AS (SELECT x // 4194304 AS bucket, x % 4194304 AS w FROM h)
+        SELECT CAST(bucket AS BIGINT) AS bucket,
+               CAST(MAX(CASE WHEN w = 0 THEN 23
+                             ELSE 23 - length(bin(w)) END) AS BIGINT)
+                 AS max_rho
+        FROM b GROUP BY bucket
     """
     return oracles

@@ -654,3 +654,107 @@ def cms_estimate(sketch: pd.DataFrame, tokens: list[str], depth: int = 4, width:
             min(lut.get((r, _cms_cell(t, r, width)), 0) for r in range(depth))
         )
     return pd.DataFrame({"token": tokens, "est_c": np.array(ests, dtype=np.int64)})
+
+
+def iterative_exact_median(
+    ds, col: str, bracket_cap: int = 4096, materialize_projection: bool = True
+):
+    """EXACT lower median of an int64 column with NO bounded-distinct
+    assumption — the "median of 10^12 values" algorithm. The
+    value-counts quantile path shuffles one row per distinct value,
+    which breaks when the column is near-unique; this one never moves
+    values at all: each round is ONE counting scan that folds every
+    block into a 256-bin histogram over the current bracket [lo, hi]
+    (pure combiner — 256 ints per block), the driver walks the
+    cumulative counts to the bin holding rank (n+1)//2, and the
+    bracket narrows 256x per round (log_256(range) rounds, 3 for
+    cents-scale data). When the bracket is <= ``bracket_cap`` wide the
+    final scan value-counts just that sliver. Returns (median, n,
+    n_rounds). NULLs hold no rank.
+
+    ``materialize_projection`` pins the single-column projection in the
+    object store between rounds (right when it fits — spills
+    otherwise); pass False at corpus scale to re-run the pruned
+    parquet read each round instead (O(log range) IO, zero pin)."""
+    import pyarrow.compute as pc
+
+    from ocr_service_ray.ops.agg import global_agg, grouped_agg
+
+    base = ds.map_batches(
+        lambda b: b.select([col]).filter(pc.is_valid(b[col])),
+        batch_format="pyarrow",
+    )
+    if materialize_projection:
+        base = base.materialize()
+
+    span = global_agg(
+        base, {"lo": (col, "min"), "hi": (col, "max"), "n": (None, "count")}
+    )
+    n = int(span["n"])
+    if n == 0:
+        return None, 0, 0
+    lo, hi = int(span["lo"]), int(span["hi"])
+    r = (n + 1) // 2  # 1-based lower-median rank (= quantile_disc 0.5)
+    rounds = 0
+    rank_left = r  # rank within the current bracket
+    while hi - lo > bracket_cap:
+        rounds += 1
+        width = hi - lo + 1
+        clo, cwidth = lo, width
+
+        def hist(b: pa.Table) -> pa.Table:
+            v = b[col].to_numpy(zero_copy_only=False)
+            v = v[(v >= clo) & (v < clo + cwidth)]
+            bins = (v - clo) * 256 // cwidth
+            counts = np.bincount(bins, minlength=256)
+            return pa.table(
+                {
+                    "bin": pa.array(np.arange(256, dtype=np.int64)),
+                    "c": pa.array(counts.astype(np.int64)),
+                }
+            )
+
+        h = (
+            grouped_agg(
+                base.map_batches(hist, batch_format="pyarrow"),
+                ["bin"],
+                {"c": ("c", "sum")},
+            )
+            .to_pandas()
+            .sort_values("bin")
+        )
+        cum = 0
+        for _, row in h.iterrows():
+            if cum + int(row["c"]) >= rank_left:
+                b_idx = int(row["bin"])
+                rank_left -= cum
+                break
+            cum += int(row["c"])
+        lo2 = clo + b_idx * cwidth // 256
+        hi2 = clo + (b_idx + 1) * cwidth // 256 - 1
+        # bin edges from integer floor division: recheck containment
+        lo, hi = max(lo, lo2), min(hi, hi2)
+
+    flo, fhi = lo, hi
+
+    def bracket_counts(b: pa.Table) -> pa.Table:
+        v = b[col].to_numpy(zero_copy_only=False)
+        v = v[(v >= flo) & (v <= fhi)]
+        u, c = np.unique(v, return_counts=True)
+        return pa.table(
+            {"v": pa.array(u.astype(np.int64)), "c": pa.array(c.astype(np.int64))}
+        )
+
+    vc = (
+        grouped_agg(
+            base.map_batches(bracket_counts, batch_format="pyarrow"),
+            ["v"],
+            {"c": ("c", "sum")},
+        )
+        .to_pandas()
+        .sort_values("v")
+        .reset_index(drop=True)
+    )
+    cum = vc["c"].cumsum().to_numpy()
+    idx = int(np.searchsorted(cum, rank_left, side="left"))
+    return int(vc["v"].iloc[idx]), n, rounds

@@ -286,3 +286,48 @@ def test_cms_block_layout_invariant(ray_session):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_iterative_median_matches_quantile_disc(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import iterative_exact_median
+
+    rng = np.random.default_rng(3)
+    for vals in (
+        rng.integers(-10_000_000, 10_000_000, 5000),  # wide near-unique
+        rng.integers(0, 5, 1000),                     # heavy ties
+        np.full(17, 42),                              # degenerate
+        np.array([7]),                                # single row
+    ):
+        df = pd.DataFrame({"v": vals.astype(np.int64)})
+        ds = rd.from_arrow(
+            pa.Table.from_pandas(df, preserve_index=False)
+        ).repartition(4)
+        med, n, rounds = iterative_exact_median(ds, "v")
+        ref = duckdb.connect().execute(
+            "SELECT quantile_disc(v, 0.5) FROM df"
+        ).fetchone()[0]
+        assert n == len(vals)
+        assert med == ref, (med, ref, len(vals))
+
+
+def test_iterative_median_nulls_and_empty(ray_session):
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import iterative_exact_median
+
+    df = pd.DataFrame({"v": pd.array([None, 5, None, 9], dtype="Int64")})
+    ds = rd.from_arrow(pa.Table.from_pandas(df, preserve_index=False))
+    med, n, _ = iterative_exact_median(ds, "v")
+    assert (med, n) == (5, 2)  # lower median of {5, 9}; NULLs hold no rank
+    empty = pd.DataFrame({"v": pd.array([], dtype="Int64")})
+    ds0 = rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
+    med0, n0, r0 = iterative_exact_median(ds0, "v")
+    assert (med0, n0, r0) == (None, 0, 0)
