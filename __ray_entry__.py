@@ -7677,6 +7677,187 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = m[["bucket", "max_rho"]].sort_values("bucket").reset_index(drop=True)
         return out.astype("int64")
 
+    # -- wave 40: inversions / Merkle checksum tree / max-gap argmax --
+
+    def q_inversion_count_purchases(sf_dir):
+        """Exact inversion count of the purchase value sequence in
+        (ts, event_id) order — the time-disorder measure behind
+        sortedness-aware optimizers. After the range-partitioned global
+        sort, each SORTED block emits its internal inversion count plus
+        a (value, count) histogram; the driver folds block histograms
+        in time order, counting cross-block inversions with one
+        suffix-cumsum per block — values themselves never reach the
+        driver, only |distinct-per-block| count rows."""
+        import pandas as pd
+
+        ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], "purchase"))
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "ts": b["ts"],
+                    "event_id": b["event_id"],
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        srt = ev.map_batches(prep, batch_format="pyarrow").sort(
+            ["ts", "event_id"]
+        )
+
+        def block_stats(b: pa.Table) -> pa.Table:
+            # one batch per sorted block (batch_size=None contract)
+            if len(b) == 0:
+                return pa.table(
+                    {
+                        "blk_ts": pa.array([], pa.int64()),
+                        "blk_eid": pa.array([], pa.int64()),
+                        "v": pa.array([], pa.int64()),
+                        "c": pa.array([], pa.int64()),
+                    }
+                )
+            cents = b["cents"].to_numpy(zero_copy_only=False)
+            n = len(cents)
+            # internal inversions: pairs i<j with v_i > v_j (rows are
+            # already time-ordered within the sorted block). Chunked
+            # histogram fold — O(n/2048) passes, never an n^2 buffer
+            inv = 0
+            vmax_blk = int(cents.max())
+            local = np.zeros(vmax_blk + 1, dtype=np.int64)
+            for s0 in range(0, n, 2048):
+                ch = cents[s0 : s0 + 2048]
+                m_ = len(ch)
+                if m_ > 1:
+                    iu, ju = np.triu_indices(m_, k=1)
+                    inv += int((ch[iu] > ch[ju]).sum())
+                if s0 > 0:
+                    gt = local.sum() - np.cumsum(local)[ch]
+                    inv += int(gt.sum())
+                np.add.at(local, ch, 1)
+            u, c = np.unique(cents, return_counts=True)
+            key_ts = int(b["ts"].cast(pa.int64())[0].as_py())
+            key_eid = int(b["event_id"][0].as_py())
+            vs = np.concatenate([u, [np.int64(-1)]])
+            cs = np.concatenate([c, [np.int64(inv)]])
+            return pa.table(
+                {
+                    "blk_ts": pa.array(
+                        np.full(len(vs), key_ts, dtype=np.int64)
+                    ),
+                    "blk_eid": pa.array(
+                        np.full(len(vs), key_eid, dtype=np.int64)
+                    ),
+                    "v": pa.array(vs),
+                    "c": pa.array(cs),
+                }
+            )
+
+        rows = srt.map_batches(
+            block_stats, batch_format="pyarrow", batch_size=None
+        ).to_pandas()
+        total_inv = 0
+        n_rows = 0
+        grid = np.zeros(0, dtype=np.int64)  # cumulative value histogram
+        vmax = int(rows.loc[rows["v"] >= 0, "v"].max()) if len(rows) else 0
+        grid = np.zeros(vmax + 1, dtype=np.int64)
+        for _, g in rows.sort_values(["blk_ts", "blk_eid"]).groupby(
+            ["blk_ts", "blk_eid"], sort=True
+        ):
+            internal = int(g.loc[g["v"] < 0, "c"].sum())
+            total_inv += internal
+            vv = g.loc[g["v"] >= 0, "v"].to_numpy(np.int64)
+            cc = g.loc[g["v"] >= 0, "c"].to_numpy(np.int64)
+            n_rows += int(cc.sum())
+            # cross inversions: earlier values strictly greater than v
+            greater_than = (
+                grid.sum() - np.cumsum(grid)[vv]
+            )  # count of prior values > v
+            total_inv += int((greater_than * cc).sum())
+            np.add.at(grid, vv, cc)
+        n_pairs = n_rows * (n_rows - 1) // 2
+        return pd.DataFrame(
+            {
+                "n_rows": [n_rows],
+                "n_pairs": [n_pairs],
+                "inversions": [total_inv],
+            }
+        ).astype("int64")
+
+    def q_checksum_tree_events(sf_dir):
+        """Merkle-style hierarchical checksum (ops/diff.checksum_tree):
+        per-day order-invariant leaf checksums plus a root digest over
+        the leaves — a replica syncs by comparing the root, then only
+        the differing days. Leaf recipe identical to table_checksum;
+        the whole tree is SQL-reproducible."""
+        from ocr_service_ray.ops.diff import checksum_tree
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "event_type", "ts"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            day = (
+                b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "user_id": b["user_id"],
+                    "event_type": b["event_type"],
+                    "day": pa.array(day.astype(np.int64)),
+                }
+            )
+
+        return checksum_tree(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_id", "user_id", "event_type"],
+            "day",
+        )
+
+    def q_max_gap_endpoints(sf_dir):
+        """Per-user argmax retrieval: the single LARGEST inter-event
+        gap with both endpoint timestamps (ties -> earliest start) —
+        the silence-window report behind churn interventions. One
+        bucketed key shuffle, numpy diff+argmax fold; users with one
+        event emit nothing."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            us = (
+                pd.DatetimeIndex(g["ts"]).values.astype("datetime64[us]").astype(np.int64)
+            )
+            if len(us) < 2:
+                return None
+            gaps = np.diff(us)
+            i = int(np.argmax(gaps))  # first max -> earliest start
+            return pd.DataFrame(
+                {
+                    "user_id": [np.int64(g["user_id"].iloc[0])],
+                    "gap_us": [np.int64(gaps[i])],
+                    "start_us": [np.int64(us[i])],
+                    "end_us": [np.int64(us[i + 1])],
+                }
+            )
+
+        out = bucketed_map_groups(ev, ["user_id"], fold)
+        return out.map_batches(
+            lambda b: b.astype(
+                {
+                    "user_id": "int64",
+                    "gap_us": "int64",
+                    "start_us": "int64",
+                    "end_us": "int64",
+                }
+            ),
+            batch_format="pandas",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -7949,6 +8130,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "iterative_median_price": q_iterative_median_price,
         "bucketed_cojoin_revenue": q_bucketed_cojoin_revenue,
         "hll_union_users": q_hll_union_users,
+        "inversion_count_purchases": q_inversion_count_purchases,
+        "checksum_tree_events": q_checksum_tree_events,
+        "max_gap_endpoints": q_max_gap_endpoints,
     }
 
 
@@ -12767,5 +12951,63 @@ def oracle_sql() -> dict[str, str]:
                              ELSE 23 - length(bin(w)) END) AS BIGINT)
                  AS max_rho
         FROM b GROUP BY bucket
+    """
+    oracles["inversion_count_purchases"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_id, epoch_us(ts) AS t,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events WHERE event_type = 'purchase'),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_rows FROM p),
+        inv AS (
+          SELECT CAST(count(*) AS BIGINT) AS inversions
+          FROM p a JOIN p b
+            ON (a.t < b.t OR (a.t = b.t AND a.event_id < b.event_id))
+           AND a.cents > b.cents)
+        SELECT n.n_rows,
+               CAST(n.n_rows * (n.n_rows - 1) // 2 AS BIGINT) AS n_pairs,
+               inv.inversions
+        FROM n CROSS JOIN inv
+    """
+    oracles["checksum_tree_events"] = f"""
+        WITH r AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, {_row_h15} AS h
+          FROM events),
+        leaves AS MATERIALIZED (
+          SELECT CAST(day AS BIGINT) AS part,
+                 CAST(count(*) AS BIGINT) AS n_rows,
+                 CAST(CAST(sum(h) AS HUGEINT) % 9223372036854775783
+                      AS BIGINT) AS checksum
+          FROM r GROUP BY 1),
+        root AS (
+          SELECT CAST(-1 AS BIGINT) AS part,
+                 CAST(sum(n_rows) AS BIGINT) AS n_rows,
+                 CAST(CAST(sum({_hex_bigint_sql(
+                     "md5('d' || CAST(part AS VARCHAR) || ':' "
+                     "|| CAST(checksum AS VARCHAR))", 1, 15)})
+                      AS HUGEINT) % 9223372036854775783 AS BIGINT)
+                   AS checksum
+          FROM leaves)
+        SELECT * FROM leaves UNION ALL SELECT * FROM root
+    """
+    oracles["max_gap_endpoints"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id, epoch_us(ts) AS t,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        g AS (SELECT user_id, t AS start_us,
+                     lead(t) OVER (PARTITION BY user_id ORDER BY rn)
+                       AS end_us
+              FROM o),
+        h AS (SELECT user_id, start_us, end_us,
+                     end_us - start_us AS gap_us,
+                     row_number() OVER (PARTITION BY user_id
+                                        ORDER BY end_us - start_us DESC,
+                                                 start_us ASC) AS rk
+              FROM g WHERE end_us IS NOT NULL)
+        SELECT user_id, CAST(gap_us AS BIGINT) AS gap_us,
+               CAST(start_us AS BIGINT) AS start_us,
+               CAST(end_us AS BIGINT) AS end_us
+        FROM h WHERE rk = 1
     """
     return oracles

@@ -182,3 +182,75 @@ def table_checksum(ds, cols: list[str], mod: int = (1 << 63) - 25):
         n_rows += sum(batch["_n"].to_pylist())
         acc = (acc + sum(batch["_sum"].to_pylist())) % mod
     return pd.DataFrame({"n_rows": [n_rows], "checksum": [acc]}).astype("int64")
+
+
+def checksum_tree(
+    ds, cols: list[str], part_col: str, mod: int = (1 << 63) - 25
+):
+    """Hierarchical (Merkle-style) content checksum: one order-
+    invariant ``table_checksum`` per partition value PLUS a root digest
+    over the sorted (partition, checksum) leaves — the incremental-sync
+    primitive: a replica compares the root first, then walks only the
+    partitions whose leaf digests differ instead of re-hashing 100 TB.
+
+    Leaves: checksum = sum of row md5-prefix ints mod ``mod`` (same row
+    recipe and contract as ``table_checksum``; ``part_col`` must be an
+    int column, e.g. an epoch day). Root: sum over leaves of
+    md5-prefix('d<part>:<checksum>') mod ``mod`` — changes when any
+    leaf changes or a partition is relabeled, order-invariant over
+    leaves. Each block folds to <= |parts-in-block| partial rows; the
+    driver close is |parts|-bounded. Returns (part, n_rows, checksum)
+    rows plus the root row with part = -1.
+    """
+    import pandas as pd
+
+    def partial(b: pa.Table) -> pa.Table:
+        parts = b[part_col].to_pylist()
+        arrs = [b[c].to_pylist() for c in cols]
+        acc: dict[int, int] = {}
+        cnt: dict[int, int] = {}
+        for p, vals in zip(parts, zip(*arrs)):
+            s = "|".join(str(v) for v in vals)
+            h = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+            acc[p] = (acc.get(p, 0) + h) % mod
+            cnt[p] = cnt.get(p, 0) + 1
+        ps = sorted(acc)
+        return pa.table(
+            {
+                "part": pa.array([int(p) for p in ps], pa.int64()),
+                "_n": pa.array([cnt[p] for p in ps], pa.int64()),
+                "_sum": pa.array([acc[p] for p in ps], pa.int64()),
+            }
+        )
+
+    leaves: dict[int, list[int]] = {}
+    for batch in ds.map_batches(partial, batch_format="pyarrow").iter_batches(
+        batch_format="pyarrow"
+    ):
+        for p, n, s in zip(
+            batch["part"].to_pylist(),
+            batch["_n"].to_pylist(),
+            batch["_sum"].to_pylist(),
+        ):
+            cur = leaves.setdefault(p, [0, 0])
+            cur[0] += n
+            cur[1] = (cur[1] + s) % mod
+    rows = [
+        {"part": p, "n_rows": leaves[p][0], "checksum": leaves[p][1]}
+        for p in sorted(leaves)
+    ]
+    root = 0
+    total = 0
+    for r in rows:
+        total += r["n_rows"]
+        root = (
+            root
+            + int(
+                hashlib.md5(
+                    f"d{r['part']}:{r['checksum']}".encode("utf-8")
+                ).hexdigest()[:15],
+                16,
+            )
+        ) % mod
+    rows.append({"part": -1, "n_rows": total, "checksum": root})
+    return pd.DataFrame(rows).astype("int64")
