@@ -7858,6 +7858,147 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    # -- wave 41: incremental view maintenance / banded window join --
+
+    def q_ivm_join_view(sf_dir):
+        """Incremental maintenance of a JOIN view (revenue per priority
+        over orders x lineitem): the base window's aggregate state is
+        computed once, the late-arriving delta (shipdate >= 2000)
+        joins and aggregates ALONE, and the two states merge by
+        addition — the base fact table is never rescanned for the
+        update. Verified against the full recompute."""
+        import datetime as _dt
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        cutoff = _dt.datetime(2000, 1, 1)
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+        def side_view(pred):
+            li = _read(
+                sf_dir,
+                "lineitem",
+                ["l_orderkey", "l_shipdate", "l_extendedprice", "l_discount"],
+            )
+
+            def prep(b: pa.Table) -> pa.Table:
+                b = b.filter(pred(b))
+                ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+                dc = b["l_discount"].to_numpy(zero_copy_only=False)
+                return pa.table(
+                    {
+                        "l_orderkey": b["l_orderkey"],
+                        "cents": pa.array(
+                            np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(
+                                np.int64
+                            )
+                        ),
+                    }
+                )
+
+            per_order = grouped_agg(
+                li.map_batches(prep, batch_format="pyarrow"),
+                ["l_orderkey"],
+                {"cents": ("cents", "sum"), "n": (None, "count")},
+            )
+            j = per_order.join(
+                od,
+                join_type="inner",
+                num_partitions=join_partitions_for(per_order, od),
+                on=("l_orderkey",),
+                right_on=("o_orderkey",),
+            )
+            return grouped_agg(
+                j,
+                ["o_orderpriority"],
+                {"revenue_cents": ("cents", "sum"), "n_items": ("n", "sum")},
+            ).to_pandas()
+
+        base = side_view(
+            lambda b: pc.less(b["l_shipdate"], pa.scalar(cutoff))
+        ).set_index("o_orderpriority")
+        delta = side_view(
+            lambda b: pc.greater_equal(b["l_shipdate"], pa.scalar(cutoff))
+        ).set_index("o_orderpriority")
+        merged = base.add(delta, fill_value=0).reset_index()
+        merged["delta_items"] = (
+            merged["o_orderpriority"]
+            .map(delta["n_items"])
+            .fillna(0)
+            .astype(np.int64)
+        )
+        for c in ("revenue_cents", "n_items", "delta_items"):
+            merged[c] = merged[c].astype("int64")
+        return merged[
+            ["o_orderpriority", "revenue_cents", "n_items", "delta_items"]
+        ]
+
+    def q_purchase_density_window(sf_dir):
+        """Banded time-window self-join: for every purchase, how many
+        OTHER purchases landed within +-1 hour — the market-activity
+        density feature. Each event probes its hour bucket while the
+        build side replicates into the 3 adjacent buckets (the banded
+        join that makes a +-window equi-shuffleable); inside a bucket
+        the count is two searchsorted calls, never a pair loop."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+
+        H = 3_600_000_000
+        ev = _read(sf_dir, "events", ["event_id", "ts", "event_type"])
+
+        def prep(side: int, offsets: tuple[int, ...]):
+            def fn(b: pa.Table) -> pa.Table:
+                b = b.filter(pc.equal(b["event_type"], "purchase"))
+                t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                eid = b["event_id"].to_numpy(zero_copy_only=False)
+                hour = t // H
+                ids, ts_, bks = [], [], []
+                for off in offsets:
+                    ids.append(eid)
+                    ts_.append(t)
+                    bks.append(hour + off)
+                return pa.table(
+                    {
+                        "event_id": pa.array(np.concatenate(ids)),
+                        "t": pa.array(np.concatenate(ts_)),
+                        "bucket": pa.array(np.concatenate(bks)),
+                        "side": pa.array(
+                            np.full(len(eid) * len(offsets), side, np.int64)
+                        ),
+                    }
+                )
+
+            return fn
+
+        probe = ev.map_batches(prep(0, (0,)), batch_format="pyarrow")
+        build = ev.map_batches(prep(1, (-1, 0, 1)), batch_format="pyarrow")
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            probes = g[g["side"] == 0]
+            if probes.empty:
+                return None
+            builds = np.sort(g.loc[g["side"] == 1, "t"].to_numpy(np.int64))
+            t = probes["t"].to_numpy(np.int64)
+            n = np.searchsorted(builds, t + H, side="left") - np.searchsorted(
+                builds, t - H, side="right"
+            )
+            return pd.DataFrame(
+                {
+                    "event_id": probes["event_id"].to_numpy(np.int64),
+                    "n_nearby": (n - 1).astype(np.int64),  # exclude self
+                }
+            )
+
+        out = bucketed_map_groups(probe.union(build), ["bucket"], fold)
+        return out.map_batches(
+            lambda b: b.astype({"event_id": "int64", "n_nearby": "int64"}),
+            batch_format="pandas",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -8133,6 +8274,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "inversion_count_purchases": q_inversion_count_purchases,
         "checksum_tree_events": q_checksum_tree_events,
         "max_gap_endpoints": q_max_gap_endpoints,
+        "ivm_join_view": q_ivm_join_view,
+        "purchase_density_window": q_purchase_density_window,
     }
 
 
@@ -13009,5 +13152,39 @@ def oracle_sql() -> dict[str, str]:
                CAST(start_us AS BIGINT) AS start_us,
                CAST(end_us AS BIGINT) AS end_us
         FROM h WHERE rk = 1
+    """
+    oracles["ivm_join_view"] = """
+        WITH per AS (
+          SELECT l_orderkey,
+                 CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                     * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS cents,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem GROUP BY 1),
+        fullv AS (
+          SELECT o.o_orderpriority,
+                 CAST(sum(per.cents) AS BIGINT) AS revenue_cents,
+                 CAST(sum(per.n) AS BIGINT) AS n_items
+          FROM per JOIN orders o ON o.o_orderkey = per.l_orderkey
+          GROUP BY 1),
+        dl AS (
+          SELECT o.o_orderpriority, CAST(count(*) AS BIGINT) AS delta_items
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          WHERE l.l_shipdate >= TIMESTAMP '2000-01-01'
+          GROUP BY 1)
+        SELECT f.o_orderpriority, f.revenue_cents, f.n_items,
+               CAST(coalesce(dl.delta_items, 0) AS BIGINT) AS delta_items
+        FROM fullv f LEFT JOIN dl USING (o_orderpriority)
+    """
+    oracles["purchase_density_window"] = """
+        WITH p AS MATERIALIZED (
+          SELECT event_id, epoch_us(ts) AS t
+          FROM events WHERE event_type = 'purchase')
+        SELECT a.event_id, CAST(count(b.event_id) AS BIGINT) AS n_nearby
+        FROM p a
+        LEFT JOIN p b ON b.event_id <> a.event_id
+                     AND b.t > a.t - 3600000000
+                     AND b.t < a.t + 3600000000
+        GROUP BY 1
     """
     return oracles
