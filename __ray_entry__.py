@@ -7999,6 +7999,180 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    # -- wave 42: relational division / densify+LOCF / backlog sweep --
+
+    def q_orders_fully_shipped(sf_dir):
+        """Relational division (the FOR ALL query): orders where EVERY
+        lineitem shipped before 1999 — per-order (n_total, n_early)
+        from ONE combiner pass, division = the rows where they are
+        equal; per-priority counts close. No NOT EXISTS double scan,
+        no raw-row shuffle."""
+        import datetime as _dt
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        cutoff = _dt.datetime(1999, 1, 1)
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            early = pc.cast(
+                pc.less(b["l_shipdate"], pa.scalar(cutoff)), pa.int64()
+            )
+            return pa.table({"l_orderkey": b["l_orderkey"], "early": early})
+
+        per_order = grouped_agg(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"n_total": (None, "count"), "n_early": ("early", "sum")},
+        )
+        full = per_order.map_batches(
+            lambda b: b.filter(pc.equal(b["n_total"], b["n_early"])).select(
+                ["l_orderkey"]
+            ),
+            batch_format="pyarrow",
+        )
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        j = full.join(
+            od,
+            join_type="inner",
+            num_partitions=join_partitions_for(full, od),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        out = grouped_agg(
+            j, ["o_orderpriority"], {"n_fully_shipped": (None, "count")}
+        )
+        return out.map_batches(
+            lambda b: b.astype({"n_fully_shipped": "int64"}),
+            batch_format="pandas",
+        )
+
+    def q_densify_user_days(sf_dir):
+        """Gap-fill + LOCF imputation: every (user, day) cell of the
+        global day range gets its event count (zero-filled) and the
+        last ACTIVE day carried forward (-1 before first activity) —
+        the dense feature matrix a training pipeline feeds to
+        sequence models. Day range broadcasts from one combiner
+        min/max; each user densifies independently after one bucketed
+        key shuffle."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, global_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            day = (
+                b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "day": pa.array(day.astype(np.int64)),
+                }
+            )
+
+        days = ev.map_batches(prep, batch_format="pyarrow")
+        span = global_agg(days, {"lo": ("day", "min"), "hi": ("day", "max")})
+        lo, hi = int(span["lo"]), int(span["hi"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            grid = np.arange(lo, hi + 1, dtype=np.int64)
+            counts = np.zeros(len(grid), dtype=np.int64)
+            vc = g.groupby("day").size()
+            counts[vc.index.to_numpy(np.int64) - lo] = vc.to_numpy(np.int64)
+            active_day = np.where(counts > 0, grid, np.int64(-1))
+            locf = np.maximum.accumulate(active_day)
+            return pd.DataFrame(
+                {
+                    "user_id": np.repeat(
+                        np.int64(g["user_id"].iloc[0]), len(grid)
+                    ),
+                    "day": grid,
+                    "n_events": counts,
+                    "last_active_day": locf,
+                }
+            )
+
+        out = bucketed_map_groups(days, ["user_id"], fold)
+        return out.map_batches(
+            lambda b: b.astype(
+                {
+                    "user_id": "int64",
+                    "day": "int64",
+                    "n_events": "int64",
+                    "last_active_day": "int64",
+                }
+            ),
+            batch_format="pandas",
+        )
+
+    def q_order_backlog_monthly(sf_dir):
+        """Open-order backlog over time: cumulative orders placed minus
+        cumulative orders first-shipped, per month — the two-series
+        reconciliation sweep. Both monthly series are combiner
+        aggregates; the prefix sums run on the |months|-bounded
+        close."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"])
+
+        def od_prep(b: pa.Table) -> pa.Table:
+            dt = b["o_orderdate"].to_pandas()
+            ym = (dt.dt.year * 12 + dt.dt.month - 1).to_numpy(np.int64)
+            return pa.table({"m": pa.array(ym)})
+
+        placed = grouped_agg(
+            od.map_batches(od_prep, batch_format="pyarrow"),
+            ["m"],
+            {"n_placed": (None, "count")},
+        ).to_pandas()
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"])
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "l_orderkey": b["l_orderkey"],
+                    "ship_us": b["l_shipdate"].cast(pa.int64()),
+                }
+            )
+
+        first_ship = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {"first_us": ("ship_us", "min")},
+        )
+
+        def to_month(b: pa.Table) -> pa.Table:
+            us = b["first_us"].to_numpy(zero_copy_only=False)
+            d = pd.to_datetime(us, unit="us")
+            ym = (d.year * 12 + d.month - 1).to_numpy()
+            return pa.table({"m": pa.array(ym.astype(np.int64))})
+
+        shipped = grouped_agg(
+            first_ship.map_batches(to_month, batch_format="pyarrow"),
+            ["m"],
+            {"n_shipped": (None, "count")},
+        ).to_pandas()
+
+        allm = (
+            pd.merge(placed, shipped, on="m", how="outer")
+            .fillna(0)
+            .sort_values("m")
+            .reset_index(drop=True)
+        )
+        allm["backlog"] = (
+            allm["n_placed"].cumsum() - allm["n_shipped"].cumsum()
+        )
+        for c in ("m", "n_placed", "n_shipped", "backlog"):
+            allm[c] = allm[c].astype("int64")
+        return allm[["m", "n_placed", "n_shipped", "backlog"]]
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -8276,6 +8450,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_gap_endpoints": q_max_gap_endpoints,
         "ivm_join_view": q_ivm_join_view,
         "purchase_density_window": q_purchase_density_window,
+        "orders_fully_shipped": q_orders_fully_shipped,
+        "densify_user_days": q_densify_user_days,
+        "order_backlog_monthly": q_order_backlog_monthly,
     }
 
 
@@ -13186,5 +13363,62 @@ def oracle_sql() -> dict[str, str]:
                      AND b.t > a.t - 3600000000
                      AND b.t < a.t + 3600000000
         GROUP BY 1
+    """
+    oracles["orders_fully_shipped"] = """
+        WITH per AS (
+          SELECT l_orderkey, count(*) AS n_total,
+                 sum(CASE WHEN l_shipdate < TIMESTAMP '1999-01-01'
+                          THEN 1 ELSE 0 END) AS n_early
+          FROM lineitem GROUP BY 1)
+        SELECT o.o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_fully_shipped
+        FROM per JOIN orders o ON o.o_orderkey = per.l_orderkey
+        WHERE per.n_total = per.n_early
+        GROUP BY 1
+    """
+    oracles["densify_user_days"] = """
+        WITH d AS MATERIALIZED (
+          SELECT user_id, epoch_us(ts) // 86400000000 AS day FROM events),
+        span AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+        u AS (SELECT DISTINCT user_id FROM d),
+        grid AS (
+          SELECT u.user_id,
+                 unnest(generate_series(span.lo, span.hi)) AS day
+          FROM u CROSS JOIN span),
+        c AS (SELECT user_id, day, CAST(count(*) AS BIGINT) AS n
+              FROM d GROUP BY 1, 2),
+        j AS (SELECT g.user_id, g.day, coalesce(c.n, 0) AS n_events
+              FROM grid g LEFT JOIN c USING (user_id, day)),
+        f AS (SELECT *,
+                     max(CASE WHEN n_events > 0 THEN day END)
+                       OVER (PARTITION BY user_id ORDER BY day) AS la
+              FROM j)
+        SELECT user_id, CAST(day AS BIGINT) AS day,
+               CAST(n_events AS BIGINT) AS n_events,
+               CAST(coalesce(la, -1) AS BIGINT) AS last_active_day
+        FROM f
+    """
+    oracles["order_backlog_monthly"] = """
+        WITH placed AS (
+          SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1
+                      AS BIGINT) AS m,
+                 CAST(count(*) AS BIGINT) AS n_placed
+          FROM orders GROUP BY 1),
+        fs AS (SELECT l_orderkey, min(l_shipdate) AS fd
+               FROM lineitem GROUP BY 1),
+        shipped AS (
+          SELECT CAST(year(fd) * 12 + month(fd) - 1 AS BIGINT) AS m,
+                 CAST(count(*) AS BIGINT) AS n_shipped
+          FROM fs GROUP BY 1),
+        allm AS (
+          SELECT coalesce(p.m, s.m) AS m,
+                 coalesce(p.n_placed, 0) AS n_placed,
+                 coalesce(s.n_shipped, 0) AS n_shipped
+          FROM placed p FULL OUTER JOIN shipped s ON s.m = p.m)
+        SELECT m, CAST(n_placed AS BIGINT) AS n_placed,
+               CAST(n_shipped AS BIGINT) AS n_shipped,
+               CAST(sum(n_placed) OVER (ORDER BY m)
+                    - sum(n_shipped) OVER (ORDER BY m) AS BIGINT) AS backlog
+        FROM allm
     """
     return oracles
