@@ -8173,6 +8173,176 @@ def queries() -> dict[str, Callable[[str], Any]]:
             allm[c] = allm[c].astype("int64")
         return allm[["m", "n_placed", "n_shipped", "backlog"]]
 
+    # -- wave 43: k-fold scaffold / RBO rank overlap / grouped OLS ----
+
+    def q_kfold_value_stats(sf_dir):
+        """Deterministic 5-fold cross-validation scaffold: fold =
+        md5(event_id) % 5 (layout-invariant, no RNG), per fold the
+        event count and cents sum, plus the LEAVE-ONE-OUT mean of the
+        other four folds — the train-side statistic a CV loop feeds
+        each holdout. One combiner pass; the LOO close is 5 rows of
+        arithmetic."""
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ids = b["event_id"].to_pylist()
+            fold = np.array(
+                [
+                    int(_hl.md5(f"f{i}".encode()).hexdigest()[:16], 16) % 5
+                    for i in ids
+                ],
+                dtype=np.int64,
+            )
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "fold": pa.array(fold),
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        f = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["fold"],
+            {"n": (None, "count"), "sum_cents": ("cents", "sum")},
+        ).to_pandas()
+        tot_n = int(f["n"].sum())
+        tot_s = int(f["sum_cents"].sum())
+        f["loo_mean_micro"] = np.floor(
+            1_000_000.0
+            * (tot_s - f["sum_cents"].to_numpy(np.float64))
+            / (tot_n - f["n"].to_numpy(np.float64))
+        ).astype(np.int64)
+        for c in ("fold", "n", "sum_cents", "loo_mean_micro"):
+            f[c] = f[c].astype("int64")
+        return f[["fold", "n", "sum_cents", "loo_mean_micro"]]
+
+    def q_rbo_rank_overlap(sf_dir):
+        """RBO-style agreement (p = 1/2, integer per-term floor)
+        between the top-20 users by purchase cents in the first vs
+        second half of the event window: score_ppb = sum over depths d
+        of overlap(d) * 1e9 // (d * 2^d) — the ranking-stability
+        metric. Two combiner aggregates; the depth fold runs on two
+        20-row lists."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import global_agg, grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_type", "value"])
+
+        span = global_agg(
+            ev.map_batches(
+                lambda b: pa.table({"t": b["ts"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            {"lo": ("t", "min"), "hi": ("t", "max")},
+        )
+        mid = (int(span["lo"]) + int(span["hi"])) // 2
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], "purchase"))
+            t = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "half": pa.array((t >= mid).astype(np.int64)),
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        tot = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["half", "user_id"],
+            {"cents": ("cents", "sum")},
+        ).to_pandas()
+
+        def top20(h: int) -> list[int]:
+            g = tot[tot["half"] == h].sort_values(
+                ["cents", "user_id"], ascending=[False, True], kind="mergesort"
+            )
+            return [int(u) for u in g["user_id"].head(20)]
+
+        a, b_ = top20(0), top20(1)
+        score = 0
+        for d in range(1, 21):
+            x = len(set(a[:d]) & set(b_[:d]))
+            score += (x * 1_000_000_000) // (d * (1 << d))
+        return pd.DataFrame(
+            {
+                "depth": [20],
+                "overlap_at_20": [len(set(a) & set(b_))],
+                "rbo_ppb": [score],
+            }
+        ).astype("int64")
+
+    def q_discount_elasticity_by_brand(sf_dir):
+        """Grouped OLS: per part brand, the slope of quantity on
+        discount (does discounting move volume?) from integer
+        (n, Sx, Sy, Sxy, Sxx) combiner sums — the grouped-regression
+        shape. part->brand is a broadcast dimension lookup; the slope
+        close is |brands| rows with the shared IEEE floor division."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import broadcast_join
+
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_discount", "l_quantity"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            x = np.floor(
+                b["l_discount"].to_numpy(zero_copy_only=False) * 1_000_000.0 + 0.5
+            ).astype(np.int64)
+            y = np.floor(
+                b["l_quantity"].to_numpy(zero_copy_only=False) + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "l_partkey": b["l_partkey"],
+                    "x": pa.array(x),
+                    "y": pa.array(y),
+                    "xy": pa.array(x * y),
+                    "xx": pa.array(x * x),
+                }
+            )
+
+        part = (
+            _read(sf_dir, "part", ["p_partkey", "p_brand"])
+            .to_pandas()
+            .rename(columns={"p_partkey": "l_partkey"})
+        )
+        j = broadcast_join(
+            li.map_batches(prep, batch_format="pyarrow"), part, on="l_partkey"
+        )
+        s = grouped_agg(
+            j,
+            ["p_brand"],
+            {
+                "n": (None, "count"),
+                "sx": ("x", "sum"),
+                "sy": ("y", "sum"),
+                "sxy": ("xy", "sum"),
+                "sxx": ("xx", "sum"),
+            },
+        ).to_pandas()
+        n = s["n"].to_numpy(np.float64)
+        sx = s["sx"].to_numpy(np.float64)
+        sy = s["sy"].to_numpy(np.float64)
+        sxy = s["sxy"].to_numpy(np.float64)
+        sxx = s["sxx"].to_numpy(np.float64)
+        s["slope_nano"] = np.floor(
+            1_000_000_000.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        ).astype(np.int64)
+        out = s[["p_brand", "n", "slope_nano"]].copy()
+        out["n"] = out["n"].astype("int64")
+        return out
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -8453,6 +8623,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_fully_shipped": q_orders_fully_shipped,
         "densify_user_days": q_densify_user_days,
         "order_backlog_monthly": q_order_backlog_monthly,
+        "kfold_value_stats": q_kfold_value_stats,
+        "rbo_rank_overlap": q_rbo_rank_overlap,
+        "discount_elasticity_by_brand": q_discount_elasticity_by_brand,
     }
 
 
@@ -13420,5 +13593,78 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(n_placed) OVER (ORDER BY m)
                     - sum(n_shipped) OVER (ORDER BY m) AS BIGINT) AS backlog
         FROM allm
+    """
+    oracles["kfold_value_stats"] = f"""
+        WITH e AS (
+          SELECT {_md5_u64_sql("md5('f' || CAST(event_id AS VARCHAR))")} % 5
+                   AS fold,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        f AS (SELECT CAST(fold AS BIGINT) AS fold,
+                     CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(cents) AS BIGINT) AS sum_cents
+              FROM e GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS BIGINT) AS tn,
+                     CAST(sum(sum_cents) AS BIGINT) AS ts
+              FROM f)
+        SELECT f.fold, f.n, f.sum_cents,
+               CAST(floor(1000000.0 * (t.ts - f.sum_cents)
+                          / (t.tn - f.n)) AS BIGINT) AS loo_mean_micro
+        FROM f CROSS JOIN t
+    """
+    oracles["rbo_rank_overlap"] = """
+        WITH span AS (
+          SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+          FROM events),
+        p AS (SELECT user_id,
+                     CASE WHEN epoch_us(ts) >= span.mid THEN 1 ELSE 0 END
+                       AS half,
+                     CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+              FROM events CROSS JOIN span
+              WHERE event_type = 'purchase'),
+        tot AS (SELECT half, user_id, CAST(sum(cents) AS BIGINT) AS cents
+                FROM p GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (PARTITION BY half
+                                           ORDER BY cents DESC,
+                                                    user_id) AS rk
+              FROM tot),
+        t20 AS MATERIALIZED (SELECT half, user_id, rk FROM r WHERE rk <= 20),
+        dd AS (SELECT unnest(generate_series(1, 20)) AS d),
+        ov AS (SELECT dd.d,
+                      (SELECT count(*)
+                       FROM t20 a JOIN t20 b ON b.user_id = a.user_id
+                       WHERE a.half = 0 AND b.half = 1
+                         AND a.rk <= dd.d AND b.rk <= dd.d) AS x
+               FROM dd)
+        SELECT CAST(20 AS BIGINT) AS depth,
+               CAST((SELECT count(*)
+                     FROM t20 a JOIN t20 b ON b.user_id = a.user_id
+                     WHERE a.half = 0 AND b.half = 1) AS BIGINT)
+                 AS overlap_at_20,
+               CAST(sum((CAST(ov.x AS BIGINT) * 1000000000)
+                        // (ov.d * (CAST(1 AS BIGINT) << ov.d)))
+                    AS BIGINT) AS rbo_ppb
+        FROM ov
+    """
+    oracles["discount_elasticity_by_brand"] = """
+        WITH l AS (
+          SELECT p.p_brand,
+                 CAST(floor(l_discount * 1000000.0 + 0.5) AS BIGINT) AS x,
+                 CAST(floor(l_quantity + 0.5) AS BIGINT) AS y
+          FROM lineitem JOIN part p ON p.p_partkey = lineitem.l_partkey),
+        s AS (SELECT p_brand, CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx
+              FROM l GROUP BY 1)
+        SELECT p_brand, n,
+               CAST(floor(1000000000.0
+                          * (CAST(n AS DOUBLE) * sxy
+                             - CAST(sx AS DOUBLE) * sy)
+                          / (CAST(n AS DOUBLE) * sxx
+                             - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
+                 AS slope_nano
+        FROM s
     """
     return oracles
