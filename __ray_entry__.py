@@ -8343,6 +8343,180 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n"] = out["n"].astype("int64")
         return out
 
+    # -- wave 44: threshold algorithm / mutual argmax / LM holdout ----
+
+    def q_threshold_algorithm_topk(sf_dir):
+        """Fagin's Threshold Algorithm: top-5 users by combined score
+        (total cents + 100 * event count) probing TWO pre-ranked lists
+        page by page, stopping when the 5th-best seen score meets the
+        rank-frontier threshold — the early-termination pattern that
+        reads a bounded prefix of each index instead of scoring every
+        key. The ranked lists are combiner aggregates; TA walks them
+        in 32-row pages."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            v = b["value"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "cents": pa.array(np.floor(v * 100.0 + 0.5).astype(np.int64)),
+                }
+            )
+
+        tot = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id"],
+            {"cents": ("cents", "sum"), "n": (None, "count")},
+        ).to_pandas()
+        by_cents = tot.sort_values(
+            ["cents", "user_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        by_n = tot.sort_values(
+            ["n", "user_id"], ascending=[False, True], kind="mergesort"
+        ).reset_index(drop=True)
+        score = {
+            int(u): int(c) + 100 * int(n)
+            for u, c, n in zip(tot["user_id"], tot["cents"], tot["n"])
+        }
+        seen: set[int] = set()
+        page = 32
+        depth = 0
+        while True:
+            depth += page
+            seen.update(int(u) for u in by_cents["user_id"].iloc[:depth])
+            seen.update(int(u) for u in by_n["user_id"].iloc[:depth])
+            d = min(depth, len(tot)) - 1
+            tau = int(by_cents["cents"].iloc[d]) + 100 * int(by_n["n"].iloc[d])
+            best = sorted(
+                ((score[u], -u) for u in seen), reverse=True
+            )[:5]
+            if len(best) == 5 and best[-1][0] >= tau:
+                break
+            if depth >= len(tot):
+                break
+        rows = [
+            {"user_id": -u, "score_cents": s} for s, u in best
+        ]
+        return pd.DataFrame(rows).astype("int64")
+
+    def q_mutual_best_pairs(sf_dir):
+        """Mutual-argmax record linkage: (customer, part) pairs where
+        the part is the customer's most-ordered part AND the customer
+        is the part's top customer (ties -> smaller key) — the
+        stable-match filter behind dedup survivorship and account
+        pairing. Interaction counts come from one combiner over the
+        lineitem->orders join; both argmaxes fold the |pairs|-bounded
+        count table."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_partkey"])
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        j = li.join(
+            od,
+            join_type="inner",
+            num_partitions=join_partitions_for(li, od),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        cnt = grouped_agg(
+            j, ["o_custkey", "l_partkey"], {"n": (None, "count")}
+        ).to_pandas()
+        bp = cnt.sort_values(
+            ["o_custkey", "n", "l_partkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).groupby("o_custkey", as_index=False).head(1)
+        bc = cnt.sort_values(
+            ["l_partkey", "n", "o_custkey"],
+            ascending=[True, False, True],
+            kind="mergesort",
+        ).groupby("l_partkey", as_index=False).head(1)
+        mutual = bp.merge(bc, on=["o_custkey", "l_partkey", "n"])
+        out = mutual.sort_values(["o_custkey"]).reset_index(drop=True)
+        out = out.rename(
+            columns={"o_custkey": "c_custkey", "l_partkey": "p_partkey"}
+        )
+        return out[["c_custkey", "p_partkey", "n"]].astype("int64")
+
+    def q_bigram_lm_holdout_acc(sf_dir):
+        """Held-out top-3 accuracy of the per-user bigram behavior LM:
+        transition pairs whose successor lands in the second half of
+        the window are EVAL, the rest TRAIN; a hit means the true next
+        type is in the train model's top-3 for that prev (ties ->
+        lexicographic). The train/eval pair extraction is one bucketed
+        key fold; both count tables are |types|^2-bounded."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, global_agg
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "event_type"])
+        span = global_agg(
+            ev.map_batches(
+                lambda b: pa.table({"t": b["ts"].cast(pa.int64())}),
+                batch_format="pyarrow",
+            ),
+            {"lo": ("t", "min"), "hi": ("t", "max")},
+        )
+        mid = (int(span["lo"]) + int(span["hi"])) // 2
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            t = g["event_type"].to_numpy()
+            us = (
+                pd.DatetimeIndex(g["ts"]).values.astype("datetime64[us]").astype(np.int64)
+            )
+            if len(t) < 2:
+                return None
+            return pd.DataFrame(
+                {
+                    "prev": t[:-1],
+                    "nxt": t[1:],
+                    "is_eval": (us[1:] >= mid).astype(np.int64),
+                }
+            )
+
+        pairs = bucketed_map_groups(ev, ["user_id"], fold).to_pandas()
+        train = (
+            pairs[pairs["is_eval"] == 0]
+            .groupby(["prev", "nxt"], as_index=False)
+            .size()
+            .rename(columns={"size": "c"})
+        )
+        top3 = (
+            train.sort_values(
+                ["prev", "c", "nxt"],
+                ascending=[True, False, True],
+                kind="mergesort",
+            )
+            .groupby("prev")
+            .head(3)
+        )
+        lut = top3.groupby("prev")["nxt"].apply(set).to_dict()
+        ev_pairs = pairs[pairs["is_eval"] == 1]
+        n_eval = len(ev_pairs)
+        n_hit = int(
+            sum(
+                1
+                for p, x in zip(ev_pairs["prev"], ev_pairs["nxt"])
+                if x in lut.get(p, set())
+            )
+        )
+        return pd.DataFrame(
+            {
+                "n_eval": [n_eval],
+                "n_hit": [n_hit],
+                "acc_ppm": [(1_000_000 * n_hit) // n_eval if n_eval else 0],
+            }
+        ).astype("int64")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -8626,6 +8800,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kfold_value_stats": q_kfold_value_stats,
         "rbo_rank_overlap": q_rbo_rank_overlap,
         "discount_elasticity_by_brand": q_discount_elasticity_by_brand,
+        "threshold_algorithm_topk": q_threshold_algorithm_topk,
+        "mutual_best_pairs": q_mutual_best_pairs,
+        "bigram_lm_holdout_acc": q_bigram_lm_holdout_acc,
     }
 
 
@@ -13666,5 +13843,68 @@ def oracle_sql() -> dict[str, str]:
                              - CAST(sx AS DOUBLE) * sx)) AS BIGINT)
                  AS slope_nano
         FROM s
+    """
+    oracles["threshold_algorithm_topk"] = """
+        WITH t AS (
+          SELECT user_id,
+                 CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS cents,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM events GROUP BY 1)
+        SELECT user_id, CAST(cents + 100 * n AS BIGINT) AS score_cents
+        FROM t ORDER BY score_cents DESC, user_id LIMIT 5
+    """
+    oracles["mutual_best_pairs"] = """
+        WITH cnt AS MATERIALIZED (
+          SELECT o.o_custkey, l.l_partkey, CAST(count(*) AS BIGINT) AS n
+          FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+          GROUP BY 1, 2),
+        bp AS (SELECT *, row_number() OVER (PARTITION BY o_custkey
+                                            ORDER BY n DESC,
+                                                     l_partkey) AS r1
+               FROM cnt),
+        bc AS (SELECT *, row_number() OVER (PARTITION BY l_partkey
+                                            ORDER BY n DESC,
+                                                     o_custkey) AS r2
+               FROM cnt)
+        SELECT bp.o_custkey AS c_custkey, bp.l_partkey AS p_partkey, bp.n
+        FROM bp JOIN bc ON bc.o_custkey = bp.o_custkey
+                       AND bc.l_partkey = bp.l_partkey
+        WHERE bp.r1 = 1 AND bc.r2 = 1
+    """
+    oracles["bigram_lm_holdout_acc"] = """
+        WITH span AS (
+          SELECT (min(epoch_us(ts)) + max(epoch_us(ts))) // 2 AS mid
+          FROM events),
+        e AS MATERIALIZED (
+          SELECT user_id, event_type, epoch_us(ts) AS t,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        pr AS MATERIALIZED (
+          SELECT a.event_type AS prev, b.event_type AS nxt,
+                 CASE WHEN b.t >= span.mid THEN 1 ELSE 0 END AS is_eval
+          FROM e a
+          JOIN e b ON b.user_id = a.user_id AND b.rn = a.rn + 1
+          CROSS JOIN span),
+        tr AS (SELECT prev, nxt, count(*) AS c
+               FROM pr WHERE is_eval = 0 GROUP BY 1, 2),
+        t3 AS (SELECT prev, nxt
+               FROM (SELECT *, row_number() OVER (PARTITION BY prev
+                                                  ORDER BY c DESC,
+                                                           nxt) AS rk
+                     FROM tr)
+               WHERE rk <= 3),
+        ev2 AS (SELECT prev, nxt FROM pr WHERE is_eval = 1),
+        h AS (SELECT count(*) AS n_hit
+              FROM ev2 JOIN t3 ON t3.prev = ev2.prev
+                              AND t3.nxt = ev2.nxt),
+        ne AS (SELECT count(*) AS n_eval FROM ev2)
+        SELECT CAST(ne.n_eval AS BIGINT) AS n_eval,
+               CAST(h.n_hit AS BIGINT) AS n_hit,
+               CAST(CASE WHEN ne.n_eval = 0 THEN 0
+                         ELSE (1000000 * h.n_hit) // ne.n_eval
+                    END AS BIGINT) AS acc_ppm
+        FROM ne CROSS JOIN h
     """
     return oracles
