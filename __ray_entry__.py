@@ -8517,6 +8517,138 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    # -- wave 45: vocab saturation / earliest-k / disjunctive scan ----
+
+    def q_vocab_saturation_doc(sf_dir):
+        """How much corpus does 90% of the vocabulary need? Reframed so
+        it is one combiner: cumulative-distinct-words-by-doc_id hits
+        90% of V exactly at the 90th percentile of each word's
+        FIRST-SEEN doc_id — so the answer is min(doc_id) per word (a
+        combiner min) + one discrete quantile over the
+        |vocabulary|-bounded table. No sequential scan, no
+        prefix state."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.sketch import value_counts_quantiles
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def explode(batch: pa.Table) -> pa.Table:
+            ids, words = [], []
+            for i, t in zip(
+                batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+            ):
+                seen = set()
+                for w in (t or "").split():
+                    if w not in seen:
+                        seen.add(w)
+                        ids.append(i)
+                        words.append(w)
+            return pa.table(
+                {
+                    "doc_id": pa.array(ids, pa.int64()),
+                    "word": pa.array(words, pa.string()),
+                }
+            )
+
+        first = grouped_agg(
+            docs.map_batches(explode, batch_format="pyarrow"),
+            ["word"],
+            {"first_doc": ("doc_id", "min")},
+        )
+        vc = value_counts_quantiles(first, "first_doc", [0.9])
+        vocab = first.count()
+        return pd.DataFrame(
+            {
+                "vocab_size": [int(vocab)],
+                "doc90": [int(vc["value"].iloc[0])],
+            }
+        ).astype("int64")
+
+    def q_earliest_purchasers(sf_dir):
+        """Global earliest-k retrieval: the 10 users with the earliest
+        FIRST purchase (per-user combiner min, then the block-local
+        ascending top-k — no global sort)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import topk
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["event_type"], "purchase"))
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "t": b["ts"].cast(pa.int64()),
+                }
+            )
+
+        f = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id"],
+            {"first_us": ("t", "min")},
+        )
+        out = topk(
+            f, by=["first_us", "user_id"], k=10, descending=[False, False]
+        )
+        return out.map_batches(
+            lambda b: b.astype({"user_id": "int64", "first_us": "int64"}),
+            batch_format="pandas",
+        )
+
+    def q19_disjunctive_revenue(sf_dir):
+        """TPC-H Q19 shape: an OR-of-ANDs predicate (brand x quantity
+        band disjunction) evaluated vectorized against the broadcast
+        part dimension — the disjunctive-pushdown scan. One pass, one
+        global fold."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import global_agg
+        from ocr_service_ray.ops.relational import broadcast_join
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+        )
+        part = (
+            _read(sf_dir, "part", ["p_partkey", "p_brand"])
+            .to_pandas()
+            .rename(columns={"p_partkey": "l_partkey"})
+        )
+        j = broadcast_join(li, part, on="l_partkey")
+
+        def prep(b: pa.Table) -> pa.Table:
+            q = b["l_quantity"].to_numpy(zero_copy_only=False)
+            brand = np.asarray(b["p_brand"].to_pylist())
+            keep = (
+                ((brand == "Brand#1") & (q >= 1.0) & (q <= 10.0))
+                | ((brand == "Brand#2") & (q >= 10.0) & (q <= 20.0))
+                | ((brand == "Brand#3") & (q >= 20.0) & (q <= 30.0))
+            )
+            b = b.filter(pa.array(keep))
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "cents": pa.array(
+                        np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+                    )
+                }
+            )
+
+        agg = global_agg(
+            j.map_batches(prep, batch_format="pyarrow"),
+            {"revenue_cents": ("cents", "sum"), "n_rows": (None, "count")},
+        )
+        return pd.DataFrame(
+            {
+                "revenue_cents": [int(agg["revenue_cents"])],
+                "n_rows": [int(agg["n_rows"])],
+            }
+        ).astype("int64")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -8803,6 +8935,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "threshold_algorithm_topk": q_threshold_algorithm_topk,
         "mutual_best_pairs": q_mutual_best_pairs,
         "bigram_lm_holdout_acc": q_bigram_lm_holdout_acc,
+        "vocab_saturation_doc": q_vocab_saturation_doc,
+        "earliest_purchasers": q_earliest_purchasers,
+        "q19_disjunctive_revenue": q19_disjunctive_revenue,
     }
 
 
@@ -13906,5 +14041,34 @@ def oracle_sql() -> dict[str, str]:
                          ELSE (1000000 * h.n_hit) // ne.n_eval
                     END AS BIGINT) AS acc_ppm
         FROM ne CROSS JOIN h
+    """
+    oracles["vocab_saturation_doc"] = r"""
+        WITH w AS (
+          SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS word
+          FROM documents),
+        m AS (SELECT word, min(doc_id) AS fd FROM w GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS vocab_size,
+               CAST(quantile_disc(fd, 0.9) AS BIGINT) AS doc90
+        FROM m
+    """
+    oracles["earliest_purchasers"] = """
+        WITH f AS (
+          SELECT user_id, min(epoch_us(ts)) AS first_us
+          FROM events WHERE event_type = 'purchase' GROUP BY 1)
+        SELECT user_id, CAST(first_us AS BIGINT) AS first_us
+        FROM f ORDER BY first_us, user_id LIMIT 10
+    """
+    oracles["q19_disjunctive_revenue"] = """
+        SELECT CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+                                   * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE (p.p_brand = 'Brand#1'
+               AND l.l_quantity >= 1 AND l.l_quantity <= 10)
+           OR (p.p_brand = 'Brand#2'
+               AND l.l_quantity >= 10 AND l.l_quantity <= 20)
+           OR (p.p_brand = 'Brand#3'
+               AND l.l_quantity >= 20 AND l.l_quantity <= 30)
     """
     return oracles
