@@ -8649,6 +8649,94 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    # -- wave 46: monotone-stack next-greater / write-audit-publish ---
+
+    def q_next_greater_distance(sf_dir):
+        """Next-greater-element: for every event, how many steps until
+        the SAME user logs a strictly larger value (-1 if never) — the
+        classic monotone-stack shape (price-breakout / escalation
+        detector). One bucketed key shuffle; each user's series folds
+        with an O(n) descending stack, never a pair scan."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            cents = np.floor(
+                g["value"].to_numpy(np.float64) * 100.0 + 0.5
+            ).astype(np.int64)
+            n = len(cents)
+            dist = np.full(n, -1, dtype=np.int64)
+            stack: list[int] = []  # indices with no greater successor yet
+            for i in range(n):
+                while stack and cents[stack[-1]] < cents[i]:
+                    j = stack.pop()
+                    dist[j] = i - j
+                stack.append(i)
+            return pd.DataFrame(
+                {
+                    "event_id": g["event_id"].to_numpy(np.int64),
+                    "steps_to_greater": dist,
+                }
+            )
+
+        out = bucketed_map_groups(ev, ["user_id"], fold)
+        return out.map_batches(
+            lambda b: b.astype(
+                {"event_id": "int64", "steps_to_greater": "int64"}
+            ),
+            batch_format="pandas",
+        )
+
+    def q_wap_publish_events(sf_dir):
+        """Write-Audit-Publish: the projection lands in a STAGING
+        directory, the audit re-reads it and compares row count and
+        order-invariant checksum against the source, and only a passing
+        audit atomically renames staging to published — the pattern
+        that keeps a bad write invisible to readers. Output is the
+        audit record."""
+        import os
+        import shutil
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.diff import table_checksum
+
+        root = "/tmp/graft_wap"
+        shutil.rmtree(root, ignore_errors=True)
+        staging, final = f"{root}/_staging", f"{root}/published"
+        cols = ["event_id", "user_id", "event_type"]
+
+        src = _read(sf_dir, "events", cols)
+        src_sum = table_checksum(src, cols)
+        _read(sf_dir, "events", cols).write_parquet(staging)
+
+        from ocr_service_ray.sources.readers import read_parquet_clean
+
+        staged_sum = table_checksum(read_parquet_clean(staging), cols)
+        rows_match = int(
+            src_sum["n_rows"].iloc[0] == staged_sum["n_rows"].iloc[0]
+        )
+        sum_match = int(
+            src_sum["checksum"].iloc[0] == staged_sum["checksum"].iloc[0]
+        )
+        published = 0
+        if rows_match and sum_match:
+            os.rename(staging, final)  # atomic publish
+            published = 1
+        return pd.DataFrame(
+            {
+                "n_rows": [int(src_sum["n_rows"].iloc[0])],
+                "checksum": [int(src_sum["checksum"].iloc[0])],
+                "rows_match": [rows_match],
+                "checksum_match": [sum_match],
+                "published": [published],
+            }
+        ).astype("int64")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -8938,6 +9026,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_saturation_doc": q_vocab_saturation_doc,
         "earliest_purchasers": q_earliest_purchasers,
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
+        "next_greater_distance": q_next_greater_distance,
+        "wap_publish_events": q_wap_publish_events,
     }
 
 
@@ -14070,5 +14160,32 @@ def oracle_sql() -> dict[str, str]:
                AND l.l_quantity >= 10 AND l.l_quantity <= 20)
            OR (p.p_brand = 'Brand#3'
                AND l.l_quantity >= 20 AND l.l_quantity <= 30)
+    """
+    oracles["next_greater_distance"] = """
+        WITH o AS MATERIALIZED (
+          SELECT user_id, event_id,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events)
+        SELECT a.event_id,
+               CAST(coalesce(min(b.rn) - a.rn, -1) AS BIGINT)
+                 AS steps_to_greater
+        FROM o a
+        LEFT JOIN o b ON b.user_id = a.user_id
+                     AND b.rn > a.rn AND b.cents > a.cents
+        GROUP BY a.event_id, a.rn
+    """
+    # The audit flags are the assertion: a correct WAP run publishes
+    # with both matches = 1; the oracle recomputes the source-side
+    # count + checksum independently.
+    oracles["wap_publish_events"] = f"""
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(CAST(sum(h) AS HUGEINT) % 9223372036854775783 AS BIGINT)
+                 AS checksum,
+               CAST(1 AS BIGINT) AS rows_match,
+               CAST(1 AS BIGINT) AS checksum_match,
+               CAST(1 AS BIGINT) AS published
+        FROM (SELECT {_row_h15} AS h FROM events)
     """
     return oracles
