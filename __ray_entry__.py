@@ -8737,6 +8737,106 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    # -- wave 47: manifest time travel / positional phrase search -----
+
+    def q_time_travel_read(sf_dir):
+        """Snapshot-isolation reads through version manifests (the
+        iceberg/delta move, file-level): v1's manifest lists the
+        even-event files, v2 appends the odd-event files WITHOUT
+        touching v1's — readers pin a manifest, never a directory
+        listing, so an in-flight append is invisible. Output: per
+        version, row count + order-invariant checksum, both re-derived
+        by the oracle from the id-parity split."""
+        import json as _json
+        import os
+        import shutil
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.diff import table_checksum
+        from ocr_service_ray.sources.readers import read_parquet_clean
+
+        root = "/tmp/graft_timetravel"
+        shutil.rmtree(root, ignore_errors=True)
+        os.makedirs(f"{root}/data", exist_ok=True)
+        cols = ["event_id", "user_id", "event_type"]
+        ev = _read(sf_dir, "events", cols)
+
+        def parity(p: int):
+            return lambda b: b.filter(
+                pc.equal(pc.bit_wise_and(b["event_id"], pa.scalar(1)), p)
+            )
+
+        ev.map_batches(parity(0), batch_format="pyarrow").write_parquet(
+            f"{root}/data/even"
+        )
+        ev.map_batches(parity(1), batch_format="pyarrow").write_parquet(
+            f"{root}/data/odd"
+        )
+
+        def files_of(d):
+            return sorted(
+                f"{d}/{f}" for f in os.listdir(d) if f.endswith(".parquet")
+            )
+
+        manifests = {
+            1: files_of(f"{root}/data/even"),
+            2: files_of(f"{root}/data/even") + files_of(f"{root}/data/odd"),
+        }
+        for v, fs in manifests.items():
+            with open(f"{root}/v{v}.manifest.json", "w") as fh:
+                _json.dump({"version": v, "files": fs}, fh)
+
+        rows = []
+        for v in (1, 2):
+            with open(f"{root}/v{v}.manifest.json") as fh:
+                files = _json.load(fh)["files"]
+            snap = read_parquet_clean(files)
+            cs = table_checksum(snap, cols)
+            rows.append(
+                {
+                    "version": v,
+                    "n_rows": int(cs["n_rows"].iloc[0]),
+                    "checksum": int(cs["checksum"].iloc[0]),
+                }
+            )
+        return pd.DataFrame(rows).astype("int64")
+
+    def q_phrase_search(sf_dir):
+        """Positional phrase retrieval: documents containing the exact
+        token sequence "hash table" — adjacency of (doc, term,
+        position) postings, the phrase-query shape a positional
+        inverted index serves. Stateless vectorized scan; top-10 doc
+        ids close block-locally."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import global_agg
+        from ocr_service_ray.ops.relational import topk
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def match(b: pa.Table) -> pa.Table:
+            ids, hits = [], []
+            for i, t in zip(
+                b["doc_id"].to_pylist(), b["text"].to_pylist()
+            ):
+                ws = (t or "").split()
+                hit = any(
+                    ws[k] == "hash" and ws[k + 1] == "table"
+                    for k in range(len(ws) - 1)
+                )
+                if hit:
+                    ids.append(i)
+            return pa.table({"doc_id": pa.array(ids, pa.int64())})
+
+        hits = docs.map_batches(match, batch_format="pyarrow")
+        n = int(
+            global_agg(hits, {"n": (None, "count")})["n"]
+        )
+        top = topk(hits, by=["doc_id"], k=10, descending=[False]).to_pandas()
+        top["n_matching_docs"] = np.int64(n)
+        return top.astype("int64")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -9028,6 +9128,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": q19_disjunctive_revenue,
         "next_greater_distance": q_next_greater_distance,
         "wap_publish_events": q_wap_publish_events,
+        "time_travel_read": q_time_travel_read,
+        "phrase_search": q_phrase_search,
     }
 
 
@@ -14187,5 +14289,30 @@ def oracle_sql() -> dict[str, str]:
                CAST(1 AS BIGINT) AS checksum_match,
                CAST(1 AS BIGINT) AS published
         FROM (SELECT {_row_h15} AS h FROM events)
+    """
+    oracles["time_travel_read"] = f"""
+        SELECT CAST(1 AS BIGINT) AS version,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(CAST(sum(h) AS HUGEINT) % 9223372036854775783 AS BIGINT)
+                 AS checksum
+        FROM (SELECT {_row_h15} AS h FROM events WHERE event_id % 2 = 0)
+        UNION ALL
+        SELECT CAST(2 AS BIGINT), CAST(count(*) AS BIGINT),
+               CAST(CAST(sum(h) AS HUGEINT) % 9223372036854775783 AS BIGINT)
+        FROM (SELECT {_row_h15} AS h FROM events)
+    """
+    oracles["phrase_search"] = r"""
+        WITH d AS (
+          SELECT doc_id, regexp_extract_all(text, '\S+') AS ws
+          FROM documents),
+        m AS (
+          SELECT doc_id
+          FROM d, unnest(generate_series(1, len(ws) - 1)) g(i)
+          WHERE ws[i] = 'hash' AND ws[i + 1] = 'table'),
+        u AS (SELECT DISTINCT doc_id FROM m),
+        n AS (SELECT count(*) AS c FROM u)
+        SELECT u.doc_id, CAST(n.c AS BIGINT) AS n_matching_docs
+        FROM u CROSS JOIN n
+        ORDER BY u.doc_id LIMIT 10
     """
     return oracles
