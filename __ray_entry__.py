@@ -8837,6 +8837,103 @@ def queries() -> dict[str, Callable[[str], Any]]:
         top["n_matching_docs"] = np.int64(n)
         return top.astype("int64")
 
+    # -- wave 48: delta-encoding estimate / decayed counters ----------
+
+    def q_delta_encoding_estimate(sf_dir):
+        """Storage planning: how much does per-user delta-of-timestamp
+        varint encoding save over raw int64 columns? Per user the first
+        event costs 8 bytes, each successor ceil(bit_length(gap)/7)
+        varint bytes — bit lengths via the exact np.frexp exponent
+        (length(bin()) in SQL, the HLL discipline). One bucketed fold;
+        the ratio closes globally in ppm."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, global_agg
+
+        ev = _read(sf_dir, "events", ["event_id", "user_id", "ts"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(["ts", "event_id"], kind="stable")
+            us = (
+                pd.DatetimeIndex(g["ts"]).values.astype("datetime64[us]").astype(np.int64)
+            )
+            gaps = np.diff(us)
+            if len(gaps):
+                _, exp = np.frexp(gaps.astype(np.float64))
+                bits = np.where(gaps > 0, exp, 1).astype(np.int64)
+                vbytes = int(((bits + 6) // 7).sum())
+            else:
+                vbytes = 0
+            return pd.DataFrame(
+                {
+                    "n": [np.int64(len(us))],
+                    "naive": [np.int64(8 * len(us))],
+                    "delta": [np.int64(8 + vbytes)],
+                }
+            )
+
+        per_user = bucketed_map_groups(ev, ["user_id"], fold)
+        agg = global_agg(
+            per_user,
+            {
+                "n_rows": ("n", "sum"),
+                "naive_bytes": ("naive", "sum"),
+                "delta_bytes": ("delta", "sum"),
+            },
+        )
+        naive, delta = int(agg["naive_bytes"]), int(agg["delta_bytes"])
+        return pd.DataFrame(
+            {
+                "n_rows": [int(agg["n_rows"])],
+                "naive_bytes": [naive],
+                "delta_bytes": [delta],
+                "ratio_ppm": [(1_000_000 * delta) // naive if naive else 0],
+            }
+        ).astype("int64")
+
+    def q_decayed_type_counts(sf_dir):
+        """Half-life-decayed event counters (weight halves per week of
+        age, exact integer 1e6 >> weeks): the recency-weighted
+        popularity feature. The global max day broadcasts from one
+        combiner; weights fold per (type) in a second combiner — all
+        integer, no exp()."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import global_agg, grouped_agg
+
+        ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+        def day_of(b: pa.Table) -> pa.Table:
+            d = (
+                b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 86_400_000_000
+            )
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "day": pa.array(d.astype(np.int64)),
+                }
+            )
+
+        days = ev.map_batches(day_of, batch_format="pyarrow")
+        mx = int(global_agg(days, {"m": ("day", "max")})["m"])
+
+        def weigh(b: pa.Table) -> pa.Table:
+            d = b["day"].to_numpy(zero_copy_only=False)
+            weeks = (mx - d) // 7
+            w = (1_000_000 >> weeks.astype(np.int64)).astype(np.int64)
+            return pa.table({"event_type": b["event_type"], "w": pa.array(w)})
+
+        out = grouped_agg(
+            days.map_batches(weigh, batch_format="pyarrow"),
+            ["event_type"],
+            {"n": (None, "count"), "decayed_ppm": ("w", "sum")},
+        )
+        return out.map_batches(
+            lambda b: b.astype({"n": "int64", "decayed_ppm": "int64"}),
+            batch_format="pandas",
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -9130,6 +9227,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "wap_publish_events": q_wap_publish_events,
         "time_travel_read": q_time_travel_read,
         "phrase_search": q_phrase_search,
+        "delta_encoding_estimate": q_delta_encoding_estimate,
+        "decayed_type_counts": q_decayed_type_counts,
     }
 
 
@@ -14314,5 +14413,37 @@ def oracle_sql() -> dict[str, str]:
         SELECT u.doc_id, CAST(n.c AS BIGINT) AS n_matching_docs
         FROM u CROSS JOIN n
         ORDER BY u.doc_id LIMIT 10
+    """
+    oracles["delta_encoding_estimate"] = """
+        WITH o AS (
+          SELECT user_id, epoch_us(ts) AS t,
+                 row_number() OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS rn
+          FROM events),
+        g AS (SELECT user_id,
+                     t - lag(t) OVER (PARTITION BY user_id ORDER BY rn)
+                       AS gap
+              FROM o),
+        b AS (SELECT CASE WHEN gap IS NULL THEN 8
+                          WHEN gap = 0 THEN 1
+                          ELSE (length(bin(gap)) + 6) // 7
+                     END AS bytes
+              FROM g)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(8 * count(*) AS BIGINT) AS naive_bytes,
+               CAST(sum(bytes) AS BIGINT) AS delta_bytes,
+               CAST((1000000 * sum(bytes)) // (8 * count(*)) AS BIGINT)
+                 AS ratio_ppm
+        FROM b
+    """
+    oracles["decayed_type_counts"] = """
+        WITH d AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day
+          FROM events),
+        m AS (SELECT max(day) AS mx FROM d)
+        SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(1000000 >> ((m.mx - day) // 7)) AS BIGINT)
+                 AS decayed_ppm
+        FROM d CROSS JOIN m GROUP BY 1
     """
     return oracles
