@@ -8934,6 +8934,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
             batch_format="pandas",
         )
 
+    # -- wave 49: k-anonymity audit / functional-dependency profiling -
+
+    def q_k_anonymity_audit(sf_dir):
+        """Privacy-release audit: users bucketed by the quasi-identifier
+        (first-activity day, modal event type); report the cell-size
+        distribution — smallest cell, cell count, and the ppm of users
+        in cells below k=5 (the re-identification risk measure). The
+        per-user profile is one bucketed fold; cells close on the
+        bounded profile table."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            us = (
+                pd.DatetimeIndex(g["ts"]).values.astype("datetime64[us]").astype(np.int64)
+            )
+            day0 = int(us.min() // 86_400_000_000)
+            vc = g.groupby("event_type").size()
+            vc = vc.sort_index()  # ties -> lexicographically smallest
+            modal = vc.index[int(np.argmax(vc.to_numpy()))]
+            return pd.DataFrame(
+                {
+                    "first_day": [np.int64(day0)],
+                    "modal_type": [modal],
+                }
+            )
+
+        prof = bucketed_map_groups(ev, ["user_id"], fold).to_pandas()
+        cells = prof.groupby(["first_day", "modal_type"]).size()
+        n_users = int(cells.sum())
+        below = int(cells[cells < 5].sum())
+        return pd.DataFrame(
+            {
+                "n_users": [n_users],
+                "n_cells": [len(cells)],
+                "min_cell": [int(cells.min())],
+                "below_k5_ppm": [
+                    (1_000_000 * below) // n_users if n_users else 0
+                ],
+            }
+        ).astype("int64")
+
+    def q_fd_violations(sf_dir):
+        """Functional-dependency discovery (data profiling): for each
+        candidate FD, how many left-hand values map to MORE than one
+        distinct right-hand value — the schema-inference signal. Each
+        check is one (lhs, rhs) combiner count folded to per-lhs
+        distinct counts; nothing but count rows ever shuffles."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        def check(name, ds, lhs, rhs):
+            pairs = grouped_agg(
+                ds, [lhs, rhs], {"c": (None, "count")}
+            ).to_pandas()
+            per_lhs = pairs.groupby(lhs).size()
+            return {
+                "fd": name,
+                "n_lhs": len(per_lhs),
+                "n_violating": int((per_lhs > 1).sum()),
+            }
+
+        rows = [
+            check(
+                "p_brand->p_type",
+                _read(sf_dir, "part", ["p_brand", "p_type"]),
+                "p_brand",
+                "p_type",
+            ),
+            check(
+                "p_name->p_brand",
+                _read(sf_dir, "part", ["p_name", "p_brand"]),
+                "p_name",
+                "p_brand",
+            ),
+            check(
+                "o_custkey->o_orderpriority",
+                _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]),
+                "o_custkey",
+                "o_orderpriority",
+            ),
+        ]
+        out = pd.DataFrame(rows)
+        out["n_lhs"] = out["n_lhs"].astype("int64")
+        out["n_violating"] = out["n_violating"].astype("int64")
+        return out[["fd", "n_lhs", "n_violating"]]
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -9229,6 +9320,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "delta_encoding_estimate": q_delta_encoding_estimate,
         "decayed_type_counts": q_decayed_type_counts,
+        "k_anonymity_audit": q_k_anonymity_audit,
+        "fd_violations": q_fd_violations,
     }
 
 
@@ -14445,5 +14538,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(1000000 >> ((m.mx - day) // 7)) AS BIGINT)
                  AS decayed_ppm
         FROM d CROSS JOIN m GROUP BY 1
+    """
+    oracles["k_anonymity_audit"] = """
+        WITH u AS MATERIALIZED (
+          SELECT user_id, min(epoch_us(ts)) // 86400000000 AS first_day
+          FROM events GROUP BY 1),
+        tc AS (SELECT user_id, event_type, count(*) AS c
+               FROM events GROUP BY 1, 2),
+        md AS (SELECT user_id, event_type AS modal_type
+               FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+                                                  ORDER BY c DESC,
+                                                           event_type) AS rk
+                     FROM tc)
+               WHERE rk = 1),
+        cells AS (SELECT u.first_day, md.modal_type, count(*) AS sz
+                  FROM u JOIN md USING (user_id) GROUP BY 1, 2)
+        SELECT CAST(sum(sz) AS BIGINT) AS n_users,
+               CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(min(sz) AS BIGINT) AS min_cell,
+               CAST((1000000 * sum(CASE WHEN sz < 5 THEN sz ELSE 0 END))
+                    // sum(sz) AS BIGINT) AS below_k5_ppm
+        FROM cells
+    """
+    oracles["fd_violations"] = """
+        WITH f1 AS (SELECT p_brand AS l, count(DISTINCT p_type) AS d
+                    FROM part GROUP BY 1),
+        f2 AS (SELECT p_name AS l, count(DISTINCT p_brand) AS d
+               FROM part GROUP BY 1),
+        f3 AS (SELECT o_custkey AS l, count(DISTINCT o_orderpriority) AS d
+               FROM orders GROUP BY 1)
+        SELECT 'p_brand->p_type' AS fd,
+               CAST(count(*) AS BIGINT) AS n_lhs,
+               CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_violating
+        FROM f1
+        UNION ALL
+        SELECT 'p_name->p_brand', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM f2
+        UNION ALL
+        SELECT 'o_custkey->o_orderpriority', CAST(count(*) AS BIGINT),
+               CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM f3
     """
     return oracles
