@@ -9025,6 +9025,408 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n_violating"] = out["n_violating"].astype("int64")
         return out[["fd", "n_lhs", "n_violating"]]
 
+    # -- TPC-H completion wave (Q5/Q8/Q17/Q22 shapes on the available
+    #    columns; no partsupp/shipmode/receiptdate in this corpus) ----
+
+    def _dim_lookup(sf_dir, table, key, val):
+        """Read a dimension table once on the driver and return
+        (sorted_keys, vals_in_key_order) numpy arrays for vectorized
+        searchsorted lookups inside map_batches. Dimension-sized by
+        contract (nation/region/supplier)."""
+        import pyarrow.parquet as _pq
+
+        t = _pq.read_table(f"{sf_dir}/{table}.parquet", columns=[key, val])
+        k = t[key].to_numpy(zero_copy_only=False)
+        v = t[val].to_numpy(zero_copy_only=False)
+        order = np.argsort(k, kind="stable")
+        return k[order], v[order]
+
+    def q5_local_supplier_volume(sf_dir):
+        """TPC-H Q5 shape (local supplier volume), region ASIA,
+        orders in 1996: revenue per nation where the supplying and
+        ordering nations coincide. Scale discipline: every dimension
+        chain (supplier→nation, nation→region, nation names) is a
+        driver-side numpy searchsorted lookup resolved INSIDE the
+        lineitem scan; lineitem collapses to (orderkey, supp_nation)
+        integer partials via the combiner before its only shuffle
+        join, so raw fact rows never move twice."""
+        import datetime as _dt
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        reg = _pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+        asia = {r["r_regionkey"] for r in reg if r["r_name"] == "ASIA"}
+        nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+        asia_nk = np.array(
+            sorted(r["n_nationkey"] for r in nat if r["n_regionkey"] in asia),
+            dtype=np.int64,
+        )
+        nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+        sk, sv = _dim_lookup(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            supp = b["l_suppkey"].to_numpy(zero_copy_only=False)
+            nk = sv[np.searchsorted(sk, supp)].astype(np.int64)
+            keep = np.isin(nk, asia_nk)
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+            cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        b["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                    ),
+                    "supp_nk": pa.array(nk[keep]),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        partials = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey", "supp_nk"],
+            {"cents": ("cents", "sum")},
+        )
+
+        lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+        od = od.map_batches(
+            lambda b: b.filter(
+                pc.and_(
+                    pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)),
+                )
+            ).drop_columns(["o_orderdate"]),
+            batch_format="pyarrow",
+        )
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+
+        def cu_prep(b: pa.Table) -> pa.Table:
+            nk = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.isin(nk, asia_nk)
+            return pa.table(
+                {
+                    "c_custkey": pa.array(
+                        b["c_custkey"].to_numpy(zero_copy_only=False)[keep]
+                    ),
+                    "cust_nk": pa.array(nk[keep]),
+                }
+            )
+
+        cu = cu.map_batches(cu_prep, batch_format="pyarrow").repartition(2)
+        oc = od.join(
+            cu,
+            join_type="inner",
+            num_partitions=join_partitions_for(od, cu),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "cust_nk"]).repartition(2)
+        j = partials.join(
+            oc,
+            join_type="inner",
+            num_partitions=join_partitions_for(partials, oc),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        j = j.map_batches(
+            lambda b: b.filter(pc.equal(b["supp_nk"], b["cust_nk"])),
+            batch_format="pyarrow",
+        )
+        out = grouped_agg(
+            j, ["supp_nk"], {"revenue_cents": ("cents", "sum")}
+        ).to_pandas()
+        out["n_name"] = out["supp_nk"].map(nname)
+        out = out[["n_name", "revenue_cents"]].sort_values("n_name")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out.reset_index(drop=True)
+
+    def q8_market_share(sf_dir):
+        """TPC-H Q8 shape (national market share): among AMERICA-
+        region customers' 1995–1996 orders of ECONOMY-type parts,
+        NATION_6's share of supplied revenue per order year, in exact
+        ppm (single floor division at the end). lineitem collapses to
+        TWO integer sums per orderkey (total cents, target-nation
+        cents) before the join — the share never needs a second
+        grouping pass over facts."""
+        import datetime as _dt
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        reg = _pq.read_table(f"{sf_dir}/region.parquet").to_pylist()
+        america = {r["r_regionkey"] for r in reg if r["r_name"] == "AMERICA"}
+        nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+        america_nk = np.array(
+            sorted(r["n_nationkey"] for r in nat if r["n_regionkey"] in america),
+            dtype=np.int64,
+        )
+        target_nk = next(
+            r["n_nationkey"] for r in nat if r["n_name"] == "NATION_6"
+        )
+        pt = _pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        econ_parts = np.sort(
+            pt.filter(pc.equal(pt["p_type"], "ECONOMY"))["p_partkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        sk, sv = _dim_lookup(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"],
+        )
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            part = b["l_partkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(part, econ_parts)
+            supp = b["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+            nk = sv[np.searchsorted(sk, supp)].astype(np.int64)
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+            cents = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        b["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                    ),
+                    "cents": pa.array(cents),
+                    "target_cents": pa.array(
+                        np.where(nk == target_nk, cents, 0)
+                    ),
+                }
+            )
+
+        partials = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey"],
+            {
+                "cents": ("cents", "sum"),
+                "target_cents": ("target_cents", "sum"),
+            },
+        )
+
+        lo, hi = _dt.datetime(1995, 1, 1), _dt.datetime(1997, 1, 1)
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey", "o_orderdate"])
+
+        def od_prep(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.and_(
+                    pc.greater_equal(b["o_orderdate"], pa.scalar(lo)),
+                    pc.less(b["o_orderdate"], pa.scalar(hi)),
+                )
+            )
+            year = (
+                b["o_orderdate"].to_pandas().dt.year.to_numpy().astype(np.int64)
+            )
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_custkey": b["o_custkey"],
+                    "o_year": pa.array(year),
+                }
+            )
+
+        od = od.map_batches(od_prep, batch_format="pyarrow")
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        cu = cu.map_batches(
+            lambda b: b.filter(
+                pc.is_in(
+                    pc.cast(b["c_nationkey"], pa.int64()),
+                    value_set=pa.array(america_nk),
+                )
+            ).select(["c_custkey"]),
+            batch_format="pyarrow",
+        ).repartition(2)
+        oc = od.join(
+            cu,
+            join_type="inner",
+            num_partitions=join_partitions_for(od, cu),
+            on=("o_custkey",),
+            right_on=("c_custkey",),
+        ).select_columns(["o_orderkey", "o_year"]).repartition(2)
+        j = partials.join(
+            oc,
+            join_type="inner",
+            num_partitions=join_partitions_for(partials, oc),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        out = grouped_agg(
+            j,
+            ["o_year"],
+            {
+                "total_cents": ("cents", "sum"),
+                "target_cents": ("target_cents", "sum"),
+            },
+        ).to_pandas()
+        out["mkt_share_ppm"] = (
+            1_000_000 * out["target_cents"]
+        ) // out["total_cents"]
+        out = out.sort_values("o_year").reset_index(drop=True)
+        return out[
+            ["o_year", "total_cents", "target_cents", "mkt_share_ppm"]
+        ].astype("int64")
+
+    def q17_small_quantity_revenue(sf_dir):
+        """TPC-H Q17 shape (small-quantity-order revenue) for
+        Brand#13, container predicate dropped (no p_container
+        column): average yearly revenue lost if small-quantity
+        lineitems (qty < 1/5 of the per-part mean) were not filled.
+        The per-part mean is held exact by cross-multiplication
+        (5·qty·cnt < Σqty — no float division anywhere); pass 1
+        collapses brand lineitems to (Σqty, cnt) integer partials per
+        partkey, which broadcast back into the pass-2 filter. Two
+        pruned scans of the brand slice ≪ one shuffle of it."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        import pyarrow.parquet as _pq
+
+        pt = _pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+        )
+        brand_parts = np.sort(
+            pt.filter(pc.equal(pt["p_brand"], "Brand#13"))["p_partkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+
+        li = _read(
+            sf_dir, "lineitem", ["l_partkey", "l_quantity", "l_extendedprice"]
+        )
+
+        def pass1(b: pa.Table) -> pa.Table:
+            part = b["l_partkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(part, brand_parts)
+            qty = (
+                b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+            ).astype(np.int64)
+            return pa.table(
+                {"l_partkey": pa.array(part[keep]), "qty": pa.array(qty)}
+            )
+
+        stats = grouped_agg(
+            li.map_batches(pass1, batch_format="pyarrow"),
+            ["l_partkey"],
+            {"sum_qty": ("qty", "sum"), "cnt": ("qty", "count")},
+        ).to_pandas()
+        skey = np.sort(stats["l_partkey"].to_numpy())
+        order = np.argsort(stats["l_partkey"].to_numpy(), kind="stable")
+        ssum = stats["sum_qty"].to_numpy()[order]
+        scnt = stats["cnt"].to_numpy()[order]
+
+        def pass2(b: pa.Table) -> pa.Table:
+            part = b["l_partkey"].to_numpy(zero_copy_only=False)
+            keep = np.isin(part, skey)
+            part = part[keep]
+            qty = (
+                b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+            ).astype(np.int64)
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            idx = np.searchsorted(skey, part)
+            small = qty * 5 * scnt[idx] < ssum[idx]
+            cents = np.floor(ep[small] * 100.0 + 0.5).astype(np.int64)
+            return pa.table(
+                {
+                    "n_rows": pa.array([np.int64(small.sum())]),
+                    "cents": pa.array([np.int64(cents.sum())]),
+                }
+            )
+
+        import pandas as pd
+
+        part2 = li.map_batches(pass2, batch_format="pyarrow").to_pandas()
+        n_rows = int(part2["n_rows"].sum())
+        total = int(part2["cents"].sum())
+        return pd.DataFrame(
+            {
+                "n_rows": pd.array([n_rows], dtype="int64"),
+                "avg_yearly_cents": pd.array([total // 7], dtype="int64"),
+            }
+        )
+
+    def q22_dormant_balance(sf_dir):
+        """TPC-H Q22 shape (global sales opportunity), phone prefix →
+        nationkey (no c_phone column) and "no orders at all" → "no
+        orders since 2000-01-01" (every customer here has at least
+        one order): per nation, count + total balance of customers
+        whose balance beats the positive-balance mean and who have
+        gone dormant. The global mean stays exact by
+        cross-multiplication (bal·n_pos > Σpos); the dormant set is a
+        broadcast anti-join on recent-order custkeys."""
+        import datetime as _dt
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import broadcast_anti_join
+
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_nationkey", "c_acctbal"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            cb = np.floor(
+                b["c_acctbal"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "c_custkey": b["c_custkey"],
+                    "c_nationkey": pc.cast(b["c_nationkey"], pa.int64()),
+                    "bal_cents": pa.array(cb),
+                }
+            )
+
+        cu = cu.map_batches(cents, batch_format="pyarrow")
+
+        # pass 1: global positive-balance partials — |blocks| rows to
+        # the driver, summed exactly in int64
+        def pos_partial(b: pa.Table) -> pa.Table:
+            cb = b["bal_cents"].to_numpy(zero_copy_only=False)
+            pos = cb[cb > 0]
+            return pa.table(
+                {
+                    "s": pa.array([np.int64(pos.sum())]),
+                    "n": pa.array([np.int64(len(pos))]),
+                }
+            )
+
+        pp = cu.map_batches(pos_partial, batch_format="pyarrow").to_pandas()
+        sum_pos, n_pos = int(pp["s"].sum()), int(pp["n"].sum())
+
+        cutoff = _dt.datetime(2000, 1, 1)
+        od = _read(sf_dir, "orders", ["o_custkey", "o_orderdate"])
+        recent_keys = od.map_batches(
+            lambda b: b.filter(
+                pc.greater_equal(b["o_orderdate"], pa.scalar(cutoff))
+            ).select(["o_custkey"]),
+            batch_format="pyarrow",
+        ).unique("o_custkey")
+
+        rich = cu.map_batches(
+            lambda b: b.filter(
+                pc.greater(
+                    pc.multiply(b["bal_cents"], pa.scalar(n_pos, pa.int64())),
+                    pa.scalar(sum_pos, pa.int64()),
+                )
+            ),
+            batch_format="pyarrow",
+        )
+        dormant = broadcast_anti_join(rich, recent_keys, on="c_custkey")
+        out = grouped_agg(
+            dormant,
+            ["c_nationkey"],
+            {"n_cust": (None, "count"), "total_bal_cents": ("bal_cents", "sum")},
+        ).to_pandas()
+        out = out.sort_values("c_nationkey").reset_index(drop=True)
+        return out[["c_nationkey", "n_cust", "total_bal_cents"]].astype("int64")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -9322,6 +9724,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "decayed_type_counts": q_decayed_type_counts,
         "k_anonymity_audit": q_k_anonymity_audit,
         "fd_violations": q_fd_violations,
+        "q5_local_supplier_volume": q5_local_supplier_volume,
+        "q8_market_share": q8_market_share,
+        "q17_small_quantity_revenue": q17_small_quantity_revenue,
+        "q22_dormant_balance": q22_dormant_balance,
     }
 
 
@@ -14580,5 +14986,84 @@ def oracle_sql() -> dict[str, str]:
         SELECT 'o_custkey->o_orderpriority', CAST(count(*) AS BIGINT),
                CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT)
         FROM f3
+    """
+    oracles["q5_local_supplier_volume"] = """
+        SELECT n.n_name AS n_name,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                   * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS revenue_cents
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+                     AND c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1
+    """
+    oracles["q8_market_share"] = """
+        WITH rev AS (
+          SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+                 CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                            * 100.0 + 0.5) AS BIGINT) AS cents,
+                 n.n_name AS supp_nation
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'ECONOMY'
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          JOIN nation n ON s.s_nationkey = n.n_nationkey
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+          JOIN region r ON cn.n_regionkey = r.r_regionkey
+          WHERE r.r_name = 'AMERICA'
+            AND o.o_orderdate >= TIMESTAMP '1995-01-01'
+            AND o.o_orderdate < TIMESTAMP '1997-01-01')
+        SELECT o_year,
+               CAST(sum(cents) AS BIGINT) AS total_cents,
+               CAST(sum(CASE WHEN supp_nation = 'NATION_6'
+                             THEN cents ELSE 0 END) AS BIGINT)
+                 AS target_cents,
+               CAST((1000000 * sum(CASE WHEN supp_nation = 'NATION_6'
+                                        THEN cents ELSE 0 END))
+                    // sum(cents) AS BIGINT) AS mkt_share_ppm
+        FROM rev GROUP BY 1
+    """
+    oracles["q17_small_quantity_revenue"] = """
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#13'),
+        st AS (SELECT l_partkey,
+                      sum(CAST(l_quantity AS BIGINT)) AS sq,
+                      count(*) AS cnt
+               FROM lineitem
+               WHERE l_partkey IN (SELECT p_partkey FROM pk)
+               GROUP BY 1)
+        SELECT CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(COALESCE(sum(CAST(floor(l.l_extendedprice * 100.0 + 0.5)
+                                      AS BIGINT)), 0) // 7 AS BIGINT)
+                 AS avg_yearly_cents
+        FROM lineitem l
+        JOIN st ON l.l_partkey = st.l_partkey
+        WHERE CAST(l.l_quantity AS BIGINT) * 5 * st.cnt < st.sq
+    """
+    oracles["q22_dormant_balance"] = """
+        WITH cb AS (
+          SELECT c_custkey, CAST(c_nationkey AS BIGINT) AS c_nationkey,
+                 CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT) AS bal_cents
+          FROM customer),
+        stats AS (
+          SELECT sum(bal_cents) AS s, count(*) AS n
+          FROM cb WHERE bal_cents > 0)
+        SELECT cb.c_nationkey,
+               CAST(count(*) AS BIGINT) AS n_cust,
+               CAST(sum(cb.bal_cents) AS BIGINT) AS total_bal_cents
+        FROM cb, stats
+        WHERE cb.bal_cents * stats.n > stats.s
+          AND NOT EXISTS (
+            SELECT 1 FROM orders o
+            WHERE o.o_custkey = cb.c_custkey
+              AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1
     """
     return oracles
