@@ -9427,6 +9427,62 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.sort_values("c_nationkey").reset_index(drop=True)
         return out[["c_nationkey", "n_cust", "total_bal_cents"]].astype("int64")
 
+    def q_bloom_semi_orders(sf_dir):
+        """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
+        segment customers, revenue by priority. The bloom bitmap
+        (128 KiB regardless of key count) rejects ~80% of fact rows
+        with a few vectorized uint64 ops before the exact is_in
+        verify — false positives never reach the output, so the
+        result equals the plain semi-join and the oracle needs no
+        bloom arithmetic."""
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.bloom import bloom_semi_join
+
+        cu = _pq.read_table(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+        )
+        keys = cu.filter(pc.equal(cu["c_mktsegment"], "BUILDING"))[
+            "c_custkey"
+        ].to_pylist()
+        od = _read(
+            sf_dir, "orders", ["o_custkey", "o_orderpriority", "o_totalprice"]
+        )
+        filt = bloom_semi_join(od, keys, on="o_custkey")
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"o_orderpriority": b["o_orderpriority"], "cents": pa.array(c)}
+            )
+
+        out = grouped_agg(
+            filt.map_batches(cents, batch_format="pyarrow"),
+            ["o_orderpriority"],
+            {"n_orders": (None, "count"), "total_cents": ("cents", "sum")},
+        ).to_pandas()
+        out = out.sort_values("o_orderpriority").reset_index(drop=True)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["total_cents"] = out["total_cents"].astype("int64")
+        return out[["o_orderpriority", "n_orders", "total_cents"]]
+
+    def q_containment_pairs(sf_dir):
+        """Asymmetric near-dup (ops/containment.py): rare-gram-blocked
+        containment pairs — the quote/subset shape Jaccard dedup
+        misses. Candidates share a gram with df in [2,5]; exact
+        verification moves candidate rows only."""
+        from ocr_service_ray.ops.containment import containment_pairs
+
+        return containment_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            n=3,
+            max_df=5,
+            tau_ppm=200_000,
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -9728,6 +9784,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": q8_market_share,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_dormant_balance": q22_dormant_balance,
+        "bloom_semi_orders": q_bloom_semi_orders,
+        "containment_pairs": q_containment_pairs,
     }
 
 
@@ -15065,5 +15123,55 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_custkey = cb.c_custkey
               AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY 1
+    """
+    oracles["bloom_semi_orders"] = """
+        SELECT o_orderpriority,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS total_cents
+        FROM orders
+        WHERE o_custkey IN
+              (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+        GROUP BY 1
+    """
+    _cont_gh = _hex_bigint_sql(
+        "md5(array_to_string(list_slice(ws, s, s + 2), ' '))", 1, 15
+    )
+    oracles["containment_pairs"] = f"""
+        WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        pos AS (SELECT doc_id, ws,
+                       unnest(generate_series(1, greatest(length(ws) - 2, 0)))
+                         AS s
+                FROM w),
+        grams AS (SELECT DISTINCT doc_id, {_cont_gh} AS gh FROM pos),
+        sz AS (SELECT doc_id, count(*) AS ng FROM grams GROUP BY 1),
+        dfx AS (SELECT gh, count(*) AS df FROM grams GROUP BY 1),
+        rare AS (SELECT gh FROM dfx WHERE df BETWEEN 2 AND 5),
+        cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+                 FROM grams a JOIN grams b
+                   ON a.gh = b.gh AND a.doc_id < b.doc_id
+                 WHERE a.gh IN (SELECT gh FROM rare)),
+        ix AS (SELECT c.id_a, c.id_b, count(*) AS inter
+               FROM cand c
+               JOIN grams ga ON ga.doc_id = c.id_a
+               JOIN grams gb ON gb.doc_id = c.id_b AND gb.gh = ga.gh
+               GROUP BY 1, 2),
+        oriented AS (
+          SELECT CASE WHEN sa.ng <= sb.ng THEN i.id_a ELSE i.id_b END
+                   AS id_small,
+                 CASE WHEN sa.ng <= sb.ng THEN i.id_b ELSE i.id_a END
+                   AS id_big,
+                 CASE WHEN sa.ng <= sb.ng THEN sa.ng ELSE sb.ng END
+                   AS n_small,
+                 i.inter
+          FROM ix i JOIN sz sa ON sa.doc_id = i.id_a
+                    JOIN sz sb ON sb.doc_id = i.id_b)
+        SELECT id_small, id_big,
+               CAST(n_small AS BIGINT) AS n_small,
+               CAST(inter AS BIGINT) AS inter,
+               CAST((1000000 * inter) // n_small AS BIGINT)
+                 AS containment_ppm
+        FROM oriented
+        WHERE (1000000 * inter) // n_small >= 200000
     """
     return oracles

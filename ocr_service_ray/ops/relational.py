@@ -57,14 +57,67 @@ def join_partitions_for(*datasets, target_bytes: int = 128 << 20, lo: int = 2, h
     return max(lo, min(hi, -(-total // target_bytes)))
 
 
-def hash_join(left_ds, right_ds, on: str, num_partitions: int | None = None, join_type: str = "inner"):
+def join_aggregator_args(num_partitions: int, cpu_share: float = 0.125) -> dict:
+    """Resource override for a hash join's aggregator ACTORS.
+
+    Ray 2.49's default reserves up to half the cluster's CPUs per join
+    operator (hash_shuffle.py `_get_aggregator_num_cpus_per_partition`:
+    min(1, CPU/2/partitions) per partition). Two join operators alive
+    in one streaming DAG (a chained join — candidate verify, snapshot
+    diff) then pin ALL CPUs in aggregator actors and the map tasks
+    that feed them can never schedule: a hard deadlock, reproduced on
+    a 4-CPU local cluster. Cap each join's TOTAL aggregator
+    reservation at ``cpu_share`` of the cluster instead so several
+    exchanges and their producers coexist; aggregator work (concat +
+    acero join at finalize) oversubscribes briefly, which is the right
+    trade vs. starving the pipeline."""
+    import math
+
+    import ray
+    from ray.data import DataContext
+
+    try:
+        cpus = float(ray.cluster_resources().get("CPU", 8.0))
+    except Exception:
+        cpus = 8.0
+    ctx = DataContext.get_current()
+    max_aggs = (
+        ctx.max_hash_shuffle_aggregators
+        or ctx.default_hash_shuffle_parallelism
+        or num_partitions
+    )
+    n_aggs = max(1, min(num_partitions, int(max_aggs)))
+    per_agg = (cpus * cpu_share) / n_aggs
+    # round DOWN to avoid drift past the budget, floor well below 1
+    per_agg = max(0.05, min(1.0, math.floor(per_agg * 100) / 100))
+    return {"num_cpus": per_agg}
+
+
+def hash_join(
+    left_ds,
+    right_ds,
+    on,
+    num_partitions: int | None = None,
+    join_type: str = "inner",
+    right_on=None,
+):
     """Large-large equi-join: Ray Data's hash-partitioned join (both
     sides shuffled on the key). ``num_partitions`` defaults to a
-    size-derived count (join_partitions_for). Salt hot keys upstream
-    if one key value dominates — the join partitions by hash(key)
-    only."""
+    size-derived count (join_partitions_for). ``on``/``right_on`` are a
+    column name or tuple of names. Salt hot keys upstream if one key
+    value dominates — the join partitions by hash(key) only."""
+    from ocr_service_ray import rayfix
+
+    # flaky-schema-broadcast workaround (see rayfix module docstring):
+    # must be installed before the streaming executor submits shuffle
+    # tasks; building the plan here is early enough
+    rayfix.apply()
+
     if num_partitions is None:
         num_partitions = join_partitions_for(left_ds, right_ds)
+    on = (on,) if isinstance(on, str) else tuple(on)
+    if right_on is not None:
+        right_on = (right_on,) if isinstance(right_on, str) else tuple(right_on)
 
     def _strip_meta(b):
         # pandas-originated blocks carry a schema-metadata dict; the
@@ -83,7 +136,12 @@ def hash_join(left_ds, right_ds, on: str, num_partitions: int | None = None, joi
     # repartition() (a real exchange rebuilds blocks with the unified
     # schema); see triangle_count for the pattern.
     return left_ds.join(
-        right_ds, join_type=join_type, num_partitions=num_partitions, on=(on,)
+        right_ds,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+        aggregator_ray_remote_args=join_aggregator_args(num_partitions),
     )
 
 
