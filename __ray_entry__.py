@@ -9427,6 +9427,278 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.sort_values("c_nationkey").reset_index(drop=True)
         return out[["c_nationkey", "n_cust", "total_bal_cents"]].astype("int64")
 
+    def q9_profit_proxy(sf_dir):
+        """TPC-H Q9 shape (product-type profit) with p_retailprice as
+        the unit-cost proxy (no partsupp/ps_supplycost in this
+        corpus): profit per (supplier nation, order year) over parts
+        named ``%widget%``. Both dimension chains (part→retail cents,
+        supplier→nation) resolve as broadcast searchsorted lookups
+        inside the ONE lineitem scan; facts collapse to
+        (orderkey, supp_nk) integer partials before the single
+        shuffle join to orders — raw fact rows move once."""
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+        nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+        sk, sv = _dim_lookup(sf_dir, "supplier", "s_suppkey", "s_nationkey")
+        pt = _pq.read_table(
+            f"{sf_dir}/part.parquet",
+            columns=["p_partkey", "p_name", "p_retailprice"],
+        )
+        pt = pt.filter(pc.match_substring(pt["p_name"], "widget"))
+        pkey = pt["p_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+        order = np.argsort(pkey, kind="stable")
+        pkey = pkey[order]
+        retail_cents = np.floor(
+            pt["p_retailprice"].to_numpy(zero_copy_only=False)[order] * 100.0
+            + 0.5
+        ).astype(np.int64)
+
+        li = _read(
+            sf_dir,
+            "lineitem",
+            [
+                "l_orderkey",
+                "l_partkey",
+                "l_suppkey",
+                "l_quantity",
+                "l_extendedprice",
+                "l_discount",
+            ],
+        )
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            part = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.isin(part, pkey)
+            part = part[keep]
+            supp = b["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+            qty = (
+                b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+            ).astype(np.int64)
+            ep = b["l_extendedprice"].to_numpy(zero_copy_only=False)[keep]
+            dc = b["l_discount"].to_numpy(zero_copy_only=False)[keep]
+            rev = np.floor(ep * (1.0 - dc) * 100.0 + 0.5).astype(np.int64)
+            cost = retail_cents[np.searchsorted(pkey, part)] * qty
+            nk = sv[np.searchsorted(sk, supp)].astype(np.int64)
+            return pa.table(
+                {
+                    "l_orderkey": pa.array(
+                        b["l_orderkey"].to_numpy(zero_copy_only=False)[keep]
+                    ),
+                    "supp_nk": pa.array(nk),
+                    "profit_cents": pa.array(rev - cost),
+                }
+            )
+
+        partials = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey", "supp_nk"],
+            {"profit_cents": ("profit_cents", "sum")},
+        )
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderdate"]).map_batches(
+            lambda b: pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "o_year": pc.cast(pc.year(b["o_orderdate"]), pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        j = partials.join(
+            od,
+            join_type="inner",
+            num_partitions=join_partitions_for(partials, od),
+            on=("l_orderkey",),
+            right_on=("o_orderkey",),
+        )
+        out = grouped_agg(
+            j, ["supp_nk", "o_year"], {"profit_cents": ("profit_cents", "sum")}
+        ).to_pandas()
+        out["n_name"] = out["supp_nk"].map(nname)
+        out = out.sort_values(["n_name", "o_year"]).reset_index(drop=True)
+        out["o_year"] = out["o_year"].astype("int64")
+        out["profit_cents"] = out["profit_cents"].astype("int64")
+        return out[["n_name", "o_year", "profit_cents"]]
+
+    def q11_important_parts(sf_dir):
+        """TPC-H Q11 shape (important stock value) with shipped
+        quantity × retail cents as the value proxy (no partsupp):
+        parts whose value exceeds the per-part mean, held exact by
+        cross-multiplication (value·n_parts > Σvalue — no float
+        fraction, scale-invariant). ONE combiner pass over lineitem emits
+        |parts|-bounded (partkey, Σqty) partials; the retail lookup,
+        global total, and threshold filter act on that small
+        result — facts never shuffle."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        pk, pr = _dim_lookup(sf_dir, "part", "p_partkey", "p_retailprice")
+        retail_cents = np.floor(pr * 100.0 + 0.5).astype(np.int64)
+
+        li = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+        qsum = grouped_agg(
+            li.map_batches(
+                lambda b: pa.table(
+                    {
+                        "l_partkey": b["l_partkey"],
+                        "qty": pa.array(
+                            b["l_quantity"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["l_partkey"],
+            {"qty": ("qty", "sum")},
+        ).to_pandas()
+        keys = qsum["l_partkey"].to_numpy().astype(np.int64)
+        value = qsum["qty"].to_numpy().astype(np.int64) * retail_cents[
+            np.searchsorted(pk, keys)
+        ]
+        total = int(value.sum())
+        keep = value * len(keys) > total
+        out = pd.DataFrame(
+            {"l_partkey": keys[keep], "value_cents": value[keep]}
+        )
+        return (
+            out.sort_values("l_partkey").reset_index(drop=True).astype("int64")
+        )
+
+    def q20_promo_shippers(sf_dir):
+        """TPC-H Q20 shape (suppliers with excess availability) on
+        shipped quantity (no partsupp): suppliers whose 1996 PROMO
+        shipments exceed the per-supplier mean, held exact by
+        cross-multiplication (qty·n_suppliers > Σqty). The PROMO
+        part-key set broadcasts into the one pruned lineitem scan;
+        the combiner emits |suppliers|-bounded partials and the mean
+        test + name lookups act on that small result."""
+        import datetime as _dt
+
+        import pandas as pd
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        pt = _pq.read_table(
+            f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+        )
+        promo = np.sort(
+            pt.filter(pc.equal(pt["p_type"], "PROMO"))["p_partkey"]
+            .to_numpy(zero_copy_only=False)
+            .astype(np.int64)
+        )
+        lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+
+        li = _read(
+            sf_dir, "lineitem", ["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"]
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.and_(
+                    pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                    pc.less(b["l_shipdate"], pa.scalar(hi)),
+                )
+            )
+            part = b["l_partkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = np.isin(part, promo)
+            qty = (
+                b["l_quantity"].to_numpy(zero_copy_only=False)[keep]
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "l_suppkey": pa.array(
+                        b["l_suppkey"].to_numpy(zero_copy_only=False)[keep]
+                    ),
+                    "qty": pa.array(qty),
+                }
+            )
+
+        sq = grouped_agg(
+            li.map_batches(prep, batch_format="pyarrow"),
+            ["l_suppkey"],
+            {"qty": ("qty", "sum")},
+        ).to_pandas()
+        n = len(sq)
+        total = int(sq["qty"].sum())
+        sq = sq[sq["qty"].to_numpy().astype(np.int64) * n > total]
+
+        sup = _pq.read_table(f"{sf_dir}/supplier.parquet").to_pylist()
+        sname = {r["s_suppkey"]: r["s_name"] for r in sup}
+        snat = {r["s_suppkey"]: r["s_nationkey"] for r in sup}
+        nat = _pq.read_table(f"{sf_dir}/nation.parquet").to_pylist()
+        nname = {r["n_nationkey"]: r["n_name"] for r in nat}
+        out = pd.DataFrame(
+            {
+                "s_name": sq["l_suppkey"].map(sname),
+                "n_name": sq["l_suppkey"].map(snat).map(nname),
+                "qty": sq["qty"].astype("int64"),
+            }
+        )
+        return out.sort_values("s_name").reset_index(drop=True)
+
+    def q21_dominant_supplier(sf_dir):
+        """TPC-H Q21 shape (the supplier who held up the order — no
+        receipt/commit dates in this corpus): on orders with ≥2
+        distinct suppliers, the supplier contributing a STRICT
+        majority of the order's quantity (2·max > Σ — unique when it
+        exists); top-10 suppliers by dominated-order count,
+        suppkey-ascending tiebreak. Facts collapse to
+        (orderkey, suppkey) integer partials in the combiner; the
+        majority test is an in-group fold over the orderkey-bucketed
+        shuffle of those partials — raw lineitems never shuffle."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+        from ocr_service_ray.ops.relational import topk
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey", "l_quantity"])
+        partials = grouped_agg(
+            li.map_batches(
+                lambda b: pa.table(
+                    {
+                        "l_orderkey": b["l_orderkey"],
+                        "l_suppkey": b["l_suppkey"],
+                        "qty": pa.array(
+                            b["l_quantity"]
+                            .to_numpy(zero_copy_only=False)
+                            .astype(np.int64)
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["l_orderkey", "l_suppkey"],
+            {"qty": ("qty", "sum")},
+        )
+
+        def dominant(g: pd.DataFrame):
+            if len(g) < 2:
+                return None
+            tot = int(g["qty"].sum())
+            mx = int(g["qty"].max())
+            if 2 * mx > tot:
+                return pd.DataFrame(
+                    {"l_suppkey": [int(g.loc[g["qty"].idxmax(), "l_suppkey"])]}
+                )
+            return None
+
+        dom = bucketed_map_groups(partials, ["l_orderkey"], dominant)
+        counts = grouped_agg(
+            dom, ["l_suppkey"], {"n_orders": (None, "count")}
+        )
+        out = topk(
+            counts, by=["n_orders", "l_suppkey"], k=10, descending=[True, False]
+        ).to_pandas()
+        return out[["l_suppkey", "n_orders"]].astype("int64")
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -9784,6 +10056,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q8_market_share": q8_market_share,
         "q17_small_quantity_revenue": q17_small_quantity_revenue,
         "q22_dormant_balance": q22_dormant_balance,
+        "q9_profit_proxy": q9_profit_proxy,
+        "q11_important_parts": q11_important_parts,
+        "q20_promo_shippers": q20_promo_shippers,
+        "q21_dominant_supplier": q21_dominant_supplier,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -15123,6 +15399,68 @@ def oracle_sql() -> dict[str, str]:
             WHERE o.o_custkey = cb.c_custkey
               AND o.o_orderdate >= TIMESTAMP '2000-01-01')
         GROUP BY 1
+    """
+    oracles["q9_profit_proxy"] = """
+        SELECT n.n_name AS n_name,
+               CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+               CAST(sum(CAST(floor(l.l_extendedprice * (1.0 - l.l_discount)
+                                   * 100.0 + 0.5) AS BIGINT)
+                        - CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
+                          * CAST(l.l_quantity AS BIGINT)) AS BIGINT)
+                 AS profit_cents
+        FROM lineitem l
+        JOIN part p ON l.l_partkey = p.p_partkey
+                   AND p.p_name LIKE '%widget%'
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    """
+    oracles["q11_important_parts"] = """
+        WITH pv AS (
+          SELECT l.l_partkey AS l_partkey,
+                 sum(CAST(l.l_quantity AS BIGINT))
+                   * CAST(floor(p.p_retailprice * 100.0 + 0.5) AS BIGINT)
+                   AS value_cents
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey
+          GROUP BY l.l_partkey, p.p_retailprice)
+        SELECT l_partkey, CAST(value_cents AS BIGINT) AS value_cents
+        FROM pv
+        WHERE value_cents * (SELECT count(*) FROM pv)
+              > (SELECT sum(value_cents) FROM pv)
+    """
+    oracles["q20_promo_shippers"] = """
+        WITH sq AS (
+          SELECT l.l_suppkey AS l_suppkey,
+                 sum(CAST(l.l_quantity AS BIGINT)) AS qty
+          FROM lineitem l
+          JOIN part p ON l.l_partkey = p.p_partkey AND p.p_type = 'PROMO'
+          WHERE l.l_shipdate >= TIMESTAMP '1996-01-01'
+            AND l.l_shipdate < TIMESTAMP '1997-01-01'
+          GROUP BY 1)
+        SELECT s.s_name AS s_name, n.n_name AS n_name,
+               CAST(sq.qty AS BIGINT) AS qty
+        FROM sq
+        JOIN supplier s ON sq.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+        WHERE sq.qty * (SELECT count(*) FROM sq) > (SELECT sum(qty) FROM sq)
+    """
+    oracles["q21_dominant_supplier"] = """
+        WITH osq AS (
+          SELECT l_orderkey, l_suppkey,
+                 sum(CAST(l_quantity AS BIGINT)) AS qty
+          FROM lineitem GROUP BY 1, 2),
+        tot AS (
+          SELECT l_orderkey, sum(qty) AS total, count(*) AS n_supp
+          FROM osq GROUP BY 1)
+        SELECT o.l_suppkey AS l_suppkey,
+               CAST(count(*) AS BIGINT) AS n_orders
+        FROM osq o JOIN tot t ON o.l_orderkey = t.l_orderkey
+        WHERE t.n_supp >= 2 AND o.qty * 2 > t.total
+        GROUP BY 1
+        ORDER BY n_orders DESC, l_suppkey ASC
+        LIMIT 10
     """
     oracles["bloom_semi_orders"] = """
         SELECT o_orderpriority,
