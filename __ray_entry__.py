@@ -9699,6 +9699,181 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return out[["l_suppkey", "n_orders"]].astype("int64")
 
+    def q_daily_value_ohlc(sf_dir):
+        """Per (event_type, day) OHLC bars — the time-series
+        downsampling shape (open/high/low/close of value). Each block
+        collapses to ONE candidate row per touched (type, day) —
+        carrying the block-local first/last (ts, event_id) endpoints —
+        so the final fold merges |blocks|-bounded candidates and raw
+        events never shuffle. Open/close ties break on
+        (ts, event_id): fully deterministic, SQL ROW_NUMBER-matched."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+
+        ev = _read(sf_dir, "events", ["event_id", "ts", "event_type", "value"])
+
+        def partial(b: pd.DataFrame) -> pd.DataFrame:
+            b = b.copy()
+            ts_us = b["ts"].astype("datetime64[us]").astype("int64")
+            b["_ts"] = ts_us
+            b["day"] = ts_us // 86_400_000_000
+            b["v"] = np.floor(
+                b["value"].to_numpy() * 1_000_000.0 + 0.5
+            ).astype(np.int64)
+            b = b.sort_values(["_ts", "event_id"], kind="stable")
+            return b.groupby(["event_type", "day"], as_index=False).agg(
+                first_ts=("_ts", "first"),
+                first_eid=("event_id", "first"),
+                open=("v", "first"),
+                last_ts=("_ts", "last"),
+                last_eid=("event_id", "last"),
+                close=("v", "last"),
+                low=("v", "min"),
+                high=("v", "max"),
+            )
+
+        def fold(g: pd.DataFrame):
+            io = np.lexsort(
+                (g["first_eid"].to_numpy(), g["first_ts"].to_numpy())
+            )[0]
+            ic = np.lexsort(
+                (g["last_eid"].to_numpy(), g["last_ts"].to_numpy())
+            )[-1]
+            return pd.DataFrame(
+                {
+                    "event_type": [g["event_type"].iloc[0]],
+                    "day": [int(g["day"].iloc[0])],
+                    "open_micro": [int(g["open"].iloc[io])],
+                    "high_micro": [int(g["high"].max())],
+                    "low_micro": [int(g["low"].min())],
+                    "close_micro": [int(g["close"].iloc[ic])],
+                }
+            )
+
+        out = bucketed_map_groups(
+            ev.map_batches(partial, batch_format="pandas"),
+            ["event_type", "day"],
+            fold,
+        ).to_pandas()
+        out = out.sort_values(["event_type", "day"]).reset_index(drop=True)
+        for c in ("day", "open_micro", "high_micro", "low_micro", "close_micro"):
+            out[c] = out[c].astype("int64")
+        return out
+
+    def q_script_mix_by_lang(sf_dir):
+        """Unicode script profile per language: corpus-wide Cyrillic /
+        Latin / digit character counts — the mixed-script corpus audit
+        feeding LID quality review. Stateless vectorized map
+        (pc.count_substring_regex, RE2) + a |langs|-bounded combiner;
+        embarrassingly parallel, pipelines with the read."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        docs = _read(sf_dir, "documents", ["lang", "text"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lang": b["lang"],
+                    "n_cyr": pc.cast(
+                        pc.count_substring_regex(b["text"], "[а-яёА-ЯЁ]"),
+                        pa.int64(),
+                    ),
+                    "n_lat": pc.cast(
+                        pc.count_substring_regex(b["text"], "[A-Za-z]"),
+                        pa.int64(),
+                    ),
+                    "n_dig": pc.cast(
+                        pc.count_substring_regex(b["text"], "[0-9]"),
+                        pa.int64(),
+                    ),
+                }
+            )
+
+        out = grouped_agg(
+            docs.map_batches(prep, batch_format="pyarrow"),
+            ["lang"],
+            {
+                "n_cyr": ("n_cyr", "sum"),
+                "n_lat": ("n_lat", "sum"),
+                "n_dig": ("n_dig", "sum"),
+                "n_docs": (None, "count"),
+            },
+        ).to_pandas()
+        out = out.sort_values("lang").reset_index(drop=True)
+        for c in ("n_cyr", "n_lat", "n_dig", "n_docs"):
+            out[c] = out[c].astype("int64")
+        return out[["lang", "n_cyr", "n_lat", "n_dig", "n_docs"]]
+
+    def q_split_leakage_rate(sf_dir):
+        """Train/val near-duplicate leakage audit: the deterministic
+        md5 hash split (ops/relational.stratified_split) + CCNet
+        normalize-then-fingerprint (md5 of the normalized 80-char
+        prefix — the prefix-fingerprint rule that catches shared
+        boilerplate heads), then per-fingerprint (n_train, n_val)
+        presence sums from ONE scan and one hash-keyed combiner
+        exchange — the pre-training split-hygiene check. A val doc
+        leaks when its fingerprint also appears on the train side;
+        only distinct hashes shuffle, never text, and the driver sees
+        three ints."""
+        import hashlib
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import global_agg, grouped_agg
+        from ocr_service_ray.ops.relational import stratified_split
+        from ocr_service_ray.ops.text import normalize_text
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        assigned = stratified_split(docs, "doc_id", 0.8)
+
+        def hash_batch(b: pa.Table) -> pa.Table:
+            nt = normalize_text(b)["norm_text"].to_pylist()
+            h = [hashlib.md5(t[:80].encode()).hexdigest() for t in nt]
+            is_tr = (
+                pc.equal(b["split"], "train").to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "text_hash": pa.array(h, pa.string()),
+                    "n_train": pa.array(is_tr),
+                    "n_val": pa.array(1 - is_tr),
+                }
+            )
+
+        per_hash = grouped_agg(
+            assigned.map_batches(hash_batch, batch_format="pyarrow"),
+            ["text_hash"],
+            {"n_train": ("n_train", "sum"), "n_val": ("n_val", "sum")},
+        )
+
+        def flags(b: pa.Table) -> pa.Table:
+            n_tr = b["n_train"].to_numpy(zero_copy_only=False)
+            n_va = b["n_val"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "n_val": pa.array(n_va),
+                    "n_leaked": pa.array(np.where(n_tr > 0, n_va, 0)),
+                }
+            )
+
+        stats = global_agg(
+            per_hash.map_batches(flags, batch_format="pyarrow"),
+            {"n_val_docs": ("n_val", "sum"), "n_leaked_docs": ("n_leaked", "sum")},
+        )
+        n_val = int(stats["n_val_docs"])
+        n_leak = int(stats["n_leaked_docs"])
+        return pd.DataFrame(
+            {
+                "n_val_docs": pd.array([n_val], dtype="int64"),
+                "n_leaked_docs": pd.array([n_leak], dtype="int64"),
+                "leak_ppm": pd.array(
+                    [(1_000_000 * n_leak) // n_val if n_val else 0],
+                    dtype="int64",
+                ),
+            }
+        )
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -10060,6 +10235,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q11_important_parts": q11_important_parts,
         "q20_promo_shippers": q20_promo_shippers,
         "q21_dominant_supplier": q21_dominant_supplier,
+        "daily_value_ohlc": q_daily_value_ohlc,
+        "script_mix_by_lang": q_script_mix_by_lang,
+        "split_leakage_rate": q_split_leakage_rate,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -15461,6 +15639,64 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY n_orders DESC, l_suppkey ASC
         LIMIT 10
+    """
+    oracles["daily_value_ohlc"] = """
+        WITH r AS (
+          SELECT event_type,
+                 date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS day,
+                 ts, event_id,
+                 CAST(floor(value * 1000000.0 + 0.5) AS BIGINT) AS v
+          FROM events),
+        o AS (
+          SELECT event_type, day, v,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts, event_id) AS rn_a,
+                 row_number() OVER (PARTITION BY event_type, day
+                                    ORDER BY ts DESC, event_id DESC) AS rn_d
+          FROM r)
+        SELECT a.event_type AS event_type, CAST(a.day AS BIGINT) AS day,
+               CAST(op.v AS BIGINT) AS open_micro,
+               CAST(a.high AS BIGINT) AS high_micro,
+               CAST(a.low AS BIGINT) AS low_micro,
+               CAST(cl.v AS BIGINT) AS close_micro
+        FROM (SELECT event_type, day, max(v) AS high, min(v) AS low
+              FROM r GROUP BY 1, 2) a
+        JOIN (SELECT event_type, day, v FROM o WHERE rn_a = 1) op
+          USING (event_type, day)
+        JOIN (SELECT event_type, day, v FROM o WHERE rn_d = 1) cl
+          USING (event_type, day)
+    """
+    oracles["script_mix_by_lang"] = """
+        SELECT lang,
+               CAST(sum(length(text)
+                    - length(regexp_replace(text, '[а-яёА-ЯЁ]', '', 'g')))
+                 AS BIGINT) AS n_cyr,
+               CAST(sum(length(text)
+                    - length(regexp_replace(text, '[A-Za-z]', '', 'g')))
+                 AS BIGINT) AS n_lat,
+               CAST(sum(length(text)
+                    - length(regexp_replace(text, '[0-9]', '', 'g')))
+                 AS BIGINT) AS n_dig,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY 1
+    """
+    oracles["split_leakage_rate"] = rf"""
+        WITH h AS (
+          SELECT md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                            1, 80)) AS th,
+                 CASE WHEN {_md5_unit_sql(
+                     "md5('split:' || CAST(doc_id AS VARCHAR))")} < 0.8
+                      THEN 1 ELSE 0 END AS is_train
+          FROM documents),
+        p AS (SELECT th, sum(is_train) AS n_train,
+                     sum(1 - is_train) AS n_val
+              FROM h GROUP BY 1)
+        SELECT CAST(sum(n_val) AS BIGINT) AS n_val_docs,
+               CAST(sum(CASE WHEN n_train > 0 THEN n_val ELSE 0 END)
+                 AS BIGINT) AS n_leaked_docs,
+               CAST(1000000 * sum(CASE WHEN n_train > 0 THEN n_val ELSE 0 END)
+                    // sum(n_val) AS BIGINT) AS leak_ppm
+        FROM p
     """
     oracles["bloom_semi_orders"] = """
         SELECT o_orderpriority,
