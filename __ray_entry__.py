@@ -9874,6 +9874,125 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_hard_negatives(sf_dir):
+        """Hard-negative mining (ops/similarity.py hard_negatives):
+        for each of 8 query embeddings, the top-3 most-similar
+        vectors with a DIFFERENT label — contrastive-training data
+        prep. One corpus scan, broadcast query matrix, vectorized
+        in-block label mask; rounded-cosine/id tie discipline makes
+        the whole search SQL-reproducible."""
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.ops import similarity
+
+        qt = (
+            pq.read_table(f"{sf_dir}/embeddings.parquet")
+            .filter(pc.less(pc.field("vec_id"), 8))
+            .sort_by("vec_id")
+        )
+        queries_m = similarity._as_matrix(qt["embedding"])
+        qlab = qt["label"].to_pylist()
+        top = similarity.hard_negatives(
+            _read(sf_dir, "embeddings"), queries_m, qlab, k=3
+        )
+
+        def micro(b: pa.Table) -> pa.Table:
+            m = _micro(b["cos_sim"].to_numpy(zero_copy_only=False))
+            return pa.table(
+                {
+                    "query_id": b["query_id"],
+                    "vec_id": b["vec_id"],
+                    "cos_sim_micro": pa.array(m),
+                }
+            )
+
+        return top.map_batches(micro, batch_format="pyarrow")
+
+    def q_topk_users_with_other(sf_dir):
+        """Reporting top-k with OTHER rollup: per event_type the top-3
+        users by total value cents PLUS one OTHER row carrying the
+        remainder — one combiner agg to (type, user) partials; the
+        per-group top-k AND the group totals both derive from those
+        partials (no second scan); the OTHER fold is |types|-bounded
+        driver work. OTHER appears only when a type has > 3 users —
+        SQL UNION ALL semantics."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import grouped_topk
+
+        ev = _read(sf_dir, "events", ["event_type", "user_id", "value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "user_id": b["user_id"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        partials = grouped_agg(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            ["event_type", "user_id"],
+            {"cents": ("cents", "sum")},
+        ).materialize()
+        top = grouped_topk(
+            partials, ["event_type"], ["cents", "user_id"], 3, [True, False]
+        ).to_pandas()
+        totals = grouped_agg(
+            partials,
+            ["event_type"],
+            {"total_cents": ("cents", "sum"), "n_users": (None, "count")},
+        ).to_pandas()
+
+        top["who"] = top["user_id"].astype("int64").astype(str)
+        rows = [top[["event_type", "who", "cents"]]]
+        t3 = top.groupby("event_type", as_index=False)["cents"].sum()
+        m = totals.merge(t3, on="event_type", how="left")
+        m["cents"] = m["total_cents"] - m["cents"].fillna(0).astype("int64")
+        oth = m[m["n_users"] > 3][["event_type", "cents"]].copy()
+        oth["who"] = "OTHER"
+        rows.append(oth[["event_type", "who", "cents"]])
+        out = pd.concat(rows, ignore_index=True)
+        out["cents"] = out["cents"].astype("int64")
+        return (
+            out.sort_values(["event_type", "who"]).reset_index(drop=True)
+        )
+
+    def q_quality_decile_review_rate(sf_dir):
+        """Quality-score calibration over the FLAGSHIP output: docs
+        banded by quality decile (integer micro // 100000), per-band
+        needs_review rate in ppm — the extraction-quality audit as a
+        pure combiner over the pipeline's own stream (composes with
+        the flagship plan; no extra source scan)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        out = _flagship(sf_dir)
+
+        def band(b: pa.Table) -> pa.Table:
+            q = b["quality_micro"].to_numpy(zero_copy_only=False)
+            nr = (
+                b["needs_review"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            return pa.table(
+                {"band": pa.array(q // 100_000), "n_review": pa.array(nr)}
+            )
+
+        res = grouped_agg(
+            out.map_batches(band, batch_format="pyarrow"),
+            ["band"],
+            {"n_docs": (None, "count"), "n_review": ("n_review", "sum")},
+        ).to_pandas()
+        res["review_ppm"] = (1_000_000 * res["n_review"]) // res["n_docs"]
+        res = res.sort_values("band").reset_index(drop=True)
+        return res[["band", "n_docs", "n_review", "review_ppm"]].astype(
+            "int64"
+        )
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -10238,6 +10357,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "daily_value_ohlc": q_daily_value_ohlc,
         "script_mix_by_lang": q_script_mix_by_lang,
         "split_leakage_rate": q_split_leakage_rate,
+        "hard_negatives": q_hard_negatives,
+        "topk_users_with_other": q_topk_users_with_other,
+        "quality_decile_review_rate": q_quality_decile_review_rate,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -15639,6 +15761,48 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY n_orders DESC, l_suppkey ASC
         LIMIT 10
+    """
+    oracles["hard_negatives"] = """
+        WITH q AS (SELECT vec_id AS query_id, label AS qlabel,
+                          CAST(embedding AS DOUBLE[]) AS qv
+                   FROM embeddings WHERE vec_id < 8)
+        SELECT query_id, vec_id, cos_sim_micro FROM (
+          SELECT q.query_id, e.vec_id,
+            CAST(floor(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv) * 1000000.0 + 0.5)
+              AS BIGINT) AS cos_sim_micro,
+            row_number() OVER (PARTITION BY q.query_id
+              ORDER BY list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+                                              q.qv) DESC, e.vec_id) AS rn
+          FROM embeddings e, q WHERE e.label != q.qlabel) WHERE rn <= 3
+    """
+    oracles["topk_users_with_other"] = """
+        WITH p AS (
+          SELECT event_type, user_id,
+                 sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2),
+        r AS (
+          SELECT event_type, user_id, cents,
+                 row_number() OVER (PARTITION BY event_type
+                                    ORDER BY cents DESC, user_id) AS rn
+          FROM p)
+        SELECT event_type, CAST(user_id AS VARCHAR) AS who,
+               CAST(cents AS BIGINT) AS cents
+        FROM r WHERE rn <= 3
+        UNION ALL
+        SELECT event_type, 'OTHER' AS who, CAST(sum(cents) AS BIGINT) AS cents
+        FROM r WHERE rn > 3 GROUP BY 1
+    """
+    oracles["quality_decile_review_rate"] = f"""
+        WITH flag AS ({oracles["flagship_extraction"]}),
+        b AS (SELECT quality_micro // 100000 AS band,
+                     CASE WHEN needs_review THEN 1 ELSE 0 END AS nr
+              FROM flag)
+        SELECT CAST(band AS BIGINT) AS band,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(nr) AS BIGINT) AS n_review,
+               CAST(1000000 * sum(nr) // count(*) AS BIGINT) AS review_ppm
+        FROM b GROUP BY 1
     """
     oracles["daily_value_ohlc"] = """
         WITH r AS (

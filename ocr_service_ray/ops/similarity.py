@@ -642,3 +642,67 @@ def jaccard_pair_join(
         )
 
     return joined.map_batches(verify, batch_format="pandas")
+
+
+def hard_negatives(
+    ds,
+    queries: np.ndarray,
+    query_labels,
+    k: int = 3,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+):
+    """Hard-negative mining for contrastive training: for each query
+    vector, the top-``k`` most-similar corpus vectors with a
+    DIFFERENT label. Same one-scan broadcast-matmul shape as
+    :func:`multi_knn` — the (q, d) query matrix and its labels ride
+    the closure once; the label mask is a vectorized (n, q) compare
+    inside the block, so labels never shuffle. Same rounded-cosine /
+    id-ascending tie discipline, so the DuckDB oracle reproduces the
+    result exactly (``WHERE e.label != q.label`` + ROW_NUMBER)."""
+    from ocr_service_ray.ops.relational import grouped_topk
+
+    q = queries.astype(np.float64)
+    qn = np.linalg.norm(q, axis=1)
+    qn[qn == 0] = 1.0
+    nq = q.shape[0]
+    qlab = np.asarray(query_labels)
+
+    def score(b: pa.Table) -> pa.Table:
+        mat = _as_matrix(b[vec_col])
+        empty = pa.table(
+            {
+                "query_id": pa.array([], pa.int64()),
+                id_col: pa.array([], b[id_col].type),
+                "cos_sim": pa.array([], pa.float64()),
+            }
+        )
+        if mat.size == 0:
+            return empty
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat @ q.T) / norms[:, None] / qn[None, :], 6)
+        labs = b[label_col].to_numpy(zero_copy_only=False)
+        same = labs[:, None] == qlab[None, :]  # (n, q)
+        sims = np.where(same, -np.inf, sims)
+        n = mat.shape[0]
+        kk = min(k, n)
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, nq)
+        ids = b[id_col].to_numpy(zero_copy_only=False)
+        qid = np.repeat(np.arange(nq, dtype=np.int64), kk)
+        rows = part.T.reshape(-1)
+        vals = sims[rows, qid]
+        keep = np.isfinite(vals)  # drop masked (same-label) fillers
+        return pa.table(
+            {
+                "query_id": pa.array(qid[keep]),
+                id_col: pa.array(ids[rows][keep]),
+                "cos_sim": pa.array(vals[keep], pa.float64()),
+            }
+        )
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    return grouped_topk(
+        scored, ["query_id"], ["cos_sim", id_col], k, [True, False]
+    )
