@@ -9993,6 +9993,183 @@ def queries() -> dict[str, Callable[[str], Any]]:
             "int64"
         )
 
+    def q_knn_mutual_rate(sf_dir):
+        """kNN-graph mutuality audit over the vec_id<64 subsample:
+        build the directed top-3 cosine graph (self excluded via the
+        hard_negatives label mask with label = vec_id) and report the
+        reciprocated-edge rate — the embedding-health metric that
+        flags hubness before an ANN index build. One scan of the
+        subsample, |q|·k edges, trivial driver fold."""
+        import pandas as pd
+        import pyarrow.parquet as pq
+
+        from ocr_service_ray.ops import similarity
+
+        qt = (
+            pq.read_table(f"{sf_dir}/embeddings.parquet")
+            .filter(pc.less(pc.field("vec_id"), 64))
+            .sort_by("vec_id")
+        )
+        queries_m = similarity._as_matrix(qt["embedding"])
+        qids = qt["vec_id"].to_pylist()
+        sub = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+            lambda b: b.filter(pc.less(b["vec_id"], 64)),
+            batch_format="pyarrow",
+        )
+        edges = similarity.hard_negatives(
+            sub, queries_m, qids, k=3, label_col="vec_id"
+        ).to_pandas()
+        pairs = set(zip(edges["query_id"], edges["vec_id"]))
+        n_edges = len(pairs)
+        n_mutual = sum(1 for a, b in pairs if (b, a) in pairs)
+        return pd.DataFrame(
+            {
+                "n_edges": pd.array([n_edges], dtype="int64"),
+                "n_mutual": pd.array([n_mutual], dtype="int64"),
+                "mutual_ppm": pd.array(
+                    [(1_000_000 * n_mutual) // n_edges if n_edges else 0],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    def q_interpolate_user_days(sf_dir):
+        """Linear gap-fill densify: per user the full day grid
+        min..max, missing days filled by INTEGER linear interpolation
+        v_prev + (v_next−v_prev)·(d−d_prev) // gap — the
+        training-series densify LOCF can't serve (numpy floor
+        division; the oracle reproduces flooring via the
+        a − mathmod(a, b) identity over DuckDB's truncating //).
+        One combiner to (user, day) partials, one bucketed key
+        shuffle, vectorized searchsorted fold per user."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "day": pa.array(us // 86_400_000_000),
+                    "cents": pa.array(c),
+                }
+            )
+
+        daily = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id", "day"],
+            {"cents": ("cents", "sum")},
+        )
+
+        def fill(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("day")
+            days = g["day"].to_numpy().astype(np.int64)
+            vals = g["cents"].to_numpy().astype(np.int64)
+            grid = np.arange(days[0], days[-1] + 1, dtype=np.int64)
+            ip = np.searchsorted(days, grid, side="right") - 1
+            iq = np.searchsorted(days, grid, side="left")
+            d_prev, v_prev = days[ip], vals[ip]
+            d_next, v_next = days[iq], vals[iq]
+            gap = np.where(d_next > d_prev, d_next - d_prev, 1)
+            v = v_prev + (v_next - v_prev) * (grid - d_prev) // gap
+            known = np.isin(grid, days)
+            return pd.DataFrame(
+                {
+                    "user_id": np.repeat(
+                        g["user_id"].iloc[0], len(grid)
+                    ),
+                    "day": grid,
+                    "cents": v,
+                    "interpolated": (~known).astype(np.int64),
+                }
+            )
+
+        return bucketed_map_groups(daily, ["user_id"], fill)
+
+    def q_blocking_eval(sf_dir):
+        """Entity-resolution blocking quality (Christen's metrics):
+        pair completeness and reduction ratio of the sorted-
+        neighborhood candidate generator against the exact PPJoin
+        Jaccard≥0.5 truth — the audit that decides whether a cheap
+        blocker may replace the quadratic join. Both sides are pair
+        tables (ints only — text never moves); candidates are
+        O(corpus) two-int rows, truth is similarity-bounded; the
+        compare is one pair-keyed driver merge at this scale (a
+        pair-keyed hash join at corpus scale)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.relational import hash_join
+        from ocr_service_ray.ops.scan import global_rank
+        from ocr_service_ray.ops.similarity import jaccard_pair_join
+
+        docs = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+        n_docs = docs.count()
+        ranked = global_rank(docs, ["n_chars", "doc_id"])
+        a = ranked.map_batches(
+            lambda b: pa.table(
+                {"rank": b["rank"], "id_a": b["doc_id"], "n_a": b["n_chars"]}
+            ),
+            batch_format="pyarrow",
+        )
+        b_side = ranked.map_batches(
+            lambda b: pa.table(
+                {
+                    "rank": pc.subtract(b["rank"], 1),
+                    "id_b": b["doc_id"],
+                    "n_b": b["n_chars"],
+                }
+            ),
+            batch_format="pyarrow",
+        )
+        cand = (
+            hash_join(a.repartition(4), b_side.repartition(4), on="rank")
+            .to_pandas()
+        )
+        cand = cand[(cand["n_b"] - cand["n_a"]).abs() <= 2]
+        cand_pairs = pd.DataFrame(
+            {
+                "lo": np.minimum(cand["id_a"], cand["id_b"]),
+                "hi": np.maximum(cand["id_a"], cand["id_b"]),
+            }
+        )
+        truth = jaccard_pair_join(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            "doc_id",
+            "text",
+            ngram=3,
+            threshold_ppm=500_000,
+        ).to_pandas()
+        truth_pairs = pd.DataFrame(
+            {
+                "lo": np.minimum(truth["id_a"], truth["id_b"]),
+                "hi": np.maximum(truth["id_a"], truth["id_b"]),
+            }
+        )
+        hit = cand_pairs.merge(truth_pairs, on=["lo", "hi"])
+        n_cand, n_truth, n_hit = len(cand_pairs), len(truth_pairs), len(hit)
+        all_pairs = n_docs * (n_docs - 1) // 2
+        return pd.DataFrame(
+            {
+                "n_cand": [n_cand],
+                "n_truth": [n_truth],
+                "n_hit": [n_hit],
+                "completeness_ppm": [
+                    (1_000_000 * n_hit) // n_truth if n_truth else 0
+                ],
+                "reduction_ppm": [
+                    1_000_000 - (1_000_000 * n_cand) // all_pairs
+                    if all_pairs
+                    else 0
+                ],
+            }
+        ).astype("int64")
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -10360,6 +10537,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hard_negatives": q_hard_negatives,
         "topk_users_with_other": q_topk_users_with_other,
         "quality_decile_review_rate": q_quality_decile_review_rate,
+        "knn_mutual_rate": q_knn_mutual_rate,
+        "interpolate_user_days": q_interpolate_user_days,
+        "blocking_eval": q_blocking_eval,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -15761,6 +15941,96 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY n_orders DESC, l_suppkey ASC
         LIMIT 10
+    """
+    oracles["knn_mutual_rate"] = """
+        WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                   FROM embeddings WHERE vec_id < 64),
+        e AS (
+          SELECT query_id, vec_id FROM (
+            SELECT q.vec_id AS query_id, s.vec_id,
+                   row_number() OVER (PARTITION BY q.vec_id
+                     ORDER BY list_cosine_similarity(s.v, q.v) DESC,
+                              s.vec_id) AS rn
+            FROM s, s q WHERE s.vec_id != q.vec_id)
+          WHERE rn <= 3)
+        SELECT CAST(count(*) AS BIGINT) AS n_edges,
+               CAST(sum(CASE WHEN EXISTS (
+                      SELECT 1 FROM e r
+                      WHERE r.query_id = e.vec_id
+                        AND r.vec_id = e.query_id) THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_mutual,
+               CAST(1000000 * sum(CASE WHEN EXISTS (
+                      SELECT 1 FROM e r
+                      WHERE r.query_id = e.vec_id
+                        AND r.vec_id = e.query_id) THEN 1 ELSE 0 END)
+                    // count(*) AS BIGINT) AS mutual_ppm
+        FROM e
+    """
+    oracles["interpolate_user_days"] = """
+        WITH d AS MATERIALIZED (
+          SELECT user_id,
+                 CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+                      AS BIGINT) AS day,
+                 sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS cents
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT user_id, min(day) AS lo, max(day) AS hi
+                 FROM d GROUP BY 1),
+        grid AS (SELECT s.user_id, gg.day
+                 FROM span s, unnest(generate_series(s.lo, s.hi)) AS gg(day)),
+        j AS (SELECT g.user_id, g.day, d.cents
+              FROM grid g LEFT JOIN d USING (user_id, day)),
+        f AS (SELECT user_id, day, cents,
+                last_value(CASE WHEN cents IS NOT NULL THEN day END
+                           IGNORE NULLS) OVER w AS d_prev,
+                last_value(cents IGNORE NULLS) OVER w AS v_prev,
+                first_value(CASE WHEN cents IS NOT NULL THEN day END
+                            IGNORE NULLS) OVER w2 AS d_next,
+                first_value(cents IGNORE NULLS) OVER w2 AS v_next
+              FROM j
+              WINDOW w AS (PARTITION BY user_id ORDER BY day
+                           ROWS UNBOUNDED PRECEDING),
+                     w2 AS (PARTITION BY user_id ORDER BY day
+                            ROWS BETWEEN CURRENT ROW
+                                     AND UNBOUNDED FOLLOWING))
+        SELECT user_id, CAST(day AS BIGINT) AS day,
+               CAST(CASE WHEN cents IS NOT NULL THEN cents
+                    ELSE v_prev
+                       + ((v_next - v_prev) * (day - d_prev)
+                          - (((v_next - v_prev) * (day - d_prev))
+                              % (d_next - d_prev)
+                             + (d_next - d_prev)) % (d_next - d_prev))
+                         // (d_next - d_prev)
+                    END AS BIGINT) AS cents,
+               CAST(CASE WHEN cents IS NULL THEN 1 ELSE 0 END AS BIGINT)
+                 AS interpolated
+        FROM f
+    """
+    oracles["blocking_eval"] = f"""
+        WITH truth AS ({oracles["jaccard_pair_join"]}),
+        r AS (SELECT doc_id, n_chars,
+                     lead(doc_id) OVER (ORDER BY n_chars, doc_id) AS nb_id,
+                     lead(n_chars) OVER (ORDER BY n_chars, doc_id) AS nb_n
+              FROM documents),
+        cand AS (
+          SELECT least(doc_id, nb_id) AS lo, greatest(doc_id, nb_id) AS hi
+          FROM r WHERE nb_id IS NOT NULL AND abs(nb_n - n_chars) <= 2),
+        tn AS (SELECT least(id_a, id_b) AS lo, greatest(id_a, id_b) AS hi
+               FROM truth),
+        m AS (SELECT (SELECT count(*) FROM cand) AS n_cand,
+                     (SELECT count(*) FROM tn) AS n_truth,
+                     (SELECT count(*) FROM cand JOIN tn USING (lo, hi))
+                       AS n_hit,
+                     (SELECT count(*) FROM documents) AS n)
+        SELECT CAST(n_cand AS BIGINT) AS n_cand,
+               CAST(n_truth AS BIGINT) AS n_truth,
+               CAST(n_hit AS BIGINT) AS n_hit,
+               CAST(CASE WHEN n_truth > 0
+                    THEN 1000000 * n_hit // n_truth ELSE 0 END AS BIGINT)
+                 AS completeness_ppm,
+               CAST(CASE WHEN n * (n - 1) // 2 > 0
+                    THEN 1000000 - 1000000 * n_cand // (n * (n - 1) // 2)
+                    ELSE 0 END AS BIGINT) AS reduction_ppm
+        FROM m
     """
     oracles["hard_negatives"] = """
         WITH q AS (SELECT vec_id AS query_id, label AS qlabel,

@@ -99,6 +99,14 @@ BENCH_QUERIES = [
     "embedding_covariance",
     "cms_token_counts",
     "scd2_type_intervals",
+    # round-3 session-7 wave: TPC-H completion (majority-supplier
+    # fold), OHLC endpoint combiner, label-masked hard negatives,
+    # split-hygiene audit
+    "q9_profit_proxy",
+    "q21_dominant_supplier",
+    "daily_value_ohlc",
+    "hard_negatives",
+    "split_leakage_rate",
 ]
 
 
