@@ -10170,6 +10170,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    def q_user_active_time(sf_dir):
+        """Interval-union engagement time per user: sessions split on
+        >30-min gaps (the sessionize rule), total in-session dwell =
+        Σ(session last ts − first ts) in integer microseconds — the
+        per-user active-time aggregate. One bucketed user shuffle,
+        vectorized numpy boundary fold per user."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            ts = np.sort(
+                g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            brk = np.nonzero(np.diff(ts) > 30 * 60 * 1_000_000)[0]
+            starts = np.concatenate(([0], brk + 1))
+            ends = np.concatenate((brk, [len(ts) - 1]))
+            return pd.DataFrame(
+                {
+                    "user_id": [g["user_id"].iloc[0]],
+                    "n_sessions": [len(starts)],
+                    "active_us": [int((ts[ends] - ts[starts]).sum())],
+                }
+            )
+
+        return bucketed_map_groups(ev, ["user_id"], fold)
+
+    def q_mcv_stats_orders(sf_dir):
+        """Catalog MCV statistics (the optimizer-stats shape): top-5
+        most-common values per column with counts — ONE exploded
+        (column, value) scan feeding one count combiner and a
+        per-column top-k combiner (the profile_table single-scan
+        discipline: C columns, one pass). Values are cast to a
+        uniform VARCHAR so every column rides the same exchange."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import grouped_topk
+
+        cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+        od = _read(sf_dir, "orders", cols)
+
+        def explode(b: pa.Table) -> pa.Table:
+            parts = [
+                pa.table(
+                    {
+                        "col": pa.array([c] * b.num_rows, pa.string()),
+                        "value": b[c].cast(pa.string()),
+                    }
+                )
+                for c in cols
+            ]
+            return pa.concat_tables(parts)
+
+        counts = grouped_agg(
+            od.map_batches(explode, batch_format="pyarrow"),
+            ["col", "value"],
+            {"n": (None, "count")},
+        )
+        return grouped_topk(counts, ["col"], ["n", "value"], 5, [True, False])
+
+    def q_blocklist_audit(sf_dir):
+        """Blocklist screening audit (the FineWeb/C4 curation shape):
+        for each broadcast blocklist term, how many documents contain
+        it and how many total (non-overlapping) occurrences exist —
+        the pre-filter report that sizes a removal rule before it
+        runs. Vectorized pc.count_substring per term inside ONE scan;
+        the |terms|-bounded partials fold in a tiny combiner."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        terms = ["spark", "slow", "dup", "big data"]
+        docs = _read(sf_dir, "documents", ["text"])
+
+        def count_terms(b: pa.Table) -> pa.Table:
+            rows = []
+            for t in terms:
+                occ = pc.count_substring(b["text"], t)
+                occ_np = occ.to_numpy(zero_copy_only=False).astype(np.int64)
+                rows.append(
+                    {
+                        "term": t,
+                        "n_docs": int((occ_np > 0).sum()),
+                        "n_occurrences": int(occ_np.sum()),
+                    }
+                )
+            return pa.Table.from_pylist(rows)
+
+        out = grouped_agg(
+            docs.map_batches(count_terms, batch_format="pyarrow"),
+            ["term"],
+            {
+                "n_docs": ("n_docs", "sum"),
+                "n_occurrences": ("n_occurrences", "sum"),
+            },
+        ).to_pandas()
+        out = out.sort_values("term").reset_index(drop=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["n_occurrences"] = out["n_occurrences"].astype("int64")
+        return out[["term", "n_docs", "n_occurrences"]]
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -10540,6 +10642,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_mutual_rate": q_knn_mutual_rate,
         "interpolate_user_days": q_interpolate_user_days,
         "blocking_eval": q_blocking_eval,
+        "user_active_time": q_user_active_time,
+        "mcv_stats_orders": q_mcv_stats_orders,
+        "blocklist_audit": q_blocklist_audit,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -15941,6 +16046,52 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY n_orders DESC, l_suppkey ASC
         LIMIT 10
+    """
+    oracles["user_active_time"] = """
+        WITH f AS (
+          SELECT user_id, ts,
+                 CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                                              ORDER BY ts)
+                           > INTERVAL '30 minutes' THEN 1 ELSE 0 END AS brk
+          FROM events),
+        s AS (SELECT user_id, ts,
+                     sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+              FROM f),
+        per AS (SELECT user_id, sid,
+                       epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+                FROM s GROUP BY 1, 2)
+        SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+               CAST(sum(dur) AS BIGINT) AS active_us
+        FROM per GROUP BY 1
+    """
+    oracles["mcv_stats_orders"] = """
+        WITH e AS (
+          SELECT 'o_orderstatus' AS col,
+                 CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+        c AS (SELECT col, value, count(*) AS n FROM e GROUP BY 1, 2)
+        SELECT col, value, CAST(n AS BIGINT) AS n FROM (
+          SELECT col, value, n,
+                 row_number() OVER (PARTITION BY col
+                                    ORDER BY n DESC, value) AS rn
+          FROM c) WHERE rn <= 5
+    """
+    oracles["blocklist_audit"] = """
+        WITH t AS (SELECT unnest(['spark', 'slow', 'dup', 'big data'])
+                     AS term)
+        SELECT t.term,
+               CAST(sum(CASE WHEN strpos(d.text, t.term) > 0
+                             THEN 1 ELSE 0 END) AS BIGINT) AS n_docs,
+               CAST(sum((length(d.text)
+                         - length(replace(d.text, t.term, '')))
+                        // length(t.term)) AS BIGINT) AS n_occurrences
+        FROM documents d, t
+        GROUP BY 1
     """
     oracles["knn_mutual_rate"] = """
         WITH s AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
