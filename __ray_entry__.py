@@ -10272,6 +10272,121 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["n_occurrences"] = out["n_occurrences"].astype("int64")
         return out[["term", "n_docs", "n_occurrences"]]
 
+    def q_cross_lang_dups(sf_dir):
+        """Cross-language duplicate audit: normalized 80-char prefix
+        fingerprints that appear under MORE THAN ONE language label —
+        the LID-error / translated-boilerplate detector that a
+        per-language dedup would miss. One scan to (fp, lang) rows,
+        then two nested combiners ((fp, lang) counts → per-fp lang
+        count + doc sum); only distinct fingerprint pairs shuffle."""
+        import hashlib
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.text import normalize_text
+
+        docs = _read(sf_dir, "documents", ["lang", "text"])
+
+        def fp(b: pa.Table) -> pa.Table:
+            nt = normalize_text(b)["norm_text"].to_pylist()
+            h = [hashlib.md5(t[:80].encode()).hexdigest() for t in nt]
+            return pa.table(
+                {"th": pa.array(h, pa.string()), "lang": b["lang"]}
+            )
+
+        pairs = grouped_agg(
+            docs.map_batches(fp, batch_format="pyarrow"),
+            ["th", "lang"],
+            {"n": (None, "count")},
+        )
+        per_fp = grouped_agg(
+            pairs,
+            ["th"],
+            {"n_docs": ("n", "sum"), "n_langs": (None, "count")},
+        ).to_pandas()
+        out = per_fp[per_fp["n_langs"] > 1].sort_values("th")
+        out = out.reset_index(drop=True)
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["n_langs"] = out["n_langs"].astype("int64")
+        return out[["th", "n_docs", "n_langs"]]
+
+    def q_max_event_rate_per_user(sf_dir):
+        """Per-user peak event rate: the maximum number of events in
+        ANY sliding 60-second window [t, t+60s) anchored at an event —
+        the rate-limit / abuse-detection audit. One bucketed user
+        shuffle; the per-user fold is two vectorized searchsorteds
+        over the sorted timestamp array (value-based bounds, so
+        duplicate timestamps count exactly like the SQL range
+        self-join)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+
+        ev = _read(sf_dir, "events", ["user_id", "ts"])
+
+        def fold(g: pd.DataFrame) -> pd.DataFrame:
+            us = np.sort(
+                g["ts"].astype("datetime64[us]").astype("int64").to_numpy()
+            )
+            lo = np.searchsorted(us, us, side="left")
+            hi = np.searchsorted(us, us + 60_000_000, side="left")
+            return pd.DataFrame(
+                {
+                    "user_id": [g["user_id"].iloc[0]],
+                    "max_per_minute": [int((hi - lo).max())],
+                }
+            )
+
+        return bucketed_map_groups(ev, ["user_id"], fold)
+
+    def q_vocab_coverage_topk(sf_dir):
+        """Zipf tail-mass audit: the share of all token occurrences
+        (in ppm) covered by the top-100 / top-1000 / top-10000 tokens —
+        the vocabulary-size sizing curve for tokenizer training. One
+        token-count combiner over the corpus; the global total is a
+        |blocks|-bounded partial sum and the top-k is the combiner
+        top-k — the full vocabulary never reaches the driver."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import global_agg, grouped_agg
+        from ocr_service_ray.ops.relational import topk
+
+        docs = _read(sf_dir, "documents", ["text"])
+
+        def toks(b: pa.Table) -> pa.Table:
+            split = pc.split_pattern_regex(b["text"], r"\s+")
+            flat = pc.list_flatten(split)
+            flat = flat.filter(pc.greater(pc.utf8_length(flat), 0))
+            return pa.table({"token": flat})
+
+        counts = grouped_agg(
+            docs.map_batches(toks, batch_format="pyarrow"),
+            ["token"],
+            {"n": (None, "count")},
+        ).materialize()
+        total = int(
+            global_agg(counts, {"total": ("n", "sum")})["total"]
+        )
+        top = topk(
+            counts, by=["n", "token"], k=10_000, descending=[True, False]
+        ).to_pandas()
+        top = top.sort_values(
+            ["n", "token"], ascending=[False, True]
+        ).reset_index(drop=True)
+        csum = top["n"].astype("int64").cumsum()
+        rows = []
+        for k in (100, 1_000, 10_000):
+            covered = int(csum.iloc[min(k, len(csum)) - 1]) if len(csum) else 0
+            rows.append(
+                {
+                    "k": k,
+                    "covered": covered,
+                    "covered_ppm": (1_000_000 * covered) // total
+                    if total
+                    else 0,
+                }
+            )
+        return pd.DataFrame(rows).astype("int64")
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -10645,6 +10760,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_time": q_user_active_time,
         "mcv_stats_orders": q_mcv_stats_orders,
         "blocklist_audit": q_blocklist_audit,
+        "cross_lang_dups": q_cross_lang_dups,
+        "max_event_rate_per_user": q_max_event_rate_per_user,
+        "vocab_coverage_topk": q_vocab_coverage_topk,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -16046,6 +16164,45 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY n_orders DESC, l_suppkey ASC
         LIMIT 10
+    """
+    oracles["cross_lang_dups"] = r"""
+        WITH h AS (
+          SELECT md5(substr(trim(regexp_replace(lower(text), '\s+', ' ', 'g')),
+                            1, 80)) AS th,
+                 lang
+          FROM documents),
+        p AS (SELECT th, count(*) AS n_docs,
+                     count(DISTINCT lang) AS n_langs
+              FROM h GROUP BY 1)
+        SELECT th, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_langs AS BIGINT) AS n_langs
+        FROM p WHERE n_langs > 1
+    """
+    oracles["max_event_rate_per_user"] = """
+        WITH e AS (SELECT user_id, epoch_us(ts) AS us FROM events)
+        SELECT user_id, CAST(max(c) AS BIGINT) AS max_per_minute FROM (
+          SELECT a.user_id, a.us, count(*) AS c
+          FROM e a JOIN e b ON a.user_id = b.user_id
+                           AND b.us >= a.us
+                           AND b.us < a.us + 60000000
+          GROUP BY 1, 2)
+        GROUP BY 1
+    """
+    oracles["vocab_coverage_topk"] = r"""
+        WITH t AS (
+          SELECT unnest(regexp_extract_all(text, '\S+')) AS token
+          FROM documents),
+        c AS (SELECT token, count(*) AS n FROM t GROUP BY 1),
+        r AS (SELECT n, row_number() OVER (ORDER BY n DESC, token) AS rn
+              FROM c),
+        tot AS (SELECT sum(n) AS total FROM c),
+        ks AS (SELECT unnest([100, 1000, 10000]) AS k)
+        SELECT CAST(ks.k AS BIGINT) AS k,
+               CAST(coalesce(sum(r.n), 0) AS BIGINT) AS covered,
+               CAST(1000000 * coalesce(sum(r.n), 0) // (SELECT total FROM tot)
+                 AS BIGINT) AS covered_ppm
+        FROM ks LEFT JOIN r ON r.rn <= ks.k
+        GROUP BY ks.k
     """
     oracles["user_active_time"] = """
         WITH f AS (
