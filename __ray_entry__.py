@@ -10387,6 +10387,107 @@ def queries() -> dict[str, Callable[[str], Any]]:
             )
         return pd.DataFrame(rows).astype("int64")
 
+    def q_filter_ablation(sf_dir):
+        """Quality-filter ablation matrix: per curation rule, how many
+        docs it flags and how many it ALONE flags (unique
+        contribution), plus the any-rule union — the report that
+        decides whether a rule earns its false-positive budget before
+        a corpus-scale removal run. ONE streaming pass computes all
+        four integer rule flags (Gopher repetition stats are
+        row-local), a |rules|-bounded combiner folds the matrix; text
+        never shuffles."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.quality_rules import repetition_stats
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+        stats = repetition_stats(docs, append=True)
+
+        def flags(b: pa.Table) -> pa.Table:
+            nw = b["n_words"].to_numpy(zero_copy_only=False)
+            ktw = b["keep_top_word"].to_numpy(zero_copy_only=False)
+            kdb = b["keep_dup_bigram"].to_numpy(zero_copy_only=False)
+            nc = b["n_chars"].to_numpy(zero_copy_only=False)
+            rules = {
+                "top_word": ~ktw,
+                "dup_bigram": ~kdb,
+                "too_short": nw < 20,
+                "too_long": nc > 450,
+            }
+            m = np.stack(list(rules.values()))
+            tot = m.sum(axis=0)
+            rows = [
+                {
+                    "rule": name,
+                    "n_flagged": int(m[i].sum()),
+                    "n_only": int((m[i] & (tot == 1)).sum()),
+                }
+                for i, name in enumerate(rules)
+            ]
+            rows.append(
+                {
+                    "rule": "ANY",
+                    "n_flagged": int((tot > 0).sum()),
+                    "n_only": int((tot == 1).sum()),
+                }
+            )
+            return pa.Table.from_pylist(rows)
+
+        out = grouped_agg(
+            stats.map_batches(flags, batch_format="pyarrow"),
+            ["rule"],
+            {"n_flagged": ("n_flagged", "sum"), "n_only": ("n_only", "sum")},
+        ).to_pandas()
+        out = out.sort_values("rule").reset_index(drop=True)
+        out["n_flagged"] = out["n_flagged"].astype("int64")
+        out["n_only"] = out["n_only"].astype("int64")
+        return out[["rule", "n_flagged", "n_only"]]
+
+    def q_encoding_plan_orders(sf_dir):
+        """Columnar encoding planner (the lakehouse OPTIMIZE shape):
+        per column, row count, exact NDV, dictionary index bit-width
+        (bit_length(ndv−1)) and a dict-vs-plain recommendation by the
+        integer 1% cardinality rule — ONE exploded (column, value)
+        scan feeding two nested combiners (the MCV/profile single-pass
+        discipline)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        cols = ["o_orderstatus", "o_orderpriority", "o_custkey"]
+        od = _read(sf_dir, "orders", cols)
+
+        def explode(b: pa.Table) -> pa.Table:
+            parts = [
+                pa.table(
+                    {
+                        "col": pa.array([c] * b.num_rows, pa.string()),
+                        "value": b[c].cast(pa.string()),
+                    }
+                )
+                for c in cols
+            ]
+            return pa.concat_tables(parts)
+
+        pairs = grouped_agg(
+            od.map_batches(explode, batch_format="pyarrow"),
+            ["col", "value"],
+            {"n": (None, "count")},
+        )
+        per_col = grouped_agg(
+            pairs, ["col"], {"ndv": (None, "count"), "n_rows": ("n", "sum")}
+        ).to_pandas()
+        ndv = per_col["ndv"].astype("int64")
+        per_col["index_bits"] = [
+            0 if v <= 1 else int(v - 1).bit_length() for v in ndv
+        ]
+        per_col["plan"] = np.where(
+            ndv * 100 <= per_col["n_rows"].astype("int64"), "dict", "plain"
+        )
+        per_col = per_col.sort_values("col").reset_index(drop=True)
+        for c in ("ndv", "n_rows", "index_bits"):
+            per_col[c] = per_col[c].astype("int64")
+        return per_col[["col", "n_rows", "ndv", "index_bits", "plan"]]
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -10763,6 +10864,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cross_lang_dups": q_cross_lang_dups,
         "max_event_rate_per_user": q_max_event_rate_per_user,
         "vocab_coverage_topk": q_vocab_coverage_topk,
+        "filter_ablation": q_filter_ablation,
+        "encoding_plan_orders": q_encoding_plan_orders,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -16164,6 +16267,58 @@ def oracle_sql() -> dict[str, str]:
         GROUP BY 1
         ORDER BY n_orders DESC, l_suppkey ASC
         LIMIT 10
+    """
+    oracles["filter_ablation"] = f"""
+        WITH rep AS ({oracles["repetition_rules"]}),
+        j AS (SELECT r.*, d.n_chars
+              FROM rep r JOIN documents d USING (doc_id)),
+        f AS (SELECT doc_id,
+                CASE WHEN keep_top_word = 0 THEN 1 ELSE 0 END AS f_top,
+                CASE WHEN keep_dup_bigram = 0 THEN 1 ELSE 0 END AS f_dup,
+                CASE WHEN n_words < 20 THEN 1 ELSE 0 END AS f_short,
+                CASE WHEN n_chars > 450 THEN 1 ELSE 0 END AS f_long
+              FROM j),
+        t AS (SELECT *, f_top + f_dup + f_short + f_long AS tot FROM f)
+        SELECT 'top_word' AS rule,
+               CAST(sum(f_top) AS BIGINT) AS n_flagged,
+               CAST(sum(CASE WHEN f_top = 1 AND tot = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_only FROM t
+        UNION ALL
+        SELECT 'dup_bigram', CAST(sum(f_dup) AS BIGINT),
+               CAST(sum(CASE WHEN f_dup = 1 AND tot = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'too_short', CAST(sum(f_short) AS BIGINT),
+               CAST(sum(CASE WHEN f_short = 1 AND tot = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'too_long', CAST(sum(f_long) AS BIGINT),
+               CAST(sum(CASE WHEN f_long = 1 AND tot = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) FROM t
+        UNION ALL
+        SELECT 'ANY',
+               CAST(sum(CASE WHEN tot > 0 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN tot = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        FROM t
+    """
+    oracles["encoding_plan_orders"] = """
+        WITH e AS (
+          SELECT 'o_orderstatus' AS col,
+                 CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+          UNION ALL
+          SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+          FROM orders
+          UNION ALL
+          SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+        s AS (SELECT col, count(*) AS n_rows, count(DISTINCT value) AS ndv
+              FROM e GROUP BY 1)
+        SELECT col, CAST(n_rows AS BIGINT) AS n_rows,
+               CAST(ndv AS BIGINT) AS ndv,
+               CAST(CASE WHEN ndv <= 1 THEN 0
+                    ELSE length(bin(ndv - 1)) END AS BIGINT) AS index_bits,
+               CASE WHEN ndv * 100 <= n_rows THEN 'dict' ELSE 'plain' END
+                 AS plan
+        FROM s
     """
     oracles["cross_lang_dups"] = r"""
         WITH h AS (
