@@ -10488,6 +10488,193 @@ def queries() -> dict[str, Callable[[str], Any]]:
             per_col[c] = per_col[c].astype("int64")
         return per_col[["col", "n_rows", "ndv", "index_bits", "plan"]]
 
+    def q_q12_returnflag_priority(sf_dir):
+        """TPC-H Q12 shape on available columns (no l_shipmode /
+        l_receiptdate in this corpus — l_returnflag stands in for the
+        ship mode, l_shipdate for the receipt window): lines shipped
+        in 1996 join to their orders, per returnflag count
+        critical-priority (1-URGENT / 2-HIGH) vs other lines. The
+        date filter prunes BEFORE any shuffle and the per-(orderkey,
+        returnflag) line counts fold through the COMBINER first (the
+        q3 discipline — partials join, raw lineitem rows never move);
+        the priority split is a vectorized indicator + combiner sum,
+        the COUNT FILTER shape."""
+        import datetime as _dt
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import hash_join
+
+        lo, hi = _dt.datetime(1996, 1, 1), _dt.datetime(1997, 1, 1)
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_shipdate"])
+
+        def li_prep(b: pa.Table) -> pa.Table:
+            keep = pc.and_(
+                pc.greater_equal(b["l_shipdate"], pa.scalar(lo)),
+                pc.less(b["l_shipdate"], pa.scalar(hi)),
+            )
+            b = b.filter(keep)
+            return b.select(["l_orderkey", "l_returnflag"])
+
+        lines = grouped_agg(
+            li.map_batches(li_prep, batch_format="pyarrow"),
+            ["l_orderkey", "l_returnflag"],
+            {"n_lines": (None, "count")},
+        )
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+        # repartition: the combiner emits schema-less zero-row blocks
+        # for empty buckets and the acero join rejects them (repo
+        # landmine — same interposition as ops/ranking.py:177)
+        j = hash_join(lines.repartition(4), od, on="l_orderkey", right_on="o_orderkey")
+
+        def split(b: pa.Table) -> pa.Table:
+            pr = b["o_orderpriority"].to_numpy(zero_copy_only=False)
+            n = b["n_lines"].to_numpy(zero_copy_only=False).astype(np.int64)
+            high = np.isin(pr, ["1-URGENT", "2-HIGH"]).astype(np.int64)
+            return pa.table(
+                {
+                    "l_returnflag": b["l_returnflag"],
+                    "high": pa.array(high * n),
+                    "low": pa.array((1 - high) * n),
+                }
+            )
+
+        out = grouped_agg(
+            j.map_batches(split, batch_format="pyarrow"),
+            ["l_returnflag"],
+            {"high_line_count": ("high", "sum"), "low_line_count": ("low", "sum")},
+        ).to_pandas()
+        out = out.sort_values("l_returnflag").reset_index(drop=True)
+        for c in ("high_line_count", "low_line_count"):
+            out[c] = out[c].astype("int64")
+        return out[["l_returnflag", "high_line_count", "low_line_count"]]
+
+    def q_padding_waste_sweep(sf_dir):
+        """Sequence-packing planner for LLM batching: for each
+        candidate max_len, how many fixed-length sequences the corpus
+        fills when every doc is chunked independently
+        (n_seqs = Σ ceil(tokens/L)) and how many pad tokens that
+        wastes (Σ n_seqs·L − tokens), plus waste ppm — the report
+        that picks the context length BEFORE a tokenize-and-pack run.
+        ONE streaming pass computes whitespace token counts
+        (the token_counts split semantics); per-L arithmetic is
+        integer and block-local, a |L|-bounded combiner folds the
+        totals. Text never shuffles."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        max_lens = [64, 128, 256]
+        docs = _read(sf_dir, "documents", ["text"])
+
+        def plan(b: pa.Table) -> pa.Table:
+            ntok = pc.add(pc.count_substring(b["text"], " "), 1).to_numpy(
+                zero_copy_only=False
+            ).astype(np.int64)
+            rows = []
+            for L in max_lens:
+                nseq = -(-ntok // L)  # ceil div, pure int
+                rows.append(
+                    {
+                        "max_len": L,
+                        "n_docs": int(len(ntok)),
+                        "n_seqs": int(nseq.sum()),
+                        "n_pad": int((nseq * L - ntok).sum()),
+                    }
+                )
+            return pa.Table.from_pylist(rows)
+
+        out = grouped_agg(
+            docs.map_batches(plan, batch_format="pyarrow"),
+            ["max_len"],
+            {
+                "n_docs": ("n_docs", "sum"),
+                "n_seqs": ("n_seqs", "sum"),
+                "n_pad": ("n_pad", "sum"),
+            },
+        ).to_pandas()
+        out = out.sort_values("max_len").reset_index(drop=True)
+        for c in ("max_len", "n_docs", "n_seqs", "n_pad"):
+            out[c] = out[c].astype("int64")
+        out["pad_ppm"] = (
+            out["n_pad"] * 1000000 // (out["n_seqs"] * out["max_len"])
+        ).astype("int64")
+        return out
+
+    def q_compaction_bins_orders(sf_dir):
+        """Small-file compaction planner (the lakehouse OPTIMIZE
+        bin-assignment shape): treat each o_orderdate's row count as
+        one input file, walk files in date order and assign each to
+        bin = floor(preceding_cumulative / target) — the sequential
+        greedy plan a compactor executes. The per-date counts come
+        from ONE combiner aggregate (raw rows never shuffle); the
+        prefix scan runs on the |days|-bounded partial table
+        (driver-side by the scan.py two-phase contract — block
+        metadata scale, not data scale)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        target = 2000
+        per_day = grouped_agg(
+            _read(sf_dir, "orders", ["o_orderdate"]),
+            ["o_orderdate"],
+            {"n_rows": (None, "count")},
+        ).to_pandas()
+        per_day = per_day.sort_values("o_orderdate").reset_index(drop=True)
+        n = per_day["n_rows"].astype("int64").to_numpy()
+        cum_before = np.concatenate(([0], np.cumsum(n)[:-1]))
+        per_day["bin"] = (cum_before // target).astype("int64")
+        out = (
+            per_day.groupby("bin", as_index=False)
+            .agg(
+                n_files=("o_orderdate", "count"),
+                total_rows=("n_rows", "sum"),
+                first_day=("o_orderdate", "min"),
+                last_day=("o_orderdate", "max"),
+            )
+            .sort_values("bin")
+            .reset_index(drop=True)
+        )
+        out["n_files"] = out["n_files"].astype("int64")
+        out["total_rows"] = out["total_rows"].astype("int64")
+        out["first_day"] = pd.to_datetime(out["first_day"])
+        out["last_day"] = pd.to_datetime(out["last_day"])
+        return out[["bin", "n_files", "total_rows", "first_day", "last_day"]]
+
+    def q_boilerplate_prefix_share(sf_dir):
+        """Source boilerplate detector (the C4 header/nav heuristic):
+        per source, the modal first-3-token prefix, how many docs
+        start with it, and its share of the source in ppm — a high
+        share flags a sitewide boilerplate header worth stripping.
+        Prefixes are extracted vectorized (split → slice → join, no
+        Python loop); counts fold through the value-counts combiner
+        (grouped_mode) so raw text never shuffles; the per-source
+        totals come from a second |sources|-bounded combiner and the
+        final stitch is a |sources|-row driver merge."""
+        from ocr_service_ray.ops.agg import grouped_agg, grouped_mode
+
+        docs = _read(sf_dir, "documents", ["source", "text"])
+
+        def prefix(b: pa.Table) -> pa.Table:
+            toks = pc.split_pattern(b["text"], " ")
+            p3 = pc.binary_join(pc.list_slice(toks, 0, 3), " ")
+            return pa.table({"source": b["source"], "prefix3": p3})
+
+        pref = docs.map_batches(prefix, batch_format="pyarrow")
+        modal = grouped_mode(pref, ["source"], "prefix3").to_pandas()
+        totals = grouped_agg(
+            _read(sf_dir, "documents", ["source"]),
+            ["source"],
+            {"n_docs": (None, "count")},
+        ).to_pandas()
+        out = modal.merge(totals, on="source")
+        out["mode_count"] = out["mode_count"].astype("int64")
+        out["n_docs"] = out["n_docs"].astype("int64")
+        out["share_ppm"] = (out["mode_count"] * 1000000 // out["n_docs"]).astype(
+            "int64"
+        )
+        out = out.sort_values("source").reset_index(drop=True)
+        out = out.rename(columns={"mode": "prefix3"})
+        return out[["source", "prefix3", "mode_count", "n_docs", "share_ppm"]]
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -10866,6 +11053,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_coverage_topk": q_vocab_coverage_topk,
         "filter_ablation": q_filter_ablation,
         "encoding_plan_orders": q_encoding_plan_orders,
+        "q12_returnflag_priority": q_q12_returnflag_priority,
+        "padding_waste_sweep": q_padding_waste_sweep,
+        "compaction_bins_orders": q_compaction_bins_orders,
+        "boilerplate_prefix_share": q_boilerplate_prefix_share,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -16319,6 +16510,71 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN ndv * 100 <= n_rows THEN 'dict' ELSE 'plain' END
                  AS plan
         FROM s
+    """
+    oracles["q12_returnflag_priority"] = """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-01-01'
+        GROUP BY l_returnflag
+    """
+    oracles["padding_waste_sweep"] = """
+        WITH t AS (
+          SELECT CAST(length(string_split(text, ' ')) AS BIGINT) AS ntok
+          FROM documents),
+        l AS (SELECT CAST(unnest([64, 128, 256]) AS BIGINT) AS max_len),
+        p AS (SELECT max_len, ntok,
+                     (ntok + max_len - 1) // max_len AS nseq
+              FROM t CROSS JOIN l),
+        s AS (SELECT max_len, count(*) AS n_docs, sum(nseq) AS n_seqs,
+                     sum(nseq * max_len - ntok) AS n_pad
+              FROM p GROUP BY max_len)
+        SELECT CAST(max_len AS BIGINT) AS max_len,
+               CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_seqs AS BIGINT) AS n_seqs,
+               CAST(n_pad AS BIGINT) AS n_pad,
+               CAST((n_pad * 1000000) // (n_seqs * max_len) AS BIGINT)
+                 AS pad_ppm
+        FROM s
+    """
+    oracles["compaction_bins_orders"] = """
+        WITH d AS (
+          SELECT o_orderdate, CAST(count(*) AS BIGINT) AS n_rows
+          FROM orders GROUP BY 1),
+        c AS (
+          SELECT o_orderdate, n_rows,
+                 COALESCE(sum(n_rows) OVER (
+                   ORDER BY o_orderdate
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_before
+          FROM d)
+        SELECT CAST(cum_before // 2000 AS BIGINT) AS bin,
+               CAST(count(*) AS BIGINT) AS n_files,
+               CAST(sum(n_rows) AS BIGINT) AS total_rows,
+               min(o_orderdate) AS first_day,
+               max(o_orderdate) AS last_day
+        FROM c GROUP BY 1
+    """
+    oracles["boilerplate_prefix_share"] = """
+        WITH p AS (
+          SELECT source,
+                 array_to_string(list_slice(string_split(text, ' '), 1, 3),
+                                 ' ') AS prefix3
+          FROM documents),
+        c AS (SELECT source, prefix3, count(*) AS cnt
+              FROM p GROUP BY 1, 2),
+        r AS (SELECT *, row_number() OVER (
+                PARTITION BY source ORDER BY cnt DESC, prefix3) AS rn
+              FROM c),
+        t AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1)
+        SELECT r.source, r.prefix3, CAST(r.cnt AS BIGINT) AS mode_count,
+               CAST(t.n_docs AS BIGINT) AS n_docs,
+               CAST((r.cnt * 1000000) // t.n_docs AS BIGINT) AS share_ppm
+        FROM r JOIN t ON r.source = t.source WHERE r.rn = 1
     """
     oracles["cross_lang_dups"] = r"""
         WITH h AS (
