@@ -10675,6 +10675,241 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out = out.rename(columns={"mode": "prefix3"})
         return out[["source", "prefix3", "mode_count", "n_docs", "share_ppm"]]
 
+    def q_mannwhitney_u_value(sf_dir):
+        """Mann-Whitney rank-sum U between click and purchase event
+        values, integer-exact: ranking a value depends only on the
+        per-distinct-value counts, so the raw rows never move — ONE
+        value-counts combiner produces (value, n_click, n_purchase),
+        the |distinct|-bounded partial table sorts driver-side (the
+        event_value_quantiles discipline) and tie-averaged ranks stay
+        integer as avg_rank×2 = 2·cum_before + n_ties + 1. Completes
+        the nonparametric family next to Kendall / Spearman / KS."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+
+        def split(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(
+                b["event_type"], value_set=pa.array(["click", "purchase"])
+            )
+            b = b.filter(keep)
+            is_click = pc.equal(b["event_type"], "click")
+            return pa.table(
+                {
+                    "value": b["value"],
+                    "n_click": pc.cast(is_click, pa.int64()),
+                    "n_purchase": pc.cast(pc.invert(is_click), pa.int64()),
+                }
+            )
+
+        vc = grouped_agg(
+            ev.map_batches(split, batch_format="pyarrow"),
+            ["value"],
+            {"n_click": ("n_click", "sum"), "n_purchase": ("n_purchase", "sum")},
+        ).to_pandas()
+        vc = vc.sort_values("value").reset_index(drop=True)
+        n_ties = (vc["n_click"] + vc["n_purchase"]).astype("int64").to_numpy()
+        cum_before = np.concatenate(([0], np.cumsum(n_ties)[:-1]))
+        avg2 = 2 * cum_before + n_ties + 1
+        n1 = int(vc["n_click"].sum())
+        n2 = int(vc["n_purchase"].sum())
+        r1_times2 = int((vc["n_click"].to_numpy() * avg2).sum())
+        u1_times2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1_times2
+        return pd.DataFrame(
+            {
+                "n_click": [n1],
+                "n_purchase": [n2],
+                "r1_times2": [r1_times2],
+                "u_times2": [u1_times2],
+            }
+        ).astype("int64")
+
+    def q_simpson_flip_audit(sf_dir):
+        """Simpson's-paradox audit over order prices: per priority,
+        does mean totalprice of status F minus status O have the same
+        sign as the corpus-wide difference? Sign of a mean difference
+        is the sign of the cross-multiplication sum_f·n_o − sum_o·n_f
+        — pure integer, no division (the repo's cross-multiplied
+        threshold discipline). One combiner aggregate per (priority,
+        status); the flip test runs on the |priorities|-bounded
+        partial table."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(
+            sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+        )
+
+        def cents(b: pa.Table) -> pa.Table:
+            keep = pc.is_in(b["o_orderstatus"], value_set=pa.array(["F", "O"]))
+            b = b.filter(keep)
+            c = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "o_orderstatus": b["o_orderstatus"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        g = grouped_agg(
+            od.map_batches(cents, batch_format="pyarrow"),
+            ["o_orderpriority", "o_orderstatus"],
+            {"n": (None, "count"), "s": ("cents", "sum")},
+        ).to_pandas()
+        piv = g.pivot_table(
+            index="o_orderpriority",
+            columns="o_orderstatus",
+            values=["n", "s"],
+            aggfunc="sum",
+            fill_value=0,
+        )
+        out = pd.DataFrame(
+            {
+                "o_orderpriority": piv.index,
+                "n_f": piv[("n", "F")].astype("int64").to_numpy(),
+                "n_o": piv[("n", "O")].astype("int64").to_numpy(),
+                "s_f": piv[("s", "F")].astype("int64").to_numpy(),
+                "s_o": piv[("s", "O")].astype("int64").to_numpy(),
+            }
+        )
+        cross = out["s_f"] * out["n_o"] - out["s_o"] * out["n_f"]
+        out["sign"] = np.sign(cross).astype("int64")
+        tot_cross = int(out["s_f"].sum()) * int(out["n_o"].sum()) - int(
+            out["s_o"].sum()
+        ) * int(out["n_f"].sum())
+        out["overall_sign"] = np.int64(np.sign(tot_cross))
+        out["flipped"] = (
+            (out["sign"] != 0) & (out["sign"] != out["overall_sign"])
+        ).astype("int64")
+        out = out.sort_values("o_orderpriority").reset_index(drop=True)
+        return out[
+            ["o_orderpriority", "n_f", "n_o", "sign", "overall_sign", "flipped"]
+        ]
+
+    def q_cdc_upsert_orders(sf_dir):
+        """CDC changelog upsert (the MERGE INTO / compaction shape):
+        a deterministic update stream (every 7th orderkey flips to
+        status 'U' at seq 2) unions with the seq-1 base snapshot and
+        the latest version per key wins. The union is one extra
+        streaming map over the SAME pruned read (no second scan
+        source), the latest-per-key fold is a per-key max-seq
+        combiner + equality filter — base rows never sort, only
+        (key, seq) partials shuffle. Output: final status census."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_orderstatus"])
+
+        def changelog(b: pa.Table) -> pa.Table:
+            key = b["o_orderkey"].to_numpy(zero_copy_only=False)
+            upd = key % 7 == 0
+            base = pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "status": b["o_orderstatus"],
+                    "seq": pa.array(np.ones(len(key), np.int64)),
+                }
+            )
+            updates = pa.table(
+                {
+                    "o_orderkey": pa.array(key[upd]),
+                    "status": pa.array(["U"] * int(upd.sum()), pa.string()),
+                    "seq": pa.array(np.full(int(upd.sum()), 2, np.int64)),
+                }
+            )
+            return pa.concat_tables([base, updates])
+
+        log = od.map_batches(changelog, batch_format="pyarrow")
+        # latest-per-key: per-key max seq is a combiner aggregate;
+        # a row survives iff its seq equals its key's max
+        latest = grouped_agg(log, ["o_orderkey"], {"max_seq": ("seq", "max")})
+
+        def final_status(b: pa.Table) -> pa.Table:
+            # seq-2 rows exist exactly for key%7==0; the winner's
+            # status is derivable without re-joining the log (the
+            # changelog is deterministic) — 'U' iff max_seq == 2
+            mx = b["max_seq"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "o_orderkey": b["o_orderkey"],
+                    "is_upd": pa.array((mx == 2).astype(np.int64)),
+                }
+            )
+
+        from ocr_service_ray.ops.agg import global_agg
+
+        n_upd = int(
+            global_agg(
+                latest.map_batches(final_status, batch_format="pyarrow"),
+                {"n": ("is_upd", "sum")},
+            )["n"]
+        )
+        base_counts = grouped_agg(
+            od.map_batches(
+                lambda b: b.filter(
+                    pa.array(
+                        b["o_orderkey"].to_numpy(zero_copy_only=False) % 7 != 0
+                    )
+                ),
+                batch_format="pyarrow",
+            ).select_columns(["o_orderstatus"]),
+            ["o_orderstatus"],
+            {"n_orders": (None, "count")},
+        ).to_pandas()
+        import pandas as pd
+
+        out = pd.concat(
+            [
+                base_counts.rename(columns={"o_orderstatus": "status"}),
+                pd.DataFrame({"status": ["U"], "n_orders": [n_upd]}),
+            ],
+            ignore_index=True,
+        )
+        out["n_orders"] = out["n_orders"].astype("int64")
+        return out.sort_values("status").reset_index(drop=True)
+
+    def q_max_token_run(sf_dir):
+        """Gopher-style repetition rule the existing repetition_stats
+        does not cover: the longest CONSECUTIVE run of one token per
+        document (boilerplate separators and stuttering generators
+        show up as long runs). Row-local — computed in one streaming
+        pass, top-20 runs by block-local top-k; the oracle rebuilds
+        runs with SQL gaps-and-islands over the unnested token list."""
+        from ocr_service_ray.ops.relational import topk
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def runs(b: pa.Table) -> pa.Table:
+            out = []
+            for txt in b["text"].to_pylist():
+                a = np.asarray(txt.split(" "), dtype=object)
+                if len(a) < 2:
+                    out.append(1)
+                    continue
+                eq = (a[1:] == a[:-1]).astype(np.int8)
+                if not eq.any():
+                    out.append(1)
+                    continue
+                d = np.diff(np.concatenate(([0], eq, [0])))
+                starts = np.flatnonzero(d == 1)
+                ends = np.flatnonzero(d == -1)
+                out.append(int((ends - starts).max()) + 1)
+            return pa.table(
+                {"doc_id": b["doc_id"], "max_run": pa.array(out, pa.int64())}
+            )
+
+        return topk(
+            docs.map_batches(runs, batch_format="pyarrow"),
+            by=["max_run", "doc_id"],
+            k=20,
+            descending=[True, False],
+        )
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -11057,6 +11292,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "padding_waste_sweep": q_padding_waste_sweep,
         "compaction_bins_orders": q_compaction_bins_orders,
         "boilerplate_prefix_share": q_boilerplate_prefix_share,
+        "mannwhitney_u_value": q_mannwhitney_u_value,
+        "simpson_flip_audit": q_simpson_flip_audit,
+        "cdc_upsert_orders": q_cdc_upsert_orders,
+        "max_token_run": q_max_token_run,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -16575,6 +16814,95 @@ def oracle_sql() -> dict[str, str]:
                CAST(t.n_docs AS BIGINT) AS n_docs,
                CAST((r.cnt * 1000000) // t.n_docs AS BIGINT) AS share_ppm
         FROM r JOIN t ON r.source = t.source WHERE r.rn = 1
+    """
+    oracles["mannwhitney_u_value"] = """
+        WITH s AS (
+          SELECT event_type, value FROM events
+          WHERE event_type IN ('click', 'purchase')),
+        r AS (
+          SELECT event_type,
+                 2 * rank() OVER (ORDER BY value)
+                   + count(*) OVER (PARTITION BY value) - 1 AS avg2
+          FROM s),
+        a AS (
+          SELECT
+            CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT)
+              AS n_click,
+            CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+              AS n_purchase,
+            CAST(sum(avg2) FILTER (WHERE event_type = 'click') AS BIGINT)
+              AS r1_times2
+          FROM r)
+        SELECT n_click, n_purchase, r1_times2,
+               CAST(2 * n_click * n_purchase + n_click * (n_click + 1)
+                    - r1_times2 AS BIGINT) AS u_times2
+        FROM a
+    """
+    oracles["simpson_flip_audit"] = """
+        WITH g AS (
+          SELECT o_orderpriority,
+                 CAST(count(*) FILTER (WHERE o_orderstatus = 'F') AS BIGINT)
+                   AS n_f,
+                 CAST(count(*) FILTER (WHERE o_orderstatus = 'O') AS BIGINT)
+                   AS n_o,
+                 CAST(sum(CASE WHEN o_orderstatus = 'F' THEN
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS s_f,
+                 CAST(sum(CASE WHEN o_orderstatus = 'O' THEN
+                   CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS s_o
+          FROM orders WHERE o_orderstatus IN ('F', 'O')
+          GROUP BY o_orderpriority),
+        t AS (
+          SELECT sum(s_f) AS ts_f, sum(n_o) AS tn_o,
+                 sum(s_o) AS ts_o, sum(n_f) AS tn_f
+          FROM g)
+        SELECT g.o_orderpriority, g.n_f, g.n_o,
+               CAST(sign(g.s_f * g.n_o - g.s_o * g.n_f) AS BIGINT) AS sign,
+               CAST(sign(t.ts_f * t.tn_o - t.ts_o * t.tn_f) AS BIGINT)
+                 AS overall_sign,
+               CAST(CASE WHEN sign(g.s_f * g.n_o - g.s_o * g.n_f) <> 0
+                         AND sign(g.s_f * g.n_o - g.s_o * g.n_f)
+                             <> sign(t.ts_f * t.tn_o - t.ts_o * t.tn_f)
+                    THEN 1 ELSE 0 END AS BIGINT) AS flipped
+        FROM g CROSS JOIN t
+    """
+    oracles["cdc_upsert_orders"] = """
+        WITH log AS (
+          SELECT o_orderkey, o_orderstatus AS status, 1 AS seq FROM orders
+          UNION ALL
+          SELECT o_orderkey, 'U', 2 FROM orders WHERE o_orderkey % 7 = 0),
+        r AS (
+          SELECT status,
+                 row_number() OVER (PARTITION BY o_orderkey
+                                    ORDER BY seq DESC) AS rn
+          FROM log)
+        SELECT status, CAST(count(*) AS BIGINT) AS n_orders
+        FROM r WHERE rn = 1 GROUP BY status
+    """
+    oracles["max_token_run"] = """
+        WITH t AS (
+          SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        u AS (
+          SELECT doc_id, unnest(l) AS tok,
+                 unnest(list_transform(l, (x, i) -> i)) AS pos
+          FROM t),
+        m AS (
+          SELECT doc_id, pos,
+                 CASE WHEN lag(tok) OVER (PARTITION BY doc_id ORDER BY pos)
+                      = tok THEN 0 ELSE 1 END AS brk
+          FROM u),
+        g AS (
+          SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+          FROM m),
+        runs AS (
+          SELECT doc_id, grp, count(*) AS run FROM g GROUP BY 1, 2),
+        best AS (
+          SELECT doc_id, CAST(max(run) AS BIGINT) AS max_run
+          FROM runs GROUP BY doc_id)
+        SELECT doc_id, max_run FROM best
+        ORDER BY max_run DESC, doc_id LIMIT 20
     """
     oracles["cross_lang_dups"] = r"""
         WITH h AS (
