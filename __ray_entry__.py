@@ -10910,6 +10910,97 @@ def queries() -> dict[str, Callable[[str], Any]]:
             descending=[True, False],
         )
 
+    def q_hash_bucket_uniformity(sf_dir):
+        """Shuffle-health audit: are md5 bucket assignments uniform
+        enough that no hash-partitioned exchange gets a hot
+        aggregator? Buckets events by md5('bkt:'||event_id) % 64 (the
+        exact SQL-reproducible u64 convention of hash_sample_docs),
+        folds per-bucket counts through one combiner, and reports the
+        integer chi-square numerator Σ(o·k − n)² plus min/max bucket
+        occupancy — scale-free integers a monitor can threshold
+        without float arithmetic."""
+        import hashlib
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        K = 64
+        ev = _read(sf_dir, "events", ["event_id"])
+
+        def bucket(b: pa.Table) -> pa.Table:
+            out = np.empty(b.num_rows, np.int64)
+            for i, e in enumerate(b["event_id"].to_pylist()):
+                d = hashlib.md5(f"bkt:{e}".encode()).digest()
+                out[i] = int.from_bytes(d[:8], "big") % K
+            return pa.table({"b": pa.array(out)})
+
+        c = grouped_agg(
+            ev.map_batches(bucket, batch_format="pyarrow"),
+            ["b"],
+            {"o": (None, "count")},
+        ).to_pandas()
+        # densify: an empty bucket still contributes (0·k − n)²
+        o = np.zeros(K, np.int64)
+        o[c["b"].astype(int).to_numpy()] = c["o"].astype("int64").to_numpy()
+        n = int(o.sum())
+        dev = o * K - n
+        return pd.DataFrame(
+            {
+                "n_rows": [n],
+                "n_buckets": [K],
+                "min_bucket_n": [int(o.min())],
+                "max_bucket_n": [int(o.max())],
+                "chisq_num": [int((dev * dev).sum())],
+            }
+        ).astype("int64")
+
+    def q_token_budget_cap(sf_dir):
+        """Per-source token-budget trimming (the curation shape AFTER
+        per-domain doc caps: each source may contribute at most B
+        tokens, earliest doc_ids first). Whitespace token counts are
+        one streaming pass; the in-group prefix sum rides
+        cumulative_by_key (bucketed key shuffle + in-group cumsum —
+        raw text never moves, only (source, doc_id, ntok) partials);
+        the budget filter and census are vectorized."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import cumulative_by_key
+
+        budget = 5000
+        docs = _read(sf_dir, "documents", ["source", "doc_id", "text"])
+
+        def ntok(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "source": b["source"],
+                    "doc_id": b["doc_id"],
+                    "ntok": pc.cast(
+                        pc.add(pc.count_substring(b["text"], " "), 1), pa.int64()
+                    ),
+                }
+            )
+
+        folded = cumulative_by_key(
+            docs.map_batches(ntok, batch_format="pyarrow"),
+            "source",
+            ["doc_id"],
+            "ntok",
+            out_col="cum",
+        )
+        kept = folded.map_batches(
+            lambda b: b.filter(pc.less_equal(b["cum"], budget)),
+            batch_format="pyarrow",
+        )
+        out = grouped_agg(
+            kept,
+            ["source"],
+            {"n_docs_kept": (None, "count"), "tokens_kept": ("ntok", "sum")},
+        ).to_pandas()
+        out = out.sort_values("source").reset_index(drop=True)
+        out["n_docs_kept"] = out["n_docs_kept"].astype("int64")
+        out["tokens_kept"] = out["tokens_kept"].astype("int64")
+        return out
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -11296,6 +11387,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simpson_flip_audit": q_simpson_flip_audit,
         "cdc_upsert_orders": q_cdc_upsert_orders,
         "max_token_run": q_max_token_run,
+        "hash_bucket_uniformity": q_hash_bucket_uniformity,
+        "token_budget_cap": q_token_budget_cap,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -16903,6 +16996,38 @@ def oracle_sql() -> dict[str, str]:
           FROM runs GROUP BY doc_id)
         SELECT doc_id, max_run FROM best
         ORDER BY max_run DESC, doc_id LIMIT 20
+    """
+    oracles["hash_bucket_uniformity"] = f"""
+        WITH h AS (
+          SELECT {_md5_u64_sql("md5('bkt:' || CAST(event_id AS VARCHAR))")}
+                   % 64 AS b
+          FROM events),
+        c AS (SELECT b, count(*) AS o FROM h GROUP BY b),
+        s AS (
+          SELECT g.b, COALESCE(c.o, 0) AS o
+          FROM (SELECT unnest(range(64)) AS b) g
+          LEFT JOIN c ON g.b = c.b),
+        t AS (SELECT sum(o) AS n FROM s)
+        SELECT CAST(t.n AS BIGINT) AS n_rows,
+               CAST(64 AS BIGINT) AS n_buckets,
+               CAST(min(s.o) AS BIGINT) AS min_bucket_n,
+               CAST(max(s.o) AS BIGINT) AS max_bucket_n,
+               CAST(sum((s.o * 64 - t.n) * (s.o * 64 - t.n)) AS BIGINT)
+                 AS chisq_num
+        FROM s CROSS JOIN t GROUP BY t.n
+    """
+    oracles["token_budget_cap"] = """
+        WITH t AS (
+          SELECT source, doc_id,
+                 CAST(length(string_split(text, ' ')) AS BIGINT) AS ntok
+          FROM documents),
+        c AS (
+          SELECT source, ntok,
+                 sum(ntok) OVER (PARTITION BY source ORDER BY doc_id) AS cum
+          FROM t)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
+               CAST(sum(ntok) AS BIGINT) AS tokens_kept
+        FROM c WHERE cum <= 5000 GROUP BY source
     """
     oracles["cross_lang_dups"] = r"""
         WITH h AS (
