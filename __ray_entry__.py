@@ -10716,7 +10716,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         n1 = int(vc["n_click"].sum())
         n2 = int(vc["n_purchase"].sum())
         r1_times2 = int((vc["n_click"].to_numpy() * avg2).sum())
-        u1_times2 = 2 * n1 * n2 + n1 * (n1 + 1) - r1_times2
+        # U1 = R1 - n1(n1+1)/2, so 2*U1 = 2*R1 - n1(n1+1); equals the
+        # pairwise 2*#(click>purchase) + #(click==purchase)
+        u1_times2 = r1_times2 - n1 * (n1 + 1)
         return pd.DataFrame(
             {
                 "n_click": [n1],
@@ -16927,8 +16929,8 @@ def oracle_sql() -> dict[str, str]:
               AS r1_times2
           FROM r)
         SELECT n_click, n_purchase, r1_times2,
-               CAST(2 * n_click * n_purchase + n_click * (n_click + 1)
-                    - r1_times2 AS BIGINT) AS u_times2
+               CAST(r1_times2 - n_click * (n_click + 1) AS BIGINT)
+                 AS u_times2
         FROM a
     """
     oracles["simpson_flip_audit"] = """
