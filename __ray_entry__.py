@@ -11003,6 +11003,210 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["tokens_kept"] = out["tokens_kept"].astype("int64")
         return out
 
+    def q_cube_revenue(sf_dir):
+        """GROUPING-SETS lattice (GROUP BY CUBE) via partial reuse:
+        the FINEST grain (priority, status) is aggregated ONCE with a
+        combiner; every coarser grouping set — (priority, ALL),
+        (ALL, status), (ALL, ALL) — is derived from that |P×S|-bounded
+        partial driver-side. One scan builds the whole cube; a naive
+        engine would scan once per grouping set."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(
+            sf_dir, "orders", ["o_orderpriority", "o_orderstatus", "o_totalprice"]
+        )
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderpriority": b["o_orderpriority"],
+                    "o_orderstatus": b["o_orderstatus"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        fine = grouped_agg(
+            od.map_batches(cents, batch_format="pyarrow"),
+            ["o_orderpriority", "o_orderstatus"],
+            {"n_orders": (None, "count"), "revenue_cents": ("cents", "sum")},
+        ).to_pandas()
+        fine["n_orders"] = fine["n_orders"].astype("int64")
+        fine["revenue_cents"] = fine["revenue_cents"].astype("int64")
+        sets = [fine]
+        for keys, drop in (
+            (["o_orderpriority"], "o_orderstatus"),
+            (["o_orderstatus"], "o_orderpriority"),
+            ([], None),
+        ):
+            if keys:
+                g = fine.groupby(keys, as_index=False)[
+                    ["n_orders", "revenue_cents"]
+                ].sum()
+                g[drop] = "ALL"
+            else:
+                g = pd.DataFrame(
+                    {
+                        "o_orderpriority": ["ALL"],
+                        "o_orderstatus": ["ALL"],
+                        "n_orders": [int(fine["n_orders"].sum())],
+                        "revenue_cents": [int(fine["revenue_cents"].sum())],
+                    }
+                )
+            sets.append(g)
+        out = pd.concat(sets, ignore_index=True)
+        out["n_orders"] = out["n_orders"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        out = out.sort_values(
+            ["o_orderpriority", "o_orderstatus"]
+        ).reset_index(drop=True)
+        return out[
+            ["o_orderpriority", "o_orderstatus", "n_orders", "revenue_cents"]
+        ]
+
+    def q_vacuum_plan_orders(sf_dir):
+        """Snapshot-retention VACUUM planner (the lakehouse
+        expire-snapshots shape): each o_orderdate epoch-day is one
+        data file; a deterministic rewrite schedule versions it —
+        snapshot s rewrites day d iff (d + s) % 3 == 0, so
+        version(d, s) = max rewriting s' <= s (0 = base). Snapshots
+        {2, 3} are retained, snapshot 1 expires: a (day, version)
+        file is deletable iff snapshot 1 references it and no live
+        snapshot does. Per-day row counts come from ONE combiner
+        (raw rows never shuffle); the version/set arithmetic runs on
+        the |days|-bounded partial."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        per_day = grouped_agg(
+            _read(sf_dir, "orders", ["o_orderdate"]).map_batches(
+                lambda b: pa.table(
+                    {
+                        "day": pa.array(
+                            b["o_orderdate"]
+                            .cast(pa.int64())
+                            .to_numpy(zero_copy_only=False)
+                            // 86_400_000_000
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ),
+            ["day"],
+            {"n_rows": (None, "count")},
+        ).to_pandas()
+        d = per_day["day"].astype("int64").to_numpy()
+
+        def version(s: int) -> np.ndarray:
+            v = np.zeros(len(d), np.int64)
+            for sp in range(1, s + 1):
+                v = np.where((d + sp) % 3 == 0, sp, v)
+            return v
+
+        v1, v2, v3 = version(1), version(2), version(3)
+        deletable = (v1 != v2) & (v1 != v3)
+        n = per_day["n_rows"].astype("int64").to_numpy()
+        # live set = {(d, v2)} ∪ {(d, v3)} — count distinct pairs
+        live = {(int(a), int(b)) for a, b in zip(d, v2)} | {
+            (int(a), int(b)) for a, b in zip(d, v3)
+        }
+        return pd.DataFrame(
+            {
+                "n_days": [len(d)],
+                "n_live_files": [len(live)],
+                "n_deletable": [int(deletable.sum())],
+                "rows_reclaimed": [int(n[deletable].sum())],
+            }
+        ).astype("int64")
+
+    def q_sorted_lcp_docs(sf_dir):
+        """Adjacent longest-common-prefix stats over the GLOBALLY
+        text-sorted corpus — the exact form of prefix-duplication
+        estimation (the fixed-width prefix-hash leakage audits are
+        its sketch). The one all-to-all this op needs is the range-
+        partition sort (``ds.sort``); after it, per-BLOCK summaries
+        (first/last text + inner LCP partials) flow to the driver —
+        |blocks| rows, never data — and the |blocks|−1 boundary pairs
+        are stitched there, the scan.py two-phase discipline. Inner
+        LCPs are byte-wise per consecutive pair (O(total chars), the
+        same work any kernel would do)."""
+        import pandas as pd
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"]).sort(
+            ["text", "doc_id"]
+        )
+
+        def lcp(a: str, b: str) -> int:
+            m = min(len(a), len(b))
+            i = 0
+            while i < m and a[i] == b[i]:
+                i += 1
+            return i
+
+        def block_summary(b: pa.Table) -> pa.Table:
+            t = b["text"].to_pylist()
+            if not t:
+                return pa.table(
+                    {
+                        "first_text": pa.array([], pa.string()),
+                        "first_id": pa.array([], pa.int64()),
+                        "last_text": pa.array([], pa.string()),
+                        "n_rows": pa.array([], pa.int64()),
+                        "n_pairs": pa.array([], pa.int64()),
+                        "sum_lcp": pa.array([], pa.int64()),
+                        "max_lcp": pa.array([], pa.int64()),
+                        "n_ge_40": pa.array([], pa.int64()),
+                    }
+                )
+            ls = [lcp(t[i - 1], t[i]) for i in range(1, len(t))]
+            return pa.table(
+                {
+                    "first_text": pa.array([t[0]]),
+                    "first_id": pa.array([b["doc_id"][0].as_py()], pa.int64()),
+                    "last_text": pa.array([t[-1]]),
+                    "n_rows": pa.array([len(t)], pa.int64()),
+                    "n_pairs": pa.array([len(ls)], pa.int64()),
+                    "sum_lcp": pa.array([int(sum(ls))], pa.int64()),
+                    "max_lcp": pa.array([max(ls) if ls else 0], pa.int64()),
+                    "n_ge_40": pa.array(
+                        [int(sum(1 for x in ls if x >= 40))], pa.int64()
+                    ),
+                }
+            )
+
+        meta = (
+            docs.map_batches(
+                block_summary, batch_format="pyarrow", batch_size=None
+            )
+            .to_pandas()
+            .sort_values(["first_text", "first_id"])
+            .reset_index(drop=True)
+        )
+        n_pairs = int(meta["n_pairs"].sum())
+        sum_lcp = int(meta["sum_lcp"].sum())
+        max_lcp = int(meta["max_lcp"].max()) if len(meta) else 0
+        n_ge_40 = int(meta["n_ge_40"].sum())
+        for i in range(1, len(meta)):
+            x = lcp(meta["last_text"].iloc[i - 1], meta["first_text"].iloc[i])
+            n_pairs += 1
+            sum_lcp += x
+            max_lcp = max(max_lcp, x)
+            n_ge_40 += int(x >= 40)
+        return pd.DataFrame(
+            {
+                "n_docs": [int(meta["n_rows"].sum())],
+                "n_pairs": [n_pairs],
+                "sum_lcp": [sum_lcp],
+                "max_lcp": [max_lcp],
+                "n_ge_40": [n_ge_40],
+            }
+        ).astype("int64")
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -11391,6 +11595,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_token_run": q_max_token_run,
         "hash_bucket_uniformity": q_hash_bucket_uniformity,
         "token_budget_cap": q_token_budget_cap,
+        "cube_revenue": q_cube_revenue,
+        "vacuum_plan_orders": q_vacuum_plan_orders,
+        "sorted_lcp_docs": q_sorted_lcp_docs,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -17030,6 +17237,63 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, CAST(count(*) AS BIGINT) AS n_docs_kept,
                CAST(sum(ntok) AS BIGINT) AS tokens_kept
         FROM c WHERE cum <= 5000 GROUP BY source
+    """
+    oracles["cube_revenue"] = """
+        WITH c AS (
+          SELECT o_orderpriority, o_orderstatus,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM orders)
+        SELECT COALESCE(o_orderpriority, 'ALL') AS o_orderpriority,
+               COALESCE(o_orderstatus, 'ALL') AS o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM c GROUP BY CUBE (o_orderpriority, o_orderstatus)
+    """
+    oracles["vacuum_plan_orders"] = """
+        WITH days AS (
+          SELECT CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS d,
+                 CAST(count(*) AS BIGINT) AS n_rows
+          FROM orders GROUP BY 1),
+        v AS (
+          SELECT d, n_rows,
+                 CASE WHEN (d + 1) % 3 = 0 THEN 1 ELSE 0 END AS v1,
+                 CASE WHEN (d + 2) % 3 = 0 THEN 2
+                      WHEN (d + 1) % 3 = 0 THEN 1 ELSE 0 END AS v2,
+                 CASE WHEN (d + 3) % 3 = 0 THEN 3
+                      WHEN (d + 2) % 3 = 0 THEN 2
+                      WHEN (d + 1) % 3 = 0 THEN 1 ELSE 0 END AS v3
+          FROM days),
+        live AS (
+          SELECT d, v2 AS ver FROM v UNION SELECT d, v3 FROM v)
+        SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_days,
+               CAST((SELECT count(*) FROM live) AS BIGINT) AS n_live_files,
+               CAST((SELECT count(*) FROM v WHERE v1 != v2 AND v1 != v3)
+                 AS BIGINT) AS n_deletable,
+               CAST(COALESCE((SELECT sum(n_rows) FROM v
+                              WHERE v1 != v2 AND v1 != v3), 0) AS BIGINT)
+                 AS rows_reclaimed
+    """
+    oracles["sorted_lcp_docs"] = """
+        WITH s AS (
+          SELECT doc_id, text,
+                 lag(text) OVER (ORDER BY text, doc_id) AS prev
+          FROM documents),
+        p AS (SELECT doc_id, text, prev FROM s WHERE prev IS NOT NULL),
+        e AS (
+          SELECT p.doc_id,
+                 COALESCE(max(CASE
+                   WHEN i <= least(length(p.text), length(p.prev))
+                    AND substr(p.text, 1, CAST(i AS INT))
+                        = substr(p.prev, 1, CAST(i AS INT))
+                   THEN i END), 0) AS lcp
+          FROM p CROSS JOIN generate_series(1, 1000) t(i)
+          GROUP BY p.doc_id)
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_pairs,
+               CAST(COALESCE(sum(lcp), 0) AS BIGINT) AS sum_lcp,
+               CAST(COALESCE(max(lcp), 0) AS BIGINT) AS max_lcp,
+               CAST(count(*) FILTER (WHERE lcp >= 40) AS BIGINT) AS n_ge_40
+        FROM e
     """
     oracles["cross_lang_dups"] = r"""
         WITH h AS (

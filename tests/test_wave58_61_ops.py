@@ -271,3 +271,130 @@ def test_simpson_flip_detects_constructed_paradox(ray_session, tmp_path):
     # pooled: mean F = (20+204)/12 ≈ 18.7, mean O = (2+1010)/12 ≈ 84.3
     assert int(out["overall_sign"].iloc[0]) == -1
     assert (out["flipped"] == 1).all()
+
+
+def test_cube_revenue_lattice_consistency(ray_session, tmp_path):
+    """Every coarser grouping set must equal the sum of its finer
+    children, and the (ALL, ALL) apex equals the raw totals."""
+    rng = np.random.default_rng(63)
+    n = 800
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": np.zeros(n, np.int64),
+            "o_orderstatus": rng.choice(["F", "O", "P"], n),
+            "o_totalprice": rng.integers(100, 10**6, n) / 100.0,
+            "o_orderdate": pd.to_datetime(np.zeros(n), unit="D"),
+            "o_orderpriority": rng.choice(["1-URGENT", "2-HIGH"], n),
+        }
+    )
+    _write_orders(tmp_path / "sf", df)
+    out = _entry().queries()["cube_revenue"](str(tmp_path / "sf"))
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    fine = out[(out["o_orderpriority"] != "ALL") & (out["o_orderstatus"] != "ALL")]
+    apex = out[(out["o_orderpriority"] == "ALL") & (out["o_orderstatus"] == "ALL")]
+    assert int(apex["n_orders"].iloc[0]) == n
+    cents = np.floor(df["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(np.int64)
+    assert int(apex["revenue_cents"].iloc[0]) == int(cents.sum())
+    for p in ["1-URGENT", "2-HIGH"]:
+        row = out[(out["o_orderpriority"] == p) & (out["o_orderstatus"] == "ALL")]
+        kids = fine[fine["o_orderpriority"] == p]
+        assert int(row["n_orders"].iloc[0]) == int(kids["n_orders"].sum())
+        assert int(row["revenue_cents"].iloc[0]) == int(kids["revenue_cents"].sum())
+    for s in ["F", "O", "P"]:
+        row = out[(out["o_orderstatus"] == s) & (out["o_orderpriority"] == "ALL")]
+        kids = fine[fine["o_orderstatus"] == s]
+        assert int(row["n_orders"].iloc[0]) == int(kids["n_orders"].sum())
+
+
+def test_sorted_lcp_multiblock_matches_bruteforce(ray_session, tmp_path):
+    """sorted_lcp_docs with the input split across many parquet part
+    files (multiple blocks -> real boundary stitching) equals a
+    driver brute force over the fully sorted corpus."""
+    rng = np.random.default_rng(64)
+    prefixes = ["the quick brown fox", "lorem ipsum dolor", "zz"]
+    texts = [
+        rng.choice(prefixes) + " " + " ".join(
+            rng.choice(list("abcdef"), rng.integers(1, 30))
+        )
+        for _ in range(600)
+    ]
+    sf = tmp_path / "sf"
+    ddir = sf / "documents.parquet"
+    ddir.mkdir(parents=True)
+    n = len(texts)
+    df = pd.DataFrame(
+        {
+            "doc_id": np.arange(n, dtype=np.int64),
+            "text": texts,
+            "lang": ["en"] * n,
+            "source": ["s"] * n,
+            "n_chars": np.array([len(t) for t in texts], np.int64),
+        }
+    )
+    for i in range(6):
+        part = df.iloc[i * 100 : (i + 1) * 100]
+        pq.write_table(
+            pa.Table.from_pandas(part, preserve_index=False),
+            str(ddir / f"part-{i}.parquet"),
+        )
+    out = _entry().queries()["sorted_lcp_docs"](str(sf))
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+
+    s = df.sort_values(["text", "doc_id"])["text"].tolist()
+
+    def lcp(a, b):
+        m = min(len(a), len(b))
+        i = 0
+        while i < m and a[i] == b[i]:
+            i += 1
+        return i
+
+    ls = [lcp(s[i - 1], s[i]) for i in range(1, len(s))]
+    assert int(out["n_docs"].iloc[0]) == n
+    assert int(out["n_pairs"].iloc[0]) == n - 1
+    assert int(out["sum_lcp"].iloc[0]) == sum(ls)
+    assert int(out["max_lcp"].iloc[0]) == max(ls)
+    assert int(out["n_ge_40"].iloc[0]) == sum(1 for x in ls if x >= 40)
+
+
+def test_vacuum_plan_version_semantics(ray_session, tmp_path):
+    """Deletable = referenced by the expired snapshot only; with the
+    (d+s)%3 rewrite rule, exactly the days rewritten at s=1 and again
+    at s... brute-forced per day."""
+    days = np.arange(100, 130, dtype=np.int64)
+    rows = []
+    for d in days:
+        for _ in range(int(d % 4) + 1):
+            rows.append(d)
+    n = len(rows)
+    df = pd.DataFrame(
+        {
+            "o_orderkey": np.arange(n, dtype=np.int64),
+            "o_custkey": np.zeros(n, np.int64),
+            "o_orderstatus": ["O"] * n,
+            "o_totalprice": np.ones(n),
+            "o_orderdate": pd.to_datetime(np.array(rows), unit="D"),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    _write_orders(tmp_path / "sf", df)
+    out = _entry().queries()["vacuum_plan_orders"](str(tmp_path / "sf"))
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+
+    def version(d, s):
+        v = 0
+        for sp in range(1, s + 1):
+            if (d + sp) % 3 == 0:
+                v = sp
+        return v
+
+    counts = pd.Series(rows).value_counts()
+    deletable = [d for d in days if version(d, 1) not in (version(d, 2), version(d, 3))]
+    live = {(d, version(d, 2)) for d in days} | {(d, version(d, 3)) for d in days}
+    assert int(out["n_days"].iloc[0]) == len(days)
+    assert int(out["n_live_files"].iloc[0]) == len(live)
+    assert int(out["n_deletable"].iloc[0]) == len(deletable)
+    assert int(out["rows_reclaimed"].iloc[0]) == int(
+        sum(counts[d] for d in deletable)
+    )
