@@ -11207,6 +11207,58 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    def q_skew_join_user_age(sf_dir):
+        """Hybrid skew join (ops/skew.py skew_join): events join their
+        user's first-seen epoch-day. Hot users (count ≥ 8× the mean
+        per-user load, detected by one combiner census) take a
+        BROADCAST map-side path — their rows never enter the shuffle —
+        while cold users take the hash-partitioned join, now skew-free.
+        Both paths are exact, so the DuckDB oracle is a plain join.
+        Output: per event_type, event count and summed account age in
+        days at event time."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.skew import skew_join
+
+        ev = _read(sf_dir, "events", ["user_id", "event_type", "ts"])
+
+        def day(b: pa.Table) -> pa.Table:
+            d = b["ts"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ) // 86_400_000_000
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "event_type": b["event_type"],
+                    "day": pa.array(d),
+                }
+            )
+
+        days = ev.map_batches(day, batch_format="pyarrow")
+        dim = grouped_agg(
+            days.select_columns(["user_id", "day"]),
+            ["user_id"],
+            {"first_day": ("day", "min")},
+        )
+        joined = skew_join(days, dim, "user_id")
+
+        def age(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "age_days": pc.subtract(b["day"], b["first_day"]),
+                }
+            )
+
+        out = grouped_agg(
+            joined.map_batches(age, batch_format="pyarrow"),
+            ["event_type"],
+            {"n_events": (None, "count"), "sum_age_days": ("age_days", "sum")},
+        ).to_pandas()
+        out = out.sort_values("event_type").reset_index(drop=True)
+        out["n_events"] = out["n_events"].astype("int64")
+        out["sum_age_days"] = out["sum_age_days"].astype("int64")
+        return out[["event_type", "n_events", "sum_age_days"]]
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -11598,6 +11650,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cube_revenue": q_cube_revenue,
         "vacuum_plan_orders": q_vacuum_plan_orders,
         "sorted_lcp_docs": q_sorted_lcp_docs,
+        "skew_join_user_age": q_skew_join_user_age,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -17294,6 +17347,18 @@ def oracle_sql() -> dict[str, str]:
                CAST(COALESCE(max(lcp), 0) AS BIGINT) AS max_lcp,
                CAST(count(*) FILTER (WHERE lcp >= 40) AS BIGINT) AS n_ge_40
         FROM e
+    """
+    oracles["skew_join_user_age"] = """
+        WITH d AS (
+          SELECT user_id, event_type,
+                 CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day
+          FROM events),
+        f AS (SELECT user_id, min(day) AS first_day FROM d GROUP BY user_id)
+        SELECT d.event_type,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(sum(d.day - f.first_day) AS BIGINT) AS sum_age_days
+        FROM d JOIN f USING (user_id)
+        GROUP BY d.event_type
     """
     oracles["cross_lang_dups"] = r"""
         WITH h AS (

@@ -146,3 +146,92 @@ def cost_balanced_shard(
         return batch.append_column("shard", pa.array(shard))
 
     return ds.map_batches(assign, batch_format="pyarrow")
+
+
+def hot_keys(ds, col: str, min_count: int | None = None) -> list:
+    """Exact hot-key census for :func:`skew_join`: per-key counts via
+    the combiner aggregate (|distinct keys| partials shuffle, never
+    rows), keys with ``count >= min_count`` returned. Default
+    threshold: 8× the mean per-key load — a key under that gains
+    nothing from a broadcast path. At 10^12 rows swap this for the
+    count-min sketch (ops/sketch.py): CMS overestimates give a
+    candidate SUPERSET, which only enlarges the broadcast — the join
+    result is unchanged because both paths are exact."""
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    counts = grouped_agg(
+        ds.select_columns([col]), [col], {"n": (None, "count")}
+    ).to_pandas()
+    if len(counts) == 0:
+        return []
+    if min_count is None:
+        min_count = 8 * max(1, int(counts["n"].sum()) // len(counts))
+    return counts[counts["n"].astype("int64") >= min_count][col].tolist()
+
+
+def skew_join(
+    left_ds,
+    right_ds,
+    on: str,
+    hot: list | None = None,
+    min_count: int | None = None,
+    num_partitions: int | None = None,
+):
+    """Hybrid skew join (inner, single key): hot keys ride a BROADCAST
+    path, cold keys a hash-partitioned shuffle — the classic fix for
+    the key whose rows would otherwise land on one join aggregator.
+
+    - ``right_ds`` is the dimension side: ~1 row per key by contract,
+      so its hot slice (|hot| rows) broadcasts via ``ray.put`` once.
+    - The fact side splits by membership in the hot set (vectorized
+      ``pc.is_in`` against one broadcast array): the hot slice joins
+      map-side with zero shuffle; the cold slice takes the ordinary
+      hash join whose partitions are now skew-free.
+    - Results are EXACTLY a plain inner join: both paths are exact and
+      every key takes exactly one path.
+
+    Costs two passes over the fact side (one per slice) + the
+    detection pass — all three read the same pruned columns; point
+    them at a persisted projection when the fact side is a derived
+    pipeline rather than a parquet read. Columns of both outputs are
+    name-sorted so the union is schema-stable."""
+    import pyarrow.compute as _pc
+
+    from ocr_service_ray.ops.relational import broadcast_join, hash_join
+
+    if hot is None:
+        hot = hot_keys(left_ds, on, min_count=min_count)
+
+    def _norm(b: pa.Table) -> pa.Table:
+        return b.select(sorted(b.column_names)).replace_schema_metadata(None)
+
+    if not hot:
+        return hash_join(
+            left_ds, right_ds, on, num_partitions=num_partitions
+        ).map_batches(_norm, batch_format="pyarrow")
+    hot_set = pa.array(sorted(hot))
+
+    def _split(keep_hot: bool):
+        def fn(b: pa.Table) -> pa.Table:
+            m = _pc.is_in(b[on], value_set=hot_set)
+            return b.filter(m if keep_hot else _pc.invert(m))
+
+        return fn
+
+    right_hot_df = (
+        right_ds.map_batches(_split(True), batch_format="pyarrow")
+        .map_batches(_norm, batch_format="pyarrow")
+        .to_pandas()
+    )
+    hot_joined = broadcast_join(
+        left_ds.map_batches(_split(True), batch_format="pyarrow"),
+        right_hot_df,
+        on=on,
+    ).map_batches(_norm, batch_format="pyarrow")
+    cold_joined = hash_join(
+        left_ds.map_batches(_split(False), batch_format="pyarrow"),
+        right_ds.map_batches(_split(False), batch_format="pyarrow"),
+        on,
+        num_partitions=num_partitions,
+    ).map_batches(_norm, batch_format="pyarrow")
+    return hot_joined.union(cold_joined)
