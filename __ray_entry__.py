@@ -11259,6 +11259,181 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_age_days"] = out["sum_age_days"].astype("int64")
         return out[["event_type", "n_events", "sum_age_days"]]
 
+    def q_positional_delete_orders(sf_dir):
+        """Merge-on-read with POSITIONAL delete vectors (the Iceberg
+        v2 shape): each o_orderdate epoch-day is one data file, a
+        row's position is its 0-based rank by o_orderkey within the
+        file, and the delete files mark (file, pos) where
+        (file + pos) % 11 == 3. The rank is the one keyed exchange
+        (bucketed day shuffle + in-group sort — the
+        cumulative_by_key discipline, (day, key, status, cents)
+        partials only); the delete-vector check and the surviving
+        census are vectorized. Output: per status, surviving rows +
+        revenue cents."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import cumulative_by_key
+
+        od = _read(
+            sf_dir,
+            "orders",
+            ["o_orderkey", "o_orderstatus", "o_orderdate", "o_totalprice"],
+        )
+
+        def prep(b: pa.Table) -> pa.Table:
+            day = b["o_orderdate"].cast(pa.int64()).to_numpy(
+                zero_copy_only=False
+            ) // 86_400_000_000
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "day": pa.array(day),
+                    "o_orderkey": b["o_orderkey"],
+                    "o_orderstatus": b["o_orderstatus"],
+                    "cents": pa.array(cents),
+                    "one": pa.array(np.ones(len(day), np.int64)),
+                }
+            )
+
+        ranked = cumulative_by_key(
+            od.map_batches(prep, batch_format="pyarrow"),
+            "day",
+            ["o_orderkey"],
+            "one",
+            out_col="rn",
+        )
+
+        def survivors(b: pa.Table) -> pa.Table:
+            day = b["day"].to_numpy(zero_copy_only=False)
+            pos = b["rn"].to_numpy(zero_copy_only=False) - 1
+            keep = (day + pos) % 11 != 3
+            b = b.filter(pa.array(keep))
+            return b.select(["o_orderstatus", "cents"])
+
+        out = grouped_agg(
+            ranked.map_batches(survivors, batch_format="pyarrow"),
+            ["o_orderstatus"],
+            {"n_rows": (None, "count"), "revenue_cents": ("cents", "sum")},
+        ).to_pandas()
+        out = out.sort_values("o_orderstatus").reset_index(drop=True)
+        out["n_rows"] = out["n_rows"].astype("int64")
+        out["revenue_cents"] = out["revenue_cents"].astype("int64")
+        return out[["o_orderstatus", "n_rows", "revenue_cents"]]
+
+    def q_isotonic_purchase_rate(sf_dir):
+        """Isotonic (PAV) calibration of purchase rate vs hour of day:
+        the monotone fit every probability calibrator ships, computed
+        by the minimax identity fitted[i] = max_{j<=i} min_{k>=i}
+        avg(y[j..k]) on the |hours|-bounded combiner partial (n, Σy
+        per hour) — raw events never shuffle; the O(|x|³) minimax is
+        driver arithmetic on 24 rows. Rates compare exactly across
+        engines because every division is IEEE double of exact
+        integers and only the final floor(·×1e6) is emitted."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["ts", "event_type"])
+
+        def hour_flag(b: pa.Table) -> pa.Table:
+            h = (
+                b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+                // 3_600_000_000
+            ) % 24
+            y = pc.cast(
+                pc.equal(b["event_type"], "purchase"), pa.int64()
+            )
+            return pa.table({"hour": pa.array(h.astype(np.int64)), "y": y})
+
+        g = (
+            grouped_agg(
+                ev.map_batches(hour_flag, batch_format="pyarrow"),
+                ["hour"],
+                {"n": (None, "count"), "s": ("y", "sum")},
+            )
+            .to_pandas()
+            .sort_values("hour")
+            .reset_index(drop=True)
+        )
+        n = g["n"].astype("int64").to_numpy()
+        s = g["s"].astype("int64").to_numpy()
+        m = len(g)
+        cn = np.concatenate(([0], np.cumsum(n)))
+        cs = np.concatenate(([0], np.cumsum(s)))
+        # avg over [j..k] inclusive (float64 of exact ints — IEEE-
+        # identical to the DuckDB oracle's double arithmetic)
+        fitted = np.empty(m, np.float64)
+        for i in range(m):
+            best = -np.inf
+            for j in range(i + 1):
+                lo = np.inf
+                for k in range(i, m):
+                    a = (cs[k + 1] - cs[j]) / (cn[k + 1] - cn[j])
+                    if a < lo:
+                        lo = a
+                if lo > best:
+                    best = lo
+            fitted[i] = best
+        return pd.DataFrame(
+            {
+                "hour": g["hour"].astype("int64"),
+                "n": n,
+                "s": s,
+                "rate_ppm": np.floor(s * 1_000_000.0 / n).astype("int64"),
+                "fitted_ppm": np.floor(fitted * 1_000_000.0).astype("int64"),
+            }
+        )
+
+    def q_gmd_value_by_type(sf_dir):
+        """Gini mean difference of event value cents per type — the
+        pairwise-dispersion statistic Σ_{i<j}|v_i−v_j|, integer-exact
+        WITHOUT forming pairs: for a distinct value v with count c and
+        C predecessors in a group of n, its contribution is
+        v·c·(2C + c − n), so ONE value-counts combiner + a per-type
+        sorted fold on the |distinct|-bounded partial computes the
+        O(n²) sum in O(distinct) work."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"event_type": b["event_type"], "v": pa.array(c)})
+
+        vc = (
+            grouped_agg(
+                ev.map_batches(cents, batch_format="pyarrow"),
+                ["event_type", "v"],
+                {"cnt": (None, "count")},
+            )
+            .to_pandas()
+            .sort_values(["event_type", "v"])
+            .reset_index(drop=True)
+        )
+        rows = []
+        for et, grp in vc.groupby("event_type", sort=True):
+            c = grp["cnt"].astype("int64").to_numpy()
+            v = grp["v"].astype("int64").to_numpy()
+            ntot = int(c.sum())
+            cbefore = np.concatenate(([0], np.cumsum(c)[:-1]))
+            contrib = v * c * (2 * cbefore + c - ntot)
+            rows.append(
+                {
+                    "event_type": et,
+                    "n": ntot,
+                    "sum_absdiff": int(contrib.sum()),
+                }
+            )
+        out = pd.DataFrame(rows)
+        out["n"] = out["n"].astype("int64")
+        out["sum_absdiff"] = out["sum_absdiff"].astype("int64")
+        return out
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -11651,6 +11826,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vacuum_plan_orders": q_vacuum_plan_orders,
         "sorted_lcp_docs": q_sorted_lcp_docs,
         "skew_join_user_age": q_skew_join_user_age,
+        "positional_delete_orders": q_positional_delete_orders,
+        "isotonic_purchase_rate": q_isotonic_purchase_rate,
+        "gmd_value_by_type": q_gmd_value_by_type,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -17359,6 +17537,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(d.day - f.first_day) AS BIGINT) AS sum_age_days
         FROM d JOIN f USING (user_id)
         GROUP BY d.event_type
+    """
+    oracles["positional_delete_orders"] = """
+        WITH b AS (
+          SELECT o_orderstatus,
+                 CAST(floor(epoch(o_orderdate) / 86400) AS BIGINT) AS f,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                 o_orderkey
+          FROM orders),
+        p AS (
+          SELECT o_orderstatus, f, cents,
+                 row_number() OVER (PARTITION BY f ORDER BY o_orderkey) - 1
+                   AS pos
+          FROM b)
+        SELECT o_orderstatus,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(cents) AS BIGINT) AS revenue_cents
+        FROM p WHERE (f + pos) % 11 != 3
+        GROUP BY o_orderstatus
+    """
+    oracles["isotonic_purchase_rate"] = """
+        WITH g AS (
+          SELECT (CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24) AS hour,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(count(*) FILTER (WHERE event_type = 'purchase')
+                   AS BIGINT) AS s
+          FROM events GROUP BY 1),
+        iv AS (
+          SELECT j.hour AS jx, k.hour AS kx,
+                 sum(m.n) AS n, sum(m.s) AS s
+          FROM g j JOIN g k ON j.hour <= k.hour
+          JOIN g m ON m.hour BETWEEN j.hour AND k.hour
+          GROUP BY 1, 2),
+        mn AS (
+          SELECT i.hour AS ix, v.jx,
+                 min(v.s * 1.0 / v.n) AS mnavg
+          FROM g i JOIN iv v ON v.jx <= i.hour AND v.kx >= i.hour
+          GROUP BY 1, 2),
+        fit AS (SELECT ix AS hour, max(mnavg) AS f FROM mn GROUP BY ix)
+        SELECT g.hour, g.n, g.s,
+               CAST(floor(g.s * 1000000.0 / g.n) AS BIGINT) AS rate_ppm,
+               CAST(floor(f * 1000000.0) AS BIGINT) AS fitted_ppm
+        FROM g JOIN fit USING (hour)
+    """
+    oracles["gmd_value_by_type"] = """
+        WITH c AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+          FROM events),
+        r AS (SELECT event_type, v, CAST(count(*) AS BIGINT) AS cnt
+              FROM c GROUP BY 1, 2),
+        w AS (
+          SELECT event_type, v, cnt,
+                 sum(cnt) OVER (PARTITION BY event_type ORDER BY v)
+                   - cnt AS cbefore,
+                 sum(cnt) OVER (PARTITION BY event_type) AS n
+          FROM r)
+        SELECT event_type,
+               CAST(max(n) AS BIGINT) AS n,
+               CAST(sum(v * cnt * (2 * cbefore + cnt - n)) AS BIGINT)
+                 AS sum_absdiff
+        FROM w GROUP BY event_type
     """
     oracles["cross_lang_dups"] = r"""
         WITH h AS (

@@ -398,3 +398,104 @@ def test_vacuum_plan_version_semantics(ray_session, tmp_path):
     assert int(out["rows_reclaimed"].iloc[0]) == int(
         sum(counts[d] for d in deletable)
     )
+
+
+def test_isotonic_fit_is_monotone_and_pools_violators(ray_session, tmp_path):
+    """PAV invariants: fitted is non-decreasing; where raw rates are
+    already increasing the fit equals them; a violating pair pools to
+    its weighted average."""
+    # hour 0: 10% (1/10), hour 1: 50% (5/10), hour 2: 20% (2/10)
+    # -> hours 1,2 pool to 7/20 = 35%
+    et, ts = [], []
+    spec = {0: (1, 10), 1: (5, 10), 2: (2, 10)}
+    t = 0
+    for h, (k, n) in spec.items():
+        for i in range(n):
+            et.append("purchase" if i < k else "view")
+            ts.append(h * 3600 + i)
+    df = pd.DataFrame(
+        {
+            "event_id": np.arange(len(ts), dtype=np.int64),
+            "ts": pd.to_datetime(ts, unit="s"),
+            "user_id": np.zeros(len(ts), np.int64),
+            "event_type": et,
+            "value": np.ones(len(ts)),
+            "props": ["{}"] * len(ts),
+        }
+    )
+    sf = tmp_path / "sf"
+    sf.mkdir()
+    t2 = pa.Table.from_pandas(df, preserve_index=False)
+    t2 = t2.set_column(
+        t2.schema.get_field_index("ts"), "ts", t2["ts"].cast(pa.timestamp("us"))
+    )
+    pq.write_table(t2, str(sf / "events.parquet"))
+    out = _entry().queries()["isotonic_purchase_rate"](str(sf))
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    out = out.sort_values("hour").reset_index(drop=True)
+    f = out["fitted_ppm"].to_numpy()
+    assert (np.diff(f) >= 0).all()
+    assert f[0] == 100_000  # 10% untouched
+    assert f[1] == f[2] == 350_000  # pooled to 7/20
+
+
+def test_gmd_matches_pairwise_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(65)
+    n = 250
+    et = rng.choice(["click", "view"], n)
+    val = rng.integers(0, 40, n) / 4.0  # heavy ties
+    _write_events(tmp_path / "sf", list(et), val)
+    out = _entry().queries()["gmd_value_by_type"](str(tmp_path / "sf"))
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    cents = np.floor(val * 100.0 + 0.5).astype(np.int64)
+    for etype in ["click", "view"]:
+        v = cents[et == etype]
+        ref = int(np.abs(v[:, None] - v[None, :]).sum() // 2)
+        row = out[out["event_type"] == etype]
+        assert int(row["n"].iloc[0]) == len(v)
+        assert int(row["sum_absdiff"].iloc[0]) == ref
+
+
+def test_positional_delete_bruteforce(ray_session, tmp_path):
+    rng = np.random.default_rng(66)
+    n = 1200
+    days = rng.integers(9000, 9010, n)
+    keys = rng.permutation(100000)[:n].astype(np.int64)
+    status = rng.choice(["F", "O", "P"], n)
+    price = rng.integers(100, 10**6, n) / 100.0
+    df = pd.DataFrame(
+        {
+            "o_orderkey": keys,
+            "o_custkey": np.zeros(n, np.int64),
+            "o_orderstatus": status,
+            "o_totalprice": price,
+            "o_orderdate": pd.to_datetime(days, unit="D"),
+            "o_orderpriority": ["1-URGENT"] * n,
+        }
+    )
+    _write_orders(tmp_path / "sf", df)
+    out = _entry().queries()["positional_delete_orders"](str(tmp_path / "sf"))
+    out = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+    d = df.copy()
+    d["cents"] = np.floor(d["o_totalprice"].to_numpy() * 100.0 + 0.5).astype(
+        np.int64
+    )
+    d["day"] = days.astype(np.int64)
+    d["pos"] = d.groupby("day")["o_orderkey"].rank(method="first").astype(int) - 1
+    # rank follows o_orderkey order within day
+    d = d.sort_values(["day", "o_orderkey"])
+    d["pos"] = d.groupby("day").cumcount()
+    keep = (d["day"] + d["pos"]) % 11 != 3
+    ref = (
+        d[keep]
+        .groupby("o_orderstatus")
+        .agg(n_rows=("cents", "size"), revenue_cents=("cents", "sum"))
+        .reset_index()
+    )
+    got = out.sort_values("o_orderstatus").reset_index(drop=True)
+    ref = ref.sort_values("o_orderstatus").reset_index(drop=True)
+    assert got["n_rows"].astype(int).tolist() == ref["n_rows"].astype(int).tolist()
+    assert (
+        got["revenue_cents"].astype(int).tolist()
+        == ref["revenue_cents"].astype(int).tolist()
+    )
