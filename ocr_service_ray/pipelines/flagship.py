@@ -79,6 +79,7 @@ def run_extraction(
     ocr_concurrency=(1, 8),
     kernel_concurrency=(1, 8),
     fused: bool = False,
+    metrics_name: str | None = None,
 ):
     """Build the lazy extraction plan.
 
@@ -135,6 +136,7 @@ def run_extraction(
                 "corrections": corrections,
                 "engine": engine,
                 "required_fields": required_fields,
+                "metrics_name": metrics_name,
             },
         )
 
@@ -144,7 +146,11 @@ def run_extraction(
         batch_size=ocr_batch_size,
         concurrency=ocr_concurrency,
         num_cpus=1,
-        fn_constructor_kwargs={"media_source": media_source, "engine": engine},
+        fn_constructor_kwargs={
+            "media_source": media_source,
+            "engine": engine,
+            "metrics_name": metrics_name,
+        },
     )
     ds = ds.map_batches(
         KernelStage,
@@ -155,6 +161,7 @@ def run_extraction(
         fn_constructor_kwargs={
             "corrections": corrections,
             "required_fields": required_fields,
+            "metrics_name": metrics_name,
         },
     )
     return ds

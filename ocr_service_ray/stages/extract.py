@@ -46,9 +46,17 @@ def _tune_worker_gc() -> None:
 class KernelStage:
     """EXT_SCHEMA batch in → OUT_SCHEMA batch out."""
 
-    def __init__(self, corrections: list[tuple[str, str]], required_fields=None):
+    def __init__(
+        self,
+        corrections: list[tuple[str, str]],
+        required_fields=None,
+        metrics_name=None,
+    ):
         self.db = CorrectionsDB([tuple(p) for p in corrections])
         self.required_fields = required_fields
+        from ocr_service_ray.stages.metrics import resolve_collector
+
+        self._metrics = resolve_collector(metrics_name)
         _tune_worker_gc()
 
     def process_row(self, row: dict) -> dict:
@@ -104,13 +112,21 @@ class KernelStage:
         }
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         rows = batch.to_pylist()
         out = {name: [] for name in schema.OUT_SCHEMA.names}
         for row in rows:
             rec = self.process_row(row)
             for name in schema.OUT_SCHEMA.names:
                 out[name].append(rec[name])
-        return pa.Table.from_pydict(out, schema=schema.OUT_SCHEMA)
+        result = pa.Table.from_pydict(out, schema=schema.OUT_SCHEMA)
+        if self._metrics is not None:
+            from ocr_service_ray.stages.metrics import record_batch
+
+            record_batch(self._metrics, "KernelStage", result.num_rows, _t0)
+        return result
 
 
 class FusedExtractStage:
@@ -122,11 +138,30 @@ class FusedExtractStage:
     flat). Keep the two-pool layout (``fused=False``) when the engine
     needs its own resource shape (GPUs, bigger heaps)."""
 
-    def __init__(self, media_source, corrections, engine: str = "synthetic", required_fields=None):
+    def __init__(
+        self,
+        media_source,
+        corrections,
+        engine: str = "synthetic",
+        required_fields=None,
+        metrics_name=None,
+    ):
         from ocr_service_ray.stages.ocr import OcrStage
 
+        # the fused stage reports as one block unit under its own name
         self.ocr = OcrStage(media_source, engine)
         self.kernel = KernelStage(corrections, required_fields)
+        from ocr_service_ray.stages.metrics import resolve_collector
+
+        self._metrics = resolve_collector(metrics_name)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        return self.kernel(self.ocr(batch))
+        import time as _time
+
+        _t0 = _time.perf_counter()
+        result = self.kernel(self.ocr(batch))
+        if self._metrics is not None:
+            from ocr_service_ray.stages.metrics import record_batch
+
+            record_batch(self._metrics, "FusedExtractStage", result.num_rows, _t0)
+        return result

@@ -117,7 +117,7 @@ class OcrStage:
     """``map_batches`` actor: pyarrow batch of documents in, EXT_SCHEMA
     batch out. Engine + resolver constructed once per actor."""
 
-    def __init__(self, media_source, engine: str = "synthetic"):
+    def __init__(self, media_source, engine: str = "synthetic", metrics_name=None):
         if media_source == GENERATE_MEDIA:
             self.resolver = GenerativeMediaResolver()
         elif isinstance(media_source, str):
@@ -125,8 +125,14 @@ class OcrStage:
         else:
             self.resolver = BroadcastMediaResolver(media_source)
         self.engine = make_engine(engine)
+        from ocr_service_ray.stages.metrics import resolve_collector
+
+        self._metrics = resolve_collector(metrics_name)
 
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         doc_ids = batch["doc_id"].to_pylist()
         spans_col = batch["spans"].to_pylist()
         needed = {
@@ -157,4 +163,9 @@ class OcrStage:
                 out["contrast_std"].append(None)
                 out["brightness_mean"].append(None)
                 out["error"].append(f"{type(e).__name__}: {e}")
-        return pa.Table.from_pydict(out, schema=EXT_SCHEMA)
+        result = pa.Table.from_pydict(out, schema=EXT_SCHEMA)
+        if self._metrics is not None:
+            from ocr_service_ray.stages.metrics import record_batch
+
+            record_batch(self._metrics, "OcrStage", result.num_rows, _t0)
+        return result

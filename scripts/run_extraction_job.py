@@ -42,6 +42,14 @@ def main() -> None:
     ap.add_argument("--hash-content", action="store_true")
     ap.add_argument("--cost-balance", action="store_true")
     ap.add_argument(
+        "--block-metrics",
+        action="store_true",
+        help="collect per-BLOCK throughput records (stage, rows, wall_ms) "
+        "via a named zero-CPU collector actor and write the per-stage "
+        "summary to <output>/_block_metrics.json (north_rule: metrics "
+        "emitted per block)",
+    )
+    ap.add_argument(
         "--fused",
         action="store_true",
         help="one fused extraction pool sized to 15/16 of cluster CPUs "
@@ -117,6 +125,14 @@ def main() -> None:
             kernel_batch_size=128,
         )
 
+    collector = None
+    if args.block_metrics:
+        from ocr_service_ray.stages.metrics import create_collector
+
+        metrics_name = f"blockmetrics_{os.getpid()}"
+        collector = create_collector(metrics_name)
+        extract_kwargs["metrics_name"] = metrics_name
+
     summary = run_checkpointed(
         shards,
         lambda s: run_extraction(s, media, engine=args.engine, **extract_kwargs),
@@ -124,6 +140,15 @@ def main() -> None:
         resume=args.resume,
         hash_content=args.hash_content,
     )
+    if collector is not None:
+        from ocr_service_ray.stages.metrics import summarize
+
+        block_summary = summarize(ray.get(collector.drain.remote()))
+        summary["block_metrics"] = block_summary
+        with open(
+            os.path.join(args.output, "_block_metrics.json"), "w", encoding="utf-8"
+        ) as f:
+            json.dump(block_summary, f, indent=2)
     print(json.dumps(summary))
 
 
