@@ -11434,6 +11434,114 @@ def queries() -> dict[str, Callable[[str], Any]]:
         out["sum_absdiff"] = out["sum_absdiff"].astype("int64")
         return out
 
+    def q_logistic_gd_purchase(sf_dir):
+        """Distributed logistic regression (ops/logistic.py): 15
+        rounds of full-batch GD predicting purchase from (bias,
+        hour/24, cents-mod-1e5/1e5). Weights broadcast per round; one
+        map_batches pass folds each block to dim micro-int gradient
+        partials — features never shuffle, byte-identical under any
+        layout (asserted vs a numpy reference + repartitioned run in
+        pytest). No SQL oracle — iterative float model fitting is not
+        SQL-expressible; the driver records rows-only and the pytest
+        reference is byte-exact (the kmeans discipline)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.logistic import logistic_gd
+
+        ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+        def feats(b: pa.Table) -> pa.Table:
+            tsus = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            hour = ((tsus // 3_600_000_000) % 24).astype(np.float64) / 24.0
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            v = (cents % 100_000).astype(np.float64) / 100_000.0
+            y = pc.cast(pc.equal(b["event_type"], "purchase"), pa.int64())
+            X = np.stack([np.ones(len(hour)), hour, v], axis=1)
+            return pa.table(
+                {
+                    "x": pa.array(list(X), pa.list_(pa.float64())),
+                    "y": y,
+                }
+            )
+
+        w, n = logistic_gd(
+            ev.map_batches(feats, batch_format="pyarrow").materialize(),
+            dim=3,
+            iters=15,
+            lr=1.0,
+        )
+        return pd.DataFrame(
+            {
+                "dim": np.arange(3, dtype=np.int64),
+                "w_micro": np.floor(w * 1_000_000.0 + 0.5).astype("int64"),
+                "n_rows": np.full(3, n, dtype=np.int64),
+            }
+        )
+
+    def q_conformal_threshold(sf_dir):
+        """Split-conformal threshold + empirical coverage: events
+        hash-split into calibration/validation halves (the md5-uniform
+        split discipline — zero RNG, layout-invariant), threshold =
+        the conformal quantile min{v : #(calib ≤ v) ≥
+        ceil(0.9·(n_cal+1))}, coverage = validation share ≤ threshold.
+        ONE value-counts combiner per (side, cents) feeds BOTH the
+        threshold search and the coverage census driver-side — one
+        scan, |distinct|-bounded partials, raw rows never shuffle."""
+        import hashlib
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_id", "value"])
+
+        def tag(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            is_cal = np.empty(len(cents), np.int64)
+            for i, e in enumerate(b["event_id"].to_pylist()):
+                d = hashlib.md5(f"conf:{e}".encode()).digest()
+                is_cal[i] = int(int.from_bytes(d[:8], "big") % 2 == 0)
+            return pa.table(
+                {
+                    "v": pa.array(cents),
+                    "nc": pa.array(is_cal),
+                    "nv": pa.array(1 - is_cal),
+                }
+            )
+
+        vc = (
+            grouped_agg(
+                ev.map_batches(tag, batch_format="pyarrow"),
+                ["v"],
+                {"nc": ("nc", "sum"), "nv": ("nv", "sum")},
+            )
+            .to_pandas()
+            .sort_values("v")
+            .reset_index(drop=True)
+        )
+        nc = vc["nc"].astype("int64").to_numpy()
+        nv = vc["nv"].astype("int64").to_numpy()
+        v = vc["v"].astype("int64").to_numpy()
+        n_cal, n_val = int(nc.sum()), int(nv.sum())
+        k = (9 * (n_cal + 1) + 9) // 10  # ceil(0.9*(n_cal+1)), pure int
+        cum = np.cumsum(nc)
+        idx = int(np.searchsorted(cum, k, side="left"))
+        threshold = int(v[idx]) if idx < len(v) else int(v[-1])
+        covered = int(nv[v <= threshold].sum())
+        return pd.DataFrame(
+            {
+                "n_cal": [n_cal],
+                "n_val": [n_val],
+                "threshold": [threshold],
+                "covered": [covered],
+                "coverage_ppm": [covered * 1_000_000 // n_val],
+            }
+        ).astype("int64")
+
     def q_bloom_semi_orders(sf_dir):
         """Bloom-filter semi-join (ops/bloom.py): orders of BUILDING-
         segment customers, revenue by priority. The bloom bitmap
@@ -11829,6 +11937,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "positional_delete_orders": q_positional_delete_orders,
         "isotonic_purchase_rate": q_isotonic_purchase_rate,
         "gmd_value_by_type": q_gmd_value_by_type,
+        "logistic_gd_purchase": q_logistic_gd_purchase,
+        "conformal_threshold": q_conformal_threshold,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -17598,6 +17708,34 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(v * cnt * (2 * cbefore + cnt - n)) AS BIGINT)
                  AS sum_absdiff
         FROM w GROUP BY event_type
+    """
+    oracles["conformal_threshold"] = f"""
+        WITH t AS (
+          SELECT CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+                 ({_md5_u64_sql("md5('conf:' || CAST(event_id AS VARCHAR))")}
+                   % 2 = 0) AS is_cal
+          FROM events),
+        c AS (
+          SELECT v,
+                 CAST(count(*) FILTER (WHERE is_cal) AS BIGINT) AS nc,
+                 CAST(count(*) FILTER (WHERE NOT is_cal) AS BIGINT) AS nv
+          FROM t GROUP BY v),
+        tot AS (SELECT sum(nc) AS n_cal, sum(nv) AS n_val,
+                       max(v) AS vmax FROM c),
+        w AS (SELECT v, sum(nc) OVER (ORDER BY v) AS cum_c FROM c),
+        thr AS (
+          SELECT COALESCE(
+                   (SELECT min(w.v) FROM w, tot
+                    WHERE w.cum_c >= (9 * (tot.n_cal + 1) + 9) // 10),
+                   (SELECT vmax FROM tot)) AS threshold)
+        SELECT CAST(tot.n_cal AS BIGINT) AS n_cal,
+               CAST(tot.n_val AS BIGINT) AS n_val,
+               CAST(thr.threshold AS BIGINT) AS threshold,
+               CAST((SELECT sum(nv) FROM c WHERE v <= thr.threshold)
+                 AS BIGINT) AS covered,
+               CAST((SELECT sum(nv) FROM c WHERE v <= thr.threshold)
+                 * 1000000 // tot.n_val AS BIGINT) AS coverage_ppm
+        FROM tot, thr
     """
     oracles["cross_lang_dups"] = r"""
         WITH h AS (
