@@ -11598,6 +11598,144 @@ def queries() -> dict[str, Callable[[str], Any]]:
             tau_ppm=200_000,
         )
 
+    def q_dsir_selection(sf_dir):
+        """DSIR-style data selection (ops/importance.py): rank the
+        non-German raw pool by hashed unigram+bigram target-likeness
+        vs the lang='de' target set. Two scans, n_buckets-bounded
+        state: pass 1 folds every gram occurrence to 256 md5 buckets
+        per side (one combiner), the integer odds weights
+        ((ct+1)*1e6)//(cr+1) broadcast once, pass 2 scores raw docs
+        with block-local top-k heads. Deterministic rank (avg_weight
+        DESC, doc_id) replaces DSIR's Gumbel resampling — zero RNG,
+        SQL-exact."""
+        from ocr_service_ray.ops.importance import importance_scores
+
+        def is_de(b: pa.Table) -> np.ndarray:
+            return pc.equal(b["lang"], "de").to_numpy(zero_copy_only=False)
+
+        return importance_scores(
+            _read(sf_dir, "documents", ["doc_id", "text", "lang"]),
+            is_de,
+            n_buckets=256,
+            top_n=50,
+        )
+
+    def q_zorder_stats_orders(sf_dir):
+        """Z-order vs linear clustering stats (ops/zorder.py): the
+        per-file min/max footer statistics a ZORDER BY (o_custkey,
+        total_cents) rewrite of orders into 16 files would produce,
+        next to the single-column linear layout — the planner view
+        that quantifies multi-column pruning before paying for the
+        rewrite. One scan + one |files|-bounded combiner; quantization
+        and the Morton interleave are pure integer floor arithmetic,
+        re-derived term-by-term in the oracle."""
+        from ocr_service_ray.ops.zorder import zorder_file_stats
+
+        ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"custkey": b["o_custkey"], "cents": pa.array(c)})
+
+        out = zorder_file_stats(
+            ds.map_batches(cents, batch_format="pyarrow"),
+            "custkey",
+            "cents",
+            bits=8,
+            n_files=16,
+        )
+        for c in ["file_id", "n_rows", "min_x", "max_x", "min_y", "max_y"]:
+            out[c] = out[c].astype("int64")
+        return out
+
+    def q_novelty_report(sf_dir):
+        """Per-val-doc trigram novelty vs the train split — the
+        memorization / train-val overlap audit (ops/novelty.py).
+        Split is the md5-uniform stratified assignment (zero RNG,
+        layout-invariant); grams explode per-doc DISTINCT in-block,
+        the train vocabulary stays distributed and meets the val
+        pairs in ONE gram-keyed hash join (no broadcast of a
+        web-scale gram set); novelty_ppm is integer floor."""
+        from ocr_service_ray.ops.novelty import novelty_report
+        from ocr_service_ray.ops.relational import stratified_split
+
+        docs = stratified_split(
+            _read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", 0.8
+        )
+        train = docs.filter(
+            lambda r: r["split"] == "train"
+        )
+        val = docs.filter(lambda r: r["split"] == "val")
+        return novelty_report(train, val, n=3)
+
+    def q_pagerank_nations(sf_dir):
+        """Integer-exact PageRank over the nation trade graph
+        (supplier nation → customer nation, weight = lineitem count;
+        ops/pagerank.py): 3 fixed power-iteration rounds, rank vector
+        broadcast per round, per-edge floor-div contributions folded
+        by a combiner — edges never shuffle, every round is one scan.
+        The oracle unrolls the identical integer rounds as a CTE
+        chain."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.pagerank import pagerank
+        from ocr_service_ray.ops.relational import hash_join
+
+        import pyarrow.parquet as _pq
+        import ray as _ray
+        import ray.data as rd
+
+        supp = dict(
+            zip(
+                *[
+                    _pq.read_table(
+                        f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"],
+                    )[c].to_pylist()
+                    for c in ("s_suppkey", "s_nationkey")
+                ]
+            )
+        )
+        cust = dict(
+            zip(
+                *[
+                    _pq.read_table(
+                        f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"],
+                    )[c].to_pylist()
+                    for c in ("c_custkey", "c_nationkey")
+                ]
+            )
+        )
+        supp_ref, cust_ref = _ray.put(supp), _ray.put(cust)
+
+        def order_nation(b: pa.Table) -> pa.Table:
+            cm = _ray.get(cust_ref)
+            dn = np.array(
+                [cm[int(k)] for k in b["o_custkey"].to_pylist()], dtype=np.int64
+            )
+            return pa.table({"o_orderkey": b["o_orderkey"], "dst": pa.array(dn)})
+
+        def supp_nation(b: pa.Table) -> pa.Table:
+            sm = _ray.get(supp_ref)
+            sn = np.array(
+                [sm[int(k)] for k in b["l_suppkey"].to_pylist()], dtype=np.int64
+            )
+            return pa.table({"l_orderkey": b["l_orderkey"], "src": pa.array(sn)})
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            order_nation, batch_format="pyarrow"
+        )
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+            supp_nation, batch_format="pyarrow"
+        )
+        joined = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+        edges = grouped_agg(
+            joined, ["src", "dst"], {"w": (None, "count")}
+        ).to_pandas()
+        return pagerank(rd.from_pandas(edges), weight_col="w", iters=3)
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -11939,6 +12077,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gmd_value_by_type": q_gmd_value_by_type,
         "logistic_gd_purchase": q_logistic_gd_purchase,
         "conformal_threshold": q_conformal_threshold,
+        "dsir_selection": q_dsir_selection,
+        "zorder_stats_orders": q_zorder_stats_orders,
+        "novelty_report": q_novelty_report,
+        "pagerank_nations": q_pagerank_nations,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -18061,5 +18203,147 @@ def oracle_sql() -> dict[str, str]:
                  AS containment_ppm
         FROM oriented
         WHERE (1000000 * inter) // n_small >= 200000
+    """
+    # DSIR hashed-gram importance: recompute md5 buckets, integer odds
+    # weights and per-doc occurrence scores from scratch (the
+    # minhash-oracle discipline — SQL derives the identical feature
+    # hash, so the weight table and the ranking are bit-equal).
+    oracles["dsir_selection"] = f"""
+        WITH toks AS (
+          SELECT doc_id, lang, string_split(text, ' ') AS ts
+          FROM documents),
+        uni AS (SELECT doc_id, lang, unnest(ts) AS g FROM toks),
+        bi AS (
+          SELECT doc_id, lang,
+                 ts[CAST(i AS BIGINT)] || ' ' || ts[CAST(i AS BIGINT) + 1]
+                   AS g
+          FROM (SELECT doc_id, lang, ts,
+                       unnest(range(1, len(ts))) AS i
+                FROM toks)),
+        grams AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+        b AS (
+          SELECT doc_id, lang,
+                 CAST({_md5_u64_sql("md5(g)")} % 256 AS BIGINT) AS bucket
+          FROM grams),
+        cnt AS (
+          SELECT bucket,
+                 sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS ct,
+                 sum(CASE WHEN lang <> 'de' THEN 1 ELSE 0 END) AS cr
+          FROM b GROUP BY bucket),
+        w AS (SELECT bucket,
+                     CAST(((ct + 1) * 1000000) // (cr + 1) AS BIGINT) AS wgt
+              FROM cnt),
+        s AS (
+          SELECT doc_id, CAST(sum(wgt) AS BIGINT) AS score,
+                 CAST(count(*) AS BIGINT) AS n_grams
+          FROM b JOIN w USING (bucket)
+          WHERE lang <> 'de' GROUP BY doc_id)
+        SELECT doc_id, score, n_grams,
+               CAST(score // n_grams AS BIGINT) AS avg_weight
+        FROM s ORDER BY avg_weight DESC, doc_id LIMIT 50
+    """
+    # Z-order stats: the Morton interleave as an explicit 8-term
+    # shift/mask polynomial per coordinate (the _simhash_oracle_sql
+    # generated-arithmetic pattern).
+    _morton = " + ".join(
+        f"((qx // {1 << j}) % 2) * {1 << (2 * j)}"
+        f" + ((qy // {1 << j}) % 2) * {1 << (2 * j + 1)}"
+        for j in range(8)
+    )
+    oracles["zorder_stats_orders"] = f"""
+        WITH src AS (
+          SELECT o_custkey AS x,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS y
+          FROM orders),
+        span AS (SELECT min(x) AS lx, max(x) AS hx,
+                        min(y) AS ly, max(y) AS hy FROM src),
+        q AS (
+          SELECT x, y,
+                 CAST(((x - lx) * 256) // (hx - lx + 1) AS BIGINT) AS qx,
+                 CAST(((y - ly) * 256) // (hy - ly + 1) AS BIGINT) AS qy
+          FROM src, span),
+        z AS (SELECT x, y, qx, qy, ({_morton}) AS zv FROM q),
+        lay AS (
+          SELECT 'zorder' AS layout, zv // 4096 AS file_id, x, y FROM z
+          UNION ALL
+          SELECT 'linear' AS layout, qx // 16 AS file_id, x, y FROM z)
+        SELECT layout, CAST(file_id AS BIGINT) AS file_id,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(x) AS BIGINT) AS min_x,
+               CAST(max(x) AS BIGINT) AS max_x,
+               CAST(min(y) AS BIGINT) AS min_y,
+               CAST(max(y) AS BIGINT) AS max_y
+        FROM lay GROUP BY layout, file_id
+        ORDER BY layout, file_id
+    """
+    # Trigram novelty vs the train split: the same md5-uniform split,
+    # per-doc DISTINCT trigrams, train-set membership via join.
+    oracles["novelty_report"] = f"""
+        WITH h AS (
+          SELECT doc_id, text,
+                 md5('split:' || CAST(doc_id AS VARCHAR)) AS hx
+          FROM documents),
+        s AS (
+          SELECT doc_id, text,
+                 CASE WHEN {_md5_unit_sql('hx')} < 0.8
+                      THEN 'train' ELSE 'val' END AS split
+          FROM h),
+        toks AS (SELECT doc_id, split, string_split(text, ' ') AS ts FROM s),
+        g AS (
+          SELECT DISTINCT doc_id, split,
+                 ts[CAST(i AS BIGINT)] || ' ' ||
+                 ts[CAST(i AS BIGINT) + 1] || ' ' ||
+                 ts[CAST(i AS BIGINT) + 2] AS gram
+          FROM (SELECT doc_id, split, ts,
+                       unnest(range(1, len(ts) - 1)) AS i
+                FROM toks)),
+        tr AS (SELECT DISTINCT gram FROM g WHERE split = 'train'),
+        vg AS (SELECT doc_id, gram FROM g WHERE split = 'val'),
+        tot AS (SELECT doc_id, count(*) AS n_grams FROM vg GROUP BY 1),
+        sn AS (SELECT doc_id, count(*) AS n_seen
+               FROM vg JOIN tr USING (gram) GROUP BY 1),
+        ids AS (SELECT doc_id FROM s WHERE split = 'val')
+        SELECT ids.doc_id,
+               CAST(coalesce(tot.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(sn.n_seen, 0) AS BIGINT) AS n_seen,
+               CAST(CASE WHEN coalesce(tot.n_grams, 0) = 0 THEN 1000000
+                    ELSE ((tot.n_grams - coalesce(sn.n_seen, 0)) * 1000000)
+                         // tot.n_grams END AS BIGINT) AS novelty_ppm
+        FROM ids LEFT JOIN tot USING (doc_id) LEFT JOIN sn USING (doc_id)
+        ORDER BY ids.doc_id
+    """
+    # PageRank: the identical integer rounds unrolled as a CTE chain
+    # (the fixed-iters contract of ops/kmeans.py / ops/logistic.py).
+    _pr_rounds = []
+    for t in range(3):
+        _pr_rounds.append(
+            f"""c{t + 1} AS (
+          SELECT e.dst AS node,
+                 sum((r{t}.r * e.w) // o.outw) AS inflow
+          FROM e JOIN r{t} ON r{t}.node = e.src
+                 JOIN outd o ON o.src = e.src
+          GROUP BY 1),
+        r{t + 1} AS (
+          SELECT n.node,
+                 CAST(150000 + (85 * coalesce(c{t + 1}.inflow, 0)) // 100
+                   AS BIGINT) AS r
+          FROM nodes n LEFT JOIN c{t + 1} USING (node))"""
+        )
+    oracles["pagerank_nations"] = f"""
+        WITH e AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                 CAST(count(*) AS BIGINT) AS w
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2),
+        outd AS (SELECT src, sum(w) AS outw FROM e GROUP BY 1),
+        nodes AS (SELECT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS r FROM nodes),
+        {",".join(_pr_rounds)}
+        SELECT CAST(node AS BIGINT) AS node, r AS rank_ppm
+        FROM r3 ORDER BY node
     """
     return oracles
