@@ -11736,6 +11736,49 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return pagerank(rd.from_pandas(edges), weight_col="w", iters=3)
 
+    def q_attribution_linear(sf_dir):
+        """Linear multi-touch attribution (ops/attribution.py): each
+        purchase credits the user's view/click touches of the prior
+        24h equally in integer ppm, remainder to the earliest touch
+        (credits per conversion sum to exactly 1e6). ONE bucketed
+        user shuffle + per-user searchsorted windows — the engine
+        never pays the O(conversions x touches) self-join the SQL
+        oracle runs."""
+        from ocr_service_ray.ops.attribution import linear_attribution
+
+        return linear_attribution(
+            _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"])
+        )
+
+    def q_reading_order_docs(sf_dir):
+        """Layout reading order (ops/layout.py): column clustering by
+        x-gap + column-major (column, y, x) ordering per page — the
+        XY-cut-family layout-parse step, run on deterministic
+        synthetic span geometry (real boxes come from the stubbed PDF
+        decode stage; the sandbox multimodal contract). One bucketed
+        page shuffle; pages are independent by construction."""
+        from ocr_service_ray.ops.layout import reading_order
+
+        def synth_geometry(b: pa.Table) -> pa.Table:
+            did = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            nch = b["n_chars"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "page_id": pa.array(did % 20),
+                    "span_id": pa.array(did),
+                    "x": pa.array((nch * 13) % 997),
+                    "y": pa.array((did * 31) % 991),
+                }
+            )
+
+        spans = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+            synth_geometry, batch_format="pyarrow"
+        )
+        out = reading_order(spans, gap_threshold=50).to_pandas()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out.sort_values(["page_id", "read_order"]).reset_index(drop=True)
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12081,6 +12124,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_stats_orders": q_zorder_stats_orders,
         "novelty_report": q_novelty_report,
         "pagerank_nations": q_pagerank_nations,
+        "attribution_linear": q_attribution_linear,
+        "reading_order_docs": q_reading_order_docs,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -18345,5 +18390,66 @@ def oracle_sql() -> dict[str, str]:
         {",".join(_pr_rounds)}
         SELECT CAST(node AS BIGINT) AS node, r AS rank_ppm
         FROM r3 ORDER BY node
+    """
+    # Linear attribution: the naive range self-join the engine avoids.
+    oracles["attribution_linear"] = """
+        WITH p AS (SELECT event_id AS pid, user_id, ts AS pts
+                   FROM events WHERE event_type = 'purchase'),
+        t AS (SELECT event_id AS tid, user_id, ts AS tts, event_type
+              FROM events WHERE event_type IN ('click', 'view')),
+        pair AS (
+          SELECT p.pid, t.tid, t.event_type, t.tts
+          FROM p JOIN t ON t.user_id = p.user_id
+           AND t.tts < p.pts
+           AND t.tts >= p.pts - INTERVAL 24 HOUR),
+        n AS (SELECT pid, count(*) AS n FROM pair GROUP BY 1),
+        r AS (SELECT pair.*, n.n,
+                     row_number() OVER (PARTITION BY pair.pid
+                                        ORDER BY pair.tts, pair.tid) AS rn
+              FROM pair JOIN n USING (pid)),
+        cr AS (SELECT event_type,
+                      (1000000 // n)
+                      + CASE WHEN rn = 1 THEN 1000000 % n ELSE 0 END
+                        AS credit
+               FROM r),
+        un AS (SELECT count(*) AS n_un FROM p
+               WHERE pid NOT IN (SELECT DISTINCT pid FROM pair))
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_credits,
+               CAST(sum(credit) AS BIGINT) AS total_credit_ppm,
+               CAST((SELECT n_un FROM un) AS BIGINT) AS n_unattributed
+        FROM cr GROUP BY event_type ORDER BY event_type
+    """
+    # Reading order: distinct-x gap clustering via LAG + running sum.
+    oracles["reading_order_docs"] = """
+        WITH s AS (
+          SELECT doc_id % 20 AS page_id, doc_id AS span_id,
+                 (n_chars * 13) % 997 AS x, (doc_id * 31) % 991 AS y
+          FROM documents),
+        ux AS (SELECT DISTINCT page_id, x FROM s),
+        lagged AS (
+          SELECT page_id, x,
+                 CASE WHEN x - lag(x) OVER (PARTITION BY page_id
+                                            ORDER BY x) > 50
+                      THEN 1 ELSE 0 END AS split
+          FROM ux),
+        colx AS (
+          SELECT page_id, x,
+                 sum(split) OVER (PARTITION BY page_id ORDER BY x
+                                  ROWS UNBOUNDED PRECEDING) AS column_id
+          FROM lagged),
+        j AS (SELECT s.page_id, s.span_id, colx.column_id, s.y, s.x
+              FROM s JOIN colx ON colx.page_id = s.page_id
+                              AND colx.x = s.x),
+        o AS (SELECT page_id, span_id,
+                     CAST(column_id AS BIGINT) AS column_id,
+                     row_number() OVER (PARTITION BY page_id
+                       ORDER BY column_id, y, x, span_id) - 1
+                       AS read_order
+              FROM j)
+        SELECT CAST(page_id AS BIGINT) AS page_id,
+               CAST(span_id AS BIGINT) AS span_id, column_id,
+               CAST(read_order AS BIGINT) AS read_order
+        FROM o ORDER BY page_id, read_order
     """
     return oracles
