@@ -11779,6 +11779,44 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out.sort_values(["page_id", "read_order"]).reset_index(drop=True)
 
+    def q_delta_dedup(sf_dir):
+        """Incremental dedup of an appended shard vs the standing
+        corpus (ops/incremental.py): documents md5-split 80/20 into
+        base/delta; each delta doc classified dup_exact (content hash
+        in base or an earlier delta doc), dup_near (MinHash band join
+        to base, est >= 0.4) or unique. One content-hash join + one
+        (band, band_hash) join — the maintenance shape that never
+        re-dedupes the base."""
+        from ocr_service_ray.ops.incremental import delta_dedup
+        from ocr_service_ray.ops.relational import stratified_split
+
+        docs = stratified_split(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            "doc_id",
+            0.8,
+            salt="delta",
+        )
+        base = docs.filter(lambda r: r["split"] == "train").drop_columns(
+            ["split"]
+        )
+        delta = docs.filter(lambda r: r["split"] == "val").drop_columns(
+            ["split"]
+        )
+        return delta_dedup(base, delta)
+
+    def q_pca_top_component(sf_dir):
+        """Top principal direction of the embedding table via 3
+        power-iteration rounds (ops/pca.py) — broadcast v, micro-int
+        contribution partials, Linf renormalization (no sqrt). The
+        ONLY exactly-oracled iterative linear-algebra op: the oracle
+        unrolls the identical rounds (fixed-order dot generated as a
+        left-assoc SQL expression) and hash-matches bit for bit."""
+        from ocr_service_ray.ops.pca import pca_top_component
+
+        return pca_top_component(
+            _read(sf_dir, "embeddings", ["embedding"]), iters=3
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12126,6 +12164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pagerank_nations": q_pagerank_nations,
         "attribution_linear": q_attribution_linear,
         "reading_order_docs": q_reading_order_docs,
+        "delta_dedup": q_delta_dedup,
+        "pca_top_component": q_pca_top_component,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -12724,6 +12764,45 @@ def _minhash_cte_sql(src: str = "documents") -> str:
               JOIN sigs sa ON sa.doc_id = cand.id_a
               JOIN sigs sb ON sb.doc_id = cand.id_b AND sb.p = sa.p
               GROUP BY cand.id_a, cand.id_b)"""
+
+
+def _pca_oracle_sql(dim: int = 64, iters: int = 3) -> str:
+    """Power iteration unrolled: per round, t is the fixed-order
+    (left-assoc) dot generated term by term — mirroring
+    ops/pca.fixed_order_dot — contributions are micro-int floors
+    summed as BIGINT, and v renormalizes by the Linf norm (one IEEE
+    division per dim, no sqrt). Every float op is parenthesized
+    exactly as numpy evaluates it, so v_micro hash-matches."""
+    sums = ",\n              ".join(
+        f"sum(CAST(floor(t * CAST(embedding[{j + 1}] AS DOUBLE)"
+        f" * 1000000.0 + 0.5) AS BIGINT)) AS s{j}"
+        for j in range(dim)
+    )
+    m_expr = "greatest(" + ", ".join(f"abs(s{j})" for j in range(dim)) + ")"
+    parts = [
+        "emb AS (SELECT embedding FROM embeddings)",
+        "r1_t AS (SELECT embedding, CAST(embedding[1] AS DOUBLE) AS t FROM emb)",
+    ]
+    for k in range(1, iters + 1):
+        parts.append(f"r{k}_s AS (SELECT {sums} FROM r{k}_t)")
+        parts.append(f"r{k}_m AS (SELECT *, {m_expr} AS m FROM r{k}_s)")
+        if k < iters:
+            dot = " + ".join(
+                f"(CAST(p.s{j} AS DOUBLE) / CAST(p.m AS DOUBLE))"
+                f" * CAST(e.embedding[{j + 1}] AS DOUBLE)"
+                for j in range(dim)
+            )
+            parts.append(
+                f"r{k + 1}_t AS (SELECT e.embedding, ({dot}) AS t"
+                f" FROM emb e, r{k}_m p)"
+            )
+    finals = "\n        UNION ALL ".join(
+        f"SELECT CAST({j} AS BIGINT) AS dim,"
+        f" CAST(floor(CAST(s{j} AS DOUBLE) / CAST(m AS DOUBLE)"
+        f" * 1000000.0 + 0.5) AS BIGINT) AS v_micro FROM r{iters}_m"
+        for j in range(dim)
+    )
+    return f"WITH {', '.join(parts)}\n        {finals}"
 
 
 def _minhash_oracle_sql(threshold: float = 0.4) -> str:
@@ -18452,4 +18531,47 @@ def oracle_sql() -> dict[str, str]:
                CAST(read_order AS BIGINT) AS read_order
         FROM o ORDER BY page_id, read_order
     """
+    # Delta dedup: the shared minhash CTE chain (signatures, bands,
+    # candidate pairs, eq counts) + an 80/20 md5 side split; exact
+    # matches via content-hash self-joins, near matches by filtering
+    # the candidate pairs to cross-side ones.
+    oracles["delta_dedup"] = f"""
+        WITH {_minhash_cte_sql("documents")},
+        side AS (
+          SELECT doc_id,
+                 CASE WHEN {_md5_unit_sql("md5('delta:' || CAST(doc_id AS VARCHAR))")}
+                        < 0.8 THEN 'base' ELSE 'delta' END AS side
+          FROM documents),
+        ch AS (SELECT d.doc_id, md5(d.text) AS h, s.side
+               FROM documents d JOIN side s USING (doc_id)),
+        eb AS (SELECT c.doc_id, min(b.doc_id) AS base_match
+               FROM ch c JOIN ch b ON b.h = c.h AND b.side = 'base'
+               WHERE c.side = 'delta' GROUP BY 1),
+        ed AS (SELECT c.doc_id, min(e2.doc_id) AS delta_match
+               FROM ch c JOIN ch e2 ON e2.h = c.h AND e2.side = 'delta'
+                                    AND e2.doc_id < c.doc_id
+               WHERE c.side = 'delta' GROUP BY 1),
+        nr AS (
+          SELECT CASE WHEN sa.side = 'delta' THEN e.id_a ELSE e.id_b END
+                   AS doc_id,
+                 min(CASE WHEN sa.side = 'delta' THEN e.id_b ELSE e.id_a END)
+                   AS near_match
+          FROM est e JOIN side sa ON sa.doc_id = e.id_a
+                     JOIN side sb ON sb.doc_id = e.id_b
+          WHERE CAST(e.eq AS DOUBLE) / 64.0 >= 0.4 AND sa.side <> sb.side
+          GROUP BY 1),
+        d AS (SELECT doc_id FROM side WHERE side = 'delta')
+        SELECT d.doc_id,
+               CASE WHEN eb.base_match IS NOT NULL
+                      OR ed.delta_match IS NOT NULL THEN 'dup_exact'
+                    WHEN nr.near_match IS NOT NULL THEN 'dup_near'
+                    ELSE 'unique' END AS status,
+               CAST(coalesce(eb.base_match, ed.delta_match,
+                             nr.near_match, -1) AS BIGINT) AS match_id
+        FROM d LEFT JOIN eb USING (doc_id)
+               LEFT JOIN ed USING (doc_id)
+               LEFT JOIN nr USING (doc_id)
+        ORDER BY d.doc_id
+    """
+    oracles["pca_top_component"] = _pca_oracle_sql(dim=64, iters=3)
     return oracles
