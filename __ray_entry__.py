@@ -11817,6 +11817,54 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings", ["embedding"]), iters=3
         )
 
+    def q_cdc_chunk_stats(sf_dir):
+        """Content-defined chunking summary (ops/chunking.py
+        content_defined_chunks): trigram-hash Rabin-style boundaries
+        (md5 % 16 == 0), exploded chunks folded to one corpus row —
+        docs, chunks, distinct chunk hashes and the chunk-level dup
+        rate CDC exists to expose. Flat-map + two combiner counts."""
+        from ocr_service_ray.ops.agg import global_agg, grouped_agg
+        from ocr_service_ray.ops.chunking import content_defined_chunks
+
+        chunks = content_defined_chunks(
+            _read(sf_dir, "documents", ["doc_id", "text"])
+        )
+        import pandas as _pd
+
+        per_hash = grouped_agg(chunks, ["chunk_md5"], {"n": (None, "count")})
+        tot = global_agg(chunks, {"n_chunks": (None, "count")})
+        n_chunks = int(tot["n_chunks"])
+        n_distinct = int(per_hash.count())
+        n_docs = int(_read(sf_dir, "documents", ["doc_id"]).count())
+        return _pd.DataFrame(
+            {
+                "n_docs": _pd.Series([n_docs], dtype="int64"),
+                "n_chunks": _pd.Series([n_chunks], dtype="int64"),
+                "n_distinct_chunks": _pd.Series([n_distinct], dtype="int64"),
+                "dup_chunk_ppm": _pd.Series(
+                    [(n_chunks - n_distinct) * 1_000_000 // n_chunks],
+                    dtype="int64",
+                ),
+            }
+        )
+
+    def q_curriculum_order(sf_dir):
+        """Curriculum interleave (ops/curriculum.py): docs ranked by
+        (n_chars, doc_id) via the two-phase global rank, cut into 10
+        exact deciles, emitted at position pos_in_decile*10 + decile —
+        a deterministic difficulty-stratified training order (every
+        contiguous window sees all deciles). Pure integer arithmetic
+        on the rank; row_number() reproduces it exactly."""
+        from ocr_service_ray.ops.curriculum import curriculum_interleave
+
+        out = curriculum_interleave(
+            _read(sf_dir, "documents", ["doc_id", "n_chars"]),
+            ["n_chars", "doc_id"],
+        ).to_pandas()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out.sort_values("out_pos").reset_index(drop=True)
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12166,6 +12214,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "reading_order_docs": q_reading_order_docs,
         "delta_dedup": q_delta_dedup,
         "pca_top_component": q_pca_top_component,
+        "cdc_chunk_stats": q_cdc_chunk_stats,
+        "curriculum_order": q_curriculum_order,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -18574,4 +18624,57 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY d.doc_id
     """
     oracles["pca_top_component"] = _pca_oracle_sql(dim=64, iters=3)
+    # CDC chunking: trigram-hash boundary flags, shifted running sum
+    # for chunk ids, chunk md5 via ordered string_agg.
+    oracles["cdc_chunk_stats"] = f"""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents),
+        pos AS (
+          SELECT doc_id, ts, unnest(range(1, len(ts) + 1)) AS p FROM toks),
+        flags AS (
+          SELECT doc_id, CAST(p AS BIGINT) AS p,
+                 ts[CAST(p AS BIGINT)] AS tok,
+                 CASE WHEN p >= 3 AND
+                   ({_md5_u64_sql(
+                       "md5(ts[CAST(p AS BIGINT) - 2] || ' ' || "
+                       "ts[CAST(p AS BIGINT) - 1] || ' ' || "
+                       "ts[CAST(p AS BIGINT)])"
+                   )} % 16) = 0
+                 THEN 1 ELSE 0 END AS f
+          FROM pos),
+        cid AS (
+          SELECT doc_id, p, tok,
+                 coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_idx
+          FROM flags),
+        chunks AS (
+          SELECT doc_id, chunk_idx,
+                 md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+          FROM cid GROUP BY 1, 2)
+        SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(count(DISTINCT chunk_md5) AS BIGINT)
+                 AS n_distinct_chunks,
+               CAST(((count(*) - count(DISTINCT chunk_md5)) * 1000000)
+                 // count(*) AS BIGINT) AS dup_chunk_ppm
+        FROM chunks
+    """
+    # Curriculum interleave: row_number rank + the identical integer
+    # decile/position arithmetic.
+    oracles["curriculum_order"] = """
+        WITH n AS (SELECT count(*) AS n FROM documents),
+        r AS (SELECT doc_id, n_chars,
+                     row_number() OVER (ORDER BY n_chars, doc_id) - 1
+                       AS rank
+              FROM documents),
+        d AS (SELECT r.*, n.n, (10 * rank) // n.n AS bin FROM r, n)
+        SELECT CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(doc_id AS BIGINT) AS doc_id,
+               CAST(rank AS BIGINT) AS rank,
+               CAST(bin AS BIGINT) AS bin,
+               CAST((rank - (bin * n + 9) // 10) * 10 + bin AS BIGINT)
+                 AS out_pos
+        FROM d ORDER BY out_pos
+    """
     return oracles

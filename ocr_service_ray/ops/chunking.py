@@ -145,3 +145,86 @@ def keyword_contexts(
         )
 
     return ds.map_batches(explode, batch_format="pyarrow")
+
+
+def content_defined_chunks(
+    ds,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    divisor: int = 16,
+    hash: str = "oracle",
+):
+    """Content-defined chunking (the Rabin/CDC storage-dedup move,
+    word-level): a chunk boundary falls AFTER token ``j`` wherever the
+    trigram hash H(t[j-2], t[j-1], t[j]) ≡ 0 (mod ``divisor``) — so
+    an insertion early in a document shifts only the chunk it lands
+    in, and identical passages produce identical chunks REGARDLESS of
+    their offset (what fixed-size ``chunk_tokens`` windows cannot do;
+    this is why storage dedup and plagiarism pipelines use CDC).
+
+    Returns the exploded chunk table ``(doc_id, chunk_idx, n_tokens,
+    chunk_md5)`` — a pure flat-map, zero shuffle; compose with a
+    grouped count on ``chunk_md5`` for corpus-level chunk-dedup stats.
+
+    ``hash="oracle"`` (default) uses md5-derived trigram hashes so
+    DuckDB recomputes the boundaries from scratch; ``hash="fast"``
+    switches to the vectorized polynomial mode (``ops/hashing``) for
+    production runs — boundaries differ, semantics don't. Expected
+    chunk length is ``divisor`` tokens; no min/max clamps (documented
+    contract — clamping breaks the offset-independence property the
+    op exists for).
+    """
+    import hashlib
+
+    def explode(b: pa.Table) -> pa.Table:
+        out_id, out_idx, out_n, out_md5 = [], [], [], []
+        for did, t in zip(b[id_col].to_pylist(), b[text_col].to_pylist()):
+            toks = (t or "").split(" ")
+            L = len(toks)
+            if hash == "fast":
+                from ocr_service_ray.ops.hashing import (
+                    gram_hashes_fast,
+                    hash_tokens_fast,
+                )
+
+                g = (
+                    gram_hashes_fast(hash_tokens_fast(toks), 3)
+                    if L >= 3
+                    else np.array([], dtype=np.uint64)
+                )
+                flags = np.zeros(L, dtype=np.int64)
+                if L >= 3:
+                    flags[2:] = (g % divisor == 0).astype(np.int64)
+            else:
+                flags = np.zeros(L, dtype=np.int64)
+                for j in range(2, L):
+                    h = int(
+                        hashlib.md5(
+                            f"{toks[j - 2]} {toks[j - 1]} {toks[j]}".encode()
+                        ).hexdigest()[:16],
+                        16,
+                    )
+                    flags[j] = 1 if h % divisor == 0 else 0
+            # a boundary AFTER token p starts a new chunk at p+1; a
+            # flag on the LAST token starts nothing (no empty chunks)
+            if L == 0:
+                continue
+            bpos = np.flatnonzero(flags[: L - 1]) if L > 1 else np.array([], int)
+            starts = [0] + [int(p) + 1 for p in bpos]
+            ends = [int(p) + 1 for p in bpos] + [L]
+            for c, (s_, e_) in enumerate(zip(starts, ends)):
+                sel = toks[s_:e_]
+                out_id.append(did)
+                out_idx.append(c)
+                out_n.append(len(sel))
+                out_md5.append(hashlib.md5(" ".join(sel).encode()).hexdigest())
+        return pa.table(
+            {
+                id_col: pa.array(out_id, type=b[id_col].type),
+                "chunk_idx": pa.array(np.asarray(out_idx, dtype=np.int64)),
+                "n_tokens": pa.array(np.asarray(out_n, dtype=np.int64)),
+                "chunk_md5": pa.array(out_md5, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(explode, batch_format="pyarrow")
