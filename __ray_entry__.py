@@ -11865,6 +11865,25 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out.sort_values("out_pos").reset_index(drop=True)
 
+    def q_stream_stream_join(sf_dir):
+        """Watermark-bounded stream-stream interval join
+        (ops/streaming.py stream_stream_join): every (view, purchase)
+        pair of the same user with the purchase inside the view's
+        following hour, emitted exactly once by keyed actors holding
+        ONE window of per-user state (evicted by the watermark) — the
+        engine never pays the range self-join the SQL oracle runs."""
+        from ocr_service_ray.ops.streaming import stream_stream_join
+
+        out = stream_stream_join(
+            _read(sf_dir, "events", ["event_id", "ts", "user_id", "event_type"]),
+            window_minutes=60.0,
+        ).to_pandas()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out.sort_values(
+            ["user_id", "left_id", "right_id"]
+        ).reset_index(drop=True)
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12216,6 +12235,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pca_top_component": q_pca_top_component,
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "curriculum_order": q_curriculum_order,
+        "stream_stream_join": q_stream_stream_join,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -18676,5 +18696,13 @@ def oracle_sql() -> dict[str, str]:
                CAST((rank - (bin * n + 9) // 10) * 10 + bin AS BIGINT)
                  AS out_pos
         FROM d ORDER BY out_pos
+    """
+    oracles["stream_stream_join"] = """
+        SELECT a.user_id, a.event_id AS left_id, b.event_id AS right_id,
+               CAST(epoch_us(b.ts) - epoch_us(a.ts) AS BIGINT) AS delta_us
+        FROM events a JOIN events b ON b.user_id = a.user_id
+        WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+          AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
+        ORDER BY a.user_id, left_id, right_id
     """
     return oracles

@@ -109,6 +109,8 @@ def delta_dedup(
     exact_base = (
         hash_join(delta_h, base_h, on="h").select_columns(["id", "base_match"])
     ).to_pandas()
+    if "id" not in exact_base.columns:  # empty join → schema-less frame
+        exact_base = pd.DataFrame({"id": [], "base_match": []}).astype("int64")
 
     # exact vs earlier delta: |delta|-bounded — min id per hash, then
     # a doc is a dup iff the min is strictly smaller than itself
@@ -159,6 +161,8 @@ def delta_dedup(
         ["id"],
         {"near_match": ("bid", "min")},
     ).to_pandas()
+    if "id" not in near.columns:  # empty join → schema-less frame
+        near = pd.DataFrame({"id": [], "near_match": []}).astype("int64")
 
     out = (
         delta_ds.select_columns([id_col])

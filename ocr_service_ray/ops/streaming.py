@@ -534,3 +534,220 @@ def streaming_dedup(
     for a in actors:
         ray.kill(a)
     return out
+
+
+def _join_actor_cls():
+    import ray
+
+    if "join_actor" in _remote_cache:
+        return _remote_cache["join_actor"]
+
+    @ray.remote
+    class JoinBucketActor:
+        """Watermark-bounded stream-stream interval join for the users
+        of ONE hash bucket: pair (left, right) iff same user and
+        left.ts ≤ right.ts ≤ left.ts + window.
+
+        Exactly-once emission without a global barrier: every arriving
+        row matches against the OPPOSITE side's buffer before joining
+        its own, so each qualifying pair is emitted precisely when its
+        later-processed element arrives. State is evicted by the
+        watermark (max ts fully processed): a left is dead once
+        ``left.ts + window < wm`` (no future right can reach back to
+        it), a right once ``right.ts < wm`` (no future left can
+        precede it) — so per-user state is one window deep, never
+        O(stream). The sessionizer's monotonicity fail-fast guards the
+        ordering assumption.
+        """
+
+        def __init__(self, window_us: int, user_type: pa.DataType):
+            self.w = window_us
+            self.user_type = user_type
+            self.left: dict = {}   # user -> list[(ts, id)]
+            self.right: dict = {}
+            self.pairs: list[tuple] = []
+            self.buffer: dict = {}
+            self.next_seq = 0
+            self.last_ts: int | None = None
+
+        def ingest(self, seq: int, users, ts_us, ids, sides) -> int:
+            self.buffer[seq] = (users, ts_us, ids, sides)
+            while self.next_seq in self.buffer:
+                self._process(*self.buffer.pop(self.next_seq))
+                self.next_seq += 1
+            return len(self.buffer)
+
+        def _evict(self, wm: int) -> None:
+            for u in list(self.left):
+                kept = [e for e in self.left[u] if e[0] + self.w >= wm]
+                if kept:
+                    self.left[u] = kept
+                else:
+                    del self.left[u]
+            for u in list(self.right):
+                kept = [e for e in self.right[u] if e[0] >= wm]
+                if kept:
+                    self.right[u] = kept
+                else:
+                    del self.right[u]
+
+        def _process(self, users, ts_us, ids, sides) -> None:
+            if ts_us:
+                if self.last_ts is not None and ts_us[0] < self.last_ts:
+                    raise RuntimeError(
+                        "stream_stream_join: partition order violated "
+                        f"({ts_us[0]} < {self.last_ts})"
+                    )
+                self._evict(self.last_ts if self.last_ts is not None else 0)
+                self.last_ts = ts_us[-1]
+            for u, t, i, s in zip(users, ts_us, ids, sides):
+                if s:  # right (late side): match buffered lefts
+                    for lt, li in self.left.get(u, ()):
+                        if lt <= t <= lt + self.w:
+                            self.pairs.append((u, li, i, t - lt))
+                    self.right.setdefault(u, []).append((t, i))
+                else:  # left: only equal-ts rights can already be buffered
+                    for rt, ri in self.right.get(u, ()):
+                        if t <= rt <= t + self.w:
+                            self.pairs.append((u, i, ri, rt - t))
+                    self.left.setdefault(u, []).append((t, i))
+
+        def drain(self) -> pa.Table:
+            if self.buffer:
+                raise RuntimeError(
+                    f"stream_stream_join: {len(self.buffer)} partitions "
+                    "never became processable"
+                )
+            rows = self.pairs
+            self.pairs = []
+            self.left.clear()
+            self.right.clear()
+            cols = list(zip(*rows)) if rows else [[], [], [], []]
+            return pa.table(
+                {
+                    "user_id": pa.array(cols[0], self.user_type),
+                    "left_id": pa.array(cols[1], pa.int64()),
+                    "right_id": pa.array(cols[2], pa.int64()),
+                    "delta_us": pa.array(cols[3], pa.int64()),
+                }
+            )
+
+    _remote_cache["join_actor"] = JoinBucketActor
+    return JoinBucketActor
+
+
+def _join_dispatch_task():
+    import ray
+
+    if "join_dispatch" in _remote_cache:
+        return _remote_cache["join_dispatch"]
+
+    @ray.remote
+    def dispatch(
+        block: pa.Table,
+        seq: int,
+        actors: list,
+        user_col: str,
+        ts_col: str,
+        id_col: str,
+        side_col: str,
+    ) -> int:
+        from ocr_service_ray.ops.hashing import hash_column
+
+        num_buckets = len(actors)
+        users = block[user_col]
+        buckets = (hash_column(users) % np.uint64(num_buckets)).astype(np.int64)
+        ts = (
+            pa.compute.cast(block[ts_col], pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+        ids = block[id_col].to_numpy(zero_copy_only=False)
+        sides = block[side_col].to_numpy(zero_copy_only=False)
+        ulist = users.to_pylist()
+        refs = []
+        for b in range(num_buckets):
+            mask = buckets == b
+            refs.append(
+                actors[b].ingest.remote(
+                    seq,
+                    [u for u, m in zip(ulist, mask) if m],
+                    ts[mask].tolist(),
+                    ids[mask].tolist(),
+                    sides[mask].tolist(),
+                )
+            )
+        ray.get(refs)
+        return block.num_rows
+
+    _remote_cache["join_dispatch"] = dispatch
+    return dispatch
+
+
+def stream_stream_join(
+    events_ds,
+    left_type: str = "view",
+    right_type: str = "purchase",
+    window_minutes: float = 60.0,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    type_col: str = "event_type",
+    num_buckets: int = 8,
+):
+    """Watermark-bounded interval join of two event streams riding one
+    ts-ordered log: every (``left_type``, ``right_type``) pair of the
+    same user with ``left.ts ≤ right.ts ≤ left.ts + window``. Returns
+    a Dataset {user_id, left_id, right_id, delta_us}.
+
+    Same last-resort-tier architecture as ``sessionize_streaming``
+    (driver never holds rows; dispatch tasks are the data plane;
+    sequence-numbered reordering; ``from_arrow_refs`` collection).
+    The equivalent batch shape is a range self-join — the oracle pays
+    it; the streaming engine holds one window of state per user.
+    """
+    import pyarrow.compute as pc
+    import ray
+    import ray.data as rd
+
+    actor_cls = _join_actor_cls()
+    dispatch = _join_dispatch_task()
+    window_us = int(window_minutes * 60 * 1_000_000)
+    user_type = events_ds.schema().base_schema.field(user_col).type
+    actors = [actor_cls.remote(window_us, user_type) for _ in range(num_buckets)]
+
+    def project(b: pa.Table) -> pa.Table:
+        keep = pc.is_in(
+            b[type_col], value_set=pa.array([left_type, right_type])
+        )
+        b = b.filter(keep)
+        return pa.table(
+            {
+                user_col: b[user_col],
+                ts_col: b[ts_col],
+                id_col: b[id_col].cast(pa.int64()),
+                "_side": pc.equal(b[type_col], right_type),
+            }
+        )
+
+    block_refs = (
+        events_ds.map_batches(project, batch_format="pyarrow")
+        .sort(ts_col)
+        .to_arrow_refs()
+    )
+    inflight: list = []
+    done: list = []
+    window = 4 * num_buckets
+    for seq, ref in enumerate(block_refs):
+        inflight.append(
+            dispatch.remote(ref, seq, actors, user_col, ts_col, id_col, "_side")
+        )
+        if len(inflight) >= window:
+            d, inflight = ray.wait(inflight, num_returns=len(inflight) - window + 1)
+            done.extend(d)
+    ray.get(inflight + done)
+
+    out = rd.from_arrow_refs([a.drain.remote() for a in actors]).materialize()
+    for a in actors:
+        ray.kill(a)
+    return out

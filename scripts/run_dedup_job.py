@@ -9,7 +9,11 @@ Writes one parquet dataset per method:
 - ``simhash/``  — near-dup pairs {id_a, id_b, hamming};
 - ``paragraph/`` — documents rewritten with globally-duplicate
   paragraphs removed {doc_id, text, n_kept} (opt-in: add ``paragraph``
-  to --methods).
+  to --methods);
+- ``delta/`` — with ``--delta-against BASE_DIR``: --input classified
+  as an appended shard vs the standing base ({doc_id, status,
+  match_id}; ops/incremental.delta_dedup — the ingest-refresh mode
+  that never re-dedupes the base).
 
 Run exact first on real corpora; identical texts should never reach
 the near-dup passes (ops/dedup.py skew note). Guarded ray.init.
@@ -33,6 +37,19 @@ def main() -> None:
     ap.add_argument("--minhash-threshold", type=float, default=0.4)
     ap.add_argument("--max-hamming", type=int, default=8)
     ap.add_argument("--paragraph-sep", default="\n")
+    ap.add_argument(
+        "--delta-against",
+        default=None,
+        help="sf dir of the STANDING base corpus: classify --input as an "
+        "appended shard against it (ops/incremental.delta_dedup)",
+    )
+    ap.add_argument(
+        "--hash-mode",
+        default="oracle",
+        choices=["oracle", "fast"],
+        help="delta-mode signature hashing: md5 (SQL-reproducible) or the "
+        "vectorized fast path",
+    )
     args = ap.parse_args()
 
     import ray
@@ -74,6 +91,20 @@ def main() -> None:
         out = dedup.paragraph_dedup(docs(), sep=args.paragraph_sep)
         out.write_parquet(os.path.join(args.out_dir, "paragraph"))
         counts["paragraph_docs"] = out.count()
+    if args.delta_against:
+        # incremental maintenance: classify --input as an APPENDED
+        # shard against the standing base corpus (never re-dedupes
+        # the base); writes {doc_id, status, match_id} + a summary
+        from ocr_service_ray.ops.incremental import delta_dedup
+
+        base = rd.read_parquet(
+            f"{args.delta_against}/documents.parquet",
+            columns=["doc_id", "text"],
+        )
+        res = delta_dedup(base, docs(), hash=args.hash_mode)
+        rd.from_pandas(res).write_parquet(os.path.join(args.out_dir, "delta"))
+        counts["delta_docs"] = len(res)
+        counts["delta_status"] = res["status"].value_counts().to_dict()
     print(json.dumps({**counts, "out": args.out_dir}))
 
 
