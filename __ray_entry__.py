@@ -11884,6 +11884,37 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["user_id", "left_id", "right_id"]
         ).reset_index(drop=True)
 
+    def q_ann_recall(sf_dir):
+        """ANN recall@5 eval (ops/similarity.ann_recall_eval): the LSH
+        index's restricted search vs exact brute force for the 10
+        lowest-id query vectors — the index-quality gate, exactly
+        oracled because the LSH restriction is pure arithmetic the
+        SQL reproduces (brute ground truth is the expensive side,
+        which is why the eval runs on a bounded query sample)."""
+        import pyarrow.parquet as _pq
+
+        from ocr_service_ray.ops.similarity import LshIndex, ann_recall_eval
+
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        idx = LshIndex(nbits=4, radius=1).build(emb, dim=64)
+        t = _pq.read_table(
+            f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+        )
+        order = np.argsort(t["vec_id"].to_numpy())[:10]
+        queries = np.array(
+            [t["embedding"].to_pylist()[i] for i in order], dtype=np.float64
+        )
+        return ann_recall_eval(emb, idx, queries, k=5)
+
+    def q_bpe_merge_pairs(sf_dir):
+        """BPE first-merge candidates (ops/text.bpe_merge_pairs): top
+        20 adjacent character-pair frequencies over all word
+        occurrences — the tokenizer-training bootstrap table. Block
+        Counter partials (alphabet-squared-bounded) + one combiner."""
+        from ocr_service_ray.ops.text import bpe_merge_pairs
+
+        return bpe_merge_pairs(_read(sf_dir, "documents", ["text"]))
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12236,6 +12267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_chunk_stats": q_cdc_chunk_stats,
         "curriculum_order": q_curriculum_order,
         "stream_stream_join": q_stream_stream_join,
+        "ann_recall": q_ann_recall,
+        "bpe_merge_pairs": q_bpe_merge_pairs,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -18704,5 +18737,45 @@ def oracle_sql() -> dict[str, str]:
         WHERE a.event_type = 'view' AND b.event_type = 'purchase'
           AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 60 MINUTE
         ORDER BY a.user_id, left_id, right_id
+    """
+    # ANN recall eval: the LSH restriction recomputed in SQL (the
+    # lsh_knn oracle generalized to 10 queries), intersected with the
+    # brute-force top-k per query.
+    oracles["ann_recall"] = f"""
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        cells AS (
+          SELECT vec_id, v, {_lsh_cell_terms_sql("v")} AS cell FROM e),
+        q AS (SELECT vec_id AS qid, v AS qv, cell AS qcell
+              FROM cells ORDER BY vec_id LIMIT 10),
+        brute AS (
+          SELECT q.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                            c.vec_id ASC) AS rn
+          FROM cells c, q),
+        bt AS (SELECT qid, vec_id FROM brute WHERE rn <= 5),
+        rest AS (
+          SELECT q.qid, c.vec_id,
+                 row_number() OVER (PARTITION BY q.qid
+                   ORDER BY list_cosine_similarity(c.v, q.qv) DESC,
+                            c.vec_id ASC) AS rn
+          FROM cells c, q
+          WHERE bit_count(xor(c.cell, q.qcell)) <= 1),
+        rt AS (SELECT qid, vec_id FROM rest WHERE rn <= 5)
+        SELECT bt.qid AS query_id,
+               CAST(count(rt.vec_id) * 1000000 // 5 AS BIGINT) AS recall_ppm
+        FROM bt LEFT JOIN rt ON rt.qid = bt.qid AND rt.vec_id = bt.vec_id
+        GROUP BY 1 ORDER BY 1
+    """
+    oracles["bpe_merge_pairs"] = """
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+        p AS (
+          SELECT substring(word, CAST(i AS BIGINT), 2) AS pair
+          FROM (SELECT word, unnest(range(1, length(word))) AS i FROM w))
+        SELECT pair, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY pair
+        ORDER BY n DESC, pair ASC LIMIT 20
     """
     return oracles

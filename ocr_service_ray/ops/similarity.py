@@ -706,3 +706,35 @@ def hard_negatives(
     return grouped_topk(
         scored, ["query_id"], ["cos_sim", id_col], k, [True, False]
     )
+
+
+def ann_recall_eval(ds, index, queries: "np.ndarray", k: int = 5):
+    """Recall@k of an ANN index vs exact brute force, per query — the
+    index-quality gate a retrieval/dedup pipeline runs before trusting
+    an approximate structure (the recall/cost trade is THE decision an
+    IVF/LSH deployment makes; measured, not guessed).
+
+    ``queries`` is a (Q, dim) matrix. Per query: exact top-k over the
+    full corpus (``knn_brute`` — the expensive ground truth, which is
+    exactly why the eval runs on a bounded query SAMPLE), top-k over
+    the index's restricted search, recall_ppm = |∩| · 1e6 // k.
+    Returns pandas (query_id, recall_ppm) ordered by query id.
+
+    Tie discipline: both sides rank by (cos DESC, id ASC) — the
+    repo-wide knn order — so recall is well-defined even at score
+    ties and the whole eval is SQL-reproducible when the index's
+    restriction is (LshIndex: pure arithmetic; IvfIndex needs
+    recall-1 parameters for an exact oracle).
+    """
+    import pandas as pd
+
+    rows = []
+    for qi, q in enumerate(queries):
+        brute = knn_brute(ds, np.asarray(q, dtype=np.float64), k)
+        approx = index.search(np.asarray(q, dtype=np.float64), k=k)
+        b_ids = set(brute.to_pandas()["vec_id"])
+        a_ids = set(approx.to_pandas()["vec_id"])
+        rows.append((qi, len(b_ids & a_ids) * 1_000_000 // k))
+    return pd.DataFrame(rows, columns=["query_id", "recall_ppm"]).astype(
+        "int64"
+    )

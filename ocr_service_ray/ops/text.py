@@ -434,3 +434,44 @@ def oov_rate_by_group(
         (scale * out["n_oov"].astype(object)) // out["n_tokens"].astype(object)
     ).astype("int64")
     return out.reset_index(drop=True)
+
+
+def bpe_merge_pairs(ds, text_col: str = "text", top_k: int = 20):
+    """Top-``top_k`` adjacent CHARACTER pair frequencies over all word
+    occurrences — the first-merge candidate table of BPE tokenizer
+    training (Sennrich et al.: the initial merge is exactly the
+    most frequent adjacent symbol pair). Word-internal pairs only
+    (no cross-word merges), every token occurrence counts.
+
+    One scan; each block collapses to its pair Counter (vocabulary-
+    bounded: ≤ |alphabet|² rows) and one combiner merge + top-k
+    closes it — the shuffle never moves text. Returns pandas
+    ``(pair, n)`` by (n DESC, pair ASC)."""
+    from collections import Counter
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    def explode(b: pa.Table) -> pa.Table:
+        cnt: Counter = Counter()
+        for t in b[text_col].to_pylist():
+            for w in t.split(" "):
+                for i in range(len(w) - 1):
+                    cnt[w[i : i + 2]] += 1
+        return pa.table(
+            {
+                "pair": pa.array(list(cnt.keys()), pa.string()),
+                "c": pa.array(list(cnt.values()), pa.int64()),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow"),
+        ["pair"],
+        {"n": ("c", "sum")},
+    ).to_pandas()
+    out["n"] = out["n"].astype("int64")
+    return (
+        out.sort_values(["n", "pair"], ascending=[False, True])
+        .head(top_k)
+        .reset_index(drop=True)
+    )
