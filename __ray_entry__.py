@@ -11915,6 +11915,43 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bpe_merge_pairs(_read(sf_dir, "documents", ["text"]))
 
+    def q_bootstrap_value_ci(sf_dir):
+        """Poisson bootstrap CI for mean event value per type
+        (ops/bootstrap.py — the Chamandy-style distributed bootstrap):
+        32 deterministic md5-Poisson(1) resamples ride ONE combiner
+        exchange of |types|x32 partials; the 5th/95th resample-mean
+        order statistics bound the mean. Zero RNG; the oracle
+        recomputes every draw."""
+        from ocr_service_ray.ops.bootstrap import poisson_bootstrap_ci
+
+        def cents_fn(b: pa.Table):
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return (
+                b["event_type"].to_pylist(),
+                b["event_id"].to_pylist(),
+                c,
+            )
+
+        return poisson_bootstrap_ci(
+            _read(sf_dir, "events", ["event_id", "event_type", "value"]),
+            "event_type",
+            "event_id",
+            cents_fn,
+        )
+
+    def q_quantization_error(sf_dir):
+        """int8 quantization reconstruction-error audit per dimension
+        (ops/vector.quantization_error_audit): the decide-before-
+        reindex compression audit; pico-int squared-error partials,
+        bit-exact vs the SQL replay of the identical arithmetic."""
+        from ocr_service_ray.ops.vector import quantization_error_audit
+
+        return quantization_error_audit(
+            _read(sf_dir, "embeddings", ["embedding"])
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12269,6 +12306,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stream_stream_join": q_stream_stream_join,
         "ann_recall": q_ann_recall,
         "bpe_merge_pairs": q_bpe_merge_pairs,
+        "bootstrap_value_ci": q_bootstrap_value_ci,
+        "quantization_error": q_quantization_error,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -18777,5 +18816,58 @@ def oracle_sql() -> dict[str, str]:
         SELECT pair, CAST(count(*) AS BIGINT) AS n
         FROM p GROUP BY pair
         ORDER BY n DESC, pair ASC LIMIT 20
+    """
+
+    # Poisson bootstrap: every md5 draw + CDF inversion recomputed;
+    # the CASE thresholds are repr() of the engine's own float64
+    # literals (ops/bootstrap.POISSON1_CDF) — bit-identical compares.
+    oracles["bootstrap_value_ci"] = f"""
+        WITH base AS (
+          SELECT event_type AS g, event_id AS i,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+          FROM events),
+        r AS (SELECT g, i, c, unnest(range(0, 32)) AS b FROM base),
+        u AS (SELECT g, b, c,
+                     {_md5_unit_sql("md5('boot:' || CAST(b AS VARCHAR) || ':' || CAST(i AS VARCHAR))")} AS uu
+              FROM r),
+        m AS (SELECT g, b, c,
+                     CASE WHEN uu < 0.36787944117144233 THEN 0 WHEN uu < 0.7357588823428847 THEN 1 WHEN uu < 0.9196986029286058 THEN 2 WHEN uu < 0.9810118431238462 THEN 3 WHEN uu < 0.9963401531726563 THEN 4 WHEN uu < 0.9994058151824183 THEN 5 WHEN uu < 0.9999167588507119 THEN 6 WHEN uu < 0.9999897508033253 THEN 7 ELSE 8 END AS m
+              FROM u),
+        agg AS (SELECT g, b, sum(m * c) AS sv, sum(m) AS sm
+                FROM m GROUP BY 1, 2 HAVING sum(m) > 0),
+        means AS (SELECT g, (sv * 10000) // sm AS mm,
+                         row_number() OVER (PARTITION BY g
+                           ORDER BY (sv * 10000) // sm) AS rn
+                  FROM agg),
+        fl AS (SELECT g, (sum(c) * 10000) // count(*) AS mean_micro
+               FROM base GROUP BY 1)
+        SELECT fl.g AS event_type,
+               CAST(fl.mean_micro AS BIGINT) AS mean_micro,
+               CAST(lo.mm AS BIGINT) AS lo_micro,
+               CAST(hi.mm AS BIGINT) AS hi_micro
+        FROM fl JOIN means lo ON lo.g = fl.g AND lo.rn = 2
+                JOIN means hi ON hi.g = fl.g AND hi.rn = 30
+        ORDER BY fl.g
+    """
+
+    oracles["quantization_error"] = """
+        WITH e AS (
+          SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        x AS (SELECT CAST(j AS BIGINT) AS dim, v[CAST(j AS BIGINT)] AS x
+              FROM (SELECT v, unnest(range(1, len(v) + 1)) AS j FROM e)),
+        mm AS (SELECT dim, min(x) AS mn, max(x) AS mx FROM x GROUP BY 1),
+        q AS (SELECT x.dim, x.x, mm.mn, mm.mx,
+                     CASE WHEN mm.mx > mm.mn
+                          THEN least(floor(((x.x - mm.mn) * 255.0)
+                                           / (mm.mx - mm.mn)), 255.0)
+                          ELSE 0.0 END AS qv
+              FROM x JOIN mm USING (dim)),
+        err AS (SELECT dim,
+                       x - (mn + ((qv * (mx - mn)) / 255.0)) AS er
+                FROM q)
+        SELECT dim, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(CAST(floor(er * er * 1000000000000.0 + 0.5)
+                 AS BIGINT)) AS BIGINT) AS sse_pico
+        FROM err GROUP BY dim ORDER BY dim
     """
     return oracles

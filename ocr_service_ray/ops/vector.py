@@ -348,3 +348,65 @@ def label_dispersion(ds, group_col: str, vec_col: str = "embedding"):
     for c in ("n", "scatter_num", "mean_pd2_micro"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def quantization_error_audit(ds, vec_col: str = "embedding"):
+    """Per-dimension reconstruction error of the int8 scalar
+    quantization (``quantize_embeddings``' exact arithmetic) — the
+    audit that decides whether 4→1 byte compression is safe for a
+    given embedding family BEFORE re-indexing the corpus. For every
+    element: ``q = min(floor((x − mn)·255 / (mx − mn)), 255)``,
+    dequantized ``x' = mn + q·(mx − mn)/255``, and the per-dim sum of
+    pico-int squared errors ``floor(err²·1e12 + 0.5)`` (integer
+    partials — layout-invariant; err ≈ range/255 needs the 1e12
+    scale, micro would quantize it away).
+
+    Combiner-shaped: min/max pass (dim-bounded) + one streaming map
+    collapsing each block to dim partial rows. Returns pandas
+    ``(dim, n_rows, sse_pico)``, dim 1-based."""
+    import ray
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    stats = embedding_minmax(ds, vec_col).sort_values("dim")
+    mn = stats["mn"].to_numpy(dtype=np.float64)
+    mx = stats["mx"].to_numpy(dtype=np.float64)
+    stats_ref = ray.put((mn, mx))
+
+    def kernel(b: pa.Table) -> pa.Table:
+        mn_b, mx_b = ray.get(stats_ref)
+        vecs = _flat_vectors(b[vec_col])
+        if vecs.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "sse": pa.array([], pa.int64()),
+                }
+            )
+        dim = vecs.shape[1]
+        span = mx_b - mn_b
+        safe = np.where(span > 0.0, span, 1.0)
+        q = np.minimum(np.floor((vecs - mn_b) * 255.0 / safe), 255.0)
+        q = np.where(span > 0.0, q, 0.0)
+        xp = mn_b + (q * span) / 255.0
+        err = vecs - xp
+        sse = np.floor(err * err * 1_000_000_000_000.0 + 0.5).astype(
+            np.int64
+        ).sum(axis=0)
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(1, dim + 1, dtype=np.int64)),
+                "n": pa.array(np.full(dim, len(vecs), dtype=np.int64)),
+                "sse": pa.array(sse),
+            }
+        )
+
+    out = grouped_agg(
+        ds.map_batches(kernel, batch_format="pyarrow"),
+        ["dim"],
+        {"n_rows": ("n", "sum"), "sse_pico": ("sse", "sum")},
+    ).to_pandas()
+    for c in ("dim", "n_rows", "sse_pico"):
+        out[c] = out[c].astype("int64")
+    return out.sort_values("dim").reset_index(drop=True)
