@@ -11952,6 +11952,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _read(sf_dir, "embeddings", ["embedding"])
         )
 
+    def q_mmr_select(sf_dir):
+        """Diverse top-5 via Maximal Marginal Relevance
+        (ops/similarity.mmr_select): one scan + combiner top-20 pool
+        (vectors ride along), driver greedy over pool-squared 6dp
+        cosines — the RAG-serving dedup move. The oracle unrolls the
+        greedy step by step with identical float parenthesization."""
+        from ocr_service_ray.ops.similarity import mmr_select
+
+        return mmr_select(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding"]),
+            _query_vec(sf_dir),
+            k=5,
+            pool=20,
+        )
+
+    def q_event_path_trigrams(sf_dir):
+        """Top-10 event-type trigram paths over per-user ts-ordered
+        timelines — funnel-shape discovery (the sequential-pattern
+        sibling of markov_stationary). One bucketed user shuffle,
+        Counter partials, one combiner top-k."""
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_id", "event_type"])
+
+        def per_user(g):
+            import pandas as _pd
+
+            t = g.sort_values(["ts", "event_id"])["event_type"].to_list()
+            if len(t) < 3:
+                return None
+            from collections import Counter
+
+            cnt = Counter(
+                f"{a}>{b}>{c}" for a, b, c in zip(t, t[1:], t[2:])
+            )
+            return _pd.DataFrame(
+                {"path": list(cnt.keys()), "c": list(cnt.values())}
+            )
+
+        counts = grouped_agg(
+            bucketed_map_groups(ev, ["user_id"], per_user),
+            ["path"],
+            {"n": ("c", "sum")},
+        ).to_pandas()
+        counts["n"] = counts["n"].astype("int64")
+        return (
+            counts.sort_values(["n", "path"], ascending=[False, True])
+            .head(10)
+            .reset_index(drop=True)
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12308,6 +12359,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_merge_pairs": q_bpe_merge_pairs,
         "bootstrap_value_ci": q_bootstrap_value_ci,
         "quantization_error": q_quantization_error,
+        "mmr_select": q_mmr_select,
+        "event_path_trigrams": q_event_path_trigrams,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -18869,5 +18922,67 @@ def oracle_sql() -> dict[str, str]:
                CAST(sum(CAST(floor(er * er * 1000000000000.0 + 0.5)
                  AS BIGINT)) AS BIGINT) AS sse_pico
         FROM err GROUP BY dim ORDER BY dim
+    """
+    oracles["mmr_select"] = """
+        WITH e AS (
+          SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        scored AS (
+          SELECT e.vec_id, e.v,
+                 round(list_cosine_similarity(e.v, q.qv), 6) AS rel
+          FROM e, q),
+        cand AS (SELECT * FROM scored ORDER BY rel DESC, vec_id LIMIT 20),
+        p1 AS (SELECT vec_id, v FROM cand ORDER BY rel DESC, vec_id LIMIT 1),
+        s2 AS (
+          SELECT c.vec_id, c.v,
+                 (0.5 * c.rel) - (0.5 * (
+                   SELECT max(round(list_cosine_similarity(c.v, p.v), 6))
+                   FROM p1 p)) AS sc
+          FROM cand c
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM p1)),
+        pick2 AS (SELECT vec_id, v FROM s2
+                    ORDER BY sc DESC, vec_id LIMIT 1),
+        p2 AS (SELECT * FROM p1 UNION ALL SELECT * FROM pick2),s3 AS (
+          SELECT c.vec_id, c.v,
+                 (0.5 * c.rel) - (0.5 * (
+                   SELECT max(round(list_cosine_similarity(c.v, p.v), 6))
+                   FROM p2 p)) AS sc
+          FROM cand c
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM p2)),
+        pick3 AS (SELECT vec_id, v FROM s3
+                    ORDER BY sc DESC, vec_id LIMIT 1),
+        p3 AS (SELECT * FROM p2 UNION ALL SELECT * FROM pick3),s4 AS (
+          SELECT c.vec_id, c.v,
+                 (0.5 * c.rel) - (0.5 * (
+                   SELECT max(round(list_cosine_similarity(c.v, p.v), 6))
+                   FROM p3 p)) AS sc
+          FROM cand c
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM p3)),
+        pick4 AS (SELECT vec_id, v FROM s4
+                    ORDER BY sc DESC, vec_id LIMIT 1),
+        p4 AS (SELECT * FROM p3 UNION ALL SELECT * FROM pick4),s5 AS (
+          SELECT c.vec_id, c.v,
+                 (0.5 * c.rel) - (0.5 * (
+                   SELECT max(round(list_cosine_similarity(c.v, p.v), 6))
+                   FROM p4 p)) AS sc
+          FROM cand c
+          WHERE c.vec_id NOT IN (SELECT vec_id FROM p4)),
+        pick5 AS (SELECT vec_id, v FROM s5
+                    ORDER BY sc DESC, vec_id LIMIT 1),
+        p5 AS (SELECT * FROM p4 UNION ALL SELECT * FROM pick5)
+        SELECT 1 AS sel_order, vec_id FROM p1 UNION ALL SELECT 2, vec_id FROM pick2 UNION ALL SELECT 3, vec_id FROM pick3 UNION ALL SELECT 4, vec_id FROM pick4 UNION ALL SELECT 5, vec_id FROM pick5
+        ORDER BY sel_order
+    """
+    oracles["event_path_trigrams"] = """
+        WITH o AS (
+          SELECT event_type,
+                 lead(event_type, 1) OVER w AS t2,
+                 lead(event_type, 2) OVER w AS t3
+          FROM events
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        p AS (SELECT event_type || '>' || t2 || '>' || t3 AS path
+              FROM o WHERE t3 IS NOT NULL)
+        SELECT path, CAST(count(*) AS BIGINT) AS n
+        FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10
     """
     return oracles

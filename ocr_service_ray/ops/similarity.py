@@ -738,3 +738,72 @@ def ann_recall_eval(ds, index, queries: "np.ndarray", k: int = 5):
     return pd.DataFrame(rows, columns=["query_id", "recall_ppm"]).astype(
         "int64"
     )
+
+
+def mmr_select(
+    ds,
+    query: "np.ndarray",
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """Maximal Marginal Relevance (Carbonell & Goldstein 1998): a
+    diverse top-k — greedily pick the candidate maximizing
+    ``λ·rel − (1−λ)·max_sim_to_selected`` — the retrieval move that
+    stops near-duplicate passages from filling a context window
+    (RAG-dedup at serving time; the serving-side complement of
+    ``ops/dedup.py``).
+
+    Distributed part: ONE scan scores the corpus and a combiner top-k
+    keeps the ``pool`` most relevant candidates (vectors ride along —
+    pool-bounded, tiny). The greedy loop is driver-side over pool²
+    cosines — bounded by ``pool``, never by corpus, which is the
+    standard MMR deployment shape.
+
+    Float discipline: every cosine is rounded to 6dp at the edge (the
+    module-wide rule) and the score is ``(λ·rel) − ((1−λ)·maxsim)``
+    with that exact parenthesization, ties → smaller id — so the SQL
+    oracle replays the greedy unrolled step by step. Returns pandas
+    ``(sel_order, vec_id)``, sel_order 1-based."""
+    import pandas as pd
+
+    from ocr_service_ray.ops.relational import topk
+
+    scored = ds.map_batches(
+        lambda b: cosine_to_query(b, query, vec_col).select(
+            [id_col, vec_col, "cos_sim"]
+        ),
+        batch_format="pyarrow",
+    )
+    cand = topk(
+        scored, ["cos_sim", id_col], pool, descending=[True, False]
+    ).to_pandas()
+    ids = cand[id_col].to_list()
+    rel = dict(zip(ids, cand["cos_sim"]))
+    vecs = {
+        i: np.asarray(v, dtype=np.float64)
+        for i, v in zip(ids, cand[vec_col])
+    }
+
+    def cos(a: np.ndarray, b: np.ndarray) -> float:
+        na = np.linalg.norm(a) or 1.0
+        nb = np.linalg.norm(b) or 1.0
+        return float(np.round((a @ b) / (na * nb), 6))
+
+    selected = [min(ids, key=lambda i: (-rel[i], i))]
+    while len(selected) < min(k, len(ids)):
+        best, best_sc = None, None
+        for c in sorted(i for i in ids if i not in selected):
+            ms = max(cos(vecs[c], vecs[s]) for s in selected)
+            sc = (lam * rel[c]) - ((1.0 - lam) * ms)
+            if best_sc is None or sc > best_sc:
+                best, best_sc = c, sc
+        selected.append(best)
+    return pd.DataFrame(
+        {
+            "sel_order": np.arange(1, len(selected) + 1, dtype=np.int64),
+            id_col: np.asarray(selected, dtype=np.int64),
+        }
+    )
