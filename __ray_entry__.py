@@ -12003,6 +12003,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
+    def q_label_noise(sf_dir):
+        """kNN label-disagreement audit (ops/similarity.
+        label_noise_audit — the cleanlab move): rows whose 5 nearest
+        in-LSH-cell neighbors majority-vote a different label. One
+        bucketed cell shuffle + in-cell matmul; the LSH restriction
+        and the vote are replayed exactly in SQL."""
+        from ocr_service_ray.ops.similarity import label_noise_audit
+
+        return label_noise_audit(
+            _read(sf_dir, "embeddings", ["vec_id", "embedding", "label"])
+        )
+
+    def q_dup_cluster_histogram(sf_dir):
+        """Near-dup cluster size distribution: minhash pairs →
+        connected components (ops/graph.py) → per-cluster size →
+        histogram — the dedup-impact report (how much of the corpus
+        sits in how-big duplicate families). Two combiner counts over
+        the |clusters|-bounded label table."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.graph import connected_components
+
+        pairs = dedup.minhash_lsh_candidates(
+            _read(sf_dir, "documents", ["doc_id", "text"]), threshold=0.4
+        )
+        comps = connected_components(pairs)
+        sizes = grouped_agg(
+            comps, ["cluster_id"], {"size": (None, "count")}
+        )
+        hist = grouped_agg(
+            sizes, ["size"], {"n_clusters": (None, "count")}
+        ).to_pandas()
+        hist = hist.rename(columns={"size": "cluster_size"})
+        for c in hist.columns:
+            hist[c] = hist[c].astype("int64")
+        return hist.sort_values("cluster_size").reset_index(drop=True)
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12361,6 +12397,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantization_error": q_quantization_error,
         "mmr_select": q_mmr_select,
         "event_path_trigrams": q_event_path_trigrams,
+        "label_noise": q_label_noise,
+        "dup_cluster_histogram": q_dup_cluster_histogram,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -18984,5 +19022,42 @@ def oracle_sql() -> dict[str, str]:
               FROM o WHERE t3 IS NOT NULL)
         SELECT path, CAST(count(*) AS BIGINT) AS n
         FROM p GROUP BY 1 ORDER BY n DESC, path LIMIT 10
+    """
+    oracles["label_noise"] = f"""
+        WITH e AS (
+          SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+          FROM embeddings),
+        cells AS (
+          SELECT vec_id, label, v, {_lsh_cell_terms_sql("v")} AS cell
+          FROM e),
+        pair AS (
+          SELECT a.vec_id, a.label, b.label AS nlabel,
+                 row_number() OVER (PARTITION BY a.vec_id
+                   ORDER BY round(list_cosine_similarity(a.v, b.v), 6) DESC,
+                            b.vec_id ASC) AS rn
+          FROM cells a JOIN cells b
+            ON b.cell = a.cell AND b.vec_id <> a.vec_id),
+        kn AS (SELECT * FROM pair WHERE rn <= 5),
+        votes AS (SELECT vec_id, label, nlabel, count(*) AS c
+                  FROM kn GROUP BY 1, 2, 3),
+        maj AS (SELECT vec_id, label, nlabel AS maj_label,
+                       row_number() OVER (PARTITION BY vec_id
+                         ORDER BY c DESC, nlabel ASC) AS r
+                FROM votes),
+        nv AS (SELECT vec_id, count(*) AS n_votes FROM kn GROUP BY 1)
+        SELECT m.vec_id, CAST(m.label AS BIGINT) AS label,
+               CAST(m.maj_label AS BIGINT) AS maj_label,
+               CAST(nv.n_votes AS BIGINT) AS n_votes
+        FROM maj m JOIN nv USING (vec_id)
+        WHERE m.r = 1 AND m.maj_label <> m.label
+        ORDER BY m.vec_id
+    """
+    oracles["dup_cluster_histogram"] = f"""
+        SELECT CAST(sz AS BIGINT) AS cluster_size,
+               CAST(count(*) AS BIGINT) AS n_clusters
+        FROM (SELECT cluster_id, count(*) AS sz
+              FROM ({_dedup_clusters_oracle_sql(threshold=0.4)}) t
+              GROUP BY cluster_id) s
+        GROUP BY sz ORDER BY sz
     """
     return oracles

@@ -807,3 +807,88 @@ def mmr_select(
             id_col: np.asarray(selected, dtype=np.int64),
         }
     )
+
+
+def label_noise_audit(
+    ds,
+    k: int = 5,
+    nbits: int = 4,
+    seed: int = 13,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    label_col: str = "label",
+):
+    """kNN label-disagreement audit (the confident-learning /
+    cleanlab move): a row whose k nearest neighbors mostly carry a
+    DIFFERENT label is a mislabel candidate — the label-quality gate
+    of a classifier-training pipeline.
+
+    Scale shape: neighbors are restricted to the row's hyperplane-LSH
+    cell (the ``LshIndex`` arithmetic — pure, SQL-reproducible), so
+    the all-pairs cosine work is per-cell, never corpus-wide; ONE
+    bucketed cell shuffle, in-cell numpy matmul. Neighbor order is
+    (6dp cosine DESC, id ASC); the majority vote ties to the SMALLER
+    label; rows alone in their cell have no electorate and are
+    skipped. Returns pandas ``(vec_id, label, maj_label, n_votes)``
+    for DISAGREEING rows only, sorted by vec_id."""
+    import pandas as pd
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    rng = np.random.RandomState(seed)
+    dim_probe = len(ds.limit(1).take(1)[0][vec_col])
+    planes = rng.standard_normal((nbits, dim_probe))
+
+    def assign(b: pa.Table) -> pa.Table:
+        mat = _as_matrix(b[vec_col])
+        bits = (mat @ planes.T) > 0.0
+        cell = (
+            bits.astype(np.int64) << np.arange(nbits, dtype=np.int64)
+        ).sum(axis=1)
+        return pa.table(
+            {
+                id_col: b[id_col].cast(pa.int64()),
+                label_col: b[label_col].cast(pa.int64()),
+                vec_col: b[vec_col],
+                "cell": pa.array(cell),
+            }
+        )
+
+    def per_cell(g: pd.DataFrame) -> pd.DataFrame | None:
+        n = len(g)
+        if n < 2:
+            return None
+        ids = g[id_col].to_numpy(dtype=np.int64)
+        labels = g[label_col].to_numpy(dtype=np.int64)
+        mat = np.array(g[vec_col].to_list(), dtype=np.float64)
+        norms = np.linalg.norm(mat, axis=1)
+        norms[norms == 0] = 1.0
+        sims = np.round((mat @ mat.T) / np.outer(norms, norms), 6)
+        rows = []
+        for i in range(n):
+            order = sorted(
+                (j for j in range(n) if j != i),
+                key=lambda j: (-sims[i, j], ids[j]),
+            )[:k]
+            votes: dict = {}
+            for j in order:
+                votes[labels[j]] = votes.get(labels[j], 0) + 1
+            maj = min(votes, key=lambda l: (-votes[l], l))
+            if maj != labels[i]:
+                rows.append((ids[i], labels[i], maj, len(order)))
+        if not rows:
+            return None
+        return pd.DataFrame(
+            rows, columns=[id_col, label_col, "maj_label", "n_votes"]
+        )
+
+    out = bucketed_map_groups(
+        ds.map_batches(assign, batch_format="pyarrow"), ["cell"], per_cell
+    ).to_pandas()
+    if id_col not in out.columns:
+        out = pd.DataFrame(
+            {id_col: [], label_col: [], "maj_label": [], "n_votes": []}
+        )
+    for c in out.columns:
+        out[c] = out[c].astype("int64")
+    return out.sort_values(id_col).reset_index(drop=True)
