@@ -12039,6 +12039,108 @@ def queries() -> dict[str, Callable[[str], Any]]:
             hist[c] = hist[c].astype("int64")
         return hist.sort_values("cluster_size").reset_index(drop=True)
 
+    def q_redaction_audit(sf_dir):
+        """PII-scrub verification (compose ops/quality_rules.
+        redact_patterns with a residual re-scan): per rule, the
+        redactions made AND the matches still present afterwards —
+        the zero-residual proof a privacy review wants, not just the
+        scrub itself. Two stateless RE2 passes, one combiner sum."""
+        import pandas as _pd
+
+        from ocr_service_ray.ops.agg import global_agg
+        from ocr_service_ray.ops.quality_rules import redact_patterns
+
+        rules = [("num", "[0-9]{2,}", "<NUM>"), ("digit", "[0-9]", "#")]
+        red = redact_patterns(
+            _read(sf_dir, "events", ["event_id", "props"]),
+            "props",
+            rules,
+            keep_cols=["event_id"],
+        )
+
+        def residual(b: pa.Table) -> pa.Table:
+            cols = {
+                f"n_{n}": b[f"n_{n}"] for n, _, _ in rules
+            }
+            for n, pat, _ in rules:
+                cols[f"res_{n}"] = pc.cast(
+                    pc.count_substring_regex(b["props"], pat), pa.int64()
+                )
+            return pa.table(cols)
+
+        tot = global_agg(
+            red.map_batches(residual, batch_format="pyarrow"),
+            {
+                **{f"n_{n}": (f"n_{n}", "sum") for n, _, _ in rules},
+                **{f"res_{n}": (f"res_{n}", "sum") for n, _, _ in rules},
+            },
+        )
+        return _pd.DataFrame(
+            {
+                "rule": [n for n, _, _ in rules],
+                "n_redactions": _pd.Series(
+                    [int(tot[f"n_{n}"]) for n, _, _ in rules], dtype="int64"
+                ),
+                "n_residual": _pd.Series(
+                    [int(tot[f"res_{n}"]) for n, _, _ in rules], dtype="int64"
+                ),
+            }
+        )
+
+    def q_denormalize_orders(sf_dir):
+        """Star-schema denormalization in ONE scan: orders enriched
+        with customer segment, nation and region names via CHAINED
+        broadcast dicts (ray.put once each — dims are small by
+        definition; zero joins, zero shuffle). The ETL wide-table
+        move; the oracle pays the three-way join. Returns a per
+        (segment, nation, region) revenue rollup so the surface is
+        hash-comparable without shipping 15k denormalized rows."""
+        import pyarrow.parquet as _pq
+        import ray as _ray
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        def _dict(table, k, v):
+            t = _pq.read_table(f"{sf_dir}/{table}.parquet", columns=[k, v])
+            return dict(zip(t[k].to_pylist(), t[v].to_pylist()))
+
+        cust_seg = _dict("customer", "c_custkey", "c_mktsegment")
+        cust_nat = _dict("customer", "c_custkey", "c_nationkey")
+        nat_name = _dict("nation", "n_nationkey", "n_name")
+        nat_reg = _dict("nation", "n_nationkey", "n_regionkey")
+        reg_name = _dict("region", "r_regionkey", "r_name")
+        ref = _ray.put((cust_seg, cust_nat, nat_name, nat_reg, reg_name))
+
+        def widen(b: pa.Table) -> pa.Table:
+            cs, cn, nn, nr, rn = _ray.get(ref)
+            cust = b["o_custkey"].to_pylist()
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            seg = [cs[c] for c in cust]
+            nk = [cn[c] for c in cust]
+            return pa.table(
+                {
+                    "segment": pa.array(seg, pa.string()),
+                    "nation": pa.array([nn[k] for k in nk], pa.string()),
+                    "region": pa.array([rn[nr[k]] for k in nk], pa.string()),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        out = grouped_agg(
+            _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+                widen, batch_format="pyarrow"
+            ),
+            ["segment", "nation", "region"],
+            {"n_orders": (None, "count"), "revenue_cents": ("cents", "sum")},
+        ).to_pandas()
+        for c in ("n_orders", "revenue_cents"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values(
+            ["segment", "nation", "region"]
+        ).reset_index(drop=True)
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12399,6 +12501,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_path_trigrams": q_event_path_trigrams,
         "label_noise": q_label_noise,
         "dup_cluster_histogram": q_dup_cluster_histogram,
+        "redaction_audit": q_redaction_audit,
+        "denormalize_orders": q_denormalize_orders,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -19059,5 +19163,39 @@ def oracle_sql() -> dict[str, str]:
               FROM ({_dedup_clusters_oracle_sql(threshold=0.4)}) t
               GROUP BY cluster_id) s
         GROUP BY sz ORDER BY sz
+    """
+    oracles["redaction_audit"] = """
+        WITH step1 AS (
+          SELECT props,
+                 len(regexp_extract_all(props, '[0-9]{2,}')) AS n_num,
+                 regexp_replace(props, '[0-9]{2,}', '<NUM>', 'g') AS p1
+          FROM events),
+        step2 AS (
+          SELECT n_num,
+                 len(regexp_extract_all(p1, '[0-9]')) AS n_digit,
+                 regexp_replace(p1, '[0-9]', '#', 'g') AS p2
+          FROM step1),
+        tot AS (
+          SELECT sum(n_num) AS n_num, sum(n_digit) AS n_digit,
+                 sum(len(regexp_extract_all(p2, '[0-9]{2,}'))) AS res_num,
+                 sum(len(regexp_extract_all(p2, '[0-9]'))) AS res_digit
+          FROM step2)
+        SELECT 'num' AS rule, CAST(n_num AS BIGINT) AS n_redactions,
+               CAST(res_num AS BIGINT) AS n_residual FROM tot
+        UNION ALL
+        SELECT 'digit', CAST(n_digit AS BIGINT), CAST(res_digit AS BIGINT)
+        FROM tot
+    """
+    oracles["denormalize_orders"] = """
+        SELECT c.c_mktsegment AS segment, n.n_name AS nation,
+               r.r_name AS region,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               CAST(sum(CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT))
+                 AS BIGINT) AS revenue_cents
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
     """
     return oracles
