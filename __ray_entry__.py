@@ -12141,6 +12141,81 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ["segment", "nation", "region"]
         ).reset_index(drop=True)
 
+    def q_neyman_sample(sf_dir):
+        """Neyman-allocated stratified sample of 1000 events by type
+        (ops/mix.neyman_sample): budget ∝ N_h·S_h from one integer
+        moment combiner, Hamilton quotas, md5-rank draw — the
+        variance-optimal labeling-budget spend, end to end
+        deterministic and SQL-replayed (sqrt of an int is IEEE
+        correctly rounded on both engines)."""
+        from ocr_service_ray.ops.mix import neyman_sample
+
+        ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "event_id": b["event_id"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        out = neyman_sample(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            "event_type",
+            "event_id",
+            "cents",
+            total_n=1000,
+        ).to_pandas()
+        out["event_id"] = out["event_id"].astype("int64")
+        return out.sort_values(["event_type", "event_id"]).reset_index(
+            drop=True
+        )
+
+    def q_harmonic_mean_value(sf_dir):
+        """Exact integer harmonic mean of positive event values per
+        type: pico-scaled reciprocal partials (1e12 // cents) in one
+        combiner, the final division in arbitrary-precision ints
+        (HUGEINT in SQL) — the rate-averaging mean the arithmetic
+        mean gets wrong; zero-cent rows excluded by contract."""
+        import pandas as _pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        def recip(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            m = c > 0
+            return pa.table(
+                {
+                    "event_type": b["event_type"].filter(pa.array(m)),
+                    "r": pa.array(1_000_000_000_000 // c[m]),
+                }
+            )
+
+        agg = grouped_agg(
+            _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+                recip, batch_format="pyarrow"
+            ),
+            ["event_type"],
+            {"n": (None, "count"), "sr": ("r", "sum")},
+        ).to_pandas()
+        agg["hm_micro_cents"] = [
+            int(n) * 10**18 // int(sr) for n, sr in zip(agg["n"], agg["sr"])
+        ]
+        agg["n"] = agg["n"].astype("int64")
+        agg["hm_micro_cents"] = agg["hm_micro_cents"].astype("int64")
+        return (
+            agg[["event_type", "n", "hm_micro_cents"]]
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12503,6 +12578,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dup_cluster_histogram": q_dup_cluster_histogram,
         "redaction_audit": q_redaction_audit,
         "denormalize_orders": q_denormalize_orders,
+        "neyman_sample": q_neyman_sample,
+        "harmonic_mean_value": q_harmonic_mean_value,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -19197,5 +19274,62 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON n.n_nationkey = c.c_nationkey
         JOIN region r ON r.r_regionkey = n.n_regionkey
         GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """
+    oracles["neyman_sample"] = """
+        WITH base AS (
+          SELECT event_type, event_id,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        mom AS (
+          SELECT event_type, count(*) AS c, sum(cents) AS s,
+                 sum(cents * cents) AS s2
+          FROM base GROUP BY 1),
+        wt AS (
+          SELECT event_type, c,
+                 c * CAST(floor(sqrt(CAST((c * s2 - s * s) // (c * c)
+                   AS DOUBLE))) AS BIGINT) AS w
+          FROM mom),
+        wt2 AS (
+          SELECT event_type, c,
+                 CASE WHEN (SELECT sum(w) FROM wt) = 0 THEN c ELSE w END
+                   AS w
+          FROM wt),
+        tot AS (SELECT sum(w) AS ww FROM wt2),
+        ham AS (
+          SELECT event_type, c,
+                 (1000 * w) // tot.ww AS bq,
+                 (1000 * w) % tot.ww AS rem
+          FROM wt2, tot),
+        ex AS (SELECT 1000 - sum(bq) AS extras FROM ham),
+        q AS (
+          SELECT event_type, c,
+                 bq + CASE WHEN row_number() OVER
+                        (ORDER BY rem DESC, event_type ASC)
+                      <= (SELECT extras FROM ex) THEN 1 ELSE 0 END AS quota
+          FROM ham),
+        ranked AS (
+          SELECT b.event_type, b.event_id,
+                 row_number() OVER (PARTITION BY b.event_type ORDER BY
+                   {rank_expr} ASC, b.event_id ASC) AS rn
+          FROM base b)
+        SELECT r.event_type, r.event_id
+        FROM ranked r JOIN q ON q.event_type = r.event_type
+        WHERE r.rn <= q.quota
+        ORDER BY r.event_type, r.event_id
+    """.replace("{rank_expr}", _hex_bigint_sql(
+        "md5('neyman:' || CAST(b.event_id AS VARCHAR))", 1, 15))
+    oracles["harmonic_mean_value"] = """
+        WITH base AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        r AS (SELECT event_type, 1000000000000 // cents AS r
+              FROM base WHERE cents > 0),
+        agg AS (SELECT event_type, count(*) AS n, sum(r) AS sr
+                FROM r GROUP BY 1)
+        SELECT event_type, CAST(n AS BIGINT) AS n,
+               CAST((CAST(n AS HUGEINT) * 1000000000000000000) // sr
+                 AS BIGINT) AS hm_micro_cents
+        FROM agg ORDER BY event_type
     """
     return oracles

@@ -190,3 +190,97 @@ def proportional_sample(ds, group_col: str, id_col: str, total_n: int, salt: str
         return g.iloc[np.sort(idx)]
 
     return bucketed_map_groups(ds, [group_col], keep)
+
+
+def neyman_sample(
+    ds,
+    group_col: str,
+    id_col: str,
+    cents_col: str,
+    total_n: int,
+    salt: str = "neyman",
+):
+    """Neyman-allocated stratified sampling — the survey-statistics
+    optimum: a stratum's share of the ``total_n`` budget is
+    proportional to ``N_h · S_h`` (size × spread), so high-variance
+    strata get more rows and near-constant strata barely any. The
+    data-pruning move when a fixed labeling/eval budget must buy the
+    most variance reduction.
+
+    Exact-integer discipline: per-stratum spread is the integer
+    population variance ``(n·Σv² − (Σv)²) // n²`` from ONE moment
+    combiner, ``S_h = floor(sqrt(var))`` (float64 sqrt of an int —
+    IEEE-correctly-rounded, identical in SQL), weights ``w_h = N_h ·
+    S_h``, quotas by the largest-remainder (Hamilton) method (ties →
+    group ascending; all-zero weights fall back to plain proportional
+    w_h = N_h), each quota filled by md5-rank (zero RNG). A stratum
+    whose quota exceeds its rows just keeps them all (the draw cannot
+    invent rows; documented — total may undershoot in that corner).
+
+    Plan: one combiner moment pass (|strata| rows to the driver) +
+    one bucketed key shuffle for the draw. Returns the drawn rows.
+    """
+    import hashlib
+
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+
+    from .agg import bucketed_map_groups, grouped_agg
+
+    # moment pass needs Σv² — project it in-kernel first
+    def with_sq(b: pa.Table) -> pa.Table:
+        v = b[cents_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        return pa.table(
+            {
+                group_col: b[group_col],
+                id_col: b[id_col],
+                cents_col: pa.array(v),
+                "_v2": pa.array(v * v),
+            }
+        )
+
+    proj = ds.map_batches(with_sq, batch_format="pyarrow")
+    mom = (
+        grouped_agg(
+            proj,
+            [group_col],
+            {"c": (None, "count"), "s": (cents_col, "sum"), "s2": ("_v2", "sum")},
+        )
+        .to_pandas()
+        .sort_values(group_col)
+        .reset_index(drop=True)
+    )
+    c = mom["c"].to_numpy(dtype=np.int64)
+    s = mom["s"].to_numpy(dtype=np.int64)
+    s2 = mom["s2"].to_numpy(dtype=np.int64)
+    var = (c * s2 - s * s) // (c * c)
+    sd = np.floor(np.sqrt(var.astype(np.float64))).astype(np.int64)
+    w = c * sd
+    if int(w.sum()) == 0:
+        w = c.copy()
+    W = int(w.sum())
+    base = (total_n * w) // W
+    rem = (total_n * w) % W
+    extras = total_n - int(base.sum())
+    order = np.lexsort((mom[group_col].to_numpy(), -rem))
+    quota = base.copy()
+    quota[order[:extras]] += 1
+    quotas = dict(zip(mom[group_col], quota.tolist()))
+
+    def keep(g: pd.DataFrame) -> pd.DataFrame | None:
+        q = quotas.get(g[group_col].iloc[0], 0)
+        if q <= 0:
+            return None
+        ranks = np.fromiter(
+            (
+                int(hashlib.md5(f"{salt}:{v}".encode()).hexdigest()[:15], 16)
+                for v in g[id_col]
+            ),
+            dtype=np.int64,
+            count=len(g),
+        )
+        idx = np.lexsort((g[id_col].to_numpy(), ranks))[:q]
+        return g.iloc[np.sort(idx)][[group_col, id_col]]
+
+    return bucketed_map_groups(proj, [group_col], keep)
