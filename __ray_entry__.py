@@ -12216,6 +12216,203 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .reset_index(drop=True)
         )
 
+    def q_churn_dataset(sf_dir):
+        """Supervised churn-dataset builder — the feature/label
+        temporal-split discipline: features from the 3-week window
+        (events before 2024-01-22: counts, purchases, cents), label =
+        purchased in the following week; users seen only in the label
+        window are excluded (no feature leakage in either direction).
+        ONE scan with indicator projections + one combiner per-user
+        fold."""
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        feat_end = np.datetime64("2024-01-22T00:00:00", "us").astype(np.int64)
+        label_end = np.datetime64("2024-01-29T00:00:00", "us").astype(np.int64)
+
+        def project(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            purch = np.array(
+                [t == "purchase" for t in b["event_type"].to_pylist()]
+            )
+            in_feat = us < feat_end
+            in_label = (us >= feat_end) & (us < label_end)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "f_ev": pa.array(in_feat.astype(np.int64)),
+                    "f_purch": pa.array((in_feat & purch).astype(np.int64)),
+                    "f_cents": pa.array(np.where(in_feat, cents, 0)),
+                    "lbl": pa.array((in_label & purch).astype(np.int64)),
+                }
+            )
+
+        out = grouped_agg(
+            _read(
+                sf_dir, "events", ["user_id", "ts", "event_type", "value"]
+            ).map_batches(project, batch_format="pyarrow"),
+            ["user_id"],
+            {
+                "n_events": ("f_ev", "sum"),
+                "n_purchases": ("f_purch", "sum"),
+                "value_cents": ("f_cents", "sum"),
+                "lbl_n": ("lbl", "sum"),
+            },
+        ).to_pandas()
+        out = out[out["n_events"] > 0].copy()
+        out["label"] = (out["lbl_n"] > 0).astype("int64")
+        out = out.drop(columns=["lbl_n"])
+        for c in ("user_id", "n_events", "n_purchases", "value_cents"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values("user_id").reset_index(drop=True)
+
+    def q_token_fertility(sf_dir):
+        """Tokenizer fertility per language: chars per whitespace
+        token in ppm — the metric that decides whether a lang is
+        token-efficient under a given vocab (high chars/token = CJK-
+        style scripts suffer). One combiner; token count is the
+        repo-wide count(' ')+1 convention."""
+        import pandas as _pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        def project(b: pa.Table) -> pa.Table:
+            ntok = pc.add(
+                pc.count_substring(b["text"], " "), pa.scalar(1)
+            ).cast(pa.int64())
+            return pa.table(
+                {
+                    "lang": b["lang"],
+                    "n_chars": b["n_chars"],
+                    "n_tokens": ntok,
+                }
+            )
+
+        agg = grouped_agg(
+            _read(sf_dir, "documents", ["lang", "text", "n_chars"]).map_batches(
+                project, batch_format="pyarrow"
+            ),
+            ["lang"],
+            {
+                "n_docs": (None, "count"),
+                "chars": ("n_chars", "sum"),
+                "toks": ("n_tokens", "sum"),
+            },
+        ).to_pandas()
+        agg["chars_per_token_ppm"] = (
+            agg["chars"] * 1_000_000 // agg["toks"]
+        ).astype("int64")
+        for c in ("n_docs", "chars", "toks"):
+            agg[c] = agg[c].astype("int64")
+        return (
+            agg.rename(columns={"chars": "n_chars", "toks": "n_tokens"})
+            .sort_values("lang")
+            .reset_index(drop=True)
+        )
+
+    def q_rfm_scores(sf_dir):
+        """RFM customer scoring (recency/frequency/monetary deciles —
+        the CRM segmentation standard): per-user last-event age,
+        event count and cents sum from ONE combiner, then three
+        exact-decile cuts via the two-phase global rank ((10·r)//n on
+        a (value, user_id) total order — layout-invariant, no NTILE
+        row-order dependence). rfm_code = 100·r + 10·f + m."""
+        import pandas as _pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        def project(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "ts_us": pa.array(us),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        per_user = grouped_agg(
+            _read(sf_dir, "events", ["user_id", "ts", "value"]).map_batches(
+                project, batch_format="pyarrow"
+            ),
+            ["user_id"],
+            {
+                "last_us": ("ts_us", "max"),
+                "freq": (None, "count"),
+                "monet": ("cents", "sum"),
+            },
+        ).to_pandas()
+        n = len(per_user)
+
+        def decile(col, asc=True):
+            order = _pd.DataFrame(
+                {"v": per_user[col], "u": per_user["user_id"]}
+            ).sort_values(["v", "u"], ascending=[asc, True])
+            r = np.empty(n, dtype=np.int64)
+            r[order.index.to_numpy()] = np.arange(n)
+            return (10 * r) // n
+
+        # recency: MORE recent (larger last_us) = better = higher decile
+        per_user["r_decile"] = decile("last_us", asc=True)
+        per_user["f_decile"] = decile("freq", asc=True)
+        per_user["m_decile"] = decile("monet", asc=True)
+        per_user["rfm_code"] = (
+            100 * per_user["r_decile"]
+            + 10 * per_user["f_decile"]
+            + per_user["m_decile"]
+        )
+        out = per_user[
+            ["user_id", "r_decile", "f_decile", "m_decile", "rfm_code"]
+        ].copy()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out.sort_values("user_id").reset_index(drop=True)
+
+    def q_chunk_dup_by_source(sf_dir):
+        """Per-source boilerplate share at CHUNK granularity: the
+        fraction of a source's CDC chunks that occur more than once
+        in the corpus (ops/chunking.content_defined_chunks → one
+        md5-count combiner → per-source fold) — finds template-heavy
+        sources doc-level dedup misses."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.chunking import content_defined_chunks
+        from ocr_service_ray.ops.relational import hash_join
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+        chunks = content_defined_chunks(docs)
+        counts = grouped_agg(
+            chunks, ["chunk_md5"], {"occ": (None, "count")}
+        )
+        src_map = docs.select_columns(["doc_id", "source"])
+        with_src = hash_join(chunks, src_map, on="doc_id")
+        with_cnt = hash_join(with_src, counts, on="chunk_md5")
+
+        def mark(b: pa.Table) -> pa.Table:
+            dup = pc.greater(b["occ"], 1)
+            return pa.table(
+                {
+                    "source": b["source"],
+                    "is_dup": pc.cast(dup, pa.int64()),
+                }
+            )
+
+        out = grouped_agg(
+            with_cnt.map_batches(mark, batch_format="pyarrow"),
+            ["source"],
+            {"n_chunks": (None, "count"), "n_dup": ("is_dup", "sum")},
+        ).to_pandas()
+        out["dup_share_ppm"] = (
+            out["n_dup"] * 1_000_000 // out["n_chunks"]
+        ).astype("int64")
+        for c in ("n_chunks", "n_dup"):
+            out[c] = out[c].astype("int64")
+        return out.sort_values("source").reset_index(drop=True)
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12580,6 +12777,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "denormalize_orders": q_denormalize_orders,
         "neyman_sample": q_neyman_sample,
         "harmonic_mean_value": q_harmonic_mean_value,
+        "churn_dataset": q_churn_dataset,
+        "token_fertility": q_token_fertility,
+        "rfm_scores": q_rfm_scores,
+        "chunk_dup_by_source": q_chunk_dup_by_source,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -19331,5 +19532,107 @@ def oracle_sql() -> dict[str, str]:
                CAST((CAST(n AS HUGEINT) * 1000000000000000000) // sr
                  AS BIGINT) AS hm_micro_cents
         FROM agg ORDER BY event_type
+    """
+    oracles["churn_dataset"] = """
+        WITH e AS (
+          SELECT user_id, ts, event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events),
+        agg AS (
+          SELECT user_id,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-22' THEN 1 ELSE 0 END)
+                   AS n_events,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-22'
+                          AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS n_purchases,
+                 sum(CASE WHEN ts < TIMESTAMP '2024-01-22'
+                          THEN cents ELSE 0 END) AS value_cents,
+                 max(CASE WHEN ts >= TIMESTAMP '2024-01-22'
+                          AND ts < TIMESTAMP '2024-01-29'
+                          AND event_type = 'purchase' THEN 1 ELSE 0 END)
+                   AS label
+          FROM e GROUP BY 1)
+        SELECT user_id, CAST(n_events AS BIGINT) AS n_events,
+               CAST(n_purchases AS BIGINT) AS n_purchases,
+               CAST(value_cents AS BIGINT) AS value_cents,
+               CAST(label AS BIGINT) AS label
+        FROM agg WHERE n_events > 0 ORDER BY user_id
+    """
+    oracles["token_fertility"] = """
+        WITH d AS (
+          SELECT lang, n_chars,
+                 len(text) - len(replace(text, ' ', '')) + 1 AS n_tokens
+          FROM documents),
+        agg AS (
+          SELECT lang, count(*) AS n_docs, sum(n_chars) AS n_chars,
+                 sum(n_tokens) AS n_tokens
+          FROM d GROUP BY 1)
+        SELECT lang, CAST(n_docs AS BIGINT) AS n_docs,
+               CAST(n_chars AS BIGINT) AS n_chars,
+               CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST((n_chars * 1000000) // n_tokens AS BIGINT)
+                 AS chars_per_token_ppm
+        FROM agg ORDER BY lang
+    """
+    oracles["rfm_scores"] = """
+        WITH pu AS (
+          SELECT user_id, max(epoch_us(ts)) AS last_us,
+                 count(*) AS freq,
+                 sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS monet
+          FROM events GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM pu),
+        d AS (
+          SELECT user_id,
+                 (10 * (row_number() OVER (ORDER BY last_us, user_id) - 1))
+                   // n.n AS r_decile,
+                 (10 * (row_number() OVER (ORDER BY freq, user_id) - 1))
+                   // n.n AS f_decile,
+                 (10 * (row_number() OVER (ORDER BY monet, user_id) - 1))
+                   // n.n AS m_decile
+          FROM pu, n)
+        SELECT user_id, CAST(r_decile AS BIGINT) AS r_decile,
+               CAST(f_decile AS BIGINT) AS f_decile,
+               CAST(m_decile AS BIGINT) AS m_decile,
+               CAST(100 * r_decile + 10 * f_decile + m_decile AS BIGINT)
+                 AS rfm_code
+        FROM d ORDER BY user_id
+    """
+    oracles["chunk_dup_by_source"] = f"""
+        WITH toks AS (
+          SELECT doc_id, source, string_split(text, ' ') AS ts
+          FROM documents),
+        pos AS (
+          SELECT doc_id, source, ts, unnest(range(1, len(ts) + 1)) AS p
+          FROM toks),
+        flags AS (
+          SELECT doc_id, source, CAST(p AS BIGINT) AS p,
+                 ts[CAST(p AS BIGINT)] AS tok,
+                 CASE WHEN p >= 3 AND
+                   ({_md5_u64_sql(
+                       "md5(ts[CAST(p AS BIGINT) - 2] || ' ' || "
+                       "ts[CAST(p AS BIGINT) - 1] || ' ' || "
+                       "ts[CAST(p AS BIGINT)])"
+                   )} % 16) = 0
+                 THEN 1 ELSE 0 END AS f
+          FROM pos),
+        cid AS (
+          SELECT doc_id, source, p, tok,
+                 coalesce(sum(f) OVER (PARTITION BY doc_id ORDER BY p
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS chunk_idx
+          FROM flags),
+        chunks AS (
+          SELECT doc_id, source, chunk_idx,
+                 md5(string_agg(tok, ' ' ORDER BY p)) AS chunk_md5
+          FROM cid GROUP BY 1, 2, 3),
+        occ AS (SELECT chunk_md5, count(*) AS occ FROM chunks GROUP BY 1)
+        SELECT c.source,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup,
+               CAST((sum(CASE WHEN o.occ > 1 THEN 1 ELSE 0 END) * 1000000)
+                 // count(*) AS BIGINT) AS dup_share_ppm
+        FROM chunks c JOIN occ o USING (chunk_md5)
+        GROUP BY 1 ORDER BY 1
     """
     return oracles
