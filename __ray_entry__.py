@@ -12413,6 +12413,127 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out.sort_values("source").reset_index(drop=True)
 
+    def q_l_diversity_audit(sf_dir):
+        """Distinct l-diversity audit (the companion to k-anonymity:
+        a QI cell is safe only if its SENSITIVE attribute takes >= l
+        distinct values): cells = (event_type, day), sensitive =
+        user_id. Two chained combiner aggregates — the corpus never
+        shuffles, only (cell, user) count rows; the second fold is
+        |cells|-bounded."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def project(b: pa.Table) -> pa.Table:
+            us = b["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "day": pa.array(us // 86_400_000_000),
+                    "user_id": b["user_id"],
+                }
+            )
+
+        pairs = grouped_agg(
+            ev.map_batches(project, batch_format="pyarrow"),
+            ["event_type", "day", "user_id"],
+            {"c": (None, "count")},
+        )
+        cells = grouped_agg(
+            pairs,
+            ["event_type", "day"],
+            {"l": (None, "count"), "n_events": ("c", "sum")},
+        ).to_pandas()
+        n_total = int(cells["n_events"].sum())
+        low = cells[cells["l"] < 10]
+        return pd.DataFrame(
+            {
+                "n_cells": [len(cells)],
+                "min_l": [int(cells["l"].min())],
+                "cells_below_l10": [len(low)],
+                "events_low_ppm": [
+                    (1_000_000 * int(low["n_events"].sum())) // n_total
+                    if n_total
+                    else 0
+                ],
+            }
+        ).astype("int64")
+
+    def q_randomized_response_counts(sf_dir):
+        """Local-DP frequency estimation via randomized response
+        (Warner's mechanism, the local-privacy standard): each event
+        reports its true type w.p. 3/4, else a type drawn uniformly
+        from the k types — both decided by the md5 draw on event_id,
+        zero RNG, SQL-replayable. The unbiased share estimate inverts
+        the perturbation with exact integer cross-multiplication:
+        est_ppm = max(0, 4k·c_t − N)·1e6 // (3k·N). ONE scan counting
+        (true_type, keep, slot) triples; the type list falls out of
+        the same aggregate — no second pass."""
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_id", "event_type"])
+
+        # k (the type count) isn't known inside the scan, so the
+        # combiner counts (true type, keep, slot_raw mod 840) — 840 =
+        # lcm(1..8) means (slot840 % k) == ((u // 4) % k) for any
+        # k <= 8; the mod-k fold happens at the driver on the
+        # |types × 2 × 840|-bounded table.
+        def project(b: pa.Table) -> pa.Table:
+            ids = b["event_id"].to_pylist()
+            u = [
+                int(_hl.md5(f"rr:{i}".encode()).hexdigest()[:16], 16)
+                for i in ids
+            ]
+            keep = np.array([x % 4 < 3 for x in u], dtype=np.int64)
+            slot840 = np.array([(x // 4) % 840 for x in u], dtype=np.int64)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "keep": pa.array(keep),
+                    "slot840": pa.array(slot840),
+                }
+            )
+
+        agg = grouped_agg(
+            ev.map_batches(project, batch_format="pyarrow"),
+            ["event_type", "keep", "slot840"],
+            {"c": (None, "count")},
+        ).to_pandas()
+        types = sorted(agg["event_type"].unique())
+        k = len(types)
+        assert 840 % k == 0, "k must divide 840 (holds for k <= 8)"
+        n_total = int(agg["c"].sum())
+        true_n = agg.groupby("event_type")["c"].sum()
+        rep = {t: 0 for t in types}
+        for _, r in agg.iterrows():
+            if r["keep"] == 1:
+                rep[r["event_type"]] += int(r["c"])
+            else:
+                rep[types[int(r["slot840"]) % k]] += int(r["c"])
+        rows = []
+        for i, t in enumerate(types):
+            c_t = rep[t]
+            num = max(0, 4 * k * c_t - n_total)
+            rows.append(
+                {
+                    "event_type": t,
+                    "n_true": int(true_n[t]),
+                    "n_reported": c_t,
+                    "true_share_ppm": (1_000_000 * int(true_n[t])) // n_total,
+                    "est_share_ppm": (1_000_000 * num) // (3 * k * n_total),
+                }
+            )
+        out = pd.DataFrame(rows)
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12781,6 +12902,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_fertility": q_token_fertility,
         "rfm_scores": q_rfm_scores,
         "chunk_dup_by_source": q_chunk_dup_by_source,
+        "l_diversity_audit": q_l_diversity_audit,
+        "randomized_response_counts": q_randomized_response_counts,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -19634,5 +19757,48 @@ def oracle_sql() -> dict[str, str]:
                  // count(*) AS BIGINT) AS dup_share_ppm
         FROM chunks c JOIN occ o USING (chunk_md5)
         GROUP BY 1 ORDER BY 1
+    """
+    oracles["l_diversity_audit"] = """
+        WITH cells AS (
+          SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+                 count(DISTINCT user_id) AS l, count(*) AS n_events
+          FROM events GROUP BY 1, 2)
+        SELECT CAST(count(*) AS BIGINT) AS n_cells,
+               CAST(min(l) AS BIGINT) AS min_l,
+               CAST(sum(CASE WHEN l < 10 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS cells_below_l10,
+               CAST((1000000 * sum(CASE WHEN l < 10 THEN n_events
+                                        ELSE 0 END)) // sum(n_events)
+                    AS BIGINT) AS events_low_ppm
+        FROM cells
+    """
+    oracles["randomized_response_counts"] = f"""
+        WITH k AS (SELECT count(DISTINCT event_type) AS k FROM events),
+        ty AS (SELECT event_type,
+                      row_number() OVER (ORDER BY event_type) - 1 AS idx
+               FROM (SELECT DISTINCT event_type FROM events)),
+        e AS (SELECT event_type,
+                     {_md5_u64_sql("md5('rr:' || CAST(event_id AS VARCHAR))")}
+                       AS u
+              FROM events),
+        rep AS (
+          SELECT CASE WHEN e.u % 4 < 3 THEN e.event_type
+                      ELSE ty.event_type END AS rtype
+          FROM e CROSS JOIN k
+          JOIN ty ON ty.idx = CAST((e.u // 4) % k.k AS BIGINT)),
+        rc AS (SELECT rtype, count(*) AS c FROM rep GROUP BY 1),
+        tc AS (SELECT event_type, count(*) AS n_true FROM events GROUP BY 1),
+        n AS (SELECT count(*) AS n FROM events)
+        SELECT tc.event_type,
+               CAST(tc.n_true AS BIGINT) AS n_true,
+               CAST(coalesce(rc.c, 0) AS BIGINT) AS n_reported,
+               CAST((1000000 * tc.n_true) // n.n AS BIGINT)
+                 AS true_share_ppm,
+               CAST((1000000 * greatest(0,
+                      4 * k.k * coalesce(rc.c, 0) - n.n))
+                    // (3 * k.k * n.n) AS BIGINT) AS est_share_ppm
+        FROM tc LEFT JOIN rc ON rc.rtype = tc.event_type
+        CROSS JOIN n CROSS JOIN k
+        ORDER BY tc.event_type
     """
     return oracles
