@@ -12534,6 +12534,95 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out
 
+    def q_quality_ece(sf_dir):
+        """Expected calibration error of the quality score against
+        the long-document label, 10 equal-width score bins. The
+        per-bin (n_b/N)·|acc_b − conf_b| terms telescope to
+        |1e6·n_pos_b − sum_score_b| / N, so the whole ECE is exact
+        integer arithmetic over one per-bin combiner — no floats
+        anywhere. ONE scan; the close is a 10-row fold."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.text import quality_score
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+        def score(b: pa.Table) -> pa.Table:
+            q = quality_score(b, "text")
+            s = q["quality_micro"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "bin": pa.array(np.minimum(s // 100_000, 9)),
+                    "pos": pc.cast(
+                        pc.greater_equal(b["n_chars"], 200), pa.int64()
+                    ),
+                    "s": pa.array(s),
+                }
+            )
+
+        bins = grouped_agg(
+            docs.map_batches(score, batch_format="pyarrow"),
+            ["bin"],
+            {"n_docs": (None, "count"), "n_pos": ("pos", "sum"), "sum_score": ("s", "sum")},
+        ).to_pandas()
+        n_total = int(bins["n_docs"].sum())
+        gap = int(
+            np.abs(
+                1_000_000 * bins["n_pos"].to_numpy()
+                - bins["sum_score"].to_numpy()
+            ).sum()
+        )
+        bins["conf_ppm"] = bins["sum_score"] // bins["n_docs"]
+        bins["acc_ppm"] = 1_000_000 * bins["n_pos"] // bins["n_docs"]
+        bins["ece_ppm"] = gap // n_total
+        out = bins[["bin", "n_docs", "conf_ppm", "acc_ppm", "ece_ppm"]].copy()
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out.sort_values("bin").reset_index(drop=True)
+
+    def q_langid_kappa(sf_dir):
+        """Cohen's kappa of the heuristic lang-ID against the declared
+        lang — chance-corrected agreement, the single-number companion
+        to langid_confusion. One stateless scoring map + one combiner
+        over (lang, pred_lang); the kappa close is exact integer
+        cross-multiplication on the |langs|²-bounded table (division
+        truncates toward zero on BOTH engines — DuckDB `//` truncates,
+        so the engine matches with sign-magnitude floor)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops import text as text_ops
+
+        docs = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+        conf = grouped_agg(
+            docs.map_batches(
+                lambda b: text_ops.lang_id(b).drop_columns(["text", "doc_id"]),
+                batch_format="pyarrow",
+            ),
+            ["lang", "pred_lang"],
+            {"n": (None, "count")},
+        ).to_pandas()
+        n = int(conf["n"].sum())
+        agree = int(conf[conf["lang"] == conf["pred_lang"]]["n"].sum())
+        row = conf.groupby("lang")["n"].sum()
+        col = conf.groupby("pred_lang")["n"].sum()
+        chance = int(
+            sum(int(row[l]) * int(col[l]) for l in row.index if l in col.index)
+        )
+        num = 1_000_000 * (n * agree - chance)
+        den = n * n - chance
+        kappa = (abs(num) // den) * (1 if num >= 0 else -1)
+        return pd.DataFrame(
+            {
+                "n_docs": [n],
+                "n_agree": [agree],
+                "accuracy_ppm": [1_000_000 * agree // n],
+                "expected_agree_ppm": [1_000_000 * chance // (n * n)],
+                "kappa_ppm": [kappa],
+            }
+        ).astype("int64")
+
     return {
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
@@ -12904,6 +12993,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chunk_dup_by_source": q_chunk_dup_by_source,
         "l_diversity_audit": q_l_diversity_audit,
         "randomized_response_counts": q_randomized_response_counts,
+        "quality_ece": q_quality_ece,
+        "langid_kappa": q_langid_kappa,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -19800,5 +19891,44 @@ def oracle_sql() -> dict[str, str]:
         FROM tc LEFT JOIN rc ON rc.rtype = tc.event_type
         CROSS JOIN n CROSS JOIN k
         ORDER BY tc.event_type
+    """
+    oracles["quality_ece"] = f"""
+        WITH q AS ({oracles["quality_scores"]}),
+        j AS (SELECT q.doc_id, q.quality_micro AS s,
+                     CASE WHEN d.n_chars >= 200 THEN 1 ELSE 0 END AS pos
+              FROM q JOIN documents d USING (doc_id)),
+        b AS (SELECT least(s // 100000, 9) AS bin, count(*) AS n,
+                     sum(pos) AS n_pos, sum(s) AS sum_score
+              FROM j GROUP BY 1),
+        e AS (SELECT sum(abs(1000000 * n_pos - sum_score)) AS gap,
+                     sum(n) AS nn
+              FROM b)
+        SELECT CAST(bin AS BIGINT) AS bin, CAST(n AS BIGINT) AS n_docs,
+               CAST(sum_score // n AS BIGINT) AS conf_ppm,
+               CAST(1000000 * n_pos // n AS BIGINT) AS acc_ppm,
+               CAST(e.gap // e.nn AS BIGINT) AS ece_ppm
+        FROM b CROSS JOIN e ORDER BY bin
+    """
+    oracles["langid_kappa"] = f"""
+        WITH pred AS ({_lang_id_oracle_sql()}),
+        c AS (SELECT d.lang, p.pred_lang
+              FROM documents d JOIN pred p USING (doc_id)),
+        n AS (SELECT CAST(count(*) AS HUGEINT) AS n,
+                     CAST(sum(CASE WHEN lang = pred_lang THEN 1 ELSE 0 END)
+                          AS HUGEINT) AS agree
+              FROM c),
+        m AS (SELECT CAST(coalesce(sum(r.cnt * col.cnt), 0) AS HUGEINT)
+                       AS chance
+              FROM (SELECT lang, count(*) AS cnt FROM c GROUP BY 1) r
+              JOIN (SELECT pred_lang, count(*) AS cnt FROM c GROUP BY 1) col
+                ON r.lang = col.pred_lang)
+        SELECT CAST(n.n AS BIGINT) AS n_docs,
+               CAST(n.agree AS BIGINT) AS n_agree,
+               CAST(1000000 * n.agree // n.n AS BIGINT) AS accuracy_ppm,
+               CAST(1000000 * m.chance // (n.n * n.n) AS BIGINT)
+                 AS expected_agree_ppm,
+               CAST((1000000 * (n.n * n.agree - m.chance))
+                    // (n.n * n.n - m.chance) AS BIGINT) AS kappa_ppm
+        FROM n CROSS JOIN m
     """
     return oracles
