@@ -12534,6 +12534,73 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out
 
+    def q_hits_nations(sf_dir):
+        """HITS hubs & authorities over the nation trade graph
+        (supplier nation → customer nation, weight = lineitem count;
+        ops/hits.py): 2 fixed rounds of the mutual hub/authority
+        recursion, each half-round one broadcast-score edge scan +
+        one |nodes|-bounded combiner, sum-normalized in exact ppm
+        integers. The oracle unrolls the identical half-rounds as a
+        CTE chain. Edge build shares the pagerank_nations shape
+        (broadcast dim lookups, one lineitem-orders join)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.hits import hits
+        from ocr_service_ray.ops.relational import hash_join
+
+        import pyarrow.parquet as _pq
+        import ray as _ray
+        import ray.data as rd
+
+        supp = dict(
+            zip(
+                *[
+                    _pq.read_table(
+                        f"{sf_dir}/supplier.parquet",
+                        columns=["s_suppkey", "s_nationkey"],
+                    )[c].to_pylist()
+                    for c in ("s_suppkey", "s_nationkey")
+                ]
+            )
+        )
+        cust = dict(
+            zip(
+                *[
+                    _pq.read_table(
+                        f"{sf_dir}/customer.parquet",
+                        columns=["c_custkey", "c_nationkey"],
+                    )[c].to_pylist()
+                    for c in ("c_custkey", "c_nationkey")
+                ]
+            )
+        )
+        supp_ref, cust_ref = _ray.put(supp), _ray.put(cust)
+
+        def order_nation(b: pa.Table) -> pa.Table:
+            cm = _ray.get(cust_ref)
+            dn = np.array(
+                [cm[int(k)] for k in b["o_custkey"].to_pylist()], dtype=np.int64
+            )
+            return pa.table({"o_orderkey": b["o_orderkey"], "dst": pa.array(dn)})
+
+        def supp_nation(b: pa.Table) -> pa.Table:
+            sm = _ray.get(supp_ref)
+            sn = np.array(
+                [sm[int(k)] for k in b["l_suppkey"].to_pylist()], dtype=np.int64
+            )
+            return pa.table({"l_orderkey": b["l_orderkey"], "src": pa.array(sn)})
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"]).map_batches(
+            order_nation, batch_format="pyarrow"
+        )
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"]).map_batches(
+            supp_nation, batch_format="pyarrow"
+        )
+        joined = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+        edges = grouped_agg(
+            joined, ["src", "dst"], {"w": (None, "count")}
+        ).to_pandas()
+        return hits(rd.from_pandas(edges), weight_col="w", iters=2)
+
     def q_quality_ece(sf_dir):
         """Expected calibration error of the quality score against
         the long-document label, 10 equal-width score bins. The
@@ -12995,6 +13062,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "randomized_response_counts": q_randomized_response_counts,
         "quality_ece": q_quality_ece,
         "langid_kappa": q_langid_kappa,
+        "hits_nations": q_hits_nations,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -19930,5 +19998,55 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * (n.n * n.agree - m.chance))
                     // (n.n * n.n - m.chance) AS BIGINT) AS kappa_ppm
         FROM n CROSS JOIN m
+    """
+    # HITS: the identical integer half-rounds unrolled as a CTE chain
+    # (x0 = hubs at SCALE; each half-round: weighted fold from the
+    # opposite endpoint, then sum-normalize to ppm).
+    _hits_rounds = []
+    _prev_hub = "x0"
+    for t in range(1, 3):
+        _hits_rounds.append(
+            f"""a{t}r AS (
+          SELECT e.dst AS node, sum({_prev_hub}.x * e.w) AS s
+          FROM e JOIN {_prev_hub} ON {_prev_hub}.node = e.src GROUP BY 1),
+        a{t}t AS (SELECT sum(s) AS t FROM a{t}r),
+        a{t} AS (
+          SELECT n.node,
+                 CAST(CASE WHEN coalesce(a{t}t.t, 0) = 0 THEN 0
+                      ELSE (1000000 * coalesce(a{t}r.s, 0)) // a{t}t.t
+                      END AS HUGEINT) AS x
+          FROM nodes n LEFT JOIN a{t}r USING (node) CROSS JOIN a{t}t),
+        h{t}r AS (
+          SELECT e.src AS node, sum(a{t}.x * e.w) AS s
+          FROM e JOIN a{t} ON a{t}.node = e.dst GROUP BY 1),
+        h{t}t AS (SELECT sum(s) AS t FROM h{t}r),
+        h{t} AS (
+          SELECT n.node,
+                 CAST(CASE WHEN coalesce(h{t}t.t, 0) = 0 THEN 0
+                      ELSE (1000000 * coalesce(h{t}r.s, 0)) // h{t}t.t
+                      END AS HUGEINT) AS x
+          FROM nodes n LEFT JOIN h{t}r USING (node) CROSS JOIN h{t}t)"""
+        )
+        _prev_hub = f"h{t}"
+    oracles["hits_nations"] = f"""
+        WITH e AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                 CAST(count(*) AS HUGEINT) AS w
+          FROM lineitem l
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          GROUP BY 1, 2),
+        nodes AS (SELECT src AS node FROM e
+                  UNION SELECT dst FROM e),
+        x0 AS (SELECT node, CAST(1000000 AS HUGEINT) AS x FROM nodes),
+        {",".join(_hits_rounds)}
+        SELECT CAST(nodes.node AS BIGINT) AS node,
+               CAST(h2.x AS BIGINT) AS hub_ppm,
+               CAST(a2.x AS BIGINT) AS auth_ppm
+        FROM nodes
+        JOIN h2 ON h2.node = nodes.node
+        JOIN a2 ON a2.node = nodes.node
+        ORDER BY nodes.node
     """
     return oracles
