@@ -12601,6 +12601,114 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).to_pandas()
         return hits(rd.from_pandas(edges), weight_col="w", iters=2)
 
+    def q_permutation_test_value(sf_dir):
+        """Fisher-style randomization test for the purchase-vs-click
+        mean-value difference, B=200 deterministic pseudo-permutations
+        — zero RNG: draw b reassigns each pooled event to group A iff
+        ((u·(2b+1) + b) mod 2^64 mod N) < nA, u = md5('perm:'+id).
+        Extremeness is exact integer cross-multiplication (no float
+        division ever): |sA·nB − sB·nA|·(nAo·nBo) >= obs·(nA_b·nB_b).
+        ONE stats pass + ONE scan emitting B per-block partials into a
+        B-row combiner; the B-row close runs on the driver with
+        Python ints (products exceed int64 by design — SQL uses
+        HUGEINT)."""
+        import hashlib as _hl
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        B = 200
+        ev = _read(sf_dir, "events", ["event_id", "event_type", "value"])
+
+        def cents_proj(b: pa.Table) -> pa.Table:
+            b = b.filter(
+                pc.is_in(
+                    b["event_type"],
+                    value_set=pa.array(["purchase", "click"]),
+                )
+            )
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_id": b["event_id"],
+                    "event_type": b["event_type"],
+                    "cents": pa.array(c),
+                }
+            )
+
+        pool = ev.map_batches(cents_proj, batch_format="pyarrow")
+        obs = (
+            grouped_agg(
+                pool,
+                ["event_type"],
+                {"n": (None, "count"), "s": ("cents", "sum")},
+            )
+            .to_pandas()
+            .set_index("event_type")
+        )
+        n_a, s_a = int(obs.loc["purchase", "n"]), int(obs.loc["purchase", "s"])
+        n_b, s_b = int(obs.loc["click", "n"]), int(obs.loc["click", "s"])
+        n_pool, s_pool = n_a + n_b, s_a + s_b
+        diff_obs = abs(s_a * n_b - s_b * n_a)
+
+        mults = np.arange(B, dtype=np.uint64) * np.uint64(2) + np.uint64(1)
+        adds = np.arange(B, dtype=np.uint64)
+
+        def draws(b: pa.Table) -> pa.Table:
+            ids = b["event_id"].to_pylist()
+            u = np.array(
+                [
+                    int(_hl.md5(f"perm:{i}".encode()).hexdigest()[:16], 16)
+                    for i in ids
+                ],
+                dtype=np.uint64,
+            )
+            cents = b["cents"].to_numpy(zero_copy_only=False)
+            with np.errstate(over="ignore"):
+                # (rows, B) mixed draws, wrap mod 2^64 like HUGEINT % 2^64
+                ub = u[:, None] * mults[None, :] + adds[None, :]
+            assign = (ub % np.uint64(n_pool)) < np.uint64(n_a)
+            return pa.table(
+                {
+                    "b": pa.array(np.arange(B, dtype=np.int64)),
+                    "na": pa.array(assign.sum(axis=0).astype(np.int64)),
+                    "sa": pa.array(
+                        (assign * cents[:, None]).sum(axis=0).astype(np.int64)
+                    ),
+                }
+            )
+
+        per_b = (
+            grouped_agg(
+                pool.map_batches(draws, batch_format="pyarrow"),
+                ["b"],
+                {"na": ("na", "sum"), "sa": ("sa", "sum")},
+            )
+            .to_pandas()
+            .sort_values("b")
+        )
+        n_extreme = 0
+        for _, r in per_b.iterrows():
+            na_b, sa_b = int(r["na"]), int(r["sa"])
+            nb_b, sb_b = n_pool - na_b, s_pool - sa_b
+            lhs = abs(sa_b * nb_b - sb_b * na_b) * (n_a * n_b)
+            rhs = diff_obs * (na_b * nb_b)
+            if lhs >= rhs:
+                n_extreme += 1
+        return pd.DataFrame(
+            {
+                "n_a": [n_a],
+                "n_b": [n_b],
+                "sum_a_cents": [s_a],
+                "sum_b_cents": [s_b],
+                "n_extreme": [n_extreme],
+                "p_ppm": [(1_000_000 * (n_extreme + 1)) // (B + 1)],
+            }
+        ).astype("int64")
+
     def q_quality_ece(sf_dir):
         """Expected calibration error of the quality score against
         the long-document label, 10 equal-width score bins. The
@@ -13063,6 +13171,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_ece": q_quality_ece,
         "langid_kappa": q_langid_kappa,
         "hits_nations": q_hits_nations,
+        "permutation_test_value": q_permutation_test_value,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -20048,5 +20157,52 @@ def oracle_sql() -> dict[str, str]:
         JOIN h2 ON h2.node = nodes.node
         JOIN a2 ON a2.node = nodes.node
         ORDER BY nodes.node
+    """
+    oracles["permutation_test_value"] = f"""
+        WITH pool AS (
+          SELECT event_id,
+                 CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents,
+                 {_md5_u64_sql("md5('perm:' || CAST(event_id AS VARCHAR))")}
+                   AS u
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        obs AS (
+          SELECT CAST(sum(is_a) AS HUGEINT) AS n_a,
+                 CAST(sum(is_a * cents) AS HUGEINT) AS s_a,
+                 CAST(sum(1 - is_a) AS HUGEINT) AS n_b,
+                 CAST(sum((1 - is_a) * cents) AS HUGEINT) AS s_b,
+                 CAST(count(*) AS HUGEINT) AS n_pool,
+                 CAST(sum(cents) AS HUGEINT) AS s_pool
+          FROM pool),
+        bs AS (SELECT unnest(range(0, 200)) AS b),
+        draw AS (
+          SELECT bs.b,
+                 CASE WHEN ((pool.u * (2 * bs.b + 1) + bs.b)
+                            % 18446744073709551616
+                            % obs.n_pool) < obs.n_a
+                      THEN 1 ELSE 0 END AS assign,
+                 pool.cents
+          FROM pool CROSS JOIN bs CROSS JOIN obs),
+        perb AS (
+          SELECT b, CAST(sum(assign) AS HUGEINT) AS na,
+                 CAST(sum(assign * cents) AS HUGEINT) AS sa
+          FROM draw GROUP BY 1),
+        ex AS (
+          SELECT count(*) FILTER (
+                   abs(perb.sa * (obs.n_pool - perb.na)
+                       - (obs.s_pool - perb.sa) * perb.na)
+                     * (obs.n_a * obs.n_b)
+                   >= abs(obs.s_a * obs.n_b - obs.s_b * obs.n_a)
+                     * (perb.na * (obs.n_pool - perb.na))
+                 ) AS n_extreme
+          FROM perb CROSS JOIN obs)
+        SELECT CAST(obs.n_a AS BIGINT) AS n_a,
+               CAST(obs.n_b AS BIGINT) AS n_b,
+               CAST(obs.s_a AS BIGINT) AS sum_a_cents,
+               CAST(obs.s_b AS BIGINT) AS sum_b_cents,
+               CAST(ex.n_extreme AS BIGINT) AS n_extreme,
+               CAST((1000000 * (ex.n_extreme + 1)) // 201 AS BIGINT)
+                 AS p_ppm
+        FROM obs CROSS JOIN ex
     """
     return oracles
