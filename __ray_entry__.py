@@ -12709,6 +12709,90 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    def q_bloom_fpr_audit(sf_dir):
+        """Bloom-filter false-positive-rate audit — measures the REAL
+        fpr of the m=65536-bit / k=3 filter the bloom semi-join family
+        relies on: build from URGENT order keys (one scan → distinct
+        bit positions, |m|-bounded), probe with the disjoint
+        non-URGENT keys (one scan against the broadcast 8 KiB bitmap),
+        report observed fpr in ppm. Bit positions are
+        md5('bloom{j}:'+key) % m — SQL replays the exact filter, so
+        the audit is oracle-verifiable bit for bit."""
+        import hashlib as _hl
+
+        import pandas as pd
+        import ray as _ray
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        M, K = 65536, 3
+        orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+
+        def member_positions(b: pa.Table) -> pa.Table:
+            b = b.filter(pc.equal(b["o_orderpriority"], "1-URGENT"))
+            keys = b["o_orderkey"].to_pylist()
+            pos = [
+                int(_hl.md5(f"bloom{j}:{k}".encode()).hexdigest()[:16], 16) % M
+                for k in keys
+                for j in range(K)
+            ]
+            return pa.table({"pos": pa.array(pos, pa.int64())})
+
+        bits_tbl = grouped_agg(
+            orders.map_batches(member_positions, batch_format="pyarrow"),
+            ["pos"],
+            {"c": (None, "count")},
+        ).to_pandas()
+        bitmap = np.zeros(M, dtype=bool)
+        bitmap[bits_tbl["pos"].to_numpy()] = True
+        n_set = int(bitmap.sum())
+        n_members = int(bits_tbl["c"].sum()) // K
+        bm_ref = _ray.put(bitmap)
+
+        def probe(b: pa.Table) -> pa.Table:
+            bm = _ray.get(bm_ref)
+            b = b.filter(
+                pc.invert(pc.equal(b["o_orderpriority"], "1-URGENT"))
+            )
+            keys = b["o_orderkey"].to_pylist()
+            fp = 0
+            for k in keys:
+                if all(
+                    bm[
+                        int(
+                            _hl.md5(f"bloom{j}:{k}".encode()).hexdigest()[:16],
+                            16,
+                        )
+                        % M
+                    ]
+                    for j in range(K)
+                ):
+                    fp += 1
+            return pa.table(
+                {
+                    "n_probes": pa.array([len(keys)], pa.int64()),
+                    "n_fp": pa.array([fp], pa.int64()),
+                }
+            )
+
+        agg = (
+            orders.map_batches(probe, batch_format="pyarrow")
+            .to_pandas()
+            .sum()
+        )
+        n_probes, n_fp = int(agg["n_probes"]), int(agg["n_fp"])
+        return pd.DataFrame(
+            {
+                "n_members": [n_members],
+                "n_set_bits": [n_set],
+                "n_probes": [n_probes],
+                "n_false_pos": [n_fp],
+                "fpr_ppm": [
+                    (1_000_000 * n_fp) // n_probes if n_probes else 0
+                ],
+            }
+        ).astype("int64")
+
     def q_quality_ece(sf_dir):
         """Expected calibration error of the quality score against
         the long-document label, 10 equal-width score bins. The
@@ -13172,6 +13256,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "langid_kappa": q_langid_kappa,
         "hits_nations": q_hits_nations,
         "permutation_test_value": q_permutation_test_value,
+        "bloom_fpr_audit": q_bloom_fpr_audit,
         "bloom_semi_orders": q_bloom_semi_orders,
         "containment_pairs": q_containment_pairs,
     }
@@ -20204,5 +20289,38 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * (ex.n_extreme + 1)) // 201 AS BIGINT)
                  AS p_ppm
         FROM obs CROSS JOIN ex
+    """
+    _bloom_pos = _md5_u64_sql(
+        "md5('bloom' || CAST(j AS VARCHAR) || ':' "
+        "|| CAST(o_orderkey AS VARCHAR))"
+    )
+    oracles["bloom_fpr_audit"] = f"""
+        WITH mem AS (SELECT o_orderkey FROM orders
+                     WHERE o_orderpriority = '1-URGENT'),
+        js AS (SELECT unnest(range(0, 3)) AS j),
+        bits AS (
+          SELECT DISTINCT CAST({_bloom_pos} % 65536 AS BIGINT) AS pos
+          FROM mem CROSS JOIN js),
+        pr AS (SELECT o_orderkey FROM orders
+               WHERE o_orderpriority <> '1-URGENT'),
+        hits AS (
+          SELECT pr.o_orderkey,
+                 count(*) FILTER (
+                   CAST({_bloom_pos} % 65536 AS BIGINT)
+                     IN (SELECT pos FROM bits)
+                 ) AS k_hit
+          FROM pr CROSS JOIN js GROUP BY 1),
+        s AS (
+          SELECT (SELECT count(*) FROM mem) AS n_members,
+                 (SELECT count(*) FROM bits) AS n_set_bits,
+                 count(*) AS n_probes,
+                 sum(CASE WHEN k_hit = 3 THEN 1 ELSE 0 END) AS n_fp
+          FROM hits)
+        SELECT CAST(n_members AS BIGINT) AS n_members,
+               CAST(n_set_bits AS BIGINT) AS n_set_bits,
+               CAST(n_probes AS BIGINT) AS n_probes,
+               CAST(n_fp AS BIGINT) AS n_false_pos,
+               CAST((1000000 * n_fp) // n_probes AS BIGINT) AS fpr_ppm
+        FROM s
     """
     return oracles
