@@ -12882,7 +12882,66 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    def q_kruskal_rank_sums(sf_dir):
+        """Kruskal-Wallis sufficient statistics across ALL event
+        types on value — the k-group generalization of the
+        mannwhitney machinery. Ranking depends only on per-distinct-
+        value counts, so ONE (value, event_type) combiner aggregate
+        is the whole data-parallel phase; the |distinct·types|-bounded
+        partial table computes tie-averaged ranks (avg2 = 2·cum_before
+        + ties + 1, integer), per-type rank sums r2 = 2·R_g, and the
+        tie-correction term Σ(t³−t) driver-side. H itself is a
+        rational of these integers (module discipline: emit the exact
+        sufficient statistics, never a float)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+        vc = grouped_agg(ev, ["value", "event_type"], {"c": (None, "count")}).to_pandas()
+        tot = vc.groupby("value")["c"].sum().sort_index()
+        t = tot.to_numpy().astype("int64")
+        cum_before = np.concatenate(([0], np.cumsum(t)[:-1]))
+        avg2 = pd.DataFrame(
+            {"value": tot.index.to_numpy(), "avg2": 2 * cum_before + t + 1}
+        )
+        n_total = int(t.sum())
+        tie_sum = int((t**3 - t).sum())
+        m = vc.merge(avg2, on="value")
+        m["r2_part"] = m["c"] * m["avg2"]
+        g = (
+            m.groupby("event_type")
+            .agg(n=("c", "sum"), r2=("r2_part", "sum"))
+            .reset_index()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        g["avg_rank_micro"] = (500_000 * g["r2"]) // g["n"]
+        g["n_total"] = n_total
+        g["tie_sum"] = tie_sum
+        for c in ("n", "r2", "avg_rank_micro", "n_total", "tie_sum"):
+            g[c] = g[c].astype("int64")
+        return g
+
+    def q_degree_assortativity(sf_dir):
+        """Degree assortativity of the customer→supplier purchase
+        graph (distinct (o_custkey, l_suppkey) pairs via the
+        orders⋈lineitem join): exact integer moment sums plus the
+        signed squared correlation of endpoint degrees. See
+        ops/assortativity.py for the 100-TB shape (one edge dedup,
+        two degree combiner aggs, two keyed joins, one moment fold)."""
+        from ocr_service_ray.ops.assortativity import degree_assortativity
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+        from ocr_service_ray.ops.relational import hash_join
+
+        ed = hash_join(od, li, on="o_orderkey", right_on="l_orderkey").repartition(8)
+        return degree_assortativity(ed, src_col="o_custkey", dst_col="l_suppkey")
+
     return {
+        "kruskal_rank_sums": q_kruskal_rank_sums,
+        "degree_assortativity": q_degree_assortativity,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -20322,5 +20381,64 @@ def oracle_sql() -> dict[str, str]:
                CAST(n_fp AS BIGINT) AS n_false_pos,
                CAST((1000000 * n_fp) // n_probes AS BIGINT) AS fpr_ppm
         FROM s
+    """
+    oracles["kruskal_rank_sums"] = """
+        WITH vc AS (
+          SELECT value, event_type, count(*) AS c
+          FROM events GROUP BY 1, 2),
+        tot AS (
+          SELECT value, CAST(sum(c) AS BIGINT) AS t FROM vc GROUP BY 1),
+        r AS (
+          SELECT value, t,
+                 2 * (sum(t) OVER (ORDER BY value) - t) + t + 1 AS avg2
+          FROM tot),
+        ties AS (
+          SELECT CAST(sum(t * t * t - t) AS BIGINT) AS tie_sum,
+                 CAST(sum(t) AS BIGINT) AS n_total
+          FROM tot)
+        SELECT vc.event_type,
+               CAST(sum(vc.c) AS BIGINT) AS n,
+               CAST(sum(vc.c * r.avg2) AS BIGINT) AS r2,
+               CAST((500000 * sum(vc.c * r.avg2)) // sum(vc.c) AS BIGINT)
+                 AS avg_rank_micro,
+               ties.n_total, ties.tie_sum
+        FROM vc JOIN r USING (value) CROSS JOIN ties
+        GROUP BY vc.event_type, ties.n_total, ties.tie_sum
+    """
+    oracles["degree_assortativity"] = """
+        WITH e AS (
+          SELECT DISTINCT o_custkey AS s, l_suppkey AS d
+          FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        dx AS (SELECT s, CAST(count(*) AS BIGINT) AS deg_x
+               FROM e GROUP BY s),
+        dy AS (SELECT d, CAST(count(*) AS BIGINT) AS deg_y
+               FROM e GROUP BY d),
+        j AS (SELECT deg_x AS x, deg_y AS y
+              FROM e JOIN dx USING (s) JOIN dy USING (d)),
+        m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                     CAST(sum(x) AS BIGINT) AS sx,
+                     CAST(sum(y) AS BIGINT) AS sy,
+                     CAST(sum(x * x) AS BIGINT) AS sxx,
+                     CAST(sum(y * y) AS BIGINT) AS syy,
+                     CAST(sum(x * y) AS BIGINT) AS sxy
+              FROM j),
+        d2 AS (SELECT n, sx, sy, sxx, syy, sxy,
+                      CAST(n AS HUGEINT) * sxy
+                        - CAST(sx AS HUGEINT) * sy AS cov_h,
+                      CAST(n AS HUGEINT) * sxx
+                        - CAST(sx AS HUGEINT) * sx AS varx_h,
+                      CAST(n AS HUGEINT) * syy
+                        - CAST(sy AS HUGEINT) * sy AS vary_h
+               FROM m)
+        SELECT n AS n_edges, sx, sy, sxx, syy, sxy,
+               CAST(cov_h AS BIGINT) AS cov_num,
+               CAST(varx_h AS BIGINT) AS varx_num,
+               CAST(vary_h AS BIGINT) AS vary_num,
+               CAST(CASE WHEN varx_h * vary_h > 0 THEN
+                 CASE WHEN cov_h >= 0
+                   THEN (1000000 * cov_h * cov_h) // (varx_h * vary_h)
+                   ELSE -((1000000 * cov_h * cov_h) // (varx_h * vary_h))
+                 END ELSE 0 END AS BIGINT) AS r2_sign_micro
+        FROM d2
     """
     return oracles
