@@ -12923,6 +12923,120 @@ def queries() -> dict[str, Callable[[str], Any]]:
             g[c] = g[c].astype("int64")
         return g
 
+    def q_pr_curve_points(sf_dir):
+        """Precision/recall/F1 at EVERY distinct quality-score
+        threshold (predict long-doc when quality_micro >= t) — the
+        full PR curve from ONE (score) value-counts combiner: the
+        |distinct scores|-bounded partial table sorts descending
+        driver-side and cumulative tp/fp give every operating point.
+        All ratios are ppm integer floors (F1 = 2tp/(2tp+fp+fn) =
+        2tp/(tp+fp+P)), so the curve is bit-exact vs SQL. Completes
+        the ML-eval family next to quality_auc (one global number)
+        with the threshold-sweep view a model-selection user needs."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.text import quality_score
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+        def score(b: pa.Table) -> pa.Table:
+            q = quality_score(b, "text")
+            return pa.table(
+                {
+                    "qm": q["quality_micro"],
+                    "pos": pc.cast(
+                        pc.greater_equal(b["n_chars"], 200), pa.int64()
+                    ),
+                }
+            )
+
+        vc = grouped_agg(
+            docs.map_batches(score, batch_format="pyarrow"),
+            ["qm"],
+            {"n": (None, "count"), "np": ("pos", "sum")},
+        ).to_pandas()
+        vc = vc.sort_values("qm", ascending=False).reset_index(drop=True)
+        tp = vc["np"].cumsum().astype("int64")
+        fp = (vc["n"] - vc["np"]).cumsum().astype("int64")
+        p_total = int(vc["np"].sum())
+        out = pd.DataFrame(
+            {
+                "threshold": vc["qm"].astype("int64"),
+                "tp": tp,
+                "fp": fp,
+                "precision_ppm": (1_000_000 * tp) // (tp + fp),
+                "recall_ppm": (1_000_000 * tp) // p_total,
+                "f1_ppm": (2_000_000 * tp) // (tp + fp + p_total),
+            }
+        )
+        return out.astype("int64")
+
+    def q_brier_decomposition(sf_dir):
+        """Murphy decomposition of the Brier score of the quality
+        score (milli-quantized to keep every square int64-safe) vs
+        the long-doc label, 10 equal-width bins: per-bin integer
+        numerators rel_num = (Σs − 1000·np)² (reliability, den
+        1e6·n_b·N) and res_num = (N·np − P·n_b)² (resolution, den
+        n_b·N³), plus the global brier_num = Σ(s_i − 1000·y_i)²
+        (den 1e6·N). One scan, one per-bin combiner; every emitted
+        number is an exact integer — the floats are the reader's
+        division. Scale note: Σ s² ≤ 1e6·N bounds N at ~9e12 rows
+        for int64 partials."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.text import quality_score
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+
+        def score(b: pa.Table) -> pa.Table:
+            q = quality_score(b, "text")
+            s = q["quality_micro"].to_numpy(zero_copy_only=False) // 1000
+            y = pc.cast(
+                pc.greater_equal(b["n_chars"], 200), pa.int64()
+            ).to_numpy(zero_copy_only=False)
+            d = s - 1000 * y
+            return pa.table(
+                {
+                    "bin": pa.array(np.minimum(s // 100, 9)),
+                    "pos": pa.array(y),
+                    "s": pa.array(s),
+                    "sq": pa.array(d * d),
+                }
+            )
+
+        bins = grouped_agg(
+            docs.map_batches(score, batch_format="pyarrow"),
+            ["bin"],
+            {
+                "n": (None, "count"),
+                "n_pos": ("pos", "sum"),
+                "sum_s": ("s", "sum"),
+                "brier_part": ("sq", "sum"),
+            },
+        ).to_pandas()
+        bins = bins.sort_values("bin").reset_index(drop=True)
+        n_total = int(bins["n"].sum())
+        p_total = int(bins["n_pos"].sum())
+        brier_num = int(bins["brier_part"].sum())
+        rel = (bins["sum_s"] - 1000 * bins["n_pos"]) ** 2
+        res = (n_total * bins["n_pos"] - p_total * bins["n"]) ** 2
+        out = pd.DataFrame(
+            {
+                "bin": bins["bin"],
+                "n": bins["n"],
+                "n_pos": bins["n_pos"],
+                "sum_conf_milli": bins["sum_s"],
+                "rel_num": rel,
+                "res_num": res,
+                "n_total": n_total,
+                "p_total": p_total,
+                "brier_num": brier_num,
+            }
+        )
+        return out.astype("int64")
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -12942,6 +13056,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
+        "pr_curve_points": q_pr_curve_points,
+        "brier_decomposition": q_brier_decomposition,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -20440,5 +20556,72 @@ def oracle_sql() -> dict[str, str]:
                    ELSE -((1000000 * cov_h * cov_h) // (varx_h * vary_h))
                  END ELSE 0 END AS BIGINT) AS r2_sign_micro
         FROM d2
+    """
+    _QUALITY_Q_CTE = r"""
+        t AS MATERIALIZED (
+          SELECT doc_id, n_chars,
+                 length(regexp_extract_all(text, '\S+')) AS n_words,
+                 length(text) AS n_chars_utf,
+                 length(regexp_extract_all(text, '[.,;:!?]')) AS n_punct,
+                 length(regexp_extract_all(text, '\b(the|a|to|of|and|in|is)\b'))
+                   AS n_stop
+          FROM documents),
+        q AS (SELECT doc_id, n_chars,
+                     CAST(floor((
+                       0.5 * least(CAST(n_words AS DOUBLE) / 100.0, 1.0)
+                       + 0.25 * (1.0 - least(CAST(n_punct AS DOUBLE)
+                                 / greatest(n_chars_utf, 1) * 10.0, 1.0))
+                       + 0.25 * (CAST(n_stop AS DOUBLE) / greatest(n_words, 1))
+                     ) * 1000000.0 + 0.5) AS BIGINT) AS qm
+              FROM t)
+    """
+    oracles["pr_curve_points"] = f"""
+        WITH {_QUALITY_Q_CTE},
+        vc AS (
+          SELECT qm, count(*) AS n,
+                 sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS np
+          FROM q GROUP BY qm),
+        c AS (
+          SELECT qm,
+                 sum(np) OVER (ORDER BY qm DESC) AS tp,
+                 sum(n - np) OVER (ORDER BY qm DESC) AS fp
+          FROM vc),
+        tot AS (SELECT CAST(sum(np) AS BIGINT) AS p FROM vc)
+        SELECT CAST(qm AS BIGINT) AS threshold,
+               CAST(tp AS BIGINT) AS tp,
+               CAST(fp AS BIGINT) AS fp,
+               CAST((1000000 * tp) // (tp + fp) AS BIGINT) AS precision_ppm,
+               CAST((1000000 * tp) // p AS BIGINT) AS recall_ppm,
+               CAST((2000000 * tp) // (tp + fp + p) AS BIGINT) AS f1_ppm
+        FROM c CROSS JOIN tot
+    """
+    oracles["brier_decomposition"] = f"""
+        WITH {_QUALITY_Q_CTE},
+        rows_t AS (
+          SELECT least((qm // 1000) // 100, 9) AS bin,
+                 qm // 1000 AS s,
+                 CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END AS y
+          FROM q),
+        b AS (
+          SELECT bin, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS n_pos,
+                 CAST(sum(s) AS BIGINT) AS sum_conf_milli,
+                 CAST(sum((s - 1000 * y) * (s - 1000 * y)) AS BIGINT)
+                   AS brier_part
+          FROM rows_t GROUP BY bin),
+        tot AS (
+          SELECT CAST(sum(n) AS BIGINT) AS n_total,
+                 CAST(sum(n_pos) AS BIGINT) AS p_total,
+                 CAST(sum(brier_part) AS BIGINT) AS brier_num
+          FROM b)
+        SELECT b.bin, b.n, b.n_pos, b.sum_conf_milli,
+               CAST((b.sum_conf_milli - 1000 * b.n_pos)
+                    * (b.sum_conf_milli - 1000 * b.n_pos) AS BIGINT)
+                 AS rel_num,
+               CAST((tot.n_total * b.n_pos - tot.p_total * b.n)
+                    * (tot.n_total * b.n_pos - tot.p_total * b.n) AS BIGINT)
+                 AS res_num,
+               tot.n_total, tot.p_total, tot.brier_num
+        FROM b CROSS JOIN tot
     """
     return oracles
