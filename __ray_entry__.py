@@ -13037,6 +13037,63 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.astype("int64")
 
+    def q_readability_scores(sf_dir):
+        """Flesch-style reading-ease per document as an EXACT integer
+        rational: with S = sentence runs ([.!?]+ matches, min 1), W =
+        whitespace tokens (min 1), V = vowel-group syllable proxy
+        ([aeiouy]+ runs over the lowercased text),
+
+            flesch = 206.835 - 1.015·(W/S) - 84.6·(V/W)
+                   = (206835·S·W - 1015·W² - 84600·V·S) / (1000·S·W)
+
+        emitted as (flesch_num, flesch_den=S·W) — no floats, no
+        floor-of-negative pitfalls. One stateless vectorized scan
+        (pc.count_substring_regex ×3), pipelines with the read."""
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def stats(b: pa.Table) -> pa.Table:
+            t = b["text"]
+            s = np.maximum(
+                pc.count_substring_regex(t, r"[.!?]+").to_numpy(
+                    zero_copy_only=False
+                ),
+                1,
+            ).astype(np.int64)
+            w = np.maximum(
+                pc.count_substring_regex(t, r"\S+").to_numpy(
+                    zero_copy_only=False
+                ),
+                1,
+            ).astype(np.int64)
+            v = pc.count_substring_regex(
+                pc.utf8_lower(t), r"[aeiouy]+"
+            ).to_numpy(zero_copy_only=False).astype(np.int64)
+            num = 206835 * s * w - 1015 * w * w - 84600 * v * s
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_sentences": pa.array(s),
+                    "n_words": pa.array(w),
+                    "n_vowel_groups": pa.array(v),
+                    "flesch_num": pa.array(num),
+                    "flesch_den": pa.array(s * w),
+                }
+            )
+
+        return docs.map_batches(stats, batch_format="pyarrow")
+
+    def q_phonetic_blocking(sf_dir):
+        """Consonant-skeleton blocking over part names: per-skeleton
+        block sizes and candidate-pair counts for blocks >= 2. The
+        skeleton transform is RE2-safe (no backreferences) so the
+        IDENTICAL regex chain runs in pyarrow and the DuckDB oracle;
+        see ops/phonetic.py for the 100-TB shape (stateless map +
+        one combiner count — pairs counted, never materialized)."""
+        from ocr_service_ray.ops.phonetic import blocking_stats
+
+        parts = _read(sf_dir, "part", ["p_name"])
+        return blocking_stats(parts, "p_name")
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13058,6 +13115,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "degree_assortativity": q_degree_assortativity,
         "pr_curve_points": q_pr_curve_points,
         "brier_decomposition": q_brier_decomposition,
+        "readability_scores": q_readability_scores,
+        "phonetic_blocking": q_phonetic_blocking,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -20623,5 +20682,36 @@ def oracle_sql() -> dict[str, str]:
                  AS res_num,
                tot.n_total, tot.p_total, tot.brier_num
         FROM b CROSS JOIN tot
+    """
+    oracles["readability_scores"] = r"""
+        WITH s AS (
+          SELECT doc_id,
+                 greatest(length(regexp_extract_all(text, '[.!?]+')), 1)
+                   AS ns,
+                 greatest(length(regexp_extract_all(text, '\S+')), 1)
+                   AS nw,
+                 length(regexp_extract_all(lower(text), '[aeiouy]+'))
+                   AS nv
+          FROM documents)
+        SELECT doc_id,
+               CAST(ns AS BIGINT) AS n_sentences,
+               CAST(nw AS BIGINT) AS n_words,
+               CAST(nv AS BIGINT) AS n_vowel_groups,
+               CAST(206835 * ns * nw - 1015 * nw * nw - 84600 * nv * ns
+                    AS BIGINT) AS flesch_num,
+               CAST(ns * nw AS BIGINT) AS flesch_den
+        FROM s
+    """
+    from ocr_service_ray.ops.phonetic import skeleton_sql
+
+    oracles["phonetic_blocking"] = f"""
+        WITH k AS (
+          SELECT {skeleton_sql("p_name")} AS skeleton FROM part),
+        c AS (
+          SELECT skeleton, CAST(count(*) AS BIGINT) AS n_members
+          FROM k GROUP BY skeleton)
+        SELECT skeleton, n_members,
+               CAST(n_members * (n_members - 1) // 2 AS BIGINT) AS n_pairs
+        FROM c WHERE n_members >= 2
     """
     return oracles
