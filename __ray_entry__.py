@@ -13094,6 +13094,144 @@ def queries() -> dict[str, Callable[[str], Any]]:
         parts = _read(sf_dir, "part", ["p_name"])
         return blocking_stats(parts, "p_name")
 
+    def q_cuped_moments(sf_dir):
+        """CUPED variance-reduced A/B readout (Deng et al. 2013) over
+        a deterministic user_id-parity arm split: pre metric X = per-
+        user view cents, post metric Y = per-user purchase cents.
+        Emits per-arm integer moments (n, sx, sy, sxx, sxy), the
+        pooled theta as an exact rational (theta_num = N·Σxy − Σx·Σy,
+        theta_den = N·Σxx − Σx²), and the CUPED-adjusted arm
+        difference floored to micro-cents with the sign-split
+        truncation pattern (HUGEINT in SQL, bigints here). Shape: one
+        scan → per-user combiner fold (the only keyed exchange) →
+        per-arm combiner → driver close on 2 rows."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            et = b["event_type"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "x": pa.array(np.where(et == "view", cents, 0)),
+                    "y": pa.array(np.where(et == "purchase", cents, 0)),
+                }
+            )
+
+        users = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id"],
+            {"x": ("x", "sum"), "y": ("y", "sum")},
+        )
+
+        def arm_moments(b: pa.Table) -> pa.Table:
+            u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            x = b["x"].to_numpy(zero_copy_only=False).astype(np.int64)
+            y = b["y"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "arm": pa.array(u % 2),
+                    "one": pa.array(np.ones(len(u), np.int64)),
+                    "x": pa.array(x),
+                    "y": pa.array(y),
+                    "xx": pa.array(x * x),
+                    "xy": pa.array(x * y),
+                }
+            )
+
+        arms = grouped_agg(
+            users.map_batches(arm_moments, batch_format="pyarrow"),
+            ["arm"],
+            {
+                "n_users": ("one", "sum"),
+                "sx": ("x", "sum"),
+                "sy": ("y", "sum"),
+                "sxx": ("xx", "sum"),
+                "sxy": ("xy", "sum"),
+            },
+        ).to_pandas()
+        arms = arms.sort_values("arm").reset_index(drop=True)
+        n = int(arms["n_users"].sum())
+        sx, sy = int(arms["sx"].sum()), int(arms["sy"].sum())
+        sxx, sxy = int(arms["sxx"].sum()), int(arms["sxy"].sum())
+        theta_num = n * sxy - sx * sy
+        theta_den = n * sxx - sx * sx
+        a0, a1 = arms.iloc[0], arms.iloc[1]
+        n0, n1 = int(a0["n_users"]), int(a1["n_users"])
+        raw_num = int(a1["sy"]) * n0 - int(a0["sy"]) * n1
+        pre_num = int(a1["sx"]) * n0 - int(a0["sx"]) * n1
+        adj_num = raw_num * theta_den - theta_num * pre_num
+        adj_den = n0 * n1 * theta_den
+        scaled = 1_000_000 * adj_num
+        adj_micro = (
+            scaled // adj_den if scaled >= 0 else -((-scaled) // adj_den)
+        )
+        out = arms.copy()
+        out["theta_num"] = theta_num
+        out["theta_den"] = theta_den
+        out["adj_diff_microcents"] = int(adj_micro)
+        for c in out.columns:
+            out[c] = out[c].astype("int64")
+        return out
+
+    def q_t_closeness_audit(sf_dir):
+        """t-closeness (Li et al. 2007) of order prices within each
+        o_orderpriority QI group vs the corpus: ordered EMD over 10
+        fixed-width price bands, cross-multiplied to exact integers —
+        emd_num = Σ_k |cum_gk·N − cum_k·n_g|, emd_den = n_g·N·9 —
+        completing the privacy-audit triple next to k_anonymity_audit
+        and l_diversity_audit (EMD is CUMULATIVE band mass, unlike
+        the TV/KS families' pointwise or max deviations). One
+        (priority, band) combiner; the close runs on a 10×|groups|
+        partial table."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(sf_dir, "orders", ["o_orderpriority", "o_totalprice"])
+
+        def band(b: pa.Table) -> pa.Table:
+            v = b["o_totalprice"].to_numpy(zero_copy_only=False)
+            k = np.minimum((v // 20000.0).astype(np.int64), 9)
+            return pa.table(
+                {"o_orderpriority": b["o_orderpriority"], "band": pa.array(k)}
+            )
+
+        pb = grouped_agg(
+            od.map_batches(band, batch_format="pyarrow"),
+            ["o_orderpriority", "band"],
+            {"c": (None, "count")},
+        ).to_pandas()
+        n_total = int(pb["c"].sum())
+        glob = (
+            pb.groupby("band")["c"].sum().reindex(range(10), fill_value=0)
+        )
+        gcum = glob.cumsum().astype("int64")
+        rows = []
+        for prio, g in pb.groupby("o_orderpriority"):
+            cg = (
+                g.set_index("band")["c"].reindex(range(10), fill_value=0)
+            ).cumsum().astype("int64")
+            n_g = int(g["c"].sum())
+            emd_num = int(
+                np.abs(
+                    cg.to_numpy() * n_total - gcum.to_numpy() * n_g
+                )[:9].sum()
+            )
+            rows.append((prio, n_g, emd_num, n_g * n_total * 9))
+        out = pd.DataFrame(
+            rows, columns=["o_orderpriority", "n_g", "emd_num", "emd_den"]
+        ).sort_values("o_orderpriority").reset_index(drop=True)
+        for c in ("n_g", "emd_num", "emd_den"):
+            out[c] = out[c].astype("int64")
+        return out
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13117,6 +13255,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "brier_decomposition": q_brier_decomposition,
         "readability_scores": q_readability_scores,
         "phonetic_blocking": q_phonetic_blocking,
+        "cuped_moments": q_cuped_moments,
+        "t_closeness_audit": q_t_closeness_audit,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -20713,5 +20853,85 @@ def oracle_sql() -> dict[str, str]:
         SELECT skeleton, n_members,
                CAST(n_members * (n_members - 1) // 2 AS BIGINT) AS n_pairs
         FROM c WHERE n_members >= 2
+    """
+    oracles["cuped_moments"] = """
+        WITH u AS (
+          SELECT user_id,
+                 CAST(sum(CASE WHEN event_type = 'view' THEN
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS x,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS y
+          FROM events GROUP BY user_id),
+        a AS (
+          SELECT user_id % 2 AS arm, CAST(count(*) AS BIGINT) AS n_users,
+                 CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x * x) AS BIGINT) AS sxx,
+                 CAST(sum(x * y) AS BIGINT) AS sxy
+          FROM u GROUP BY 1),
+        t AS (
+          SELECT CAST(sum(n_users) AS HUGEINT) AS n,
+                 CAST(sum(sx) AS HUGEINT) AS tsx,
+                 CAST(sum(sy) AS HUGEINT) AS tsy,
+                 CAST(sum(sxx) AS HUGEINT) AS tsxx,
+                 CAST(sum(sxy) AS HUGEINT) AS tsxy
+          FROM a),
+        th AS (SELECT n * tsxy - tsx * tsy AS theta_num,
+                      n * tsxx - tsx * tsx AS theta_den
+               FROM t),
+        p AS (
+          SELECT max(CASE WHEN arm = 0 THEN n_users END) AS n0,
+                 max(CASE WHEN arm = 1 THEN n_users END) AS n1,
+                 max(CASE WHEN arm = 0 THEN sx END) AS sx0,
+                 max(CASE WHEN arm = 1 THEN sx END) AS sx1,
+                 max(CASE WHEN arm = 0 THEN sy END) AS sy0,
+                 max(CASE WHEN arm = 1 THEN sy END) AS sy1
+          FROM a),
+        d AS (
+          SELECT (CAST(sy1 AS HUGEINT) * n0 - CAST(sy0 AS HUGEINT) * n1)
+                   * theta_den
+                 - theta_num
+                   * (CAST(sx1 AS HUGEINT) * n0 - CAST(sx0 AS HUGEINT) * n1)
+                   AS adj_num,
+                 CAST(n0 AS HUGEINT) * n1 * theta_den AS adj_den,
+                 theta_num, theta_den
+          FROM p CROSS JOIN th)
+        SELECT a.arm, a.n_users, a.sx, a.sy, a.sxx, a.sxy,
+               CAST(d.theta_num AS BIGINT) AS theta_num,
+               CAST(d.theta_den AS BIGINT) AS theta_den,
+               CAST(CASE WHEN 1000000 * d.adj_num >= 0
+                    THEN (1000000 * d.adj_num) // d.adj_den
+                    ELSE -((-(1000000 * d.adj_num)) // d.adj_den)
+                    END AS BIGINT) AS adj_diff_microcents
+        FROM a CROSS JOIN d
+    """
+    oracles["t_closeness_audit"] = """
+        WITH b AS (
+          SELECT o_orderpriority,
+                 least(CAST(floor(o_totalprice / 20000.0) AS BIGINT), 9)
+                   AS band
+          FROM orders),
+        n AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM b),
+        pr AS (SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_g
+               FROM b GROUP BY 1),
+        cband AS (SELECT o_orderpriority, band, count(*) AS c
+                  FROM b GROUP BY 1, 2),
+        ks AS (SELECT k FROM (VALUES (0), (1), (2), (3), (4), (5), (6),
+                              (7), (8)) t(k)),
+        grid AS (
+          SELECT pr.o_orderpriority, pr.n_g, ks.k,
+                 CAST(coalesce(sum(cb.c), 0) AS BIGINT) AS cg
+          FROM pr CROSS JOIN ks
+          LEFT JOIN cband cb ON cb.o_orderpriority = pr.o_orderpriority
+                             AND cb.band <= ks.k
+          GROUP BY 1, 2, 3),
+        gt AS (SELECT k, CAST(sum(cg) AS BIGINT) AS ct FROM grid GROUP BY k)
+        SELECT g.o_orderpriority, g.n_g,
+               CAST(sum(abs(g.cg * n.n_total - gt.ct * g.n_g)) AS BIGINT)
+                 AS emd_num,
+               CAST(g.n_g * n.n_total * 9 AS BIGINT) AS emd_den
+        FROM grid g JOIN gt USING (k) CROSS JOIN n
+        GROUP BY g.o_orderpriority, g.n_g, n.n_total
     """
     return oracles
