@@ -13232,6 +13232,80 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out
 
+    def q_range_partition_plan(sf_dir):
+        """Range-partition plan for an 8-way range-write of orders by
+        totalprice cents — exact K-quantile boundaries (value-counts
+        combiner) + one assignment scan folded to per-partition
+        (n_rows, min_v, max_v). See ops/rangeplan.py: this is the
+        plan step of every distributed range sort, emitted as the
+        balance audit."""
+        from ocr_service_ray.ops.rangeplan import range_partition_plan
+
+        od = _read(sf_dir, "orders", ["o_totalprice"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            v = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"v": pa.array(v)})
+
+        return range_partition_plan(
+            od.map_batches(cents, batch_format="pyarrow"), "v", 8
+        )
+
+    def q_runs_test_daily(sf_dir):
+        """Wald-Wolfowitz runs test on the SIGN of day-over-day
+        change in total daily event value (cents): one (day) combiner
+        aggregate is the data-parallel phase; the ≤|days| partial
+        series computes signs (zeros dropped, standard), the run
+        count, and the exact rational E[R] = (2·n₊·n₋ + n)/n and
+        Var[R] = 2n₊n₋(2n₊n₋−n) / (n²(n−1)) as integer num/den —
+        the randomness audit for daily pipeline volume."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ts_us = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"day": pa.array(ts_us // 86_400_000_000), "c": pa.array(cents)}
+            )
+
+        daily = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["day"],
+            {"tot": ("c", "sum")},
+        ).to_pandas().sort_values("day").reset_index(drop=True)
+        d = np.diff(daily["tot"].to_numpy().astype(np.int64))
+        signs = np.sign(d)
+        signs = signs[signs != 0]
+        n_plus = int((signs > 0).sum())
+        n_minus = int((signs < 0).sum())
+        n = n_plus + n_minus
+        n_runs = int(1 + (signs[1:] != signs[:-1]).sum()) if n > 0 else 0
+        two_pm = 2 * n_plus * n_minus
+        return pd.DataFrame(
+            {
+                "n_days": [len(daily)],
+                "n_plus": [n_plus],
+                "n_minus": [n_minus],
+                "n_runs": [n_runs],
+                "exp_num": [two_pm + n],
+                "exp_den": [n],
+                "var_num": [two_pm * (two_pm - n)],
+                "var_den": [n * n * (n - 1)],
+            }
+        ).astype("int64")
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13257,6 +13331,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phonetic_blocking": q_phonetic_blocking,
         "cuped_moments": q_cuped_moments,
         "t_closeness_audit": q_t_closeness_audit,
+        "range_partition_plan": q_range_partition_plan,
+        "runs_test_daily": q_runs_test_daily,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -20933,5 +21009,48 @@ def oracle_sql() -> dict[str, str]:
                CAST(g.n_g * n.n_total * 9 AS BIGINT) AS emd_den
         FROM grid g JOIN gt USING (k) CROSS JOIN n
         GROUP BY g.o_orderpriority, g.n_g, n.n_total
+    """
+    from ocr_service_ray.ops.rangeplan import range_partition_plan_sql
+
+    oracles["range_partition_plan"] = range_partition_plan_sql(
+        "SELECT CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS v"
+        " FROM orders",
+        8,
+    )
+    oracles["runs_test_daily"] = """
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day,
+                 CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS tot
+          FROM events GROUP BY 1),
+        d AS (
+          SELECT day, tot - lag(tot) OVER (ORDER BY day) AS delta
+          FROM daily),
+        s AS (
+          SELECT CAST(sign(delta) AS BIGINT) AS sgn,
+                 row_number() OVER (ORDER BY day) AS rn
+          FROM d WHERE delta IS NOT NULL AND delta <> 0),
+        runs AS (
+          SELECT sgn, lag(sgn) OVER (ORDER BY rn) AS prev FROM s),
+        agg AS (
+          SELECT CAST(sum(CASE WHEN sgn > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_plus,
+                 CAST(sum(CASE WHEN sgn < 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_minus,
+                 CAST(coalesce(sum(CASE WHEN prev IS NULL
+                                        OR sgn <> prev THEN 1 ELSE 0 END),
+                               0) AS BIGINT) AS n_runs
+          FROM runs),
+        nd AS (SELECT CAST(count(*) AS BIGINT) AS n_days FROM daily)
+        SELECT nd.n_days, agg.n_plus, agg.n_minus, agg.n_runs,
+               CAST(2 * n_plus * n_minus + (n_plus + n_minus) AS BIGINT)
+                 AS exp_num,
+               CAST(n_plus + n_minus AS BIGINT) AS exp_den,
+               CAST(2 * n_plus * n_minus
+                    * (2 * n_plus * n_minus - (n_plus + n_minus))
+                    AS BIGINT) AS var_num,
+               CAST((n_plus + n_minus) * (n_plus + n_minus)
+                    * (n_plus + n_minus - 1) AS BIGINT) AS var_den
+        FROM agg CROSS JOIN nd
     """
     return oracles
