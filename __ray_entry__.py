@@ -13306,6 +13306,109 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    def q_resolve_parts(sf_dir):
+        """Composed ENTITY-RESOLUTION pipeline over part names —
+        blocking → verify → cluster → canonicalize, each stage an
+        already-verified op: consonant-skeleton blocks
+        (ops/phonetic.py — the 'stronger block key' fuzzy_pairs'
+        docstring calls for at web scale), per-block Levenshtein <= 2
+        verify (kernels/correct.py M7 parity kernel) bounded by the
+        phonetic block sizes, connected components over the verified
+        pair graph (ops/graph.py), canonical label = min partkey.
+        Returns (p_partkey, canonical_key) for every entity touched
+        by a pair; the oracle replays all four stages including the
+        recursive-CTE closure."""
+        import pandas as pd
+
+        from ocr_service_ray.kernels.correct import levenshtein_distance
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+        from ocr_service_ray.ops.graph import connected_components
+        from ocr_service_ray.ops.phonetic import skeleton_array
+
+        parts = _read(sf_dir, "part", ["p_partkey", "p_name"])
+
+        def key(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "p_partkey": b["p_partkey"],
+                    "p_name": b["p_name"],
+                    "skeleton": skeleton_array(b["p_name"]),
+                }
+            )
+
+        def pairs(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values("p_partkey")
+            ids = g["p_partkey"].tolist()
+            names = g["p_name"].tolist()
+            out_a, out_b = [], []
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    if levenshtein_distance(names[i], names[j]) <= 2:
+                        out_a.append(ids[i])
+                        out_b.append(ids[j])
+            return pd.DataFrame(
+                {
+                    "id_a": pd.array(out_a, dtype="int64"),
+                    "id_b": pd.array(out_b, dtype="int64"),
+                }
+            )
+
+        cand = bucketed_map_groups(
+            parts.map_batches(key, batch_format="pyarrow"),
+            ["skeleton"],
+            pairs,
+        )
+        labels = connected_components(cand, "id_a", "id_b")
+
+        def rename(b: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "p_partkey": b["node"],
+                    "canonical_key": b["cluster_id"],
+                }
+            )
+
+        return labels.map_batches(rename, batch_format="pyarrow")
+
+    def q_median_of_means_value(sf_dir):
+        """Median-of-means robust estimator of mean event value: 16
+        deterministic event_id%16 buckets, ONE combiner aggregate
+        produces the (n, sum) pairs, the lower-median bucket by mean
+        (IEEE double ratio, tie-broken by bucket id — identical
+        ordering on both engines) is the estimate, emitted as the
+        exact (mom_num, mom_den) rational. The heavy-tail-robust
+        alternative to the trimmed/winsorized family: no quantile
+        pass, one scan, O(k) driver work."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["event_id", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            eid = b["event_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"bucket": pa.array(eid % 16), "c": pa.array(c)})
+
+        a = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["bucket"],
+            {"n": (None, "count"), "s": ("c", "sum")},
+        ).to_pandas()
+        a["mean"] = a["s"].astype("float64") / a["n"].astype("float64")
+        a = a.sort_values(["mean", "bucket"]).reset_index(drop=True)
+        med = a.iloc[7]  # lower median of 16 (8th smallest, rank 8)
+        return pd.DataFrame(
+            {
+                "k_buckets": [16],
+                "median_bucket": [int(med["bucket"])],
+                "mom_num": [int(med["s"])],
+                "mom_den": [int(med["n"])],
+            }
+        ).astype("int64")
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13333,6 +13436,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "t_closeness_audit": q_t_closeness_audit,
         "range_partition_plan": q_range_partition_plan,
         "runs_test_daily": q_runs_test_daily,
+        "resolve_parts": q_resolve_parts,
+        "median_of_means_value": q_median_of_means_value,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -21052,5 +21157,43 @@ def oracle_sql() -> dict[str, str]:
                CAST((n_plus + n_minus) * (n_plus + n_minus)
                     * (n_plus + n_minus - 1) AS BIGINT) AS var_den
         FROM agg CROSS JOIN nd
+    """
+    oracles["resolve_parts"] = f"""
+        WITH RECURSIVE k AS (
+          SELECT p_partkey, p_name, {skeleton_sql("p_name")} AS sk
+          FROM part),
+        p AS (
+          SELECT a.p_partkey AS id_a, b.p_partkey AS id_b
+          FROM k a JOIN k b ON a.sk = b.sk AND a.p_partkey < b.p_partkey
+          WHERE levenshtein(a.p_name, b.p_name) <= 2),
+        e AS (
+          SELECT id_a AS u, id_b AS v FROM p
+          UNION
+          SELECT id_b, id_a FROM p),
+        reach(u, lbl) AS (
+          SELECT u, u FROM (SELECT DISTINCT u FROM e)
+          UNION
+          SELECT e.u, r.lbl FROM e JOIN reach r ON r.u = e.v)
+        SELECT u AS p_partkey, CAST(MIN(lbl) AS BIGINT) AS canonical_key
+        FROM reach GROUP BY u
+    """
+    oracles["median_of_means_value"] = """
+        WITH b AS (
+          SELECT event_id % 16 AS bucket,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+          FROM events),
+        a AS (
+          SELECT bucket, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s
+          FROM b GROUP BY 1),
+        r AS (
+          SELECT bucket, n, s,
+                 row_number() OVER (
+                   ORDER BY CAST(s AS DOUBLE) / n, bucket) AS rk
+          FROM a)
+        SELECT CAST(16 AS BIGINT) AS k_buckets,
+               CAST(bucket AS BIGINT) AS median_bucket,
+               s AS mom_num, n AS mom_den
+        FROM r WHERE rk = 8
     """
     return oracles
