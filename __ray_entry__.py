@@ -13409,6 +13409,91 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    def q_spatial_linf_join(sf_dir):
+        """Grid-blocked L-infinity SPATIAL self-join over the 2-D
+        projection (embedding dims 0,1, micro-quantized) of the
+        embedding table: each point is replicated to its 4
+        lower-left eps-cells and every pair is emitted exactly once
+        from its min-cell (ops/spatial.py) — the classic grid
+        epsilon-join, the spatial sibling of near_dup_lsh_blocked's
+        LSH-cell blocking. Blocking must be LOSSLESS: the oracle is
+        the naive quadratic join over the same quantized coords."""
+        from ocr_service_ray.ops.spatial import linf_self_join
+
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def proj(b: pa.Table) -> pa.Table:
+            mat = similarity._as_matrix(b["embedding"])
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "x": pa.array(_micro(mat[:, 0])),
+                    "y": pa.array(_micro(mat[:, 1])),
+                }
+            )
+
+        return linf_self_join(
+            emb.map_batches(proj, batch_format="pyarrow"),
+            "vec_id",
+            "x",
+            "y",
+            eps=100_000,
+        )
+
+    def q_kaplan_meier_users(sf_dir):
+        """Kaplan-Meier survival over per-user activity spans:
+        duration = minutes between a user's first and last event,
+        event = heavy purchaser (>= 15 purchase events), censored
+        otherwise (at sf0.01: 50 events / 100 censored). One
+        combiner pass produces per-user (t, d), a second the
+        (t, d)-value-counts sufficient statistic; the curve is the
+        floored-ppm integer product recurrence of ops/survival.py,
+        replayed exactly by the oracle's recursive CTE."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.survival import kaplan_meier
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ts_us = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            is_p = pc.equal(b["event_type"], "purchase")
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "ts_us": pa.array(ts_us),
+                    "p": pc.cast(is_p, pa.int64()),
+                }
+            )
+
+        per_user = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id"],
+            {
+                "lo": ("ts_us", "min"),
+                "hi": ("ts_us", "max"),
+                "np_": ("p", "sum"),
+            },
+        )
+
+        def td(b: pa.Table) -> pa.Table:
+            lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            npu = b["np_"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "t": pa.array((hi - lo) // 60_000_000),
+                    "d": pa.array((npu >= 15).astype(np.int64)),
+                }
+            )
+
+        return kaplan_meier(
+            per_user.map_batches(td, batch_format="pyarrow"), "t", "d"
+        )
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13438,6 +13523,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "runs_test_daily": q_runs_test_daily,
         "resolve_parts": q_resolve_parts,
         "median_of_means_value": q_median_of_means_value,
+        "spatial_linf_join": q_spatial_linf_join,
+        "kaplan_meier_users": q_kaplan_meier_users,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -21195,5 +21282,54 @@ def oracle_sql() -> dict[str, str]:
                CAST(bucket AS BIGINT) AS median_bucket,
                s AS mom_num, n AS mom_den
         FROM r WHERE rk = 8
+    """
+    oracles["spatial_linf_join"] = """
+        WITH p AS (
+          SELECT vec_id AS id,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT) AS x,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT) AS y
+          FROM embeddings)
+        SELECT a.id AS id_a, b.id AS id_b,
+               CAST(greatest(abs(a.x - b.x), abs(a.y - b.y)) AS BIGINT)
+                 AS linf
+        FROM p a JOIN p b ON a.id < b.id
+        WHERE abs(a.x - b.x) <= 100000 AND abs(a.y - b.y) <= 100000
+    """
+    oracles["kaplan_meier_users"] = """
+        WITH RECURSIVE u AS (
+          SELECT user_id,
+                 CAST((epoch_us(max(ts)) - epoch_us(min(ts))) // 60000000
+                      AS BIGINT) AS t,
+                 CASE WHEN sum(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) >= 15
+                      THEN 1 ELSE 0 END AS d
+          FROM events GROUP BY user_id),
+        per_t AS (
+          SELECT t, CAST(count(*) AS BIGINT) AS n_all,
+                 CAST(sum(d) AS BIGINT) AS deaths
+          FROM u GROUP BY t),
+        risk AS (
+          SELECT t, deaths,
+                 CAST((SELECT count(*) FROM u) AS BIGINT)
+                   - (sum(n_all) OVER (ORDER BY t
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      - n_all) AS n_risk
+          FROM per_t),
+        ev AS (
+          SELECT t, deaths, CAST(n_risk AS BIGINT) AS n_risk,
+                 row_number() OVER (ORDER BY t) AS rk
+          FROM risk WHERE deaths > 0),
+        km(rk, t, n_risk, deaths, s) AS (
+          SELECT rk, t, n_risk, deaths,
+                 (1000000 * (n_risk - deaths)) // n_risk
+          FROM ev WHERE rk = 1
+          UNION ALL
+          SELECT e.rk, e.t, e.n_risk, e.deaths,
+                 (km.s * (e.n_risk - e.deaths)) // e.n_risk
+          FROM ev e JOIN km ON e.rk = km.rk + 1)
+        SELECT t, n_risk, deaths AS n_events, CAST(s AS BIGINT) AS surv_ppm
+        FROM km
     """
     return oracles
