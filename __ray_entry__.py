@@ -13494,6 +13494,69 @@ def queries() -> dict[str, Callable[[str], Any]]:
             per_user.map_batches(td, batch_format="pyarrow"), "t", "d"
         )
 
+    def q_hodges_lehmann_value(sf_dir):
+        """Hodges-Lehmann robust location estimate of event value on
+        the whole-dollar grid: one value-counts combiner reduces the
+        corpus to <= |distinct dollars| rows, the driver takes the
+        weighted lower median of all D(D+1)/2 Walsh pair sums
+        (ops/stats.py hodges_lehmann — exact rational num/2, no
+        float). The rank-based complement to median_of_means /
+        trimmed_mean: the oracle cross-joins the same value-counts
+        table and replays the weighted median pick."""
+        from ocr_service_ray.ops.stats import hodges_lehmann
+
+        ev = _read(sf_dir, "events", ["value"])
+
+        def dollars(b: pa.Table) -> pa.Table:
+            v = np.floor(
+                b["value"].to_numpy(zero_copy_only=False)
+            ).astype(np.int64)
+            return pa.table({"v": pa.array(v)})
+
+        return hodges_lehmann(
+            ev.map_batches(dollars, batch_format="pyarrow"), "v"
+        )
+
+    def q_map_eval_sources(sf_dir):
+        """Per-source Mean-Average-Precision ranking eval: docs
+        ranked by (n_chars DESC, doc_id ASC) within source, relevance
+        = lang == 'en'; precision@k floored to ppm at every relevant
+        rank, AP = their integer mean — the ranking-eval sibling of
+        quality_auc / score_decile_lift, exact at every step. One
+        bucketed source shuffle; per-group work is a vectorized
+        cumsum (no Python loop over ranks)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups
+
+        docs = _read(
+            sf_dir, "documents", ["doc_id", "lang", "source", "n_chars"]
+        )
+
+        def ap(g: pd.DataFrame) -> pd.DataFrame:
+            g = g.sort_values(
+                ["n_chars", "doc_id"], ascending=[False, True]
+            )
+            rel = (g["lang"] == "en").to_numpy().astype(np.int64)
+            n_rel = int(rel.sum())
+            if n_rel == 0:
+                ap_ppm = 0
+            else:
+                k = np.arange(1, len(g) + 1, dtype=np.int64)
+                hits = np.cumsum(rel)
+                p_ppm = (hits * 1_000_000) // k
+                ap_ppm = int(p_ppm[rel == 1].sum() // n_rel)
+            return pd.DataFrame(
+                {
+                    "source": [g["source"].iloc[0]],
+                    "n_docs": pd.array([len(g)], dtype="int64"),
+                    "n_rel": pd.array([n_rel], dtype="int64"),
+                    "ap_ppm": pd.array([ap_ppm], dtype="int64"),
+                }
+            )
+
+        return bucketed_map_groups(docs, ["source"], ap)
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13525,6 +13588,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "median_of_means_value": q_median_of_means_value,
         "spatial_linf_join": q_spatial_linf_join,
         "kaplan_meier_users": q_kaplan_meier_users,
+        "hodges_lehmann_value": q_hodges_lehmann_value,
+        "map_eval_sources": q_map_eval_sources,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -21331,5 +21396,44 @@ def oracle_sql() -> dict[str, str]:
           FROM ev e JOIN km ON e.rk = km.rk + 1)
         SELECT t, n_risk, deaths AS n_events, CAST(s AS BIGINT) AS surv_ppm
         FROM km
+    """
+    oracles["hodges_lehmann_value"] = """
+        WITH b AS (SELECT CAST(floor(value) AS BIGINT) AS v FROM events),
+        vc AS (SELECT v, CAST(count(*) AS BIGINT) AS c FROM b GROUP BY v),
+        pairs AS (
+          SELECT a.v + b.v AS s,
+                 CAST(CASE WHEN a.v = b.v THEN a.c * (a.c + 1) // 2
+                           ELSE a.c * b.c END AS BIGINT) AS w
+          FROM vc a JOIN vc b ON a.v <= b.v),
+        tot AS (SELECT CAST(sum(w) AS BIGINT) AS m FROM pairs),
+        o AS (
+          SELECT s, CAST(sum(w) OVER (ORDER BY s) AS BIGINT) AS cw
+          FROM pairs)
+        SELECT tot.m AS n_pairs, CAST(min(o.s) AS BIGINT) AS hl_num,
+               CAST(2 AS BIGINT) AS hl_den
+        FROM o, tot WHERE o.cw >= (tot.m + 1) // 2 GROUP BY tot.m
+    """
+    oracles["map_eval_sources"] = """
+        WITH r AS (
+          SELECT source,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY n_chars DESC, doc_id) AS k,
+                 CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS rel
+          FROM documents),
+        c AS (
+          SELECT source, k, rel,
+                 sum(rel) OVER (PARTITION BY source ORDER BY k) AS hits
+          FROM r),
+        a AS (
+          SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                 CAST(sum(rel) AS BIGINT) AS n_rel,
+                 CAST(coalesce(sum(CASE WHEN rel = 1
+                                   THEN (hits * 1000000) // k END), 0)
+                      AS BIGINT) AS sp
+          FROM c GROUP BY source)
+        SELECT source, n_docs, n_rel,
+               CAST(CASE WHEN n_rel = 0 THEN 0 ELSE sp // n_rel END
+                    AS BIGINT) AS ap_ppm
+        FROM a
     """
     return oracles

@@ -119,3 +119,47 @@ def grouped_rate_ztest(
     for c in ("n_docs", "n_pass", "z2_ppm"):
         out[c] = out[c].astype("int64")
     return out
+
+
+def hodges_lehmann(ds, col: str):
+    """One-sample Hodges-Lehmann location estimator: the lower median
+    of all Walsh averages (v_i + v_j) / 2, i <= j, reported as the
+    exact rational (hl_num = median pair SUM, hl_den = 2) so no float
+    ever forms.
+
+    The 100-TB shape: ``col`` must already be integer-quantized to a
+    BOUNDED domain (dollars, cents-bands, deciles — the caller's
+    choice of grid IS the estimator's resolution). One value-counts
+    combiner (`grouped_agg`) reduces the corpus to |distinct| <= D
+    rows; the driver forms the D(D+1)/2 weighted pair sums with
+    numpy (D ~ 10^3-10^4 -> <= ~5e7 pairs of int64, still
+    driver-sized) and takes the weighted lower median. Row count
+    never matters — only the quantized domain size does. Exactly
+    SQL-replayable (the oracle cross-joins the same value-counts
+    table)."""
+    import pandas as pd
+
+    vc = (
+        grouped_agg(ds.select_columns([col]), [col], {"n": (None, "count")})
+        .to_pandas()
+        .sort_values(col)
+        .reset_index(drop=True)
+    )
+    empty = pd.DataFrame(
+        {c: pd.Series([], dtype="int64") for c in ("n_pairs", "hl_num", "hl_den")}
+    )
+    if vc.empty:
+        return empty
+    v = vc[col].to_numpy().astype(np.int64)
+    c = vc["n"].to_numpy().astype(np.int64)
+    iu, ju = np.triu_indices(len(v), k=0)
+    s = v[iu] + v[ju]
+    w = np.where(iu == ju, c[iu] * (c[iu] + 1) // 2, c[iu] * c[ju])
+    order = np.argsort(s, kind="stable")
+    s, w = s[order], w[order]
+    cw = np.cumsum(w)
+    m = int(cw[-1])
+    idx = int(np.searchsorted(cw, (m + 1) // 2))
+    return pd.DataFrame(
+        {"n_pairs": [m], "hl_num": [int(s[idx])], "hl_den": [2]}
+    ).astype("int64")

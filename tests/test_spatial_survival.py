@@ -129,3 +129,104 @@ def test_kaplan_meier_all_censored_and_empty(ray_session):
     out = kaplan_meier(_ds({"t": [3, 5, 7], "d": [0, 0, 0]}), "t", "d")
     assert len(out) == 0
     assert list(out.columns) == ["t", "n_risk", "n_events", "surv_ppm"]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    vals=st.lists(st.integers(-30, 30), min_size=1, max_size=50)
+)
+def test_hodges_lehmann_matches_brute_walsh_median(ray_session, vals):
+    """Value-counts HL equals the naive lower median over ALL
+    n(n+1)/2 Walsh pair sums (i <= j, including i == j)."""
+    from ocr_service_ray.ops.stats import hodges_lehmann
+
+    got = hodges_lehmann(_ds({"v": vals}), "v")
+    sums = sorted(
+        vals[i] + vals[j]
+        for i in range(len(vals))
+        for j in range(i, len(vals))
+    )
+    m = len(sums)
+    assert int(got["n_pairs"].iloc[0]) == m
+    assert int(got["hl_num"].iloc[0]) == sums[(m + 1) // 2 - 1]
+    assert int(got["hl_den"].iloc[0]) == 2
+
+
+def test_hodges_lehmann_robust_to_outlier(ray_session):
+    """HL of a symmetric sample shifts far less than the mean under
+    one huge outlier (the point of the estimator)."""
+    from ocr_service_ray.ops.stats import hodges_lehmann
+
+    base = list(range(1, 22))  # symmetric around 11
+    a = hodges_lehmann(_ds({"v": base}), "v")
+    b = hodges_lehmann(_ds({"v": base + [10_000]}), "v")
+    hl_a = a["hl_num"].iloc[0] / 2
+    hl_b = b["hl_num"].iloc[0] / 2
+    assert hl_a == 11
+    assert abs(hl_b - 11) < 2  # mean would shift by ~450
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    docs=st.lists(
+        st.tuples(st.integers(0, 99), st.booleans(), st.integers(0, 2)),
+        min_size=1,
+        max_size=30,
+        unique_by=lambda d: d[0],
+    )
+)
+def test_map_eval_matches_textbook_ap(ray_session, docs):
+    """The grouped vectorized AP equals the textbook per-rank loop
+    (precision floored to ppm at each relevant rank, integer mean)."""
+    import pandas as pd
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    frame = pd.DataFrame(
+        {
+            "doc_id": [d[0] for d in docs],
+            "lang": ["en" if d[1] else "de" for d in docs],
+            "source": [f"s{d[2]}" for d in docs],
+            "n_chars": [(d[0] * 37) % 11 for d in docs],
+        }
+    )
+
+    def ap(g):
+        g = g.sort_values(["n_chars", "doc_id"], ascending=[False, True])
+        rel = (g["lang"] == "en").to_numpy().astype(np.int64)
+        n_rel = int(rel.sum())
+        if n_rel == 0:
+            ap_ppm = 0
+        else:
+            k = np.arange(1, len(g) + 1, dtype=np.int64)
+            hits = np.cumsum(rel)
+            ap_ppm = int(((hits * 1_000_000) // k)[rel == 1].sum() // n_rel)
+        return pd.DataFrame(
+            {
+                "source": [g["source"].iloc[0]],
+                "n_docs": [len(g)],
+                "ap_ppm": [ap_ppm],
+            }
+        )
+
+    got = (
+        bucketed_map_groups(
+            _ds(frame.to_dict("list")), ["source"], ap
+        )
+        .to_pandas()
+        .sort_values("source")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        g = frame[frame["source"] == row["source"]].sort_values(
+            ["n_chars", "doc_id"], ascending=[False, True]
+        )
+        hits, sp, n_rel = 0, 0, 0
+        for rank, (_, doc) in enumerate(g.iterrows(), start=1):
+            if doc["lang"] == "en":
+                hits += 1
+                n_rel += 1
+                sp += (hits * 1_000_000) // rank
+        expect = sp // n_rel if n_rel else 0
+        assert int(row["ap_ppm"]) == expect
+        assert int(row["n_docs"]) == len(g)
