@@ -13557,6 +13557,160 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
         return bucketed_map_groups(docs, ["source"], ap)
 
+    def q_did_value(sf_dir):
+        """Difference-in-differences estimator over the event stream:
+        treatment arm = user parity (the CUPED arm split), period
+        split = calendar midpoint (min_day+max_day)//2, metric = mean
+        event cents. ONE (arm, day) combiner aggregate is the only
+        data-parallel phase; the driver folds the <=2x|days| partial
+        table into the 2x2 cells and closes DiD = (Δtreated - Δcontrol)
+        exactly — cross-multiplied bigints, sign-split truncation to
+        micro-cents (the cuped_moments discipline). Completes the
+        causal family next to CUPED and attribution_linear."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ts_us = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "g": pa.array((u % 2 == 0).astype(np.int64)),
+                    "day": pa.array(ts_us // 86_400_000_000),
+                    "c": pa.array(cents),
+                }
+            )
+
+        part = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["g", "day"],
+            {"n": (None, "count"), "s": ("c", "sum")},
+        ).to_pandas()
+        mid = (int(part["day"].min()) + int(part["day"].max())) // 2
+        part["p"] = (part["day"] > mid).astype(np.int64)
+        cells = part.groupby(["g", "p"], as_index=False).agg(
+            n=("n", "sum"), s=("s", "sum")
+        )
+        cv = {
+            (int(r["g"]), int(r["p"])): (int(r["n"]), int(r["s"]))
+            for _, r in cells.iterrows()
+        }
+        n00, s00 = cv[(0, 0)]
+        n01, s01 = cv[(0, 1)]
+        n10, s10 = cv[(1, 0)]
+        n11, s11 = cv[(1, 1)]
+        did_num = (s11 * n10 - s10 * n11) * (n01 * n00) - (
+            s01 * n00 - s00 * n01
+        ) * (n11 * n10)
+        did_den = n11 * n10 * n01 * n00
+        scaled = 1_000_000 * did_num
+        did_micro = (
+            scaled // did_den if scaled >= 0 else -((-scaled) // did_den)
+        )
+        return pd.DataFrame(
+            {
+                "split_day": [mid],
+                "n00": [n00],
+                "s00": [s00],
+                "n01": [n01],
+                "s01": [s01],
+                "n10": [n10],
+                "s10": [s10],
+                "n11": [n11],
+                "s11": [s11],
+                "did_microcents": [int(did_micro)],
+            }
+        ).astype("int64")
+
+    def q_matching_att(sf_dir):
+        """Nearest-covariate matching ATT (with replacement): treated
+        = odd user_id, covariate = the user's event COUNT, outcome =
+        the user's purchase cents. Per-user fold, then an
+        (arm, covariate) value-counts combiner — matching runs on the
+        bounded distinct-covariate grid, never on users: each treated
+        covariate x matches the control covariate minimizing
+        (|x-y|, y); matched control means are floored to micro-cents
+        per grid point (SQL-replayable), then averaged over treated
+        users. The design-based causal complement to did_value."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            et = b["event_type"].to_numpy(zero_copy_only=False)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "y": pa.array(np.where(et == "purchase", cents, 0)),
+                    "one": pa.array(np.ones(len(cents), np.int64)),
+                }
+            )
+
+        users = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["user_id"],
+            {"cnt": ("one", "sum"), "y": ("y", "sum")},
+        )
+
+        def arm(b: pa.Table) -> pa.Table:
+            u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "g": pa.array(u % 2),
+                    "cnt": b["cnt"],
+                    "y": b["y"],
+                }
+            )
+
+        vc = grouped_agg(
+            users.map_batches(arm, batch_format="pyarrow"),
+            ["g", "cnt"],
+            {"n": (None, "count"), "sy": ("y", "sum")},
+        ).to_pandas()
+        t = vc[vc["g"] == 1].sort_values("cnt").reset_index(drop=True)
+        c = vc[vc["g"] == 0].sort_values("cnt").reset_index(drop=True)
+        cx = c["cnt"].to_numpy().astype(np.int64)
+        cn = c["n"].to_numpy().astype(np.int64)
+        cs = c["sy"].to_numpy().astype(np.int64)
+        n_t = int(t["n"].sum())
+        sy_t = int(t["sy"].sum())
+        matched_sum = 0
+        for x, k in zip(
+            t["cnt"].to_numpy().astype(np.int64),
+            t["n"].to_numpy().astype(np.int64),
+        ):
+            d = np.abs(cx - x)
+            # argmin on (|x-y|, y): cx sorted asc, argmin takes first
+            j = int(np.argmin(d))
+            m_micro = (1_000_000 * int(cs[j])) // int(cn[j])
+            matched_sum += int(k) * m_micro
+        treated_micro = (1_000_000 * sy_t) // n_t
+        control_matched_micro = matched_sum // n_t
+        return pd.DataFrame(
+            {
+                "n_treated": [n_t],
+                "n_control": [int(c["n"].sum())],
+                "treated_micro": [treated_micro],
+                "matched_control_micro": [control_matched_micro],
+                "att_micro": [treated_micro - control_matched_micro],
+            }
+        ).astype("int64")
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13590,6 +13744,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kaplan_meier_users": q_kaplan_meier_users,
         "hodges_lehmann_value": q_hodges_lehmann_value,
         "map_eval_sources": q_map_eval_sources,
+        "did_value": q_did_value,
+        "matching_att": q_matching_att,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -21435,5 +21591,81 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN n_rel = 0 THEN 0 ELSE sp // n_rel END
                     AS BIGINT) AS ap_ppm
         FROM a
+    """
+    oracles["did_value"] = """
+        WITH e AS (
+          SELECT CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END AS g,
+                 epoch_us(ts) // 86400000000 AS day,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+          FROM events),
+        m AS (SELECT (min(day) + max(day)) // 2 AS mid FROM e),
+        cells AS (
+          SELECT g,
+                 CASE WHEN day > (SELECT mid FROM m) THEN 1 ELSE 0 END AS p,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(c) AS BIGINT) AS s
+          FROM e GROUP BY 1, 2),
+        w AS (
+          SELECT max(CASE WHEN g = 0 AND p = 0 THEN n END) AS n00,
+                 max(CASE WHEN g = 0 AND p = 0 THEN s END) AS s00,
+                 max(CASE WHEN g = 0 AND p = 1 THEN n END) AS n01,
+                 max(CASE WHEN g = 0 AND p = 1 THEN s END) AS s01,
+                 max(CASE WHEN g = 1 AND p = 0 THEN n END) AS n10,
+                 max(CASE WHEN g = 1 AND p = 0 THEN s END) AS s10,
+                 max(CASE WHEN g = 1 AND p = 1 THEN n END) AS n11,
+                 max(CASE WHEN g = 1 AND p = 1 THEN s END) AS s11
+          FROM cells),
+        d AS (
+          SELECT *,
+                 (CAST(s11 AS HUGEINT) * n10 - CAST(s10 AS HUGEINT) * n11)
+                   * (CAST(n01 AS HUGEINT) * n00)
+                 - (CAST(s01 AS HUGEINT) * n00 - CAST(s00 AS HUGEINT) * n01)
+                   * (CAST(n11 AS HUGEINT) * n10) AS did_num,
+                 CAST(n11 AS HUGEINT) * n10 * n01 * n00 AS did_den
+          FROM w)
+        SELECT CAST((SELECT mid FROM m) AS BIGINT) AS split_day,
+               n00, s00, n01, s01, n10, s10, n11, s11,
+               CAST(CASE WHEN 1000000 * did_num >= 0
+                    THEN (1000000 * did_num) // did_den
+                    ELSE -((-(1000000 * did_num)) // did_den)
+                    END AS BIGINT) AS did_microcents
+        FROM d
+    """
+    oracles["matching_att"] = """
+        WITH u AS (
+          SELECT user_id, user_id % 2 AS g,
+                 CAST(count(*) AS BIGINT) AS cnt,
+                 CAST(sum(CASE WHEN event_type = 'purchase' THEN
+                   CAST(floor(value * 100.0 + 0.5) AS BIGINT) ELSE 0 END)
+                   AS BIGINT) AS y
+          FROM events GROUP BY user_id),
+        vc AS (
+          SELECT g, cnt, CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(y) AS BIGINT) AS sy
+          FROM u GROUP BY 1, 2),
+        t AS (SELECT cnt AS x, n, sy FROM vc WHERE g = 1),
+        c AS (SELECT cnt AS yv, n AS cn, sy AS cs FROM vc WHERE g = 0),
+        ranked AS (
+          SELECT t.x, t.n, c.cn, c.cs,
+                 row_number() OVER (
+                   PARTITION BY t.x ORDER BY abs(c.yv - t.x), c.yv) AS rk
+          FROM t CROSS JOIN c),
+        matched AS (
+          SELECT x, n, (1000000 * cs) // cn AS m_micro
+          FROM ranked WHERE rk = 1),
+        agg AS (
+          SELECT CAST((SELECT sum(n) FROM t) AS BIGINT) AS n_treated,
+                 CAST((SELECT sum(cn) FROM c) AS BIGINT) AS n_control,
+                 CAST((SELECT sum(sy) FROM t) AS BIGINT) AS sy_t,
+                 CAST(sum(n * m_micro) AS BIGINT) AS matched_sum
+          FROM matched)
+        SELECT n_treated, n_control,
+               CAST((1000000 * sy_t) // n_treated AS BIGINT)
+                 AS treated_micro,
+               CAST(matched_sum // n_treated AS BIGINT)
+                 AS matched_control_micro,
+               CAST((1000000 * sy_t) // n_treated
+                    - matched_sum // n_treated AS BIGINT) AS att_micro
+        FROM agg
     """
     return oracles

@@ -230,3 +230,45 @@ def test_map_eval_matches_textbook_ap(ray_session, docs):
         expect = sp // n_rel if n_rel else 0
         assert int(row["ap_ppm"]) == expect
         assert int(row["n_docs"]) == len(g)
+
+
+def _entry_queries():
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "ray_entry_for_tests", "/root/repo/__ray_entry__.py"
+    )
+    m = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(m)
+    return m.queries()
+
+
+def test_did_value_cells_partition_events(ray_session):
+    """Wave-94 DiD: the four cells partition the event stream and the
+    close identity holds (did = Δtreated - Δcontrol in micro-cents,
+    reconstructed from the emitted exact cell sums)."""
+    q = _entry_queries()["did_value"]
+    out = q("/root/testdata/sf0.001")
+    r = out.iloc[0]
+    import duckdb
+
+    n_events = duckdb.sql(
+        "SELECT count(*) FROM '/root/testdata/sf0.001/events.parquet'"
+    ).fetchone()[0]
+    assert int(r["n00"] + r["n01"] + r["n10"] + r["n11"]) == n_events
+    d_t = r["s11"] / r["n11"] - r["s10"] / r["n10"]
+    d_c = r["s01"] / r["n01"] - r["s00"] / r["n00"]
+    assert abs(r["did_microcents"] / 1e6 - (d_t - d_c)) < 1e-3
+
+
+def test_matching_att_close_identity(ray_session):
+    """Wave-94 matching: att = treated - matched, and the matched
+    control mean lies within the control outcome range."""
+    q = _entry_queries()["matching_att"]
+    out = q("/root/testdata/sf0.001")
+    r = out.iloc[0]
+    assert int(r["att_micro"]) == int(r["treated_micro"]) - int(
+        r["matched_control_micro"]
+    )
+    assert r["n_treated"] > 0 and r["n_control"] > 0
+    assert r["matched_control_micro"] >= 0
