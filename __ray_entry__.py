@@ -13711,6 +13711,61 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    def q_sssp_nations(sf_dir):
+        """Weighted single-source shortest paths (fixed 4-round
+        Bellman-Ford, ops/sssp.py) over the supplier-nation →
+        customer-nation trade graph: edge weight = trade-count mod
+        29 + 1 (deterministic, varied — so multi-hop relaxation is
+        actually exercised on the dense nation graph). The edge table
+        is the |nations|^2-bounded reduction of the q7-style 4-way
+        join, materialized once; each round is one broadcast-dist
+        edge scan + combiner min. Oracle unrolls the 4 rounds as a
+        CTE chain (the pagerank/pca discipline)."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.relational import hash_join
+        from ocr_service_ray.ops.sssp import bellman_ford_rounds
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        su = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        j = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+        j = hash_join(j, cu, on="o_custkey", right_on="c_custkey")
+        j = hash_join(j, su, on="l_suppkey", right_on="s_suppkey")
+        cnt = grouped_agg(
+            j, ["s_nationkey", "c_nationkey"], {"n": (None, "count")}
+        )
+
+        def weight(b: pa.Table) -> pa.Table:
+            n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "src": b["s_nationkey"],
+                    "dst": b["c_nationkey"],
+                    "w": pa.array(n % 29 + 1),
+                }
+            )
+
+        edges = cnt.map_batches(
+            weight, batch_format="pyarrow"
+        ).materialize()  # |nations|^2-bounded: re-scanned per round
+        return bellman_ford_rounds(edges, source=0, rounds=4)
+
+    def q_sparse_cosine_pairs(sf_dir):
+        """Exact all-pairs tf-weighted cosine over documents via the
+        term-keyed inverted join (ops/allpairs.py — the DISCO shape):
+        df cap 50 bounds per-term pair fan-out (the skew control, and
+        the oracle replays the cap rule), dot products and norms are
+        exact integers, the cos^2 >= 0.04 threshold is
+        cross-multiplied so no float forms."""
+        from ocr_service_ray.ops.allpairs import sparse_cosine_pairs
+
+        return sparse_cosine_pairs(
+            _read(sf_dir, "documents", ["doc_id", "text"]),
+            max_df=50,
+            t2_ppm=40_000,
+        )
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13746,6 +13801,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "map_eval_sources": q_map_eval_sources,
         "did_value": q_did_value,
         "matching_att": q_matching_att,
+        "sssp_nations": q_sssp_nations,
+        "sparse_cosine_pairs": q_sparse_cosine_pairs,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -21667,5 +21724,71 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * sy_t) // n_treated
                     - matched_sum // n_treated AS BIGINT) AS att_micro
         FROM agg
+    """
+    _relax = """
+        SELECT v, min(dist) AS dist FROM (
+            SELECT v, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS v, {prev}.dist + e.w
+            FROM e JOIN {prev} ON {prev}.v = e.src
+            WHERE {prev}.dist IS NOT NULL
+          ) GROUP BY v
+    """
+    oracles["sssp_nations"] = (
+        """
+        WITH e AS (
+          SELECT s.s_nationkey AS src, c.c_nationkey AS dst,
+                 CAST(count(*) % 29 + 1 AS BIGINT) AS w
+          FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          JOIN customer c ON o.o_custkey = c.c_custkey
+          JOIN supplier s ON l.l_suppkey = s.s_suppkey
+          GROUP BY 1, 2),
+        nodes AS (
+          SELECT DISTINCT src AS v FROM e
+          UNION SELECT DISTINCT dst FROM e
+          UNION SELECT 0),
+        d0 AS (SELECT v, CASE WHEN v = 0 THEN 0 END AS dist FROM nodes),
+        d1 AS ("""
+        + _relax.format(prev="d0")
+        + "), d2 AS ("
+        + _relax.format(prev="d1")
+        + "), d3 AS ("
+        + _relax.format(prev="d2")
+        + "), d4 AS ("
+        + _relax.format(prev="d3")
+        + """)
+        SELECT CAST(v AS BIGINT) AS node,
+               CAST(coalesce(dist, -1) AS BIGINT) AS dist
+        FROM d4
+    """
+    )
+    oracles["sparse_cosine_pairs"] = """
+        WITH tok AS (
+          SELECT doc_id, unnest(string_split(text, ' ')) AS term
+          FROM documents),
+        tf AS (
+          SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+          FROM tok GROUP BY 1, 2),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+        keep AS (
+          SELECT tf.doc_id, tf.term, tf.tf
+          FROM tf JOIN df USING (term) WHERE df.df <= 50),
+        norm AS (
+          SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS nn
+          FROM keep GROUP BY 1),
+        dot AS (
+          SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                 CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+          FROM keep a JOIN keep b
+            ON a.term = b.term AND a.doc_id < b.doc_id
+          GROUP BY 1, 2)
+        SELECT id_a, id_b, dot, na.nn AS nn_a, nb.nn AS nn_b,
+               CAST((1000000 * dot * dot) // (na.nn * nb.nn) AS BIGINT)
+                 AS cos2_ppm
+        FROM dot
+        JOIN norm na ON na.doc_id = dot.id_a
+        JOIN norm nb ON nb.doc_id = dot.id_b
+        WHERE 1000000 * dot * dot >= 40000 * na.nn * nb.nn
     """
     return oracles

@@ -6,6 +6,11 @@ import pyarrow as pa
 from hypothesis import given, settings, strategies as st
 
 
+TEXT_WORDS = st.lists(
+    st.text(alphabet="abcxy", min_size=1, max_size=3), min_size=1, max_size=12
+).map(" ".join)
+
+
 def _ds(table: dict):
     import ray.data as rd
 
@@ -272,3 +277,112 @@ def test_matching_att_close_identity(ray_session):
     )
     assert r["n_treated"] > 0 and r["n_control"] > 0
     assert r["matched_control_micro"] >= 0
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(
+            st.integers(0, 8), st.integers(0, 8), st.integers(1, 9)
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    rounds=st.integers(1, 4),
+)
+def test_bellman_ford_matches_reference(ray_session, edges, rounds):
+    """Fixed-round distributed BF equals the textbook k-round
+    relaxation (dist after k rounds = shortest <=k-hop path)."""
+    from ocr_service_ray.ops.sssp import bellman_ford_rounds
+
+    got = bellman_ford_rounds(
+        _ds(
+            {
+                "src": [e[0] for e in edges],
+                "dst": [e[1] for e in edges],
+                "w": [e[2] for e in edges],
+            }
+        ),
+        source=0,
+        rounds=rounds,
+    )
+    # reference: parallel (Jacobi) relaxation, min over duplicates
+    nodes = sorted({0} | {e[0] for e in edges} | {e[1] for e in edges})
+    INF = float("inf")
+    dist = {v: (0 if v == 0 else INF) for v in nodes}
+    for _ in range(rounds):
+        new = dict(dist)
+        for s, d, w in edges:
+            if dist[s] < INF and dist[s] + w < new[d]:
+                new[d] = min(new[d], dist[s] + w)
+        # min over parallel edges handled by the min() above
+        for s, d, w in edges:
+            if dist[s] < INF:
+                new[d] = min(new[d], dist[s] + w)
+        dist = new
+    expect = {v: (-1 if dist[v] == INF else dist[v]) for v in nodes}
+    got_map = dict(zip(got["node"].tolist(), got["dist"].tolist()))
+    assert got_map == expect
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    texts=st.lists(TEXT_WORDS, min_size=2, max_size=10),
+    max_df=st.integers(2, 6),
+)
+def test_sparse_cosine_matches_brute_force(ray_session, texts, max_df):
+    """Term-keyed inverted-join cosine equals the brute-force capped
+    cosine for any corpus, cap, and threshold 0 (every pair with a
+    shared capped term appears, exact integers)."""
+    from collections import Counter
+
+    from ocr_service_ray.ops.allpairs import sparse_cosine_pairs
+
+    ids = list(range(len(texts)))
+    got = sparse_cosine_pairs(
+        _ds({"doc_id": ids, "text": texts}),
+        max_df=max_df,
+        t2_ppm=0,
+    ).to_pandas()
+    if len(got) == 0:
+        got = pd.DataFrame(
+            {
+                c: pd.Series([], dtype="int64")
+                for c in ("id_a", "id_b", "dot", "nn_a", "nn_b", "cos2_ppm")
+            }
+        )
+    got_t = sorted(
+        tuple(int(v) for v in row)
+        for row in got[
+            ["id_a", "id_b", "dot", "nn_a", "nn_b", "cos2_ppm"]
+        ].to_numpy()
+    )
+    tfs = [Counter(t.split(" ")) for t in texts]
+    df = Counter()
+    for c in tfs:
+        for term in c:
+            df[term] += 1
+    capped = [
+        {t: v for t, v in c.items() if df[t] <= max_df} for c in tfs
+    ]
+    nn = [sum(v * v for v in c.values()) for c in capped]
+    expect = []
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            dot = sum(
+                capped[i][t] * capped[j][t]
+                for t in capped[i]
+                if t in capped[j]
+            )
+            if dot > 0:
+                expect.append(
+                    (
+                        i,
+                        j,
+                        dot,
+                        nn[i],
+                        nn[j],
+                        (1_000_000 * dot * dot) // (nn[i] * nn[j]),
+                    )
+                )
+    assert got_t == sorted(expect)
