@@ -13766,6 +13766,162 @@ def queries() -> dict[str, Callable[[str], Any]]:
             t2_ppm=40_000,
         )
 
+    def q_equality_delete_orders(sf_dir):
+        """Iceberg-v2 EQUALITY-delete merge-on-read (the key-based
+        sibling of q_positional_delete_orders): base rows carry a
+        data sequence number (o_orderkey % 3), two derived delete
+        files mark keys (%13 at seq 2, %17 at seq 1), and a row
+        survives unless some delete on its key has dseq > data_seq
+        (the Iceberg strictly-greater rule). The delete table is
+        reduced to (key, max dseq) by a combiner and BROADCAST
+        (delete files are small by contract — the corrections-DB /
+        decontam eval-set shape); the survival scan is a vectorized
+        sorted-key searchsorted, no shuffle of base rows. Output:
+        surviving census per order status."""
+        import ray
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        od = _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        )
+
+        def deletes(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            d13 = k[k % 13 == 0]
+            d17 = k[k % 17 == 0]
+            return pa.table(
+                {
+                    "k": pa.array(np.concatenate([d13, d17])),
+                    "ds": pa.array(
+                        np.concatenate(
+                            [
+                                np.full(len(d13), 2, np.int64),
+                                np.full(len(d17), 1, np.int64),
+                            ]
+                        )
+                    ),
+                }
+            )
+
+        dmax = (
+            grouped_agg(
+                od.map_batches(deletes, batch_format="pyarrow"),
+                ["k"],
+                {"dmax": ("ds", "max")},
+            )
+            .to_pandas()
+            .sort_values("k")
+        )
+        keys_ref = ray.put(dmax["k"].to_numpy().astype(np.int64))
+        dmax_ref = ray.put(dmax["dmax"].to_numpy().astype(np.int64))
+
+        def survive(b: pa.Table) -> pa.Table:
+            import ray as _ray
+
+            dk = _ray.get(keys_ref)
+            dv = _ray.get(dmax_ref)
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            data_seq = k % 3
+            if len(dk):
+                pos_c = np.minimum(np.searchsorted(dk, k), len(dk) - 1)
+                has_del = dk[pos_c] == k
+                dseq = np.where(has_del, dv[pos_c], 0)
+            else:
+                has_del = np.zeros(len(k), bool)
+                dseq = np.zeros(len(k), np.int64)
+            keep = ~has_del | (data_seq >= dseq)
+            t = b.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "o_orderstatus": t["o_orderstatus"],
+                    "c": pa.array(cents[keep]),
+                }
+            )
+
+        return grouped_agg(
+            od.map_batches(survive, batch_format="pyarrow"),
+            ["o_orderstatus"],
+            {"n_rows": (None, "count"), "cents": ("c", "sum")},
+        )
+
+    def q_friedman_daily_types(sf_dir):
+        """Friedman rank test for daily event-type volume (blocked
+        rank ANOVA — the repeated-measures member of the
+        Kruskal/Mann-Whitney family): blocks = complete days (all k
+        types present), treatments = event types, ranks averaged over
+        ties and DOUBLED to stay integer (rank2 = 2r + t - 1). Emits
+        per-type doubled rank sums plus the exact rational statistic
+        q_num/q_den where Q = [3·Σrank2_sum² − 3n²k(k+1)²] /
+        [n·k·(k+1)] (n = complete days). Combiner daily totals → one
+        bucketed day shuffle for in-block ranks → per-type combiner;
+        the close is O(k) on the driver."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+
+        ev = _read(sf_dir, "events", ["ts", "event_type", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ts_us = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "day": pa.array(ts_us // 86_400_000_000),
+                    "event_type": b["event_type"],
+                    "c": pa.array(cents),
+                }
+            )
+
+        daily = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["day", "event_type"],
+            {"v": ("c", "sum")},
+        )
+        k = int(
+            grouped_agg(daily, ["event_type"], {"_n": (None, "count")})
+            .to_pandas()
+            .shape[0]
+        )
+
+        def rank_block(g: pd.DataFrame):
+            if len(g) != k:
+                return None  # incomplete block drops out (Friedman)
+            r2 = (g["v"].rank(method="average") * 2).astype(np.int64)
+            return pd.DataFrame({"event_type": g["event_type"], "rank2": r2})
+
+        per_type = (
+            grouped_agg(
+                bucketed_map_groups(daily, ["day"], rank_block),
+                ["event_type"],
+                {"rank2_sum": ("rank2", "sum"), "n_days": (None, "count")},
+            )
+            .to_pandas()
+            .sort_values("event_type")
+            .reset_index(drop=True)
+        )
+        n = int(per_type["n_days"].iloc[0])
+        sum_sq = int((per_type["rank2_sum"].astype(object) ** 2).sum())
+        q_num = 3 * (sum_sq - n * n * k * (k + 1) * (k + 1))
+        q_den = n * k * (k + 1)
+        out = per_type[["event_type", "rank2_sum"]].copy()
+        out["n_days"] = n
+        out["k_types"] = k
+        out["q_num"] = q_num
+        out["q_den"] = q_den
+        for c in out.columns[1:]:
+            out[c] = out[c].astype("int64")
+        return out
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13803,6 +13959,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "matching_att": q_matching_att,
         "sssp_nations": q_sssp_nations,
         "sparse_cosine_pairs": q_sparse_cosine_pairs,
+        "equality_delete_orders": q_equality_delete_orders,
+        "friedman_daily_types": q_friedman_daily_types,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -21790,5 +21948,59 @@ def oracle_sql() -> dict[str, str]:
         JOIN norm na ON na.doc_id = dot.id_a
         JOIN norm nb ON nb.doc_id = dot.id_b
         WHERE 1000000 * dot * dot >= 40000 * na.nn * nb.nn
+    """
+    oracles["equality_delete_orders"] = """
+        WITH base AS (
+          SELECT o_orderkey AS k, o_orderstatus,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS c,
+                 o_orderkey % 3 AS data_seq
+          FROM orders),
+        del AS (
+          SELECT k, max(ds) AS dmax FROM (
+            SELECT o_orderkey AS k, 2 AS ds FROM orders
+            WHERE o_orderkey % 13 = 0
+            UNION ALL
+            SELECT o_orderkey, 1 FROM orders WHERE o_orderkey % 17 = 0
+          ) GROUP BY k),
+        s AS (
+          SELECT b.o_orderstatus, b.c
+          FROM base b LEFT JOIN del d ON b.k = d.k
+          WHERE d.dmax IS NULL OR b.data_seq >= d.dmax)
+        SELECT o_orderstatus, CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(sum(c) AS BIGINT) AS cents
+        FROM s GROUP BY o_orderstatus
+    """
+    oracles["friedman_daily_types"] = """
+        WITH daily AS (
+          SELECT epoch_us(ts) // 86400000000 AS day, event_type,
+                 CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                      AS BIGINT) AS v
+          FROM events GROUP BY 1, 2),
+        kk AS (SELECT CAST(count(DISTINCT event_type) AS BIGINT) AS k
+               FROM daily),
+        complete AS (
+          SELECT day FROM daily GROUP BY day
+          HAVING count(*) = (SELECT k FROM kk)),
+        ranked AS (
+          SELECT d.event_type,
+                 2 * rank() OVER (PARTITION BY d.day ORDER BY d.v)
+                   + count(*) OVER (PARTITION BY d.day, d.v) - 1
+                   AS rank2
+          FROM daily d JOIN complete USING (day)),
+        per_type AS (
+          SELECT event_type,
+                 CAST(sum(rank2) AS BIGINT) AS rank2_sum,
+                 CAST(count(*) AS BIGINT) AS n_days
+          FROM ranked GROUP BY event_type),
+        cl AS (
+          SELECT max(n_days) AS n, (SELECT k FROM kk) AS k,
+                 CAST(sum(rank2_sum * rank2_sum) AS BIGINT) AS sum_sq
+          FROM per_type)
+        SELECT p.event_type, p.rank2_sum, cl.n AS n_days, cl.k AS k_types,
+               CAST(3 * (cl.sum_sq
+                    - cl.n * cl.n * cl.k * (cl.k + 1) * (cl.k + 1))
+                    AS BIGINT) AS q_num,
+               CAST(cl.n * cl.k * (cl.k + 1) AS BIGINT) AS q_den
+        FROM per_type p CROSS JOIN cl
     """
     return oracles

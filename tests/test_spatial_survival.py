@@ -386,3 +386,49 @@ def test_sparse_cosine_matches_brute_force(ray_session, texts, max_df):
                     )
                 )
     assert got_t == sorted(expect)
+
+
+def test_equality_delete_survival_rule(ray_session):
+    """Wave-96 equality-delete MoR: survival census matches a direct
+    pandas replay of the strictly-greater sequence rule."""
+    import pandas as pd
+
+    q = _entry_queries()["equality_delete_orders"]
+    got = (
+        q("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    od = pd.read_parquet(
+        "/root/testdata/sf0.001/orders.parquet",
+        columns=["o_orderkey", "o_orderstatus", "o_totalprice"],
+    )
+    k = od["o_orderkey"].to_numpy()
+    dmax = np.zeros(len(k), dtype=np.int64)
+    dmax[k % 17 == 0] = 1
+    dmax[k % 13 == 0] = 2
+    keep = (k % 3) >= dmax
+    sv = od[keep].copy()
+    sv["c"] = np.floor(
+        sv["o_totalprice"].to_numpy() * 100.0 + 0.5
+    ).astype(np.int64)
+    expect = (
+        sv.groupby("o_orderstatus", as_index=False)
+        .agg(n_rows=("c", "size"), cents=("c", "sum"))
+        .sort_values("o_orderstatus")
+        .reset_index(drop=True)
+    )
+    assert got["n_rows"].tolist() == expect["n_rows"].tolist()
+    assert got["cents"].tolist() == expect["cents"].tolist()
+
+
+def test_friedman_rank_mass_conserved(ray_session):
+    """Wave-96 Friedman: doubled rank sums over complete blocks must
+    total n*k*(k+1) (each block contributes 2*(1+..+k))."""
+    q = _entry_queries()["friedman_daily_types"]
+    out = q("/root/testdata/sf0.001")
+    n = int(out["n_days"].iloc[0])
+    k = int(out["k_types"].iloc[0])
+    assert int(out["rank2_sum"].sum()) == n * k * (k + 1)
+    assert (out["q_den"] == n * k * (k + 1)).all()
