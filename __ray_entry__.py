@@ -13922,6 +13922,92 @@ def queries() -> dict[str, Callable[[str], Any]]:
             out[c] = out[c].astype("int64")
         return out
 
+    def q_dehyphenate_docs(sf_dir):
+        """Line-break de-hyphenation repair (ops/textrepair.py): a
+        deterministic RE2 corruption pass hard-wraps long words
+        (6+-letter words get "wor-\\nldwide"-style seams — the scanned-page/PDF
+        text-layer artifact), the repair kernel rejoins them, and
+        the query certifies the round trip per doc: repair count +
+        exact-equality flag vs the pristine text. Single stateless
+        vectorized scan; the oracle replays corruption AND repair
+        with the same RE2 patterns in SQL."""
+        from ocr_service_ray.ops.textrepair import (
+            dehyphenate_column,
+            hyphen_break_counts,
+        )
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+
+        def kernel(b: pa.Table) -> pa.Table:
+            wrapped = pc.replace_substring_regex(
+                b["text"],
+                pattern=r"([a-zA-Z]{3})([a-zA-Z]{3,})",
+                replacement="\\1-\n\\2",
+            )
+            n_rep = hyphen_break_counts(wrapped)
+            repaired = dehyphenate_column(wrapped)
+            ok = pc.cast(pc.equal(repaired, b["text"]), pa.int64())
+            return pa.table(
+                {
+                    "doc_id": b["doc_id"],
+                    "n_repairs": n_rep,
+                    "roundtrip_ok": ok,
+                }
+            )
+
+        return docs.map_batches(kernel, batch_format="pyarrow")
+
+    def q_mojibake_audit(sf_dir):
+        """Mojibake (encoding-damage) audit: docs with doc_id % 5 == 0
+        get the classic latin-1-decoded-UTF-8 damage injected
+        deterministically ('a' -> 'Ã¡'), the detector counts marker
+        sequences (Ã / â€ / Â) and scores chars-normalized ppm; the
+        audit reports per-source damaged-doc counts and total
+        markers. Stateless vectorized scan + one tiny combiner — the
+        encoding-health check an ingest pipeline runs per crawl
+        source."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.textrepair import mojibake_counts
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+
+        def kernel(b: pa.Table) -> pa.Table:
+            ids = b["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            damaged = pc.replace_substring(b["text"], "a", "Ã¡")
+            text = pc.if_else(
+                pa.array(ids % 5 == 0), damaged, b["text"]
+            )
+            markers = mojibake_counts(text)
+            n_chars = pc.cast(pc.utf8_length(text), pa.int64())
+            ppm = pc.if_else(
+                pc.greater(n_chars, 0),
+                pc.divide(
+                    pc.multiply(markers, pa.scalar(1_000_000, pa.int64())),
+                    n_chars,
+                ),
+                pa.scalar(0, pa.int64()),
+            )
+            flagged = pc.cast(
+                pc.greater(ppm, pa.scalar(1000, pa.int64())), pa.int64()
+            )
+            return pa.table(
+                {
+                    "source": b["source"],
+                    "markers": markers,
+                    "flagged": flagged,
+                }
+            )
+
+        return grouped_agg(
+            docs.map_batches(kernel, batch_format="pyarrow"),
+            ["source"],
+            {
+                "n_docs": (None, "count"),
+                "n_flagged": ("flagged", "sum"),
+                "total_markers": ("markers", "sum"),
+            },
+        )
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -13961,6 +14047,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sparse_cosine_pairs": q_sparse_cosine_pairs,
         "equality_delete_orders": q_equality_delete_orders,
         "friedman_daily_types": q_friedman_daily_types,
+        "dehyphenate_docs": q_dehyphenate_docs,
+        "mojibake_audit": q_mojibake_audit,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -22002,5 +22090,40 @@ def oracle_sql() -> dict[str, str]:
                     AS BIGINT) AS q_num,
                CAST(cl.n * cl.k * (cl.k + 1) AS BIGINT) AS q_den
         FROM per_type p CROSS JOIN cl
+    """
+    oracles["dehyphenate_docs"] = r"""
+        WITH w AS (
+          SELECT doc_id, text,
+                 regexp_replace(text, '([a-zA-Z]{3})([a-zA-Z]{3,})',
+                                '\1-' || chr(10) || '\2', 'g') AS wrapped
+          FROM documents)
+        SELECT doc_id,
+               CAST(length(regexp_split_to_array(wrapped,
+                    '[a-zA-Z]-' || chr(10) || '[a-zA-Z]')) - 1 AS BIGINT)
+                 AS n_repairs,
+               CAST(CASE WHEN regexp_replace(wrapped,
+                      '([a-zA-Z])-' || chr(10) || '([a-zA-Z])',
+                      '\1\2', 'g') = text
+                    THEN 1 ELSE 0 END AS BIGINT) AS roundtrip_ok
+        FROM w
+    """
+    oracles["mojibake_audit"] = """
+        WITH t AS (
+          SELECT source,
+                 CASE WHEN doc_id % 5 = 0 THEN replace(text, 'a', 'Ã¡')
+                      ELSE text END AS text
+          FROM documents),
+        m AS (
+          SELECT source,
+                 CAST(length(regexp_split_to_array(text, 'Ã|â€|Â')) - 1
+                      AS BIGINT) AS markers,
+                 CAST(length(text) AS BIGINT) AS n_chars
+          FROM t)
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(CASE WHEN n_chars > 0
+                        AND (markers * 1000000) // n_chars > 1000
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+               CAST(sum(markers) AS BIGINT) AS total_markers
+        FROM m GROUP BY source
     """
     return oracles

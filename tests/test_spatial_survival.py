@@ -432,3 +432,35 @@ def test_friedman_rank_mass_conserved(ray_session):
     k = int(out["k_types"].iloc[0])
     assert int(out["rank2_sum"].sum()) == n * k * (k + 1)
     assert (out["q_den"] == n * k * (k + 1)).all()
+
+
+@settings(max_examples=20, deadline=None)
+@given(words=st.lists(st.text(alphabet="abXY", min_size=1, max_size=14), min_size=1, max_size=10))
+def test_dehyphenate_roundtrips_any_wrap(ray_session, words):
+    """Wave-97: for any text without preexisting hyphen-breaks, the
+    corrupt->repair chain is the identity and the repair count equals
+    the number of injected seams."""
+    import re
+
+    import pyarrow.compute as pc
+
+    from ocr_service_ray.ops.textrepair import (
+        dehyphenate_column,
+        hyphen_break_counts,
+    )
+
+    text = " ".join(words)
+    wrapped = re.sub(
+        r"([a-zA-Z]{4})([a-zA-Z]{5,})", "\\1-\n\\2", text
+    )
+    col = pa.array([wrapped])
+    assert dehyphenate_column(col).to_pylist() == [text]
+    n_inj = len(re.findall(r"[a-zA-Z]-\n[a-zA-Z]", wrapped))
+    assert hyphen_break_counts(col).to_pylist() == [n_inj]
+
+
+def test_mojibake_detector_scores_damage(ray_session):
+    from ocr_service_ray.ops.textrepair import mojibake_counts
+
+    col = pa.array(["clean text", "dÃ¡mÃ¡ged â€œquoteâ€", ""])
+    assert mojibake_counts(col).to_pylist() == [0, 4, 0]
