@@ -14008,6 +14008,113 @@ def queries() -> dict[str, Callable[[str], Any]]:
             },
         )
 
+    def q_wasserstein_lengths(sf_dir):
+        """Exact Wasserstein-1 (earth-mover) distance between the
+        doc-length distributions of lang 'en' and lang 'de': W1 =
+        ∫|F_A - F_B| dx computed on the merged distinct-value support
+        as the exact rational Σ|cumA·nB − cumB·nA|·Δx / (nA·nB) — the
+        value-weighted generalization of the t_closeness band EMD and
+        the integral complement of the KS statistic
+        (length_ks_by_source). One (group, value) value-counts
+        combiner; the close folds the |support|-bounded table."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        docs = _read(sf_dir, "documents", ["lang", "n_chars"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            lang = b["lang"].to_numpy(zero_copy_only=False)
+            keep = (lang == "en") | (lang == "de")
+            t = b.filter(pa.array(keep))
+            g = (
+                t["lang"].to_numpy(zero_copy_only=False) != "en"
+            ).astype(np.int64)
+            return pa.table({"g": pa.array(g), "v": t["n_chars"]})
+
+        vc = (
+            grouped_agg(
+                docs.map_batches(prep, batch_format="pyarrow"),
+                ["g", "v"],
+                {"n": (None, "count")},
+            )
+            .to_pandas()
+            .pivot_table(
+                index="v", columns="g", values="n", fill_value=0
+            )
+            .reindex(columns=[0, 1], fill_value=0)
+            .sort_index()
+        )
+        ca = vc[0].to_numpy().astype(np.int64)
+        cb = vc[1].to_numpy().astype(np.int64)
+        v = vc.index.to_numpy().astype(np.int64)
+        na, nb = int(ca.sum()), int(cb.sum())
+        cuma, cumb = np.cumsum(ca), np.cumsum(cb)
+        dx = np.diff(v)
+        w1_num = int(
+            (np.abs(cuma[:-1] * nb - cumb[:-1] * na) * dx).sum()
+        )
+        return pd.DataFrame(
+            {
+                "n_a": [na],
+                "n_b": [nb],
+                "w1_num": [w1_num],
+                "w1_den": [na * nb],
+            }
+        ).astype("int64")
+
+    def q_schema_evolution_union(sf_dir):
+        """Schema-evolution read (UNION ALL BY NAME,
+        ops/relational.union_by_name): two derived order snapshots
+        with DIFFERENT schemas — an old one (key, cents) and a new
+        one that added o_orderstatus — are unioned under the widened
+        schema with typed null padding, streaming and shuffle-free
+        (the lakehouse old-files-lack-new-columns read). Output keeps
+        a snap tag so the oracle's UNION ALL BY NAME replays it."""
+        from ocr_service_ray.ops.relational import union_by_name
+
+        od = _read(
+            sf_dir, "orders", ["o_orderkey", "o_orderstatus", "o_totalprice"]
+        )
+
+        def old_snap(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = k % 2 == 0
+            t = b.filter(pa.array(keep))
+            cents = np.floor(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "snap": pa.array(np.zeros(len(cents), np.int64)),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        def new_snap(b: pa.Table) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = k % 2 == 1
+            t = b.filter(pa.array(keep))
+            cents = np.floor(
+                t["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "o_orderkey": t["o_orderkey"],
+                    "snap": pa.array(np.ones(len(cents), np.int64)),
+                    "cents": pa.array(cents),
+                    "o_orderstatus": t["o_orderstatus"],
+                }
+            )
+
+        return union_by_name(
+            [
+                od.map_batches(old_snap, batch_format="pyarrow"),
+                od.map_batches(new_snap, batch_format="pyarrow"),
+            ]
+        )
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -14049,6 +14156,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "friedman_daily_types": q_friedman_daily_types,
         "dehyphenate_docs": q_dehyphenate_docs,
         "mojibake_audit": q_mojibake_audit,
+        "wasserstein_lengths": q_wasserstein_lengths,
+        "schema_evolution_union": q_schema_evolution_union,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -22125,5 +22234,45 @@ def oracle_sql() -> dict[str, str]:
                         THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
                CAST(sum(markers) AS BIGINT) AS total_markers
         FROM m GROUP BY source
+    """
+    oracles["wasserstein_lengths"] = """
+        WITH d AS (
+          SELECT CASE WHEN lang = 'en' THEN 0 ELSE 1 END AS g,
+                 n_chars AS v
+          FROM documents WHERE lang IN ('en', 'de')),
+        tot AS (
+          SELECT CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS na,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS nb
+          FROM d),
+        vc AS (
+          SELECT v,
+                 CAST(sum(CASE WHEN g = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS ca,
+                 CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS cb
+          FROM d GROUP BY v),
+        c AS (
+          SELECT v,
+                 sum(ca) OVER (ORDER BY v) AS cuma,
+                 sum(cb) OVER (ORDER BY v) AS cumb,
+                 lead(v) OVER (ORDER BY v) - v AS dx
+          FROM vc)
+        SELECT tot.na AS n_a, tot.nb AS n_b,
+               CAST(sum(abs(cuma * tot.nb - cumb * tot.na) * dx)
+                    AS BIGINT) AS w1_num,
+               CAST(tot.na * tot.nb AS BIGINT) AS w1_den
+        FROM c, tot WHERE dx IS NOT NULL GROUP BY tot.na, tot.nb
+    """
+    oracles["schema_evolution_union"] = """
+        SELECT o_orderkey, CAST(0 AS BIGINT) AS snap,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 2 = 0
+        UNION ALL BY NAME
+        SELECT o_orderkey, CAST(1 AS BIGINT) AS snap,
+               CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+               o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 1
     """
     return oracles

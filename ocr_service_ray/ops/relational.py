@@ -839,3 +839,46 @@ def topk_with_ties(ds, group_keys: list[str], value_col: str, k: int):
     return grouped_agg(
         kept, group_keys + [value_col], {"n_rows": (None, "count")}
     )
+
+
+def union_by_name(datasets: list):
+    """UNION ALL BY NAME over Datasets with EVOLVED schemas (the
+    lakehouse read problem: old files lack columns added later).
+    The union schema is the name-keyed union of the inputs' Arrow
+    schemas (same-name fields must carry the same type — schema
+    WIDENING, not coercion); each input is padded with typed null
+    columns and reordered, then the Datasets are unioned — a pure
+    metadata + per-block append_column pass, no shuffle, streaming
+    preserved. Column order follows first appearance across inputs.
+    """
+    from functools import reduce
+
+    import pyarrow as pa
+
+    fields: dict[str, "pa.DataType"] = {}
+    for d in datasets:
+        for f in d.schema().base_schema:
+            if f.name in fields:
+                if fields[f.name] != f.type:
+                    raise ValueError(
+                        f"type conflict for column {f.name!r}: "
+                        f"{fields[f.name]} vs {f.type}"
+                    )
+            else:
+                fields[f.name] = f.type
+
+    names = list(fields)
+
+    def pad(b: pa.Table) -> pa.Table:
+        cols = []
+        for n in names:
+            if n in b.column_names:
+                cols.append(b[n])
+            else:
+                cols.append(pa.nulls(b.num_rows, fields[n]))
+        return pa.table(dict(zip(names, cols)))
+
+    padded = [
+        d.map_batches(pad, batch_format="pyarrow") for d in datasets
+    ]
+    return reduce(lambda a, b: a.union(b), padded)

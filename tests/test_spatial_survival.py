@@ -464,3 +464,67 @@ def test_mojibake_detector_scores_damage(ray_session):
 
     col = pa.array(["clean text", "dÃ¡mÃ¡ged â€œquoteâ€", ""])
     assert mojibake_counts(col).to_pylist() == [0, 4, 0]
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    a=st.lists(st.integers(0, 15), min_size=1, max_size=30),
+    b=st.lists(st.integers(0, 15), min_size=1, max_size=30),
+)
+def test_wasserstein_matches_scipy_free_reference(ray_session, a, b):
+    """Wave-98 W1: the rational num/den equals the direct pairwise
+    formulation sum|F_A - F_B| dx over the merged support."""
+    import pandas as pd
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    ds = _ds({"g": [0] * len(a) + [1] * len(b), "v": a + b})
+    vc = (
+        grouped_agg(ds, ["g", "v"], {"n": (None, "count")})
+        .to_pandas()
+        .pivot_table(index="v", columns="g", values="n", fill_value=0)
+        .reindex(columns=[0, 1], fill_value=0)
+        .sort_index()
+    )
+    ca = vc[0].to_numpy().astype(np.int64)
+    cb = vc[1].to_numpy().astype(np.int64)
+    v = vc.index.to_numpy().astype(np.int64)
+    na, nb = len(a), len(b)
+    cuma, cumb = np.cumsum(ca), np.cumsum(cb)
+    dx = np.diff(v)
+    w1 = float((np.abs(cuma[:-1] * nb - cumb[:-1] * na) * dx).sum()) / (
+        na * nb
+    )
+    # reference: mean-of-sorted-quantile transport on the lcm grid
+    import itertools
+
+    xs = sorted(set(a) | set(b))
+    fa = fb = 0
+    ref = 0.0
+    for x, x2 in zip(xs, xs[1:]):
+        fa = sum(1 for t in a if t <= x) / na
+        fb = sum(1 for t in b if t <= x) / nb
+        ref += abs(fa - fb) * (x2 - x)
+    assert abs(w1 - ref) < 1e-9
+
+
+def test_union_by_name_pads_and_rejects_conflicts(ray_session):
+    import pytest
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import union_by_name
+
+    a = rd.from_arrow(pa.table({"k": [1, 2], "v": ["a", "b"]}))
+    b = rd.from_arrow(pa.table({"k": [3], "w": [9]}))
+    out = (
+        union_by_name([a, b])
+        .to_pandas()
+        .sort_values("k")
+        .reset_index(drop=True)
+    )
+    assert list(out.columns) == ["k", "v", "w"]
+    assert out["v"].tolist() == ["a", "b", None]
+    assert out["w"].fillna(-1).tolist() == [-1, -1, 9]
+    conflicting = rd.from_arrow(pa.table({"k": ["str-typed"]}))
+    with pytest.raises(ValueError, match="type conflict"):
+        union_by_name([a, conflicting])
