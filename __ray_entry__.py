@@ -14115,6 +14115,124 @@ def queries() -> dict[str, Callable[[str], Any]]:
             ]
         )
 
+    def q_ips_policy_value(sf_dir):
+        """Offline policy evaluation (IPS + SNIPS, Horvitz-Thompson /
+        counterfactual-bandit family): the logged policy is uniform
+        over the k event types (the synthetic-log contract), the
+        target policy is the deterministic map context -> type index
+        (context·3 + 1) mod k with context = user_id mod 7; reward =
+        event cents. IPS = k·Σ(r·match)/n and SNIPS =
+        Σ(r·match)/Σ(match), both exact rationals from ONE combiner
+        scan (match is vectorized against the broadcast sorted type
+        vocabulary). New family: counterfactual policy eval."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id", "event_type", "value"])
+        types = sorted(
+            grouped_agg(ev, ["event_type"], {"_n": (None, "count")})
+            .to_pandas()["event_type"]
+            .tolist()
+        )
+        k = len(types)
+        tmap = {t: i for i, t in enumerate(types)}
+
+        def prep(b: pa.Table) -> pa.Table:
+            u = b["user_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            a = np.array(
+                [tmap[t] for t in b["event_type"].to_pylist()],
+                dtype=np.int64,
+            )
+            target = ((u % 7) * 3 + 1) % k
+            match = (a == target).astype(np.int64)
+            return pa.table(
+                {
+                    "one": pa.array(np.ones(len(u), np.int64)),
+                    "match": pa.array(match),
+                    "rm": pa.array(cents * match),
+                }
+            )
+
+        agg = grouped_agg(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["one"],
+            {
+                "n": (None, "count"),
+                "n_match": ("match", "sum"),
+                "sum_rm": ("rm", "sum"),
+            },
+        ).to_pandas()
+        n = int(agg["n"].iloc[0])
+        n_match = int(agg["n_match"].iloc[0])
+        sum_rm = int(agg["sum_rm"].iloc[0])
+        return pd.DataFrame(
+            {
+                "n": [n],
+                "k_actions": [k],
+                "n_match": [n_match],
+                "sum_matched_cents": [sum_rm],
+                "ips_num": [k * sum_rm],
+                "ips_den": [n],
+                "snips_num": [sum_rm],
+                "snips_den": [n_match],
+            }
+        ).astype("int64")
+
+    def q_ams_f2_users(sf_dir):
+        """AMS / count-sketch second-moment (F2) estimation over the
+        user_id frequency vector: 8 independent estimators with
+        deterministic md5 ±1 signs, each S_j = Σ_v sign_j(v)·c_v
+        (computed on the VALUE-COUNTS table — signs hash only
+        distinct values, never rows), estimate = lower-median of the
+        S_j². Emitted next to the exact F2 = Σc_v² so the sketch
+        error is auditable; the whole construction (md5 signs
+        included) replays in SQL. Completes the sketch family
+        (HLL/CMS/Bloom/histogram) with the F2 member."""
+        import hashlib
+
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["user_id"])
+        vc = grouped_agg(
+            ev, ["user_id"], {"c": (None, "count")}
+        ).to_pandas()
+        v = vc["user_id"].to_numpy().astype(np.int64)
+        c = vc["c"].to_numpy().astype(np.int64)
+        f2_true = int((c.astype(object) ** 2).sum())
+        rows = []
+        for j in range(8):
+            signs = np.array(
+                [
+                    1
+                    if int(
+                        hashlib.md5(f"ams{j}:{int(x)}".encode()).hexdigest()[
+                            :16
+                        ],
+                        16,
+                    )
+                    % 2
+                    == 0
+                    else -1
+                    for x in v
+                ],
+                dtype=np.int64,
+            )
+            s = int((signs * c).sum())
+            rows.append({"j": j, "s": s, "sq": s * s})
+        est = pd.DataFrame(rows)
+        med = int(
+            est.sort_values(["sq", "j"]).iloc[3]["sq"]
+        )  # lower median of 8
+        est["f2_true"] = f2_true
+        est["f2_est"] = med
+        return est.astype("int64")
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -14158,6 +14276,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mojibake_audit": q_mojibake_audit,
         "wasserstein_lengths": q_wasserstein_lengths,
         "schema_evolution_union": q_schema_evolution_union,
+        "ips_policy_value": q_ips_policy_value,
+        "ams_f2_users": q_ams_f2_users,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -22274,5 +22394,57 @@ def oracle_sql() -> dict[str, str]:
                CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
                o_orderstatus
         FROM orders WHERE o_orderkey % 2 = 1
+    """
+    oracles["ips_policy_value"] = """
+        WITH ty AS (
+          SELECT event_type,
+                 row_number() OVER (ORDER BY event_type) - 1 AS idx
+          FROM (SELECT DISTINCT event_type FROM events)),
+        kk AS (SELECT CAST(count(*) AS BIGINT) AS k FROM ty),
+        e AS (
+          SELECT ty.idx AS a,
+                 ((ev.user_id % 7) * 3 + 1) % kk.k AS target,
+                 CAST(floor(ev.value * 100.0 + 0.5) AS BIGINT) AS r
+          FROM events ev JOIN ty USING (event_type) CROSS JOIN kk),
+        agg AS (
+          SELECT CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(CASE WHEN a = target THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_match,
+                 CAST(sum(CASE WHEN a = target THEN r ELSE 0 END)
+                      AS BIGINT) AS sum_rm
+          FROM e)
+        SELECT agg.n, kk.k AS k_actions, agg.n_match,
+               agg.sum_rm AS sum_matched_cents,
+               CAST(kk.k * agg.sum_rm AS BIGINT) AS ips_num,
+               agg.n AS ips_den,
+               agg.sum_rm AS snips_num,
+               agg.n_match AS snips_den
+        FROM agg CROSS JOIN kk
+    """
+    oracles["ams_f2_users"] = f"""
+        WITH vc AS (
+          SELECT user_id AS v, CAST(count(*) AS BIGINT) AS c
+          FROM events GROUP BY 1),
+        js AS (SELECT j FROM (VALUES (0), (1), (2), (3), (4), (5), (6),
+                              (7)) t(j)),
+        signed AS (
+          SELECT js.j,
+                 CASE WHEN {_md5_u64_sql(
+                     "md5('ams' || CAST(js.j AS VARCHAR) || ':' "
+                     "|| CAST(vc.v AS VARCHAR))"
+                 )} % 2 = 0
+                      THEN vc.c ELSE -vc.c END AS sc
+          FROM js CROSS JOIN vc),
+        est AS (
+          SELECT j, CAST(sum(sc) AS BIGINT) AS s,
+                 CAST(sum(sc) * sum(sc) AS BIGINT) AS sq
+          FROM signed GROUP BY j),
+        t AS (SELECT CAST(sum(c * c) AS BIGINT) AS f2_true FROM vc),
+        med AS (
+          SELECT sq AS f2_est FROM (
+            SELECT sq, row_number() OVER (ORDER BY sq, j) AS rk
+            FROM est) WHERE rk = 4)
+        SELECT est.j, est.s, est.sq, t.f2_true, med.f2_est
+        FROM est CROSS JOIN t CROSS JOIN med
     """
     return oracles

@@ -528,3 +528,26 @@ def test_union_by_name_pads_and_rejects_conflicts(ray_session):
     conflicting = rd.from_arrow(pa.table({"k": ["str-typed"]}))
     with pytest.raises(ValueError, match="type conflict"):
         union_by_name([a, conflicting])
+
+
+def test_ips_policy_identities(ray_session):
+    """Wave-99 IPS: ips = k*snips_num/n; uniform-random target would
+    match ~n/k rows; identities hold on sf0.001."""
+    q = _entry_queries()["ips_policy_value"]
+    r = q("/root/testdata/sf0.001").iloc[0]
+    assert int(r["ips_num"]) == int(r["k_actions"]) * int(r["snips_num"])
+    assert int(r["ips_den"]) == int(r["n"])
+    assert 0 <= int(r["n_match"]) <= int(r["n"])
+
+
+def test_ams_f2_estimator_unbiased_shape(ray_session):
+    """Wave-99 AMS: each estimator square >= 0; on a uniform
+    frequency vector the median estimate lands within 5x of true F2
+    (loose sanity — the 8-estimator median concentrates)."""
+    q = _entry_queries()["ams_f2_users"]
+    out = q("/root/testdata/sf0.001")
+    assert len(out) == 8
+    f2 = int(out["f2_true"].iloc[0])
+    est = int(out["f2_est"].iloc[0])
+    assert (out["sq"] >= 0).all()
+    assert est <= 5 * f2 and est * 5 >= f2 // 5
