@@ -14233,6 +14233,117 @@ def queries() -> dict[str, Callable[[str], Any]]:
         est["f2_est"] = med
         return est.astype("int64")
 
+    def q_haar_synopsis_daily(sf_dir):
+        """Unnormalized integer Haar wavelet synopsis of the daily
+        value series (the wavelet SYNOPSIS the AQP literature pairs
+        with histograms/sketches): days dense-rank into 16
+        equal-index bins (one day-combiner, |days|-bounded close),
+        then 4 levels of pairwise (sum, difference) — 15 integer
+        detail coefficients + the level-4 approximation, losslessly
+        invertible, no normalization so every coefficient stays an
+        exact integer. Oracle unrolls the 4 levels as grouped CTEs."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ts_us = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"day": pa.array(ts_us // 86_400_000_000), "c": pa.array(cents)}
+            )
+
+        daily = (
+            grouped_agg(
+                ev.map_batches(prep, batch_format="pyarrow"),
+                ["day"],
+                {"tot": ("c", "sum")},
+            )
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        n = len(daily)
+        bins = np.zeros(16, dtype=np.int64)
+        pos = (np.arange(n, dtype=np.int64) * 16) // n
+        np.add.at(bins, pos, daily["tot"].to_numpy().astype(np.int64))
+        rows = []
+        cur = bins
+        for level in (1, 2, 3, 4):
+            s = cur[0::2] + cur[1::2]
+            d = cur[0::2] - cur[1::2]
+            for k, coef in enumerate(d):
+                rows.append({"level": level, "k": k, "coef": int(coef)})
+            cur = s
+        rows.append({"level": 5, "k": 0, "coef": int(cur[0])})
+        return pd.DataFrame(rows).astype("int64")
+
+    def q_lis_daily_values(sf_dir):
+        """Longest strictly-increasing and strictly-decreasing
+        subsequence lengths of the daily-total series (the
+        monotone-trend complement of runs_test_daily — Erdős–
+        Szekeres-style sequence structure): one day-combiner is the
+        data-parallel phase; the close is the O(n²) DP on the
+        |days|-bounded series. The oracle replays the DP as a
+        monotone recursive CTE (UNION-deduped states, ≤ n² rows)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+
+        ev = _read(sf_dir, "events", ["ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ts_us = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {"day": pa.array(ts_us // 86_400_000_000), "c": pa.array(cents)}
+            )
+
+        daily = (
+            grouped_agg(
+                ev.map_batches(prep, batch_format="pyarrow"),
+                ["day"],
+                {"tot": ("c", "sum")},
+            )
+            .to_pandas()
+            .sort_values("day")
+            .reset_index(drop=True)
+        )
+        v = daily["tot"].to_numpy().astype(np.int64)
+        n = len(v)
+
+        def lis_len(vals: np.ndarray) -> int:
+            if len(vals) == 0:
+                return 0
+            dp = np.ones(len(vals), dtype=np.int64)
+            for i in range(1, len(vals)):
+                prior = dp[:i][vals[:i] < vals[i]]
+                if len(prior):
+                    dp[i] = prior.max() + 1
+            return int(dp.max())
+
+        return pd.DataFrame(
+            {
+                "n_days": [n],
+                "lis_len": [lis_len(v)],
+                "lds_len": [lis_len(-v)],
+            }
+        ).astype("int64")
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -14278,6 +14389,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "schema_evolution_union": q_schema_evolution_union,
         "ips_policy_value": q_ips_policy_value,
         "ams_f2_users": q_ams_f2_users,
+        "haar_synopsis_daily": q_haar_synopsis_daily,
+        "lis_daily_values": q_lis_daily_values,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -22446,5 +22559,68 @@ def oracle_sql() -> dict[str, str]:
             FROM est) WHERE rk = 4)
         SELECT est.j, est.s, est.sq, t.f2_true, med.f2_est
         FROM est CROSS JOIN t CROSS JOIN med
+    """
+    _daily_cents = """
+        SELECT epoch_us(ts) // 86400000000 AS day,
+               CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+                    AS BIGINT) AS tot
+        FROM events GROUP BY 1
+    """
+    oracles["haar_synopsis_daily"] = f"""
+        WITH daily AS ({_daily_cents}),
+        ranked AS (
+          SELECT tot, row_number() OVER (ORDER BY day) - 1 AS rn,
+                 (SELECT count(*) FROM daily) AS n
+          FROM daily),
+        ks AS (SELECT unnest(generate_series(0, 15)) AS pos),
+        l0 AS (
+          SELECT ks.pos,
+                 CAST(coalesce(sum(r.tot), 0) AS BIGINT) AS v
+          FROM ks LEFT JOIN ranked r ON (r.rn * 16) // r.n = ks.pos
+          GROUP BY ks.pos),
+        l1 AS (
+          SELECT pos // 2 AS pos, CAST(sum(v) AS BIGINT) AS s,
+                 CAST(sum(CASE WHEN pos % 2 = 0 THEN v ELSE -v END)
+                      AS BIGINT) AS d
+          FROM l0 GROUP BY pos // 2),
+        l2 AS (
+          SELECT pos // 2 AS pos, CAST(sum(s) AS BIGINT) AS s,
+                 CAST(sum(CASE WHEN pos % 2 = 0 THEN s ELSE -s END)
+                      AS BIGINT) AS d
+          FROM l1 GROUP BY pos // 2),
+        l3 AS (
+          SELECT pos // 2 AS pos, CAST(sum(s) AS BIGINT) AS s,
+                 CAST(sum(CASE WHEN pos % 2 = 0 THEN s ELSE -s END)
+                      AS BIGINT) AS d
+          FROM l2 GROUP BY pos // 2),
+        l4 AS (
+          SELECT pos // 2 AS pos, CAST(sum(s) AS BIGINT) AS s,
+                 CAST(sum(CASE WHEN pos % 2 = 0 THEN s ELSE -s END)
+                      AS BIGINT) AS d
+          FROM l3 GROUP BY pos // 2)
+        SELECT CAST(1 AS BIGINT) AS level, CAST(pos AS BIGINT) AS k,
+               d AS coef FROM l1
+        UNION ALL SELECT 2, pos, d FROM l2
+        UNION ALL SELECT 3, pos, d FROM l3
+        UNION ALL SELECT 4, pos, d FROM l4
+        UNION ALL SELECT 5, 0, s FROM l4
+    """
+    oracles["lis_daily_values"] = f"""
+        WITH RECURSIVE daily AS ({_daily_cents}),
+        d AS (SELECT row_number() OVER (ORDER BY day) AS rn, tot
+              FROM daily),
+        up(rn, v, len) AS (
+          SELECT rn, tot, 1 FROM d
+          UNION
+          SELECT d.rn, d.tot, up.len + 1
+          FROM d JOIN up ON d.rn > up.rn AND d.tot > up.v),
+        dn(rn, v, len) AS (
+          SELECT rn, tot, 1 FROM d
+          UNION
+          SELECT d.rn, d.tot, dn.len + 1
+          FROM d JOIN dn ON d.rn > dn.rn AND d.tot < dn.v)
+        SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
+               CAST((SELECT max(len) FROM up) AS BIGINT) AS lis_len,
+               CAST((SELECT max(len) FROM dn) AS BIGINT) AS lds_len
     """
     return oracles

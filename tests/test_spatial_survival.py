@@ -551,3 +551,59 @@ def test_ams_f2_estimator_unbiased_shape(ray_session):
     est = int(out["f2_est"].iloc[0])
     assert (out["sq"] >= 0).all()
     assert est <= 5 * f2 and est * 5 >= f2 // 5
+
+
+def test_haar_synopsis_invertible(ray_session):
+    """Wave-100 Haar: the emitted 15 details + approximation
+    losslessly reconstruct the 16 day-bin sums."""
+    import duckdb
+
+    q = _entry_queries()["haar_synopsis_daily"]
+    out = q("/root/testdata/sf0.001")
+    coef = {
+        (int(r["level"]), int(r["k"])): int(r["coef"])
+        for _, r in out.iterrows()
+    }
+    cur = np.array([coef[(5, 0)]], dtype=np.int64)
+    for level in (4, 3, 2, 1):
+        d = np.array(
+            [coef[(level, k)] for k in range(len(cur))], dtype=np.int64
+        )
+        nxt = np.empty(2 * len(cur), dtype=np.int64)
+        nxt[0::2] = (cur + d) // 2
+        nxt[1::2] = (cur - d) // 2
+        cur = nxt
+    daily = duckdb.sql(
+        """SELECT epoch_us(ts) // 86400000000 AS day,
+                  CAST(sum(CAST(floor(value*100.0+0.5) AS BIGINT)) AS BIGINT) t
+           FROM '/root/testdata/sf0.001/events.parquet'
+           GROUP BY 1 ORDER BY 1"""
+    ).df()
+    n = len(daily)
+    bins = np.zeros(16, dtype=np.int64)
+    pos = (np.arange(n, dtype=np.int64) * 16) // n
+    np.add.at(bins, pos, daily["t"].to_numpy().astype(np.int64))
+    assert cur.tolist() == bins.tolist()
+
+
+@settings(max_examples=20, deadline=None)
+@given(vals=st.lists(st.integers(-9, 9), min_size=1, max_size=25))
+def test_lis_dp_matches_patience_reference(ray_session, vals):
+    """The O(n^2) LIS DP used in the wave-100 close equals the
+    classic patience-sorting O(n log n) algorithm."""
+    import bisect
+
+    v = np.array(vals, dtype=np.int64)
+    dp = np.ones(len(v), dtype=np.int64)
+    for i in range(1, len(v)):
+        prior = dp[:i][v[:i] < v[i]]
+        if len(prior):
+            dp[i] = prior.max() + 1
+    tails = []
+    for x in vals:
+        j = bisect.bisect_left(tails, x)
+        if j == len(tails):
+            tails.append(x)
+        else:
+            tails[j] = x
+    assert int(dp.max()) == len(tails)
