@@ -14344,6 +14344,135 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         ).astype("int64")
 
+    def q_dbscan_embeddings(sf_dir):
+        """DBSCAN over the 2-D embedding projection, composed
+        entirely from verified ops: eps-neighborhood pairs from the
+        grid-blocked L∞ join (ops/spatial.py, lossless), degree via
+        one combiner, core points (>= minPts neighbors incl. self),
+        clusters = connected components over the core-core subgraph
+        (ops/graph.py, min-id canonical labels), border points join
+        the MIN cluster among their core neighbors (the deterministic
+        tie rule replacing classic DBSCAN's scan-order dependence —
+        documented divergence), everything else is noise. eps=0.02
+        micro-units, minPts=4 (324 core / 58 isolated at sf0.01).
+        Oracle replays all five stages including the recursive-CTE
+        closure. The density-based member of the clustering family
+        next to kmeans (centroid) and the LSH near-dup blocks."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.graph import connected_components
+        from ocr_service_ray.ops.spatial import linf_self_join
+
+        eps, min_pts = 20_000, 4
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def proj(b: pa.Table) -> pa.Table:
+            mat = similarity._as_matrix(b["embedding"])
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "x": pa.array(_micro(mat[:, 0])),
+                    "y": pa.array(_micro(mat[:, 1])),
+                }
+            )
+
+        pts = emb.map_batches(proj, batch_format="pyarrow")
+        all_ids = np.sort(
+            pts.select_columns(["vec_id"])
+            .to_pandas()["vec_id"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+        # |pairs|-bounded, reused by degree + core-edge consumers
+        pairs = linf_self_join(
+            pts, "vec_id", "x", "y", eps=eps
+        ).materialize()
+
+        def both_dirs(b: pa.Table) -> pa.Table:
+            ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "ia": pa.array(np.concatenate([ia, ib])),
+                    "ib": pa.array(np.concatenate([ib, ia])),
+                }
+            )
+
+        edges = pairs.map_batches(both_dirs, batch_format="pyarrow")
+        deg = grouped_agg(edges, ["ia"], {"deg": (None, "count")}).to_pandas()
+        core = np.sort(
+            deg.loc[deg["deg"] >= min_pts - 1, "ia"]
+            .to_numpy()
+            .astype(np.int64)
+        )
+
+        def in_core(arr: np.ndarray) -> np.ndarray:
+            if len(core) == 0:
+                return np.zeros(len(arr), bool)
+            pos = np.minimum(np.searchsorted(core, arr), len(core) - 1)
+            return core[pos] == arr
+
+        def core_edges(b: pa.Table) -> pa.Table:
+            ia = b["id_a"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = b["id_b"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = in_core(ia) & in_core(ib)
+            t = b.filter(pa.array(keep))
+            return pa.table({"id_a": t["id_a"], "id_b": t["id_b"]})
+
+        labels = connected_components(
+            pairs.map_batches(core_edges, batch_format="pyarrow"),
+            "id_a",
+            "id_b",
+        ).to_pandas()
+        cluster_of = dict(
+            zip(
+                labels["node"].astype(np.int64),
+                labels["cluster_id"].astype(np.int64),
+            )
+        )
+        for cid in core:  # isolated cores anchor their own cluster
+            cluster_of.setdefault(int(cid), int(cid))
+
+        def border_cand(b: pa.Table) -> pa.Table:
+            ia = b["ia"].to_numpy(zero_copy_only=False).astype(np.int64)
+            ib = b["ib"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (~in_core(ia)) & in_core(ib)
+            bi, ci = ia[keep], ib[keep]
+            cl = np.array(
+                [cluster_of[int(c)] for c in ci], dtype=np.int64
+            )
+            return pa.table({"bid": pa.array(bi), "cl": pa.array(cl)})
+
+        border = grouped_agg(
+            edges.map_batches(border_cand, batch_format="pyarrow"),
+            ["bid"],
+            {"cluster": ("cl", "min")},
+        ).to_pandas()
+        border_of = dict(
+            zip(
+                border.get("bid", pd.Series(dtype="int64")).astype(np.int64),
+                border.get("cluster", pd.Series(dtype="int64")).astype(
+                    np.int64
+                ),
+            )
+        )
+        roles, clusters = [], []
+        for i in all_ids:
+            i = int(i)
+            if i in cluster_of and in_core(np.array([i]))[0]:
+                roles.append(2)
+                clusters.append(cluster_of[i])
+            elif i in border_of:
+                roles.append(1)
+                clusters.append(border_of[i])
+            else:
+                roles.append(0)
+                clusters.append(-1)
+        return pd.DataFrame(
+            {"vec_id": all_ids, "role": roles, "cluster": clusters}
+        ).astype("int64")
+
     def q_degree_assortativity(sf_dir):
         """Degree assortativity of the customer→supplier purchase
         graph (distinct (o_custkey, l_suppkey) pairs via the
@@ -14391,6 +14520,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ams_f2_users": q_ams_f2_users,
         "haar_synopsis_daily": q_haar_synopsis_daily,
         "lis_daily_values": q_lis_daily_values,
+        "dbscan_embeddings": q_dbscan_embeddings,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -22622,5 +22752,46 @@ def oracle_sql() -> dict[str, str]:
         SELECT CAST((SELECT count(*) FROM daily) AS BIGINT) AS n_days,
                CAST((SELECT max(len) FROM up) AS BIGINT) AS lis_len,
                CAST((SELECT max(len) FROM dn) AS BIGINT) AS lds_len
+    """
+    oracles["dbscan_embeddings"] = """
+        WITH RECURSIVE p AS (
+          SELECT vec_id AS id,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT) AS x,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT) AS y
+          FROM embeddings),
+        e AS (
+          SELECT a.id AS ia, b.id AS ib
+          FROM p a JOIN p b ON a.id <> b.id
+          WHERE abs(a.x - b.x) <= 20000 AND abs(a.y - b.y) <= 20000),
+        deg AS (SELECT ia AS id, count(*) AS d FROM e GROUP BY 1),
+        core AS (SELECT id FROM deg WHERE d >= 3),
+        ce AS (
+          SELECT e.ia, e.ib FROM e
+          WHERE e.ia IN (SELECT id FROM core)
+            AND e.ib IN (SELECT id FROM core)),
+        reach(u, lbl) AS (
+          SELECT id, id FROM core
+          UNION
+          SELECT ce.ia, r.lbl FROM ce JOIN reach r ON r.u = ce.ib),
+        lab AS (SELECT u AS id, CAST(min(lbl) AS BIGINT) AS cluster
+                FROM reach GROUP BY u),
+        border AS (
+          SELECT e.ia AS id, CAST(min(lab.cluster) AS BIGINT) AS cluster
+          FROM e
+          JOIN core c ON e.ib = c.id
+          JOIN lab ON lab.id = e.ib
+          WHERE e.ia NOT IN (SELECT id FROM core)
+          GROUP BY e.ia)
+        SELECT p.id AS vec_id,
+               CAST(CASE WHEN lab.id IS NOT NULL THEN 2
+                         WHEN border.id IS NOT NULL THEN 1
+                         ELSE 0 END AS BIGINT) AS role,
+               CAST(coalesce(lab.cluster, border.cluster, -1) AS BIGINT)
+                 AS cluster
+        FROM p
+        LEFT JOIN lab ON lab.id = p.id
+        LEFT JOIN border ON border.id = p.id
     """
     return oracles

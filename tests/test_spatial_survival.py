@@ -607,3 +607,22 @@ def test_lis_dp_matches_patience_reference(ray_session, vals):
         else:
             tails[j] = x
     assert int(dp.max()) == len(tails)
+
+
+def test_dbscan_roles_and_invariants(ray_session):
+    """Wave-101 DBSCAN: role/cluster invariants — cores carry their
+    component's min id, borders adopt an existing core cluster,
+    noise is -1, and every core cluster id IS a core point."""
+    q = _entry_queries()["dbscan_embeddings"]
+    out = q("/root/testdata/sf0.001")
+    core = out[out["role"] == 2]
+    border = out[out["role"] == 1]
+    noise = out[out["role"] == 0]
+    assert len(out) == len(core) + len(border) + len(noise)
+    assert (noise["cluster"] == -1).all()
+    core_clusters = set(core["cluster"].tolist())
+    core_ids = set(core["vec_id"].tolist())
+    assert core_clusters <= core_ids  # labels are canonical core ids
+    assert set(border["cluster"].tolist()) <= core_clusters
+    # a core's label never exceeds its own id (min-id canonicalization)
+    assert (core["cluster"] <= core["vec_id"]).all()
