@@ -14489,6 +14489,42 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ed = hash_join(od, li, on="o_orderkey", right_on="l_orderkey").repartition(8)
         return degree_assortativity(ed, src_col="o_custkey", dst_col="l_suppkey")
 
+    def q_kll_quantiles_value(sf_dir):
+        """KLL quantile sketch (Karnin-Lang-Liberty 2016, deterministic
+        parity-offset compaction) over event values in cents: one
+        map_batches pass emits <= k*levels (level, value) rows per
+        block, the driver folds the mergeable partials. Approximate BY
+        DESIGN — the answer depends on compaction boundaries, so
+        rows-only here; tests/test_sketch.py bounds the rank error and
+        asserts weight exactness (w_total == COUNT(value)) and exact
+        answers below the compaction threshold. The bounded-memory
+        complement to the exact value-counts quantiles (L16/L34)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.sketch import kll_quantiles
+
+        ev = _read(sf_dir, "events", ["value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"c": pa.array(c)})
+
+        out = kll_quantiles(
+            ev.map_batches(cents, batch_format="pyarrow"),
+            "c",
+            [0.25, 0.5, 0.75, 0.95],
+            k=128,
+        )
+        return pd.DataFrame(
+            {
+                "q_pct": out["q_pct"].astype("int64"),
+                "value": out["value"].astype("int64"),
+                "w_total": out["w_total"].astype("int64"),
+            }
+        )
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14521,6 +14557,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "haar_synopsis_daily": q_haar_synopsis_daily,
         "lis_daily_values": q_lis_daily_values,
         "dbscan_embeddings": q_dbscan_embeddings,
+        "kll_quantiles_value": q_kll_quantiles_value,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,

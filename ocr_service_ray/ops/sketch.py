@@ -758,3 +758,132 @@ def iterative_exact_median(
     cum = vc["c"].cumsum().to_numpy()
     idx = int(np.searchsorted(cum, rank_left, side="left"))
     return int(vc["v"].iloc[idx]), n, rounds
+
+
+class KllSketch:
+    """Deterministic KLL-style quantile sketch (Karnin-Lang-Liberty
+    2016 with the random coin replaced by a level-parity offset —
+    fully deterministic, at the cost of the adversarial-input
+    guarantee; fine for pipeline telemetry).
+
+    Level i holds <= k items, each representing 2^i inputs. A full
+    level sorts, promotes every other item (offset = level % 2) to
+    level i+1 and drops the rest — the classic compaction, so rank
+    error grows O(levels/k). Mergeable: levelwise concat + compact,
+    so per-block partials fold associatively (the HLL-register
+    discipline). NOTE: the result depends on compaction boundaries,
+    i.e. on the partial/merge order — like any real sketch it is an
+    approximation, not a layout-invariant exact answer."""
+
+    def __init__(self, k: int = 64):
+        self.k = int(k)
+        self.levels: list[list] = [[]]
+
+    def add_many(self, values) -> "KllSketch":
+        self.levels[0].extend(
+            v for v in values if v is not None and v == v
+        )
+        self._compact()
+        return self
+
+    def merge(self, other: "KllSketch") -> "KllSketch":
+        while len(self.levels) < len(other.levels):
+            self.levels.append([])
+        for i, lv in enumerate(other.levels):
+            self.levels[i].extend(lv)
+        self._compact()
+        return self
+
+    def _compact(self) -> None:
+        i = 0
+        while i < len(self.levels):
+            if len(self.levels[i]) > self.k:
+                arr = sorted(self.levels[i])
+                # odd count: one item stays behind (weight-exact —
+                # promoting half of an EVEN run keeps total weight,
+                # so weight() == number of inputs, asserted in tests)
+                leftover: list = []
+                if len(arr) % 2:
+                    if i % 2:
+                        leftover, arr = [arr[0]], arr[1:]
+                    else:
+                        leftover, arr = [arr[-1]], arr[:-1]
+                promoted = arr[i % 2 :: 2]
+                self.levels[i] = leftover
+                if i + 1 == len(self.levels):
+                    self.levels.append([])
+                self.levels[i + 1].extend(promoted)
+            i += 1
+
+    def weight(self) -> int:
+        return sum(len(lv) << i for i, lv in enumerate(self.levels))
+
+    def items(self) -> "pd.DataFrame":
+        rows = [
+            (i, v) for i, lv in enumerate(self.levels) for v in lv
+        ]
+        return pd.DataFrame(rows, columns=["level", "value"])
+
+    @classmethod
+    def from_items(cls, frame: "pd.DataFrame", k: int = 64) -> "KllSketch":
+        s = cls(k)
+        if len(frame):
+            top = int(frame["level"].max())
+            s.levels = [[] for _ in range(top + 1)] or [[]]
+            for lvl, v in zip(frame["level"], frame["value"]):
+                s.levels[int(lvl)].append(v)
+            s._compact()
+        return s
+
+    def quantile(self, q: float):
+        """Value whose weighted rank is ceil(q * W) (lower quantile
+        over the sketch's weighted item multiset)."""
+        pairs = sorted(
+            (v, 1 << i)
+            for i, lv in enumerate(self.levels)
+            for v in lv
+        )
+        if not pairs:
+            return None
+        w_total = sum(w for _, w in pairs)
+        target = max(1, int(np.ceil(q * w_total)))
+        cum = 0
+        for v, w in pairs:
+            cum += w
+            if cum >= target:
+                return v
+        return pairs[-1][0]
+
+
+def kll_quantiles(ds, col: str, qs: list[float], k: int = 64):
+    """Distributed KLL: one map_batches pass emits per-block partial
+    sketches as (level, value) rows — blocks never leave the workers,
+    only <= k*levels rows per block do — and the driver folds them
+    with the mergeable compaction. Returns (q_pct, value, w_total)
+    rows. Approximate BY DESIGN (see KllSketch): rank error is
+    bounded by pytest, not a SQL oracle."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        s = KllSketch(k).add_many(
+            b[col].to_numpy(zero_copy_only=False).tolist()
+        )
+        f = s.items()
+        return pa.table(
+            {
+                "level": pa.array(f["level"].astype("int64")),
+                "value": pa.array(f["value"]),
+            }
+        )
+
+    parts = ds.select_columns([col]).map_batches(
+        partial, batch_format="pyarrow"
+    ).to_pandas()
+    sk = KllSketch.from_items(parts, k=k)
+    w = sk.weight()
+    return pd.DataFrame(
+        {
+            "q_pct": [int(round(q * 100)) for q in qs],
+            "value": [sk.quantile(q) for q in qs],
+            "w_total": [w] * len(qs),
+        }
+    )

@@ -331,3 +331,106 @@ def test_iterative_median_nulls_and_empty(ray_session):
     ds0 = rd.from_arrow(pa.Table.from_pandas(empty, preserve_index=False))
     med0, n0, r0 = iterative_exact_median(ds0, "v")
     assert (med0, n0, r0) == (None, 0, 0)
+
+
+def test_kll_exact_below_compaction_threshold():
+    import duckdb
+    import numpy as np
+    import pandas as pd
+
+    from ocr_service_ray.ops.sketch import KllSketch
+
+    rng = np.random.RandomState(7)
+    vals = rng.randint(0, 1000, 60)  # n < k=64: no compaction -> exact
+    s = KllSketch(64).add_many(vals.tolist())
+    assert s.weight() == 60
+    df = pd.DataFrame({"v": vals})
+    for q in (0.1, 0.25, 0.5, 0.75, 0.9):
+        ref = duckdb.connect().execute(
+            f"SELECT quantile_disc(v, {q}) FROM df"
+        ).fetchone()[0]
+        assert s.quantile(q) == ref, (q, s.quantile(q), ref)
+
+
+def test_kll_weight_exact_and_rank_error_bounded():
+    import numpy as np
+
+    from ocr_service_ray.ops.sketch import KllSketch
+
+    for make in (
+        lambda r: r.randint(0, 1_000_000, 50_000),   # uniform
+        lambda r: np.arange(50_000),                 # sorted
+        lambda r: np.repeat(r.randint(0, 50, 10), 5_000),  # heavy ties
+    ):
+        rng = np.random.RandomState(11)
+        vals = make(rng)
+        s = KllSketch(128)
+        for i in range(0, len(vals), 1_000):  # block-wise feed
+            s.add_many(vals[i : i + 1_000].tolist())
+        assert s.weight() == len(vals)  # compaction is weight-exact
+        srt = np.sort(vals)
+        for q in (0.05, 0.25, 0.5, 0.75, 0.95):
+            v = s.quantile(q)
+            lo = np.searchsorted(srt, v, side="left") / len(vals)
+            hi = np.searchsorted(srt, v, side="right") / len(vals)
+            err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+            assert err <= 0.03, (q, v, lo, hi)
+
+
+def test_kll_merge_matches_partial_feed():
+    import numpy as np
+
+    from ocr_service_ray.ops.sketch import KllSketch
+
+    rng = np.random.RandomState(3)
+    vals = rng.randint(0, 1_000_000, 40_000)
+    parts = [
+        KllSketch(128).add_many(vals[i : i + 4_000].tolist())
+        for i in range(0, len(vals), 4_000)
+    ]
+    merged = KllSketch(128)
+    for p in parts:
+        merged.merge(p)
+    assert merged.weight() == len(vals)
+    srt = np.sort(vals)
+    for q in (0.25, 0.5, 0.75):
+        v = merged.quantile(q)
+        lo = np.searchsorted(srt, v, side="left") / len(vals)
+        hi = np.searchsorted(srt, v, side="right") / len(vals)
+        err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+        assert err <= 0.03, (q, v)
+    # items() -> from_items round-trip preserves the sketch contents
+    rt = KllSketch.from_items(merged.items(), k=128)
+    assert rt.weight() == merged.weight()
+    assert all(rt.quantile(q) == merged.quantile(q) for q in (0.25, 0.5, 0.75))
+
+
+def test_kll_quantiles_distributed(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import kll_quantiles
+
+    rng = np.random.RandomState(5)
+    vals = rng.randint(0, 100_000, 30_000).astype(np.int64)
+    df = pd.DataFrame({"v": vals})
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(8)
+    out = kll_quantiles(ds, "v", [0.25, 0.5, 0.75], k=128)
+    assert list(out["q_pct"]) == [25, 50, 75]
+    assert (out["w_total"] == len(vals)).all()  # weight survives the fold
+    srt = np.sort(vals)
+    for q, v in zip((0.25, 0.5, 0.75), out["value"]):
+        lo = np.searchsorted(srt, v, side="left") / len(vals)
+        hi = np.searchsorted(srt, v, side="right") / len(vals)
+        err = 0.0 if lo <= q <= hi else min(abs(lo - q), abs(hi - q))
+        assert err <= 0.03, (q, v)
+    # nulls hold no weight
+    df2 = pd.DataFrame({"v": pd.array([None, 5, None, 9, 7], dtype="Int64")})
+    ds2 = rd.from_arrow(pa.Table.from_pandas(df2, preserve_index=False))
+    out2 = kll_quantiles(ds2, "v", [0.5], k=64)
+    assert int(out2["w_total"].iloc[0]) == 3
+    assert int(out2["value"].iloc[0]) == 7
