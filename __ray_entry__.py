@@ -14525,6 +14525,50 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def _kmv_cents(sf_dir):
+        ev = _read(sf_dir, "events", ["event_type", "value"])
+
+        def cents(b: pa.Table) -> pa.Table:
+            c = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table({"event_type": b["event_type"], "cents": pa.array(c)})
+
+        return ev.map_batches(cents, batch_format="pyarrow")
+
+    def q_kmv_distinct_cents(sf_dir):
+        """KMV (bottom-k, k=256) distinct-cents estimate per event
+        type (ops/sketch.kmv_group_sketch): the mergeable SET-OPS
+        sketch next to HLL — one combiner pass moves <= k hashes per
+        (block, group), and because the bottom-k of a set is
+        layout-invariant the whole estimate is EXACTLY
+        SQL-reproducible (md5 hashes, HUGEINT floor estimator)."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.sketch import kmv_estimate, kmv_group_sketch
+
+        sk = kmv_group_sketch(_kmv_cents(sf_dir), "event_type", "cents", k=256)
+        out = kmv_estimate(sk, k=256)
+        return pd.DataFrame(
+            {
+                "event_type": out["g"].astype(str),
+                "n_kept": out["n_kept"].astype("int64"),
+                "n_hat": out["n_hat"].astype("int64"),
+            }
+        ).sort_values("event_type").reset_index(drop=True)
+
+    def q_kmv_set_ops_cents(sf_dir):
+        """KMV union / intersection / Jaccard estimates between the
+        purchase and click cents sets (ops/sketch.kmv_pair_ops): the
+        bottom-k of the merged sketches is a uniform sample of the
+        union, so shared-membership counts give engine-exact floored
+        estimates — the set-algebra capability HLL registers cannot
+        provide (Beyer et al., SIGMOD 2007)."""
+        from ocr_service_ray.ops.sketch import kmv_group_sketch, kmv_pair_ops
+
+        sk = kmv_group_sketch(_kmv_cents(sf_dir), "event_type", "cents", k=256)
+        return kmv_pair_ops(sk, 256, "purchase", "click")
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14558,6 +14602,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lis_daily_values": q_lis_daily_values,
         "dbscan_embeddings": q_dbscan_embeddings,
         "kll_quantiles_value": q_kll_quantiles_value,
+        "kmv_distinct_cents": q_kmv_distinct_cents,
+        "kmv_set_ops_cents": q_kmv_set_ops_cents,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -22830,5 +22876,58 @@ def oracle_sql() -> dict[str, str]:
         FROM p
         LEFT JOIN lab ON lab.id = p.id
         LEFT JOIN border ON border.id = p.id
+    """
+    _kmv_h = _md5_u64_sql("md5('kmv:' || CAST(cents AS VARCHAR))")
+    _kmv_base = f"""
+        dv AS (
+          SELECT DISTINCT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+        hh AS (SELECT DISTINCT event_type, {_kmv_h} AS h FROM dv),
+        r AS (
+          SELECT event_type, h,
+                 ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn
+          FROM hh)
+    """
+    _kmv_2_64 = "CAST('18446744073709551616' AS HUGEINT)"
+    oracles["kmv_distinct_cents"] = f"""
+        -- KMV bottom-k from scratch: md5 uint64 hashes, per-group
+        -- rank <= 256, floor estimator (k-1)*2^64 // h_(k) in HUGEINT
+        WITH {_kmv_base},
+        agg AS (
+          SELECT event_type, COUNT(*) AS n_kept, MAX(h) AS hk
+          FROM r WHERE rn <= 256 GROUP BY event_type)
+        SELECT event_type, CAST(n_kept AS BIGINT) AS n_kept,
+               CAST(CASE WHEN n_kept < 256 THEN n_kept
+                    ELSE 255 * {_kmv_2_64} // hk END AS BIGINT) AS n_hat
+        FROM agg ORDER BY event_type
+    """
+    oracles["kmv_set_ops_cents"] = f"""
+        -- union sketch = bottom-k of the merged sketches; shared
+        -- membership over it gives the floored intersection / Jaccard
+        WITH {_kmv_base},
+        sa AS (SELECT h FROM r WHERE event_type = 'purchase' AND rn <= 256),
+        sb AS (SELECT h FROM r WHERE event_type = 'click' AND rn <= 256),
+        ux AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+               ORDER BY h LIMIT 256),
+        m AS (
+          SELECT COUNT(*) AS kx, MAX(h) AS hmax,
+                 SUM(CASE WHEN h IN (SELECT h FROM sa)
+                           AND h IN (SELECT h FROM sb)
+                     THEN 1 ELSE 0 END) AS shared
+          FROM ux),
+        u AS (
+          SELECT kx, shared,
+                 CASE WHEN kx < 256 THEN CAST(kx AS HUGEINT)
+                      ELSE 255 * {_kmv_2_64} // hmax END AS uh
+          FROM m)
+        SELECT CAST(kx AS BIGINT) AS kx,
+               CAST(uh AS BIGINT) AS union_hat,
+               CAST(shared AS BIGINT) AS shared,
+               CAST(CASE WHEN kx = 0 THEN 0
+                    ELSE shared * uh // kx END AS BIGINT) AS inter_hat,
+               CAST(CASE WHEN kx = 0 THEN 0
+                    ELSE shared * 1000000 // kx END AS BIGINT) AS jacc_ppm
+        FROM u
     """
     return oracles

@@ -887,3 +887,107 @@ def kll_quantiles(ds, col: str, qs: list[float], k: int = 64):
             "w_total": [w] * len(qs),
         }
     )
+
+
+# --------------------------------------------------------------------
+# KMV (K-minimum-values / bottom-k) distinct sketch — the mergeable
+# set-operations member of the sketch family. Unlike HLL (registers:
+# union only) a KMV sketch supports union, intersection and Jaccard
+# estimates between groups, because the bottom-k of a set of hashes
+# is itself a uniform sample of the union. Bar-Yossef et al.,
+# "Counting distinct elements in a data stream" (RANDOM 2002);
+# Beyer et al., "On synopses for distinct-value estimation under
+# multiset operations" (SIGMOD 2007).
+#
+# Determinism: hash = first 16 hex chars of md5(salt || ':' || value)
+# parsed as uint64 — the repo-wide md5 oracle discipline, so DuckDB
+# recomputes every sketch from scratch. And unlike KLL, the bottom-k
+# of a SET is layout-invariant: any partitioning folds to the same
+# sketch, so the estimates are EXACTLY SQL-reproducible.
+#
+# 100-TB shape: one map_batches pass emits <= k block-local bottom
+# hashes per (block, group) — raw rows never shuffle; the fold sees
+# <= blocks * groups * k sketch rows (combiner discipline, same as
+# the HLL register table). Estimator: n_hat = (k-1) * 2^64 // h_(k)
+# (floor — integer-exact in both engines via HUGEINT), exact n_kept
+# when the group holds fewer than k distinct values.
+
+
+def kmv_group_sketch(ds, group_col: str, value_col: str, k: int = 256, salt: str = "kmv") -> pd.DataFrame:
+    """Per-group bottom-k distinct-hash sketch → (g, h) rows, <= k
+    uint64 hashes per group, ascending. ``value_col`` must be integer
+    (callers project floats to micro-ints first — the md5 string
+    must be engine-identical). Nulls in either column are skipped."""
+
+    def partial(b: pa.Table) -> pa.Table:
+        df = b.select([group_col, value_col]).to_pandas().dropna()
+        gs: list = []
+        hs: list = []
+        for g, grp in df.groupby(group_col, sort=False):
+            uniq = {
+                int(hashlib.md5(f"{salt}:{int(v)}".encode()).hexdigest()[:16], 16)
+                for v in grp[value_col]
+            }
+            bot = sorted(uniq)[:k]
+            gs.extend([g] * len(bot))
+            hs.extend(bot)
+        return pa.table(
+            {"g": pa.array(gs), "h": pa.array(np.array(hs, dtype=np.uint64))}
+        )
+
+    parts = (
+        ds.select_columns([group_col, value_col])
+        .map_batches(partial, batch_format="pyarrow")
+        .to_pandas()
+    )
+    if parts.empty:
+        return pd.DataFrame({"g": pd.Series(dtype=object), "h": pd.Series(dtype="uint64")})
+    return (
+        parts.drop_duplicates()
+        .sort_values(["g", "h"], kind="mergesort")
+        .groupby("g", sort=True)
+        .head(k)
+        .reset_index(drop=True)
+    )
+
+
+def _kmv_n_hat(bot: list[int], k: int) -> int:
+    if len(bot) < k:
+        return len(bot)
+    return (k - 1) * (1 << 64) // int(bot[-1])
+
+
+def kmv_estimate(sketch: pd.DataFrame, k: int) -> pd.DataFrame:
+    """(g, n_kept, n_hat) per group — exact when the group held fewer
+    than k distinct values, the (k-1)/U_(k) floor estimate otherwise."""
+    rows = []
+    for g, grp in sketch.groupby("g", sort=True):
+        bot = [int(x) for x in grp["h"]]
+        rows.append((g, len(bot), _kmv_n_hat(bot, k)))
+    return pd.DataFrame(rows, columns=["g", "n_kept", "n_hat"])
+
+
+def kmv_pair_ops(sketch: pd.DataFrame, k: int, ga, gb) -> pd.DataFrame:
+    """Union / intersection / Jaccard estimates between two groups'
+    sketches: X = bottom-k of (S_a ∪ S_b) is a uniform size-kx sample
+    of the union, so shared = |X ∩ S_a ∩ S_b| gives jacc ≈ shared/kx
+    and inter ≈ shared * union_hat / kx (floored ppm / integer —
+    engine-exact). One row: (kx, union_hat, shared, inter_hat,
+    jacc_ppm)."""
+    sa = set(int(x) for x in sketch.loc[sketch["g"] == ga, "h"])
+    sb = set(int(x) for x in sketch.loc[sketch["g"] == gb, "h"])
+    ux = sorted(sa | sb)[:k]
+    kx = len(ux)
+    union_hat = _kmv_n_hat(ux, k)
+    shared = sum(1 for h in ux if h in sa and h in sb)
+    inter_hat = shared * union_hat // kx if kx else 0
+    jacc_ppm = shared * 1_000_000 // kx if kx else 0
+    return pd.DataFrame(
+        {
+            "kx": [kx],
+            "union_hat": [union_hat],
+            "shared": [shared],
+            "inter_hat": [inter_hat],
+            "jacc_ppm": [jacc_ppm],
+        }
+    ).astype("int64")

@@ -434,3 +434,74 @@ def test_kll_quantiles_distributed(ray_session):
     out2 = kll_quantiles(ds2, "v", [0.5], k=64)
     assert int(out2["w_total"].iloc[0]) == 3
     assert int(out2["value"].iloc[0]) == 7
+
+
+def test_kmv_layout_invariant_and_exact_below_k(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import kmv_estimate, kmv_group_sketch
+
+    rng = np.random.RandomState(9)
+    df = pd.DataFrame(
+        {
+            "g": rng.choice(["a", "b"], 5_000),
+            "v": rng.randint(0, 40, 5_000),  # <= 40 distinct < k
+        }
+    )
+    tbl = pa.Table.from_pandas(df, preserve_index=False)
+    sk1 = kmv_group_sketch(rd.from_arrow(tbl).repartition(1), "g", "v", k=64)
+    sk7 = kmv_group_sketch(rd.from_arrow(tbl).repartition(7), "g", "v", k=64)
+    pd.testing.assert_frame_equal(sk1, sk7)  # bottom-k of a SET
+    est = kmv_estimate(sk1, k=64)
+    for g in ("a", "b"):
+        true = df.loc[df["g"] == g, "v"].nunique()
+        row = est.loc[est["g"] == g].iloc[0]
+        assert (row["n_kept"], row["n_hat"]) == (true, true)  # exact path
+
+
+def test_kmv_estimator_error_and_pair_ops(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.sketch import (
+        kmv_estimate,
+        kmv_group_sketch,
+        kmv_pair_ops,
+    )
+
+    # a: 0..3999, b: 2000..5999 -> |a|=|b|=4000, inter=2000, union=6000
+    va = np.arange(0, 4_000)
+    vb = np.arange(2_000, 6_000)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(va) + ["b"] * len(vb),
+            "v": np.concatenate([va, vb]),
+        }
+    )
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(6)
+    k = 256
+    sk = kmv_group_sketch(ds, "g", "v", k=k)
+    est = kmv_estimate(sk, k=k)
+    for g, true in (("a", 4_000), ("b", 4_000)):
+        n_hat = int(est.loc[est["g"] == g, "n_hat"].iloc[0])
+        assert abs(n_hat - true) / true < 0.2, (g, n_hat)  # ~1/sqrt(k)
+    ops = kmv_pair_ops(sk, k, "a", "b").iloc[0]
+    assert abs(int(ops["union_hat"]) - 6_000) / 6_000 < 0.2
+    assert abs(int(ops["inter_hat"]) - 2_000) / 2_000 < 0.35
+    assert abs(int(ops["jacc_ppm"]) - 333_333) / 333_333 < 0.35
+    # nulls skipped, empty input -> empty sketch
+    dfn = pd.DataFrame({"g": ["a", None], "v": pd.array([None, 3], dtype="Int64")})
+    skn = kmv_group_sketch(
+        rd.from_arrow(pa.Table.from_pandas(dfn, preserve_index=False)),
+        "g",
+        "v",
+        k=8,
+    )
+    assert len(skn) == 0
