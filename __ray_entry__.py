@@ -14569,6 +14569,64 @@ def queries() -> dict[str, Callable[[str], Any]]:
         sk = kmv_group_sketch(_kmv_cents(sf_dir), "event_type", "cents", k=256)
         return kmv_pair_ops(sk, 256, "purchase", "click")
 
+    def q_bpe_pair_counts(sf_dir):
+        """Round-1 BPE pair statistics (ops/bpe.first_round_pair_counts):
+        weighted adjacent-symbol counts (chars + </w>) over the
+        word-frequency table — the SQL-expressible anchor of BPE
+        learning (the oracle replays word split, substring pairs and
+        the weighted sum), top 30 by the learner's argmax order."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.bpe import first_round_pair_counts
+
+        docs = _read(sf_dir, "documents", ["text"])
+        pc_ = first_round_pair_counts(docs, "text").to_pandas()
+        out = pc_.rename(columns={"left": "left_sym", "right": "right_sym"})
+        return (
+            out.sort_values(
+                ["n", "left_sym", "right_sym"],
+                ascending=[False, True, True],
+                kind="mergesort",
+            )
+            .head(30)
+            .reset_index(drop=True)
+            .astype({"n": "int64"})
+        )
+
+    def q_bpe_learn_merges(sf_dir):
+        """BPE vocabulary induction (ops/bpe.learn_bpe — Sennrich ACL
+        2016): 30 merges learned from ONE corpus scan folded to the
+        word-frequency combiner table; merge rounds never touch
+        documents. Iterative string rewriting — not SQL-expressible
+        beyond round 1 (q_bpe_pair_counts is the oracled anchor), so
+        rows-only; tests/test_bpe.py pins byte-exact equality against
+        an independent corpus-rescan reference implementation, the
+        driver==distributed path equality, and the published worked
+        example."""
+        from ocr_service_ray.ops.bpe import learn_bpe
+
+        docs = _read(sf_dir, "documents", ["text"])
+        m = learn_bpe(docs, "text", num_merges=30, min_count=2)
+        return m.rename(columns={"left": "left_sym", "right": "right_sym"})
+
+    def q_bpe_subword_counts(sf_dir):
+        """Corpus subword frequencies under the learned BPE vocab
+        (ops/bpe.bpe_token_table): each DISTINCT word segmented once,
+        weighted by corpus frequency — top 20 tokens. Rows-only (the
+        token table inherits the merge list's non-SQL closure);
+        pytest pins segment/table consistency."""
+        from ocr_service_ray.ops.bpe import bpe_token_table, learn_bpe
+
+        docs = _read(sf_dir, "documents", ["text"])
+        m = learn_bpe(docs, "text", num_merges=30, min_count=2)
+        tt = bpe_token_table(docs, "text", m).to_pandas()
+        return (
+            tt.sort_values(["n", "token"], ascending=[False, True], kind="mergesort")
+            .head(20)
+            .reset_index(drop=True)
+            .astype({"n": "int64"})
+        )
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14604,6 +14662,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kll_quantiles_value": q_kll_quantiles_value,
         "kmv_distinct_cents": q_kmv_distinct_cents,
         "kmv_set_ops_cents": q_kmv_set_ops_cents,
+        "bpe_pair_counts": q_bpe_pair_counts,
+        "bpe_learn_merges": q_bpe_learn_merges,
+        "bpe_subword_counts": q_bpe_subword_counts,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -22929,5 +22990,26 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN kx = 0 THEN 0
                     ELSE shared * 1000000 // kx END AS BIGINT) AS jacc_ppm
         FROM u
+    """
+    oracles["bpe_pair_counts"] = """
+        -- BPE round 1 from scratch: word-frequency table, substring
+        -- adjacent pairs with the </w> end-of-word symbol, weighted sum
+        WITH w AS (
+          SELECT unnest(string_split(text, ' ')) AS word
+          FROM documents WHERE text IS NOT NULL),
+        wf AS (SELECT word, COUNT(*) AS f FROM w WHERE word <> '' GROUP BY word),
+        pos AS (
+          SELECT word, f, unnest(generate_series(1, length(word))) AS i
+          FROM wf),
+        p AS (
+          SELECT substring(word, i, 1) AS left_sym,
+                 CASE WHEN i = length(word) THEN '</w>'
+                      ELSE substring(word, i + 1, 1) END AS right_sym,
+                 f
+          FROM pos)
+        SELECT left_sym, right_sym, CAST(SUM(f) AS BIGINT) AS n
+        FROM p GROUP BY left_sym, right_sym
+        ORDER BY n DESC, left_sym, right_sym
+        LIMIT 30
     """
     return oracles
