@@ -14627,6 +14627,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .astype({"n": "int64"})
         )
 
+    def q_kcenter_coreset(sf_dir):
+        """Greedy k-center coreset (k=8) over the 2-D embedding
+        projection (ops/coreset.py — Gonzalez 1985 farthest-point
+        selection, the diverse-subset data-selection pass): exact
+        integer micro-distances, running-min state updated once per
+        round, per-block argmax combiner. The oracle unrolls all 8
+        rounds as chained CTEs (the ops/sssp.py fixed-round
+        discipline) — selection order, ids and covering radii are
+        engine-exact."""
+        from ocr_service_ray.ops.coreset import kcenter_greedy
+
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+        def proj(b: pa.Table) -> pa.Table:
+            mat = similarity._as_matrix(b["embedding"])
+            return pa.table(
+                {
+                    "vec_id": b["vec_id"],
+                    "x": pa.array(_micro(mat[:, 0])),
+                    "y": pa.array(_micro(mat[:, 1])),
+                }
+            )
+
+        pts = emb.map_batches(proj, batch_format="pyarrow")
+        return kcenter_greedy(pts, "vec_id", "x", "y", k=8)
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14665,6 +14691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_pair_counts": q_bpe_pair_counts,
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_subword_counts": q_bpe_subword_counts,
+        "kcenter_coreset": q_kcenter_coreset,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -15515,6 +15542,50 @@ def _lsh_knn_oracle_sql(nbits: int = 4, radius: int = 1, seed: int = 13, dim: in
             ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id ASC
             LIMIT {k}
         """
+
+
+def _kcenter_oracle_sql(k: int) -> str:
+    """Greedy k-center unrolled as chained CTEs: c0 = min-id seed,
+    d{r} carries each point's running min squared distance, c{r} is
+    the ``ORDER BY d2 DESC, id LIMIT 1`` argmax — the exact total
+    order ops/coreset.kcenter_greedy implements."""
+    parts = [
+        """p AS (
+          SELECT vec_id AS id,
+                 CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT) AS x,
+                 CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000000.0 + 0.5)
+                      AS BIGINT) AS y
+          FROM embeddings),
+        c0 AS (SELECT id, x, y FROM p ORDER BY id LIMIT 1),
+        d0 AS (
+          SELECT p.id, p.x, p.y,
+                 (p.x - c0.x) * (p.x - c0.x) + (p.y - c0.y) * (p.y - c0.y) AS d2
+          FROM p, c0)"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f"c{r} AS (SELECT id, x, y, d2 FROM d{r - 1} ORDER BY d2 DESC, id LIMIT 1)"
+        )
+        if r < k - 1:
+            parts.append(
+                f"""d{r} AS (
+          SELECT d.id, d.x, d.y,
+                 LEAST(d.d2, (d.x - c.x) * (d.x - c.x) + (d.y - c.y) * (d.y - c.y)) AS d2
+          FROM d{r - 1} d, c{r} c)"""
+            )
+    selects = " UNION ALL ".join(
+        ["SELECT CAST(0 AS BIGINT) AS center_rank, id, CAST(0 AS BIGINT) AS radius2 FROM c0"]
+        + [
+            f"SELECT CAST({r} AS BIGINT), id, CAST(d2 AS BIGINT) FROM c{r}"
+            for r in range(1, k)
+        ]
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT * FROM ({selects}) ORDER BY center_rank"
+    )
 
 
 def _hex_bigint_sql(hex_expr: str, start: int, n: int) -> str:
@@ -23012,4 +23083,5 @@ def oracle_sql() -> dict[str, str]:
         ORDER BY n DESC, left_sym, right_sym
         LIMIT 30
     """
+    oracles["kcenter_coreset"] = _kcenter_oracle_sql(8)
     return oracles
