@@ -14653,6 +14653,57 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = emb.map_batches(proj, batch_format="pyarrow")
         return kcenter_greedy(pts, "vec_id", "x", "y", k=8)
 
+    def q_cdc_upsert_orders(sf_dir):
+        """CDC latest-wins snapshot materialization (ops/cdc.py):
+        base = orders at seq 0; a derived changelog upserts every
+        7th key (price +12345 cents, status 'U', seq 1) and
+        tombstones every 13th (seq 2). One grouped_topk(k=1) keyed
+        max-seq pass — block-local candidates only reach the shuffle;
+        deletes beat upserts where both apply (higher seq). The
+        replace-payload complement to the wave-96 equality-delete
+        reader; oracle replays the log with a seq-desc ROW_NUMBER."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.cdc import apply_changelog
+
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_totalprice", "o_orderstatus"])
+
+        def rows(b: pa.Table, which: str) -> pa.Table:
+            k = b["o_orderkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            cents = np.floor(
+                b["o_totalprice"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            status = np.asarray(b["o_orderstatus"].to_pylist(), dtype=object)
+            if which == "base":
+                sel = np.ones(len(k), bool)
+                seq, op = 0, "u"
+            elif which == "ups":
+                sel = k % 7 == 0
+                cents, status = cents + 12345, np.full(len(k), "U", object)
+                seq, op = 1, "u"
+            else:
+                sel = k % 13 == 0
+                cents, status = np.zeros(len(k), np.int64), np.full(len(k), "", object)
+                seq, op = 2, "d"
+            return pa.table(
+                {
+                    "o_orderkey": pa.array(k[sel]),
+                    "cents": pa.array(cents[sel]),
+                    "status": pa.array(status[sel], pa.string()),
+                    "seq": pa.array(np.full(int(sel.sum()), seq, np.int64)),
+                    "op": pa.array(np.full(int(sel.sum()), op, object), pa.string()),
+                }
+            )
+
+        base = od.map_batches(lambda b: rows(b, "base"), batch_format="pyarrow")
+        ups = od.map_batches(lambda b: rows(b, "ups"), batch_format="pyarrow")
+        dels = od.map_batches(lambda b: rows(b, "dels"), batch_format="pyarrow")
+        cur = apply_changelog(base, ups.union(dels), "o_orderkey")
+        out = cur.to_pandas().sort_values("o_orderkey").reset_index(drop=True)
+        return out[["o_orderkey", "cents", "status", "seq"]].astype(
+            {"o_orderkey": "int64", "cents": "int64", "seq": "int64"}
+        )
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14692,6 +14743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_subword_counts": q_bpe_subword_counts,
         "kcenter_coreset": q_kcenter_coreset,
+        "cdc_upsert_orders": q_cdc_upsert_orders,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -23084,4 +23136,29 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 30
     """
     oracles["kcenter_coreset"] = _kcenter_oracle_sql(8)
+    oracles["cdc_upsert_orders"] = """
+        -- CDC latest-wins: base seq 0, upserts seq 1 (k%7), delete
+        -- tombstones seq 2 (k%13); max-seq row wins, deletes drop keys
+        WITH base AS (
+          SELECT o_orderkey,
+                 CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+                 o_orderstatus AS status,
+                 CAST(0 AS BIGINT) AS seq, 'u' AS op
+          FROM orders),
+        log AS (
+          SELECT * FROM base
+          UNION ALL
+          SELECT o_orderkey, cents + 12345, 'U', 1, 'u'
+          FROM base WHERE o_orderkey % 7 = 0
+          UNION ALL
+          SELECT o_orderkey, CAST(0 AS BIGINT), '', 2, 'd'
+          FROM base WHERE o_orderkey % 13 = 0),
+        win AS (
+          SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey
+                                       ORDER BY seq DESC) AS rn
+          FROM log)
+        SELECT o_orderkey, cents, status, seq
+        FROM win WHERE rn = 1 AND op <> 'd'
+        ORDER BY o_orderkey
+    """
     return oracles
