@@ -14653,7 +14653,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         pts = emb.map_batches(proj, batch_format="pyarrow")
         return kcenter_greedy(pts, "vec_id", "x", "y", k=8)
 
-    def q_cdc_upsert_orders(sf_dir):
+    def q_cdc_apply_changelog(sf_dir):
         """CDC latest-wins snapshot materialization (ops/cdc.py):
         base = orders at seq 0; a derived changelog upserts every
         7th key (price +12345 cents, status 'U', seq 1) and
@@ -14743,7 +14743,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_learn_merges": q_bpe_learn_merges,
         "bpe_subword_counts": q_bpe_subword_counts,
         "kcenter_coreset": q_kcenter_coreset,
-        "cdc_upsert_orders": q_cdc_upsert_orders,
+        "cdc_apply_changelog": q_cdc_apply_changelog,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -23136,7 +23136,7 @@ def oracle_sql() -> dict[str, str]:
         LIMIT 30
     """
     oracles["kcenter_coreset"] = _kcenter_oracle_sql(8)
-    oracles["cdc_upsert_orders"] = """
+    oracles["cdc_apply_changelog"] = """
         -- CDC latest-wins: base seq 0, upserts seq 1 (k%7), delete
         -- tombstones seq 2 (k%13); max-seq row wins, deletes drop keys
         WITH base AS (
