@@ -14704,6 +14704,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {"o_orderkey": "int64", "cents": "int64", "seq": "int64"}
         )
 
+    def q_pq_ann_eval(sf_dir):
+        """Product quantization ANN (ops/pq.py — Jégou TPAMI 2011):
+        m=4 subspace codebooks trained with the deterministic integer
+        kmeans, one-pass encode (4 bytes/vector, 64× compression),
+        ADC shortlist from codes alone via a k×m integer LUT, exact
+        rerank of just the 100 shortlisted vectors, recall vs the
+        combiner-top-k brute ground truth. Rows-only (kmeans training
+        is iterative — the kmeans_clusters precedent); pytest pins an
+        independent numpy error recomputation, perfect recall on
+        separated clusters, and layout invariance."""
+        from ocr_service_ray.ops.pq import pq_eval
+
+        emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+        return pq_eval(emb, m=4, k=32, rerank=100, max_iters=4)
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14744,6 +14759,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bpe_subword_counts": q_bpe_subword_counts,
         "kcenter_coreset": q_kcenter_coreset,
         "cdc_apply_changelog": q_cdc_apply_changelog,
+        "pq_ann_eval": q_pq_ann_eval,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
