@@ -14719,6 +14719,51 @@ def queries() -> dict[str, Callable[[str], Any]]:
         emb = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
         return pq_eval(emb, m=4, k=32, rerank=100, max_iters=4)
 
+    def q_ols2_hour_dow(sf_dir):
+        """Per-type TWO-feature least squares — value cents on (hour
+        of day, day of week) — via exact integer normal equations
+        (ops/stats.grouped_ols2): one combiner scan emits the 9
+        moments per group, Cramer's rule closes the 3×3 system in
+        exact bigints, betas floored to micro with the sign-magnitude
+        pattern. The oracle replays the moments AND the whole solve in
+        HUGEINT — the multivariate extension of value_trend_ols."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.stats import grouped_ols2
+
+        ev = _read(sf_dir, "events", ["event_type", "ts", "value"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ts_us = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            )
+            cents = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "event_type": b["event_type"],
+                    "hour": pa.array((ts_us // 3_600_000_000) % 24),
+                    "dow": pa.array((ts_us // 86_400_000_000 + 4) % 7),
+                    "cents": pa.array(cents),
+                }
+            )
+
+        out = grouped_ols2(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            ["event_type"],
+            "hour",
+            "dow",
+            "cents",
+        )
+        out = out.sort_values("event_type").reset_index(drop=True)
+        for c in out.columns:
+            if c != "event_type":
+                out[c] = out[c].astype("Int64")
+        return out
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14760,6 +14805,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kcenter_coreset": q_kcenter_coreset,
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "pq_ann_eval": q_pq_ann_eval,
+        "ols2_hour_dow": q_ols2_hour_dow,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -23176,5 +23222,52 @@ def oracle_sql() -> dict[str, str]:
         SELECT o_orderkey, cents, status, seq
         FROM win WHERE rn = 1 AND op <> 'd'
         ORDER BY o_orderkey
+    """
+    _sm = (
+        lambda num, den: f"""CASE WHEN {den} = 0 THEN NULL
+            WHEN ({num} >= 0) = ({den} > 0) THEN abs({num}) // abs({den})
+            ELSE -(abs({num}) // abs({den})) END"""
+    )
+    oracles["ols2_hour_dow"] = f"""
+        -- two-feature OLS from scratch: integer moments per type,
+        -- 3x3 Cramer in HUGEINT, sign-magnitude micro floors
+        WITH p AS (
+          SELECT event_type,
+                 (epoch_us(ts) // 3600000000) % 24 AS x1,
+                 ((epoch_us(ts) // 86400000000) + 4) % 7 AS x2,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS y
+          FROM events),
+        m AS (
+          SELECT event_type,
+                 CAST(count(*) AS BIGINT) AS n,
+                 CAST(sum(x1) AS BIGINT) AS sx1,
+                 CAST(sum(x2) AS BIGINT) AS sx2,
+                 CAST(sum(y) AS BIGINT) AS sy,
+                 CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+                 CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+                 CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+                 CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+                 CAST(sum(x2 * y) AS BIGINT) AS sx2y
+          FROM p GROUP BY event_type),
+        d AS (
+          SELECT *,
+            CAST(n AS HUGEINT) * (CAST(sx11 AS HUGEINT) * sx22 - CAST(sx12 AS HUGEINT) * sx12)
+              - CAST(sx1 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * sx22 - CAST(sx12 AS HUGEINT) * sx2)
+              + CAST(sx2 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * sx12 - CAST(sx11 AS HUGEINT) * sx2) AS det,
+            CAST(sy AS HUGEINT) * (CAST(sx11 AS HUGEINT) * sx22 - CAST(sx12 AS HUGEINT) * sx12)
+              - CAST(sx1 AS HUGEINT) * (CAST(sx1y AS HUGEINT) * sx22 - CAST(sx12 AS HUGEINT) * sx2y)
+              + CAST(sx2 AS HUGEINT) * (CAST(sx1y AS HUGEINT) * sx12 - CAST(sx11 AS HUGEINT) * sx2y) AS d0,
+            CAST(n AS HUGEINT) * (CAST(sx1y AS HUGEINT) * sx22 - CAST(sx12 AS HUGEINT) * sx2y)
+              - CAST(sy AS HUGEINT) * (CAST(sx1 AS HUGEINT) * sx22 - CAST(sx12 AS HUGEINT) * sx2)
+              + CAST(sx2 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * sx2y - CAST(sx1y AS HUGEINT) * sx2) AS d1,
+            CAST(n AS HUGEINT) * (CAST(sx11 AS HUGEINT) * sx2y - CAST(sx1y AS HUGEINT) * sx12)
+              - CAST(sx1 AS HUGEINT) * (CAST(sx1 AS HUGEINT) * sx2y - CAST(sx1y AS HUGEINT) * sx2)
+              + CAST(sy AS HUGEINT) * (CAST(sx1 AS HUGEINT) * sx12 - CAST(sx11 AS HUGEINT) * sx2) AS d2
+          FROM m)
+        SELECT event_type, n, sx1, sx2, sy, sx11, sx22, sx12, sx1y, sx2y,
+               CAST({_sm("1000000 * d0", "det")} AS BIGINT) AS beta0_micro,
+               CAST({_sm("1000000 * d1", "det")} AS BIGINT) AS beta1_micro,
+               CAST({_sm("1000000 * d2", "det")} AS BIGINT) AS beta2_micro
+        FROM d ORDER BY event_type
     """
     return oracles

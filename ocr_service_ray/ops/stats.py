@@ -163,3 +163,99 @@ def hodges_lehmann(ds, col: str):
     return pd.DataFrame(
         {"n_pairs": [m], "hl_num": [int(s[idx])], "hl_den": [2]}
     ).astype("int64")
+
+
+def _sm_div(num: int, den: int):
+    """Sign-magnitude integer division (truncation toward zero on the
+    magnitude) — the repo's cross-engine floor pattern (DuckDB ``//``
+    truncates, Python ``//`` floors; this form is identical in both)."""
+    if den == 0:
+        return None
+    q = abs(num) // abs(den)
+    return q if (num >= 0) == (den > 0) else -q
+
+
+def grouped_ols2(ds, group_keys: list[str], x1_col: str, x2_col: str, y_col: str):
+    """Per-group TWO-feature least squares via exact integer normal
+    equations: ONE combiner scan emits the 9 moments (n, Σx1, Σx2,
+    Σy, Σx1², Σx2², Σx1x2, Σx1y, Σx2y) per group — the only exchange
+    — and the 3×3 system closes by Cramer's rule over exact Python
+    ints on the |groups|-bounded moment table. Betas are emitted as
+    micro-scaled sign-magnitude floors, so the ENTIRE result
+    (moments AND solve) is SQL-replayable in HUGEINT — the
+    multivariate extension of ``grouped_ols`` (ops/trend.py).
+    Inputs must be integers (hour codes, cents, micro units).
+    A singular group (collinear features) emits NULL betas."""
+    import pandas as pd
+    import pyarrow as pa
+
+    from ocr_service_ray.ops.agg import grouped_agg
+
+    def prep(b: pa.Table) -> pa.Table:
+        import numpy as np
+
+        x1 = b[x1_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        x2 = b[x2_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        y = b[y_col].to_numpy(zero_copy_only=False).astype(np.int64)
+        cols = {k: b[k] for k in group_keys}
+        cols.update(
+            {
+                "x1": pa.array(x1),
+                "x2": pa.array(x2),
+                "y": pa.array(y),
+                "x11": pa.array(x1 * x1),
+                "x22": pa.array(x2 * x2),
+                "x12": pa.array(x1 * x2),
+                "x1y": pa.array(x1 * y),
+                "x2y": pa.array(x2 * y),
+            }
+        )
+        return pa.table(cols)
+
+    mom = grouped_agg(
+        ds.map_batches(prep, batch_format="pyarrow"),
+        group_keys,
+        {
+            "n": (None, "count"),
+            "sx1": ("x1", "sum"),
+            "sx2": ("x2", "sum"),
+            "sy": ("y", "sum"),
+            "sx11": ("x11", "sum"),
+            "sx22": ("x22", "sum"),
+            "sx12": ("x12", "sum"),
+            "sx1y": ("x1y", "sum"),
+            "sx2y": ("x2y", "sum"),
+        },
+    ).to_pandas()
+    b0, b1, b2 = [], [], []
+    for _, r in mom.iterrows():
+        n, sx1, sx2, sy = int(r["n"]), int(r["sx1"]), int(r["sx2"]), int(r["sy"])
+        sx11, sx22, sx12 = int(r["sx11"]), int(r["sx22"]), int(r["sx12"])
+        sx1y, sx2y = int(r["sx1y"]), int(r["sx2y"])
+        det = (
+            n * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1 * sx22 - sx12 * sx2)
+            + sx2 * (sx1 * sx12 - sx11 * sx2)
+        )
+        d0 = (
+            sy * (sx11 * sx22 - sx12 * sx12)
+            - sx1 * (sx1y * sx22 - sx12 * sx2y)
+            + sx2 * (sx1y * sx12 - sx11 * sx2y)
+        )
+        d1 = (
+            n * (sx1y * sx22 - sx12 * sx2y)
+            - sy * (sx1 * sx22 - sx12 * sx2)
+            + sx2 * (sx1 * sx2y - sx1y * sx2)
+        )
+        d2 = (
+            n * (sx11 * sx2y - sx1y * sx12)
+            - sx1 * (sx1 * sx2y - sx1y * sx2)
+            + sy * (sx1 * sx12 - sx11 * sx2)
+        )
+        b0.append(_sm_div(1_000_000 * d0, det))
+        b1.append(_sm_div(1_000_000 * d1, det))
+        b2.append(_sm_div(1_000_000 * d2, det))
+    mom["beta0_micro"] = pd.array(b0, dtype="Int64")
+    mom["beta1_micro"] = pd.array(b1, dtype="Int64")
+    mom["beta2_micro"] = pd.array(b2, dtype="Int64")
+    return mom

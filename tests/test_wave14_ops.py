@@ -184,3 +184,60 @@ def test_pair_lift_brute(ray_session):
         assert r["lift_ppm"] == (
             1_000_000 * pairs[key] * 5 // (marg[key[0]] * marg[key[1]])
         )
+
+
+def test_grouped_ols2_matches_lstsq_and_handles_singular(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.stats import grouped_ols2
+
+    rng = np.random.RandomState(7)
+    n = 2_000
+    x1 = rng.randint(0, 24, n)
+    x2 = rng.randint(0, 7, n)
+    y = 3 * x1 - 5 * x2 + 17 + rng.randint(-3, 4, n)
+    df = pd.DataFrame(
+        {
+            "g": np.where(np.arange(n) % 2 == 0, "a", "b"),
+            "x1": x1.astype(np.int64),
+            "x2": x2.astype(np.int64),
+            "y": y.astype(np.int64),
+        }
+    )
+    # group 'c' has constant x1 == x2 == 1 -> singular normal matrix
+    sing = pd.DataFrame(
+        {"g": ["c"] * 5, "x1": [1] * 5, "x2": [1] * 5, "y": [1, 2, 3, 4, 5]}
+    )
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(pd.concat([df, sing]), preserve_index=False)
+    ).repartition(6)
+    out = grouped_ols2(ds, ["g"], "x1", "x2", "y").set_index("g")
+    for g in ("a", "b"):
+        sub = df[df["g"] == g]
+        X = np.stack([np.ones(len(sub)), sub["x1"], sub["x2"]], axis=1)
+        beta = np.linalg.lstsq(X, sub["y"].astype(float), rcond=None)[0]
+        got = [
+            out.loc[g, "beta0_micro"],
+            out.loc[g, "beta1_micro"],
+            out.loc[g, "beta2_micro"],
+        ]
+        for b_hat, b_ref in zip(got, beta):
+            assert abs(int(b_hat) / 1e6 - b_ref) < 2e-6, (g, got, beta)
+    assert pd.isna(out.loc["c", "beta0_micro"])
+    # layout invariance of the full output table
+    out1 = grouped_ols2(
+        rd.from_arrow(
+            pa.Table.from_pandas(pd.concat([df, sing]), preserve_index=False)
+        ).repartition(1),
+        ["g"],
+        "x1",
+        "x2",
+        "y",
+    )
+    pd.testing.assert_frame_equal(
+        out.reset_index().sort_values("g").reset_index(drop=True),
+        out1.sort_values("g").reset_index(drop=True),
+    )
