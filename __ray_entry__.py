@@ -14764,6 +14764,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
                 out[c] = out[c].astype("Int64")
         return out
 
+    def q_max_coverage_docs(sf_dir):
+        """Greedy maximum-coverage document selection over the
+        word-bigram universe (ops/setcover.py — the (1−1/e) greedy,
+        the coverage-objective complement of kcenter_coreset): 6
+        rounds, each a broadcast-covered-set gain pass + grouped sum
+        + combiner top-1; picks and marginal gains are engine-exact.
+        Oracle unrolls all 6 rounds as chained CTEs (NOT-IN covered
+        subqueries, the kcenter/sssp fixed-round discipline)."""
+        from ocr_service_ray.ops.setcover import greedy_max_coverage
+
+        docs = _read(sf_dir, "documents", ["doc_id", "text"])
+        return greedy_max_coverage(docs, "doc_id", "text", k=6, unit="bigram")
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14806,6 +14819,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cdc_apply_changelog": q_cdc_apply_changelog,
         "pq_ann_eval": q_pq_ann_eval,
         "ols2_hour_dow": q_ols2_hour_dow,
+        "max_coverage_docs": q_max_coverage_docs,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -15656,6 +15670,52 @@ def _lsh_knn_oracle_sql(nbits: int = 4, radius: int = 1, seed: int = 13, dim: in
             ORDER BY list_cosine_similarity(c.v, q.qv) DESC, c.vec_id ASC
             LIMIT {k}
         """
+
+
+def _max_coverage_oracle_sql(k: int) -> str:
+    """Greedy max-coverage unrolled as chained CTEs: dt = distinct
+    (doc, word-bigram) pairs; each round's pick is the gain argmax
+    (ORDER BY gain DESC, id LIMIT 1) over tokens not in the running
+    covered set; a round whose gain table is empty contributes no row
+    (the op's early stop)."""
+    parts = [
+        """w AS (
+          SELECT doc_id, string_split(text, ' ') AS ws
+          FROM documents WHERE text IS NOT NULL),
+        pp AS (
+          SELECT doc_id,
+                 unnest(generate_series(1, greatest(length(ws) - 1, 0))) AS i,
+                 ws
+          FROM w),
+        dt AS (
+          SELECT DISTINCT doc_id AS id, ws[i] || ' ' || ws[i + 1] AS token
+          FROM pp),
+        g1 AS (SELECT id, CAST(count(*) AS BIGINT) AS gain FROM dt GROUP BY id),
+        c1 AS (SELECT id, gain FROM g1 ORDER BY gain DESC, id LIMIT 1),
+        cov1 AS (SELECT DISTINCT token FROM dt WHERE id IN (SELECT id FROM c1))"""
+    ]
+    for r in range(2, k + 1):
+        parts.append(
+            f"""g{r} AS (
+          SELECT id, CAST(count(*) AS BIGINT) AS gain FROM dt
+          WHERE token NOT IN (SELECT token FROM cov{r - 1})
+          GROUP BY id),
+        c{r} AS (SELECT id, gain FROM g{r} ORDER BY gain DESC, id LIMIT 1),
+        cov{r} AS (
+          SELECT token FROM cov{r - 1}
+          UNION
+          SELECT token FROM dt WHERE id IN (SELECT id FROM c{r}))"""
+        )
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({r - 1} AS BIGINT) AS sel_rank, id, gain, "
+        f"CAST((SELECT count(*) FROM cov{r}) AS BIGINT) AS covered_total FROM c{r}"
+        for r in range(1, k + 1)
+    )
+    return (
+        "WITH "
+        + ",\n        ".join(parts)
+        + f"\n        SELECT * FROM ({selects}) ORDER BY sel_rank"
+    )
 
 
 def _kcenter_oracle_sql(k: int) -> str:
@@ -23270,4 +23330,5 @@ def oracle_sql() -> dict[str, str]:
                CAST({_sm("1000000 * d2", "det")} AS BIGINT) AS beta2_micro
         FROM d ORDER BY event_type
     """
+    oracles["max_coverage_docs"] = _max_coverage_oracle_sql(6)
     return oracles
