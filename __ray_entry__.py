@@ -14777,6 +14777,45 @@ def queries() -> dict[str, Callable[[str], Any]]:
         docs = _read(sf_dir, "documents", ["doc_id", "text"])
         return greedy_max_coverage(docs, "doc_id", "text", k=6, unit="bigram")
 
+    def q_quantile_normalize_lengths(sf_dir):
+        """Cross-source quantile normalization of the per-doc token-
+        length distribution (ops/normalize.py — Bolstad rank-map onto
+        the pooled order statistics, exact integers): one (source,
+        length)-count combiner, driver close on the bounded table.
+        Output: per-source n_docs + sum of normalized lengths — near-
+        equal across sources by construction (the mix-equalization
+        property). Oracle replays the cume-rank map with window
+        functions and a non-equi min lookup."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.normalize import quantile_normalize
+
+        docs = _read(sf_dir, "documents", ["source", "text"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            texts = b["text"].to_pylist()
+            keep = [i for i, t in enumerate(texts) if t is not None]
+            # field count == SQL length(string_split(text, ' '))
+            lens = np.fromiter(
+                (texts[i].count(" ") + 1 for i in keep),
+                dtype=np.int64,
+                count=len(keep),
+            )
+            src = b["source"].take(keep)
+            return pa.table({"source": src, "val": pa.array(lens)})
+
+        mapped = quantile_normalize(
+            docs.map_batches(prep, batch_format="pyarrow"), "source", "val"
+        )
+        out = (
+            mapped.assign(w=mapped["c"] * mapped["norm_val"])
+            .groupby("g", sort=True)
+            .agg(n_docs=("c", "sum"), sum_norm_len=("w", "sum"))
+            .reset_index()
+            .rename(columns={"g": "source"})
+        )
+        return out.astype({"n_docs": "int64", "sum_norm_len": "int64"})
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14820,6 +14859,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pq_ann_eval": q_pq_ann_eval,
         "ols2_hour_dow": q_ols2_hour_dow,
         "max_coverage_docs": q_max_coverage_docs,
+        "quantile_normalize_lengths": q_quantile_normalize_lengths,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -23331,4 +23371,32 @@ def oracle_sql() -> dict[str, str]:
         FROM d ORDER BY event_type
     """
     oracles["max_coverage_docs"] = _max_coverage_oracle_sql(6)
+    oracles["quantile_normalize_lengths"] = """
+        -- Bolstad rank-map: per-source cume rank -> pooled order
+        -- statistic at ceil(r*N/n_g), all integer arithmetic
+        WITH v AS (
+          SELECT source,
+                 CAST(length(string_split(text, ' ')) AS BIGINT) AS val
+          FROM documents WHERE text IS NOT NULL),
+        vc AS (SELECT source, val, CAST(count(*) AS BIGINT) AS c
+               FROM v GROUP BY 1, 2),
+        src_cum AS (
+          SELECT source, val, c,
+                 SUM(c) OVER (PARTITION BY source ORDER BY val) AS r,
+                 SUM(c) OVER (PARTITION BY source) AS n_g
+          FROM vc),
+        pooled AS (SELECT val, SUM(c) AS pc FROM vc GROUP BY val),
+        pooled_cum AS (
+          SELECT val, SUM(pc) OVER (ORDER BY val) AS pcum FROM pooled),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS N FROM vc),
+        mapped AS (
+          SELECT s.source, s.c,
+                 (SELECT min(p.val) FROM pooled_cum p
+                  WHERE p.pcum >= ((s.r * t.N + s.n_g - 1) // s.n_g))
+                   AS norm_val
+          FROM src_cum s, tot t)
+        SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(SUM(c * norm_val) AS BIGINT) AS sum_norm_len
+        FROM mapped GROUP BY source ORDER BY source
+    """
     return oracles
