@@ -14816,6 +14816,23 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
         return out.astype({"n_docs": "int64", "sum_norm_len": "int64"})
 
+    def q_energy_distance_values(sf_dir):
+        """Two-sample energy distance between purchase and click value
+        cents (ops/divergence.energy_distance — Székely-Rizzo
+        V-statistic): the three pair-|diff| sums collapse to one scan
+        of the merged value-counts support via the gap identity, so
+        the metric is exact integers end to end; the oracle replays
+        the gap scan with window cumulatives and the HUGEINT
+        sign-magnitude close. The metric complement of the KS (sup) /
+        Wasserstein (integral) distances in this family."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.divergence import energy_distance
+
+        return energy_distance(
+            _kmv_cents(sf_dir), "event_type", "cents", "purchase", "click"
+        )
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14860,6 +14877,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ols2_hour_dow": q_ols2_hour_dow,
         "max_coverage_docs": q_max_coverage_docs,
         "quantile_normalize_lengths": q_quantile_normalize_lengths,
+        "energy_distance_values": q_energy_distance_values,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -23398,5 +23416,50 @@ def oracle_sql() -> dict[str, str]:
         SELECT source, CAST(SUM(c) AS BIGINT) AS n_docs,
                CAST(SUM(c * norm_val) AS BIGINT) AS sum_norm_len
         FROM mapped GROUP BY source ORDER BY source
+    """
+    oracles["energy_distance_values"] = f"""
+        -- energy distance from scratch: merged-support gap scan with
+        -- window cumulatives, HUGEINT sign-magnitude micro close
+        WITH v AS (
+          SELECT event_type,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS cents
+          FROM events WHERE event_type IN ('purchase', 'click')),
+        vc AS (
+          SELECT cents,
+                 CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS cx,
+                 CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS cy
+          FROM v GROUP BY cents),
+        t AS (SELECT CAST(SUM(cx) AS BIGINT) AS n, CAST(SUM(cy) AS BIGINT) AS m FROM vc),
+        cum AS (
+          SELECT cents,
+                 SUM(cx) OVER (ORDER BY cents) AS rx,
+                 SUM(cy) OVER (ORDER BY cents) AS ry,
+                 lead(cents) OVER (ORDER BY cents) AS nxt
+          FROM vc),
+        s AS (
+          SELECT
+            CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                 ELSE (nxt - cents) * (rx * (t.m - ry) + ry * (t.n - rx)) END) AS BIGINT) AS s_xy,
+            CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                 ELSE (nxt - cents) * 2 * rx * (t.n - rx) END) AS BIGINT) AS s_xx,
+            CAST(SUM(CASE WHEN nxt IS NULL THEN 0
+                 ELSE (nxt - cents) * 2 * ry * (t.m - ry) END) AS BIGINT) AS s_yy,
+            any_value(t.n) AS n, any_value(t.m) AS m
+          FROM cum, t),
+        e AS (
+          SELECT *,
+            2 * CAST(s_xy AS HUGEINT) * n * m
+              - CAST(s_xx AS HUGEINT) * m * m
+              - CAST(s_yy AS HUGEINT) * n * n AS num,
+            CAST(n AS HUGEINT) * n * m * m AS den
+          FROM s)
+        SELECT CAST(n AS BIGINT) AS n_a, CAST(m AS BIGINT) AS n_b,
+               s_xy, s_xx, s_yy,
+               CAST(CASE WHEN den = 0 THEN NULL
+                    WHEN (1000000 * num >= 0) = (den > 0)
+                    THEN abs(1000000 * num) // abs(den)
+                    ELSE -(abs(1000000 * num) // abs(den)) END AS BIGINT)
+                 AS energy_micro
+        FROM e
     """
     return oracles

@@ -421,3 +421,88 @@ def weighted_top_share_by_group(
     return bucketed_map_groups(
         pair.select_columns([group_col, "_w"]), [group_col], close
     )
+
+
+def _pair_abs_sums(vals, cx, cy):
+    """Exact ΣΣ|x−y| between two weighted samples sharing a sorted
+    merged support, via the gap identity: every gap g between
+    consecutive support values is crossed by (#x below)·(#y above) +
+    (#y below)·(#x above) unordered (x, y) pairs, so the double sum
+    collapses to one linear scan — the machinery behind the exact
+    Wasserstein/GMD family, reused for all three energy terms.
+    Returns (s_xy, s_xx, s_yy) as exact python ints."""
+    n = int(sum(cx))
+    m = int(sum(cy))
+    s_xy = s_xx = s_yy = 0
+    run_x = run_y = 0
+    for i in range(len(vals) - 1):
+        run_x += int(cx[i])
+        run_y += int(cy[i])
+        gap = int(vals[i + 1]) - int(vals[i])
+        s_xy += gap * (run_x * (m - run_y) + run_y * (n - run_x))
+        s_xx += gap * 2 * run_x * (n - run_x)
+        s_yy += gap * 2 * run_y * (m - run_y)
+    return s_xy, s_xx, s_yy
+
+
+def energy_distance(ds, group_col: str, value_col: str, ga, gb):
+    """Two-sample energy distance (Székely & Rizzo, "Energy
+    statistics", JSPI 2013; the V-statistic form): E = 2·E|X−Y| −
+    E|X−X'| − E|Y−Y'| ≥ 0, zero iff the distributions coincide — the
+    metric complement of the KS (sup) and Wasserstein (integral)
+    distances already in this family.
+
+    100-TB shape: ONE (group, value)-count combiner is the only
+    exchange; the three pair sums collapse to a linear scan of the
+    merged |distinct|-bounded support (the gap identity). Exact
+    integers end to end; energy is emitted micro-scaled with the
+    sign-magnitude floor so SQL replays the whole statistic in
+    HUGEINT. Returns one row: (n_a, n_b, s_xy, s_xx, s_yy,
+    energy_micro)."""
+    import pandas as pd
+
+    from ocr_service_ray.ops.agg import grouped_agg
+    from ocr_service_ray.ops.stats import _sm_div
+
+    vc = grouped_agg(
+        ds.select_columns([group_col, value_col]),
+        [group_col, value_col],
+        {"c": (None, "count")},
+    ).to_pandas()
+    vc = vc[vc[group_col].isin([ga, gb])].dropna()
+    piv = (
+        vc.pivot_table(
+            index=value_col, columns=group_col, values="c", aggfunc="sum"
+        )
+        .fillna(0)
+        .sort_index()
+    )
+    cx = piv[ga].to_numpy() if ga in piv else []
+    cy = piv[gb].to_numpy() if gb in piv else []
+    vals = piv.index.to_numpy()
+    n = int(sum(cx))
+    m = int(sum(cy))
+    if n == 0 or m == 0:
+        return pd.DataFrame(
+            {
+                "n_a": [n],
+                "n_b": [m],
+                "s_xy": [0],
+                "s_xx": [0],
+                "s_yy": [0],
+                "energy_micro": [None],
+            }
+        )
+    s_xy, s_xx, s_yy = _pair_abs_sums(vals, cx, cy)
+    num = 2 * s_xy * n * m - s_xx * m * m - s_yy * n * n
+    den = n * n * m * m
+    return pd.DataFrame(
+        {
+            "n_a": [n],
+            "n_b": [m],
+            "s_xy": [s_xy],
+            "s_xx": [s_xx],
+            "s_yy": [s_yy],
+            "energy_micro": [_sm_div(1_000_000 * num, den)],
+        }
+    ).astype("int64")

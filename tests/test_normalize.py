@@ -90,3 +90,45 @@ def test_qnorm_empty():
         pd.DataFrame({"g": [], "val": [], "c": []})
     )
     assert len(out) == 0 and "norm_val" in out.columns
+
+
+def test_energy_distance_brute_force_and_properties(ray_session):
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.ops.divergence import energy_distance
+
+    rng = np.random.RandomState(29)
+    x = rng.randint(0, 40, 300)
+    y = rng.randint(10, 60, 200)
+    df = pd.DataFrame(
+        {
+            "g": ["a"] * len(x) + ["b"] * len(y),
+            "v": np.concatenate([x, y]).astype(np.int64),
+        }
+    )
+    ds = rd.from_arrow(
+        pa.Table.from_pandas(df, preserve_index=False)
+    ).repartition(5)
+    out = energy_distance(ds, "g", "v", "a", "b").iloc[0]
+    assert out["s_xy"] == np.abs(x[:, None] - y[None, :]).sum()
+    assert out["s_xx"] == np.abs(x[:, None] - x[None, :]).sum()
+    assert out["s_yy"] == np.abs(y[:, None] - y[None, :]).sum()
+    n, m = len(x), len(y)
+    ref = 2 * out["s_xy"] / (n * m) - out["s_xx"] / n**2 - out["s_yy"] / m**2
+    assert abs(out["energy_micro"] / 1e6 - ref) < 2e-6
+    assert out["energy_micro"] >= 0  # energy distance is a metric
+    # identical distributions -> energy 0
+    df2 = pd.DataFrame(
+        {"g": ["a"] * 100 + ["b"] * 100, "v": list(range(100)) * 2}
+    )
+    same = energy_distance(
+        rd.from_arrow(pa.Table.from_pandas(df2, preserve_index=False)),
+        "g",
+        "v",
+        "a",
+        "b",
+    ).iloc[0]
+    assert same["energy_micro"] == 0
