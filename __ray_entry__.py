@@ -14833,6 +14833,52 @@ def queries() -> dict[str, Callable[[str], Any]]:
             _kmv_cents(sf_dir), "event_type", "cents", "purchase", "click"
         )
 
+    def q_interval_schedule_value(sf_dir):
+        """Weighted interval scheduling per user (ops/intervals.
+        weighted_interval_max — the Kleinberg-Tardos DP): events get
+        deterministic day-scale durations (cents % 2e6 + 86400 s, so
+        every user faces real overlap choices — keep ratio ≈ 0.49),
+        one coarse-bucket shuffle co-locates users, the in-group DP is
+        a searchsorted + linear fold. Oracle replays the DP as a
+        list-carrying recursive CTE (dp history per user per step) —
+        optimum values engine-exact."""
+        from ocr_service_ray.ops.intervals import weighted_interval_max
+
+        ev = _read(sf_dir, "events", ["user_id", "ts", "value", "event_id"])
+
+        def prep(b: pa.Table) -> pa.Table:
+            ts_s = (
+                b["ts"].to_numpy(zero_copy_only=False)
+                .astype("datetime64[us]")
+                .astype(np.int64)
+            ) // 1_000_000
+            v = np.floor(
+                b["value"].to_numpy(zero_copy_only=False) * 100.0 + 0.5
+            ).astype(np.int64)
+            return pa.table(
+                {
+                    "user_id": b["user_id"],
+                    "s": pa.array(ts_s),
+                    "f": pa.array(ts_s + (v % 2_000_000 + 86_400)),
+                    "v": pa.array(v),
+                    "event_id": b["event_id"],
+                }
+            )
+
+        out = weighted_interval_max(
+            ev.map_batches(prep, batch_format="pyarrow"),
+            "user_id",
+            "s",
+            "f",
+            "v",
+            "event_id",
+        ).to_pandas()
+        return (
+            out.sort_values("user_id")
+            .reset_index(drop=True)
+            .astype("int64")
+        )
+
     return {
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -14878,6 +14924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "max_coverage_docs": q_max_coverage_docs,
         "quantile_normalize_lengths": q_quantile_normalize_lengths,
         "energy_distance_values": q_energy_distance_values,
+        "interval_schedule_value": q_interval_schedule_value,
         "correct_text_guards": q_correct_text_guards,
         "token_counts": q_token_counts,
         "bpe_token_count": q_bpe_token_count,
@@ -23461,5 +23508,49 @@ def oracle_sql() -> dict[str, str]:
                     ELSE -(abs(1000000 * num) // abs(den)) END AS BIGINT)
                  AS energy_micro
         FROM e
+    """
+    oracles["interval_schedule_value"] = """
+        -- weighted interval scheduling DP replayed as a list-carrying
+        -- recursive CTE: hist[i+1] = max(hist[i], v_i + hist[p(i)+1])
+        WITH RECURSIVE e AS (
+          SELECT user_id,
+                 epoch_us(ts) // 1000000 AS s,
+                 CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+                 epoch_us(ts) // 1000000
+                   + (CAST(floor(value * 100.0 + 0.5) AS BIGINT) % 2000000
+                      + 86400) AS f,
+                 event_id
+          FROM events),
+        r AS (
+          SELECT user_id, s, f, v,
+                 CAST(ROW_NUMBER() OVER (PARTITION BY user_id
+                                         ORDER BY f, s, v, event_id)
+                      AS BIGINT) AS i
+          FROM e),
+        n AS (
+          SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                 CAST(SUM(v) AS BIGINT) AS total_v
+          FROM r GROUP BY user_id),
+        p AS (
+          SELECT a.user_id, a.i, a.v, coalesce(max(b.i), 0) AS pi
+          FROM r a LEFT JOIN r b
+            ON b.user_id = a.user_id AND b.f <= a.s
+          GROUP BY a.user_id, a.i, a.v),
+        dp AS (
+          SELECT user_id, CAST(0 AS BIGINT) AS i,
+                 [CAST(0 AS BIGINT)] AS hist
+          FROM n
+          UNION ALL
+          SELECT d.user_id, d.i + 1,
+                 list_append(d.hist,
+                     greatest(d.hist[d.i + 1], p.v + d.hist[p.pi + 1]))
+          FROM dp d JOIN p ON p.user_id = d.user_id AND p.i = d.i + 1),
+        best AS (
+          SELECT d.user_id, d.hist[d.i + 1] AS best_v
+          FROM dp d JOIN n ON n.user_id = d.user_id AND d.i = n.n_events)
+        SELECT n.user_id, n.n_events, n.total_v,
+               CAST(best.best_v AS BIGINT) AS best_v
+        FROM n JOIN best ON best.user_id = n.user_id
+        ORDER BY n.user_id
     """
     return oracles

@@ -170,3 +170,61 @@ def peak_concurrency(intervals_ds, s_col: str = "s_us", e_col: str = "e_us"):
         {"peak": ("conc", "max")},
     )
     return {"n_intervals": int(n_intervals), "peak_concurrent": int(peak["peak"])}
+
+
+def weighted_interval_max(
+    ds,
+    key_col: str,
+    s_col: str,
+    f_col: str,
+    v_col: str,
+    tie_col: str,
+):
+    """Weighted interval scheduling per key — the classic DP (Kleinberg
+    & Tardos §6.1): among each key's intervals pick a non-overlapping
+    subset maximizing total value; dp[i] = max(dp[i-1], v_i + dp[p(i)])
+    over intervals sorted by finish, with p(i) the latest interval
+    finishing ≤ start_i (binary search). "Back-to-back" (f_j == s_i)
+    counts as compatible.
+
+    100-TB shape: one coarse-bucket shuffle co-locates each key
+    (``bucketed_map_groups`` — the sessionize discipline), then the
+    in-group DP is a sorted searchsorted + one linear fold; rows of
+    one key must fit a task (same per-key-boundedness contract as
+    sessionize/cumulative_by_key). All integers; ties broken by
+    (finish, start, value, tie) — a total order both engines share.
+    Contract: durations strictly positive (s < f), so every
+    predecessor candidate precedes the interval in finish order.
+
+    Returns per key: (key, n_events, total_v, best_v)."""
+    import numpy as np
+    import pandas as pd
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups
+
+    def fold(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([f_col, s_col, v_col, tie_col], kind="mergesort")
+        s = g[s_col].to_numpy(np.int64)
+        f = g[f_col].to_numpy(np.int64)
+        v = g[v_col].to_numpy(np.int64)
+        n = len(g)
+        dp = np.zeros(n + 1, dtype=np.int64)
+        # p[i]: number of intervals finishing <= s_i (f ascending)
+        p = np.searchsorted(f, s, side="right")
+        for i in range(n):
+            take = v[i] + dp[p[i]]
+            dp[i + 1] = take if take > dp[i] else dp[i]
+        return pd.DataFrame(
+            {
+                key_col: [g[key_col].iloc[0]],
+                "n_events": [n],
+                "total_v": [int(v.sum())],
+                "best_v": [int(dp[n])],
+            }
+        )
+
+    return bucketed_map_groups(
+        ds.select_columns([key_col, s_col, f_col, v_col, tie_col]),
+        [key_col],
+        fold,
+    )
