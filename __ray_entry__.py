@@ -14879,7 +14879,82 @@ def queries() -> dict[str, Callable[[str], Any]]:
             .astype("int64")
         )
 
+    def q_mst_trade_graph(sf_dir):
+        """Minimum spanning forest (ops/mst.boruvka_msf — Borůvka
+        rounds: per-component grouped-min outgoing edge + driver
+        contraction, <=log2(n) rounds, raw edges never leave the
+        cluster) over the canonical undirected supplier↔customer
+        nation trade graph. Weights are made UNIQUE per edge
+        ((count mod 983)·10⁴ + lo·100 + hi) so the forest — and
+        therefore the edge-set checksum — is deterministic; the
+        oracle picks the identical edges by replaying Kruskal as a
+        component-list-carrying recursive CTE."""
+        import pandas as pd
+
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.mst import boruvka_msf
+        from ocr_service_ray.ops.relational import hash_join
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        su = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        j = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+        j = hash_join(j, cu, on="o_custkey", right_on="c_custkey")
+        j = hash_join(j, su, on="l_suppkey", right_on="s_suppkey")
+        cnt = grouped_agg(
+            j, ["s_nationkey", "c_nationkey"], {"n": (None, "count")}
+        )
+
+        def canon(b: pa.Table) -> pa.Table:
+            s = b["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = s != c
+            s, c, n = s[keep], c[keep], n[keep]
+            return pa.table(
+                {
+                    "lo": pa.array(np.minimum(s, c)),
+                    "hi": pa.array(np.maximum(s, c)),
+                    "n": pa.array(n),
+                }
+            )
+
+        und = grouped_agg(
+            cnt.map_batches(canon, batch_format="pyarrow"),
+            ["lo", "hi"],
+            {"tot": ("n", "sum")},
+        )
+
+        def weight(b: pa.Table) -> pa.Table:
+            lo = b["lo"].to_numpy(zero_copy_only=False).astype(np.int64)
+            hi = b["hi"].to_numpy(zero_copy_only=False).astype(np.int64)
+            t = b["tot"].to_numpy(zero_copy_only=False).astype(np.int64)
+            return pa.table(
+                {
+                    "src": pa.array(lo),
+                    "dst": pa.array(hi),
+                    "w": pa.array((t % 983) * 10_000 + lo * 100 + hi),
+                }
+            )
+
+        out = boruvka_msf(und.map_batches(weight, batch_format="pyarrow"))
+        return pd.DataFrame(
+            {
+                k: pd.array([out[k]], dtype="int64")
+                for k in (
+                    "n_nodes",
+                    "n_edges",
+                    "n_components",
+                    "msf_edges",
+                    "msf_weight",
+                    "edge_checksum",
+                )
+            }
+        )
+
     return {
+        "mst_trade_graph": q_mst_trade_graph,
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
         "pr_curve_points": q_pr_curve_points,
@@ -23552,5 +23627,68 @@ def oracle_sql() -> dict[str, str]:
                CAST(best.best_v AS BIGINT) AS best_v
         FROM n JOIN best ON best.user_id = n.user_id
         ORDER BY n.user_id
+    """
+    oracles["mst_trade_graph"] = """
+        -- Kruskal replayed as a component-list-carrying recursive CTE
+        -- (unique weights => identical edge set to Boruvka)
+        WITH RECURSIVE trade AS (
+          SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          GROUP BY 1, 2),
+        und AS (
+          SELECT least(sn, cn) AS lo, greatest(sn, cn) AS hi,
+                 CAST(SUM(n) AS BIGINT) AS tot
+          FROM trade WHERE sn <> cn GROUP BY 1, 2),
+        e AS (
+          SELECT lo, hi, (tot % 983) * 10000 + lo * 100 + hi AS w,
+                 CAST(ROW_NUMBER() OVER (ORDER BY
+                   (tot % 983) * 10000 + lo * 100 + hi) AS BIGINT) AS i
+          FROM und),
+        nodes AS (
+          SELECT DISTINCT v FROM (
+            SELECT lo AS v FROM e UNION SELECT hi FROM e)),
+        init AS (
+          SELECT list(struct_pack(n := v, c := v) ORDER BY v) AS comps
+          FROM nodes),
+        k AS (
+          SELECT CAST(0 AS BIGINT) AS i, comps,
+                 CAST(0 AS BIGINT) AS acc_w,
+                 CAST(0 AS BIGINT) AS acc_e,
+                 CAST(0 AS BIGINT) AS acc_ck
+          FROM init
+          UNION ALL
+          SELECT k.i + 1,
+                 CASE WHEN cu.c <> cv.c THEN
+                   list_transform(k.comps, x -> struct_pack(
+                     n := x.n,
+                     c := CASE WHEN x.c = cu.c OR x.c = cv.c
+                               THEN least(cu.c, cv.c) ELSE x.c END))
+                 ELSE k.comps END,
+                 k.acc_w + CASE WHEN cu.c <> cv.c THEN e.w ELSE 0 END,
+                 k.acc_e + CASE WHEN cu.c <> cv.c THEN 1 ELSE 0 END,
+                 k.acc_ck + CASE WHEN cu.c <> cv.c
+                                 THEN e.lo * 100003 + e.hi ELSE 0 END
+          FROM k
+          JOIN e ON e.i = k.i + 1
+          CROSS JOIN LATERAL (
+            SELECT x.c AS c FROM unnest(k.comps) AS t(x)
+            WHERE x.n = e.lo) cu
+          CROSS JOIN LATERAL (
+            SELECT x.c AS c FROM unnest(k.comps) AS t(x)
+            WHERE x.n = e.hi) cv),
+        fin AS (
+          SELECT * FROM k ORDER BY i DESC LIMIT 1)
+        SELECT (SELECT CAST(count(*) AS BIGINT) FROM nodes) AS n_nodes,
+               (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+               (SELECT CAST(count(*) AS BIGINT) FROM nodes)
+                 - fin.acc_e AS n_components,
+               fin.acc_e AS msf_edges,
+               fin.acc_w AS msf_weight,
+               fin.acc_ck AS edge_checksum
+        FROM fin
     """
     return oracles
