@@ -14953,7 +14953,46 @@ def queries() -> dict[str, Callable[[str], Any]]:
             }
         )
 
+    def q_hyperball_nations(sf_dir):
+        """HyperBall neighborhood function (ops/hyperball.py — Boldi-
+        Vigna HLL-counter propagation: ball growth is an elementwise
+        register max, so each radius is ONE edge scan + grouped-max
+        combiner, never a per-node BFS) over the directed nation
+        trade graph sparsified to count%7==0 edges (the dense graph
+        saturates at radius 1). Registers follow the ops/sketch md5
+        discipline, so the oracle replays the register tables round
+        by round and the raw-estimate micro arithmetic in exact
+        integers."""
+        from ocr_service_ray.ops.agg import grouped_agg
+        from ocr_service_ray.ops.hyperball import hyperball_rounds
+        from ocr_service_ray.ops.relational import hash_join
+
+        li = _read(sf_dir, "lineitem", ["l_orderkey", "l_suppkey"])
+        od = _read(sf_dir, "orders", ["o_orderkey", "o_custkey"])
+        cu = _read(sf_dir, "customer", ["c_custkey", "c_nationkey"])
+        su = _read(sf_dir, "supplier", ["s_suppkey", "s_nationkey"])
+        j = hash_join(li, od, on="l_orderkey", right_on="o_orderkey")
+        j = hash_join(j, cu, on="o_custkey", right_on="c_custkey")
+        j = hash_join(j, su, on="l_suppkey", right_on="s_suppkey")
+        cnt = grouped_agg(
+            j, ["s_nationkey", "c_nationkey"], {"n": (None, "count")}
+        )
+
+        def sparsify(b: pa.Table) -> pa.Table:
+            s = b["s_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            c = b["c_nationkey"].to_numpy(zero_copy_only=False).astype(np.int64)
+            n = b["n"].to_numpy(zero_copy_only=False).astype(np.int64)
+            keep = (s != c) & (n % 7 == 0)
+            return pa.table(
+                {"src": pa.array(s[keep]), "dst": pa.array(c[keep])}
+            )
+
+        return hyperball_rounds(
+            cnt.map_batches(sparsify, batch_format="pyarrow"), rounds=3, p=4
+        )
+
     return {
+        "hyperball_nations": q_hyperball_nations,
         "mst_trade_graph": q_mst_trade_graph,
         "kruskal_rank_sums": q_kruskal_rank_sums,
         "degree_assortativity": q_degree_assortativity,
@@ -23627,6 +23666,63 @@ def oracle_sql() -> dict[str, str]:
                CAST(best.best_v AS BIGINT) AS best_v
         FROM n JOIN best ON best.user_id = n.user_id
         ORDER BY n.user_id
+    """
+    oracles["hyperball_nations"] = f"""
+        -- HyperBall p=4: register tables replayed round by round;
+        -- rho = 29 - bit_length(28-bit remainder), raw estimate =
+        -- 673/1000 * 256 * 2^29 / SUM(2^(29-reg)) as exact micro
+        WITH trade AS (
+          SELECT s.s_nationkey AS sn, c.c_nationkey AS cn,
+                 CAST(count(*) AS BIGINT) AS n
+          FROM lineitem l
+          JOIN orders o ON o.o_orderkey = l.l_orderkey
+          JOIN customer c ON c.c_custkey = o.o_custkey
+          JOIN supplier s ON s.s_suppkey = l.l_suppkey
+          GROUP BY 1, 2),
+        ed AS (SELECT sn AS src, cn AS dst FROM trade
+               WHERE sn <> cn AND n % 7 = 0),
+        nodes AS (SELECT DISTINCT v FROM (
+          SELECT src AS v FROM ed UNION SELECT dst FROM ed)),
+        h AS (SELECT v AS node,
+              {_hex_bigint_sql("md5(CAST(v AS VARCHAR))", 1, 8)} AS x
+              FROM nodes),
+        r0 AS (SELECT node, x // 268435456 AS bucket,
+               CAST(CASE WHEN x % 268435456 = 0 THEN 29
+                    ELSE 29 - length(bin(x % 268435456)) END AS BIGINT)
+                 AS rho
+               FROM h),
+        r1 AS (SELECT node, bucket, CAST(MAX(rho) AS BIGINT) AS rho
+               FROM (SELECT * FROM r0
+                     UNION ALL
+                     SELECT e.src, r.bucket, r.rho
+                     FROM ed e JOIN r0 r ON r.node = e.dst)
+               GROUP BY node, bucket),
+        r2 AS (SELECT node, bucket, CAST(MAX(rho) AS BIGINT) AS rho
+               FROM (SELECT * FROM r1
+                     UNION ALL
+                     SELECT e.src, r.bucket, r.rho
+                     FROM ed e JOIN r1 r ON r.node = e.dst)
+               GROUP BY node, bucket),
+        r3 AS (SELECT node, bucket, CAST(MAX(rho) AS BIGINT) AS rho
+               FROM (SELECT * FROM r2
+                     UNION ALL
+                     SELECT e.src, r.bucket, r.rho
+                     FROM ed e JOIN r2 r ON r.node = e.dst)
+               GROUP BY node, bucket),
+        snap AS (
+          SELECT 0 AS radius, * FROM r0
+          UNION ALL SELECT 1, * FROM r1
+          UNION ALL SELECT 2, * FROM r2
+          UNION ALL SELECT 3, * FROM r3)
+        SELECT CAST(node AS BIGINT) AS node,
+               CAST(radius AS BIGINT) AS radius,
+               CAST(SUM(rho) AS BIGINT) AS reg_sum,
+               CAST(CAST(673 AS BIGINT) * 256 * 536870912 * 1000 // (
+                 SUM(CAST(1 AS BIGINT) << (29 - rho))
+                 + (16 - COUNT(*)) * 536870912) AS BIGINT) AS est_micro
+        FROM snap
+        GROUP BY node, radius
+        ORDER BY radius, node
     """
     oracles["mst_trade_graph"] = """
         -- Kruskal replayed as a component-list-carrying recursive CTE
