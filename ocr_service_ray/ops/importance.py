@@ -177,7 +177,12 @@ def importance_scores(
 
     import ray.data  # noqa: F401
 
-    heads = ds.map_batches(Score, concurrency=4, batch_format="pyarrow")
+    # autoscaling (1, 4), NOT fixed 4: a fixed-size pool pre-scales to
+    # its min size and on a small cluster (the 4-CPU test session) can
+    # grab every CPU before an upstream all-to-all has run — observed
+    # as a placement deadlock (3 of 4 actors placed, repartition tasks
+    # starved). min=1 always leaves headroom for upstream tasks.
+    heads = ds.map_batches(Score, concurrency=(1, 4), batch_format="pyarrow")
     merged = heads.to_pandas()
     merged = merged.sort_values(
         ["avg_weight", id_col], ascending=[False, True]
