@@ -98,10 +98,14 @@ class AcScanStage:
 
 
 def scan_patterns(ds, patterns: list[str], id_col: str, text_col: str, concurrency: int = 2):
-    """Actor-pool AC scan: Dataset of (id, n_matches, n_patterns)."""
+    """Actor-pool AC scan: Dataset of (id, n_matches, n_patterns).
+
+    Autoscaling ``(1, concurrency)`` — a fixed-size pool pre-scales to
+    min size and can starve upstream tasks on a small cluster (the
+    importance.py deadlock); min=1 always leaves headroom."""
     return ds.map_batches(
         AcScanStage,
         fn_constructor_args=(patterns, id_col, text_col),
         batch_format="pyarrow",
-        concurrency=concurrency,
+        concurrency=(1, concurrency),
     )
