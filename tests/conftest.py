@@ -39,6 +39,14 @@ _test_counter = {"n": 0}
 @pytest.fixture(autouse=True)
 def _ray_session_recycler():
     yield
+    # A partially-consumed Dataset (limit/take/iterator abandoned
+    # mid-stream) leaves its streaming executor alive holding actor
+    # CPUs until Python GC runs; on a 4-CPU test cluster a couple of
+    # leaked executors starve the next hash-shuffle join into a
+    # multi-minute stall. Collect promptly after every test.
+    import gc
+
+    gc.collect()
     _test_counter["n"] += 1
     if _test_counter["n"] % _RECYCLE_EVERY == 0:
         import ray
