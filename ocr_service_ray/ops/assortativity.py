@@ -62,6 +62,15 @@ def degree_assortativity(edges_ds, src_col: str = "src", dst_col: str = "dst"):
         )
         .drop_columns(["_m"])
         .repartition(4)
+        # split the DAG here: without this the full plan is a single
+        # ~50-operator streaming DAG (upstream joins + two degree
+        # aggregates + two more joins), and on a small cluster Ray
+        # 2.49's executor intermittently admits NO task of it — every
+        # operator idles at 0 tasks/0 actors (reproduced thrice at
+        # the same suite position, never in isolation). The distinct
+        # edge table is the natural cut point and is tiny relative
+        # to the input (post-dedup).
+        .materialize()
     )
     deg_src = grouped_agg(edges, [src_col], {"deg_x": (None, "count")}).repartition(4)
     deg_dst = grouped_agg(edges, [dst_col], {"deg_y": (None, "count")}).repartition(4)
