@@ -117,7 +117,29 @@ def sparse_cosine_pairs(
         ["term"],
         pair_partials,
     )
-    dots = grouped_agg(partials, ["id_a", "id_b"], {"dot": ("p", "sum")})
+    dots = grouped_agg(
+        partials, ["id_a", "id_b"], {"dot": ("p", "sum")}
+    ).materialize()
+    # a corpus with NO candidate pairs leaves dots fully empty and
+    # schema-less; the downstream acero join then dies with "No
+    # match for FieldRef id_a" (hypothesis-found 2-doc case). The
+    # candidate table is the op's bounded intermediate, so
+    # materialize + short-circuit is the honest guard.
+    if dots.count() == 0:
+        import ray.data as _rd
+
+        return _rd.from_arrow(
+            pa.table(
+                {
+                    "id_a": pa.array([], pa.int64()),
+                    "id_b": pa.array([], pa.int64()),
+                    "dot": pa.array([], pa.int64()),
+                    "nn_a": pa.array([], pa.int64()),
+                    "nn_b": pa.array([], pa.int64()),
+                    "cos2_ppm": pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def na(b: pa.Table) -> pa.Table:
         return pa.table({"id_a": b[id_col], "nn_a": b["nn"]})
@@ -126,9 +148,14 @@ def sparse_cosine_pairs(
         return pa.table({"id_b": b[id_col], "nn_b": b["nn"]})
 
     joined = hash_join(
+        # repartition between the chained joins: an empty join
+        # partition emits a zero-column block and the second acero
+        # join then fails with "No match ... FieldRef id_a" (the
+        # relational.py landmine; surfaced by a 2-doc hypothesis
+        # case). A real exchange rebuilds blocks with the schema.
         hash_join(
             dots, norms.map_batches(na, batch_format="pyarrow"), on="id_a"
-        ),
+        ).repartition(4),
         norms.map_batches(nb, batch_format="pyarrow"),
         on="id_b",
     )
