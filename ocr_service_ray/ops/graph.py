@@ -84,6 +84,12 @@ def _empty_labels(pairs_ds, src_col: str):
     base = getattr(s, "base_schema", s)
     if isinstance(base, pa.Schema):
         id_type = base.field(src_col).type
+    elif base is None:
+        # fully schemaless input (every upstream block was a zero-row
+        # normalized block, e.g. a union of empty map outputs) — the
+        # id type is unknowable; int64 is only a placeholder on a
+        # zero-row table every caller treats as "no clusters"
+        id_type = pa.int64()
     else:  # PandasBlockSchema
         id_type = pa.from_numpy_dtype(dict(zip(base.names, base.types))[src_col])
     return rd.from_arrow(

@@ -43,11 +43,33 @@ def curate_corpus(
     counts: bool = True,
     staging_path: str | None = None,
     minhash_hash: str = "oracle",
+    exact_keep: str = "broadcast",
 ):
     """Returns ``(curated_ds, summary dict)``. ``curated_ds`` carries
     the surviving rows (original columns + ``rank`` / ``mix_key`` when
     ``mix_weights`` is given); the summary maps stage → surviving row
-    count (None when ``counts=False``)."""
+    count (None when ``counts=False``).
+
+    ``exact_keep`` selects the exact-dedup keep-filter strategy:
+
+    - ``"broadcast"``: pull the {text_hash → keep_id} table for
+      DUPLICATED groups to the driver once and ship it to every
+      filter actor. Right when duplicate-group count is
+      dimension-sized (clean corpora, bench scale).
+    - ``"join"``: the 100 TB path for dup-heavy corpora (30–50%
+      duplicate rates are normal on web crawls, so the duplicated-
+      group table is O(corpus) and neither the driver pull nor the
+      per-actor broadcast survives). The dup-group table stays a
+      Dataset; a Bloom bitmap (fixed-size regardless of key count,
+      built with the per-block OR combiner in ops/bloom.py) routes
+      each row: bloom-negative rows are PROVABLY not in any
+      duplicated group (no false negatives) and pass through with
+      zero shuffle; bloom-positive rows take a key-partitioned
+      left-outer hash join against the dup-group table, surviving
+      when they are a false positive (null keep_id) or the group's
+      keeper. Both paths are exact — the result equals the
+      broadcast strategy bit for bit (pytest-asserted).
+    """
     import ray
 
     from ocr_service_ray.ops.dedup import exact_dedup, minhash_lsh_candidates
@@ -94,52 +116,145 @@ def curate_corpus(
     quality = flagged.map_batches(keep_quality, batch_format="pyarrow")
     summary["after_quality"] = stage_count(quality)
 
-    # 2 — exact dedup: {text_hash → keep_id} for DUPLICATED groups only
-    # (bounded by duplicate groups, never the corpus), broadcast once.
+    # 2 — exact dedup: drop every row of a duplicated-text group except
+    # the group's min-id keeper. Two strategies (docstring).
     import numpy as np
-
-    # filter dups > 1 INSIDE the dataset — the driver pull must be
-    # bounded by DUPLICATED groups, not by |distinct texts| ≈ corpus
-    # (pull-then-filter was the 100-TB violation)
-    dup_only = exact_dedup(quality, text_col, id_col).map_batches(
-        lambda b: b.filter(pc.greater(b["dups"], 1)), batch_format="pyarrow"
-    )
-    groups = dup_only.to_pandas()
-    if groups.empty:  # zero-row to_pandas drops columns
-        groups = pd.DataFrame({"text_hash": [], "keep_id": [], "dups": []})
-    dup_groups = groups.sort_values("text_hash")
-    dup_hashes = dup_groups["text_hash"].to_numpy(dtype="U32")
-    dup_keep = dup_groups["keep_id"].to_numpy()
-    keep_ref = ray.put((dup_hashes, dup_keep))
 
     from ocr_service_ray.ops.dedup import content_hash
 
-    class ExactKeep:
-        def __init__(self):
-            self.hashes, self.keep = ray.get(keep_ref)
+    if exact_keep == "broadcast":
+        # filter dups > 1 INSIDE the dataset — the driver pull must be
+        # bounded by DUPLICATED groups, not by |distinct texts| ≈ corpus
+        # (pull-then-filter was the 100-TB violation)
+        dup_only = exact_dedup(quality, text_col, id_col).map_batches(
+            lambda b: b.filter(pc.greater(b["dups"], 1)), batch_format="pyarrow"
+        )
+        groups = dup_only.to_pandas()
+        if groups.empty:  # zero-row to_pandas drops columns
+            groups = pd.DataFrame({"text_hash": [], "keep_id": [], "dups": []})
+        dup_groups = groups.sort_values("text_hash")
+        dup_hashes = dup_groups["text_hash"].to_numpy(dtype="U32")
+        dup_keep = dup_groups["keep_id"].to_numpy()
+        keep_ref = ray.put((dup_hashes, dup_keep))
 
-        def __call__(self, b: pa.Table) -> pa.Table:
-            # vectorized: row survives unless its hash is a duplicated
-            # group AND its id is not that group's keeper
-            hashed = content_hash(b, text_col)
-            hs = hashed["text_hash"].to_numpy(zero_copy_only=False).astype("U32")
-            ids = b[id_col].to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.hashes, hs)
-            idx_c = np.minimum(idx, max(len(self.hashes) - 1, 0))
-            in_dup = (
-                (self.hashes[idx_c] == hs) if len(self.hashes) else np.zeros(len(hs), bool)
+        class ExactKeep:
+            def __init__(self):
+                self.hashes, self.keep = ray.get(keep_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                # vectorized: row survives unless its hash is a duplicated
+                # group AND its id is not that group's keeper
+                hashed = content_hash(b, text_col)
+                hs = hashed["text_hash"].to_numpy(zero_copy_only=False).astype("U32")
+                ids = b[id_col].to_numpy(zero_copy_only=False)
+                idx = np.searchsorted(self.hashes, hs)
+                idx_c = np.minimum(idx, max(len(self.hashes) - 1, 0))
+                in_dup = (
+                    (self.hashes[idx_c] == hs) if len(self.hashes) else np.zeros(len(hs), bool)
+                )
+                mask = ~in_dup | (
+                    (self.keep[idx_c] == ids) if len(self.hashes) else True
+                )
+                return b.filter(pa.array(mask))
+
+        exact_filtered = quality.map_batches(
+            ExactKeep, batch_format="pyarrow", concurrency=(1, 8)
+        )
+    elif exact_keep == "join":
+        from ocr_service_ray.ops.bloom import bloom_membership, build_bloom
+        from ocr_service_ray.ops.relational import hash_join
+
+        # the dup-group table never visits the driver: it stays a
+        # Dataset (pinned — consumed by the bloom build AND the join
+        # probe; a parquet staging tier via staging_path is the real
+        # 100 TB boundary), and the driver holds only the fixed-size
+        # bloom bitmap (|blocks| byte-string partials OR-merged).
+        quality = pin(quality, "quality")  # 3 consumers in join mode
+        base_schema = quality.schema()
+        base_names = list(base_schema.names)
+
+        dup_only = pin(
+            exact_dedup(quality, text_col, id_col).map_batches(
+                lambda b: b.filter(pc.greater(b["dups"], 1)).select(
+                    ["text_hash", "keep_id"]
+                ),
+                batch_format="pyarrow",
+            ),
+            "dup_groups",
+        )
+        if dup_only.count() == 0:
+            # no duplicated group anywhere: every row survives, and the
+            # join MUST be skipped — an all-empty left side has no
+            # schema-bearing block to broadcast, so the acero join
+            # cannot even learn its key field (hash_join LANDMINE).
+            # count() on the pinned table is metadata-cheap. Note the
+            # converse below: dup_only non-empty ⇒ suspect non-empty
+            # (a bloom filter has no false negatives, so every
+            # duplicated row is bloom-positive).
+            exact_filtered = quality
+        else:
+            bloom_ref = ray.put(build_bloom(dup_only, "text_hash"))
+
+            class BloomTag:
+                def __init__(self):
+                    self.bloom = ray.get(bloom_ref)
+
+                def __call__(self, b: pa.Table) -> pa.Table:
+                    hashed = content_hash(b, text_col)
+                    member = bloom_membership(hashed["text_hash"], self.bloom)
+                    return hashed.append_column("_bloom", pa.array(member))
+
+            # pinned: the clean and suspect branches both read it —
+            # without the pin each branch re-executes the tag pass
+            # (and at 100 TB the full upstream chain)
+            tagged = pin(
+                quality.map_batches(
+                    BloomTag, batch_format="pyarrow", concurrency=(1, 8)
+                ),
+                "bloom_tagged",
             )
-            mask = ~in_dup | (
-                (self.keep[idx_c] == ids) if len(self.hashes) else True
+
+            def take_clean(b: pa.Table) -> pa.Table:
+                # bloom-negative → provably not duplicated (no false
+                # negatives); survives with zero shuffle
+                return b.filter(pc.invert(b["_bloom"])).select(base_names)
+
+            def take_suspect(b: pa.Table) -> pa.Table:
+                return b.filter(b["_bloom"]).drop_columns(["_bloom"])
+
+            clean = tagged.map_batches(take_clean, batch_format="pyarrow")
+            # repartition: bloom-negative-only batches filter to
+            # zero-row blocks, which map_batches re-normalizes to
+            # SCHEMA-LESS blocks the acero join rejects ("no match
+            # for key field text_hash") — a real exchange rebuilds
+            # them with the unified schema (hash_join LANDMINE note)
+            suspect = tagged.map_batches(
+                take_suspect, batch_format="pyarrow"
+            ).repartition(8)
+            joined = hash_join(
+                suspect, dup_only, on="text_hash", join_type="left_outer"
             )
-            return b.filter(pa.array(mask))
+
+            def keep_rows(b: pa.Table) -> pa.Table:
+                # empty join partitions emit zero-column blocks (see
+                # ops/relational.hash_join LANDMINE note) — normalize
+                # to the base schema instead of KeyError-ing
+                if b.num_rows == 0 or "keep_id" not in b.column_names:
+                    return base_schema.empty_table()
+                survive = pc.or_kleene(
+                    pc.is_null(b["keep_id"]),  # bloom false positive
+                    pc.equal(b["keep_id"], b[id_col]),  # group's keeper
+                )
+                return b.filter(pc.fill_null(survive, False)).select(base_names)
+
+            kept = joined.map_batches(keep_rows, batch_format="pyarrow")
+            exact_filtered = clean.union(kept)
+    else:
+        raise ValueError(f"unknown exact_keep strategy: {exact_keep!r}")
 
     # pinned: read by the LSH signature pass, the canonical-drop
     # filter, and everything downstream
-    exact = pin(
-        quality.map_batches(ExactKeep, batch_format="pyarrow", concurrency=(1, 8)),
-        "exact",
-    )
+    exact = pin(exact_filtered, "exact")
     summary["after_exact_dedup"] = stage_count(exact)
 
     # 3 — near dedup: LSH candidate pairs → components → one canonical

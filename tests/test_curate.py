@@ -73,6 +73,65 @@ def test_curate_no_optional_stages(ray_session):
     assert "mix_key" not in df.columns
 
 
+def test_exact_keep_join_equals_broadcast(ray_session):
+    """The 100 TB exact-keep strategy (bloom route + key-partitioned
+    left-outer join, no driver pull of the dup-group table) must equal
+    the broadcast strategy bit for bit — on a corpus whose
+    duplicated-group count (40 groups, 120 dup rows of 135 docs) far
+    exceeds any sane broadcast budget for a corpus this size."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.pipelines.curate import curate_corpus
+
+    rows = []
+    # 40 duplicated groups × 3 copies, plus 15 unique docs — words are
+    # distinct enough that quality/near-dup stages keep everything
+    for g in range(40):
+        text = " ".join(f"g{g}w{j}" for j in range(14))
+        for c in range(3):
+            rows.append(
+                {"doc_id": g * 10 + c, "text": text, "source": f"s{g % 3}"}
+            )
+    for u in range(15):
+        text = " ".join(f"u{u}x{j}" for j in range(14))
+        rows.append({"doc_id": 1000 + u, "text": text, "source": f"s{u % 3}"})
+    corpus = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
+
+    outs = {}
+    for strategy in ("broadcast", "join"):
+        out, summary = curate_corpus(
+            rd.from_arrow(corpus).repartition(5),
+            counts=True,
+            exact_keep=strategy,
+        )
+        assert summary["after_exact_dedup"] == 55  # 40 keepers + 15 unique
+        outs[strategy] = (
+            out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    pd.testing.assert_frame_equal(
+        outs["broadcast"][sorted(outs["broadcast"].columns)],
+        outs["join"][sorted(outs["join"].columns)],
+        check_dtype=False,
+    )
+
+
+def test_exact_keep_join_no_dups(ray_session):
+    """Join strategy with ZERO duplicated groups: the dup-group table
+    is empty, every row is bloom-negative (or a false positive that
+    left-outer-joins to null) — nothing may be dropped."""
+    import ray.data as rd
+
+    from ocr_service_ray.pipelines.curate import curate_corpus
+
+    out, summary = curate_corpus(
+        rd.from_arrow(_corpus()).repartition(2), exact_keep="join"
+    )
+    assert summary["after_exact_dedup"] == 5
+    assert summary["final"] == len(out.to_pandas()) == 4
+
+
 def test_prune_corpus_stages(ray_session, tmp_path):
     import pandas as pd
     import pyarrow as pa
