@@ -154,18 +154,38 @@ def pq_eval(
     One summary row: (m, k, n_vectors, total_sqerr, adc_recall,
     recall_at_k) — adc_recall is the code-only shortlist hit count,
     recall_at_k the after-rerank count (the production metric). The
-    codes table pulled here is (id, m codes) ints — the compressed
-    corpus, |corpus|-rows but bytes-per-row; at 10^12 vectors the same
-    gather runs inside map_batches against a broadcast LUT instead."""
+    codes table NEVER visits the driver: the ADC gather runs inside
+    map_batches against a ``ray.put`` k×m LUT and folds through the
+    combiner top-k, and total_sqerr/n come from per-block partial
+    sums (the driver merges |blocks| two-int rows). The materialized
+    codes Dataset is the compressed index itself — bytes per row; at
+    10^12 vectors persist it once with write_parquet and re-read, the
+    scan below is unchanged."""
+    import ray
+    import pyarrow.compute as pc
+
     from ocr_service_ray.ops.relational import topk as topk_op
 
     books = pq_train(
         ds, m=m, k=k, vec_col=vec_col, id_col=id_col, max_iters=max_iters
     )
-    codes = pq_encode_and_error(ds, books, vec_col=vec_col, id_col=id_col)
-    cdf = codes.to_pandas()
-    total_sqerr = int(cdf["sqerr"].sum())
-    n = len(cdf)
+    # materialized: consumed twice (sqerr partials + ADC scan) — lazy
+    # lineage would re-run the encode pass per consumer
+    codes = pq_encode_and_error(
+        ds, books, vec_col=vec_col, id_col=id_col
+    ).materialize()
+
+    def sqerr_partial(b: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "s": pa.array([pc.sum(b["sqerr"]).as_py() or 0], pa.int64()),
+                "n": pa.array([b.num_rows], pa.int64()),
+            }
+        )
+
+    parts = codes.map_batches(sqerr_partial, batch_format="pyarrow").to_pandas()
+    total_sqerr = int(parts["s"].sum())
+    n = int(parts["n"].sum())
 
     def pick_query(b: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -198,13 +218,43 @@ def pq_eval(
         descending=[False, False],
     ).to_pandas()
     exact = set(int(i) for i in exact_df[id_col])
-    shortlist = pq_adc_topk(cdf, books, qv, max(rerank, topk), id_col=id_col)
+
+    # distributed ADC: the k×m LUT is broadcast once; every block
+    # gathers its own code rows against it and only per-block top-R
+    # candidate rows leave the block (combiner top-k) — identical to
+    # pq_adc_topk on the pulled table (pytest-pinned)
+    R = max(rerank, topk)
+    sub = books[0].shape[1]
+    lut = np.stack(
+        [
+            ((qm[s * sub : (s + 1) * sub] - books[s]) ** 2).sum(axis=1)
+            for s in range(m)
+        ]
+    )  # (m, k) int64
+    lut_ref = ray.put(lut)
+
+    class AdcScore:
+        def __init__(self):
+            self.lut = ray.get(lut_ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            dist = np.zeros(b.num_rows, dtype=np.int64)
+            for s in range(len(self.lut)):
+                dist += self.lut[s][b[f"code_{s}"].to_numpy()]
+            return pa.table({id_col: b[id_col], "d2": pa.array(dist)})
+
+    sl_df = topk_op(
+        codes.map_batches(AdcScore, batch_format="pyarrow", concurrency=(1, 8)),
+        ["d2", id_col],
+        R,
+        descending=[False, False],
+    ).to_pandas()
+    sl_order = np.lexsort((sl_df[id_col].to_numpy(), sl_df["d2"].to_numpy()))
+    shortlist = [int(i) for i in sl_df[id_col].to_numpy()[sl_order[:R]]]
     adc_hits = len(exact & set(shortlist[:topk]))
 
     # exact rerank of ONLY the shortlist rows (a pruned id-membership
     # read — ``rerank`` raw vectors, never the corpus)
-    import pyarrow.compute as pc
-
     sl = pa.array(np.asarray(shortlist, dtype=np.int64))
 
     def pick_shortlist(b: pa.Table) -> pa.Table:
