@@ -206,6 +206,50 @@ def minhash_lsh_candidates(
             }
         )
 
+    def to_band_rows_fast(batch: pa.Table) -> pa.Table:
+        # production band key: the band's signature chunk FNV-folded +
+        # splitmix-finalized into ONE int64 — the bucket shuffle then
+        # moves 8 B/key on the vectorized integer-hash path instead of
+        # a 32+-byte string through the per-element blake2b loop (same
+        # trick as ops/ngrams.py gram keys, measured 13.7s → ~9s
+        # there). Not injective like the string key, but a 64-bit
+        # collision only CO-BUCKETS two different chunks — candidates
+        # are still verified against the full signature (est_jaccard ≥
+        # threshold), so no wrong pair survives and no true pair is
+        # lost (equal chunks always hash equal); fast mode's
+        # candidate-set semantics are already hash-dependent
+        # (``_shingle_hashes`` docstring).
+        from ocr_service_ray.ops.hashing import _splitmix64
+
+        n = batch.num_rows
+        if n == 0:
+            return pa.table(
+                {
+                    "band": pa.array([], pa.int32()),
+                    "band_hash": pa.array([], pa.int64()),
+                    "id": batch["id"],
+                    "sig": batch["sig"],
+                }
+            )
+        tbl = batch.combine_chunks()
+        sig_arr = tbl["sig"].chunk(0)
+        mat = np.asarray(sig_arr.flatten(), dtype=np.uint64).reshape(n, num_perm)
+        chunks = mat.reshape(n, bands, rows_per_band)
+        h = np.zeros((n, bands), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for r in range(rows_per_band):
+                h = h * np.uint64(0x100000001B3) ^ chunks[:, :, r]
+        h = _splitmix64(h.reshape(-1))
+        idx = pa.array(np.repeat(np.arange(n), bands))
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
+                "band_hash": pa.array(h.view(np.int64)),
+                "id": tbl["id"].take(idx),
+                "sig": sig_arr.take(idx),
+            }
+        )
+
     # Phase 1 — ONE pass over the corpus computes signatures; the text
     # column never travels further. Pinned because two downstream
     # consumers (the hot-bucket count and the pair pass) would each
@@ -228,7 +272,8 @@ def minhash_lsh_candidates(
     # Phase 2 — band explosion is a cheap map over the signature table
     # (no text); it runs once inside the count and once inside the
     # pair pass, both reading the materialized signatures.
-    band_rows = sig_rows.map_batches(to_band_rows, batch_format="pyarrow")
+    to_bands = to_band_rows_fast if hash == "fast" else to_band_rows
+    band_rows = sig_rows.map_batches(to_bands, batch_format="pyarrow")
     band_rows = _keep_hot_buckets(band_rows, ["band", "band_hash"])
 
     def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
