@@ -30,6 +30,82 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 
+def _staged_pin(ds, name: str, staging_path: str | None, resume: bool, phases: list):
+    """Pin a multi-consumer stage boundary. Without ``staging_path``:
+    object store (materialize). With it: an ATOMIC staged phase —
+    data written to ``<path>.tmp`` and renamed, then a
+    ``<path>.manifest.json`` (rows / bytes / wall / lineage) staged
+    and renamed as the phase commit point. A killed run leaves either
+    a committed phase (manifest parses) or an ignorable torn ``.tmp``;
+    ``resume=True`` reads committed phases back instead of recomputing
+    them — the curation analogue of ``stages/checkpoint.py``'s
+    per-partition commit (north_rule: resumable from checkpoints with
+    per-phase lineage + metrics).
+
+    ``ds`` may be a zero-arg THUNK returning the dataset: it is only
+    invoked when the phase actually recomputes, so a resumed phase
+    skips not just the Ray execution but the driver-side plan/state
+    construction feeding it (dup-group pulls, bloom builds,
+    component fixpoints)."""
+    if staging_path is None:
+        return (ds() if callable(ds) else ds).materialize()
+
+    import json
+    import os
+    import shutil
+    import time
+
+    import pyarrow.parquet as pq
+
+    from ocr_service_ray.sources.readers import read_parquet_clean
+
+    path = os.path.join(staging_path, name)
+    mf_path = path + ".manifest.json"
+    if resume:
+        try:
+            with open(mf_path, encoding="utf-8") as f:
+                manifest = json.load(f)
+            if os.path.isdir(path):
+                phases.append({**manifest, "resumed": True})
+                return read_parquet_clean(path)
+        except (OSError, ValueError):
+            pass  # missing or torn manifest → recompute the phase
+    tmp = path + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    shutil.rmtree(path, ignore_errors=True)
+    try:
+        os.remove(mf_path)
+    except OSError:
+        pass
+    os.makedirs(staging_path, exist_ok=True)
+    t0 = time.perf_counter()
+    if callable(ds):
+        ds = ds()
+    ds.write_parquet(tmp)
+    rows = nbytes = 0
+    for fn in os.listdir(tmp):  # footer metadata only, no data re-read
+        if fn.endswith(".parquet"):
+            fp = os.path.join(tmp, fn)
+            rows += pq.read_metadata(fp).num_rows
+            nbytes += os.path.getsize(fp)
+    os.rename(tmp, path)  # data in place; not yet committed
+    manifest = {
+        "phase": name,
+        "index": len(phases),
+        "upstream": phases[-1]["phase"] if phases else "input",
+        "rows": rows,
+        "bytes": nbytes,
+        "t_wall_sec": round(time.perf_counter() - t0, 4),
+        "resumed": False,
+    }
+    mf_tmp = mf_path + ".tmp"
+    with open(mf_tmp, "w", encoding="utf-8") as f:
+        json.dump(manifest, f, indent=2)
+    os.rename(mf_tmp, mf_path)  # phase COMMIT point
+    phases.append(manifest)
+    return read_parquet_clean(path)
+
+
 def curate_corpus(
     docs_ds,
     eval_ds=None,
@@ -42,6 +118,7 @@ def curate_corpus(
     decontam_ngram: int = 8,
     counts: bool = True,
     staging_path: str | None = None,
+    resume: bool = False,
     minhash_hash: str = "oracle",
     exact_keep: str = "broadcast",
 ):
@@ -82,21 +159,18 @@ def curate_corpus(
     def stage_count(ds):
         return int(ds.count()) if counts else None
 
+    phases: list[dict] = []
+    summary["phases"] = phases
+
     def pin(ds, name: str):
         """Pin a stage boundary that MULTIPLE consumers read — lazy
         lineage re-executes the whole upstream chain once per
         consumer otherwise (measured 5× the pipeline cost). Object
-        store at bench scale; ``staging_path`` writes the boundary as
-        parquet instead (the real 100 TB pattern: curation phases
-        checkpoint to storage, and a re-run resumes from the last
-        phase)."""
-        if staging_path is not None:
-            from ocr_service_ray.sources.readers import read_parquet_clean
-
-            path = f"{staging_path}/{name}"
-            ds.write_parquet(path)
-            return read_parquet_clean(path)
-        return ds.materialize()
+        store at bench scale; ``staging_path`` commits the boundary
+        atomically as a parquet phase with a lineage manifest, and
+        ``resume=True`` skips recomputation of committed phases (the
+        real 100 TB pattern — see ``_staged_pin``)."""
+        return _staged_pin(ds, name, staging_path, resume, phases)
 
     summary["input"] = stage_count(docs_ds)
 
@@ -122,150 +196,159 @@ def curate_corpus(
 
     from ocr_service_ray.ops.dedup import content_hash
 
-    if exact_keep == "broadcast":
-        # filter dups > 1 INSIDE the dataset — the driver pull must be
-        # bounded by DUPLICATED groups, not by |distinct texts| ≈ corpus
-        # (pull-then-filter was the 100-TB violation)
-        dup_only = exact_dedup(quality, text_col, id_col).map_batches(
-            lambda b: b.filter(pc.greater(b["dups"], 1)), batch_format="pyarrow"
-        )
-        groups = dup_only.to_pandas()
-        if groups.empty:  # zero-row to_pandas drops columns
-            groups = pd.DataFrame({"text_hash": [], "keep_id": [], "dups": []})
-        dup_groups = groups.sort_values("text_hash")
-        dup_hashes = dup_groups["text_hash"].to_numpy(dtype="U32")
-        dup_keep = dup_groups["keep_id"].to_numpy()
-        keep_ref = ray.put((dup_hashes, dup_keep))
+    def build_exact():
+        # evaluated ONLY when the "exact" phase recomputes — a
+        # resumed run skips the dup-group pull / bloom build /
+        # join plan entirely (thunk contract of _staged_pin)
+        q = quality
+        if exact_keep == "broadcast":
+            # filter dups > 1 INSIDE the dataset — the driver pull must be
+            # bounded by DUPLICATED groups, not by |distinct texts| ≈ corpus
+            # (pull-then-filter was the 100-TB violation)
+            dup_only = exact_dedup(q, text_col, id_col).map_batches(
+                lambda b: b.filter(pc.greater(b["dups"], 1)), batch_format="pyarrow"
+            )
+            groups = dup_only.to_pandas()
+            if groups.empty:  # zero-row to_pandas drops columns
+                groups = pd.DataFrame({"text_hash": [], "keep_id": [], "dups": []})
+            dup_groups = groups.sort_values("text_hash")
+            dup_hashes = dup_groups["text_hash"].to_numpy(dtype="U32")
+            dup_keep = dup_groups["keep_id"].to_numpy()
+            keep_ref = ray.put((dup_hashes, dup_keep))
 
-        class ExactKeep:
-            def __init__(self):
-                self.hashes, self.keep = ray.get(keep_ref)
-
-            def __call__(self, b: pa.Table) -> pa.Table:
-                # vectorized: row survives unless its hash is a duplicated
-                # group AND its id is not that group's keeper
-                hashed = content_hash(b, text_col)
-                hs = hashed["text_hash"].to_numpy(zero_copy_only=False).astype("U32")
-                ids = b[id_col].to_numpy(zero_copy_only=False)
-                idx = np.searchsorted(self.hashes, hs)
-                idx_c = np.minimum(idx, max(len(self.hashes) - 1, 0))
-                in_dup = (
-                    (self.hashes[idx_c] == hs) if len(self.hashes) else np.zeros(len(hs), bool)
-                )
-                mask = ~in_dup | (
-                    (self.keep[idx_c] == ids) if len(self.hashes) else True
-                )
-                return b.filter(pa.array(mask))
-
-        exact_filtered = quality.map_batches(
-            ExactKeep, batch_format="pyarrow", concurrency=(1, 8)
-        )
-    elif exact_keep == "join":
-        from ocr_service_ray.ops.bloom import bloom_membership, build_bloom
-        from ocr_service_ray.ops.relational import hash_join
-
-        # the dup-group table never visits the driver: it stays a
-        # Dataset (pinned — consumed by the bloom build AND the join
-        # probe; a parquet staging tier via staging_path is the real
-        # 100 TB boundary), and the driver holds only the fixed-size
-        # bloom bitmap (|blocks| byte-string partials OR-merged).
-        quality = pin(quality, "quality")  # 3 consumers in join mode
-        base_schema = quality.schema()
-        base_names = list(base_schema.names)
-
-        dup_only = pin(
-            exact_dedup(quality, text_col, id_col).map_batches(
-                lambda b: b.filter(pc.greater(b["dups"], 1)).select(
-                    ["text_hash", "keep_id"]
-                ),
-                batch_format="pyarrow",
-            ),
-            "dup_groups",
-        )
-        if dup_only.count() == 0:
-            # no duplicated group anywhere: every row survives, and the
-            # join MUST be skipped — an all-empty left side has no
-            # schema-bearing block to broadcast, so the acero join
-            # cannot even learn its key field (hash_join LANDMINE).
-            # count() on the pinned table is metadata-cheap. Note the
-            # converse below: dup_only non-empty ⇒ suspect non-empty
-            # (a bloom filter has no false negatives, so every
-            # duplicated row is bloom-positive).
-            exact_filtered = quality
-        else:
-            bloom_ref = ray.put(build_bloom(dup_only, "text_hash"))
-
-            class BloomTag:
+            class ExactKeep:
                 def __init__(self):
-                    self.bloom = ray.get(bloom_ref)
+                    self.hashes, self.keep = ray.get(keep_ref)
 
                 def __call__(self, b: pa.Table) -> pa.Table:
+                    # vectorized: row survives unless its hash is a duplicated
+                    # group AND its id is not that group's keeper
                     hashed = content_hash(b, text_col)
-                    member = bloom_membership(hashed["text_hash"], self.bloom)
-                    return hashed.append_column("_bloom", pa.array(member))
+                    hs = hashed["text_hash"].to_numpy(zero_copy_only=False).astype("U32")
+                    ids = b[id_col].to_numpy(zero_copy_only=False)
+                    idx = np.searchsorted(self.hashes, hs)
+                    idx_c = np.minimum(idx, max(len(self.hashes) - 1, 0))
+                    in_dup = (
+                        (self.hashes[idx_c] == hs) if len(self.hashes) else np.zeros(len(hs), bool)
+                    )
+                    mask = ~in_dup | (
+                        (self.keep[idx_c] == ids) if len(self.hashes) else True
+                    )
+                    return b.filter(pa.array(mask))
 
-            # pinned: the clean and suspect branches both read it —
-            # without the pin each branch re-executes the tag pass
-            # (and at 100 TB the full upstream chain)
-            tagged = pin(
-                quality.map_batches(
-                    BloomTag, batch_format="pyarrow", concurrency=(1, 8)
+            exact_filtered = q.map_batches(
+                ExactKeep, batch_format="pyarrow", concurrency=(1, 8)
+            )
+        elif exact_keep == "join":
+            from ocr_service_ray.ops.bloom import bloom_membership, build_bloom
+            from ocr_service_ray.ops.relational import hash_join
+
+            # the dup-group table never visits the driver: it stays a
+            # Dataset (pinned — consumed by the bloom build AND the join
+            # probe; a parquet staging tier via staging_path is the real
+            # 100 TB boundary), and the driver holds only the fixed-size
+            # bloom bitmap (|blocks| byte-string partials OR-merged).
+            q = pin(q, "quality")  # 3 consumers in join mode
+            base_schema = q.schema()
+            base_names = list(base_schema.names)
+
+            dup_only = pin(
+                exact_dedup(q, text_col, id_col).map_batches(
+                    lambda b: b.filter(pc.greater(b["dups"], 1)).select(
+                        ["text_hash", "keep_id"]
+                    ),
+                    batch_format="pyarrow",
                 ),
-                "bloom_tagged",
+                "dup_groups",
             )
+            if dup_only.count() == 0:
+                # no duplicated group anywhere: every row survives, and the
+                # join MUST be skipped — an all-empty left side has no
+                # schema-bearing block to broadcast, so the acero join
+                # cannot even learn its key field (hash_join LANDMINE).
+                # count() on the pinned table is metadata-cheap. Note the
+                # converse below: dup_only non-empty ⇒ suspect non-empty
+                # (a bloom filter has no false negatives, so every
+                # duplicated row is bloom-positive).
+                exact_filtered = q
+            else:
+                bloom_ref = ray.put(build_bloom(dup_only, "text_hash"))
 
-            def take_clean(b: pa.Table) -> pa.Table:
-                # bloom-negative → provably not duplicated (no false
-                # negatives); survives with zero shuffle
-                return b.filter(pc.invert(b["_bloom"])).select(base_names)
+                class BloomTag:
+                    def __init__(self):
+                        self.bloom = ray.get(bloom_ref)
 
-            def take_suspect(b: pa.Table) -> pa.Table:
-                return b.filter(b["_bloom"]).drop_columns(["_bloom"])
+                    def __call__(self, b: pa.Table) -> pa.Table:
+                        hashed = content_hash(b, text_col)
+                        member = bloom_membership(hashed["text_hash"], self.bloom)
+                        return hashed.append_column("_bloom", pa.array(member))
 
-            clean = tagged.map_batches(take_clean, batch_format="pyarrow")
-            # repartition: bloom-negative-only batches filter to
-            # zero-row blocks, which map_batches re-normalizes to
-            # SCHEMA-LESS blocks the acero join rejects ("no match
-            # for key field text_hash") — a real exchange rebuilds
-            # them with the unified schema (hash_join LANDMINE note)
-            suspect = tagged.map_batches(
-                take_suspect, batch_format="pyarrow"
-            ).repartition(8)
-            joined = hash_join(
-                suspect, dup_only, on="text_hash", join_type="left_outer"
-            )
-
-            def keep_rows(b: pa.Table) -> pa.Table:
-                # empty join partitions emit zero-column blocks (see
-                # ops/relational.hash_join LANDMINE note) — normalize
-                # to the base schema instead of KeyError-ing
-                if b.num_rows == 0 or "keep_id" not in b.column_names:
-                    return base_schema.empty_table()
-                survive = pc.or_kleene(
-                    pc.is_null(b["keep_id"]),  # bloom false positive
-                    pc.equal(b["keep_id"], b[id_col]),  # group's keeper
+                # pinned: the clean and suspect branches both read it —
+                # without the pin each branch re-executes the tag pass
+                # (and at 100 TB the full upstream chain)
+                tagged = pin(
+                    q.map_batches(
+                        BloomTag, batch_format="pyarrow", concurrency=(1, 8)
+                    ),
+                    "bloom_tagged",
                 )
-                return b.filter(pc.fill_null(survive, False)).select(base_names)
 
-            kept = joined.map_batches(keep_rows, batch_format="pyarrow")
-            exact_filtered = clean.union(kept)
-    else:
-        raise ValueError(f"unknown exact_keep strategy: {exact_keep!r}")
+                def take_clean(b: pa.Table) -> pa.Table:
+                    # bloom-negative → provably not duplicated (no false
+                    # negatives); survives with zero shuffle
+                    return b.filter(pc.invert(b["_bloom"])).select(base_names)
 
-    # pinned: read by the LSH signature pass, the canonical-drop
-    # filter, and everything downstream
-    exact = pin(exact_filtered, "exact")
+                def take_suspect(b: pa.Table) -> pa.Table:
+                    return b.filter(b["_bloom"]).drop_columns(["_bloom"])
+
+                clean = tagged.map_batches(take_clean, batch_format="pyarrow")
+                # repartition: bloom-negative-only batches filter to
+                # zero-row blocks, which map_batches re-normalizes to
+                # SCHEMA-LESS blocks the acero join rejects ("no match
+                # for key field text_hash") — a real exchange rebuilds
+                # them with the unified schema (hash_join LANDMINE note)
+                suspect = tagged.map_batches(
+                    take_suspect, batch_format="pyarrow"
+                ).repartition(8)
+                joined = hash_join(
+                    suspect, dup_only, on="text_hash", join_type="left_outer"
+                )
+
+                def keep_rows(b: pa.Table) -> pa.Table:
+                    # empty join partitions emit zero-column blocks (see
+                    # ops/relational.hash_join LANDMINE note) — normalize
+                    # to the base schema instead of KeyError-ing
+                    if b.num_rows == 0 or "keep_id" not in b.column_names:
+                        return base_schema.empty_table()
+                    survive = pc.or_kleene(
+                        pc.is_null(b["keep_id"]),  # bloom false positive
+                        pc.equal(b["keep_id"], b[id_col]),  # group's keeper
+                    )
+                    return b.filter(pc.fill_null(survive, False)).select(base_names)
+
+                kept = joined.map_batches(keep_rows, batch_format="pyarrow")
+                exact_filtered = clean.union(kept)
+        else:
+            raise ValueError(f"unknown exact_keep strategy: {exact_keep!r}")
+        return exact_filtered
+
+    exact = pin(build_exact, "exact")
     summary["after_exact_dedup"] = stage_count(exact)
 
     # 3 — near dedup: LSH candidate pairs → components → one canonical
     # doc per cluster (drop set bounded by near-duplicates). The pair
     # table re-reads `exact` (lazy); at corpus scale pass
     # signature_path so the signature table persists instead.
-    pairs = minhash_lsh_candidates(
-        exact, text_col, id_col, threshold=near_dup_threshold, hash=minhash_hash
-    )
+    def build_near():
+        # thunk: LSH signature materialization and the component
+        # fixpoint only run when the "near" phase recomputes
+        pairs = minhash_lsh_candidates(
+            exact, text_col, id_col, threshold=near_dup_threshold, hash=minhash_hash
+        )
+        return keep_canonical(exact, pairs, id_col)
+
     # pinned: read by the decontamination probe and the mix join
-    near = pin(keep_canonical(exact, pairs, id_col), "near")
+    near = pin(build_near, "near")
     summary["after_near_dedup"] = stage_count(near)
 
     # 4 — decontamination (optional): drop docs sharing an n-gram with
@@ -315,6 +398,7 @@ def prune_corpus(
     sep: str = "\n",
     counts: bool = True,
     staging_path: str | None = None,
+    resume: bool = False,
 ):
     """The PRUNING half of corpus curation — size reduction rather
     than content filtering:
@@ -346,14 +430,11 @@ def prune_corpus(
     def stage_count(ds):
         return int(ds.count()) if counts else None
 
-    def pin(ds, name: str):
-        if staging_path is not None:
-            from ocr_service_ray.sources.readers import read_parquet_clean
+    phases: list[dict] = []
+    summary["phases"] = phases
 
-            path = f"{staging_path}/{name}"
-            ds.write_parquet(path)
-            return read_parquet_clean(path)
-        return ds.materialize()
+    def pin(ds, name: str):
+        return _staged_pin(ds, name, staging_path, resume, phases)
 
     summary["input"] = stage_count(docs_ds)
 

@@ -11,10 +11,15 @@ scripts/run_curation_job.py ...`).
         [--cap-per-source 1000] [--paragraph-sep $'\\n']
 
 Writes the curated/pruned corpus as partitioned parquet under
---out-dir plus a JSON summary line (per-stage survivor counts) on
-stdout. --staging-path pins stage boundaries to storage instead of
-the object store — the corpus-scale tier, and a re-run can resume
-from the written stages. Guarded ray.init (never inside library code).
+--out-dir plus a JSON summary line (per-stage survivor counts and
+per-phase lineage manifests) on stdout. --staging-path pins stage
+boundaries to storage as ATOMIC committed phases (data dir renamed
+into place, then a .manifest.json staged and renamed — the commit
+point); --resume skips recomputation of committed phases AND the
+final output when its manifest exists, so a run killed at any point
+resumes from the last committed phase and produces byte-identical
+output (pytest-asserted in tests/test_curation_resume.py). Guarded
+ray.init (never inside library code).
 """
 
 from __future__ import annotations
@@ -41,7 +46,21 @@ def main() -> None:
     ap.add_argument("--cap-per-source", type=int, default=1000)
     ap.add_argument("--paragraph-sep", default="\n")
     ap.add_argument("--staging-path", default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="skip committed phases under --staging-path and a "
+                         "committed final output under --out-dir")
     args = ap.parse_args()
+
+    # resume fast path: the whole job already committed — nothing to do
+    out_mf = os.path.join(args.out_dir, "_job_manifest.json")
+    if args.resume and os.path.isfile(out_mf):
+        try:
+            with open(out_mf, encoding="utf-8") as f:
+                prev = json.load(f)
+            print(json.dumps({**prev, "resumed": True}))
+            return
+        except ValueError:
+            pass  # torn manifest → rerun
 
     import ray
 
@@ -87,6 +106,7 @@ def main() -> None:
             mix_weights=weights,
             near_dup_threshold=args.near_dup_threshold,
             staging_path=args.staging_path,
+            resume=args.resume,
             minhash_hash=args.minhash_hash,
         )
     else:
@@ -97,10 +117,25 @@ def main() -> None:
             cap_per_source=args.cap_per_source,
             sep=args.paragraph_sep,
             staging_path=args.staging_path,
+            resume=args.resume,
         )
 
-    out.write_parquet(args.out_dir)
-    print(json.dumps({"pipeline": args.pipeline, "out": args.out_dir, **summary}))
+    # atomic final commit: data to .tmp → rename → job manifest staged
+    # and renamed LAST (same discipline as the staged phases); a kill
+    # at any point leaves a resumable state, never a half-read output
+    import shutil
+
+    tmp = args.out_dir + ".tmp"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write_parquet(tmp)
+    shutil.rmtree(args.out_dir, ignore_errors=True)
+    os.rename(tmp, args.out_dir)
+    result = {"pipeline": args.pipeline, "out": args.out_dir, **summary}
+    mf_tmp = out_mf + ".tmp"
+    with open(mf_tmp, "w", encoding="utf-8") as f:
+        json.dump(result, f, indent=2)
+    os.rename(mf_tmp, out_mf)
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":
