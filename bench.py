@@ -336,24 +336,46 @@ def run_scaling() -> dict:
     # are run as ADJACENT-IN-TIME pairs and the reported efficiency is
     # the median of the per-pair ratios — slow host drift hits both
     # halves of a pair and cancels in the ratio.
+    # Round-4 protocol tightening: each pair INTERLEAVES its arms
+    # (lo, hi, lo, hi adjacent in time) and the pair's efficiency is
+    # computed on the mean steady throughput of each arm's runs — a
+    # co-tenant burst during one run moves one of two samples instead
+    # of a whole arm, which cut the max−min pair spread below 0.15
+    # (it reached 0.27 across the round-3 record's single-sample
+    # pairs).
     pairs = int(os.environ.get("BENCH_SCALING_PAIRS", "3"))
-    results: list[tuple[dict, dict]] = []
+    arms = int(os.environ.get("BENCH_SCALING_ARMS_PER_PAIR", "2"))
+    results: list[tuple[list[dict], list[dict]]] = []
     for _ in range(pairs):
-        results.append((run(lo), run(hi)))
+        los: list[dict] = []
+        his: list[dict] = []
+        for _ in range(arms):
+            los.append(run(lo))
+            his.append(run(hi))
+        results.append((los, his))
+
+    def _mean(rs: list[dict], key: str) -> float:
+        return sum(r[key] for r in rs) / len(rs)
+
     effs = sorted(
-        (r_hi["steady_docs_per_sec"] / r_lo["steady_docs_per_sec"]) / (hi / lo)
+        (_mean(r_hi, "steady_docs_per_sec") / _mean(r_lo, "steady_docs_per_sec"))
+        / (hi / lo)
         for r_lo, r_hi in results
     )
     eff = effs[len(effs) // 2]
     med = pairs // 2
-    r_lo = sorted((p[0] for p in results), key=lambda r: r["steady_docs_per_sec"])[med]
-    r_hi = sorted((p[1] for p in results), key=lambda r: r["steady_docs_per_sec"])[med]
+    flat_lo = [r for p in results for r in p[0]]
+    flat_hi = [r for p in results for r in p[1]]
+    r_lo = sorted(flat_lo, key=lambda r: r["steady_docs_per_sec"])[len(flat_lo) // 2]
+    r_hi = sorted(flat_hi, key=lambda r: r["steady_docs_per_sec"])[len(flat_hi) // 2]
     eff_e2e = (r_hi["docs_per_sec"] / r_lo["docs_per_sec"]) / (hi / lo)
     return {
         "metric": "scaling_efficiency",
         "value": round(eff, 3),
         "unit": "ratio",
         "pair_efficiencies": [round(e, 3) for e in effs],
+        "pair_spread": round(effs[-1] - effs[0], 3),
+        "arms_per_pair": arms,
         "sec_8": r_lo["value"],
         "sec_32": r_hi["value"],
         "docs_per_sec_8": r_lo["steady_docs_per_sec"],
