@@ -236,9 +236,9 @@ def run_bench(flagship_only: bool = False) -> dict:
         def _docs():
             return _rpc(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
 
-        def _curate_fast(sf_dir):
-            # the full curation pipeline with the production gram hash
-            # (same stages/params as the oracled curate_corpus query)
+        def _curate_variant(sf_dir, **kw):
+            # the full curation pipeline with variant knobs (same
+            # stages/params as the oracled curate_corpus query)
             import pyarrow as _pa
 
             from ocr_service_ray.pipelines.curate import curate_corpus
@@ -263,9 +263,22 @@ def run_bench(flagship_only: bool = False) -> dict:
                 near_dup_threshold=0.4,
                 decontam_ngram=8,
                 counts=False,
-                minhash_hash="fast",
+                **kw,
             )
             return out.select_columns(["doc_id", "source", "rank", "mix_key"])
+
+        def _curate_fast(sf_dir):
+            return _curate_variant(sf_dir, minhash_hash="fast")
+
+        def _curate_join(sf_dir):
+            # the dup-heavy-corpus machinery (bloom route + partitioned
+            # join) forced on via broadcast_budget=0 — timed so the
+            # join tier's fixed cost at bench scale is a recorded
+            # fact, not a claim (the oracled curate_corpus query runs
+            # exact_keep="auto", which picks the bounded pull here)
+            return _curate_variant(
+                sf_dir, exact_keep="auto", broadcast_budget=0
+            )
 
         fast_variants = {
             "minhash_dedup_fast": lambda: _dedup.minhash_lsh_candidates(
@@ -278,6 +291,7 @@ def run_bench(flagship_only: bool = False) -> dict:
                 _docs(), n=5, min_df=2, strategy="shuffle", hash="fast"
             ),
             "curate_corpus_fast": lambda: _curate_fast(SF_DIR),
+            "curate_corpus_join": lambda: _curate_join(SF_DIR),
         }
         for name, fn in fast_variants.items():
             t0 = time.perf_counter()

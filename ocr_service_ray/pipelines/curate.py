@@ -121,6 +121,7 @@ def curate_corpus(
     resume: bool = False,
     minhash_hash: str = "oracle",
     exact_keep: str = "broadcast",
+    broadcast_budget: int = 1_000_000,
 ):
     """Returns ``(curated_ds, summary dict)``. ``curated_ds`` carries
     the surviving rows (original columns + ``rank`` / ``mix_key`` when
@@ -146,6 +147,14 @@ def curate_corpus(
       when they are a false positive (null keep_id) or the group's
       keeper. Both paths are exact — the result equals the
       broadcast strategy bit for bit (pytest-asserted).
+    - ``"auto"``: the production default shape — computes the
+      dup-group table as a pinned Dataset (never an unbounded driver
+      pull), COUNTS it, and picks: empty → pass-through; ≤
+      ``broadcast_budget`` rows → pull the pinned table and run the
+      zero-shuffle broadcast filter; above the budget → the join
+      machinery. The driver pull is bounded by the budget by
+      construction, so "auto" is scale-safe at any duplicate rate
+      while keeping small/clean corpora on the cheap path.
     """
     import ray
 
@@ -200,17 +209,15 @@ def curate_corpus(
         # evaluated ONLY when the "exact" phase recomputes — a
         # resumed run skips the dup-group pull / bloom build /
         # join plan entirely (thunk contract of _staged_pin)
+        if exact_keep not in ("broadcast", "join", "auto"):
+            raise ValueError(f"unknown exact_keep strategy: {exact_keep!r}")
         q = quality
-        if exact_keep == "broadcast":
-            # filter dups > 1 INSIDE the dataset — the driver pull must be
-            # bounded by DUPLICATED groups, not by |distinct texts| ≈ corpus
-            # (pull-then-filter was the 100-TB violation)
-            dup_only = exact_dedup(q, text_col, id_col).map_batches(
-                lambda b: b.filter(pc.greater(b["dups"], 1)), batch_format="pyarrow"
-            )
-            groups = dup_only.to_pandas()
-            if groups.empty:  # zero-row to_pandas drops columns
-                groups = pd.DataFrame({"text_hash": [], "keep_id": [], "dups": []})
+
+        def broadcast_filter(groups: pd.DataFrame):
+            """Keep-filter with the {text_hash → keep_id} table shipped
+            once via ray.put — groups is bounded by DUPLICATED-group
+            count (caller-enforced: dimension-sized corpora, or the
+            auto budget)."""
             dup_groups = groups.sort_values("text_hash")
             dup_hashes = dup_groups["text_hash"].to_numpy(dtype="U32")
             dup_keep = dup_groups["keep_id"].to_numpy()
@@ -221,8 +228,8 @@ def curate_corpus(
                     self.hashes, self.keep = ray.get(keep_ref)
 
                 def __call__(self, b: pa.Table) -> pa.Table:
-                    # vectorized: row survives unless its hash is a duplicated
-                    # group AND its id is not that group's keeper
+                    # vectorized: row survives unless its hash is a
+                    # duplicated group AND its id is not the keeper
                     hashed = content_hash(b, text_col)
                     hs = hashed["text_hash"].to_numpy(zero_copy_only=False).astype("U32")
                     ids = b[id_col].to_numpy(zero_copy_only=False)
@@ -236,101 +243,123 @@ def curate_corpus(
                     )
                     return b.filter(pa.array(mask))
 
-            exact_filtered = q.map_batches(
+            return q.map_batches(
                 ExactKeep, batch_format="pyarrow", concurrency=(1, 8)
             )
-        elif exact_keep == "join":
-            from ocr_service_ray.ops.bloom import bloom_membership, build_bloom
-            from ocr_service_ray.ops.relational import hash_join
 
-            # the dup-group table never visits the driver: it stays a
-            # Dataset (pinned — consumed by the bloom build AND the join
-            # probe; a parquet staging tier via staging_path is the real
-            # 100 TB boundary), and the driver holds only the fixed-size
-            # bloom bitmap (|blocks| byte-string partials OR-merged).
-            q = pin(q, "quality")  # 3 consumers in join mode
-            base_schema = q.schema()
-            base_names = list(base_schema.names)
-
-            dup_only = pin(
-                exact_dedup(q, text_col, id_col).map_batches(
-                    lambda b: b.filter(pc.greater(b["dups"], 1)).select(
-                        ["text_hash", "keep_id"]
-                    ),
-                    batch_format="pyarrow",
-                ),
-                "dup_groups",
+        if exact_keep == "broadcast":
+            # filter dups > 1 INSIDE the dataset — the driver pull must be
+            # bounded by DUPLICATED groups, not by |distinct texts| ≈ corpus
+            # (pull-then-filter was the 100-TB violation)
+            dup_only = exact_dedup(q, text_col, id_col).map_batches(
+                lambda b: b.filter(pc.greater(b["dups"], 1)), batch_format="pyarrow"
             )
-            if dup_only.count() == 0:
-                # no duplicated group anywhere: every row survives, and the
-                # join MUST be skipped — an all-empty left side has no
-                # schema-bearing block to broadcast, so the acero join
-                # cannot even learn its key field (hash_join LANDMINE).
-                # count() on the pinned table is metadata-cheap. Note the
-                # converse below: dup_only non-empty ⇒ suspect non-empty
-                # (a bloom filter has no false negatives, so every
-                # duplicated row is bloom-positive).
-                exact_filtered = q
-            else:
-                bloom_ref = ray.put(build_bloom(dup_only, "text_hash"))
+            groups = dup_only.to_pandas()
+            if groups.empty:  # zero-row to_pandas drops columns
+                groups = pd.DataFrame({"text_hash": [], "keep_id": [], "dups": []})
+            return broadcast_filter(groups)
 
-                class BloomTag:
-                    def __init__(self):
-                        self.bloom = ray.get(bloom_ref)
+        # "join" and "auto": the dup-group table stays a Dataset,
+        # pinned (consumed by the bloom build AND the join probe; a
+        # parquet staging tier via staging_path is the real 100 TB
+        # boundary). It reads the UNPINNED quality plan: quality is
+        # pinned only when the join machinery actually engages below —
+        # on a dup-free corpus the whole branch then costs one
+        # exact_dedup shuffle over the streamed quality scan and no
+        # extra materialized boundary (measured +28% when pinned
+        # eagerly).
+        from ocr_service_ray.ops.bloom import bloom_membership, build_bloom
+        from ocr_service_ray.ops.relational import hash_join
 
-                    def __call__(self, b: pa.Table) -> pa.Table:
-                        hashed = content_hash(b, text_col)
-                        member = bloom_membership(hashed["text_hash"], self.bloom)
-                        return hashed.append_column("_bloom", pa.array(member))
+        dup_only = pin(
+            exact_dedup(q, text_col, id_col).map_batches(
+                lambda b: b.filter(pc.greater(b["dups"], 1)).select(
+                    ["text_hash", "keep_id"]
+                ),
+                batch_format="pyarrow",
+            ),
+            "dup_groups",
+        )
+        n_dup = dup_only.count()  # metadata-cheap on the pinned table
+        if n_dup == 0:
+            # no duplicated group anywhere: every row survives, and the
+            # join MUST be skipped — an all-empty left side has no
+            # schema-bearing block to broadcast, so the acero join
+            # cannot even learn its key field (hash_join LANDMINE).
+            # Note the converse below: dup_only non-empty ⇒ suspect
+            # non-empty (a bloom filter has no false negatives, so
+            # every duplicated row is bloom-positive).
+            return q
+        if exact_keep == "auto" and n_dup <= broadcast_budget:
+            # the dup-group table fits the broadcast budget: pull the
+            # PINNED (already-computed) table and take the zero-shuffle
+            # path — the pull is ≤ broadcast_budget rows by this guard,
+            # never O(corpus)
+            return broadcast_filter(dup_only.to_pandas())
 
-                # pinned: the clean and suspect branches both read it —
-                # without the pin each branch re-executes the tag pass
-                # (and at 100 TB the full upstream chain)
-                tagged = pin(
-                    q.map_batches(
-                        BloomTag, batch_format="pyarrow", concurrency=(1, 8)
-                    ),
-                    "bloom_tagged",
-                )
+        # the join machinery: bloom-route every row, key-partitioned
+        # left-outer join for bloom positives only. 2 consumers of
+        # quality from here (bloom tag + the outer "exact" pin) — one
+        # extra quality-plan pass vs pinning before dup_groups, the
+        # right trade because the dup-heavy case pays it once while
+        # the dup-free/auto-broadcast cases skip the boundary.
+        q = pin(q, "quality")
+        base_schema = q.schema()
+        base_names = list(base_schema.names)
+        bloom_ref = ray.put(build_bloom(dup_only, "text_hash"))
 
-                def take_clean(b: pa.Table) -> pa.Table:
-                    # bloom-negative → provably not duplicated (no false
-                    # negatives); survives with zero shuffle
-                    return b.filter(pc.invert(b["_bloom"])).select(base_names)
+        class BloomTag:
+            def __init__(self):
+                self.bloom = ray.get(bloom_ref)
 
-                def take_suspect(b: pa.Table) -> pa.Table:
-                    return b.filter(b["_bloom"]).drop_columns(["_bloom"])
+            def __call__(self, b: pa.Table) -> pa.Table:
+                hashed = content_hash(b, text_col)
+                member = bloom_membership(hashed["text_hash"], self.bloom)
+                return hashed.append_column("_bloom", pa.array(member))
 
-                clean = tagged.map_batches(take_clean, batch_format="pyarrow")
-                # repartition: bloom-negative-only batches filter to
-                # zero-row blocks, which map_batches re-normalizes to
-                # SCHEMA-LESS blocks the acero join rejects ("no match
-                # for key field text_hash") — a real exchange rebuilds
-                # them with the unified schema (hash_join LANDMINE note)
-                suspect = tagged.map_batches(
-                    take_suspect, batch_format="pyarrow"
-                ).repartition(8)
-                joined = hash_join(
-                    suspect, dup_only, on="text_hash", join_type="left_outer"
-                )
+        # pinned: the clean and suspect branches both read it —
+        # without the pin each branch re-executes the tag pass
+        # (and at 100 TB the full upstream chain)
+        tagged = pin(
+            q.map_batches(BloomTag, batch_format="pyarrow", concurrency=(1, 8)),
+            "bloom_tagged",
+        )
 
-                def keep_rows(b: pa.Table) -> pa.Table:
-                    # empty join partitions emit zero-column blocks (see
-                    # ops/relational.hash_join LANDMINE note) — normalize
-                    # to the base schema instead of KeyError-ing
-                    if b.num_rows == 0 or "keep_id" not in b.column_names:
-                        return base_schema.empty_table()
-                    survive = pc.or_kleene(
-                        pc.is_null(b["keep_id"]),  # bloom false positive
-                        pc.equal(b["keep_id"], b[id_col]),  # group's keeper
-                    )
-                    return b.filter(pc.fill_null(survive, False)).select(base_names)
+        def take_clean(b: pa.Table) -> pa.Table:
+            # bloom-negative → provably not duplicated (no false
+            # negatives); survives with zero shuffle
+            return b.filter(pc.invert(b["_bloom"])).select(base_names)
 
-                kept = joined.map_batches(keep_rows, batch_format="pyarrow")
-                exact_filtered = clean.union(kept)
-        else:
-            raise ValueError(f"unknown exact_keep strategy: {exact_keep!r}")
-        return exact_filtered
+        def take_suspect(b: pa.Table) -> pa.Table:
+            return b.filter(b["_bloom"]).drop_columns(["_bloom"])
+
+        clean = tagged.map_batches(take_clean, batch_format="pyarrow")
+        # repartition: bloom-negative-only batches filter to zero-row
+        # blocks, which map_batches re-normalizes to SCHEMA-LESS
+        # blocks the acero join rejects ("no match for key field
+        # text_hash") — a real exchange rebuilds them with the
+        # unified schema (hash_join LANDMINE note)
+        suspect = tagged.map_batches(
+            take_suspect, batch_format="pyarrow"
+        ).repartition(8)
+        joined = hash_join(
+            suspect, dup_only, on="text_hash", join_type="left_outer"
+        )
+
+        def keep_rows(b: pa.Table) -> pa.Table:
+            # empty join partitions emit zero-column blocks (see
+            # ops/relational.hash_join LANDMINE note) — normalize
+            # to the base schema instead of KeyError-ing
+            if b.num_rows == 0 or "keep_id" not in b.column_names:
+                return base_schema.empty_table()
+            survive = pc.or_kleene(
+                pc.is_null(b["keep_id"]),  # bloom false positive
+                pc.equal(b["keep_id"], b[id_col]),  # group's keeper
+            )
+            return b.filter(pc.fill_null(survive, False)).select(base_names)
+
+        kept = joined.map_batches(keep_rows, batch_format="pyarrow")
+        return clean.union(kept)
 
     exact = pin(build_exact, "exact")
     summary["after_exact_dedup"] = stage_count(exact)

@@ -99,22 +99,32 @@ def test_exact_keep_join_equals_broadcast(ray_session):
         rows.append({"doc_id": 1000 + u, "text": text, "source": f"s{u % 3}"})
     corpus = pa.Table.from_pandas(pd.DataFrame(rows), preserve_index=False)
 
+    # auto with the default budget pulls the bounded dup-group table;
+    # auto with budget=0 is forced onto the join machinery — all four
+    # must agree bit for bit
     outs = {}
-    for strategy in ("broadcast", "join"):
+    for label, kwargs in {
+        "broadcast": dict(exact_keep="broadcast"),
+        "join": dict(exact_keep="join"),
+        "auto_pull": dict(exact_keep="auto"),
+        "auto_join": dict(exact_keep="auto", broadcast_budget=0),
+    }.items():
         out, summary = curate_corpus(
             rd.from_arrow(corpus).repartition(5),
             counts=True,
-            exact_keep=strategy,
+            **kwargs,
         )
         assert summary["after_exact_dedup"] == 55  # 40 keepers + 15 unique
-        outs[strategy] = (
+        outs[label] = (
             out.to_pandas().sort_values("doc_id").reset_index(drop=True)
         )
-    pd.testing.assert_frame_equal(
-        outs["broadcast"][sorted(outs["broadcast"].columns)],
-        outs["join"][sorted(outs["join"].columns)],
-        check_dtype=False,
-    )
+    ref = outs["broadcast"]
+    for label in ("join", "auto_pull", "auto_join"):
+        pd.testing.assert_frame_equal(
+            ref[sorted(ref.columns)],
+            outs[label][sorted(outs[label].columns)],
+            check_dtype=False,
+        )
 
 
 def test_exact_keep_join_no_dups(ray_session):
