@@ -156,3 +156,92 @@ def test_prune_resume_byte_identical(ray_session, tmp_path):
         res_df[sorted(res_df.columns)],
         check_dtype=False,
     )
+
+
+def test_staged_pin_torn_states(ray_session, tmp_path):
+    """_staged_pin must treat every torn state as 'recompute': missing
+    manifest, unparseable manifest, manifest-without-data-dir."""
+    import json
+    import os
+
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.pipelines.curate import _staged_pin
+
+    stg = str(tmp_path / "stg")
+    tbl = pa.table({"x": [1, 2, 3]})
+
+    def run(resume):
+        phases = []
+        out = _staged_pin(rd.from_arrow(tbl), "p", stg, resume, phases)
+        return out.to_pandas().sort_values("x").reset_index(drop=True), phases
+
+    ref, phases = run(resume=False)
+    assert phases[0]["resumed"] is False and phases[0]["rows"] == 3
+
+    # committed → resume reads back
+    df, phases = run(resume=True)
+    assert phases[0]["resumed"] is True
+    pd.testing.assert_frame_equal(ref, df)
+
+    # torn manifest (unparseable) → recompute
+    mf = os.path.join(stg, "p.manifest.json")
+    with open(mf, "w") as f:
+        f.write("{not json")
+    df, phases = run(resume=True)
+    assert phases[0]["resumed"] is False
+    pd.testing.assert_frame_equal(ref, df)
+
+    # manifest without data dir → recompute (not a crash)
+    import shutil
+
+    shutil.rmtree(os.path.join(stg, "p"))
+    assert json.load(open(mf))["rows"] == 3  # manifest valid again
+    df, phases = run(resume=True)
+    assert phases[0]["resumed"] is False
+    pd.testing.assert_frame_equal(ref, df)
+
+
+def test_exact_keep_auto_budget_boundary(ray_session):
+    """auto at the exact budget boundary: n_dup == budget takes the
+    bounded pull, n_dup > budget takes the join tier — both must
+    equal broadcast bit for bit."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from ocr_service_ray.pipelines.curate import curate_corpus
+
+    rows = {"doc_id": [], "text": [], "source": []}
+    for g in range(5):  # exactly 5 duplicated groups
+        text = " ".join(f"b{g}w{j}" for j in range(14))
+        for c in range(2):
+            rows["doc_id"].append(g * 10 + c)
+            rows["text"].append(text)
+            rows["source"].append("s")
+    corpus = pa.table(rows)
+
+    outs = {}
+    for label, budget in {"at_budget": 5, "under_budget": 4}.items():
+        out, summary = curate_corpus(
+            rd.from_arrow(corpus).repartition(3),
+            counts=True,
+            exact_keep="auto",
+            broadcast_budget=budget,
+        )
+        assert summary["after_exact_dedup"] == 5
+        outs[label] = (
+            out.to_pandas().sort_values("doc_id").reset_index(drop=True)
+        )
+    ref, _ = curate_corpus(
+        rd.from_arrow(corpus).repartition(3), counts=False, exact_keep="broadcast"
+    )
+    ref = ref.to_pandas().sort_values("doc_id").reset_index(drop=True)
+    for label in outs:
+        pd.testing.assert_frame_equal(
+            ref[sorted(ref.columns)],
+            outs[label][sorted(outs[label].columns)],
+            check_dtype=False,
+        )
