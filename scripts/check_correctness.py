@@ -117,6 +117,13 @@ def main():
                 print(f"OK   {name} ({dt:.1f}s): {len(ray_df)} rows, oracle match")
         else:
             print(f"OK   {name} ({dt:.1f}s): {len(ray_df)} rows (rows-only, no oracle)")
+        # drop the query's result references and collect so lingering
+        # Datasets (and the actor pools they keep alive) are released
+        # between queries — hygiene for long multi-query sessions
+        import gc
+
+        ray_df = sql_df = None
+        gc.collect()
     ray.shutdown()
     sys.exit(1 if failures else 0)
 
