@@ -33,6 +33,8 @@ Supported aggs: "count", "sum", "min", "max", "mean".
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -343,7 +345,7 @@ def grouped_outliers(
             d = v - means
             return b.filter(pa.array(d * d > k2 * vars_))
 
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=bcast_pool())
 
 
 def grouped_mode(ds, group_keys: list[str], col: str, num_buckets: int = 32):

@@ -27,6 +27,8 @@ still removes the bulk of the traffic before the shuffle.
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -138,7 +140,7 @@ def bloom_semi_join(ds, keys, on: str, num_bits: int = 1 << 20, num_hashes: int 
     return ds.map_batches(
         BloomSemiJoin,
         batch_format="pyarrow",
-        concurrency=(1, 8),
+        concurrency=bcast_pool(),
         fn_constructor_kwargs={
             "bloom_ref": bloom_ref,
             "keys_ref": keys_ref,

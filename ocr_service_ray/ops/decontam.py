@@ -34,6 +34,8 @@ SQL.
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 from collections import Counter
 
 import pyarrow as pa
@@ -117,7 +119,7 @@ def _pairs_broadcast(train_ds, eval_ds, n, text_col, id_col):
                 }
             )
 
-    return train_ds.map_batches(Probe, batch_format="pyarrow", concurrency=(1, 8))
+    return train_ds.map_batches(Probe, batch_format="pyarrow", concurrency=bcast_pool())
 
 
 def _pairs_shuffle(train_ds, eval_ds, n, text_col, id_col, bloom=False):
@@ -191,7 +193,7 @@ def _bloom_prefilter(train_rows, eval_rows):
             return b.filter(pa.array(hit.all(axis=1)))
 
     return train_rows.map_batches(
-        MaybeContains, batch_format="pyarrow", concurrency=(1, 8)
+        MaybeContains, batch_format="pyarrow", concurrency=bcast_pool()
     )
 
 
@@ -225,7 +227,7 @@ def decontaminate(
             return b.filter(pc.invert(pc.is_in(b[id_col], value_set=self.bad)))
 
     return train_ds.map_batches(
-        DropContaminated, batch_format="pyarrow", concurrency=(1, 8)
+        DropContaminated, batch_format="pyarrow", concurrency=bcast_pool()
     )
 
 
@@ -290,4 +292,4 @@ def contamination_ratio(
                 }
             )
 
-    return train_ds.map_batches(Score, batch_format="pyarrow", concurrency=(1, 8))
+    return train_ds.map_batches(Score, batch_format="pyarrow", concurrency=bcast_pool())

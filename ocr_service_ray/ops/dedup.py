@@ -27,6 +27,8 @@ per function.
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 import hashlib
 
 import numpy as np
@@ -365,7 +367,7 @@ def _keep_hot_buckets(rows_ds, key_cols: list[str]):
             mask = np.isin(_combined_hash(batch), self.hot, assume_unique=False)
             return batch.filter(pa.array(mask))
 
-    return rows_ds.map_batches(HotFilter, batch_format="pyarrow", concurrency=(1, 8))
+    return rows_ds.map_batches(HotFilter, batch_format="pyarrow", concurrency=bcast_pool())
 
 
 def simhash64(text: str, hash: str = "oracle") -> int:

@@ -35,6 +35,8 @@ pair set, so the whole pairs→clusters path is driver-verified.
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -272,7 +274,7 @@ def keep_canonical(
             keep = pc.invert(pc.is_in(b[id_col], value_set=self.drop))
             return b.filter(keep)
 
-    return ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=bcast_pool())
 
 
 def pagerank_int(

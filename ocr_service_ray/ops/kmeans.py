@@ -22,6 +22,8 @@ reference implementing the identical arithmetic.
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 import hashlib
 
 import numpy as np
@@ -173,4 +175,4 @@ def assign_clusters(ds, centroids: np.ndarray, vec_col: str = "embedding"):
                 "cluster", pa.array(np.argmin(d, axis=1).astype(np.int64))
             )
 
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=bcast_pool())

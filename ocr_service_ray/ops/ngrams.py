@@ -51,6 +51,8 @@ differ (``tests/test_ngrams.py`` pins fast == oracle output).
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 import hashlib
 
 import numpy as np
@@ -196,7 +198,7 @@ def _stats_broadcast(ds, n, min_df, text_col, id_col, hash="oracle"):
                 }
             )
 
-    return ds.map_batches(MarkSpans, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(MarkSpans, batch_format="pyarrow", concurrency=bcast_pool())
 
 
 def _stats_shuffle(ds, n, min_df, text_col, id_col, hash="oracle"):
@@ -330,4 +332,4 @@ def strip_duplicate_spans(
                 out.append(" ".join(tok for tok, k in zip(toks, keep) if k))
             return batch.append_column(out_col, pa.array(out, pa.string()))
 
-    return ds.map_batches(Strip, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Strip, batch_format="pyarrow", concurrency=bcast_pool())

@@ -23,6 +23,8 @@ recall bounds.
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 import numpy as np
 import pandas as pd
 import pyarrow as pa
@@ -244,7 +246,7 @@ def pq_eval(
             return pa.table({id_col: b[id_col], "d2": pa.array(dist)})
 
     sl_df = topk_op(
-        codes.map_batches(AdcScore, batch_format="pyarrow", concurrency=(1, 8)),
+        codes.map_batches(AdcScore, batch_format="pyarrow", concurrency=bcast_pool()),
         ["d2", id_col],
         R,
         descending=[False, False],

@@ -39,6 +39,8 @@ with ``ops/text.py`` / ``ops/ngrams.py`` and DuckDB
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 from collections import Counter
 
 import numpy as np
@@ -135,7 +137,7 @@ def tfidf_topk_terms(
                 }
             )
 
-    return ds.map_batches(Rank, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(Rank, batch_format="pyarrow", concurrency=bcast_pool())
 
 
 def _tfidf_shuffle(ds, k, text_col, id_col, log_idf):

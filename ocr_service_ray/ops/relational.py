@@ -10,6 +10,8 @@ assumption), never globally.
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 import pandas as pd
 
 
@@ -28,7 +30,7 @@ def broadcast_join(large_ds, small_df: pd.DataFrame, on: str, how: str = "inner"
         def __call__(self, batch: pd.DataFrame) -> pd.DataFrame:
             return batch.merge(self.small, on=on, how=how)
 
-    return large_ds.map_batches(JoinBatch, batch_format="pandas", concurrency=(1, 8))
+    return large_ds.map_batches(JoinBatch, batch_format="pandas", concurrency=bcast_pool())
 
 
 def join_partitions_for(*datasets, target_bytes: int = 128 << 20, lo: int = 2, hi: int = 512) -> int:
@@ -261,7 +263,7 @@ def broadcast_anti_join(ds, keys, on: str):
             # null keys are never "in" the broadcast set → keep them
             return batch.filter(pc.fill_null(mask, True))
 
-    return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=(1, 8))
+    return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=bcast_pool())
 
 
 def asof_join(left_ds, right_ds, on: str, by: str, direction: str = "backward"):

@@ -25,6 +25,8 @@ read the stage deltas from the final dataset's lineage instead.
 
 from __future__ import annotations
 
+from ocr_service_ray.ops.pool import bcast_pool
+
 import pandas as pd
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -244,7 +246,7 @@ def curate_corpus(
                     return b.filter(pa.array(mask))
 
             return q.map_batches(
-                ExactKeep, batch_format="pyarrow", concurrency=(1, 8)
+                ExactKeep, batch_format="pyarrow", concurrency=bcast_pool()
             )
 
         if exact_keep == "broadcast":
@@ -321,7 +323,7 @@ def curate_corpus(
         # without the pin each branch re-executes the tag pass
         # (and at 100 TB the full upstream chain)
         tagged = pin(
-            q.map_batches(BloomTag, batch_format="pyarrow", concurrency=(1, 8)),
+            q.map_batches(BloomTag, batch_format="pyarrow", concurrency=bcast_pool()),
             "bloom_tagged",
         )
 
@@ -338,12 +340,20 @@ def curate_corpus(
         # blocks, which map_batches re-normalizes to SCHEMA-LESS
         # blocks the acero join rejects ("no match for key field
         # text_hash") — a real exchange rebuilds them with the
-        # unified schema (hash_join LANDMINE note)
+        # unified schema (hash_join LANDMINE note). Partition count
+        # derives from the PINNED quality table's size (free — it is
+        # materialized/staged), not a literal: suspect is bounded by
+        # quality, and a fixed count either under-parallelizes the
+        # join at corpus scale or over-partitions tiny inputs.
+        from ocr_service_ray.ops.relational import join_partitions_for
+
+        n_parts = join_partitions_for(q, dup_only, lo=8)
         suspect = tagged.map_batches(
             take_suspect, batch_format="pyarrow"
-        ).repartition(8)
+        ).repartition(n_parts)
         joined = hash_join(
-            suspect, dup_only, on="text_hash", join_type="left_outer"
+            suspect, dup_only, on="text_hash", join_type="left_outer",
+            num_partitions=n_parts,
         )
 
         def keep_rows(b: pa.Table) -> pa.Table:
