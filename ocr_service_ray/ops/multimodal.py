@@ -28,29 +28,53 @@ MEDIA_META = pa.schema(
 )
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
 class DecodeImageStage:
     """Actor stage: binary payload → per-image features.
 
-    Real path (PIL present): decode → (width, height, channel means).
-    Sandbox path: DETERMINISTIC FAKE decode — features derived from
-    the payload bytes (byte histogram stats + blake2b digest), which
-    keeps the stage's schema, batching and determinism contract
-    testable without codecs. The fake is clearly marked; swap
-    ``self._decode`` on a real cluster.
+    THREE decode tiers, best available per payload:
+
+    - PIL present: any format PIL reads → (width, height, pixel mean).
+    - PNG payload (magic-sniffed): the pure-stdlib codec in
+      ``kernels/png.py`` — a REAL spec decode (zlib inflate + scanline
+      unfiltering), executable in this sandbox and byte-round-trip
+      tested, so genuine image bytes exercise the stage end-to-end
+      without PIL.
+    - anything else without PIL: the DETERMINISTIC FAKE — features
+      derived from the payload bytes, keeping schema / batching /
+      determinism testable for non-PNG media. ``fake_ok=False``
+      disables the fake: non-PNG payloads then raise instead of
+      producing stand-in features.
     """
 
     def __init__(self, fake_ok: bool = True):
+        self.fake_ok = fake_ok
         try:
             from PIL import Image  # noqa: F401
 
             self._decode = self._decode_real
         except ImportError:
-            if not fake_ok:
-                raise NotImplementedError(
-                    "image decode requires PIL; pass fake_ok=True for the "
-                    "deterministic stub"
-                )
-            self._decode = self._decode_fake
+            self._decode = self._decode_auto
+
+    def _decode_auto(self, payload: bytes) -> tuple[int, int, float]:
+        if payload[:8] == _PNG_SIG:
+            return self._decode_png(payload)
+        if not self.fake_ok:
+            raise NotImplementedError(
+                "non-PNG image decode requires PIL; pass fake_ok=True for "
+                "the deterministic stub"
+            )
+        return self._decode_fake(payload)
+
+    @staticmethod
+    def _decode_png(payload: bytes) -> tuple[int, int, float]:
+        from ocr_service_ray.kernels.png import decode_png
+
+        arr = decode_png(payload)
+        h, w = arr.shape[:2]
+        return int(w), int(h), float(arr.astype(np.float64).mean())
 
     @staticmethod
     def _decode_real(payload: bytes) -> tuple[int, int, float]:  # pragma: no cover

@@ -57,8 +57,11 @@ def test_real_backends_fail_fast_without_libs():
     try:
         import PIL  # noqa: F401
     except ImportError:
+        # fake_ok=False now constructs fine (the pure-stdlib PNG tier
+        # is a real decoder); only a NON-PNG payload then raises
+        stage = DecodeImageStage(fake_ok=False)
         with pytest.raises(NotImplementedError):
-            DecodeImageStage(fake_ok=False)
+            stage._decode(b"\xff\xd8\xff\xe0 not a png")
 
 
 def test_preprocess_stub_keeps_reference_geometry():
