@@ -139,3 +139,46 @@ def test_decode_stage_uses_real_png_tier():
     )
     # the non-PNG payload still produces deterministic fake features
     assert int(out.loc["txt", "dec_width"]) > 0
+
+
+# ------------------------------------------------------- property tests
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    h=st.integers(1, 24),
+    w=st.integers(1, 24),
+    ch=st.sampled_from([1, 2, 3, 4]),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_round_trip_property(h, w, ch, seed):
+    """encode ∘ decode is the identity for every 8-bit image shape."""
+    rng = np.random.RandomState(seed)
+    shape = (h, w) if ch == 1 else (h, w, ch)
+    arr = rng.randint(0, 256, size=shape).astype(np.uint8)
+    out = decode_png(encode_png(arr))
+    np.testing.assert_array_equal(out, arr)
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    h=st.integers(2, 10),
+    w=st.integers(2, 10),
+    ch=st.sampled_from([1, 3]),
+    filters=st.lists(st.integers(0, 4), min_size=2, max_size=10),
+    seed=st.integers(0, 2**31 - 1),
+)
+def test_arbitrary_filter_sequences_decode(h, w, ch, filters, seed):
+    """Any per-row mix of the five filter types decodes to the
+    original pixels (the decoder never sees filter-0-only input from
+    our encoder, so this is the real conformance surface)."""
+    if len(filters) != h:
+        filters = (filters * h)[:h]
+    rng = np.random.RandomState(seed)
+    pixels = rng.randint(0, 256, size=(h, w, ch)).astype(np.uint8)
+    out = decode_png(_hand_png(pixels, filters))
+    expect = pixels[:, :, 0] if ch == 1 else pixels
+    np.testing.assert_array_equal(out, expect)
