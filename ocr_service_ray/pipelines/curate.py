@@ -264,15 +264,21 @@ def curate_corpus(
         # "join" and "auto": the dup-group table stays a Dataset,
         # pinned (consumed by the bloom build AND the join probe; a
         # parquet staging tier via staging_path is the real 100 TB
-        # boundary). It reads the UNPINNED quality plan: quality is
-        # pinned only when the join machinery actually engages below —
-        # on a dup-free corpus the whole branch then costs one
-        # exact_dedup shuffle over the streamed quality scan and no
-        # extra materialized boundary (measured +28% when pinned
-        # eagerly).
+        # boundary). Quality-pin ordering depends on the tier:
+        # with staging_path (the real corpus-scale pattern) quality is
+        # STAGED FIRST — one corpus compute, written once, and every
+        # later consumer (dup-group scan, bloom tag, the exact pin)
+        # reads the staged parquet instead of recomputing; without
+        # staging (in-memory bench) quality stays lazy here and is
+        # materialized only when the join machinery actually engages —
+        # a dup-free corpus then pays one exact_dedup shuffle over
+        # the streamed scan and no extra object-store boundary
+        # (measured +28% when pinned eagerly at bench scale).
         from ocr_service_ray.ops.bloom import bloom_membership, build_bloom
         from ocr_service_ray.ops.relational import hash_join
 
+        if staging_path is not None:
+            q = pin(q, "quality")
         dup_only = pin(
             exact_dedup(q, text_col, id_col).map_batches(
                 lambda b: b.filter(pc.greater(b["dups"], 1)).select(
@@ -301,11 +307,15 @@ def curate_corpus(
 
         # the join machinery: bloom-route every row, key-partitioned
         # left-outer join for bloom positives only. 2 consumers of
-        # quality from here (bloom tag + the outer "exact" pin) — one
-        # extra quality-plan pass vs pinning before dup_groups, the
-        # right trade because the dup-heavy case pays it once while
-        # the dup-free/auto-broadcast cases skip the boundary.
-        q = pin(q, "quality")
+        # quality from here (bloom tag + the outer "exact" pin); in
+        # the in-memory tier quality was left lazy above, so pin it
+        # now — one extra quality-plan pass vs pinning before
+        # dup_groups, the right trade because the dup-heavy case pays
+        # it once while the dup-free/auto-broadcast cases skip the
+        # boundary. (Staged runs pinned quality before dup_groups —
+        # do not double-pin.)
+        if staging_path is None:
+            q = pin(q, "quality")
         base_schema = q.schema()
         base_names = list(base_schema.names)
         bloom_ref = ray.put(build_bloom(dup_only, "text_hash"))

@@ -55,8 +55,10 @@ def test_curate_resume_byte_identical(ray_session, tmp_path):
     # clean full run → reference output + committed phases
     full_stg = str(tmp_path / "stg_full")
     ref_df, ref_summary = _run(ds, full_stg, resume=False)
+    # staged runs pin quality FIRST (one corpus compute, every later
+    # consumer reads the staged parquet)
     phase_names = [p["phase"] for p in ref_summary["phases"]]
-    assert phase_names == ["dup_groups", "quality", "bloom_tagged", "exact", "near"]
+    assert phase_names == ["quality", "dup_groups", "bloom_tagged", "exact", "near"]
     for p in ref_summary["phases"]:
         assert p["rows"] >= 0 and p["t_wall_sec"] >= 0 and not p["resumed"]
         assert p["upstream"] in ["input"] + phase_names  # lineage chain
