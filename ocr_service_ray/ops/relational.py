@@ -13,15 +13,39 @@ from __future__ import annotations
 from ocr_service_ray.ops.pool import bcast_pool
 
 import pandas as pd
+import pyarrow as pa
 
 
-def broadcast_join(large_ds, small_df: pd.DataFrame, on: str, how: str = "inner"):
+def broadcast_join(
+    large_ds,
+    small_df: pd.DataFrame,
+    on: str,
+    how: str = "inner",
+    actor_threshold_bytes: int = 8 << 20,
+):
     """Broadcast hash join: the small side is put in the object store
     ONCE; every task reads the same copy (per-node, zero-copy via
-    plasma) instead of re-shipping per batch."""
+    plasma) instead of re-shipping per batch.
+
+    Tiered by the broadcast side's size: under
+    ``actor_threshold_bytes`` the merge runs as a plain TASK pool —
+    per-task ``ray.get`` of a small frame from local plasma is
+    sub-ms, while an autoscaling actor pool pays seconds of
+    spawn/ramp before full throughput (measured 1.7-3.0s vs 0.55s
+    for a 3k-row side against a 150k-row probe at 32 CPUs). Past the
+    threshold the per-task DESERIALIZE of a big pandas frame is the
+    dominant cost, so the stage becomes an actor pool that pays the
+    get once per actor in ``__init__`` (bcast_pool sizing)."""
     import ray
 
     ref = ray.put(small_df)
+    small_bytes = int(small_df.memory_usage(deep=True).sum())
+    if small_bytes <= actor_threshold_bytes:
+
+        def join_batch(batch: pd.DataFrame) -> pd.DataFrame:
+            return batch.merge(ray.get(ref), on=on, how=how)
+
+        return large_ds.map_batches(join_batch, batch_format="pandas")
 
     class JoinBatch:
         def __init__(self):
@@ -145,6 +169,42 @@ def hash_join(
         right_on=right_on,
         aggregator_ray_remote_args=join_aggregator_args(num_partitions),
     )
+
+
+def auto_join(
+    large_ds,
+    small_ds,
+    on: str,
+    small_on: str | None = None,
+    budget: int = 1_000_000,
+    how: str = "inner",
+):
+    """Equi-join against a build side whose size is DATA-dependent (a
+    HAVING output, a filtered set of keys): pin + count the small side
+    first, then pick the tier — ≤ ``budget`` rows: one BOUNDED driver
+    pull, shipped once via ``ray.put`` and merged per batch inside
+    ``map_batches`` (zero exchange; the probe side never shuffles);
+    above the budget: the key-partitioned :func:`hash_join` (at corpus
+    scale an unbounded broadcast breaks the driver and every actor
+    heap). This is ``exact_keep="auto"``'s decision shape
+    (pipelines/curate.py) applied to joins.
+
+    The small side's key column (``small_on``, default ``on``) is
+    renamed to ``on`` before either tier, so BOTH tiers emit the same
+    schema: the large side's columns plus the small side's non-key
+    columns, key named ``on`` (tier-equivalence pytest-asserted)."""
+    sm = small_ds.materialize()
+    if small_on and small_on != on:
+
+        def _ren(b: pa.Table) -> pa.Table:
+            return b.rename_columns(
+                [on if n == small_on else n for n in b.column_names]
+            )
+
+        sm = sm.map_batches(_ren, batch_format="pyarrow")
+    if sm.count() <= budget:
+        return broadcast_join(large_ds, sm.to_pandas(), on=on, how=how)
+    return hash_join(large_ds, sm, on=on, join_type=how)
 
 
 def distinct_values(ds, col: str) -> list:
