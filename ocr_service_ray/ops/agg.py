@@ -33,7 +33,7 @@ Supported aggs: "count", "sum", "min", "max", "mean".
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_stage
 
 import numpy as np
 import pandas as pd
@@ -362,6 +362,7 @@ def grouped_outliers(
         lut = dict(
             zip(zip(*(stats[g] for g in group_keys)), zip(mean, var))
         )
+    lut_len = len(lut)
     ref = ray.put(lut)
     k2 = k * k
 
@@ -385,7 +386,8 @@ def grouped_outliers(
             d = v - means
             return b.filter(pa.array(d * d > k2 * vars_))
 
-    return ds.map_batches(Filter, batch_format="pyarrow", concurrency=bcast_pool())
+    # ~120 B per dict slot (key tuple + two floats) — tier estimate
+    return bcast_stage(ds, Filter, 120 * lut_len)
 
 
 def grouped_mode(ds, group_keys: list[str], col: str, num_buckets: int = 32):

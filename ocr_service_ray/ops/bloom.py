@@ -27,7 +27,7 @@ still removes the bulk of the traffic before the shuffle.
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_stage
 
 import numpy as np
 import pyarrow as pa
@@ -137,10 +137,10 @@ def bloom_semi_join(ds, keys, on: str, num_bits: int = 1 << 20, num_hashes: int 
         )
     bloom_ref = ray.put(bloom)
     keys_ref = ray.put(keys)
-    return ds.map_batches(
+    return bcast_stage(
+        ds,
         BloomSemiJoin,
-        batch_format="pyarrow",
-        concurrency=bcast_pool(),
+        bloom.nbytes + 64 * len(keys),  # bitmap + ~64 B/key estimate
         fn_constructor_kwargs={
             "bloom_ref": bloom_ref,
             "keys_ref": keys_ref,

@@ -34,7 +34,7 @@ SQL.
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_stage
 
 from collections import Counter
 
@@ -92,6 +92,9 @@ def _pairs_broadcast(train_ds, eval_ds, n, text_col, id_col):
     if not ev.empty:  # Ray's to_pandas drops columns on zero-row datasets
         for g, e in zip(ev["gram_hash"], ev["eval_id"]):
             gram_to_evals.setdefault(g, []).append(e)
+    # tier estimate for bcast_stage: the pulled frame's deep bytes
+    # upper-bound the dict payload within a small constant
+    ev_nbytes = 0 if ev.empty else int(ev.memory_usage(deep=True).sum())
     ev_ref = ray.put(gram_to_evals)
 
     class Probe:
@@ -119,7 +122,7 @@ def _pairs_broadcast(train_ds, eval_ds, n, text_col, id_col):
                 }
             )
 
-    return train_ds.map_batches(Probe, batch_format="pyarrow", concurrency=bcast_pool())
+    return bcast_stage(train_ds, Probe, ev_nbytes)
 
 
 def _pairs_shuffle(train_ds, eval_ds, n, text_col, id_col, bloom=False):
@@ -192,9 +195,7 @@ def _bloom_prefilter(train_rows, eval_rows):
             hit = (self.bits[pos >> 3] & (np.uint8(1) << (pos & 7).astype(np.uint8))) != 0
             return b.filter(pa.array(hit.all(axis=1)))
 
-    return train_rows.map_batches(
-        MaybeContains, batch_format="pyarrow", concurrency=bcast_pool()
-    )
+    return bcast_stage(train_rows, MaybeContains, bits.nbytes)
 
 
 def decontaminate(
@@ -217,7 +218,8 @@ def decontaminate(
     if pairs.empty:
         return train_ds
     bad = pairs.loc[pairs["shared_grams"] >= min_shared, "train_id"].unique()
-    bad_ref = ray.put(pa.array(bad))
+    bad_arr = pa.array(bad)
+    bad_ref = ray.put(bad_arr)
 
     class DropContaminated:
         def __init__(self):
@@ -226,9 +228,7 @@ def decontaminate(
         def __call__(self, b: pa.Table) -> pa.Table:
             return b.filter(pc.invert(pc.is_in(b[id_col], value_set=self.bad)))
 
-    return train_ds.map_batches(
-        DropContaminated, batch_format="pyarrow", concurrency=bcast_pool()
-    )
+    return bcast_stage(train_ds, DropContaminated, bad_arr.nbytes)
 
 
 def contamination_ratio(
@@ -263,6 +263,8 @@ def contamination_ratio(
 
     ev = _unique_gram_rows(eval_ds, n, text_col, id_col, "eval_id").to_pandas()
     gram_set = frozenset(ev["gram_hash"]) if not ev.empty else frozenset()
+    # ~80 B per set slot of a hashed gram — tier estimate only
+    ev_nbytes = 80 * len(gram_set)
     ev_ref = ray.put(gram_set)
 
     class Score:
@@ -292,4 +294,4 @@ def contamination_ratio(
                 }
             )
 
-    return train_ds.map_batches(Score, batch_format="pyarrow", concurrency=bcast_pool())
+    return bcast_stage(train_ds, Score, ev_nbytes)

@@ -27,7 +27,7 @@ per function.
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_stage
 
 import hashlib
 
@@ -367,7 +367,7 @@ def _keep_hot_buckets(rows_ds, key_cols: list[str]):
             mask = np.isin(_combined_hash(batch), self.hot, assume_unique=False)
             return batch.filter(pa.array(mask))
 
-    return rows_ds.map_batches(HotFilter, batch_format="pyarrow", concurrency=bcast_pool())
+    return bcast_stage(rows_ds, HotFilter, hot_hashes.nbytes)
 
 
 def simhash64(text: str, hash: str = "oracle") -> int:

@@ -35,7 +35,7 @@ pair set, so the whole pairs→clusters path is driver-verified.
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_pool, bcast_stage
 
 import numpy as np
 import pandas as pd
@@ -262,7 +262,8 @@ def keep_canonical(
     if comps.empty:  # Ray's to_pandas drops columns on zero-row datasets
         return ds
     drop_ids = comps.loc[comps["node"] != comps["cluster_id"], "node"]
-    drop_ref = ray.put(pa.array(drop_ids.to_numpy()))
+    drop_arr = pa.array(drop_ids.to_numpy())
+    drop_ref = ray.put(drop_arr)
 
     class DropFilter:
         def __init__(self):
@@ -274,7 +275,7 @@ def keep_canonical(
             keep = pc.invert(pc.is_in(b[id_col], value_set=self.drop))
             return b.filter(keep)
 
-    return ds.map_batches(DropFilter, batch_format="pyarrow", concurrency=bcast_pool())
+    return bcast_stage(ds, DropFilter, drop_arr.nbytes)
 
 
 def pagerank_int(

@@ -22,7 +22,7 @@ reference implementing the identical arithmetic.
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_stage
 
 import hashlib
 
@@ -159,7 +159,8 @@ def assign_clusters(ds, centroids: np.ndarray, vec_col: str = "embedding"):
     has converged."""
     import ray
 
-    ref = ray.put(np.asarray(centroids, dtype=np.float64))
+    cents = np.asarray(centroids, dtype=np.float64)
+    ref = ray.put(cents)
 
     class Assign:
         def __init__(self):
@@ -175,4 +176,4 @@ def assign_clusters(ds, centroids: np.ndarray, vec_col: str = "embedding"):
                 "cluster", pa.array(np.argmin(d, axis=1).astype(np.int64))
             )
 
-    return ds.map_batches(Assign, batch_format="pyarrow", concurrency=bcast_pool())
+    return bcast_stage(ds, Assign, cents.nbytes)

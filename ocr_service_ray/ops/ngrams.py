@@ -51,7 +51,7 @@ differ (``tests/test_ngrams.py`` pins fast == oracle output).
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_stage
 
 import hashlib
 
@@ -169,7 +169,8 @@ def _stats_broadcast(ds, n, min_df, text_col, id_col, hash="oracle"):
     # ONE sorted int64 array: the per-doc membership test is then a
     # vectorized np.isin instead of a per-gram Python set probe.
     hot = hot_grams(ds, n, min_df, text_col, id_col, hash).to_pandas()
-    hot_ref = ray.put(np.sort(hot["gram_hash"].to_numpy(dtype=np.int64)))
+    hot_arr = np.sort(hot["gram_hash"].to_numpy(dtype=np.int64))
+    hot_ref = ray.put(hot_arr)
 
     class MarkSpans:
         def __init__(self):
@@ -198,7 +199,7 @@ def _stats_broadcast(ds, n, min_df, text_col, id_col, hash="oracle"):
                 }
             )
 
-    return ds.map_batches(MarkSpans, batch_format="pyarrow", concurrency=bcast_pool())
+    return bcast_stage(ds, MarkSpans, hot_arr.nbytes)
 
 
 def _stats_shuffle(ds, n, min_df, text_col, id_col, hash="oracle"):
@@ -313,7 +314,8 @@ def strip_duplicate_spans(
     import ray
 
     hot = hot_grams(ds, n, min_df, text_col, id_col, hash).to_pandas()
-    hot_ref = ray.put(np.sort(hot["gram_hash"].to_numpy(dtype=np.int64)))
+    hot_arr = np.sort(hot["gram_hash"].to_numpy(dtype=np.int64))
+    hot_ref = ray.put(hot_arr)
 
     class Strip:
         def __init__(self):
@@ -332,4 +334,4 @@ def strip_duplicate_spans(
                 out.append(" ".join(tok for tok, k in zip(toks, keep) if k))
             return batch.append_column(out_col, pa.array(out, pa.string()))
 
-    return ds.map_batches(Strip, batch_format="pyarrow", concurrency=bcast_pool())
+    return bcast_stage(ds, Strip, hot_arr.nbytes)

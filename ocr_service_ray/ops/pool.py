@@ -22,7 +22,7 @@ for the operators feeding it).
 
 from __future__ import annotations
 
-__all__ = ["bcast_pool"]
+__all__ = ["bcast_pool", "bcast_stage"]
 
 
 def bcast_pool(floor: int = 8, ceiling: int = 64, cpu_share: float = 0.5) -> tuple[int, int]:
@@ -34,3 +34,43 @@ def bcast_pool(floor: int = 8, ceiling: int = 64, cpu_share: float = 0.5) -> tup
     except Exception:
         cpus = 8
     return (1, max(floor, min(ceiling, int(cpus * cpu_share))))
+
+
+# Past this artifact size the per-task plasma get + __init__ rebuild
+# stops being negligible and the stage should amortize it once per
+# actor instead. 8 MiB ≈ a 1M-row int64 key array — comfortably above
+# every "bounded by duplicates / dimension-sized by contract" artifact
+# at sandbox scale, comfortably below the bloom bitmaps and gram sets
+# a dup-heavy web corpus produces.
+BCAST_ACTOR_THRESHOLD = 8 << 20
+
+
+def bcast_stage(ds, cls, nbytes: int | None, *, batch_format: str = "pyarrow", **map_kwargs):
+    """``map_batches`` a broadcast-holding callable CLASS, tiered by
+    the broadcast artifact's size.
+
+    Under :data:`BCAST_ACTOR_THRESHOLD` the stage runs as a plain TASK
+    pool — a fresh ``cls()`` per batch, whose ``__init__``'s
+    ``ray.get`` hits local plasma in sub-ms for a small artifact —
+    because an autoscaling actor pool pays 1.5-3s of spawn/ramp before
+    reaching full throughput (measured at 32 CPUs), a fixed cost that
+    dominates sandbox-scale stages and never amortizes on short jobs;
+    tasks also fuse with adjacent task-pool maps, which actors never
+    do. At or above the threshold (``nbytes=None`` means "unknown —
+    assume big") the stage is the classic ``bcast_pool`` ACTOR pool
+    and the artifact get + ``__init__`` build amortize once per actor.
+
+    Contract: ``cls.__init__`` must only unpack/reshape the broadcast
+    artifact (every current call site does) — under the threshold it
+    runs once per BATCH, so callers with a heavyweight init must pass
+    ``nbytes=None`` to pin the actor tier."""
+    if nbytes is not None and nbytes <= BCAST_ACTOR_THRESHOLD:
+        ctor_kwargs = map_kwargs.pop("fn_constructor_kwargs", None) or {}
+
+        def task_fn(batch, _cls=cls, _kw=ctor_kwargs):
+            return _cls(**_kw)(batch)
+
+        return ds.map_batches(task_fn, batch_format=batch_format, **map_kwargs)
+    return ds.map_batches(
+        cls, batch_format=batch_format, concurrency=bcast_pool(), **map_kwargs
+    )

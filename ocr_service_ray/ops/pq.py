@@ -23,7 +23,7 @@ recall bounds.
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_stage
 
 import numpy as np
 import pandas as pd
@@ -233,6 +233,7 @@ def pq_eval(
             for s in range(m)
         ]
     )  # (m, k) int64
+    lut_nbytes = lut.nbytes
     lut_ref = ray.put(lut)
 
     class AdcScore:
@@ -246,7 +247,7 @@ def pq_eval(
             return pa.table({id_col: b[id_col], "d2": pa.array(dist)})
 
     sl_df = topk_op(
-        codes.map_batches(AdcScore, batch_format="pyarrow", concurrency=bcast_pool()),
+        bcast_stage(codes, AdcScore, lut_nbytes),
         ["d2", id_col],
         R,
         descending=[False, False],

@@ -39,7 +39,7 @@ with ``ops/text.py`` / ``ops/ngrams.py`` and DuckDB
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_stage
 
 from collections import Counter
 
@@ -105,7 +105,10 @@ def tfidf_topk_terms(
     idf_vals = _rational_idf(n_docs, df_tbl["df"].to_numpy(dtype=np.float64))
     if log_idf:
         idf_vals = np.log(1.0 + idf_vals)
-    idf_ref = ray.put(dict(zip(df_tbl["term"], idf_vals)))
+    idf_lut = dict(zip(df_tbl["term"], idf_vals))
+    # ~100 B per slot (string term key + float) — tier estimate
+    idf_nbytes = 100 * len(idf_lut)
+    idf_ref = ray.put(idf_lut)
 
     class Rank:
         def __init__(self):
@@ -137,7 +140,7 @@ def tfidf_topk_terms(
                 }
             )
 
-    return ds.map_batches(Rank, batch_format="pyarrow", concurrency=bcast_pool())
+    return bcast_stage(ds, Rank, idf_nbytes)
 
 
 def _tfidf_shuffle(ds, k, text_col, id_col, log_idf):

@@ -10,7 +10,7 @@ assumption), never globally.
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_pool, bcast_stage
 
 import pandas as pd
 import pyarrow as pa
@@ -306,7 +306,10 @@ def broadcast_anti_join(ds, keys, on: str):
 
     import pyarrow.compute as pc
 
-    ref = ray.put(list(keys))
+    key_list = list(keys)
+    ref = ray.put(key_list)
+    # ~64 B/slot upper bound for the tier decision only
+    keys_nbytes = 64 * len(key_list)
 
     class AntiFilter:
         def __init__(self):
@@ -323,7 +326,7 @@ def broadcast_anti_join(ds, keys, on: str):
             # null keys are never "in" the broadcast set → keep them
             return batch.filter(pc.fill_null(mask, True))
 
-    return ds.map_batches(AntiFilter, batch_format="pyarrow", concurrency=bcast_pool())
+    return bcast_stage(ds, AntiFilter, keys_nbytes)
 
 
 def asof_join(left_ds, right_ds, on: str, by: str, direction: str = "backward"):

@@ -25,7 +25,7 @@ read the stage deltas from the final dataset's lineage instead.
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_pool
+from ocr_service_ray.ops.pool import bcast_stage
 
 import pandas as pd
 import pyarrow as pa
@@ -245,8 +245,8 @@ def curate_corpus(
                     )
                     return b.filter(pa.array(mask))
 
-            return q.map_batches(
-                ExactKeep, batch_format="pyarrow", concurrency=bcast_pool()
+            return bcast_stage(
+                q, ExactKeep, dup_hashes.nbytes + dup_keep.nbytes
             )
 
         if exact_keep == "broadcast":
@@ -318,7 +318,10 @@ def curate_corpus(
             q = pin(q, "quality")
         base_schema = q.schema()
         base_names = list(base_schema.names)
-        bloom_ref = ray.put(build_bloom(dup_only, "text_hash"))
+        bloom = build_bloom(dup_only, "text_hash")
+        bloom_nbytes = bloom.nbytes
+        bloom_ref = ray.put(bloom)
+        del bloom
 
         class BloomTag:
             def __init__(self):
@@ -333,7 +336,7 @@ def curate_corpus(
         # without the pin each branch re-executes the tag pass
         # (and at 100 TB the full upstream chain)
         tagged = pin(
-            q.map_batches(BloomTag, batch_format="pyarrow", concurrency=bcast_pool()),
+            bcast_stage(q, BloomTag, bloom_nbytes),
             "bloom_tagged",
         )
 

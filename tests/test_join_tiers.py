@@ -121,6 +121,32 @@ def test_bucketed_apply_matches_bucketed_map_groups(ray_session):
     pd.testing.assert_frame_equal(_sorted(a), _sorted(b), check_dtype=False)
 
 
+def test_bcast_stage_tiers_equal(ray_session):
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    from ocr_service_ray.ops.pool import bcast_stage
+
+    keys = pa.array([2, 4, 6, 8])
+    ref = ray.put(keys)
+
+    class KeepEven:
+        def __init__(self):
+            self.keys = ray.get(ref)
+
+        def __call__(self, b: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            return b.filter(pc.is_in(b["v"], value_set=self.keys))
+
+    ds = rd.from_pandas(pd.DataFrame({"v": list(range(10))})).repartition(4)
+    task_tier = bcast_stage(ds, KeepEven, keys.nbytes).to_pandas()
+    actor_tier = bcast_stage(ds, KeepEven, None).to_pandas()  # None → actor
+    pd.testing.assert_frame_equal(_sorted(task_tier), _sorted(actor_tier))
+    assert sorted(task_tier["v"]) == [2, 4, 6, 8]
+
+
 def test_bucketed_apply_empty_result(ray_session):
     import ray.data as rd
 
