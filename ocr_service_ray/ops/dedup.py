@@ -641,7 +641,7 @@ def paragraph_dedup(
     """
     import pyarrow.compute as pc
 
-    from ocr_service_ray.ops.agg import bucketed_map_groups
+    from ocr_service_ray.ops.agg import bucketed_apply
 
     def explode(b: pa.Table) -> pa.Table:
         lists = pc.split_pattern(b[text_col], sep)
@@ -659,23 +659,27 @@ def paragraph_dedup(
             {id_col: pa.array(ids), "pos": pa.array(pos), "para": flat}
         )
 
+    # Whole-bucket vectorized folds (bucketed_apply): at corpus scale
+    # the group counts here are the two LARGEST in the repo (|distinct
+    # paragraphs| and |documents|), so the per-group-callable form
+    # spends its time in interpreter dispatch, not in the fold.
     def first_occurrence(g: pd.DataFrame) -> pd.DataFrame:
-        i = np.lexsort((g["pos"].to_numpy(), g[id_col].to_numpy()))
-        return g.iloc[[i[0]]]
+        # min (id, pos) per paragraph == first occurrence in global
+        # (doc, position) order
+        return g.sort_values(
+            [id_col, "pos"], kind="stable"
+        ).drop_duplicates("para", keep="first")
 
     def reassemble(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values("pos", kind="stable")
-        return pd.DataFrame(
-            {
-                id_col: [g[id_col].iloc[0]],
-                "text": [sep.join(g["para"])],
-                "n_kept": [len(g)],
-            }
+        g = g.sort_values([id_col, "pos"], kind="stable")
+        out = g.groupby(id_col, sort=False, as_index=False).agg(
+            text=("para", sep.join), n_kept=("para", "size")
         )
+        return out
 
     exploded = ds.map_batches(explode, batch_format="pyarrow")
-    winners = bucketed_map_groups(exploded, ["para"], first_occurrence, num_buckets)
-    return bucketed_map_groups(winners, [id_col], reassemble, num_buckets)
+    winners = bucketed_apply(exploded, ["para"], first_occurrence, num_buckets)
+    return bucketed_apply(winners, [id_col], reassemble, num_buckets)
 
 
 def fuzzy_pairs(ds, col: str, max_dist: int = 1, num_buckets: int = 32):
