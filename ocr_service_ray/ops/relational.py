@@ -192,7 +192,20 @@ def auto_join(
     The small side's key column (``small_on``, default ``on``) is
     renamed to ``on`` before either tier, so BOTH tiers emit the same
     schema: the large side's columns plus the small side's non-key
-    columns, key named ``on`` (tier-equivalence pytest-asserted)."""
+    columns, key named ``on`` (tier-equivalence pytest-asserted).
+
+    Broadcast-tier cost note: when the build side's key is UNIQUE
+    (orderkeys, dedup keepers — the common case) the probe is a
+    sorted-key searchsorted + gather, O(|batch|·log|small|) per batch
+    regardless of the build side's size; a per-batch pandas merge
+    would rebuild the build side's hash index for EVERY batch and
+    measurably loses to the hash join past ~10^4 build rows. With
+    duplicate keys (a fan-out join) the tier falls back to that
+    per-batch merge — keep such sides under the budget or let the
+    hash tier take them."""
+    import numpy as np
+    import ray
+
     sm = small_ds.materialize()
     if small_on and small_on != on:
 
@@ -202,9 +215,35 @@ def auto_join(
             )
 
         sm = sm.map_batches(_ren, batch_format="pyarrow")
-    if sm.count() <= budget:
-        return broadcast_join(large_ds, sm.to_pandas(), on=on, how=how)
-    return hash_join(large_ds, sm, on=on, join_type=how)
+    if sm.count() > budget:
+        return hash_join(large_ds, sm, on=on, join_type=how)
+    df = sm.to_pandas()
+    keys = df[on].to_numpy()
+    if how != "inner" or len(np.unique(keys)) != len(keys):
+        return broadcast_join(large_ds, df, on=on, how=how)
+
+    order = np.argsort(keys, kind="stable")
+    keys_sorted = keys[order]
+    payload = {c: df[c].to_numpy()[order] for c in df.columns if c != on}
+    ref = ray.put((keys_sorted, payload))
+
+    def gather_join(b: pa.Table) -> pa.Table:
+        ks, pl = ray.get(ref)
+        k = b[on].to_numpy(zero_copy_only=False)
+        if not len(ks):  # empty build side: empty result, full schema
+            out = b.slice(0, 0)
+            for c, v in pl.items():
+                out = out.append_column(c, pa.array(v[:0]))
+            return out
+        idx = np.minimum(np.searchsorted(ks, k), len(ks) - 1)
+        m = ks[idx] == k
+        out = b.filter(pa.array(m))
+        gi = idx[m]
+        for c, v in pl.items():
+            out = out.append_column(c, pa.array(v[gi]))
+        return out
+
+    return large_ds.map_batches(gather_join, batch_format="pyarrow")
 
 
 def distinct_values(ds, col: str) -> list:
