@@ -121,6 +121,36 @@ def test_bucketed_apply_matches_bucketed_map_groups(ray_session):
     pd.testing.assert_frame_equal(_sorted(a), _sorted(b), check_dtype=False)
 
 
+def test_auto_join_gather_string_payload_and_dup_fallback(ray_session):
+    import ray.data as rd
+
+    from ocr_service_ray.ops.relational import auto_join
+
+    large = rd.from_pandas(
+        pd.DataFrame({"k": [1, 2, 3, 4, 2, 9], "v": [10, 20, 30, 40, 21, 90]})
+    ).repartition(3)
+
+    # unique keys + a STRING payload → the sorted-key gather path
+    small_u = rd.from_pandas(
+        pd.DataFrame({"kk": [2, 3, 5], "name": ["two", "three", "five"]})
+    )
+    out = auto_join(large, small_u, on="k", small_on="kk").to_pandas()
+    expect = pd.DataFrame(
+        {"k": [2, 3, 2], "v": [20, 30, 21], "name": ["two", "three", "two"]}
+    )
+    pd.testing.assert_frame_equal(
+        _sorted(out), _sorted(expect), check_dtype=False
+    )
+
+    # duplicate build keys → per-batch-merge fallback, fan-out preserved
+    small_d = rd.from_pandas(
+        pd.DataFrame({"kk": [2, 2], "tag": ["a", "b"]})
+    )
+    out_d = auto_join(large, small_d, on="k", small_on="kk").to_pandas()
+    assert len(out_d) == 4  # two large k=2 rows × two build rows
+    assert sorted(out_d["tag"]) == ["a", "a", "b", "b"]
+
+
 def test_bcast_stage_tiers_equal(ray_session):
     import pyarrow as pa
     import ray
