@@ -27,7 +27,7 @@ still removes the bulk of the traffic before the shuffle.
 
 from __future__ import annotations
 
-from ocr_service_ray.ops.pool import bcast_stage
+from ocr_service_ray.ops.pool import bcast_stage, measured_nbytes
 
 import numpy as np
 import pyarrow as pa
@@ -140,7 +140,11 @@ def bloom_semi_join(ds, keys, on: str, num_bits: int = 1 << 20, num_hashes: int 
     return bcast_stage(
         ds,
         BloomSemiJoin,
-        bloom.nbytes + 64 * len(keys),  # bitmap + ~64 B/key estimate
+        # bitmap + measured key bytes (keys can be wide strings); None
+        # from an unpicklable key container pins the actor tier
+        (lambda kb: None if kb is None else bloom.nbytes + kb)(
+            measured_nbytes(keys)
+        ),
         fn_constructor_kwargs={
             "bloom_ref": bloom_ref,
             "keys_ref": keys_ref,

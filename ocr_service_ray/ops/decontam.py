@@ -263,8 +263,11 @@ def contamination_ratio(
 
     ev = _unique_gram_rows(eval_ds, n, text_col, id_col, "eval_id").to_pandas()
     gram_set = frozenset(ev["gram_hash"]) if not ev.empty else frozenset()
-    # ~80 B per set slot of a hashed gram — tier estimate only
-    ev_nbytes = 80 * len(gram_set)
+    # measured serialized size (what ray.put ships) — a fixed per-slot
+    # guess undercounts string-heavy containers and mis-tiers them
+    from ocr_service_ray.ops.pool import measured_nbytes
+
+    ev_nbytes = measured_nbytes(gram_set)
     ev_ref = ray.put(gram_set)
 
     class Score:

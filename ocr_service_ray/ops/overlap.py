@@ -26,8 +26,22 @@ import pyarrow as pa
 from .agg import bucketed_map_groups, grouped_agg
 
 
-def vocab_overlap_matrix(ds, source_col: str = "source", text_col: str = "text"):
-    """Pairwise Jaccard of single-space-split token vocabularies."""
+def vocab_overlap_matrix(
+    ds,
+    source_col: str = "source",
+    text_col: str = "text",
+    as_dataset: bool = False,
+):
+    """Pairwise Jaccard of single-space-split token vocabularies.
+
+    ``as_dataset=False`` (default) returns the convenience driver
+    DataFrame — fine while |sources|² is dimension-sized.
+    ``as_dataset=True`` returns the pair **Dataset** instead: the
+    |sources|² matrix never visits the driver (the only driver pull is
+    the |sources|-bounded per-source vocabulary-size table, broadcast
+    once), which is the right form when sources number ~10⁴ and the
+    matrix is ~10⁸ rows. Same columns, same values (pytest-asserted
+    equality of both forms); the Dataset form carries no row order."""
 
     def explode(b: pa.Table) -> pa.Table:
         srcs, toks = [], []
@@ -56,11 +70,48 @@ def vocab_overlap_matrix(ds, source_col: str = "source", text_col: str = "text")
             columns=["src_a", "src_b"],
         )
 
-    shared = grouped_agg(
+    shared_ds = grouped_agg(
         bucketed_map_groups(st, ["tok"], pairs),
         ["src_a", "src_b"],
         {"n_shared": (None, "count")},
-    ).to_pandas()
+    )
+    if as_dataset:
+        import ray
+
+        from .pool import bcast_stage, measured_nbytes
+
+        n_ref = ray.put(n_of)
+
+        class Finish:
+            def __init__(self):
+                self.n_of = ray.get(n_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                na = (
+                    pd.Series(b["src_a"].to_pylist())
+                    .map(self.n_of)
+                    .to_numpy(dtype=np.int64)
+                )
+                nb = (
+                    pd.Series(b["src_b"].to_pylist())
+                    .map(self.n_of)
+                    .to_numpy(dtype=np.int64)
+                )
+                ns = b["n_shared"].to_numpy(zero_copy_only=False).astype(np.int64)
+                jac = ns * 1_000_000 // (na + nb - ns)
+                return pa.table(
+                    {
+                        "src_a": b["src_a"],
+                        "src_b": b["src_b"],
+                        "n_shared": pa.array(ns),
+                        "n_a": pa.array(na),
+                        "n_b": pa.array(nb),
+                        "jaccard_ppm": pa.array(jac),
+                    }
+                )
+
+        return bcast_stage(shared_ds, Finish, measured_nbytes(n_of))
+    shared = shared_ds.to_pandas()
     shared["n_a"] = shared["src_a"].map(n_of).astype("int64")
     shared["n_b"] = shared["src_b"].map(n_of).astype("int64")
     union = shared["n_a"] + shared["n_b"] - shared["n_shared"]

@@ -22,7 +22,7 @@ for the operators feeding it).
 
 from __future__ import annotations
 
-__all__ = ["bcast_pool", "bcast_stage"]
+__all__ = ["bcast_pool", "bcast_stage", "measured_nbytes"]
 
 
 def bcast_pool(floor: int = 8, ceiling: int = 64, cpu_share: float = 0.5) -> tuple[int, int]:
@@ -45,6 +45,50 @@ def bcast_pool(floor: int = 8, ceiling: int = 64, cpu_share: float = 0.5) -> tup
 BCAST_ACTOR_THRESHOLD = 8 << 20
 
 
+def measured_nbytes(obj) -> int | None:
+    """Measured size bound for a broadcast artifact that is a plain
+    Python container (key list, gram set, term->idf dict): the length
+    of one pickle of the object — exactly the bytes ``ray.put`` will
+    ship, so string-heavy artifacts can't slip under a fixed
+    per-slot guess and land in the task tier (where ``__init__``
+    rebuilds the artifact per BATCH — the inversion the actor tier
+    exists to avoid). One serialization, paid once at stage build;
+    ``ray.put`` pays the same cost again regardless. Returns ``None``
+    (→ actor tier, the safe side) if the object can't be pickled."""
+    import pickle
+
+    try:
+        return len(pickle.dumps(obj, protocol=5))
+    except Exception:
+        return None
+
+
+# Task-tier contract guard: in the task tier ``cls.__init__`` runs
+# once per BATCH, so it must only unpack/reshape the broadcast
+# artifact. This is a convention, not a type — a future stage with a
+# heavyweight init and a small artifact would silently pay per-batch
+# setup (the classic anti-pattern this repo otherwise avoids). The
+# guard measures the FIRST construction in each worker process and
+# warns once when it exceeds the threshold.
+INIT_WARN_SECONDS = 0.01
+_init_warned: set = set()
+
+
+def _check_init_time(cls, elapsed: float) -> None:
+    if elapsed > INIT_WARN_SECONDS and cls not in _init_warned:
+        _init_warned.add(cls)
+        import warnings
+
+        warnings.warn(
+            f"bcast_stage task tier: {cls.__name__}.__init__ took "
+            f"{elapsed * 1e3:.1f}ms and re-runs once per BATCH in this "
+            "tier; pass nbytes=None to pin the actor-pool tier "
+            "(init amortized once per actor)",
+            RuntimeWarning,
+            stacklevel=3,
+        )
+
+
 def bcast_stage(ds, cls, nbytes: int | None, *, batch_format: str = "pyarrow", **map_kwargs):
     """``map_batches`` a broadcast-holding callable CLASS, tiered by
     the broadcast artifact's size.
@@ -63,12 +107,19 @@ def bcast_stage(ds, cls, nbytes: int | None, *, batch_format: str = "pyarrow", *
     Contract: ``cls.__init__`` must only unpack/reshape the broadcast
     artifact (every current call site does) — under the threshold it
     runs once per BATCH, so callers with a heavyweight init must pass
-    ``nbytes=None`` to pin the actor tier."""
+    ``nbytes=None`` to pin the actor tier. The contract is guarded:
+    a first construction exceeding :data:`INIT_WARN_SECONDS` in task
+    mode emits a ``RuntimeWarning`` (once per class per worker)."""
     if nbytes is not None and nbytes <= BCAST_ACTOR_THRESHOLD:
         ctor_kwargs = map_kwargs.pop("fn_constructor_kwargs", None) or {}
 
         def task_fn(batch, _cls=cls, _kw=ctor_kwargs):
-            return _cls(**_kw)(batch)
+            import time
+
+            t0 = time.perf_counter()
+            inst = _cls(**_kw)
+            _check_init_time(_cls, time.perf_counter() - t0)
+            return inst(batch)
 
         return ds.map_batches(task_fn, batch_format=batch_format, **map_kwargs)
     return ds.map_batches(

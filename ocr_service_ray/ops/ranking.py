@@ -106,8 +106,11 @@ def tfidf_topk_terms(
     if log_idf:
         idf_vals = np.log(1.0 + idf_vals)
     idf_lut = dict(zip(df_tbl["term"], idf_vals))
-    # ~100 B per slot (string term key + float) — tier estimate
-    idf_nbytes = 100 * len(idf_lut)
+    # measured serialized size (what ray.put ships) — term keys are
+    # unbounded-width strings, so a per-slot constant can undercount
+    from ocr_service_ray.ops.pool import measured_nbytes
+
+    idf_nbytes = measured_nbytes(idf_lut)
     idf_ref = ray.put(idf_lut)
 
     class Rank:

@@ -178,6 +178,7 @@ def auto_join(
     small_on: str | None = None,
     budget: int = 1_000_000,
     how: str = "inner",
+    budget_bytes: int = 128 << 20,
 ):
     """Equi-join against a build side whose size is DATA-dependent (a
     HAVING output, a filtered set of keys): pin + count the small side
@@ -202,7 +203,14 @@ def auto_join(
     measurably loses to the hash join past ~10^4 build rows. With
     duplicate keys (a fan-out join) the tier falls back to that
     per-batch merge — keep such sides under the budget or let the
-    hash tier take them."""
+    hash tier take them.
+
+    The budget is TWO-dimensional because the hazard is driver/actor
+    memory, not row count: ``budget`` rows AND ``budget_bytes`` of
+    materialized block bytes (``sm.size_bytes()``) — a 1M-row side
+    with wide string payloads must not be pulled to the driver just
+    because its row count fits. Callers joining against wide-payload
+    sides should lower ``budget_bytes`` to their per-actor headroom."""
     import numpy as np
     import ray
 
@@ -215,9 +223,54 @@ def auto_join(
             )
 
         sm = sm.map_batches(_ren, batch_format="pyarrow")
-    if sm.count() > budget:
+    if sm.count() > budget or (sm.size_bytes() or 0) > budget_bytes:
         return hash_join(large_ds, sm, on=on, join_type=how)
     df = sm.to_pandas()
+    if df.empty or on not in df.columns:
+        # Ray's to_pandas() on a ZERO-ROW dataset drops the columns
+        # entirely (documented landmine — cf. graph.py keep_canonical),
+        # so df[on] would KeyError. Empty is a reachable outcome for
+        # data-dependent build sides (a HAVING whale set that matched
+        # nothing) and must yield an empty/null-extended result, not a
+        # crash: derive the payload schema from sm.schema() (known
+        # post-materialize) and short-circuit both tiers.
+        sch = sm.schema()
+        if sch is None or not getattr(sch, "names", None):
+            # an all-empty materialized dataset can lose its schema
+            # through map_batches; the pre-materialize input still
+            # knows it — apply the small_on→on rename by hand
+            sch = small_ds.schema()
+
+            class _R:
+                names = [
+                    on if n == (small_on or on) else n for n in sch.names
+                ]
+                types = list(sch.types)
+
+            base = _R
+        else:
+            base = getattr(sch, "base_schema", sch)
+        if isinstance(base, pa.Schema):
+            extra = [(f.name, f.type) for f in base if f.name != on]
+        else:  # ray Schema / PandasBlockSchema: arrow or numpy dtypes
+            extra = [
+                (n, t if isinstance(t, pa.DataType) else pa.from_numpy_dtype(t))
+                for n, t in zip(base.names, base.types)
+                if n != on
+            ]
+
+        def _extend(b: pa.Table, nrows: int) -> pa.Table:
+            for n, t in extra:
+                b = b.append_column(n, pa.nulls(nrows, t))
+            return b
+
+        if how == "inner":
+            return large_ds.map_batches(
+                lambda b: _extend(b.slice(0, 0), 0), batch_format="pyarrow"
+            )
+        return large_ds.map_batches(
+            lambda b: _extend(b, len(b)), batch_format="pyarrow"
+        )
     keys = df[on].to_numpy()
     if how != "inner" or len(np.unique(keys)) != len(keys):
         return broadcast_join(large_ds, df, on=on, how=how)
@@ -347,8 +400,11 @@ def broadcast_anti_join(ds, keys, on: str):
 
     key_list = list(keys)
     ref = ray.put(key_list)
-    # ~64 B/slot upper bound for the tier decision only
-    keys_nbytes = 64 * len(key_list)
+    # measured serialized size (what ray.put ships) — keys can be
+    # unbounded-width strings; a fixed per-slot bound mis-tiers those
+    from ocr_service_ray.ops.pool import measured_nbytes
+
+    keys_nbytes = measured_nbytes(key_list)
 
     class AntiFilter:
         def __init__(self):

@@ -374,7 +374,13 @@ def multi_knn_lsh(
     return grouped_topk(scored, ["query_id"], ["cos_sim", id_col], k, [True, False])
 
 
-def group_set_jaccard(ds, group_col: str, value_col: str, scale: int = 1_000_000):
+def group_set_jaccard(
+    ds,
+    group_col: str,
+    value_col: str,
+    scale: int = 1_000_000,
+    as_dataset: bool = False,
+):
     """Pairwise Jaccard similarity between groups' DISTINCT value sets
     — the inter-slice duplication map (how much of source A's shingle
     vocabulary source B shares). Exact ppm:
@@ -391,8 +397,12 @@ def group_set_jaccard(ds, group_col: str, value_col: str, scale: int = 1_000_000
 
     Returns a driver DataFrame (group_a, group_b, n_inter, jac_ppm),
     one row per UNORDERED pair with non-empty intersection (disjoint
-    pairs are omitted — document at the call site).
-    """
+    pairs are omitted — document at the call site). With
+    ``as_dataset=True`` the same columns/values come back as a pair
+    **Dataset** (unsorted) and the |groups|² matrix never visits the
+    driver — only the |groups|-bounded size table does (broadcast
+    once). Use that form when groups number ~10⁴+; both forms are
+    pytest-asserted equal."""
     from itertools import combinations
 
     import pandas as pd
@@ -425,13 +435,50 @@ def group_set_jaccard(ds, group_col: str, value_col: str, scale: int = 1_000_000
             b_col.append(y)
         return pd.DataFrame({"group_a": a_col, "group_b": b_col})
 
-    inter = grouped_agg(
+    inter_ds = grouped_agg(
         bucketed_map_groups(
             distinct.select_columns([value_col, group_col]), [value_col], emit
         ),
         ["group_a", "group_b"],
         {"n_inter": (None, "count")},
-    ).to_pandas()
+    )
+    if as_dataset:
+        import numpy as np
+        import pyarrow as pa
+        import ray
+
+        from ocr_service_ray.ops.pool import bcast_stage, measured_nbytes
+
+        sz_ref = ray.put(sizes)
+
+        class Finish:
+            def __init__(self):
+                self.sizes = ray.get(sz_ref)
+
+            def __call__(self, b: pa.Table) -> pa.Table:
+                na = (
+                    pd.Series(b["group_a"].to_pylist())
+                    .map(self.sizes)
+                    .to_numpy(dtype=np.int64)
+                )
+                nb = (
+                    pd.Series(b["group_b"].to_pylist())
+                    .map(self.sizes)
+                    .to_numpy(dtype=np.int64)
+                )
+                ni = b["n_inter"].to_numpy(zero_copy_only=False).astype(np.int64)
+                jac = scale * ni // (na + nb - ni)
+                return pa.table(
+                    {
+                        "group_a": b["group_a"],
+                        "group_b": b["group_b"],
+                        "n_inter": pa.array(ni),
+                        "jac_ppm": pa.array(jac),
+                    }
+                )
+
+        return bcast_stage(inter_ds, Finish, measured_nbytes(sizes))
+    inter = inter_ds.to_pandas()
     if inter.empty:
         return pd.DataFrame(
             {"group_a": [], "group_b": [], "n_inter": [], "jac_ppm": []}

@@ -207,6 +207,11 @@ def curate_corpus(
 
     from ocr_service_ray.ops.dedup import content_hash
 
+    # which tier actually ran — recorded in the summary so job logs
+    # show whether "auto" resolved to broadcast or join (stays
+    # "resumed" when a committed phase made build_exact a no-op)
+    tier_ran = {"exact": "resumed"}
+
     def build_exact():
         # evaluated ONLY when the "exact" phase recomputes — a
         # resumed run skips the dup-group pull / bloom build /
@@ -259,6 +264,7 @@ def curate_corpus(
             groups = dup_only.to_pandas()
             if groups.empty:  # zero-row to_pandas drops columns
                 groups = pd.DataFrame({"text_hash": [], "keep_id": [], "dups": []})
+            tier_ran["exact"] = "broadcast"
             return broadcast_filter(groups)
 
         # "join" and "auto": the dup-group table stays a Dataset,
@@ -297,12 +303,14 @@ def curate_corpus(
             # Note the converse below: dup_only non-empty ⇒ suspect
             # non-empty (a bloom filter has no false negatives, so
             # every duplicated row is bloom-positive).
+            tier_ran["exact"] = "pass-through"
             return q
         if exact_keep == "auto" and n_dup <= broadcast_budget:
             # the dup-group table fits the broadcast budget: pull the
             # PINNED (already-computed) table and take the zero-shuffle
             # path — the pull is ≤ broadcast_budget rows by this guard,
             # never O(corpus)
+            tier_ran["exact"] = "broadcast"
             return broadcast_filter(dup_only.to_pandas())
 
         # the join machinery: bloom-route every row, key-partitioned
@@ -382,10 +390,12 @@ def curate_corpus(
             return b.filter(pc.fill_null(survive, False)).select(base_names)
 
         kept = joined.map_batches(keep_rows, batch_format="pyarrow")
+        tier_ran["exact"] = "join"
         return clean.union(kept)
 
     exact = pin(build_exact, "exact")
     summary["after_exact_dedup"] = stage_count(exact)
+    summary["exact_keep_tier"] = tier_ran["exact"]
 
     # 3 — near dedup: LSH candidate pairs → components → one canonical
     # doc per cluster (drop set bounded by near-duplicates). The pair

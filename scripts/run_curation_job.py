@@ -49,6 +49,18 @@ def main() -> None:
     ap.add_argument("--resume", action="store_true",
                     help="skip committed phases under --staging-path and a "
                          "committed final output under --out-dir")
+    ap.add_argument("--no-counts", dest="counts", action="store_false",
+                    help="skip per-stage survivor counts in the summary — "
+                         "the PRODUCTION default at scale (each count "
+                         "re-executes that stage's plan; see "
+                         "pipelines/curate.py docstring)")
+    ap.add_argument("--exact-keep", choices=["broadcast", "join", "auto"],
+                    default="auto",
+                    help="exact-dedup keep-filter tier (curate only); "
+                         "'auto' picks by --broadcast-budget")
+    ap.add_argument("--broadcast-budget", type=int, default=1_000_000,
+                    help="max dup-group rows pulled to the driver before "
+                         "the keep-filter switches to the join tier")
     args = ap.parse_args()
 
     # resume fast path: the whole job already committed — nothing to do
@@ -105,10 +117,14 @@ def main() -> None:
             eval_ds,
             mix_weights=weights,
             near_dup_threshold=args.near_dup_threshold,
+            counts=args.counts,
             staging_path=args.staging_path,
             resume=args.resume,
             minhash_hash=args.minhash_hash,
+            exact_keep=args.exact_keep,
+            broadcast_budget=args.broadcast_budget,
         )
+        summary.setdefault("exact_keep", args.exact_keep)
     else:
         from ocr_service_ray.pipelines.curate import prune_corpus
 
@@ -116,6 +132,7 @@ def main() -> None:
             docs,
             cap_per_source=args.cap_per_source,
             sep=args.paragraph_sep,
+            counts=args.counts,
             staging_path=args.staging_path,
             resume=args.resume,
         )
