@@ -87,6 +87,12 @@ def main():
     oracles = entrymod.oracle_sql()
 
     con = duckdb.connect()
+    # Cap the ORACLE's appetite: a pathological oracle plan (e.g. a
+    # quadratic recursive CTE at sf0.1) must fail fast with a resource
+    # error, not spill tens of GB of temp and take the whole sweep
+    # process down with "No space left on device" (observed r5).
+    con.execute("SET memory_limit='24GB'")
+    con.execute("SET max_temp_directory_size='20GB'")
     for t in [
         "region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "events", "documents", "embeddings",
@@ -108,7 +114,18 @@ def main():
             continue
         dt = time.perf_counter() - t0
         if name in oracles:
-            sql_df = con.execute(oracles[name]).fetchdf()
+            try:
+                sql_df = con.execute(oracles[name]).fetchdf()
+            except Exception as e:
+                # an ORACLE-side resource failure is a triage item for
+                # the sweep notes, not an engine failure — record it
+                # and keep sweeping (the Ray result already ran fine)
+                failures += 1
+                print(
+                    f"FAIL {name} ({dt:.1f}s): oracle error "
+                    f"{type(e).__name__}: {str(e).splitlines()[0][:200]}"
+                )
+                continue
             problems = compare(name, ray_df, sql_df)
             if problems:
                 failures += 1
