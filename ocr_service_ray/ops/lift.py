@@ -255,9 +255,35 @@ def frequent_triples(
         ["item_a", "item_b", "item_c"],
         {"n_baskets": (None, "count")},
     )
+    import pyarrow as pa
     import pyarrow.compute as pc
 
-    return counted.map_batches(
-        lambda b: b.filter(pc.greater_equal(b["n_baskets"], min_support)),
-        batch_format="pyarrow",
+    # Empty-result schema anchor: when NO basket yields a pruned
+    # triple (reachable at real scales — observed at sf0.1), every
+    # emit returns None, the agg dataset has zero blocks, and the
+    # result would be SCHEMA-LESS (Ray's zero-row landmine). A
+    # one-empty-block union pins the declared output schema so
+    # downstream consumers (and the oracle compare) always see
+    # (item_a, item_b, item_c, n_baskets).
+    dsch = distinct.schema()
+    item_type = dsch.types[dsch.names.index(item_col)]
+    if not isinstance(item_type, pa.DataType):
+        item_type = pa.from_numpy_dtype(item_type)
+    out_schema = pa.schema(
+        [
+            ("item_a", item_type),
+            ("item_b", item_type),
+            ("item_c", item_type),
+            ("n_baskets", pa.int64()),
+        ]
     )
+
+    def fin(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "n_baskets" not in b.column_names:
+            return out_schema.empty_table()
+        return b.filter(pc.greater_equal(b["n_baskets"], min_support))
+
+    import ray.data as rd
+
+    anchor = rd.from_arrow(out_schema.empty_table())
+    return anchor.union(counted.map_batches(fin, batch_format="pyarrow"))

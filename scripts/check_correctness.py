@@ -25,7 +25,24 @@ def to_pandas(result) -> pd.DataFrame:
         return result
     if isinstance(result, pa.Table):
         return result.to_pandas()
-    return result.to_pandas()  # ray Dataset
+    df = result.to_pandas()  # ray Dataset
+    if df.shape[1] == 0:
+        # Ray's to_pandas() drops the columns of an ALL-EMPTY dataset
+        # even when the plan schema is known (zero-row landmine, this
+        # time on the consumption side) — rebuild the empty frame from
+        # Dataset.schema() so a legitimately empty result still
+        # carries its declared columns into the oracle compare
+        sch = result.schema()
+        if sch is not None and getattr(sch, "names", None):
+            df = pd.DataFrame(
+                {
+                    n: pd.Series(dtype=t.to_pandas_dtype())
+                    if isinstance(t, pa.DataType)
+                    else pd.Series(dtype=t)
+                    for n, t in zip(sch.names, sch.types)
+                }
+            )
+    return df
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
@@ -54,6 +71,11 @@ def compare(name: str, ray_df: pd.DataFrame, sql_df: pd.DataFrame) -> list[str]:
         return problems
     if len(ray_df) != len(sql_df):
         problems.append(f"rows: ray={len(ray_df)} sql={len(sql_df)}")
+        return problems
+    if len(ray_df) == 0:
+        # both empty with matching column names: vacuously equal —
+        # empty-frame dtype artifacts (object vs int64 on a column
+        # that never held a value) are not content differences
         return problems
     a, b = canon(ray_df), canon(sql_df)
     for c in a.columns:
