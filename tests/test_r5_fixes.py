@@ -220,3 +220,24 @@ def test_curation_job_flags(tmp_path, monkeypatch, capsys, ray_session):
     assert summary["final"] is None and summary["input"] is None
     assert summary["exact_keep"] == "auto"
     assert summary["exact_keep_tier"] in ("broadcast", "join", "pass-through")
+
+
+def test_frequent_triples_empty_keeps_schema(ray_session):
+    """No basket yields a pruned triple → the result must still carry
+    the declared (item_a, item_b, item_c, n_baskets) schema instead of
+    collapsing to a schema-less empty dataset (observed at sf0.1)."""
+    import ray.data as rd
+
+    from ocr_service_ray.ops.lift import frequent_triples
+
+    # every basket has 2 items: pairs exist, triples never do
+    df = pd.DataFrame(
+        {
+            "basket": [1, 1, 2, 2, 3, 3],
+            "item": [10, 20, 10, 20, 30, 40],
+        }
+    )
+    out = frequent_triples(rd.from_pandas(df), "basket", "item", min_support=2)
+    sch = out.schema()
+    assert list(sch.names) == ["item_a", "item_b", "item_c", "n_baskets"]
+    assert out.count() == 0
