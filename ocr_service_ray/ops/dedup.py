@@ -150,6 +150,81 @@ def minhash_signature(
     return hx.min(axis=1)
 
 
+def _signatures_fast_batch(
+    texts: list[str], a: np.ndarray, b: np.ndarray, n: int
+) -> np.ndarray:
+    """Batch-vectorized ``hash="fast"`` MinHash signatures — byte-
+    identical to calling :func:`minhash_signature` per doc (pytest-
+    asserted), but the whole batch is ONE ``hash_tokens_fast`` call
+    over the concatenated word stream, ONE flat ``gram_hashes_fast``
+    pass (windows crossing doc boundaries dropped by per-doc slice
+    selection — the window fold only sees its own n token hashes, so
+    flat == per-doc), and per-permutation ``np.minimum.reduceat``
+    folds. Two exactness notes: the per-doc ``np.unique`` is skipped
+    because MIN is duplicate-insensitive; docs shorter than ``n``
+    words take the reference's single-joined-token path. Removes the
+    ~200µs/doc Python dispatch that dominated the 2.4M-doc scale
+    stage (per-doc loop measured ~4x worse than linear there).
+
+    Returns a ``(len(texts), num_perm)`` uint64 matrix."""
+    num_perm = len(a)
+    sig = np.zeros((len(texts), num_perm), dtype=np.uint64)
+    if not texts:
+        return sig
+    from ocr_service_ray.ops.hashing import gram_hashes_fast, hash_tokens_fast
+
+    words_per_doc = [t.split() for t in texts]
+    lens = np.array([len(w) for w in words_per_doc], dtype=np.int64)
+    # hash_tokens_fast falls back to blake2b for the WHOLE CALL when
+    # any token contains NUL, so its output is call-scope dependent —
+    # batching a NUL doc with clean docs would change the clean docs'
+    # hashes vs the per-doc path. Route NUL docs (vanishingly rare)
+    # through the per-doc reference path to keep batch ≡ per-doc.
+    nul = np.array(["\x00" in t for t in texts], dtype=bool)
+    if nul.any():
+        for i in np.nonzero(nul)[0]:
+            sig[i] = minhash_signature(texts[i], a, b, n, "fast")
+        lens = np.where(nul, -1, lens)  # exclude from both batch tiers
+    long_idx = np.nonzero(lens >= n)[0]
+    short_idx = np.nonzero((lens < n) & (lens >= 0))[0]
+
+    # ---- short docs: one joined token each (reference semantics)
+    if len(short_idx):
+        joined = [" ".join(words_per_doc[i]) for i in short_idx]
+        xs = hash_tokens_fast(joined) & np.uint64(0xFFFFFFFF)
+        with np.errstate(over="ignore"):
+            # (n_short, num_perm): a*x+b < 2^63 — exact in uint64
+            hx = (xs[:, None] * a[None, :] + b[None, :]) % _MERSENNE31
+        sig[short_idx] = hx
+
+    # ---- long docs: flat token hashes + flat gram windows
+    if len(long_idx):
+        flat_words: list[str] = []
+        for i in long_idx:
+            flat_words.extend(words_per_doc[i])
+        th = hash_tokens_fast(flat_words)
+        llens = lens[long_idx]
+        tok_starts = np.concatenate([[0], np.cumsum(llens)[:-1]])
+        # flat gram array: window j starts at token j; valid for doc d
+        # iff the whole window lies inside d's token segment
+        grams_flat = gram_hashes_fast(th, n)
+        counts = llens - n + 1  # grams per doc, all >= 1 here
+        total = int(counts.sum())
+        # ragged-range selection of each doc's gram slice
+        row_of = np.repeat(np.arange(len(long_idx)), counts)
+        first = np.concatenate([[0], np.cumsum(counts)[:-1]])
+        within = np.arange(total, dtype=np.int64) - first[row_of]
+        x = (grams_flat[tok_starts[row_of] + within]) & np.uint64(0xFFFFFFFF)
+        offsets = first  # reduceat segment starts (no empty segments)
+        out = np.empty((len(long_idx), num_perm), dtype=np.uint64)
+        with np.errstate(over="ignore"):
+            for p in range(num_perm):
+                v = (x * a[p] + b[p]) % _MERSENNE31
+                out[:, p] = np.minimum.reduceat(v, offsets)
+        sig[long_idx] = out
+    return sig
+
+
 def minhash_lsh_candidates(
     ds,
     text_col: str = "text",
@@ -180,8 +255,19 @@ def minhash_lsh_candidates(
     rows_per_band = num_perm // bands
 
     def to_sig_rows(batch: pa.Table) -> pa.Table:
+        texts = batch[text_col].to_pylist()
+        if hash == "fast":
+            # batch-vectorized signatures (identical values, no
+            # per-doc Python dispatch) + zero-copy list assembly
+            mat = _signatures_fast_batch(texts, a, b, shingle)
+            off = pa.array(
+                np.arange(len(texts) + 1, dtype=np.int64) * len(a),
+                pa.int32(),
+            )
+            sig_arr = pa.ListArray.from_arrays(off, pa.array(mat.reshape(-1)))
+            return pa.table({"id": batch[id_col], "sig": sig_arr})
         ids, sigs = [], []
-        for doc_id, text in zip(batch[id_col].to_pylist(), batch[text_col].to_pylist()):
+        for doc_id, text in zip(batch[id_col].to_pylist(), texts):
             ids.append(doc_id)
             sigs.append(minhash_signature(text, a, b, shingle, hash).tolist())
         return pa.table({"id": pa.array(ids), "sig": pa.array(sigs, pa.list_(pa.uint64()))})
@@ -278,37 +364,65 @@ def minhash_lsh_candidates(
     band_rows = sig_rows.map_batches(to_bands, batch_format="pyarrow")
     band_rows = _keep_hot_buckets(band_rows, ["band", "band_hash"])
 
-    def bucket_pairs(group: pd.DataFrame) -> pd.DataFrame:
-        # typed empty frame: an untyped one defaults to float64 and
-        # breaks downstream schema stability (RefBundle schema churn)
-        empty = pd.DataFrame(
-            {
-                "id_a": pd.Series(dtype=group["id"].dtype),
-                "id_b": pd.Series(dtype=group["id"].dtype),
-                "est_jaccard": pd.Series(dtype="float64"),
-            }
+    def bucket_pairs_whole(df: pd.DataFrame) -> pd.DataFrame | None:
+        """Whole-bucket VECTORIZED pair emission — dup-heavy corpora
+        produce millions of size-2 hot buckets, and the per-group
+        callable form spends its wall time in ~50µs/group Python
+        dispatch, not in the verify (measured: the 2.4M-doc scale run
+        was ~4x worse than linear because of exactly this). One sort
+        makes groups contiguous; the ragged-range trick enumerates
+        every intra-group (i<j) pair without any per-group code; the
+        signature-equality verify is one (pairs x num_perm) kernel,
+        CHUNKED so a giant skewed bucket streams instead of
+        materializing a pairs² matrix. Emission order and est values
+        are identical to the per-group loop (sorted ids, mean
+        signature equality, >= threshold)."""
+        if len(df) < 2:
+            return None
+        df = df.sort_values(["band", "band_hash", "id"], kind="stable").reset_index(
+            drop=True
         )
-        if len(group) < 2:
-            return empty
-        g = group.sort_values("id").reset_index(drop=True)
-        sigs = np.stack([np.asarray(s, dtype=np.uint64) for s in g["sig"]])
-        out_a, out_b, est = [], [], []
-        for i in range(len(g)):
-            eq = (sigs[i + 1 :] == sigs[i]).mean(axis=1)
-            for j_off, e in enumerate(eq):
-                if e >= threshold:
-                    out_a.append(g["id"].iloc[i])
-                    out_b.append(g["id"].iloc[i + 1 + j_off])
-                    est.append(float(e))
-        if not out_a:
-            return empty
-        return pd.DataFrame({"id_a": out_a, "id_b": out_b, "est_jaccard": est})
+        n = len(df)
+        band = df["band"].to_numpy()
+        bh = df["band_hash"].to_numpy()
+        new_grp = np.empty(n, dtype=bool)
+        new_grp[0] = True
+        new_grp[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
+        grp_start_rows = np.nonzero(new_grp)[0]
+        counts = np.diff(np.append(grp_start_rows, n))
+        pos = np.arange(n) - np.repeat(grp_start_rows, counts)
+        reps = np.repeat(counts, counts) - 1 - pos  # pairs led by each row
+        total = int(reps.sum())
+        if total == 0:
+            return None
+        sigs = np.asarray(df["sig"].to_list(), dtype=np.uint64)
+        ids = df["id"].to_numpy()
+        a_idx = np.repeat(np.arange(n), reps)
+        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
+        b_idx = a_idx + 1 + (np.arange(total) - np.repeat(cum, reps))
+        outs = []
+        CHUNK = 2_000_000
+        for s in range(0, total, CHUNK):
+            ai, bi = a_idx[s : s + CHUNK], b_idx[s : s + CHUNK]
+            est = (sigs[ai] == sigs[bi]).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                outs.append(
+                    pd.DataFrame(
+                        {
+                            "id_a": ids[ai[keep]],
+                            "id_b": ids[bi[keep]],
+                            "est_jaccard": est[keep],
+                        }
+                    )
+                )
+        if not outs:
+            return None
+        return pd.concat(outs, ignore_index=True)
 
-    from ocr_service_ray.ops.agg import bucketed_map_groups
+    from ocr_service_ray.ops.agg import bucketed_apply
 
-    # bucketed: LSH bucket count grows with the corpus (per-group
-    # dispatch trap — see ops/agg.py)
-    pairs = bucketed_map_groups(band_rows, ["band", "band_hash"], bucket_pairs)
+    pairs = bucketed_apply(band_rows, ["band", "band_hash"], bucket_pairs_whole)
     # Same pair can surface from several bands → collapse (vectorized).
     return dedupe_pairs(pairs, "est_jaccard", agg="max")
 

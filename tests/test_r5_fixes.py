@@ -241,3 +241,34 @@ def test_frequent_triples_empty_keeps_schema(ray_session):
     sch = out.schema()
     assert list(sch.names) == ["item_a", "item_b", "item_c", "n_baskets"]
     assert out.count() == 0
+
+
+def test_fast_batch_signatures_equal_per_doc():
+    """_signatures_fast_batch must be BYTE-IDENTICAL to the per-doc
+    minhash_signature fast path across the edge cases: empty text,
+    sub-shingle docs, duplicate shingles, NUL-containing tokens (the
+    call-scoped blake2b fallback), and ordinary long docs."""
+    import numpy as np
+
+    from ocr_service_ray.ops.dedup import (
+        _perm_params,
+        _signatures_fast_batch,
+        minhash_signature,
+    )
+
+    a, b = _perm_params(64)
+    texts = [
+        "",
+        "one",
+        "one two",
+        "alpha beta gamma delta epsilon zeta",
+        "dup dup dup dup dup dup",  # duplicate shingles
+        "x " * 200,  # long doc
+        "nul\x00tok alpha beta gamma",  # NUL → per-doc fallback scope
+        "alpha beta gamma",  # exactly n words
+        " ".join(f"w{i}" for i in range(97)),
+    ]
+    batch = _signatures_fast_batch(texts, a, b, 3)
+    for i, t in enumerate(texts):
+        ref = minhash_signature(t, a, b, 3, "fast")
+        assert np.array_equal(batch[i], ref), f"doc {i}: {t[:30]!r}"
