@@ -23,7 +23,7 @@ import numpy as np
 import pandas as pd
 import pyarrow as pa
 
-from .agg import bucketed_map_groups, grouped_agg
+from .agg import grouped_agg
 
 
 def vocab_overlap_matrix(
@@ -61,17 +61,13 @@ def vocab_overlap_matrix(
     sizes = grouped_agg(st, ["src"], {"n": (None, "count")}).to_pandas()
     n_of = dict(zip(sizes["src"], sizes["n"].astype(int)))
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame | None:
-        s = sorted(g["src"].unique())
-        if len(s) < 2:
-            return None
-        return pd.DataFrame(
-            [(a, b) for i, a in enumerate(s) for b in s[i + 1 :]],
-            columns=["src_a", "src_b"],
-        )
+    # per-token source pairs via the whole-bucket vectorized emitter
+    # (distinct-token count is vocabulary-bounded here but corpus-
+    # bounded in the shingle variants — per-group dispatch trap)
+    from .agg import emit_group_pairs
 
     shared_ds = grouped_agg(
-        bucketed_map_groups(st, ["tok"], pairs),
+        emit_group_pairs(st, ["tok"], "src", "src_a", "src_b"),
         ["src_a", "src_b"],
         {"n_shared": (None, "count")},
     )

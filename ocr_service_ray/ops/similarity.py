@@ -403,11 +403,9 @@ def group_set_jaccard(
     driver — only the |groups|-bounded size table does (broadcast
     once). Use that form when groups number ~10⁴+; both forms are
     pytest-asserted equal."""
-    from itertools import combinations
-
     import pandas as pd
 
-    from ocr_service_ray.ops.agg import bucketed_map_groups, grouped_agg
+    from ocr_service_ray.ops.agg import grouped_agg
 
     distinct = grouped_agg(
         ds.select_columns([group_col, value_col]),
@@ -425,19 +423,16 @@ def group_set_jaccard(
         .to_dict()
     )
 
-    def emit(g: pd.DataFrame) -> pd.DataFrame:
-        groups = sorted(g[group_col].tolist())
-        if len(groups) < 2:
-            return None
-        a_col, b_col = [], []
-        for x, y in combinations(groups, 2):
-            a_col.append(x)
-            b_col.append(y)
-        return pd.DataFrame({"group_a": a_col, "group_b": b_col})
+    # per-value group pairs via the whole-bucket vectorized emitter —
+    # distinct-value count is corpus-bounded (shingles), the regime
+    # where a per-group callable pays ~50µs/value in dispatch alone
+    from ocr_service_ray.ops.agg import emit_group_pairs
 
     inter_ds = grouped_agg(
-        bucketed_map_groups(
-            distinct.select_columns([value_col, group_col]), [value_col], emit
+        emit_group_pairs(
+            distinct.select_columns([value_col, group_col]),
+            [value_col],
+            group_col,
         ),
         ["group_a", "group_b"],
         {"n_inter": (None, "count")},

@@ -272,3 +272,38 @@ def test_fast_batch_signatures_equal_per_doc():
     for i, t in enumerate(texts):
         ref = minhash_signature(t, a, b, 3, "fast")
         assert np.array_equal(batch[i], ref), f"doc {i}: {t[:30]!r}"
+
+
+def test_emit_group_pairs_equals_combinations_loop(ray_session):
+    """The vectorized pair emitter must produce exactly the pair
+    multiset of the per-value sorted-combinations loop it replaced."""
+    from itertools import combinations
+
+    import ray.data as rd
+
+    from ocr_service_ray.ops.agg import bucketed_map_groups, emit_group_pairs
+
+    rng = np.random.RandomState(3)
+    df = (
+        pd.DataFrame(
+            {
+                "v": rng.randint(0, 300, 2000),
+                "g": rng.randint(0, 15, 2000),
+            }
+        )
+        .drop_duplicates()
+        .reset_index(drop=True)
+    )
+    ds = rd.from_pandas(df)
+    fast = emit_group_pairs(ds, ["v"], "g").to_pandas()
+
+    def emit(g):
+        groups = sorted(g["g"].tolist())
+        if len(groups) < 2:
+            return None
+        a, b = zip(*combinations(groups, 2))
+        return pd.DataFrame({"group_a": list(a), "group_b": list(b)})
+
+    ref = bucketed_map_groups(ds, ["v"], emit).to_pandas()
+    pd.testing.assert_frame_equal(_sorted(fast), _sorted(ref))
+    assert len(fast) > 0
