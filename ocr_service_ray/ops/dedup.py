@@ -273,7 +273,11 @@ def minhash_lsh_candidates(
         return pa.table({"id": pa.array(ids), "sig": pa.array(sigs, pa.list_(pa.uint64()))})
 
     def to_band_rows(batch: pa.Table) -> pa.Table:
-        band_ids, band_hashes, ids, sigs = [], [], [], []
+        # band KEY rows only — the 512 B signature does NOT ride the
+        # band shuffle (it did until r5: 16x signature duplication put
+        # ~20 GB through the exchange at 2.4M docs; signatures are now
+        # attached once per deduped candidate pair instead)
+        band_ids, band_hashes, ids = [], [], []
         for doc_id, sig_list in zip(batch["id"].to_pylist(), batch["sig"].to_pylist()):
             sig = np.asarray(sig_list, dtype=np.uint64)
             for band in range(bands):
@@ -284,13 +288,11 @@ def minhash_lsh_candidates(
                 # (string_agg ORDER BY perm index)
                 band_hashes.append("|".join(str(int(v)) for v in chunk))
                 ids.append(doc_id)
-                sigs.append(sig_list)
         return pa.table(
             {
                 "band": pa.array(band_ids, pa.int32()),
                 "band_hash": pa.array(band_hashes, pa.string()),
                 "id": pa.array(ids),
-                "sig": pa.array(sigs, pa.list_(pa.uint64())),
             }
         )
 
@@ -316,7 +318,6 @@ def minhash_lsh_candidates(
                     "band": pa.array([], pa.int32()),
                     "band_hash": pa.array([], pa.int64()),
                     "id": batch["id"],
-                    "sig": batch["sig"],
                 }
             )
         tbl = batch.combine_chunks()
@@ -334,7 +335,6 @@ def minhash_lsh_candidates(
                 "band": pa.array(np.tile(np.arange(bands, dtype=np.int32), n)),
                 "band_hash": pa.array(h.view(np.int64)),
                 "id": tbl["id"].take(idx),
-                "sig": sig_arr.take(idx),
             }
         )
 
@@ -357,74 +357,112 @@ def minhash_lsh_candidates(
     else:
         sig_rows = sig_plan.materialize()
 
-    # Phase 2 — band explosion is a cheap map over the signature table
-    # (no text); it runs once inside the count and once inside the
-    # pair pass, both reading the materialized signatures.
+    # Phase 2 — band KEY explosion (band, band_hash, id — ~20 B/row)
+    # over the signature table; signatures do NOT ride this exchange.
     to_bands = to_band_rows_fast if hash == "fast" else to_band_rows
     band_rows = sig_rows.map_batches(to_bands, batch_format="pyarrow")
     band_rows = _keep_hot_buckets(band_rows, ["band", "band_hash"])
 
-    def bucket_pairs_whole(df: pd.DataFrame) -> pd.DataFrame | None:
-        """Whole-bucket VECTORIZED pair emission — dup-heavy corpora
-        produce millions of size-2 hot buckets, and the per-group
-        callable form spends its wall time in ~50µs/group Python
-        dispatch, not in the verify (measured: the 2.4M-doc scale run
-        was ~4x worse than linear because of exactly this). One sort
-        makes groups contiguous; the ragged-range trick enumerates
-        every intra-group (i<j) pair without any per-group code; the
-        signature-equality verify is one (pairs x num_perm) kernel,
-        CHUNKED so a giant skewed bucket streams instead of
-        materializing a pairs² matrix. Emission order and est values
-        are identical to the per-group loop (sorted ids, mean
-        signature equality, >= threshold)."""
-        if len(df) < 2:
-            return None
-        df = df.sort_values(["band", "band_hash", "id"], kind="stable").reset_index(
-            drop=True
-        )
-        n = len(df)
-        band = df["band"].to_numpy()
-        bh = df["band_hash"].to_numpy()
-        new_grp = np.empty(n, dtype=bool)
-        new_grp[0] = True
-        new_grp[1:] = (band[1:] != band[:-1]) | (bh[1:] != bh[:-1])
-        grp_start_rows = np.nonzero(new_grp)[0]
-        counts = np.diff(np.append(grp_start_rows, n))
-        pos = np.arange(n) - np.repeat(grp_start_rows, counts)
-        reps = np.repeat(counts, counts) - 1 - pos  # pairs led by each row
-        total = int(reps.sum())
-        if total == 0:
-            return None
-        sigs = np.asarray(df["sig"].to_list(), dtype=np.uint64)
-        ids = df["id"].to_numpy()
-        a_idx = np.repeat(np.arange(n), reps)
-        cum = np.concatenate([[0], np.cumsum(reps)[:-1]])
-        b_idx = a_idx + 1 + (np.arange(total) - np.repeat(cum, reps))
-        outs = []
-        CHUNK = 2_000_000
-        for s in range(0, total, CHUNK):
-            ai, bi = a_idx[s : s + CHUNK], b_idx[s : s + CHUNK]
-            est = (sigs[ai] == sigs[bi]).mean(axis=1)
-            keep = est >= threshold
-            if keep.any():
-                outs.append(
-                    pd.DataFrame(
-                        {
-                            "id_a": ids[ai[keep]],
-                            "id_b": ids[bi[keep]],
-                            "est_jaccard": est[keep],
-                        }
-                    )
+    # Phase 3 — candidate pairs from key-only bucket rows (whole-
+    # bucket ragged-range enumeration — no per-bucket Python dispatch),
+    # deduped ACROSS BANDS before any signature travels: every band
+    # yields the same est for a pair (same signatures), so dedupe-
+    # then-verify-once ≡ verify-per-band-then-max, at 1/bands the
+    # verify work and with the 512 B/row signature payload kept out
+    # of both the band shuffle and the pair dedup.
+    from ocr_service_ray.ops.agg import emit_group_pairs, grouped_agg
+
+    cand = grouped_agg(
+        emit_group_pairs(band_rows, ["band", "band_hash"], "id", "id_a", "id_b"),
+        ["id_a", "id_b"],
+        {"_c": (None, "count")},
+    ).select_columns(["id_a", "id_b"])
+
+    # Phase 4 — attach each side's signature via the budget-tiered
+    # auto_join (bench scale: ONE bounded driver pull of the signature
+    # table, gather-broadcast, zero exchange; corpus scale: the
+    # signature table exceeds the byte budget and the key-partitioned
+    # hash join takes it — candidates, not the corpus, are the probe),
+    # then one vectorized mean-equality verify per deduped pair.
+    from ocr_service_ray.ops.relational import auto_join
+
+    id_type = None
+    ssch = sig_rows.schema()
+    if ssch is not None and getattr(ssch, "names", None):
+        t = ssch.types[ssch.names.index("id")]
+        id_type = t if isinstance(t, pa.DataType) else None
+
+    # signatures travel the join as FIXED-SIZE BINARY (num_perm x 8 B
+    # per row): acero rejects list<uint64> as a join non-key field,
+    # and the flat encoding is a zero-copy buffer reinterpretation in
+    # both directions
+    sig_width = num_perm * 8
+    fsb_type = pa.binary(sig_width)
+
+    def side(name):
+        col = f"sig_{name[-1]}"
+
+        def ren(b: pa.Table) -> pa.Table:
+            t = b.combine_chunks()
+            n = t.num_rows
+            if n == 0:
+                return pa.table(
+                    {name: t["id"], col: pa.array([], fsb_type)}
                 )
-        if not outs:
-            return None
-        return pd.concat(outs, ignore_index=True)
+            mat = np.ascontiguousarray(
+                np.asarray(t["sig"].chunk(0).flatten(), dtype=np.uint64).reshape(
+                    n, num_perm
+                )
+            )
+            fsb = pa.FixedSizeBinaryArray.from_buffers(
+                fsb_type, n, [None, pa.py_buffer(mat.tobytes())]
+            )
+            return pa.table({name: t["id"], col: fsb})
 
-    from ocr_service_ray.ops.agg import bucketed_apply
+        return sig_rows.map_batches(ren, batch_format="pyarrow")
 
-    pairs = bucketed_apply(band_rows, ["band", "band_hash"], bucket_pairs_whole)
-    # Same pair can surface from several bands → collapse (vectorized).
-    return dedupe_pairs(pairs, "est_jaccard", agg="max")
+    j = auto_join(cand, side("id_a"), on="id_a")
+    j = auto_join(j, side("id_b"), on="id_b")
+
+    out_schema = pa.schema(
+        [
+            ("id_a", id_type or pa.int64()),
+            ("id_b", id_type or pa.int64()),
+            ("est_jaccard", pa.float64()),
+        ]
+    )
+
+    def _sig_mat(arr) -> np.ndarray:
+        # fixed-size-binary column -> (n, num_perm) uint64, zero-copy
+        # from the values buffer (offset-aware for sliced arrays);
+        # gather-broadcast tier delivers bytes objects instead — stack
+        if arr.type.equals(fsb_type):
+            flat = np.frombuffer(arr.buffers()[1], dtype=np.uint64)
+            s = arr.offset * num_perm
+            return flat[s : s + len(arr) * num_perm].reshape(len(arr), num_perm)
+        return np.stack(
+            [np.frombuffer(x, dtype=np.uint64) for x in arr.to_pylist()]
+        )
+
+    def verify(b: pa.Table) -> pa.Table:
+        if b.num_rows == 0 or "sig_a" not in b.column_names:
+            return out_schema.empty_table()
+        t = b.combine_chunks()
+        A = _sig_mat(t["sig_a"].chunk(0))
+        B = _sig_mat(t["sig_b"].chunk(0))
+        est = (A == B).mean(axis=1)
+        keep = est >= threshold
+        out = t.select(["id_a", "id_b"]).filter(pa.array(keep))
+        return out.append_column("est_jaccard", pa.array(est[keep]))
+
+    import ray.data as rd
+
+    # schema anchor: a dup-free corpus yields ZERO candidate pairs and
+    # a zero-block (schema-less) result otherwise — same landmine as
+    # ops/lift.frequent_triples
+    anchor = rd.from_arrow(out_schema.empty_table()) if id_type is not None else None
+    verified = j.map_batches(verify, batch_format="pyarrow")
+    return anchor.union(verified) if anchor is not None else verified
 
 
 def _keep_hot_buckets(rows_ds, key_cols: list[str]):
