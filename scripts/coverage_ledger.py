@@ -41,6 +41,8 @@ SOURCES = [
     ("scripts/sweep_full_r4_s3.log.gz", "r4", "sf0.01", "builder-sweep"),
     ("scripts/sweep_sf01_r4.log", "r4", "sf0.1", "builder-sweep"),
     ("scripts/sweep_full_r5.log", "r5", "sf0.01", "builder-sweep"),
+    ("scripts/sweep_full_r5_final.log", "r5", "sf0.01", "builder-sweep"),
+    ("scripts/sweep_r5_final2.log", "r5", "sf0.01", "builder-sweep"),
     ("scripts/sweep_sf01_r5.log", "r5", "sf0.1", "builder-sweep"),
 ]
 
