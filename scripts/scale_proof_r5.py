@@ -147,6 +147,50 @@ def ray_up():
     return ray
 
 
+def _replica_texts(base: int, vocab) -> tuple[list, int]:
+    """The deterministic replica loop shared by ``gen`` and ``census``:
+    returns the REPLICAS texts for one base doc plus the number of
+    ACCIDENTAL exact copies — near-dup rewrites whose replacement word
+    equals the word already at that position (p = 1/VOCAB_SIZE per
+    seed), leaving ``text == prev`` byte for byte. Each such event
+    converts one would-be-unique near-dup into an extra exact
+    duplicate and removes exactly one distinct text, copy chains
+    included (no two near-dups ever share a source text: identical
+    texts only come in {q, q+1} exact-copy pairs and r%11==5 cannot
+    hold for two consecutive r), so the survivor oracle is
+    ROWS - 69*BASE_DOCS - n_accidental at ANY scale. Invisible at the
+    10x rung (0 events observed, ~3.8 expected over 190k seeds);
+    material at the 100x rung (~38 expected over 1.9M seeds)."""
+    import numpy as np
+
+    texts = []
+    n_accidental = 0
+    prev = None
+    for r in range(REPLICAS):
+        if r % 7 == 3 and prev is not None:
+            text = prev  # exact duplicate of r-1
+        elif r % 11 == 5 and prev is not None:
+            # near duplicate: one word rewritten
+            words = prev.split(" ")
+            h = int(_splitmix(np.uint64(base * 1000003 + r)))
+            words[h % len(words)] = vocab[h % VOCAB_SIZE]
+            text = " ".join(words)
+            if text == prev:
+                n_accidental += 1
+        else:
+            with np.errstate(over="ignore"):
+                seed = np.uint64(base) * np.uint64(982451653) + np.uint64(r)
+                n_words = 80 + int(_splitmix(seed)) % 40
+                idx = _splitmix(
+                    seed * np.uint64(1_000_003)
+                    + np.arange(n_words, dtype=np.uint64)
+                ) % np.uint64(VOCAB_SIZE)
+            text = " ".join(vocab[idx.astype(np.int64)])
+        texts.append(text)
+        prev = text
+    return texts, n_accidental
+
+
 def gen(args) -> dict:
     """Distributed deterministic corpus generation: one task per base
     doc builds all 480 replicas sequentially (copies need r-1's text),
@@ -163,29 +207,10 @@ def gen(args) -> dict:
     def build(batch: pa.Table) -> pa.Table:
         ids, texts, srcs = [], [], []
         for base in batch["id"].to_pylist():
-            prev = None
-            for r in range(REPLICAS):
-                if r % 7 == 3 and prev is not None:
-                    text = prev  # exact duplicate of r-1
-                elif r % 11 == 5 and prev is not None:
-                    # near duplicate: one word rewritten
-                    words = prev.split(" ")
-                    h = int(_splitmix(np.uint64(base * 1000003 + r)))
-                    words[h % len(words)] = vocab[h % VOCAB_SIZE]
-                    text = " ".join(words)
-                else:
-                    with np.errstate(over="ignore"):
-                        seed = np.uint64(base) * np.uint64(982451653) + np.uint64(r)
-                        n_words = 80 + int(_splitmix(seed)) % 40
-                        idx = _splitmix(
-                            seed * np.uint64(1_000_003)
-                            + np.arange(n_words, dtype=np.uint64)
-                        ) % np.uint64(VOCAB_SIZE)
-                    text = " ".join(vocab[idx.astype(np.int64)])
-                ids.append(base * REPLICAS + r)
-                texts.append(text)
-                srcs.append(f"src{base % 20}")
-                prev = text
+            reps, _ = _replica_texts(base, vocab)
+            texts.extend(reps)
+            ids.extend(base * REPLICAS + r for r in range(REPLICAS))
+            srcs.extend([f"src{base % 20}"] * REPLICAS)
         return pa.table(
             {
                 "doc_id": pa.array(ids, pa.int64()),
@@ -229,6 +254,66 @@ def gen(args) -> dict:
     return res
 
 
+def census(args) -> dict:
+    """Deterministic replay of the generator's decisions (no corpus
+    read, no parquet write) counting accidental exact copies — see
+    ``_replica_texts``. Writes ``{CORPUS}/census.json`` so the exact
+    stage's survivor oracle stays ARITHMETIC at every rung: the 100x
+    run surfaced a 28-survivor deficit that is exactly this p=1/50000
+    rewrite-collision effect, not an engine miscount."""
+    import numpy as np
+    import pyarrow as pa
+
+    ray = ray_up()
+    import ray.data as rd
+
+    vocab = np.array([f"w{i:05d}" for i in range(VOCAB_SIZE)])
+
+    def count(batch: pa.Table) -> pa.Table:
+        acc = [
+            _replica_texts(base, vocab)[1]
+            for base in batch["id"].to_pylist()
+        ]
+        return pa.table({"accidental": pa.array(acc, pa.int64())})
+
+    t0 = time.perf_counter()
+    with RssPeak() as rss:
+        n_acc = int(
+            rd.range(BASE_DOCS)
+            .repartition(NUM_CPUS * 4)
+            .map_batches(count, batch_format="pyarrow", batch_size=16)
+            .sum("accidental")
+        )
+    wall = time.perf_counter() - t0
+    sidecar = {
+        "n_accidental_exact": n_acc,
+        "expected_exact_survivors": EXPECTED_EXACT_SURVIVORS - n_acc,
+        "base_docs": BASE_DOCS,
+        "replicas": REPLICAS,
+    }
+    with open(f"{CORPUS}/census.json", "w") as f:
+        json.dump(sidecar, f)
+    res = {
+        "stage": "census",
+        "wall_sec": round(wall, 1),
+        "driver_rss_peak_mb": rss.peak_kb // 1024,
+        **sidecar,
+    }
+    ray.shutdown()
+    return res
+
+
+def _expected_survivors() -> int:
+    """Census-adjusted survivor oracle when the sidecar exists; the
+    pure-arithmetic count otherwise (exact whenever no rewrite
+    collision occurred, e.g. the recorded 10x runs)."""
+    try:
+        with open(f"{CORPUS}/census.json") as f:
+            return int(json.load(f)["expected_exact_survivors"])
+    except (OSError, ValueError, KeyError):
+        return EXPECTED_EXACT_SURVIVORS
+
+
 def _read_corpus():
     import ray.data as rd
 
@@ -255,8 +340,8 @@ def exact(args) -> dict:
     res = {
         "stage": "exact_dedup",
         "survivors": int(n_groups),
-        "expected_survivors": EXPECTED_EXACT_SURVIVORS,
-        "oracle_match": int(n_groups) == EXPECTED_EXACT_SURVIVORS,
+        "expected_survivors": _expected_survivors(),
+        "oracle_match": int(n_groups) == _expected_survivors(),
         "dup_group_rows": int(dup_rows),
         "wall_sec": round(wall, 1),
         "driver_rss_peak_mb": rss.peak_kb // 1024,
@@ -397,6 +482,7 @@ def flagship(args) -> dict:
 
 STAGES = {
     "gen": gen,
+    "census": census,
     "exact": exact,
     "minhash": minhash,
     "curate": curate,
