@@ -39,6 +39,17 @@ from ocr_service_ray.ops.text import content_hash
 
 _MERSENNE31 = np.uint64((1 << 31) - 1)
 
+# Cap on docs per signature/fingerprint map task. Without it the batch
+# is the whole input block: at corpus scale (128 MB parquet blocks ~
+# 300k docs) the kernel's flat intermediates (word streams, gram
+# arrays, B^i prefix tables — hundreds of MB each) fall out of cache
+# and the 64-permutation fold re-reads them from DRAM, measured ~4x
+# per-doc degradation past ~10k docs (334 us/doc at 10k vs 1384 at
+# 150k; the 24M-doc scale-proof signature pass ran 1766 s before the
+# cap). Output is per-doc deterministic, so the cap cannot change any
+# signature (batch == per-doc is pytest-asserted).
+_SIG_BATCH = 8192
+
 
 def dedupe_pairs(pairs_ds, value_col: str, agg: str = "min", num_buckets: int = 64):
     """Collapse duplicate (id_a, id_b) pair rows keeping the min/max of
@@ -348,7 +359,9 @@ def minhash_lsh_candidates(
     # written as a parquet signature table and read back, so the
     # pinned copy lives in storage instead of cluster memory (and a
     # re-run can reuse it).
-    sig_plan = ds.map_batches(to_sig_rows, batch_format="pyarrow")
+    sig_plan = ds.map_batches(
+        to_sig_rows, batch_format="pyarrow", batch_size=_SIG_BATCH
+    )
     if signature_path is not None:
         from ocr_service_ray.sources.readers import read_parquet_clean
 
@@ -361,10 +374,20 @@ def minhash_lsh_candidates(
     # over the signature table; signatures do NOT ride this exchange.
     to_bands = to_band_rows_fast if hash == "fast" else to_band_rows
     band_rows = sig_rows.map_batches(to_bands, batch_format="pyarrow")
-    band_rows = _keep_hot_buckets(band_rows, ["band", "band_hash"])
 
-    # Phase 3 — candidate pairs from key-only bucket rows (whole-
-    # bucket ragged-range enumeration — no per-bucket Python dispatch),
+    # Phase 3 — candidate pairs in ONE bucketed exchange over the
+    # band-key rows (whole-bucket ragged-range enumeration — no
+    # per-bucket Python dispatch; singleton segments emit nothing, so
+    # no hot-bucket prefilter is needed). Until r5's 24M-doc
+    # scale-proof this phase ran a _keep_hot_buckets broadcast
+    # prefilter first, which assumes the >1-member key set is tiny —
+    # but on a dup-heavy corpus it is corpus-proportional (~85M keys /
+    # ~160M hot rows at 24M docs), so the prefilter cost a SECOND full
+    # count exchange, an ~85M-row driver pull, a ~700 MB broadcast and
+    # a per-batch re-sorting np.isin, and its pair exchange stalled in
+    # multi-GB shuffle tasks. Emitting straight from the single band
+    # exchange moves strictly fewer total rows at every scale and
+    # keeps the driver out of the data path entirely. Pairs are
     # deduped ACROSS BANDS before any signature travels: every band
     # yields the same est for a pair (same signatures), so dedupe-
     # then-verify-once ≡ verify-per-band-then-max, at 1/bands the
@@ -372,10 +395,27 @@ def minhash_lsh_candidates(
     # of both the band shuffle and the pair dedup.
     from ocr_service_ray.ops.agg import emit_group_pairs, grouped_agg
 
+    # bucket count sized to ~2M band rows per bucket so per-bucket
+    # pandas sorts stay seconds-scale and the reduce side parallelizes
+    # at corpus scale; sig_rows.count() is metadata-cheap for both the
+    # parquet tier and the materialized tier
+    try:
+        n_docs = sig_rows.count()
+    except Exception:
+        n_docs = None
+    nb = (
+        32
+        if not n_docs
+        else int(min(512, max(32, (n_docs * bands) // 2_000_000)))
+    )
     cand = grouped_agg(
-        emit_group_pairs(band_rows, ["band", "band_hash"], "id", "id_a", "id_b"),
+        emit_group_pairs(
+            band_rows, ["band", "band_hash"], "id", "id_a", "id_b",
+            num_buckets=nb,
+        ),
         ["id_a", "id_b"],
         {"_c": (None, "count")},
+        num_buckets=nb,
     ).select_columns(["id_a", "id_b"])
 
     # Phase 4 — attach each side's signature via the budget-tiered
@@ -516,7 +556,15 @@ def _keep_hot_buckets(rows_ds, key_cols: list[str]):
         def __call__(self, batch: pa.Table) -> pa.Table:
             if not batch.num_rows:
                 return batch
-            mask = np.isin(_combined_hash(batch), self.hot, assume_unique=False)
+            if not len(self.hot):
+                return batch.slice(0, 0)
+            # membership via binary search on the pre-sorted broadcast
+            # array — np.isin re-sorts the UNION of probe and hot set
+            # on every batch, which at a corpus-proportional hot set
+            # turns each batch into an O((n+m) log(n+m)) argsort
+            h = _combined_hash(batch)
+            idx = np.minimum(np.searchsorted(self.hot, h), len(self.hot) - 1)
+            mask = self.hot[idx] == h
             return batch.filter(pa.array(mask))
 
     return bcast_stage(rows_ds, HotFilter, hot_hashes.nbytes)
@@ -637,7 +685,9 @@ def simhash_candidates(
     # minhash_lsh_candidates phase-1 note; ``signature_path`` is the
     # parquet-table tier for corpus scale). Band explosion + count +
     # filter all read the fingerprint table, never the text again.
-    fp_plan = ds.map_batches(to_fp_rows, batch_format="pyarrow")
+    fp_plan = ds.map_batches(
+        to_fp_rows, batch_format="pyarrow", batch_size=_SIG_BATCH
+    )
     if signature_path is not None:
         from ocr_service_ray.sources.readers import read_parquet_clean
 
