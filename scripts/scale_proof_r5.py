@@ -133,12 +133,20 @@ def spilled_mb() -> float:
 def ray_up():
     import ray
 
+    kw = {}
+    store_gb = os.environ.get("SCALE10_OBJ_STORE_GB")
+    if store_gb:
+        # the 100x rung's shuffles exceed the default 37.6 GiB store on
+        # this 93 GB-usable disk (spill hit Ray's 95% disk cap); with
+        # 126 GB of /dev/shm the store can simply be sized to the rung
+        kw["object_store_memory"] = int(float(store_gb) * (1 << 30))
     ray.init(
         address="local",
         num_cpus=NUM_CPUS,
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        **kw,
     )
     from ray.data import DataContext
 
@@ -406,10 +414,16 @@ def curate(args) -> dict:
 
     ray = ray_up()
     tier = args.exact_keep
-    staging = f"{CORPUS}/curate_stage_{tier}"
+    # --no-staging runs the in-memory tier: at the 100x rung the three
+    # tiers' staged-phase parquet (~35-45 GB each) cannot coexist with
+    # the LSH shuffle spill on this sandbox's ~93 GB disk, so the
+    # staged (production) shape is proven on ONE tier and the forced
+    # tiers run unstaged — final checksums must agree either way.
+    staging = None if args.no_staging else f"{CORPUS}/curate_stage_{tier}"
     import shutil
 
-    shutil.rmtree(staging, ignore_errors=True)
+    if staging:
+        shutil.rmtree(staging, ignore_errors=True)
     t0 = time.perf_counter()
     with RssPeak() as rss:
         out, summary = curate_corpus(
@@ -496,6 +510,8 @@ def main():
     ap.add_argument("--exact-keep", default="auto",
                     choices=["broadcast", "join", "auto"])
     ap.add_argument("--broadcast-budget", type=int, default=1_000_000)
+    ap.add_argument("--no-staging", action="store_true",
+                    help="curate in the in-memory tier (no staged phases)")
     args = ap.parse_args()
     res = STAGES[args.stage](args)
     print(json.dumps(res))
