@@ -44,6 +44,7 @@ SOURCES = [
     ("scripts/sweep_full_r5_final.log", "r5", "sf0.01", "builder-sweep"),
     ("scripts/sweep_r5_final2.log", "r5", "sf0.01", "builder-sweep"),
     ("scripts/sweep_sf01_r5.log", "r5", "sf0.1", "builder-sweep"),
+    ("scripts/sweep_r5_postfix.log", "r5", "sf0.01", "builder-sweep"),
 ]
 
 LINE_RE = re.compile(
