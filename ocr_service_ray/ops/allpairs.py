@@ -81,7 +81,9 @@ def sparse_cosine_pairs(
     if stats_path is not None:
         import ray.data as rd
 
-        capped.write_parquet(stats_path)
+        from ocr_service_ray.sources.sinks import write_parquet_sized
+
+        write_parquet_sized(capped, stats_path)
         capped = rd.read_parquet(stats_path)
     else:
         capped = capped.materialize()

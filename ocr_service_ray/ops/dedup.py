@@ -364,8 +364,9 @@ def minhash_lsh_candidates(
     )
     if signature_path is not None:
         from ocr_service_ray.sources.readers import read_parquet_clean
+        from ocr_service_ray.sources.sinks import write_parquet_sized
 
-        sig_plan.write_parquet(signature_path)
+        write_parquet_sized(sig_plan, signature_path)
         sig_rows = read_parquet_clean(signature_path)
     else:
         sig_rows = sig_plan.materialize()
@@ -690,8 +691,9 @@ def simhash_candidates(
     )
     if signature_path is not None:
         from ocr_service_ray.sources.readers import read_parquet_clean
+        from ocr_service_ray.sources.sinks import write_parquet_sized
 
-        fp_plan.write_parquet(signature_path)
+        write_parquet_sized(fp_plan, signature_path)
         fp_rows = read_parquet_clean(signature_path)
     else:
         fp_rows = fp_plan.materialize()

@@ -269,8 +269,9 @@ def bm25_search(
     stats_plan = ds.map_batches(project, batch_format="pyarrow")
     if stats_path is not None:
         from ocr_service_ray.sources.readers import read_parquet_clean
+        from ocr_service_ray.sources.sinks import write_parquet_sized
 
-        stats_plan.write_parquet(stats_path)
+        write_parquet_sized(stats_plan, stats_path)
         stats = read_parquet_clean(stats_path)
     else:
         stats = stats_plan.materialize()

@@ -83,7 +83,9 @@ def _staged_pin(ds, name: str, staging_path: str | None, resume: bool, phases: l
     t0 = time.perf_counter()
     if callable(ds):
         ds = ds()
-    ds.write_parquet(tmp)
+    from ocr_service_ray.sources.sinks import write_parquet_sized
+
+    write_parquet_sized(ds, tmp)
     rows = nbytes = 0
     for fn in os.listdir(tmp):  # footer metadata only, no data re-read
         if fn.endswith(".parquet"):

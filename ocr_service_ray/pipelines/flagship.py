@@ -64,7 +64,9 @@ def write_documents(ds, path: str, **kwargs):
 
         return ds.write_lance(path, **kwargs)
     except ImportError:
-        return ds.write_parquet(path, **kwargs)
+        from ocr_service_ray.sources.sinks import write_parquet_sized
+
+        return write_parquet_sized(ds, path, **kwargs)
 
 
 def run_extraction(

@@ -131,9 +131,11 @@ def _run_one_shard(i, shard, build_pipeline, out_dir, hash_content) -> dict:
     t_start = time.time()
     t0 = time.perf_counter()
     ds = build_pipeline(shard)
+    from ocr_service_ray.sources.sinks import write_parquet_sized
+
     for attempt in range(3):
         try:
-            ds.write_parquet(tmp)
+            write_parquet_sized(ds, tmp)
             break
         except ImportError as e:
             # Concurrent-shard races on Ray's lazy fsspec.http import:

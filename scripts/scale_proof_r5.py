@@ -479,11 +479,28 @@ def flagship(args) -> dict:
             kernel_concurrency=pool,
             fused=True,
         )
-        for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
-            n += b.num_rows
+        if getattr(args, "sink", None):
+            # the production shape: results stream to partitioned
+            # parquet; nothing corpus-sized ever visits the driver
+            # (iter_batches below exists only so the harness can
+            # count rows — it buffers result batches driver-side)
+            import shutil
+
+            from ocr_service_ray.pipelines.flagship import write_documents
+
+            shutil.rmtree(args.sink, ignore_errors=True)
+            write_documents(ds, args.sink)
+        else:
+            for b in ds.iter_batches(batch_format="pyarrow", batch_size=4096):
+                n += b.num_rows
     wall = time.perf_counter() - t0
+    if getattr(args, "sink", None):
+        # row-count verification from parquet metadata, outside the timer
+        import ray.data as rd
+
+        n = rd.read_parquet(args.sink).count()
     res = {
-        "stage": "flagship",
+        "stage": "flagship" + ("[sink]" if getattr(args, "sink", None) else ""),
         "docs": int(n),
         "wall_sec": round(wall, 1),
         "docs_per_sec": round(n / wall, 1),
@@ -512,6 +529,10 @@ def main():
     ap.add_argument("--broadcast-budget", type=int, default=1_000_000)
     ap.add_argument("--no-staging", action="store_true",
                     help="curate in the in-memory tier (no staged phases)")
+    ap.add_argument("--sink", default=None,
+                    help="flagship: write results to this parquet dir "
+                         "(production shape) instead of iterating "
+                         "batches on the driver")
     args = ap.parse_args()
     res = STAGES[args.stage](args)
     print(json.dumps(res))
